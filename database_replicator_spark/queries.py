@@ -1,0 +1,288 @@
+"""The engine's declared query surface: every operator from SURVEY.md §2
+exposed as a (spark, sf_dir) -> DataFrame callable plus a DuckDB oracle SQL
+string with identical column names and values.
+
+Cross-engine determinism rules used throughout (so the driver's value-hash
+comparison passes):
+
+  * Monetary/quantity aggregates: cast doubles to DECIMAL before SUM (exact,
+    associative), cast the final result to DOUBLE. Both engines perform the
+    identical exact decimal sum, so the final double is bit-identical.
+    Never SUM raw doubles (partition-order-dependent rounding) and never
+    compare raw DECIMAL results (precision/scale inference differs).
+  * Timestamps stay microsecond-precision; DuckDB reads the same parquet.
+  * Every computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .sources.catalog import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+def _dec(col, scale: int = 4):
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+# ---------------------------------------------------------------------------
+# Flagship: pricing summary (groupBy aggregation — the analytics extension
+# over the reference's replication surface; SURVEY.md §2.4 notes the
+# reference has no GROUP BY analytics, Spark provides it natively).
+# ---------------------------------------------------------------------------
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+               * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+               * (1 - CAST(l_discount AS DECIMAL(18,4)))
+               * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE) AS sum_charge,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = 1 - _dec("l_discount")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_dec("l_extendedprice") * disc).cast("double").alias("sum_disc_price"),
+            F.sum(_dec("l_extendedprice") * disc * (1 + _dec("l_tax")))
+            .cast("double")
+            .alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S7 + P1/P3: predicate-filtered snapshot copy (COPY (SELECT … WHERE …)).
+# ---------------------------------------------------------------------------
+
+@query(
+    "filtered_copy_lineitem",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_quantity > 45
+    """,
+)
+def filtered_copy_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.snapshot import filtered_copy
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return filtered_copy(
+        li,
+        predicate="l_returnflag = 'R' AND l_quantity > 45",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity", "l_returnflag"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# S13/A2/A4: watermark incremental read (xmin analogue, pluggable column).
+# ---------------------------------------------------------------------------
+
+@query(
+    "incremental_read_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+    FROM orders
+    WHERE o_orderkey > 12000
+    """,
+)
+def incremental_read_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.incremental import read_changes
+
+    orders = load_table(spark, sf_dir, "orders")
+    return read_changes(orders, "o_orderkey", 12000).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+
+
+@query(
+    "incremental_watermark_stats",
+    oracle="""
+    SELECT COUNT(*) AS pending_changes, MAX(o_orderkey) AS next_watermark
+    FROM orders
+    WHERE o_orderkey > 12000
+    """,
+)
+def incremental_watermark_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderkey") > 12000).agg(
+        F.count(F.lit(1)).alias("pending_changes"),
+        F.max("o_orderkey").alias("next_watermark"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1/J2: reconciliation anti-join (orphan detection).
+# ---------------------------------------------------------------------------
+
+@query(
+    "reconcile_orphans",
+    oracle="""
+    SELECT c_custkey
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    )
+    """,
+)
+def reconcile_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan PKs: in target (customer) but not in the source snapshot
+    (here: customers with recent orders) — J1/J2's anti-join, with a
+    filter that guarantees a non-trivial orphan set in the fixtures."""
+    from .operators.reconcile import find_orphans
+
+    customer = load_table(spark, sf_dir, "customer")
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return find_orphans(customer, recent, ["c_custkey"])
+
+
+# ---------------------------------------------------------------------------
+# J4/S18: MERGE upsert semantics (batch form).
+# ---------------------------------------------------------------------------
+
+@query(
+    "merge_upsert_orders",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey <= 10000
+    ), updates AS (
+      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 2 AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey > 5000 AND o_orderkey <= 15000
+    )
+    SELECT
+      COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+      COALESCE(u.o_custkey, b.o_custkey) AS o_custkey,
+      COALESCE(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+      COALESCE(u.o_totalprice, b.o_totalprice) AS o_totalprice
+    FROM base b FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.incremental import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    base = orders.filter(F.col("o_orderkey") <= 10000)
+    updates = orders.filter(
+        (F.col("o_orderkey") > 5000) & (F.col("o_orderkey") <= 15000)
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice").cast("decimal(18,4)") * 2)
+        .cast("double")
+        .alias("o_totalprice"),
+    )
+    return merge_upsert(base, updates, ["o_orderkey"])
+
+
+# ---------------------------------------------------------------------------
+# ST6 / §2.7: last-write-wins keyed dedup (_latest materialization).
+# ---------------------------------------------------------------------------
+
+@query(
+    "latest_events_per_user",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) t WHERE rn = 1
+    """,
+)
+def latest_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.latest import latest_by_key
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    return latest_by_key(events, ["user_id"], "ts", tiebreak_cols=["event_id"])
+
+
+# ---------------------------------------------------------------------------
+# A5: verification checksum (strict, cross-engine-reproducible form).
+# The scalable order-insensitive form lives in operators/verify.py and is
+# tested for self-consistency; this one is the DuckDB-matchable oracle.
+# ---------------------------------------------------------------------------
+
+@query(
+    "checksum_orders",
+    oracle="""
+    WITH rendered AS (
+      SELECT md5(concat_ws('|',
+        COALESCE(CAST(o_orderkey AS VARCHAR), ''),
+        COALESCE(CAST(o_custkey AS VARCHAR), ''),
+        COALESCE(o_orderstatus, ''),
+        COALESCE(printf('%.6f', o_totalprice), ''),
+        COALESCE(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f'), ''),
+        COALESCE(o_orderpriority, '')
+      )) AS h
+      FROM orders
+    )
+    SELECT
+      CASE WHEN COUNT(*) = 0 THEN 'empty'
+           ELSE md5(string_agg(h, '' ORDER BY h)) END AS checksum,
+      COUNT(*) AS row_count
+    FROM rendered
+    """,
+)
+def checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.verify import strict_checksum_df
+
+    orders = load_table(spark, sf_dir, "orders")
+    return strict_checksum_df(orders)

@@ -1,0 +1,66 @@
+"""Table catalog over a directory of parquet files (the test fixture layout)
+plus JDBC-source plumbing for real databases.
+
+Reference parity: discovery in the reference walks live catalogs
+(src/migration/schema.rs:33-86 for Postgres, sqlite_master, MySQL
+INFORMATION_SCHEMA, Mongo list_collection_names — SURVEY.md §1.3). Here the
+same role is played by a directory of parquet tables for tests and by
+``jdbc.discover_tables`` for live sources.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: The fixture tables the driver generates (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def ensure_configured(spark: SparkSession) -> None:
+    """Set the runtime SQL confs the engine's semantics depend on, so queries
+    behave identically on a session we did not build (e.g. the driver's):
+    nanos-as-long lets Spark read TIMESTAMP(NANOS) parquet, and a UTC session
+    timezone pins timestamp rendering/casts."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table. Parquet scans get predicate pushdown +
+    column pruning from Catalyst automatically.
+
+    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark reads as a long
+    (spark.sql.legacy.parquet.nanosAsLong) — convert to a microsecond
+    timestamp here so downstream operators see a proper TimestampType.
+    ``div`` keeps the arithmetic in longs (a double would lose precision on
+    nanosecond epochs ≈ 1.7e18 > 2^53).
+    """
+    from pyspark.sql import functions as F
+
+    ensure_configured(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view so operators can be
+    written in pure SQL when that is clearer."""
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)

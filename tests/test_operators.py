@@ -1,0 +1,154 @@
+"""Operator unit tests over small in-memory / sf0.001 DataFrames."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from database_replicator_spark.operators.incremental import (
+    WatermarkState,
+    apply_change_batch,
+    detect_wraparound,
+    max_watermark,
+    merge_upsert,
+    read_changes,
+)
+from database_replicator_spark.operators.latest import latest_by_key
+from database_replicator_spark.operators.reconcile import apply_deletes, find_orphans
+from database_replicator_spark.operators.snapshot import SnapshotPlan, filtered_copy
+from database_replicator_spark.operators.verify import (
+    checksum_df,
+    strict_checksum_df,
+    table_checksum,
+)
+from database_replicator_spark.plans.rules import ReplicationFilter
+from database_replicator_spark.sources.catalog import load_table
+
+
+@pytest.fixture()
+def kv(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id int, name string, v int"
+    )
+
+
+class TestFilteredCopy:
+    def test_predicate_and_projection(self, kv):
+        out = filtered_copy(kv, predicate="v >= 20", columns=["id", "v"])
+        assert out.columns == ["id", "v"]
+        assert sorted(r["id"] for r in out.collect()) == [2, 3]
+
+    def test_filter_pushed_to_scan(self, spark, sf_dir):
+        li = load_table(spark, sf_dir, "lineitem")
+        plan = (
+            li.select("l_orderkey", "l_quantity")
+            .filter(F.col("l_quantity") > 45)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity" in plan
+
+
+class TestChecksum:
+    def test_order_insensitive_and_content_sensitive(self, spark, kv):
+        shuffled = kv.orderBy(F.col("v").desc()).repartition(5)
+        a = table_checksum(kv)
+        b = table_checksum(shuffled)
+        assert a == b
+        c = table_checksum(kv.withColumn("v", F.col("v") + 1))
+        assert a != c
+
+    def test_empty_table(self, spark):
+        empty = spark.createDataFrame([], "id int, name string")
+        row = checksum_df(empty).collect()[0]
+        assert row["checksum"] == "empty" and row["row_count"] == 0
+        row = strict_checksum_df(empty).collect()[0]
+        assert row["checksum"] == "empty" and row["row_count"] == 0
+
+    def test_strict_matches_regardless_of_partitioning(self, spark, sf_dir):
+        orders = load_table(spark, sf_dir, "orders")
+        a = strict_checksum_df(orders).collect()[0]
+        b = strict_checksum_df(orders.repartition(7)).collect()[0]
+        assert a == b
+
+
+class TestReconcile:
+    def test_orphans_and_deletes(self, spark):
+        target = spark.createDataFrame([(1,), (2,), (3,), (4,)], "id int")
+        source = spark.createDataFrame([(2,), (3,)], "id int")
+        orphans = find_orphans(target, source, ["id"])
+        assert sorted(r["id"] for r in orphans.collect()) == [1, 4]
+        remaining = apply_deletes(target, orphans, ["id"])
+        assert sorted(r["id"] for r in remaining.collect()) == [2, 3]
+
+
+class TestIncremental:
+    def test_read_changes_and_watermark(self, kv):
+        changes = read_changes(kv, "v", 10)
+        assert sorted(r["id"] for r in changes.collect()) == [2, 3]
+        assert max_watermark(kv, "v") == 30
+
+    def test_max_watermark_empty(self, spark):
+        empty = spark.createDataFrame([], "v int")
+        assert max_watermark(empty, "v") is None
+
+    def test_wraparound(self):
+        assert detect_wraparound(4_000_000_000, 100)
+        assert not detect_wraparound(100, 4_000_000_000)
+        assert not detect_wraparound(200, 100)
+
+    def test_merge_upsert(self, spark, kv):
+        updates = spark.createDataFrame(
+            [(2, "B", 99), (9, "new", 1)], "id int, name string, v int"
+        )
+        merged = merge_upsert(kv, updates, ["id"])
+        got = {r["id"]: (r["name"], r["v"]) for r in merged.collect()}
+        assert got == {1: ("a", 10), 2: ("B", 99), 3: ("c", 30), 9: ("new", 1)}
+
+    def test_apply_change_batch(self, spark, kv):
+        changes = spark.createDataFrame(
+            [
+                (2, "B2", 99, "update", 10),
+                (2, "B1", 98, "update", 9),   # older version, must lose
+                (3, None, None, "delete", 11),
+                (9, "new", 1, "insert", 12),
+            ],
+            "id int, name string, v int, op string, change_id int",
+        )
+        out = apply_change_batch(kv, changes, ["id"], version_col="change_id")
+        got = {r["id"]: (r["name"], r["v"]) for r in out.collect()}
+        assert got == {1: ("a", 10), 2: ("B2", 99), 9: ("new", 1)}
+
+    def test_watermark_state_roundtrip(self, tmp_path):
+        st = WatermarkState(str(tmp_path / "state.json"))
+        assert st.get_watermark("t") is None
+        st.advance("t", 42, synced_rows=10)
+        st.advance("t", 50, synced_rows=5)
+        assert st.get_watermark("t") == 50
+        assert st.load()["t"]["synced_rows"] == 15
+
+
+class TestLatest:
+    def test_last_write_wins_with_tiebreak(self, spark):
+        df = spark.createDataFrame(
+            [(1, 100, "x"), (1, 200, "y"), (1, 200, "z"), (2, 50, "q")],
+            "k int, ver int, payload string",
+        )
+        # tiebreak on payload desc → 'z' wins at ver=200
+        out = latest_by_key(df, ["k"], "ver", tiebreak_cols=["payload"])
+        got = {r["k"]: (r["ver"], r["payload"]) for r in out.collect()}
+        assert got == {1: (200, "z"), 2: (50, "q")}
+
+
+class TestSnapshotPlan:
+    def test_rules_drive_copy(self, spark, tmp_path):
+        kv = spark.createDataFrame([(1, 5), (2, 50)], "id int, v int")
+        other = spark.createDataFrame([(1, "x")], "id int, s string")
+        skipme = spark.createDataFrame([(9,)], "id int")
+        f = ReplicationFilter(exclude_tables=["default.skipme"])
+        f.rules.add_predicate("default.kv", "v > 10")
+        f.rules.add_schema_only("default.other")
+        plan = SnapshotPlan(filter=f, database="default")
+        res = plan.run(spark, {"kv": kv, "other": other, "skipme": skipme}, str(tmp_path))
+        assert res == {"kv": "copied_filtered", "other": "schema_only", "skipme": "skipped"}
+        assert spark.read.parquet(str(tmp_path / "kv")).collect()[0]["id"] == 2
+        assert spark.read.parquet(str(tmp_path / "other")).count() == 0
