@@ -1,0 +1,194 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, cheapest-first — a 100 TB dedup pipeline runs them in this
+order so each tier shrinks the candidate set for the next:
+
+  1. **Exact** — group by content fingerprint (md5 of normalized text).
+     One shuffle on the fingerprint; survivors = min(doc_id) per group.
+  2. **MinHash + LSH banding** — per-doc minhash signature over word
+     shingles; band signatures bucket candidates; only same-bucket pairs
+     are verified. Candidate generation is a groupBy on (band, band_sig),
+     never an all-pairs join — the quadratic blowup is confined to within
+     buckets, which is the whole point of LSH at scale.
+  3. **SimHash** — 60-bit per-doc signature whose Hamming distance tracks
+     cosine similarity of the token multiset; near-dup candidates share
+     signature prefixes (sortable → range-partitionable at scale).
+  4. **N-gram Jaccard verification** — exact similarity on candidate pairs
+     only (explode shingles → count intersections via groupBy).
+
+Embedding-cosine near-dup lives in similarity.py (same LSH idea over
+random hyperplanes).
+
+All constructions use the portable md5-based ``hash60`` so every tier is
+oracle-checkable in DuckDB; swap ``xxhash64`` for md5 at production scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash60, seeded
+from .textops import fingerprint_expr, normalize_text_expr, tokens_expr
+
+
+def exact_dedup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Fingerprint groups with a deterministic survivor (min id) and the
+    duplicate count. Survivors-only view = filter n_docs, or anti-join ids."""
+    return (
+        df.select(F.col(id_col), fingerprint_expr(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def shingles_expr(text: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles of the normalized text. Documents shorter
+    than k words contribute their whole token string as one shingle so no
+    document silently drops out of minhash."""
+    toks = tokens_expr(normalize_text_expr(text))
+    n = F.size(toks)
+    k_shingles = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+    whole = F.array(F.array_join(toks, " "))
+    return F.array_distinct(F.when(n >= k, k_shingles).otherwise(whole))
+
+
+def doc_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Exploded (id, shingle) pairs — the substrate for minhash & jaccard."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_expr(F.col(text_col), k)).alias("shingle"),
+    )
+
+
+def minhash_signatures(
+    shingled: DataFrame, num_hashes: int = 12
+) -> DataFrame:
+    """One row per doc: ``sig`` = array of minhash values (portable hash60
+    over seed-diversified shingles). Single groupBy over the exploded
+    shingles — each hash family is a map-side expression, so adding hash
+    functions costs CPU, not extra shuffles."""
+    aggs = [
+        F.min(hash60(seeded(F.col("shingle"), s))).alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+    per_doc = shingled.groupBy("doc_id").agg(*aggs)
+    return per_doc.select(
+        "doc_id", F.array(*[F.col(f"h{s}") for s in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 3
+) -> DataFrame:
+    """Distinct candidate pairs (doc1 < doc2) sharing ≥1 LSH band.
+
+    Plan shape: explode to (band, band_sig, doc) → self-join within bucket.
+    At scale the join key (band, band_sig) is high-cardinality and uniform
+    (hash values), so the shuffle is well balanced; enormous buckets (all
+    identical docs) are bounded by an optional per-bucket cap upstream.
+    """
+    assert signatures.select(F.size("sig")).first()[0] >= bands * rows_per_band
+    banded = signatures.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("band_sig"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_sig").alias("band_sig"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, on=["band", "band_sig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingled: DataFrame,
+    candidates: DataFrame | None = None,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (all pairs sharing ≥1
+    shingle when ``candidates`` is None — correct but quadratic; always
+    pass LSH candidates at scale).
+
+    intersection via groupBy(doc1,doc2) on co-occurring shingles;
+    |A|,|B| joined in; jaccard = inter/(|A|+|B|-inter) exact in integers
+    until the final division."""
+    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    co = (
+        a.join(b, on="shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if candidates is not None:
+        co = co.join(candidates, on=["doc1", "doc2"], how="left_semi")
+    out = (
+        co.join(sizes.withColumnsRenamed({"doc_id": "doc1", "n_shingles": "n1"}), on="doc1")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc2", "n_shingles": "n2"}), on="doc2")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")),
+        )
+    )
+    if threshold > 0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out.select("doc1", "doc2", "inter", "n1", "n2", "jaccard")
+
+
+def simhash_signatures(
+    shingled: DataFrame, bits: int = 60
+) -> DataFrame:
+    """60-bit SimHash per doc: bit j of the signature is the majority vote
+    of bit j across the hash60 of each shingle.
+
+    One groupBy; the per-bit votes are map-side SUM expressions (±1), so
+    the shuffle carries ``bits`` longs per doc — constant, not O(shingles).
+    """
+    h = hash60(F.col("shingle"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    per_doc = shingled.groupBy("doc_id").agg(*votes)
+    sig = None
+    for j in range(bits):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(2 ** j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sig = term if sig is None else sig + term
+    return per_doc.select("doc_id", sig.alias("simhash"))
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Popcount of XOR via bit_count (JVM intrinsic)."""
+    return F.bit_count(a.bitwiseXOR(b))

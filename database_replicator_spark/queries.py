@@ -286,3 +286,9 @@ def checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     return strict_checksum_df(orders)
+
+
+# Register the LLM-pipeline query surface (dedup, similarity, text analysis,
+# document normalization). Imported at module bottom so the registry and
+# @query decorator exist before queries_llm uses them.
+from . import queries_llm  # noqa: E402,F401

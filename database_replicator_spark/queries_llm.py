@@ -1,0 +1,387 @@
+"""Query-surface entries for the LLM-data-pipeline operators (dedup,
+similarity, text analysis, document normalization), each with a DuckDB
+oracle that reproduces the construction exactly.
+
+Portability notes:
+  * hash60 (md5-derived 60-bit int) is the shared hash; DuckDB renders it
+    as CAST('0x'||substr(md5(s),1,15) AS BIGINT).
+  * DuckDB ``regexp_replace`` needs the explicit 'g' flag (Spark is global
+    by default); DuckDB regex is RE2 → no lookarounds in shared patterns.
+  * Array folds (`F.aggregate` / `list_reduce`) run left-to-right in both
+    engines and ``0.0 + x == x`` exactly, so double cosines are
+    bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import query
+from .sources.catalog import load_table
+
+# shared SQL snippets -------------------------------------------------------
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS_SQL = f"regexp_split_to_array({_NORM_SQL}, ' ')"
+
+
+def _hash60_sql(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+_SHINGLES_CTE = f"""
+  norm AS (
+    SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+  ),
+  sh AS (
+    SELECT DISTINCT doc_id, shingle
+    FROM norm, UNNEST(
+      CASE WHEN len(toks) >= 3
+           THEN list_transform(generate_series(1, len(toks) - 2),
+                               i -> array_to_string(toks[i:i+2], ' '))
+           ELSE [array_to_string(toks, ' ')] END
+    ) AS t(shingle)
+  )
+"""
+
+_COS_SQL = """
+    list_reduce(list_transform(list_zip({a}, {b}),
+                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                (x, y) -> x + y)
+    / (sqrt(list_reduce(list_transform({a}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))
+       * sqrt(list_reduce(list_transform({b}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y)))
+"""
+
+
+# ---------------------------------------------------------------------------
+# Document normalization (§1.2b/c): canonical doc table + typed encoding.
+# ---------------------------------------------------------------------------
+
+@query(
+    "document_normalize",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) AS id,
+           to_json(struct_pack(doc_id := doc_id, text := text, lang := lang,
+                               source := source, n_chars := n_chars)) AS data,
+           'parquet' AS _source_type
+    FROM documents
+    """,
+)
+def document_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-row JSON document ingestion (jsonb/writer.rs:61-68 schema,
+    minus the non-deterministic _migrated_at)."""
+    from .operators.documents import extract_document_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs, _ = extract_document_id(docs, declared_pk=["doc_id"])
+    return docs.select(
+        F.col("_doc_id").alias("id"),
+        F.to_json(F.struct("doc_id", "text", "lang", "source", "n_chars")).alias("data"),
+        F.lit("parquet").alias("_source_type"),
+    )
+
+
+@query(
+    "document_typed_encoding",
+    oracle="""
+    SELECT CAST(event_id AS VARCHAR) AS id,
+           '{"event_id":' || event_id
+           || ',"ts":{"_type":"datetime","value":"'
+           || strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S.%f') || 'Z"}'
+           || ',"event_type":' || to_json(event_type)
+           || ',"value":' || (CASE WHEN isnan(value) THEN '"NaN"'
+                                   WHEN value = 'inf'::DOUBLE THEN '"inf"'
+                                   WHEN value = '-inf'::DOUBLE THEN '"-inf"'
+                                   ELSE CAST(value AS VARCHAR) END)
+           || ',"props":' || props || '}' AS data,
+           'events' AS _source_type
+    FROM events
+    """,
+)
+def document_typed_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-tagged JSON encoding on a real table: datetime tagging
+    (mysql/converter.rs:79-89), non-finite real rule
+    (sqlite/converter.rs:41-52), raw-JSON passthrough for an already-JSON
+    column."""
+    from .functions import doc_json as J
+
+    ev = load_table(spark, sf_dir, "events")
+    data = J.object_from_fragments(
+        event_id=J.json_number(F.col("event_id")),
+        ts=J.json_mysql_datetime(F.col("ts")),
+        event_type=J.json_string(F.col("event_type")),
+        value=J.json_real(F.col("value")),
+        props=F.col("props"),
+    )
+    return ev.select(
+        F.col("event_id").cast("string").alias("id"),
+        data.alias("data"),
+        F.lit("events").alias("_source_type"),
+    )
+
+
+@query(
+    "document_id_uniqueness",
+    oracle="""
+    SELECT COUNT(*) AS n_rows, COUNT(DISTINCT doc_id) AS n_distinct,
+           COUNT(*) = COUNT(DISTINCT doc_id) AS is_unique
+    FROM documents
+    """,
+)
+def document_id_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: the uniqueness gate behind heuristic ID extraction
+    (sqlite/converter.rs:278-297)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col("doc_id")).alias("n_distinct"),
+        (F.count(F.lit(1)) == F.count_distinct(F.col("doc_id"))).alias("is_unique"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis.
+# ---------------------------------------------------------------------------
+
+@query(
+    "doc_token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+           len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), p -> p != '')) AS n_words
+    FROM documents
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textops import token_count_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), r"[^A-Za-z0-9]+")
+    return docs.select(
+        "doc_id",
+        token_count_expr(F.col("text")).alias("n_tokens"),
+        F.size(F.filter(words, lambda p: p != "")).alias("n_words"),
+    )
+
+
+@query(
+    "doc_lang_id",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                 x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS n_stop,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN n_tok > 0 AND n_stop * 1000 >= n_tok * 80 THEN 'en' ELSE 'other' END AS lang_pred
+    FROM t
+    """,
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textops import lang_id_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", lang_id_expr(F.col("text")).alias("lang_pred"))
+
+
+@query(
+    "doc_quality",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             length(text) AS n_chars_m,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             len(regexp_extract_all(text, '[.!?,;:]')) AS n_punct,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                 x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_chars_m, n_tokens, n_punct, n_alpha, n_stop,
+           least((n_alpha / greatest(n_tokens, 1)) / 8.0, 1.0) * 0.4
+           + least((n_stop / greatest(n_tokens, 1)) * 5.0, 1.0) * 0.4
+           + least((n_punct / greatest(n_chars_m, 1)) * 20.0, 1.0) * 0.2 AS quality_score
+    FROM c
+    """,
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textops import quality_components, quality_score_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = quality_components(docs)
+    return comp.select(
+        "doc_id", "n_chars_m", "n_tokens", "n_punct", "n_alpha", "n_stop",
+        quality_score_expr().alias("quality_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup tiers.
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    SELECT md5({_NORM_SQL}) AS fingerprint,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_dedup_groups
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs)
+
+
+_MINHASH_MINS = ",\n       ".join(
+    "MIN(" + _hash60_sql(f"'{s}:' || shingle") + f") AS h{s}" for s in range(12)
+)
+
+_LSH_BANDS = ", ".join(
+    "struct_pack(band := %d, band_sig := md5(concat_ws(',', %s)))"
+    % (b, ", ".join(f"CAST(h{b * 3 + r} AS VARCHAR)" for r in range(3)))
+    for b in range(4)
+)
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (
+      SELECT doc_id,
+       {_MINHASH_MINS}
+      FROM sh GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, b.band, b.band_sig
+      FROM sig, UNNEST([{_LSH_BANDS}]) AS u(b)
+    )
+    SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import doc_shingles, lsh_candidate_pairs, minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs)
+    sig = minhash_signatures(sh, num_hashes=12)
+    return lsh_candidate_pairs(sig, bands=4, rows_per_band=3)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    co AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc1, doc2, inter, s1.n AS n1, s2.n AS n2,
+           inter / (s1.n + s2.n - inter) AS jaccard
+    FROM co
+    JOIN sizes s1 ON s1.doc_id = doc1
+    JOIN sizes s2 ON s2.doc_id = doc2
+    WHERE inter / (s1.n + s2.n - inter) >= 0.05
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import doc_shingles, jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs)
+    return jaccard_pairs(sh, threshold=0.05)
+
+
+_SIMHASH_VOTES = ",\n       ".join(
+    f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}" for j in range(60)
+)
+_SIMHASH_SUM = " + ".join(
+    f"(CASE WHEN v{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)" for j in range(60)
+)
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    hashed AS (SELECT doc_id, {_hash60_sql('shingle')} AS h FROM sh),
+    votes AS (
+      SELECT doc_id,
+       {_SIMHASH_VOTES}
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, {_SIMHASH_SUM} AS simhash
+    FROM votes
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import doc_shingles, simhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs)
+    return simhash_signatures(sh, bits=60)
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity.
+# ---------------------------------------------------------------------------
+
+@query(
+    "embedding_neardup_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           {_COS_SQL.format(a='a.embedding', b='b.embedding')} AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_COS_SQL.format(a='a.embedding', b='b.embedding')} >= 0.5
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return neardup_pairs(emb, threshold=0.5)
+
+
+@query(
+    "similarity_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS corpus_id,
+             {_COS_SQL.format(a='c.embedding', b='q.qvec')} AS cosine
+      FROM embeddings c, q
+      WHERE c.vec_id != q.query_id
+    )
+    SELECT query_id, corpus_id, cosine, rank FROM (
+      SELECT query_id, corpus_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return brute_force_topk(emb, queries_df, k=10)
+
+
+@query("similarity_lsh_topk")  # no oracle: approximate operator, rows-only check
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: LSH-bucketed cosine top-k. Approximate by design →
+    validated in tests by recall-vs-bruteforce, not a value oracle."""
+    from .operators.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return lsh_topk(emb, queries_df, dim=64, k=10, num_planes=6)

@@ -1,0 +1,131 @@
+"""Dedup & similarity operator tests with planted duplicates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from database_replicator_spark.operators.dedup import (
+    doc_shingles,
+    exact_dedup_groups,
+    hamming_distance,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash_signatures,
+)
+from database_replicator_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_expr,
+    lsh_topk,
+    neardup_pairs,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    other = "completely different content about spark query engines at scale"
+    return spark.createDataFrame(
+        [(1, base), (2, base.upper()), (3, near), (4, other)],
+        "doc_id long, text string",
+    )
+
+
+class TestExactDedup:
+    def test_case_whitespace_invariant_groups(self, spark, docs):
+        groups = exact_dedup_groups(docs).collect()
+        by_n = sorted((g["n_docs"], g["keep_id"]) for g in groups)
+        # docs 1 and 2 collapse (case-normalized); 3 and 4 are singletons
+        assert by_n == [(1, 3), (1, 4), (2, 1)]
+
+
+class TestMinhashLsh:
+    def test_planted_neardup_is_candidate(self, spark, docs):
+        sh = doc_shingles(docs)
+        sig = minhash_signatures(sh, num_hashes=12)
+        pairs = {(r["doc1"], r["doc2"]) for r in lsh_candidate_pairs(sig).collect()}
+        assert (1, 2) in pairs        # exact dup (normalized) always collides
+        assert (1, 3) in pairs or (2, 3) in pairs  # near dup should band-collide
+        assert all(4 not in p for p in pairs)      # unrelated doc never pairs
+
+    def test_jaccard_exact_values(self, spark, docs):
+        sh = doc_shingles(docs)
+        out = {(r["doc1"], r["doc2"]): r for r in jaccard_pairs(sh).collect()}
+        assert out[(1, 2)]["jaccard"] == 1.0
+        j13 = out[(1, 3)]["jaccard"]
+        # 13-token docs differing in last token: 11 shingles each, 10 shared
+        assert abs(j13 - 10 / 12) < 1e-12
+        assert (1, 4) not in out
+
+    def test_lsh_candidates_subset_of_sharing_pairs(self, spark, sf_dir):
+        from database_replicator_spark.sources.catalog import load_table
+
+        docs = load_table(spark, sf_dir, "documents").limit(100)
+        sh = doc_shingles(docs)
+        sig = minhash_signatures(sh, num_hashes=12)
+        cand = lsh_candidate_pairs(sig)
+        verified = jaccard_pairs(sh, candidates=cand)
+        assert verified.count() <= cand.count()
+
+
+class TestSimhash:
+    def test_near_dup_small_hamming(self, spark, docs):
+        sh = doc_shingles(docs)
+        sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(sh).collect()}
+        assert sigs[1] == sigs[2]  # identical normalized content
+        df = spark.createDataFrame(
+            [(sigs[1], sigs[3], sigs[4])], "a long, b long, c long"
+        )
+        row = df.select(
+            hamming_distance(F.col("a"), F.col("b")).alias("near"),
+            hamming_distance(F.col("a"), F.col("c")).alias("far"),
+        ).collect()[0]
+        assert row["near"] < row["far"]
+
+
+@pytest.fixture()
+def vectors(spark):
+    import math
+
+    rows = []
+    for i in range(40):
+        base = [math.sin(i * 13.7 + j) for j in range(8)]
+        rows.append((i, [float(x) for x in base]))
+    # vector 100 = near-copy of vector 0
+    v0 = rows[0][1]
+    rows.append((100, [x + 0.01 for x in v0]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+class TestSimilarity:
+    def test_cosine_self_is_one(self, spark, vectors):
+        row = vectors.filter(F.col("vec_id") == 0).select(
+            cosine_expr(F.col("embedding"), F.col("embedding")).alias("c")
+        ).collect()[0]
+        assert abs(row["c"] - 1.0) < 1e-12
+
+    def test_bruteforce_finds_planted_neighbor(self, spark, vectors):
+        q = vectors.filter(F.col("vec_id") == 0)
+        top = brute_force_topk(vectors, q, k=3).collect()
+        assert top[0]["corpus_id"] == 100 and top[0]["rank"] == 1
+        assert top[0]["cosine"] > 0.999
+
+    def test_neardup_pairs_threshold(self, spark, vectors):
+        pairs = neardup_pairs(vectors, threshold=0.999).collect()
+        assert {(p["id1"], p["id2"]) for p in pairs} == {(0, 100)}
+
+    def test_lsh_recall_on_fixture(self, spark):
+        from database_replicator_spark.sources.catalog import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        q = emb.filter(F.col("vec_id") < 5)
+        exact = {
+            (r["query_id"], r["corpus_id"])
+            for r in brute_force_topk(emb, q, k=10).collect()
+        }
+        approx = {
+            (r["query_id"], r["corpus_id"])
+            for r in lsh_topk(emb, q, dim=64, k=10, num_planes=4).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.2, f"LSH recall collapsed: {recall}"

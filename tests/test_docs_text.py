@@ -1,0 +1,171 @@
+"""Document-normalization and text-op tests.
+
+The doc_json cases port the reference's type-conversion matrices
+(sqlite/converter.rs:459-737, mysql/converter.rs:291-362,
+mongodb/converter.rs:283-393 — re-expressed, not copied) including the
+sharp corners called out in SURVEY.md §7: NaN/Inf, empty blob, non-UTF-8
+bytes, unicode text.
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from database_replicator_spark.functions import doc_json as J
+from database_replicator_spark.operators.documents import (
+    extract_document_id,
+    is_column_unique,
+    to_document_table,
+)
+from database_replicator_spark.operators.textops import (
+    fingerprint_expr,
+    lang_id_expr,
+    normalize_text_expr,
+    token_count_expr,
+)
+
+
+def _one(spark, col, schema, value):
+    df = spark.createDataFrame([(value,)], schema)
+    return df.select(col(F.col(df.columns[0])).alias("j")).collect()[0]["j"]
+
+
+class TestTypeTaggedJson:
+    def test_integer_and_null(self, spark):
+        assert _one(spark, J.json_number, "v long", 42) == "42"
+        assert _one(spark, J.json_number, "v long", None) == "null"
+
+    def test_real_finite_nan_inf(self, spark):
+        assert _one(spark, J.json_real, "v double", 1.5) == "1.5"
+        assert _one(spark, J.json_real, "v double", float("nan")) == '"NaN"'
+        assert _one(spark, J.json_real, "v double", float("inf")) == '"inf"'
+        assert _one(spark, J.json_real, "v double", float("-inf")) == '"-inf"'
+
+    def test_string_escaping_and_unicode(self, spark):
+        out = _one(spark, J.json_string, "v string", 'he said "hi" \\ 日本語')
+        assert json.loads(out) == 'he said "hi" \\ 日本語'
+
+    def test_blob_base64_and_empty_blob(self, spark):
+        out = _one(spark, J.json_blob, "v binary", b"Hello")
+        assert json.loads(out) == {"_type": "blob", "data": "SGVsbG8="}
+        out = _one(spark, J.json_blob, "v binary", b"")
+        assert json.loads(out) == {"_type": "blob", "data": ""}
+
+    def test_mysql_bytes_utf8_vs_binary(self, spark):
+        out = _one(spark, J.json_mysql_bytes, "v binary", "héllo".encode())
+        assert json.loads(out) == "héllo"
+        out = _one(spark, J.json_mysql_bytes, "v binary", b"\xff\xfe\x01")
+        assert json.loads(out) == {"_type": "binary", "data": "//4B"}
+
+    def test_mysql_datetime(self, spark):
+        out = _one(spark, J.json_mysql_datetime, "v string", "2024-03-05 10:20:30.000045")
+        assert json.loads(out) == {
+            "_type": "datetime",
+            "value": "2024-03-05T10:20:30.000045Z",
+        }
+
+    def test_mysql_time(self, spark):
+        df = spark.createDataFrame([(93784,), (-3661,)], "secs long")
+        rows = df.select(J.json_mysql_time(F.col("secs")).alias("j")).collect()
+        assert json.loads(rows[0]["j"]) == {"_type": "time", "value": "1d 02:03:04.000000"}
+        assert json.loads(rows[1]["j"]) == {"_type": "time", "value": "-0d 01:01:01.000000"}
+
+    def test_bson_encoders(self, spark):
+        df = spark.createDataFrame(
+            [("507F1F77BCF86CD799439011", "2024-01-01 00:00:00", b"\x01\x02", "pat.*", "i")],
+            "oid string, ts string, bin binary, pat string, opts string",
+        )
+        row = df.select(
+            J.json_bson_objectid(F.col("oid")).alias("a"),
+            J.json_bson_datetime(F.col("ts")).alias("b"),
+            J.json_bson_binary(F.col("bin"), F.lit(0)).alias("c"),
+            J.json_bson_regex(F.col("pat"), F.col("opts")).alias("d"),
+            J.json_bson_timestamp(F.lit(7), F.lit(2)).alias("e"),
+            J.json_minkey().alias("f"),
+            J.json_maxkey().alias("g"),
+        ).collect()[0]
+        assert json.loads(row["a"]) == {"_type": "objectid", "$oid": "507f1f77bcf86cd799439011"}
+        assert json.loads(row["b"]) == {"_type": "datetime", "$date": 1704067200000}
+        assert json.loads(row["c"]) == {"_type": "binary", "subtype": 0, "data": "AQI="}
+        assert json.loads(row["d"]) == {"_type": "regex", "pattern": "pat.*", "options": "i"}
+        assert json.loads(row["e"]) == {"_type": "timestamp", "t": 7, "i": 2}
+        assert json.loads(row["f"]) == {"_type": "minkey"}
+        assert json.loads(row["g"]) == {"_type": "maxkey"}
+
+    def test_object_assembly_valid_json(self, spark):
+        df = spark.createDataFrame([(1, "x", None)], "a long, b string, c string")
+        obj = J.object_from_fragments(
+            a=J.json_number(F.col("a")),
+            b=J.json_string(F.col("b")),
+            c=J.json_string(F.col("c")),
+        )
+        out = df.select(obj.alias("j")).collect()[0]["j"]
+        assert json.loads(out) == {"a": 1, "b": "x", "c": None}
+
+
+class TestDocumentId:
+    def test_declared_single_pk(self, spark):
+        df = spark.createDataFrame([(10, "a")], "k int, v string")
+        out, strat = extract_document_id(df, declared_pk=["k"])
+        assert strat == "declared_pk"
+        assert out.collect()[0]["_doc_id"] == "10"
+
+    def test_composite_pk_rownum(self, spark):
+        df = spark.createDataFrame([(1, 2), (1, 1), (0, 9)], "a int, b int")
+        out, strat = extract_document_id(df, declared_pk=["a", "b"])
+        assert strat == "composite_pk_rownum"
+        got = {(r["a"], r["b"]): r["_doc_id"] for r in out.collect()}
+        assert got == {(0, 9): "1", (1, 1): "2", (1, 2): "3"}
+
+    def test_heuristic_id_requires_uniqueness(self, spark):
+        dup = spark.createDataFrame([(1, "x"), (1, "y")], "id int, v string")
+        out, strat = extract_document_id(dup, order_cols=["id", "v"])
+        assert strat == "rownum_fallback"
+        uniq = spark.createDataFrame([(1, "x"), (2, "y")], "id int, v string")
+        out, strat = extract_document_id(uniq)
+        assert strat == "heuristic_id"
+        assert sorted(r["_doc_id"] for r in out.collect()) == ["1", "2"]
+
+    def test_is_column_unique(self, spark):
+        df = spark.createDataFrame([(1,), (2,), (2,)], "x int")
+        assert not is_column_unique(df, "x")
+        assert is_column_unique(df.distinct(), "x")
+
+    def test_document_table_schema(self, spark):
+        df = spark.createDataFrame([(1, "a")], "id int, v string")
+        df2, _ = extract_document_id(df)
+        doc = to_document_table(
+            df2, J.object_from_fragments(v=J.json_string(F.col("v"))), "sqlite"
+        )
+        assert doc.columns == ["id", "data", "_source_type", "_migrated_at"]
+        row = doc.collect()[0]
+        assert row["id"] == "1" and row["_source_type"] == "sqlite"
+        assert json.loads(row["data"]) == {"v": "a"}
+
+
+class TestTextOps:
+    def test_token_count(self, spark):
+        df = spark.createDataFrame([("  a b   c ",), ("one",)], "text string")
+        out = [r[0] for r in df.select(token_count_expr(F.col("text"))).collect()]
+        assert out == [3, 1]
+
+    def test_normalize_and_fingerprint_invariance(self, spark):
+        df = spark.createDataFrame(
+            [("Hello   World",), ("hello world",), ("different",)], "text string"
+        )
+        rows = df.select(
+            normalize_text_expr(F.col("text")).alias("n"),
+            fingerprint_expr(F.col("text")).alias("f"),
+        ).collect()
+        assert rows[0]["n"] == "hello world"
+        assert rows[0]["f"] == rows[1]["f"]
+        assert rows[0]["f"] != rows[2]["f"]
+
+    def test_lang_id(self, spark):
+        df = spark.createDataFrame(
+            [("the cat sat on the mat and it is a hat",), ("zzz qqq www rrr",)],
+            "text string",
+        )
+        out = [r[0] for r in df.select(lang_id_expr(F.col("text"))).collect()]
+        assert out == ["en", "other"]
