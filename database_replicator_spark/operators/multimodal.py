@@ -1,0 +1,120 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Design for the 100 TB training-data case: media payloads are opaque
+``binary`` columns (or object-store URIs) with a typed metadata struct
+(mime, width/height/duration, codec). Decode / feature-extraction /
+resize / frame-sampling run as Arrow-batched ``mapInPandas`` stages so the
+heavy per-item work is vectorized per partition and never touches the
+driver; partitioning guidance is bytes-per-partition, not rows
+(`spark.sql.files.maxPartitionBytes` against payload size).
+
+The actual codec work needs libraries this container does not ship
+(Pillow/ffmpeg/torchaudio). Per the build contract those steps are STUBBED:
+``decode_image_batch`` raises NotImplementedError unless a decoder is
+injected, and ``fake_decode`` provides the deterministic stand-in used by
+tests and the oracle-checked query — the Spark-side plumbing (schemas,
+batch shapes, UDF signatures) is real.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: canonical media metadata struct
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "id long, mime string, n_bytes long, fingerprint string, feature array<float>"
+)
+
+
+def media_table(
+    df: DataFrame, id_col: str, payload_col: str, mime: str
+) -> DataFrame:
+    """Normalize to the canonical media layout: (id, payload binary, meta
+    struct). Metadata that needs decoding stays NULL until a decode stage
+    fills it."""
+    payload = F.col(payload_col).cast("binary")
+    meta = F.struct(
+        F.lit(mime).alias("mime"),
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        payload.alias("payload"),
+        meta.alias("meta"),
+    )
+
+
+def fake_decode(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic decode stand-in: md5-derived pseudo-features.
+    Replace with a real decoder (Pillow/ffmpeg) outside this container."""
+    import hashlib
+
+    out: list[float] = []
+    h = payload
+    for i in range(dim):
+        h = hashlib.md5(h + bytes([i])).digest()
+        out.append(int.from_bytes(h[:4], "big") / float(2**32))
+    return out
+
+
+def extract_features(
+    media: DataFrame,
+    decoder: Callable[[bytes], list[float]] | None = None,
+    feature_dim: int = 8,
+) -> DataFrame:
+    """Arrow-batched feature extraction over media payloads.
+
+    ``decoder=None`` raises NotImplementedError at task time for real media
+    (the stub contract); pass :func:`fake_decode` (tests/gate) or a real
+    decoder. Output: id, mime, n_bytes, md5 fingerprint, float feature
+    vector."""
+
+    def run(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = pdf["payload"]
+            if decoder is None:
+                raise NotImplementedError(
+                    "no media decoder available in this environment; "
+                    "inject one (e.g. Pillow/ffmpeg) or use fake_decode"
+                )
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "mime": [m["mime"] for m in pdf["meta"]],
+                    "n_bytes": [len(p) for p in payloads],
+                    "fingerprint": [hashlib.md5(p).hexdigest() for p in payloads],
+                    "feature": [decoder(p) for p in payloads],
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def sample_frames_expr(duration_ms: Column, every_ms: int) -> Column:
+    """Frame-sampling plan: timestamps (ms) to decode for a video payload —
+    the cheap plan-side half of frame extraction; the decode itself is the
+    stubbed heavy half."""
+    return F.sequence(F.lit(0), duration_ms, F.lit(every_ms))

@@ -1,0 +1,156 @@
+"""Query-surface entries: event-time analytics (windows/sessions), the
+time-window predicate rule, and the FK cascade closure."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import query
+from .sources.catalog import load_table
+
+
+@query(
+    "events_hourly_rollup",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation (the ST9 extension surface —
+    absent in the reference, native in Spark). The same expression runs
+    under readStream + withWatermark (streaming/windows.py)."""
+    from .streaming.windows import tumbling_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = tumbling_agg(
+        ev,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        ],
+    )
+    return out.select("window_start", "event_type", "n_events", "sum_value")
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 600 THEN 1
+                  ELSE 0 END AS new_s
+      FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (10-minute inactivity gap) via gaps-and-islands —
+    the batch mirror of session_window for fixed gaps."""
+    from .streaming.windows import session_stats
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    return session_stats(ev, "ts", ["user_id"], gap_seconds=600)
+
+
+@query(
+    "time_window_filter",
+    oracle="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+    FROM events
+    WHERE CAST(ts AS TIMESTAMP) >=
+          (SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL '1 day' FROM events)
+    """,
+)
+def time_window_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4's time-window predicate, anchored to max(ts) instead of NOW() so
+    the gate is deterministic; the production rule (`TableRules.
+    add_time_filter`) emits the NOW()-relative form."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_twf_events")
+    return spark.sql(
+        """
+        SELECT event_id, ts, user_id, event_type
+        FROM _twf_events
+        WHERE ts >= (SELECT MAX(ts) - INTERVAL 1 DAY FROM _twf_events)
+        """
+    )
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id AS id,
+           'text/plain' AS mime,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS fingerprint
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing over opaque binary payloads: the documents'
+    UTF-8 bytes stand in for media blobs; decode is the deterministic stub
+    (real codecs are not in this container). Gate columns are the
+    decoder-independent ones; the feature vector is exercised in tests."""
+    from .operators.multimodal import extract_features, fake_decode, media_table
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    media = media_table(docs, "doc_id", "payload", "text/plain")
+    feats = extract_features(media, decoder=fake_decode)
+    return feats.select("id", "mime", "n_bytes", "fingerprint")
+
+
+@query(
+    "fk_cascade_closure",
+    oracle="""
+    WITH RECURSIVE edges(child, parent) AS (
+      SELECT * FROM (VALUES
+        ('lineitem','orders'), ('lineitem','part'), ('lineitem','supplier'),
+        ('orders','customer'), ('customer','nation'), ('supplier','nation'),
+        ('nation','region')) v(child, parent)
+    ),
+    reach(tbl) AS (
+      SELECT child FROM edges WHERE parent = 'nation'
+      UNION
+      SELECT e.child FROM edges e JOIN reach r ON e.parent = r.tbl
+    )
+    SELECT DISTINCT tbl AS table_name FROM reach
+    """,
+)
+def fk_cascade_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/J3: TRUNCATE CASCADE blast radius of `nation` over the TPC-H FK
+    graph — recursive CTE in the oracle, iterative frontier semi-joins in
+    Spark (no recursive CTE support)."""
+    from .operators.fk import fk_dependents
+
+    edges = spark.createDataFrame(
+        [
+            ("lineitem", "orders"), ("lineitem", "part"), ("lineitem", "supplier"),
+            ("orders", "customer"), ("customer", "nation"), ("supplier", "nation"),
+            ("nation", "region"),
+        ],
+        "child string, parent string",
+    )
+    return fk_dependents(edges, "nation").select(F.col("table").alias("table_name"))

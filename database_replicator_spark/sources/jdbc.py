@@ -1,0 +1,185 @@
+"""JDBC source/sink plumbing for live databases.
+
+Spark's JDBC DataFrame reader/writer already provides the reference's
+hand-built machinery (SURVEY.md §4): partitioned parallel scans replace
+``pg_dump --jobs`` (S4), pushed-down predicates replace COPY subqueries
+(S7), and ``batchsize``/``reWriteBatchedInserts`` replace adaptive INSERT
+batching (S17). What Spark does NOT provide natively is keyed upsert to a
+plain JDBC target — this module generates the same ``INSERT … ON CONFLICT``
+statements the reference builds (src/xmin/writer.rs:271-320), applied per
+partition.
+
+URL sniffing mirrors src/lib.rs:65-86: postgres://, mysql://, mongodb://,
+*.db/*.sqlite path → source type.
+
+No live database exists in the test environment, so execution paths are
+exercised against SQL-generation unit tests; wire-level behavior is
+deferred to an environment with a reachable database.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..plans.rules import quote_ident
+
+
+def detect_source_type(url_or_path: str) -> str:
+    """Source-type sniffing (reference src/lib.rs:65-86)."""
+    low = url_or_path.lower()
+    if low.startswith(("postgres://", "postgresql://")):
+        return "postgres"
+    if low.startswith("mysql://"):
+        return "mysql"
+    if low.startswith(("mongodb://", "mongodb+srv://")):
+        return "mongodb"
+    if low.endswith((".db", ".sqlite", ".sqlite3")):
+        return "sqlite"
+    raise ValueError(f"cannot detect source type from {url_or_path!r}")
+
+
+def jdbc_url(source_type: str, host: str, port: int, database: str) -> str:
+    prefix = {"postgres": "postgresql", "mysql": "mysql", "sqlite": "sqlite"}[source_type]
+    if source_type == "sqlite":
+        return f"jdbc:sqlite:{database}"
+    return f"jdbc:{prefix}://{host}:{port}/{database}"
+
+
+def partitioned_read(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    predicate: str | None = None,
+    fetchsize: int = 10_000,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """Partitioned parallel scan — the Spark analogue of ``pg_dump
+    --jobs=N`` (S4) plus predicate pushdown (S7). Bounds for the stride are
+    probed with one min/max query, exactly what the reference's keyset
+    pagination amounts to."""
+    reader = spark.read.format("jdbc").option("url", url).option("fetchsize", str(fetchsize))
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    source = f"(SELECT * FROM {table} WHERE {predicate}) AS src" if predicate else table
+    reader = reader.option("dbtable", source)
+    if partition_column:
+        bounds = (
+            spark.read.format("jdbc")
+            .option("url", url)
+            .option(
+                "dbtable",
+                f"(SELECT MIN({quote_ident(partition_column)}) AS lo, "
+                f"MAX({quote_ident(partition_column)}) AS hi FROM {table}) AS b",
+            )
+            .load()
+            .collect()[0]
+        )
+        if bounds["lo"] is not None:
+            reader = (
+                reader.option("partitionColumn", partition_column)
+                .option("lowerBound", str(bounds["lo"]))
+                .option("upperBound", str(bounds["hi"]))
+                .option("numPartitions", str(num_partitions))
+            )
+    return reader.load()
+
+
+def incremental_query(table: str, watermark_col: str, since, columns: list[str] | None = None) -> str:
+    """The pushed-down incremental read (S13 generalized): for Postgres
+    xmin mode pass ``watermark_col="xmin::text::bigint"``."""
+    cols = ", ".join(quote_ident(c) for c in columns) if columns else "*"
+    wm = watermark_col if "::" in watermark_col else quote_ident(watermark_col)
+    return f"SELECT {cols}, {wm} AS _watermark FROM {table} WHERE {wm} > {since}"
+
+
+# --- upsert / delete SQL generation (src/xmin/writer.rs parity) -----------
+
+def build_upsert_sql(table: str, columns: list[str], pk_cols: list[str], n_rows: int) -> str:
+    """``INSERT INTO t (cols) VALUES (%s,…),… ON CONFLICT (pks) DO UPDATE
+    SET c=EXCLUDED.c`` — DO NOTHING when every column is part of the PK
+    (writer.rs:304-309). Placeholders are %s (psycopg style)."""
+    col_list = ", ".join(quote_ident(c) for c in columns)
+    row = "(" + ", ".join(["%s"] * len(columns)) + ")"
+    values = ", ".join([row] * n_rows)
+    pk_list = ", ".join(quote_ident(c) for c in pk_cols)
+    non_pk = [c for c in columns if c not in pk_cols]
+    if not non_pk:
+        conflict = "DO NOTHING"
+    else:
+        sets = ", ".join(f"{quote_ident(c)} = EXCLUDED.{quote_ident(c)}" for c in non_pk)
+        conflict = f"DO UPDATE SET {sets}"
+    return (
+        f"INSERT INTO {table} ({col_list}) VALUES {values} "
+        f"ON CONFLICT ({pk_list}) {conflict}"
+    )
+
+
+def upsert_batch_size(n_columns: int, max_params: int = 65_000, cap: int = 100) -> int:
+    """min(65000/params_per_row, 100) — the Postgres 65,535-parameter limit
+    rule (writer.rs:60-66)."""
+    return max(1, min(max_params // max(n_columns, 1), cap))
+
+
+def build_delete_sql(table: str, pk_cols: list[str], n_rows: int) -> str:
+    """``DELETE FROM t WHERE pk IN (…)`` / composite ``(a,b) IN ((…),…)``
+    (writer.rs:333-377)."""
+    if len(pk_cols) == 1:
+        placeholders = ", ".join(["%s"] * n_rows)
+        return f"DELETE FROM {table} WHERE {quote_ident(pk_cols[0])} IN ({placeholders})"
+    tup = "(" + ", ".join(["%s"] * len(pk_cols)) + ")"
+    placeholders = ", ".join([tup] * n_rows)
+    cols = "(" + ", ".join(quote_ident(c) for c in pk_cols) + ")"
+    return f"DELETE FROM {table} WHERE {cols} IN ({placeholders})"
+
+
+@dataclass
+class JdbcUpsertWriter:
+    """foreachPartition upsert/delete applier for plain-JDBC targets.
+
+    Executors open one connection per partition and send batched ON
+    CONFLICT statements — MERGE semantics without requiring a lakehouse
+    table format. Batch size honors the parameter-limit rule; task retries
+    are safe because upsert is idempotent (the reference's recovery
+    contract, writer.rs:31-47)."""
+
+    dsn: str
+    table: str
+    pk_cols: list[str]
+    delete_batch: int = 1_000  # writer.rs:221
+
+    def upsert(self, df: DataFrame) -> None:
+        columns = df.columns
+        batch = upsert_batch_size(len(columns))
+        dsn, table, pks = self.dsn, self.table, self.pk_cols
+
+        def apply(rows) -> None:
+            try:
+                import psycopg2  # type: ignore
+            except ImportError as e:  # pragma: no cover - driver not in test env
+                raise RuntimeError("psycopg2 required for JDBC upsert fast path") from e
+            conn = psycopg2.connect(dsn)
+            try:
+                with conn.cursor() as cur:
+                    buf: list = []
+                    for r in rows:
+                        buf.append(tuple(r[c] for c in columns))
+                        if len(buf) >= batch:
+                            cur.execute(
+                                build_upsert_sql(table, columns, pks, len(buf)),
+                                [v for row in buf for v in row],
+                            )
+                            buf.clear()
+                    if buf:
+                        cur.execute(
+                            build_upsert_sql(table, columns, pks, len(buf)),
+                            [v for row in buf for v in row],
+                        )
+                conn.commit()
+            finally:
+                conn.close()
+
+        df.foreachPartition(apply)

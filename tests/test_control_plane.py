@@ -1,0 +1,147 @@
+"""FK graph, checkpoint/resume, estimation, and JDBC SQL-generation tests."""
+
+import pytest
+
+from database_replicator_spark.operators.estimation import (
+    estimate_parquet_dir,
+    format_bytes,
+    format_duration,
+)
+from database_replicator_spark.operators.fk import (
+    cascade_safety_check,
+    fk_dependents,
+    topo_stages,
+)
+from database_replicator_spark.plans.checkpoint import (
+    SnapshotCheckpoint,
+    validate_source_target_different,
+)
+from database_replicator_spark.sources.jdbc import (
+    build_delete_sql,
+    build_upsert_sql,
+    detect_source_type,
+    incremental_query,
+    upsert_batch_size,
+)
+
+TPCH_EDGES = [
+    ("lineitem", "orders"), ("lineitem", "part"), ("lineitem", "supplier"),
+    ("orders", "customer"), ("customer", "nation"), ("supplier", "nation"),
+    ("nation", "region"),
+]
+
+
+class TestFkGraph:
+    def test_dependents_transitive(self, spark):
+        edges = spark.createDataFrame(TPCH_EDGES, "child string, parent string")
+        got = {r["table"] for r in fk_dependents(edges, "region").collect()}
+        assert got == {"nation", "customer", "supplier", "orders", "lineitem"}
+        got = {r["table"] for r in fk_dependents(edges, "part").collect()}
+        assert got == {"lineitem"}
+
+    def test_cascade_safety(self, spark):
+        edges = spark.createDataFrame(TPCH_EDGES, "child string, parent string")
+        outside = cascade_safety_check(
+            edges, "customer", {"customer", "orders"}
+        )
+        assert outside == ["lineitem"]
+        assert cascade_safety_check(edges, "part", {"part", "lineitem"}) == []
+
+    def test_topo_stages(self):
+        tables = ["region", "nation", "customer", "supplier", "orders", "lineitem", "part"]
+        stages = topo_stages(TPCH_EDGES, tables)
+        assert stages[0] == ["part", "region"]
+        assert stages[1] == ["nation"]
+        assert stages[2] == ["customer", "supplier"]
+        assert stages[3] == ["orders"]
+        assert stages[4] == ["lineitem"]
+
+    def test_topo_cycle_raises(self):
+        with pytest.raises(ValueError, match="cycle"):
+            topo_stages([("a", "b"), ("b", "a")], ["a", "b"])
+
+
+class TestCheckpoint:
+    def test_resume_and_fingerprint_invalidation(self, tmp_path):
+        path = str(tmp_path / "ckpt.json")
+        cp = SnapshotCheckpoint(path, "src://a", "tgt://b", "fp1")
+        assert cp.completed_databases() == set()
+        cp.mark_completed("db1")
+        cp.mark_completed("db2")
+        cp.mark_completed("db1")  # idempotent
+        assert cp.completed_databases() == {"db1", "db2"}
+        # same config resumes
+        cp2 = SnapshotCheckpoint(path, "src://a", "tgt://b", "fp1")
+        assert cp2.completed_databases() == {"db1", "db2"}
+        # changed filter fingerprint discards the checkpoint
+        cp3 = SnapshotCheckpoint(path, "src://a", "tgt://b", "fp2")
+        assert cp3.completed_databases() == set()
+        import os
+
+        assert not os.path.exists(path)
+
+    def test_source_target_guard(self):
+        validate_source_target_different("postgres://h1/db", "postgres://h2/db")
+        with pytest.raises(ValueError, match="identical"):
+            validate_source_target_different("postgres://h/db", "postgres://h/db/")
+
+
+class TestEstimation:
+    def test_parquet_dir_estimate(self):
+        est = estimate_parquet_dir("/root/testdata/sf0.001")
+        assert est.total_bytes > 0
+        assert est.estimated_seconds == pytest.approx(
+            est.total_bytes / 1e9 / 20.0 * 3600.0
+        )
+
+    def test_formatters(self):
+        assert format_bytes(512) == "512 B"
+        assert format_bytes(2048) == "2.0 KB"
+        assert format_duration(42) == "42s"
+        assert format_duration(3700) == "1h 1m"
+
+
+class TestJdbcSqlGen:
+    def test_detect_source_type(self):
+        assert detect_source_type("postgres://h/db") == "postgres"
+        assert detect_source_type("postgresql://h/db") == "postgres"
+        assert detect_source_type("mysql://h/db") == "mysql"
+        assert detect_source_type("mongodb+srv://h/db") == "mongodb"
+        assert detect_source_type("/tmp/data.sqlite") == "sqlite"
+        with pytest.raises(ValueError):
+            detect_source_type("ftp://nope")
+
+    def test_upsert_sql(self):
+        sql = build_upsert_sql("t", ["id", "name", "v"], ["id"], 2)
+        assert sql == (
+            'INSERT INTO t ("id", "name", "v") VALUES (%s, %s, %s), (%s, %s, %s) '
+            'ON CONFLICT ("id") DO UPDATE SET "name" = EXCLUDED."name", "v" = EXCLUDED."v"'
+        )
+
+    def test_upsert_all_pk_do_nothing(self):
+        sql = build_upsert_sql("t", ["a", "b"], ["a", "b"], 1)
+        assert sql.endswith('ON CONFLICT ("a", "b") DO NOTHING')
+
+    def test_upsert_batch_size_param_limit(self):
+        assert upsert_batch_size(3) == 100            # capped
+        assert upsert_batch_size(1000) == 65          # 65000/1000
+        assert upsert_batch_size(100_000) == 1        # floor
+
+    def test_delete_sql(self):
+        assert (
+            build_delete_sql("t", ["id"], 3)
+            == 'DELETE FROM t WHERE "id" IN (%s, %s, %s)'
+        )
+        assert (
+            build_delete_sql("t", ["a", "b"], 2)
+            == 'DELETE FROM t WHERE ("a", "b") IN ((%s, %s), (%s, %s))'
+        )
+
+    def test_incremental_query_xmin_mode(self):
+        q = incremental_query("public.users", "xmin::text::bigint", 42, ["id", "name"])
+        assert q == (
+            'SELECT "id", "name", xmin::text::bigint AS _watermark '
+            "FROM public.users WHERE xmin::text::bigint > 42"
+        )
+        q = incremental_query("t", "updated_seq", 7)
+        assert q == 'SELECT *, "updated_seq" AS _watermark FROM t WHERE "updated_seq" > 7'

@@ -1,0 +1,135 @@
+"""Structured Streaming change-application lifecycle tests.
+
+Mirrors the reference's xmin/CDC integration lifecycle
+(tests/xmin_integration_test.rs: insert → sync → update → sync → delete →
+reconcile → recovery) on the Spark streaming consumer.
+"""
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from database_replicator_spark.streaming.change_stream import (
+    start_change_apply,
+    write_change_file,
+)
+
+
+def _await(query):
+    query.awaitTermination(120)
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    return {
+        "src": str(tmp_path / "queue"),
+        "tgt": str(tmp_path / "target"),
+        "chk": str(tmp_path / "checkpoint"),
+    }
+
+
+def _run_once(spark, dirs):
+    query, applier = start_change_apply(
+        spark, dirs["src"], dirs["tgt"], dirs["chk"], once=True
+    )
+    _await(query)
+    return applier
+
+
+class TestChangeApply:
+    def test_full_lifecycle(self, spark, dirs):
+        # epoch 1: inserts + an update
+        write_change_file(
+            os.path.join(dirs["src"], "chunk1.json"),
+            [
+                {"change_id": 1, "table": "users", "op": "insert", "pk": "1", "payload": '{"name":"a"}'},
+                {"change_id": 2, "table": "users", "op": "insert", "pk": "2", "payload": '{"name":"b"}'},
+                {"change_id": 3, "table": "users", "op": "update", "pk": "1", "payload": '{"name":"a2"}'},
+                {"change_id": 1, "table": "posts", "op": "insert", "pk": "p1", "payload": '{"t":"x"}'},
+            ],
+        )
+        _run_once(spark, dirs)
+        latest = spark.read.parquet(os.path.join(dirs["tgt"], "users_latest"))
+        got = {r["pk"]: json.loads(r["payload"]) for r in latest.collect()}
+        assert got == {"1": {"name": "a2"}, "2": {"name": "b"}}
+
+        # epoch 2: delete + replay of change 3 (at-least-once) + new insert
+        write_change_file(
+            os.path.join(dirs["src"], "chunk2.json"),
+            [
+                {"change_id": 3, "table": "users", "op": "update", "pk": "1", "payload": '{"name":"a2"}'},
+                {"change_id": 4, "table": "users", "op": "delete", "pk": "2", "payload": None},
+                {"change_id": 5, "table": "users", "op": "insert", "pk": "3", "payload": '{"name":"c"}'},
+            ],
+        )
+        _run_once(spark, dirs)
+        latest = spark.read.parquet(os.path.join(dirs["tgt"], "users_latest"))
+        got = {r["pk"]: json.loads(r["payload"]) for r in latest.collect()}
+        assert got == {"1": {"name": "a2"}, "3": {"name": "c"}}
+
+        # raw log deduped the replayed change
+        log = spark.read.parquet(os.path.join(dirs["tgt"], "_change_log"))
+        assert log.filter((F.col("table") == "users") & (F.col("change_id") == 3)).count() == 1
+
+        # sync state advanced (ST5)
+        state = spark.read.parquet(os.path.join(dirs["tgt"], "_sync_state"))
+        st = {r["table"]: r["last_change_id"] for r in state.collect()}
+        assert st == {"users": 5, "posts": 1}
+
+    def test_restart_resumes_from_checkpoint(self, spark, dirs):
+        write_change_file(
+            os.path.join(dirs["src"], "chunk1.json"),
+            [{"change_id": 1, "table": "t", "op": "insert", "pk": "1", "payload": "{}"}],
+        )
+        _run_once(spark, dirs)
+        # restart with no new data: no new epochs should apply
+        applier2 = _run_once(spark, dirs)
+        assert applier2.applied_batches == []
+        # new data after restart is picked up
+        write_change_file(
+            os.path.join(dirs["src"], "chunk2.json"),
+            [{"change_id": 2, "table": "t", "op": "insert", "pk": "2", "payload": "{}"}],
+        )
+        _run_once(spark, dirs)
+        latest = spark.read.parquet(os.path.join(dirs["tgt"], "t_latest"))
+        assert latest.count() == 2
+
+
+class TestEventTimeWindows:
+    def test_streaming_tumbling_counts_with_watermark(self, spark, tmp_path):
+        from database_replicator_spark.streaming.windows import streaming_tumbling_counts
+
+        src = str(tmp_path / "events")
+        os.makedirs(src)
+        with open(os.path.join(src, "e1.json"), "w") as fh:
+            for i, (ts, et) in enumerate(
+                [
+                    ("2024-01-01 00:05:00", "a"),
+                    ("2024-01-01 00:20:00", "a"),
+                    ("2024-01-01 01:10:00", "b"),
+                ]
+            ):
+                fh.write(json.dumps({"ts": ts, "event_type": et}) + "\n")
+        stream = (
+            spark.readStream.schema("ts timestamp, event_type string").json(src)
+        )
+        out = streaming_tumbling_counts(stream, "ts", "1 hour", "10 minutes", ["event_type"])
+        q = (
+            out.writeStream.format("memory")
+            .queryName("win_counts")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = {
+            (str(r["window_start"]), r["event_type"]): r["n_events"]
+            for r in spark.sql("SELECT * FROM win_counts").collect()
+        }
+        assert rows == {
+            ("2024-01-01 00:00:00", "a"): 2,
+            ("2024-01-01 01:00:00", "b"): 1,
+        }
