@@ -1,0 +1,142 @@
+"""Thin CLI over the engine facade — the reference's command names
+(src/main.rs:48-237: validate / init / sync / status / verify) for
+parquet-directory sources and targets.
+
+Usage:
+  python -m database_replicator_spark.cli validate --source DIR --target DIR
+  python -m database_replicator_spark.cli init     --source DIR --target DIR
+             [--table-filter "t:pred"] [--exclude-table db.t] [--schema-only t]
+  python -m database_replicator_spark.cli sync     --source DIR --target DIR
+             --table T --watermark-col C --pk C [--once]
+  python -m database_replicator_spark.cli verify   --source DIR --target DIR
+  python -m database_replicator_spark.cli status   --target DIR
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _load_sources(spark, source_dir: str):
+    df = {}
+    for name in sorted(os.listdir(source_dir)):
+        if name.endswith(".parquet"):
+            from .sources.catalog import load_table
+
+            df[name[: -len(".parquet")]] = load_table(spark, source_dir, name[: -len(".parquet")])
+    return df
+
+
+def _get_session():
+    """Reuse an already-active session (embedded use / tests) and report
+    whether we own it — getOrCreate returns the shared JVM session, and
+    stopping a session we did not create would kill the embedder's."""
+    from pyspark.sql import SparkSession
+
+    from .session import build_session
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active, False
+    return build_session("drs-cli"), True
+
+
+def _build_engine(args):
+    from .engine import Engine, ParquetTarget
+    from .plans.rules import ReplicationFilter
+
+    spark, owns = _get_session()
+    filt = ReplicationFilter(
+        exclude_tables=[t for t in (args.exclude_table or [])],
+    )
+    for spec in args.table_filter or []:
+        table, _, pred = spec.partition(":")
+        filt.rules.add_predicate(table, pred)
+    for t in args.schema_only or []:
+        filt.rules.add_schema_only(t)
+    eng = Engine(
+        spark=spark,
+        source_tables=_load_sources(spark, args.source),
+        target=ParquetTarget(args.target),
+        filter=filt,
+    )
+    return spark, owns, eng
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="database_replicator_spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp, target_only: bool = False):
+        if not target_only:
+            sp.add_argument("--source", required=True)
+        sp.add_argument("--target", required=True)
+        sp.add_argument("--table-filter", action="append", metavar="TABLE:PRED")
+        sp.add_argument("--exclude-table", action="append", metavar="DB.TABLE")
+        sp.add_argument("--schema-only", action="append", metavar="TABLE")
+
+    common(sub.add_parser("validate", help="preflight checks"))
+    init_p = sub.add_parser("init", help="snapshot copy")
+    common(init_p)
+    init_p.add_argument("--checkpoint", help="checkpoint file for resume")
+    sync_p = sub.add_parser("sync", help="watermark incremental sync")
+    common(sync_p)
+    sync_p.add_argument("--table", required=True)
+    sync_p.add_argument("--watermark-col", required=True)
+    sync_p.add_argument("--pk", required=True, action="append")
+    sync_p.add_argument("--once", action="store_true", default=True)
+    sync_p.add_argument("--reconcile", action="store_true")
+    common(sub.add_parser("verify", help="checksum comparison"))
+    status_p = sub.add_parser("status", help="sync state report")
+    status_p.add_argument("--target", required=True)
+
+    args = p.parse_args(argv)
+
+    if args.command == "status":
+        from .engine import Engine, ParquetTarget
+
+        spark, owns = _get_session()
+        eng = Engine(spark=spark, source_tables={}, target=ParquetTarget(args.target))
+        print(json.dumps(eng.status(), indent=2, default=str))
+        if owns:
+            spark.stop()
+        return 0
+
+    t0 = time.time()
+    try:
+        spark, owns, eng = _build_engine(args)
+    except Exception as e:  # rule conflicts, bad specs → clean CLI error
+        print(json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"}))
+        return 2
+    try:
+        if args.command == "validate":
+            problems = eng.validate(source_id=args.source, target_id=args.target)
+            print(json.dumps({"ok": not problems, "problems": problems}))
+            return 1 if problems else 0
+        if args.command == "init":
+            results = eng.init_snapshot(checkpoint_path=args.checkpoint)
+            print(json.dumps({"results": results, "seconds": round(time.time() - t0, 1)}))
+            return 0
+        if args.command == "sync":
+            out = eng.sync_cycle(args.table, args.watermark_col, args.pk)
+            if args.reconcile:
+                out["reconcile"] = eng.reconcile(args.table, args.pk)
+            print(json.dumps(out))
+            return 0
+        if args.command == "verify":
+            results = eng.verify()
+            bad = [t for t, r in results.items() if r["status"] != "match"]
+            print(json.dumps({"ok": not bad, "tables": results}))
+            return 1 if bad else 0
+    finally:
+        if owns:
+            spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

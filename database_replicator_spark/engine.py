@@ -1,0 +1,209 @@
+"""Engine facade: the reference's command surface as a Python API.
+
+Maps the CLI verbs (src/main.rs:48-237) onto the Spark-first pipeline:
+
+  validate → preflight checks (source/target resolvable, not identical,
+             rules consistent)                       [§2.11]
+  init     → snapshot: discovery → rules → FK stage order → per-table
+             copy (filtered/schema-only) → checkpoint [§3.1]
+  sync     → watermark incremental cycle: read changes > hwm → merge →
+             advance hwm; wraparound ⇒ full refresh   [§3.2 path 5]
+  reconcile→ PK anti-join deletes                     [J1/J2]
+  verify   → per-table checksum + rowcount compare    [A5]
+  status   → watermark/state report                   [ST7-ish]
+
+Targets are directories of parquet tables (the test substrate) or JDBC
+URLs (sources/jdbc.py); the orchestration logic is identical.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators.estimation import Estimate, estimate_parquet_dir
+from .operators.fk import topo_stages
+from .operators.incremental import (
+    WatermarkState,
+    detect_wraparound,
+    max_watermark,
+    merge_upsert,
+    read_changes,
+)
+from .operators.reconcile import apply_deletes, find_orphans
+from .operators.snapshot import filtered_copy
+from .operators.verify import table_checksum
+from .plans.checkpoint import SnapshotCheckpoint, validate_source_target_different
+from .plans.rules import ReplicationFilter
+
+
+@dataclass
+class ParquetTarget:
+    """Directory-of-parquet target with overwrite/merge semantics."""
+
+    root: str
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def exists(self, table: str) -> bool:
+        return os.path.exists(self.path(table))
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.read.parquet(self.path(table))
+
+    def overwrite(self, df: DataFrame, table: str) -> None:
+        df.write.mode("overwrite").parquet(self.path(table))
+
+    def merge(self, spark, updates: DataFrame, table: str, pk_cols: list[str]) -> None:
+        """MERGE emulation for parquet: read-modify-overwrite. A lakehouse
+        format (Delta/Iceberg) would do this transactionally; plain parquet
+        needs the staging dance."""
+        if not self.exists(table):
+            self.overwrite(updates, table)
+            return
+        base = self.read(spark, table)
+        merged = merge_upsert(base, updates, pk_cols)
+        tmp = self.path(table) + ".stage"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(self.path(table))
+
+
+@dataclass
+class Engine:
+    spark: SparkSession
+    source_tables: dict[str, DataFrame]
+    target: ParquetTarget
+    filter: ReplicationFilter = field(default_factory=ReplicationFilter)
+    database: str = "default"
+    fk_edges: list[tuple[str, str]] = field(default_factory=list)
+    state_path: str | None = None
+
+    # -- validate ----------------------------------------------------------
+    def validate(self, source_id: str = "source", target_id: str | None = None) -> list[str]:
+        """Preflight: returns a list of failures (empty = OK)."""
+        problems: list[str] = []
+        try:
+            validate_source_target_different(source_id, target_id or self.target.root)
+        except ValueError as e:
+            problems.append(str(e))
+        for t in self.source_tables:
+            try:
+                _ = self.source_tables[t].schema
+            except Exception as e:  # noqa: BLE001
+                problems.append(f"table {t}: schema unreadable: {e}")
+        return problems
+
+    # -- init (snapshot) ---------------------------------------------------
+    def init_snapshot(self, checkpoint_path: str | None = None) -> dict[str, str]:
+        """Full snapshot with FK-ordered stages and per-database checkpoint
+        semantics (here: one logical database)."""
+        cp = None
+        if checkpoint_path:
+            cp = SnapshotCheckpoint(
+                checkpoint_path, "source", self.target.root, self.filter.fingerprint()
+            )
+            if self.database in cp.completed_databases():
+                return {t: "checkpointed" for t in self.source_tables}
+        tables = [
+            t
+            for t in self.source_tables
+            if self.filter.should_replicate_table(self.database, t)
+        ]
+        results: dict[str, str] = {}
+        for stage in topo_stages(self.fk_edges, tables):
+            # tables within a stage have no FK interdependency → safe to
+            # load in parallel (Spark scheduler handles concurrency)
+            for t in stage:
+                df = self.source_tables[t]
+                if self.filter.rules.is_schema_only(self.database, "public", t):
+                    self.target.overwrite(
+                        self.spark.createDataFrame([], df.schema), t
+                    )
+                    results[t] = "schema_only"
+                    continue
+                pred = self.filter.rules.spark_predicate(self.database, "public", t)
+                self.target.overwrite(filtered_copy(df, pred), t)
+                results[t] = "copied_filtered" if pred else "copied"
+        for t in self.source_tables:
+            if t not in results:
+                results[t] = "skipped"
+        if cp:
+            cp.mark_completed(self.database)
+        return results
+
+    # -- sync (incremental cycle) -----------------------------------------
+    def sync_cycle(self, table: str, watermark_col: str, pk_cols: list[str]) -> dict:
+        """One xmin-style cycle: read > hwm → merge → advance
+        (src/xmin/daemon.rs:336-461 shape). Wraparound ⇒ full refresh."""
+        state = WatermarkState(self.state_path or os.path.join(self.target.root, "_state.json"))
+        src = self.source_tables[table]
+        hwm = state.get_watermark(table)
+        current_max = max_watermark(src, watermark_col)
+        if hwm is not None and current_max is not None and isinstance(hwm, (int, float)):
+            if detect_wraparound(int(hwm), int(current_max)):
+                self.target.overwrite(src, table)
+                state.advance(table, current_max)
+                return {"table": table, "mode": "full_resync", "rows": src.count()}
+        changes = src if hwm is None else read_changes(src, watermark_col, hwm)
+        n = changes.count()
+        if n > 0:
+            self.target.merge(self.spark, changes, table, pk_cols)
+            state.advance(table, max_watermark(changes, watermark_col), synced_rows=n)
+        return {"table": table, "mode": "incremental", "rows": n}
+
+    # -- reconcile ---------------------------------------------------------
+    def reconcile(self, table: str, pk_cols: list[str]) -> dict:
+        """Delete target rows whose PK vanished at the source (J1/J2)."""
+        tgt = self.target.read(self.spark, table)
+        orphans = find_orphans(tgt, self.source_tables[table], pk_cols)
+        n = orphans.count()
+        if n > 0:
+            remaining = apply_deletes(tgt, orphans, pk_cols)
+            tmp = self.target.path(table) + ".stage"
+            remaining.write.mode("overwrite").parquet(tmp)
+            self.spark.read.parquet(tmp).write.mode("overwrite").parquet(
+                self.target.path(table)
+            )
+        return {"table": table, "deleted": n}
+
+    # -- verify ------------------------------------------------------------
+    def verify(self, tables: list[str] | None = None) -> dict[str, dict]:
+        """Checksum-compare each table against the EXPECTED projection of
+        the source: predicate rules are applied to the source side and
+        schema-only tables expect an empty target — verification validates
+        the replication contract, not raw table equality."""
+        out: dict[str, dict] = {}
+        for t in tables or list(self.source_tables):
+            src = self.source_tables[t]
+            if self.filter.rules.is_schema_only(self.database, "public", t):
+                src = self.spark.createDataFrame([], src.schema)
+            else:
+                pred = self.filter.rules.spark_predicate(self.database, "public", t)
+                if pred:
+                    src = filtered_copy(src, pred)
+            src_cs = table_checksum(src)
+            if not self.target.exists(t):
+                out[t] = {"status": "missing_target"}
+                continue
+            tgt_cs = table_checksum(self.target.read(self.spark, t))
+            out[t] = {
+                "status": "match" if src_cs == tgt_cs else "mismatch",
+                "source_rows": src_cs.row_count,
+                "target_rows": tgt_cs.row_count,
+            }
+        return out
+
+    # -- status ------------------------------------------------------------
+    def status(self) -> dict:
+        state = WatermarkState(self.state_path or os.path.join(self.target.root, "_state.json"))
+        return {
+            "filter_fingerprint": self.filter.fingerprint(),
+            "tables": state.load(),
+        }
+
+    # -- estimate ----------------------------------------------------------
+    def estimate(self, sf_dir: str) -> Estimate:
+        return estimate_parquet_dir(sf_dir)

@@ -1,0 +1,135 @@
+"""Engine facade + DDL sanitizer tests (the init/sync/verify lifecycle)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from database_replicator_spark.engine import Engine, ParquetTarget
+from database_replicator_spark.operators.ddl import (
+    create_table_sql,
+    remove_restricted_guc_settings,
+    remove_superuser_grants,
+    remove_tablespace_statements,
+    sanitize_create_roles,
+    sanitize_globals,
+)
+from database_replicator_spark.plans.rules import ReplicationFilter
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    users = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id int, name string, seq int"
+    )
+    posts = spark.createDataFrame([(1, 1, "t1")], "id int, user_id int, title string")
+    f = ReplicationFilter()
+    f.rules.add_predicate("default.posts", "id >= 1")
+    return Engine(
+        spark=spark,
+        source_tables={"users": users, "posts": posts},
+        target=ParquetTarget(str(tmp_path / "tgt")),
+        filter=f,
+        fk_edges=[("posts", "users")],
+        state_path=str(tmp_path / "state.json"),
+    )
+
+
+class TestEngineLifecycle:
+    def test_validate_catches_same_endpoint(self, engine):
+        assert engine.validate("x", "x") != []
+        assert engine.validate("x", "y") == []
+
+    def test_init_sync_reconcile_verify(self, spark, engine, tmp_path):
+        # init snapshot (FK order: users before posts)
+        results = engine.init_snapshot(checkpoint_path=str(tmp_path / "cp.json"))
+        assert results == {"users": "copied", "posts": "copied_filtered"}
+        assert engine.verify()["users"]["status"] == "match"
+
+        # first sync with no watermark state reads everything (full sync)
+        out = engine.sync_cycle("users", "seq", ["id"])
+        assert out["rows"] == 3
+
+        # source gains a row + updates a row → sync cycle picks the delta
+        engine.source_tables["users"] = spark.createDataFrame(
+            [(1, "a", 10), (2, "B", 40), (3, "c", 30), (4, "d", 50)],
+            "id int, name string, seq int",
+        )
+        out = engine.sync_cycle("users", "seq", ["id"])
+        assert out["mode"] == "incremental"
+        assert out["rows"] == 2  # seq 40 and 50 are past the old hwm of 30
+        tgt = engine.target.read(spark, "users")
+        got = {r["id"]: r["name"] for r in tgt.collect()}
+        assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+
+        # source deletes id=1 → reconcile removes it from target
+        engine.source_tables["users"] = engine.source_tables["users"].filter("id != 1")
+        rec = engine.reconcile("users", ["id"])
+        assert rec["deleted"] == 1
+        assert engine.verify(["users"])["users"]["status"] == "match"
+
+        # second init resumes from checkpoint without copying
+        results = engine.init_snapshot(checkpoint_path=str(tmp_path / "cp.json"))
+        assert all(v == "checkpointed" for v in results.values())
+
+    def test_status_reports_state(self, engine, tmp_path):
+        engine.init_snapshot()
+        engine.sync_cycle("users", "seq", ["id"])
+        st = engine.status()
+        assert st["tables"]["users"]["last_watermark"] == 30
+
+
+class TestCli:
+    def test_init_and_verify_roundtrip(self, tmp_path, monkeypatch):
+        # CLI spins its own session; run in-process against sf0.001
+        from database_replicator_spark import cli
+
+        tgt = str(tmp_path / "out")
+        rc = cli.main(
+            ["init", "--source", "/root/testdata/sf0.001", "--target", tgt,
+             "--table-filter", "lineitem:l_quantity > 45"]
+        )
+        assert rc == 0
+        rc = cli.main(["status", "--target", tgt])
+        assert rc == 0
+
+
+class TestDdl:
+    def test_sanitize_create_roles(self):
+        out = sanitize_create_roles("CREATE ROLE app;\nSELECT 1;")
+        assert out.startswith("DO $$ BEGIN CREATE ROLE app; EXCEPTION")
+        assert "SELECT 1;" in out
+
+    def test_superuser_and_guc_and_tablespace(self):
+        sql = (
+            "ALTER ROLE a WITH SUPERUSER;\n"
+            "ALTER ROLE b SET log_statement = 'all';\n"
+            "CREATE TABLESPACE ts LOCATION '/x';\n"
+            "ALTER ROLE c SET search_path = public;"
+        )
+        out = sanitize_globals(sql)
+        lines = out.splitlines()
+        assert lines[0].startswith("-- ")
+        assert lines[1].startswith("-- ")
+        assert lines[2].startswith("-- ")
+        assert not lines[3].startswith("-- ")  # unrestricted GUC survives
+
+    def test_create_table_sql(self):
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType(), False),
+                T.StructField("name", T.StringType()),
+                T.StructField("score", T.DoubleType()),
+                T.StructField("tags", T.ArrayType(T.StringType())),
+                T.StructField("amount", T.DecimalType(18, 4)),
+                T.StructField("meta", T.StructType([T.StructField("k", T.StringType())])),
+            ]
+        )
+        sql = create_table_sql("public.t", schema, pk_cols=["id"])
+        assert '"id" BIGINT NOT NULL' in sql
+        assert '"tags" TEXT[]' in sql
+        assert '"amount" NUMERIC(18,4)' in sql
+        assert '"meta" JSONB' in sql
+        assert 'PRIMARY KEY ("id")' in sql
+        assert sql.startswith("CREATE TABLE IF NOT EXISTS public.t")
