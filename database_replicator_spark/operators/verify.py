@@ -92,6 +92,27 @@ def strict_checksum_df(df: DataFrame, columns: list[str] | None = None) -> DataF
     )
 
 
+def reference_ordered_checksum_df(
+    df: DataFrame, columns: list[str] | None = None
+) -> DataFrame:
+    """STRICT reference-parity checksum: md5 over the concatenation of
+    canonical row renders ordered by the render string — the reference's
+    ``md5(string_agg(row_data, '' ORDER BY row_num))`` (checksum.rs:33-111)
+    with the ordering defined on the rendered text (both comparison sides
+    apply the same rule, the trick the reference itself uses at
+    reconciler.rs:469-474). Single-reducer by construction — small-data
+    audits only; use :func:`checksum_df` at scale."""
+    rendered = df.select(render_row_expr(df, columns).alias("row_data"))
+    agg = rendered.agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.md5(F.array_join(F.array_sort(F.collect_list("row_data")), "")).alias("cs"),
+    )
+    return agg.select(
+        F.when(F.col("row_count") == 0, F.lit("empty")).otherwise(F.col("cs")).alias("checksum"),
+        F.col("row_count"),
+    )
+
+
 def verify_tables(
     source: dict[str, DataFrame], target: dict[str, DataFrame]
 ) -> dict[str, dict]:

@@ -288,6 +288,6 @@ def checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strict_checksum_df(orders)
 
 
-# Register the LLM-pipeline and extension query surfaces. Imported at
-# module bottom so the registry and @query decorator exist first.
-from . import queries_ext, queries_llm  # noqa: E402,F401
+# Register the LLM-pipeline, extension, and analytics query surfaces.
+# Imported at module bottom so the registry and @query decorator exist first.
+from . import queries_analytics, queries_ext, queries_llm  # noqa: E402,F401

@@ -1,0 +1,228 @@
+"""Analytic query surface: multi-way joins, rollups, pivots, percentiles,
+JSON extraction — the GROUP BY/join analytics the reference lacks entirely
+(SURVEY.md §2.4/§2.6 note their absence) and Spark provides natively.
+All decimal-exact or rounded per the parity rules in queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .queries import query
+from .sources.catalog import load_table
+
+
+def _dec(col: str, scale: int = 4):
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+@query(
+    "top_revenue_orders",
+    oracle="""
+    WITH rev AS (
+      SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE c.c_mktsegment = 'BUILDING'
+      GROUP BY 1, 2, 3
+    )
+    SELECT o_orderkey, o_orderdate, o_orderpriority, revenue FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, o_orderkey ASC) AS rn
+      FROM rev
+    ) WHERE rn <= 10
+    """,
+)
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q3-shaped: selective dimension filter → fact join → top-k.
+    customer is broadcast (small side); lineitem↔orders is the only real
+    shuffle; the top-k is a single window with a deterministic tiebreak."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    rev = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+    return (
+        rev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority", "revenue")
+    )
+
+
+@query(
+    "regional_customer_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_lineitems,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY 1
+    """,
+)
+def regional_customer_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q5-shaped 5-way join: the dimension chain
+    region→nation→customer broadcasts down onto the fact scan — one fact
+    shuffle for the final aggregation, everything else map-side."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dims = F.broadcast(
+        c.join(n, c.c_nationkey == n.n_nationkey).join(
+            r, n.n_regionkey == r.r_regionkey
+        ).select("c_custkey", F.col("n_name").alias("nation"))
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(dims, o.o_custkey == dims.c_custkey)
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@query(
+    "priority_rollup",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (absent in the reference; Spark-native).
+    Subtotal rows carry NULL group keys in both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+    )
+
+
+@query(
+    "status_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot as conditional aggregation (deterministic column set — an
+    explicit values list is also what makes `pivot()` scale-safe: no
+    distinct-scan to discover columns)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_filled"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_partial"),
+    )
+
+
+@query(
+    "totalprice_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           round(percentile_cont(0.25) WITHIN GROUP (ORDER BY o_totalprice), 6) AS p25,
+           round(percentile_cont(0.50) WITHIN GROUP (ORDER BY o_totalprice), 6) AS p50,
+           round(percentile_cont(0.75) WITHIN GROUP (ORDER BY o_totalprice), 6) AS p75
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def totalprice_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles (both engines use the
+    percentile_cont formula; rounded to 6 dp for float safety). At 100 TB
+    swap to approx_percentile with a documented error bound."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 6).alias("p75"),
+    )
+
+
+@query(
+    "events_props_json",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from a string column (§2.8 JSON family /
+    get_json_object), aggregated by the extracted key."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object(F.col("props"), "$.k").cast("bigint"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "checksum_customer_ordered",
+    oracle="""
+    WITH rendered AS (
+      SELECT concat_ws('|',
+        COALESCE(CAST(c_custkey AS VARCHAR), ''),
+        COALESCE(c_name, ''),
+        COALESCE(CAST(c_nationkey AS VARCHAR), ''),
+        COALESCE(printf('%.6f', c_acctbal), ''),
+        COALESCE(c_mktsegment, '')
+      ) AS row_data
+      FROM customer
+    )
+    SELECT
+      CASE WHEN COUNT(*) = 0 THEN 'empty'
+           ELSE md5(string_agg(row_data, '' ORDER BY row_data)) END AS checksum,
+      COUNT(*) AS row_count
+    FROM rendered
+    """,
+)
+def checksum_customer_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's exact checksum formula — md5 over the ordered
+    concatenation of rendered rows (checksum.rs:33-111, with ordering by
+    the rendered string on both sides). Strict-mode only: the global sort +
+    single-reducer concat is the anti-pattern our order-insensitive
+    checksum (operators/verify.py) replaces at scale; this query exists to
+    prove the engine can still reproduce the reference value bit-for-bit."""
+    from .operators.verify import reference_ordered_checksum_df
+
+    customer = load_table(spark, sf_dir, "customer")
+    return reference_ordered_checksum_df(customer)

@@ -1,0 +1,68 @@
+"""Physical-plan assertions: the plans we designed for are the plans Spark
+actually runs. Guards against regressions that silently turn broadcast
+joins into shuffles or lose parquet pushdown."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from database_replicator_spark import queries as q
+from database_replicator_spark.sources.catalog import load_table
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestPlanShapes:
+    def test_dimension_joins_broadcast(self, spark, sf_dir):
+        """q5-shaped query: every dimension join must be broadcast — a
+        shuffle join on region/nation/customer would be a scale bug."""
+        plan = plan_of(q.all_queries()["regional_customer_volume"](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan
+        # the only sort-merge/shuffle join allowed is lineitem⋈orders
+        assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+    def test_topk_query_broadcasts_queries(self, spark, sf_dir):
+        plan = plan_of(q.all_queries()["top_revenue_orders"](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan
+
+    def test_parquet_filter_pushdown(self, spark, sf_dir):
+        df = (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_totalprice")
+            .filter(F.col("o_totalprice") > 100000)
+        )
+        plan = plan_of(df)
+        assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice" in plan
+        # column pruning: the scan reads only the two referenced columns
+        assert "ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>" in plan
+
+    def test_aggregation_is_partial_then_final(self, spark, sf_dir):
+        """Map-side combine must precede the shuffle (two HashAggregate
+        levels) — losing partial aggregation multiplies shuffle volume by
+        the group fan-in at 100 TB."""
+        plan = plan_of(q.all_queries()["pricing_summary"](spark, sf_dir))
+        assert plan.count("HashAggregate") >= 2
+
+    def test_anti_join_strategy(self, spark, sf_dir):
+        """Reconciliation anti-join: small source side → broadcast anti
+        join, not a cartesian or shuffle."""
+        plan = plan_of(q.all_queries()["reconcile_orphans"](spark, sf_dir))
+        assert "LeftAnti" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_whole_stage_codegen_on_hot_paths(self, spark, sf_dir):
+        """The SCALABLE checksum's render/hash/sum pipeline stays inside
+        whole-stage codegen. (The strict cross-engine variant necessarily
+        uses collect_list → ObjectHashAggregate, which never codegens —
+        that is exactly why it is the small-data audit path and not the
+        default.)"""
+        from database_replicator_spark.operators.verify import checksum_df
+        from database_replicator_spark.sources.catalog import load_table
+
+        plan = plan_of(checksum_df(load_table(spark, sf_dir, "orders")))
+        assert "ObjectHashAggregate" not in plan  # codegen-capable agg only
+        assert "HashAggregate" in plan
+        assert "partial_sum" in plan  # map-side combine precedes the exchange
+        # the only shuffle is the final 5-long tuple per task
+        assert plan.count("Exchange") == 1
