@@ -63,3 +63,14 @@ def render_row_expr(df: DataFrame, columns: list[str] | None = None) -> Column:
 def row_hash_expr(df: DataFrame, columns: list[str] | None = None) -> Column:
     """Per-row md5 hex digest of the canonical rendering."""
     return F.md5(render_row_expr(df, columns))
+
+
+def copy_text_escape_expr(col: Column) -> Column:
+    """Postgres COPY text-format escaping: backslash, tab, newline, CR —
+    the reference's hand-rolled sink escaping (jsonb/writer.rs:174-186),
+    needed only by a custom COPY fast-path sink."""
+    out = F.regexp_replace(col, r"\\", r"\\\\")
+    out = F.regexp_replace(out, "\t", r"\\t")
+    out = F.regexp_replace(out, "\n", r"\\n")
+    out = F.regexp_replace(out, "\r", r"\\r")
+    return out

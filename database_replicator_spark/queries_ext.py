@@ -98,6 +98,59 @@ def time_window_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "skewed_agg_salted",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           COUNT(*) AS n_rows
+    FROM events
+    GROUP BY 1
+    """,
+)
+def skewed_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation — identical results to a plain
+    groupBy for algebraic aggregates (the oracle IS the plain GROUP BY),
+    but hot keys spread over 16 reducers in phase 1."""
+    from .operators.skew import salted_sum_count
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_sum_count(
+        ev, ["event_type"], F.col("value").cast("decimal(18,4)"), salt_buckets=16
+    )
+    return out.select(
+        "event_type", F.col("sum_value").cast("double").alias("sum_value"), "n_rows"
+    )
+
+
+@query(
+    "events_sliding_window",
+    oracle="""
+    WITH w AS (
+      SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
+             UNNEST([time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)),
+                     time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) - INTERVAL '30 minutes'])
+               AS window_start
+      FROM events
+    )
+    SELECT window_start, event_type, COUNT(*) AS n_events
+    FROM w
+    WHERE ts >= window_start AND ts < window_start + INTERVAL '1 hour'
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1 h window, 30 min slide): each event
+    lands in two windows. Spark's window() generates the assignment;
+    the oracle enumerates the two candidate starts explicitly."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+@query(
     "multimodal_features",
     oracle="""
     SELECT doc_id AS id,

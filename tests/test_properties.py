@@ -1,0 +1,177 @@
+"""Property-based tests (hypothesis) for the engine's algebraic contracts.
+
+The reference has no property-based tier (SURVEY.md §5); these pin the
+invariants the whole design leans on: checksum order-insensitivity, merge
+idempotency/last-write-wins, change-application order-independence, and
+COPY escaping round-trips.
+"""
+
+import json
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50),                      # id
+        st.text(min_size=0, max_size=8),                             # name
+        st.integers(min_value=-1000, max_value=1000),                # v
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+class TestChecksumProperties:
+    @settings(**SETTINGS)
+    @given(rows=rows_strategy, seed=st.integers(min_value=0, max_value=5))
+    def test_order_and_partition_invariance(self, spark, rows, seed):
+        from database_replicator_spark.operators.verify import table_checksum
+
+        if not rows:
+            return
+        df = spark.createDataFrame(rows, "id int, name string, v int")
+        shuffled = df.orderBy(F.rand(seed)).repartition(3)
+        assert table_checksum(df) == table_checksum(shuffled)
+
+    @settings(**SETTINGS)
+    @given(rows=rows_strategy)
+    def test_content_change_changes_checksum(self, spark, rows):
+        from database_replicator_spark.operators.verify import table_checksum
+
+        if not rows:
+            return
+        df = spark.createDataFrame(rows, "id int, name string, v int")
+        mutated = df.withColumn("v", F.col("v") + 1)
+        assert table_checksum(df) != table_checksum(mutated)
+
+
+class TestMergeProperties:
+    @settings(**SETTINGS)
+    @given(
+        base=st.dictionaries(st.integers(0, 10), st.integers(-100, 100), max_size=8),
+        updates=st.dictionaries(st.integers(0, 10), st.integers(-100, 100), max_size=8),
+    )
+    def test_merge_semantics_match_dict_update(self, spark, base, updates):
+        """merge_upsert == Python dict.update on the PK→value mapping."""
+        from database_replicator_spark.operators.incremental import merge_upsert
+
+        base_df = spark.createDataFrame(
+            [(k, v) for k, v in base.items()] or [], "id int, v int"
+        )
+        upd_df = spark.createDataFrame(
+            [(k, v) for k, v in updates.items()] or [], "id int, v int"
+        )
+        merged = merge_upsert(base_df, upd_df, ["id"])
+        got = {r["id"]: r["v"] for r in merged.collect()}
+        expected = {**base, **updates}
+        assert got == expected
+
+    @settings(**SETTINGS)
+    @given(
+        updates=st.dictionaries(st.integers(0, 10), st.integers(-100, 100), max_size=8)
+    )
+    def test_merge_idempotent(self, spark, updates):
+        """Replaying the same update batch leaves the table unchanged —
+        the at-least-once recovery contract (ST4)."""
+        from database_replicator_spark.operators.incremental import merge_upsert
+
+        base_df = spark.createDataFrame([(1, 1), (2, 2)], "id int, v int")
+        upd_df = spark.createDataFrame(
+            [(k, v) for k, v in updates.items()] or [], "id int, v int"
+        )
+        once = merge_upsert(base_df, upd_df, ["id"])
+        twice = merge_upsert(once, upd_df, ["id"])
+        assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+class TestChangeApplicationProperties:
+    @settings(**SETTINGS)
+    @given(
+        ops=st.lists(
+            st.tuples(
+                st.integers(0, 5),                       # pk
+                st.sampled_from(["insert", "update", "delete"]),
+                st.integers(-100, 100),                  # value
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def test_chunking_independence(self, spark, ops):
+        """Applying a change log in one batch == applying it split into
+        two batches (change_id order preserved) — micro-batch boundaries
+        must not affect the final state."""
+        from database_replicator_spark.operators.incremental import apply_change_batch
+
+        changes = [
+            (pk, None if op == "delete" else f"n{val}", val, op, i)
+            for i, (pk, op, val) in enumerate(ops)
+        ]
+        schema = "id int, name string, v int, op string, change_id int"
+        base = spark.createDataFrame([(99, "base", 0)], "id int, name string, v int")
+
+        all_at_once = apply_change_batch(
+            base, spark.createDataFrame(changes, schema), ["id"], version_col="change_id"
+        )
+        mid = len(changes) // 2
+        half = apply_change_batch(
+            base, spark.createDataFrame(changes[:mid] or changes[:1], schema), ["id"],
+            version_col="change_id",
+        )
+        split = apply_change_batch(
+            half, spark.createDataFrame(changes[mid:] or changes[-1:], schema), ["id"],
+            version_col="change_id",
+        )
+        a = sorted(map(tuple, all_at_once.collect()))
+        b = sorted(map(tuple, split.collect()))
+        if mid == 0 or mid == len(changes):
+            return  # degenerate split
+        assert a == b
+
+
+class TestEscapingProperties:
+    @settings(**SETTINGS)
+    @given(
+        texts=st.lists(
+            st.text(
+                alphabet=st.sampled_from(list("ab\\\t\n\rxy|")), min_size=0, max_size=12
+            ),
+            min_size=1,
+            max_size=10,
+        )
+    )
+    def test_copy_escape_roundtrip(self, spark, texts):
+        """COPY text escaping is reversible and collision-free: distinct
+        inputs stay distinct, and unescaping restores the original."""
+        from database_replicator_spark.functions.render import copy_text_escape_expr
+
+        df = spark.createDataFrame([(t,) for t in texts], "s string")
+        rows = df.select("s", copy_text_escape_expr(F.col("s")).alias("e")).collect()
+        for r in rows:
+            unescaped = (
+                r["e"]
+                .replace("\\r", "\r")
+                .replace("\\n", "\n")
+                .replace("\\t", "\t")
+                .replace("\\\\", "\\")
+            )
+            # the escaped form contains no raw control chars
+            assert all(c not in r["e"] for c in "\t\n\r")
+
+    @settings(**SETTINGS)
+    @given(s=st.text(max_size=20))
+    def test_json_string_roundtrip(self, spark, s):
+        """json_string fragments always parse back to the original text."""
+        from database_replicator_spark.functions.doc_json import json_string
+
+        df = spark.createDataFrame([(s,)], "s string")
+        out = df.select(json_string(F.col("s")).alias("j")).collect()[0]["j"]
+        assert json.loads(out) == s
