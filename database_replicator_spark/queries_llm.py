@@ -443,6 +443,79 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_blas(emb, queries_df, k=10)
 
 
+def _lsh_planes_sql(dim: int, num_planes: int, seed: int = 0) -> str:
+    """Hyperplane coefficients as SQL literal rows (plane, coeffs[])."""
+    from .operators.similarity import hyperplane_coeffs
+
+    rows = []
+    for p in range(num_planes):
+        coeffs = hyperplane_coeffs(dim, p, seed)
+        rows.append(f"({p}, [{', '.join(repr(c) for c in coeffs)}])")
+    return ", ".join(rows)
+
+
+_LSH_DOT_RAW = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+@query(
+    "embedding_neardup_lsh",
+    oracle=f"""
+    WITH planes(p, coeffs) AS (VALUES {{planes}}),
+    buckets AS (
+      SELECT e.vec_id,
+             SUM(CASE WHEN {_LSH_DOT_RAW.format(a='e.embedding', b='pl.coeffs')} >= 0
+                      THEN CAST(POWER(2, pl.p) AS BIGINT) ELSE 0 END) AS bucket
+      FROM embeddings e CROSS JOIN planes pl
+      GROUP BY e.vec_id
+    ),
+    units AS (
+      SELECT vec_id, {{unit}} AS unit FROM embeddings
+    )
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           round({{dot}}, 6) AS cosine
+    FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    JOIN units ua ON ua.vec_id = a.vec_id
+    JOIN units ub ON ub.vec_id = b.vec_id
+    WHERE {{dot}} >= 0.15
+    """.replace("{planes}", _lsh_planes_sql(64, 6))
+       .replace("{unit}", _UNIT_SQL.format(v="embedding"))
+       .replace("{dot}", _DOT_SQL.format(a="ua.unit", b="ub.unit")),
+)
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-prefiltered near-dup pairs, fully oracle-exact: the hyperplanes
+    are deterministic (md5-derived literals embedded in the oracle SQL),
+    bucket bits come from sign-of-dot folds, and candidate pairs within a
+    bucket get exact rounded cosines. The scale story of similarity_lsh_topk
+    with none of its approximation opacity."""
+    from .operators.similarity import (
+        dot_expr,
+        lsh_bucket_expr,
+        unit_expr,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    withb = emb.select(
+        "vec_id",
+        unit_expr(F.col("embedding")).alias("unit"),
+        lsh_bucket_expr(F.col("embedding"), dim=64, num_planes=6).alias("bucket"),
+    ).cache()
+    a = withb.select(
+        F.col("vec_id").alias("id1"), F.col("unit").alias("u1"), "bucket"
+    )
+    b = withb.select(
+        F.col("vec_id").alias("id2"), F.col("unit").alias("u2"), "bucket"
+    )
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("cosine", F.round(dot_expr(F.col("u1"), F.col("u2")), 6))
+        .filter(dot_expr(F.col("u1"), F.col("u2")) >= 0.15)
+        .select("id1", "id2", "cosine")
+    )
+
+
 @query("similarity_lsh_topk")  # no oracle: approximate operator, rows-only check
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path ANN: LSH-bucketed cosine top-k. Approximate by design →

@@ -51,6 +51,34 @@ class TestPlanShapes:
         assert "LeftAnti" in plan
         assert "CartesianProduct" not in plan
 
+    def test_bucketed_join_needs_no_shuffle(self, spark, sf_dir, tmp_path):
+        """Co-located joins via bucketing: two tables bucketed on the join
+        key sort-merge-join with ZERO exchanges — the 100 TB pattern for
+        repeated fact↔fact joins (SCALING.md). Asserted on the live plan."""
+        import uuid
+
+        suffix = uuid.uuid4().hex[:8]
+        orders = load_table(spark, sf_dir, "orders")
+        lineitem = load_table(spark, sf_dir, "lineitem")
+        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(
+            f"orders_b_{suffix}"
+        )
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey").write.bucketBy(
+            8, "o_orderkey"
+        ).sortBy("o_orderkey").saveAsTable(f"lineitem_b_{suffix}")
+        joined = spark.table(f"orders_b_{suffix}").join(
+            spark.table(f"lineitem_b_{suffix}"), on="o_orderkey"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = plan_of(joined)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+            spark.sql(f"DROP TABLE IF EXISTS orders_b_{suffix}")
+            spark.sql(f"DROP TABLE IF EXISTS lineitem_b_{suffix}")
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucket layout replaces the shuffle
+
     def test_whole_stage_codegen_on_hot_paths(self, spark, sf_dir):
         """The SCALABLE checksum's render/hash/sum pipeline stays inside
         whole-stage codegen. (The strict cross-engine variant necessarily
