@@ -21,13 +21,20 @@ import sys
 import time
 
 
-def _load_sources(spark, source_dir: str):
+def _load_sources(spark, source: str):
+    """Source routing (the reference's URL/path sniffing, src/lib.rs:65-86):
+    a .db/.sqlite file ingests through the document pipeline; a directory
+    loads its parquet tables."""
+    if source.endswith((".db", ".sqlite", ".sqlite3")):
+        from .sources.sqlite_source import ingest_sqlite
+
+        return ingest_sqlite(spark, source)
     df = {}
-    for name in sorted(os.listdir(source_dir)):
+    for name in sorted(os.listdir(source)):
         if name.endswith(".parquet"):
             from .sources.catalog import load_table
 
-            df[name[: -len(".parquet")]] = load_table(spark, source_dir, name[: -len(".parquet")])
+            df[name[: -len(".parquet")]] = load_table(spark, source, name[: -len(".parquet")])
     return df
 
 

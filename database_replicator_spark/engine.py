@@ -184,11 +184,16 @@ class Engine:
                 pred = self.filter.rules.spark_predicate(self.database, "public", t)
                 if pred:
                     src = filtered_copy(src, pred)
-            src_cs = table_checksum(src)
+            # _migrated_at is ingestion metadata (DEFAULT NOW() in the
+            # reference's doc schema) — re-evaluated on every source read,
+            # so it can never checksum-match and is excluded by contract
+            cols = [c for c in src.columns if c != "_migrated_at"]
+            src_cs = table_checksum(src, cols)
             if not self.target.exists(t):
                 out[t] = {"status": "missing_target"}
                 continue
-            tgt_cs = table_checksum(self.target.read(self.spark, t))
+            tgt = self.target.read(self.spark, t)
+            tgt_cs = table_checksum(tgt, [c for c in tgt.columns if c != "_migrated_at"])
             out[t] = {
                 "status": "match" if src_cs == tgt_cs else "mismatch",
                 "source_rows": src_cs.row_count,
