@@ -57,6 +57,51 @@ def extract_document_id(
     return df.withColumn("_doc_id", F.row_number().over(w).cast("string")), "rownum_fallback"
 
 
+def auto_fragments(df: DataFrame, style: str = "mysql") -> Column:
+    """Schema-driven document encoding: dispatch each column to the
+    type-tagged fragment encoder its Spark type demands, per source style.
+
+    Styles (SURVEY.md §1.2b):
+      * ``mysql``  — bytes are utf8-or-binary-tagged, temporals are
+        datetime-tagged ISO-8601Z (mysql/converter.rs:40-102)
+      * ``sqlite`` — bytes are blob-tagged (sqlite/converter.rs:56-65)
+      * ``mongo``  — temporals are $date epoch-millis, decimals are
+        precision-preserving strings (mongodb/converter.rs:76-113)
+
+    This is the statically-typed (JDBC) half of document ingestion; the
+    per-VALUE dynamic path for SQLite files lives in sources/sqlite_source.
+    """
+    from pyspark.sql import types as T
+
+    from ..functions import doc_json as J
+
+    frags: dict[str, Column] = {}
+    for f in df.schema.fields:
+        col = F.col(f.name)
+        dt = f.dataType
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            frags[f.name] = J.json_number(col)
+        elif isinstance(dt, (T.FloatType, T.DoubleType)):
+            frags[f.name] = J.json_real(col)
+        elif isinstance(dt, T.BooleanType):
+            frags[f.name] = J.json_bool(col)
+        elif isinstance(dt, T.BinaryType):
+            frags[f.name] = (
+                J.json_mysql_bytes(col) if style == "mysql" else J.json_blob(col)
+            )
+        elif isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+            frags[f.name] = (
+                J.json_bson_datetime(col) if style == "mongo" else J.json_mysql_datetime(col)
+            )
+        elif isinstance(dt, T.DecimalType):
+            frags[f.name] = (
+                J.json_bson_decimal128(col) if style == "mongo" else J.json_number(col)
+            )
+        else:
+            frags[f.name] = J.json_string(col.cast("string"))
+    return J.object_from_fragments(**frags)
+
+
 def to_document_table(
     df: DataFrame,
     data_json: Column,

@@ -125,6 +125,38 @@ def document_typed_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "document_mysql_style_orders",
+    oracle="""
+    SELECT CAST(o_orderkey AS VARCHAR) AS id,
+           '{"o_orderkey":' || o_orderkey
+           || ',"o_custkey":' || o_custkey
+           || ',"o_orderstatus":' || to_json(o_orderstatus)
+           || ',"o_totalprice":' || (CASE WHEN isnan(o_totalprice) THEN '"NaN"'
+                                          ELSE CAST(o_totalprice AS VARCHAR) END)
+           || ',"o_orderdate":{"_type":"datetime","value":"'
+           || strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%f') || 'Z"}'
+           || ',"o_orderpriority":' || to_json(o_orderpriority) || '}' AS data,
+           'mysql' AS _source_type
+    FROM orders
+    """,
+)
+def document_mysql_style_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MySQL-style document ingestion of a statically-typed relational
+    table: the auto-dispatching encoder picks the right type-tag per Spark
+    column type (number / non-finite-real rule / datetime tag / escaped
+    string) — the S11→JSONB path without a live MySQL."""
+    from .operators.documents import auto_fragments, extract_document_id
+
+    orders = load_table(spark, sf_dir, "orders")
+    docs, _ = extract_document_id(orders, declared_pk=["o_orderkey"])
+    return docs.select(
+        F.col("_doc_id").alias("id"),
+        auto_fragments(orders, style="mysql").alias("data"),
+        F.lit("mysql").alias("_source_type"),
+    )
+
+
+@query(
     "document_id_uniqueness",
     oracle="""
     SELECT COUNT(*) AS n_rows, COUNT(DISTINCT doc_id) AS n_distinct,
