@@ -149,6 +149,78 @@ def status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "status_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 4 grouping combinations)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@query(
+    "scalar_function_families",
+    oracle="""
+    SELECT o_orderkey,
+           to_base64(encode(o_orderpriority)) AS prio_b64,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+           CAST(epoch_ms(o_orderdate) AS BIGINT) AS epoch_millis,
+           md5(o_orderstatus || '|' || o_orderpriority) AS row_md5,
+           o_orderdate + INTERVAL '90 days' < TIMESTAMP '1998-01-01 00:00:00' AS overdue,
+           concat(o_orderstatus, ':', lpad(CAST(o_custkey AS VARCHAR), 10, '0')) AS status_key
+    FROM orders
+    WHERE o_orderkey < 1000
+    """,
+)
+def scalar_function_families(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 scalar families in one pass: base64, date formatting, epoch
+    millis, md5, interval arithmetic, concat/pad — each mapped to the same
+    DuckDB builtin."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    return orders.select(
+        "o_orderkey",
+        F.base64(F.encode(F.col("o_orderpriority"), "UTF-8")).alias("prio_b64"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("epoch_millis"),
+        F.md5(F.concat_ws("|", "o_orderstatus", "o_orderpriority")).alias("row_md5"),
+        (
+            F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            < F.lit("1998-01-01 00:00:00").cast("timestamp")
+        ).alias("overdue"),
+        F.concat(
+            F.col("o_orderstatus"),
+            F.lit(":"),
+            F.lpad(F.col("o_custkey").cast("string"), 10, "0"),
+        ).alias("status_key"),
+    )
+
+
+@query(
+    "set_except_customers",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000
+    """,
+)
+def set_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set operation: EXCEPT (DataFrame exceptAll→distinct form)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    big = orders.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return building.exceptAll(big).distinct()
+
+
+@query(
     "totalprice_percentiles",
     oracle="""
     SELECT o_orderpriority,
