@@ -137,6 +137,30 @@ class TestJdbcSqlGen:
             == 'DELETE FROM t WHERE ("a", "b") IN ((%s, %s), (%s, %s))'
         )
 
+    def test_copy_value_rendering(self):
+        from database_replicator_spark.sources.jdbc import render_copy_value
+
+        assert render_copy_value(None) == r"\N"
+        assert render_copy_value(True) == "t"
+        assert render_copy_value(b"\x01\xff") == "\\\\x01ff"
+        assert render_copy_value("a\tb\nc\\d") == "a\\tb\\nc\\\\d"
+        assert render_copy_value([1, None, "x,y"]) == '{1,NULL,"x,y"}'
+        with pytest.raises(TypeError):
+            render_copy_value({"k": 1})
+
+    def test_copy_escape_matches_expression(self, spark):
+        """Python copy_escape and the Catalyst copy_text_escape_expr are
+        the same rules — pin them together so they cannot drift."""
+        from pyspark.sql import functions as F
+
+        from database_replicator_spark.functions.render import copy_text_escape_expr
+        from database_replicator_spark.sources.jdbc import copy_escape
+
+        samples = ["plain", "a\tb", "n\nl", "r\rx", "back\\slash", "\t\n\r\\"]
+        df = spark.createDataFrame([(s,) for s in samples], "s string")
+        jvm = [r["e"] for r in df.select(copy_text_escape_expr(F.col("s")).alias("e")).collect()]
+        assert jvm == [copy_escape(s) for s in samples]
+
     def test_incremental_query_xmin_mode(self):
         q = incremental_query("public.users", "xmin::text::bigint", 42, ["id", "name"])
         assert q == (
