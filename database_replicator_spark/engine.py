@@ -58,17 +58,16 @@ class ParquetTarget:
         df.write.mode("overwrite").parquet(self.path(table))
 
     def merge(self, spark, updates: DataFrame, table: str, pk_cols: list[str]) -> None:
-        """MERGE emulation for parquet: read-modify-overwrite. A lakehouse
-        format (Delta/Iceberg) would do this transactionally; plain parquet
-        needs the staging dance."""
+        """MERGE emulation for parquet: read-modify-overwrite via
+        util.staged_overwrite (lakehouse formats do this transactionally)."""
+        from .util import staged_overwrite
+
         if not self.exists(table):
             self.overwrite(updates, table)
             return
         base = self.read(spark, table)
         merged = merge_upsert(base, updates, pk_cols)
-        tmp = self.path(table) + ".stage"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(self.path(table))
+        staged_overwrite(spark, merged, self.path(table))
 
 
 @dataclass
@@ -137,9 +136,19 @@ class Engine:
     # -- sync (incremental cycle) -----------------------------------------
     def sync_cycle(self, table: str, watermark_col: str, pk_cols: list[str]) -> dict:
         """One xmin-style cycle: read > hwm → merge → advance
-        (src/xmin/daemon.rs:336-461 shape). Wraparound ⇒ full refresh."""
+        (src/xmin/daemon.rs:336-461 shape). Wraparound ⇒ full refresh.
+
+        The engine's replication rules apply here exactly as in init/verify:
+        schema-only tables never sync data, and predicate rules filter the
+        change stream (and the wraparound resync) so incremental apply can
+        never widen a filtered table past its contract."""
         state = WatermarkState(self.state_path or os.path.join(self.target.root, "_state.json"))
+        if self.filter.rules.is_schema_only(self.database, "public", table):
+            return {"table": table, "mode": "schema_only_skipped", "rows": 0}
         src = self.source_tables[table]
+        pred = self.filter.rules.spark_predicate(self.database, "public", table)
+        if pred:
+            src = filtered_copy(src, pred)
         hwm = state.get_watermark(table)
         current_max = max_watermark(src, watermark_col)
         if hwm is not None and current_max is not None and isinstance(hwm, (int, float)):
@@ -156,17 +165,20 @@ class Engine:
 
     # -- reconcile ---------------------------------------------------------
     def reconcile(self, table: str, pk_cols: list[str]) -> dict:
-        """Delete target rows whose PK vanished at the source (J1/J2)."""
+        """Delete target rows whose PK vanished at the (rule-filtered)
+        source (J1/J2)."""
+        from .util import staged_overwrite
+
+        src = self.source_tables[table]
+        pred = self.filter.rules.spark_predicate(self.database, "public", table)
+        if pred:
+            src = filtered_copy(src, pred)
         tgt = self.target.read(self.spark, table)
-        orphans = find_orphans(tgt, self.source_tables[table], pk_cols)
+        orphans = find_orphans(tgt, src, pk_cols)
         n = orphans.count()
         if n > 0:
             remaining = apply_deletes(tgt, orphans, pk_cols)
-            tmp = self.target.path(table) + ".stage"
-            remaining.write.mode("overwrite").parquet(tmp)
-            self.spark.read.parquet(tmp).write.mode("overwrite").parquet(
-                self.target.path(table)
-            )
+            staged_overwrite(self.spark, remaining, self.target.path(table))
         return {"table": table, "deleted": n}
 
     # -- verify ------------------------------------------------------------

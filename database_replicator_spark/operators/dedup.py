@@ -62,7 +62,9 @@ def doc_shingles(
     distinct — both on (id, small-string) rows."""
     from pyspark.sql import Window
 
-    norm = normalize_text_expr(F.col(text_col))
+    # NULL text behaves as empty text (one '' shingle) so no document ever
+    # drops out of signatures — matching the oracle's COALESCE
+    norm = normalize_text_expr(F.coalesce(F.col(text_col), F.lit("")))
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.size(F.split(norm, " ")).alias("n_toks"),
@@ -84,9 +86,11 @@ def doc_shingles(
     return grams.unionByName(short_docs).distinct()
 
 
-#: Carter-Wegman modulus: largest prime below 2^59, so
-#: h1 + i*(h2 % P) stays inside int64 for i ≤ 15.
+#: Carter-Wegman modulus: largest prime below 2^59. h1 + i*(h2 % P) stays
+#: inside int64 for i ≤ 14 (max h1 + 14·(P−1) < 2^63; i = 15 overflows),
+#: so signatures are capped at 15 hash functions.
 CW_PRIME = 576460752303423433
+CW_MAX_HASHES = 15
 
 
 def minhash_signatures(
@@ -99,6 +103,11 @@ def minhash_signatures(
     regardless of signature width (vs. one md5 per hash function), which
     cut the sf0.1 minhash stage ~3×. Single groupBy over the exploded
     shingles; each family member is a map-side integer expression."""
+    if num_hashes > CW_MAX_HASHES:
+        raise ValueError(
+            f"num_hashes={num_hashes} exceeds the int64-safe Carter-Wegman "
+            f"bound of {CW_MAX_HASHES}; use a second seed pair for wider signatures"
+        )
     h1 = hash60(F.col("shingle"))
     h2 = hash60(seeded(F.col("shingle"), 1)) % F.lit(CW_PRIME)
     aggs = [

@@ -49,16 +49,20 @@ def merge_upsert(base: DataFrame, updates: DataFrame, pk_cols: list[str]) -> Dat
     (use latest.latest_by_key first when a batch can contain multiple
     versions of one PK).
 
-    Implementation: updates-wins full outer join per PK, column-wise
-    coalesce(update, base). One shuffle on the PK; with both sides bucketed
-    by PK it is shuffle-free. Catalyst/AQE broadcast the updates side when
-    it is small — the common incremental case.
+    Implementation: updates-wins full outer join per PK with an explicit
+    update-presence marker — NOT per-column coalesce, which would silently
+    resurrect the base value whenever an update sets a column to NULL
+    (the JDBC path's ``SET c = EXCLUDED.c`` propagates NULLs; this must
+    too). One shuffle on the PK; with both sides bucketed by PK it is
+    shuffle-free. Catalyst/AQE broadcast the updates side when it is
+    small — the common incremental case.
     """
     cols = base.columns
-    u = updates.select(*cols)
+    u = updates.select(*cols).withColumn("_upd", F.lit(1))
     joined = base.alias("b").join(u.alias("u"), on=pk_cols, how="full_outer")
+    present = F.col("u._upd").isNotNull()
     projected = [
-        F.coalesce(F.col(f"u.{c}"), F.col(f"b.{c}")).alias(c)
+        F.when(present, F.col(f"u.{c}")).otherwise(F.col(f"b.{c}")).alias(c)
         if c not in pk_cols
         else F.col(c)
         for c in cols

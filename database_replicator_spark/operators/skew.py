@@ -26,9 +26,13 @@ def salted_sum_count(
 ) -> DataFrame:
     """Two-phase SUM/COUNT: phase 1 groups on (key, salt) spreading each
     hot key over ``salt_buckets`` reducers; phase 2 combines per key.
-    The salt is derived from a hash of the full row (via the value), not
-    rand(), so the plan stays deterministic and retry-safe."""
-    salt = F.pmod(F.xxhash64(value_col.cast("string")), F.lit(salt_buckets))
+
+    The salt comes from ``monotonically_increasing_id`` (partition-derived,
+    value-independent) so a hot key whose rows all share one value — or
+    are all NULL — still spreads across buckets. The final result is
+    salt-independent for algebraic aggregates, so task retries remain
+    correct regardless of salt assignment."""
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
     phase1 = (
         df.withColumn("_salt", salt)
         .groupBy(*key_cols, "_salt")

@@ -204,9 +204,9 @@ def reconcile_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT
       COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
-      COALESCE(u.o_custkey, b.o_custkey) AS o_custkey,
-      COALESCE(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
-      COALESCE(u.o_totalprice, b.o_totalprice) AS o_totalprice
+      CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_custkey ELSE b.o_custkey END AS o_custkey,
+      CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus ELSE b.o_orderstatus END AS o_orderstatus,
+      CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice ELSE b.o_totalprice END AS o_totalprice
     FROM base b FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey
     """,
 )

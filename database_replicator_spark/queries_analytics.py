@@ -210,14 +210,16 @@ def scalar_function_families(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def set_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.7 set operation: EXCEPT (DataFrame exceptAll→distinct form)."""
+    """§2.7 set operation: EXCEPT. DataFrame ``subtract`` IS SQL's
+    EXCEPT DISTINCT (``exceptAll().distinct()`` would differ when the left
+    side has duplicates — it only removes per-occurrence)."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     building = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     big = orders.filter(F.col("o_totalprice") > 400000).select(
         F.col("o_custkey").alias("c_custkey")
     )
-    return building.exceptAll(big).distinct()
+    return building.subtract(big)
 
 
 @query(

@@ -22,7 +22,7 @@ from .sources.catalog import load_table
 
 # shared SQL snippets -------------------------------------------------------
 
-_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_NORM_SQL = "trim(regexp_replace(lower(COALESCE(text, '')), '\\s+', ' ', 'g'))"
 _TOKS_SQL = f"regexp_split_to_array({_NORM_SQL}, ' ')"
 
 

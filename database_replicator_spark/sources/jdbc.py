@@ -88,12 +88,25 @@ def partitioned_read(
     return reader.load()
 
 
+def sql_literal(v) -> str:
+    """Render a watermark value as a safe SQL literal: numbers verbatim,
+    everything else single-quoted with quote doubling (anti-injection —
+    watermarks come from persisted state files, not trusted code)."""
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
 def incremental_query(table: str, watermark_col: str, since, columns: list[str] | None = None) -> str:
     """The pushed-down incremental read (S13 generalized): for Postgres
-    xmin mode pass ``watermark_col="xmin::text::bigint"``."""
+    xmin mode pass ``watermark_col="xmin::text::bigint"``. The watermark
+    value is rendered through :func:`sql_literal` (string/timestamp
+    watermarks quote correctly; state-file content cannot inject SQL)."""
     cols = ", ".join(quote_ident(c) for c in columns) if columns else "*"
     wm = watermark_col if "::" in watermark_col else quote_ident(watermark_col)
-    return f"SELECT {cols}, {wm} AS _watermark FROM {table} WHERE {wm} > {since}"
+    return f"SELECT {cols}, {wm} AS _watermark FROM {table} WHERE {wm} > {sql_literal(since)}"
 
 
 # --- upsert / delete SQL generation (src/xmin/writer.rs parity) -----------
@@ -159,13 +172,16 @@ def render_copy_value(v) -> str:
     if isinstance(v, (bytes, bytearray)):
         return "\\\\x" + bytes(v).hex()
     if isinstance(v, (list, tuple)):
-        inner = ",".join(
-            "NULL" if x is None else '"' + str(x).replace('"', '\\"') + '"'
-            if isinstance(x, str)
-            else str(x)
-            for x in v
-        )
-        return copy_escape("{" + inner + "}")
+        # array-literal elements need their OWN backslash/quote escaping
+        # BEFORE the COPY-level escaping (two layers on the wire)
+        def elem(x) -> str:
+            if x is None:
+                return "NULL"
+            if isinstance(x, str):
+                return '"' + x.replace("\\", "\\\\").replace('"', '\\"') + '"'
+            return str(x)
+
+        return copy_escape("{" + ",".join(elem(x) for x in v) + "}")
     if isinstance(v, dict):
         raise TypeError("struct/map values are not COPY-text renderable; to_json them first")
     return copy_escape(str(v))

@@ -89,17 +89,21 @@ class ChangeApplier:
         # grouping has the same effect — unknown ops never match a route)
         batch = batch.filter(F.col("op").isin("insert", "update", "delete")).cache()
         try:
-            # 1. raw log: append new events, dedup on (table, change_id)
+            # 1. raw log: append new events, dedup on (table, change_id).
+            # Existence is checked explicitly — a transient read error must
+            # RAISE, never be mistaken for "first epoch" (which would
+            # overwrite and destroy the historical log).
+            from ..util import parquet_exists, staged_overwrite
+
             log_path = self._table_path("_change_log")
-            try:
+            if parquet_exists(log_path):
                 existing = spark.read.parquet(log_path)
                 merged = existing.unionByName(batch).dropDuplicates(
                     ["table", "change_id"]
                 )
-            except Exception:  # first epoch: no log yet
+            else:
                 merged = batch.dropDuplicates(["table", "change_id"])
-            merged.write.mode("overwrite").parquet(log_path + ".tmp")
-            spark.read.parquet(log_path + ".tmp").write.mode("overwrite").parquet(log_path)
+            staged_overwrite(spark, merged, log_path)
 
             # 2. _latest per table (last-write-wins by change_id, delete wins)
             if self.mode == "append_deduped":

@@ -1,0 +1,31 @@
+"""Small shared utilities."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def staged_overwrite(spark: SparkSession, df: DataFrame, path: str) -> None:
+    """Overwrite ``path`` with ``df`` even when ``df`` reads from ``path``
+    (parquet's read-modify-overwrite hazard): write to a ``.stage`` sibling,
+    rewrite the target from the staged copy, then remove the stage.
+
+    A lakehouse format (Delta/Iceberg) replaces this dance with a real
+    transactional MERGE; plain parquet pays a double write."""
+    stage = path + ".stage"
+    df.write.mode("overwrite").parquet(stage)
+    try:
+        spark.read.parquet(stage).write.mode("overwrite").parquet(path)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def parquet_exists(path: str) -> bool:
+    """True when ``path`` holds a readable parquet dataset (the _SUCCESS /
+    part-file layout Spark writes)."""
+    if not os.path.isdir(path):
+        return False
+    return any(name.endswith(".parquet") for name in os.listdir(path))

@@ -152,3 +152,95 @@ class TestSnapshotPlan:
         assert res == {"kv": "copied_filtered", "other": "schema_only", "skipme": "skipped"}
         assert spark.read.parquet(str(tmp_path / "kv")).collect()[0]["id"] == 2
         assert spark.read.parquet(str(tmp_path / "other")).count() == 0
+
+
+class TestReviewRegressions:
+    """Pins for the round-1 code-review findings."""
+
+    def test_merge_upsert_propagates_nulls(self, spark):
+        """An update that NULLs a column must null the target (coalesce
+        would resurrect the base value and diverge from the JDBC
+        SET c=EXCLUDED.c semantics)."""
+        from database_replicator_spark.operators.incremental import merge_upsert
+
+        base = spark.createDataFrame([(1, "a@x", 5)], "id int, email string, v int")
+        updates = spark.createDataFrame([(1, None, 6)], "id int, email string, v int")
+        out = merge_upsert(base, updates, ["id"]).collect()[0]
+        assert out["email"] is None and out["v"] == 6
+
+    def test_minhash_width_capped_at_int64_safe_bound(self, spark):
+        import pytest as _pytest
+
+        from database_replicator_spark.operators.dedup import minhash_signatures
+
+        sh = spark.createDataFrame([(1, "a b c")], "doc_id long, shingle string")
+        with _pytest.raises(ValueError, match="int64-safe"):
+            minhash_signatures(sh, num_hashes=16)
+
+    def test_null_text_docs_keep_a_shingle(self, spark):
+        from database_replicator_spark.operators.dedup import doc_shingles
+
+        docs = spark.createDataFrame(
+            [(1, "hello world now"), (2, None)], "doc_id long, text string"
+        )
+        sh = doc_shingles(docs)
+        by_doc = {r["doc_id"] for r in sh.collect()}
+        assert by_doc == {1, 2}  # NULL-text doc did not drop out
+
+    def test_salted_agg_constant_value_hot_key(self, spark):
+        """All-identical values on the hot key must still aggregate exactly
+        (the old value-derived salt put them in ONE bucket; correctness
+        held, spreading did not — this pins correctness under the new
+        partition-derived salt)."""
+        from pyspark.sql import functions as F
+
+        from database_replicator_spark.operators.skew import salted_sum_count
+
+        df = spark.createDataFrame(
+            [("hot", 1)] * 5000 + [("cold", 7)], "k string, v int"
+        ).repartition(8)
+        out = {r["k"]: (r["sum_value"], r["n_rows"]) for r in
+               salted_sum_count(df, ["k"], F.col("v")).collect()}
+        assert out == {"hot": (5000, 5000), "cold": (7, 1)}
+
+    def test_sync_cycle_respects_rules(self, spark, tmp_path):
+        from database_replicator_spark.engine import Engine, ParquetTarget
+        from database_replicator_spark.plans.rules import ReplicationFilter
+
+        src = spark.createDataFrame(
+            [(1, 3), (2, 30), (3, 40)], "id int, v int"
+        )
+        f = ReplicationFilter()
+        f.rules.add_predicate("default.t", "v >= 10")
+        f.rules.add_schema_only("default.s")
+        eng = Engine(
+            spark=spark,
+            source_tables={"t": src, "s": src},
+            target=ParquetTarget(str(tmp_path / "tgt")),
+            filter=f,
+            state_path=str(tmp_path / "st.json"),
+        )
+        eng.init_snapshot()
+        out = eng.sync_cycle("t", "v", ["id"])
+        assert out["rows"] == 2  # the v=3 row never syncs
+        assert eng.sync_cycle("s", "v", ["id"])["mode"] == "schema_only_skipped"
+        assert eng.verify(["t", "s"]) == {
+            "t": {"status": "match", "source_rows": 2, "target_rows": 2},
+            "s": {"status": "match", "source_rows": 0, "target_rows": 0},
+        }
+
+    def test_staging_dirs_cleaned_up(self, spark, tmp_path):
+        from database_replicator_spark.engine import Engine, ParquetTarget
+
+        src = spark.createDataFrame([(1, 1)], "id int, v int")
+        eng = Engine(
+            spark=spark,
+            source_tables={"t": src},
+            target=ParquetTarget(str(tmp_path / "tgt")),
+            state_path=str(tmp_path / "st.json"),
+        )
+        eng.init_snapshot()
+        eng.sync_cycle("t", "v", ["id"])
+        eng.sync_cycle("t", "v", ["id"])
+        leftovers = [p for p in (tmp_path / "tgt").iterdir() if p.name.endswith(".stage")]
+        assert leftovers == []
