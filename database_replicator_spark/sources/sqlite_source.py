@@ -192,6 +192,95 @@ def read_table_docs(
     return docs.withColumn("_migrated_at", F.current_timestamp())
 
 
+_DECL_TYPE_MAP = (
+    ("INT", "long"),
+    ("CHAR", "string"), ("CLOB", "string"), ("TEXT", "string"),
+    ("BLOB", "binary"),
+    ("REAL", "double"), ("FLOA", "double"), ("DOUB", "double"),
+    ("NUMERIC", "double"), ("DECIMAL", "double"),
+    ("BOOL", "boolean"),
+    ("DATETIME", "string"), ("TIMESTAMP", "string"), ("DATE", "string"),
+)
+
+
+def _spark_type_for(decl: str) -> str:
+    """SQLite type-affinity rules (declared type substring → affinity),
+    mapped to a Spark type; untyped/unknown columns fall back to string."""
+    up = (decl or "").upper()
+    for key, t in _DECL_TYPE_MAP:
+        if key in up:
+            return t
+    return "string"
+
+
+def read_table_relational(
+    spark: SparkSession, path: str, table: str, num_partitions: int = 4
+) -> DataFrame:
+    """Relational (typed-column) read of a SQLite table — the xmin-path
+    shape, where rows keep their schema instead of becoming documents.
+    Schema from PRAGMA declared types via affinity rules; values outside
+    the declared affinity are coerced (str) or nulled, the price of
+    imposing static typing on a dynamically-typed store (the document
+    path via read_table_docs is the lossless alternative)."""
+    with _connect_ro(path) as conn:
+        info = conn.execute(f"PRAGMA table_info({_q(table)})").fetchall()
+        row = conn.execute(
+            f"SELECT MIN(rowid), MAX(rowid), COUNT(*) FROM {_q(table)}"
+        ).fetchone()
+    columns = [r[1] for r in info]
+    types = [_spark_type_for(r[2]) for r in info]
+    schema = ", ".join(f"{c} {t}" for c, t in zip(columns, types))
+    lo, hi, count = row
+    if count == 0:
+        return spark.createDataFrame([], schema)
+
+    n_parts = max(1, min(num_partitions, count))
+    step = (hi - lo + 1 + n_parts - 1) // n_parts
+    ranges = [(lo + i * step, min(hi + 1, lo + (i + 1) * step)) for i in range(n_parts)]
+    ranges_df = spark.createDataFrame(ranges, "lo long, hi long")
+
+    def coerce(v, t):
+        if v is None:
+            return None
+        try:
+            if t == "long":
+                return int(v)
+            if t == "double":
+                return float(v)
+            if t == "boolean":
+                return bool(v)
+            if t == "binary":
+                return bytes(v) if isinstance(v, (bytes, bytearray)) else str(v).encode()
+            return v if isinstance(v, str) else str(v)
+        except (TypeError, ValueError):
+            return None
+
+    def scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                conn = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+                try:
+                    sel = ", ".join(_q(c) for c in columns)
+                    rows = conn.execute(
+                        f"SELECT {sel} FROM {_q(table)} "
+                        f"WHERE rowid >= ? AND rowid < ? ORDER BY rowid",
+                        (int(r["lo"]), int(r["hi"])),
+                    ).fetchall()
+                finally:
+                    conn.close()
+                if not rows:
+                    continue
+                data = {
+                    c: [coerce(row[i], types[i]) for row in rows]
+                    for i, c in enumerate(columns)
+                }
+                yield pd.DataFrame(data)
+
+    return ranges_df.repartition(n_parts, "lo").mapInPandas(scan, schema=schema)
+
+
 def ingest_sqlite(
     spark: SparkSession, path: str, num_partitions: int = 8
 ) -> dict[str, DataFrame]:

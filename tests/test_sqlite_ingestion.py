@@ -142,3 +142,24 @@ class TestIngestion:
         row = tables["posts"].collect()[0]
         assert row["_source_type"] == "sqlite"
         assert json.loads(row["data"])["published"] == 1
+
+
+class TestRelationalRead:
+    def test_typed_read_with_affinity(self, spark, db):
+        from database_replicator_spark.sources.sqlite_source import read_table_relational
+
+        df = read_table_relational(spark, db, "users", num_partitions=2)
+        assert dict(df.dtypes) == {
+            "id": "bigint", "name": "string", "age": "bigint",
+            "balance": "double", "bio": "string", "avatar": "binary",
+        }
+        rows = {r["id"]: r for r in df.collect()}
+        assert rows[1]["balance"] == 12.5
+        assert bytes(rows[1]["avatar"]) == b"Hello"
+        assert rows[2]["age"] is None
+
+    def test_empty_relational(self, spark, db):
+        from database_replicator_spark.sources.sqlite_source import read_table_relational
+
+        df = read_table_relational(spark, db, "empty_table")
+        assert df.count() == 0 and dict(df.dtypes)["id"] == "bigint"
