@@ -176,13 +176,26 @@ def jaccard_pairs(
     |A|,|B| joined in; jaccard = inter/(|A|+|B|-inter) exact in integers
     until the final division.
 
-    ``shingled`` is consumed three times (both join sides + sizes), so it
-    is cached here — at scale, materialize it once (parquet/Delta stage)
-    instead."""
+    Exact pruning: shingles with document frequency 1 cannot co-occur, so
+    they are dropped from the JOIN inputs (but kept in the |A|/|B| sizes)
+    — results are bit-identical with strictly less join work. On
+    natural-language corpora the df=1 tail is the majority of distinct
+    shingles, so this is the difference between joining the long tail and
+    joining only the shared vocabulary.
+
+    ``shingled`` is consumed several times, so it is cached here — at
+    scale, materialize it once (parquet/Delta stage) instead."""
     shingled = shingled.cache()
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = shingled.alias("a")
-    b = shingled.alias("b")
+    shared = (
+        shingled.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("shingle")
+    )
+    joinable = shingled.join(shared, on="shingle", how="left_semi")
+    a = joinable.alias("a")
+    b = joinable.alias("b")
     co = (
         a.join(b, on="shingle")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
