@@ -181,6 +181,41 @@ class Engine:
             staged_overwrite(self.spark, remaining, self.target.path(table))
         return {"table": table, "deleted": n}
 
+    # -- daemon (ST3) ------------------------------------------------------
+    def run_sync_daemon(
+        self,
+        tables: dict[str, tuple[str, list[str]]],
+        sync_interval_s: float = 3600.0,
+        reconcile_interval_s: float = 86400.0,
+        once: bool = False,
+        max_cycles: int | None = None,
+    ) -> list[dict]:
+        """ST3: the periodic micro-batch scheduler — sync every
+        ``sync_interval_s`` (reference default 3600 s), reconcile every
+        ``reconcile_interval_s`` (86400 s), ``once`` runs a single cycle
+        and returns (the ``--once`` flag; src/xmin/daemon.rs:16-43,
+        src/main.rs:159-170). ``tables`` maps table → (watermark_col,
+        pk_cols). Returns the per-cycle reports."""
+        import time as _time
+
+        reports: list[dict] = []
+        last_reconcile = _time.monotonic()
+        cycles = 0
+        while True:
+            cycle: dict = {"synced": [], "reconciled": []}
+            for t, (wm, pks) in tables.items():
+                cycle["synced"].append(self.sync_cycle(t, wm, pks))
+            if once or (_time.monotonic() - last_reconcile) >= reconcile_interval_s:
+                for t, (_, pks) in tables.items():
+                    if not self.filter.rules.is_schema_only(self.database, "public", t):
+                        cycle["reconciled"].append(self.reconcile(t, pks))
+                last_reconcile = _time.monotonic()
+            reports.append(cycle)
+            cycles += 1
+            if once or (max_cycles is not None and cycles >= max_cycles):
+                return reports
+            _time.sleep(sync_interval_s)
+
     # -- verify ------------------------------------------------------------
     def verify(self, tables: list[str] | None = None) -> dict[str, dict]:
         """Checksum-compare each table against the EXPECTED projection of

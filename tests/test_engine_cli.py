@@ -133,3 +133,22 @@ class TestDdl:
         assert '"meta" JSONB' in sql
         assert 'PRIMARY KEY ("id")' in sql
         assert sql.startswith("CREATE TABLE IF NOT EXISTS public.t")
+
+
+class TestSyncDaemon:
+    def test_once_cycle_syncs_and_reconciles(self, spark, engine, tmp_path):
+        engine.init_snapshot()
+        reports = engine.run_sync_daemon(
+            {"users": ("seq", ["id"]), "posts": ("id", ["id"])}, once=True
+        )
+        assert len(reports) == 1
+        assert {s["table"] for s in reports[0]["synced"]} == {"users", "posts"}
+        assert {r["table"] for r in reports[0]["reconciled"]} == {"users", "posts"}
+        assert engine.verify()["users"]["status"] == "match"
+
+    def test_max_cycles_bounds_the_loop(self, spark, engine):
+        engine.init_snapshot()
+        reports = engine.run_sync_daemon(
+            {"users": ("seq", ["id"])}, sync_interval_s=0.01, max_cycles=3
+        )
+        assert len(reports) == 3
