@@ -14,7 +14,15 @@ SF_MEDIUM = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = build_session("tests", shuffle_partitions=8)
+    # worker reuse off: across ~175 tests in one session, reused Python
+    # workers occasionally die and surface as ClosedChannelException on
+    # the next mapInPandas/pandas_udf task (a rare-but-real local-mode
+    # flake); fresh workers cost a little startup and remove it
+    s = build_session(
+        "tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.python.worker.reuse": "false"},
+    )
     yield s
     s.stop()
 
