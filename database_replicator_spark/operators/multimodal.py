@@ -113,6 +113,57 @@ def extract_features(
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def resize_media(
+    media: DataFrame,
+    width: int,
+    height: int,
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Arrow-batched media resize stage. ``resizer=None`` raises at task
+    time (stub contract — Pillow/ffmpeg are not in this container); the
+    plumbing (batching, schema, metadata update) is real. Output keeps the
+    canonical (id, payload, meta) layout with width/height filled."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if resizer is None:
+                raise NotImplementedError(
+                    "no media resizer available in this environment; inject "
+                    "one (e.g. Pillow) — plumbing is exercised with a fake in tests"
+                )
+            payloads = [resizer(p, width, height) for p in pdf["payload"]]
+            metas = [
+                {
+                    "mime": m["mime"],
+                    "n_bytes": len(p),
+                    "width": width,
+                    "height": height,
+                    "duration_ms": m["duration_ms"],
+                }
+                for m, p in zip(pdf["meta"], payloads)
+            ]
+            yield pd.DataFrame({"id": pdf["id"], "payload": payloads, "meta": metas})
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("meta", MEDIA_META_SCHEMA),
+        ]
+    )
+    return media.mapInPandas(run, schema=out_schema)
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic resize stand-in: truncate/pad to width*height bytes."""
+    target = max(1, width * height)
+    return (payload * (target // max(len(payload), 1) + 1))[:target]
+
+
 def sample_frames_expr(duration_ms: Column, every_ms: int) -> Column:
     """Frame-sampling plan: timestamps (ms) to decode for a video payload —
     the cheap plan-side half of frame extraction; the decode itself is the

@@ -53,3 +53,20 @@ def test_sample_frames_plan(spark):
     df = spark.createDataFrame([(10_000,)], "duration_ms long")
     out = df.select(sample_frames_expr(F.col("duration_ms"), 4_000).alias("ts")).collect()
     assert out[0]["ts"] == [0, 4000, 8000]
+
+
+class TestResize:
+    def test_stub_raises_without_resizer(self, media):
+        from database_replicator_spark.operators.multimodal import resize_media
+
+        with pytest.raises(Exception, match="no media resizer available"):
+            resize_media(media, 4, 4).collect()
+
+    def test_fake_resize_plumbing(self, media):
+        from database_replicator_spark.operators.multimodal import fake_resize, resize_media
+
+        out = resize_media(media, 4, 4, resizer=fake_resize).orderBy("id").collect()
+        assert all(len(r["payload"]) == 16 for r in out)
+        assert all(r["meta"]["width"] == 4 and r["meta"]["height"] == 4 for r in out)
+        assert all(r["meta"]["n_bytes"] == 16 for r in out)
+        assert out[0]["meta"]["mime"] == "image/png"  # original mime preserved
