@@ -223,6 +223,99 @@ def set_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "set_intersect_customers",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000
+    """,
+)
+def set_intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7: INTERSECT via DataFrame.intersect (INTERSECT DISTINCT)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    big = orders.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return building.intersect(big)
+
+
+@query(
+    "exists_semi_join",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier s
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49
+    )
+    """,
+)
+def exists_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a left-semi join (the positive half of J1's anti-join)."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    big_items = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") > 49
+    ).select(F.col("l_suppkey").alias("s_suppkey"))
+    return supplier.join(big_items, on="s_suppkey", how="left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+@query(
+    "verify_report_all_tables",
+    oracle="""
+    WITH r AS (
+      SELECT 'region' AS table_name,
+             md5(string_agg(h, '' ORDER BY h)) AS checksum, COUNT(*) AS n_rows
+      FROM (SELECT md5(concat_ws('|',
+              COALESCE(CAST(r_regionkey AS VARCHAR), ''), COALESCE(r_name, ''))) AS h
+            FROM region)
+    ),
+    n AS (
+      SELECT 'nation' AS table_name,
+             md5(string_agg(h, '' ORDER BY h)) AS checksum, COUNT(*) AS n_rows
+      FROM (SELECT md5(concat_ws('|',
+              COALESCE(CAST(n_nationkey AS VARCHAR), ''), COALESCE(n_name, ''),
+              COALESCE(CAST(n_regionkey AS VARCHAR), ''))) AS h
+            FROM nation)
+    ),
+    s AS (
+      SELECT 'supplier' AS table_name,
+             md5(string_agg(h, '' ORDER BY h)) AS checksum, COUNT(*) AS n_rows
+      FROM (SELECT md5(concat_ws('|',
+              COALESCE(CAST(s_suppkey AS VARCHAR), ''), COALESCE(s_name, ''),
+              COALESCE(CAST(s_nationkey AS VARCHAR), ''),
+              COALESCE(printf('%.6f', s_acctbal), ''))) AS h
+            FROM supplier)
+    )
+    SELECT * FROM r UNION ALL SELECT * FROM n UNION ALL SELECT * FROM s
+    """,
+)
+def verify_report_all_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verify command's report shape: one (table, checksum, rows) line
+    per table — the reference's parallel multi-table verification
+    (verify.rs:175-244) as a single unioned job."""
+    from .operators.verify import strict_checksum_df
+
+    parts = []
+    for t in ("region", "nation", "supplier"):
+        cs = strict_checksum_df(load_table(spark, sf_dir, t))
+        parts.append(
+            cs.select(
+                F.lit(t).alias("table_name"),
+                F.col("checksum"),
+                F.col("row_count").alias("n_rows"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
     "totalprice_percentiles",
     oracle="""
     SELECT o_orderpriority,
