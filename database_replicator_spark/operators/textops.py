@@ -96,3 +96,45 @@ def fingerprint_expr(text: Column) -> Column:
     """Document fingerprint: md5 of the normalized text (exact-dup key).
     md5 keeps the oracle portable; the scale path can swap xxhash64."""
     return F.md5(normalize_text_expr(text))
+
+
+def winnowing_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 5, w: int = 4,
+) -> DataFrame:
+    """Rolling-hash document fingerprints via winnowing (the MOSS
+    algorithm): hash every character k-gram, slide a window of ``w``
+    consecutive k-gram hashes, keep each window's minimum — the selected
+    hashes are robust to local edits and position shifts, unlike the
+    whole-document fingerprint.
+
+    Plan shape: explode positions (codegen sequence+substring), one
+    partition-by-doc window for the per-window min, then distinct —
+    shuffle payload is (doc_id, hash) pairs. Output: distinct
+    (doc_id, fingerprint) rows. Shared fingerprints across documents are
+    near-dup evidence at sub-document granularity (copied passages)."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import hash60
+
+    norm = normalize_text_expr(F.coalesce(F.col(text_col), F.lit("")))
+    grams = df.withColumn("_norm", norm).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(_norm) - {k - 1}, 1)), "
+                f"i -> substring(_norm, i, {k}))"
+            )
+        ).alias("pos", "gram"),
+    )
+    hashed = grams.select("doc_id", "pos", hash60(F.col("gram")).alias("h"))
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, w - 1)
+    )
+    return (
+        hashed.withColumn("fingerprint", F.min("h").over(win))
+        .select("doc_id", "fingerprint")
+        .distinct()
+    )

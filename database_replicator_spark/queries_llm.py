@@ -258,6 +258,34 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @query(
+    "doc_winnowing_fingerprints",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, {_NORM_SQL} AS n FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i AS pos,
+             {_hash60_sql('substr(n, CAST(i AS INTEGER), 5)')} AS h
+      FROM norm, UNNEST(generate_series(1, greatest(length(n) - 4, 1))) AS t(i)
+    )
+    SELECT DISTINCT doc_id,
+           MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint
+    FROM grams
+    """,
+)
+def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (k=5 char-grams, window 4):
+    sub-document near-dup evidence robust to local edits — the brief's
+    'rolling hash' fingerprinting. Trailing partial windows included
+    (mirrored in the oracle's identical frame)."""
+    from .operators.textops import winnowing_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnowing_fingerprints(docs, k=5, w=4)
+
+
+@query(
     "dedup_exact",
     oracle=f"""
     SELECT md5({_NORM_SQL}) AS fingerprint,

@@ -169,3 +169,36 @@ class TestTextOps:
         )
         out = [r[0] for r in df.select(lang_id_expr(F.col("text"))).collect()]
         assert out == ["en", "other"]
+
+
+class TestWinnowing:
+    def test_local_edit_preserves_most_fingerprints(self, spark):
+        from database_replicator_spark.operators.textops import winnowing_fingerprints
+
+        base = "the quick brown fox jumps over the lazy dog and runs far away today"
+        edited = base.replace("lazy", "hazy")  # one-char local edit
+        other = "completely unrelated content with different characters entirely"
+        df = spark.createDataFrame(
+            [(1, base), (2, edited), (3, other)], "doc_id long, text string"
+        )
+        fps = winnowing_fingerprints(df, k=5, w=4)
+        by_doc = {
+            d: {r["fingerprint"] for r in rows}
+            for d, rows in __import__("itertools").groupby(
+                sorted(fps.collect(), key=lambda r: r["doc_id"]),
+                key=lambda r: r["doc_id"],
+            )
+        }
+        overlap_edit = len(by_doc[1] & by_doc[2]) / len(by_doc[1])
+        overlap_other = len(by_doc[1] & by_doc[3]) / len(by_doc[1])
+        assert overlap_edit > 0.6, f"local edit destroyed fingerprints: {overlap_edit}"
+        assert overlap_other < 0.1, f"unrelated docs share fingerprints: {overlap_other}"
+
+    def test_short_and_null_docs_survive(self, spark):
+        from database_replicator_spark.operators.textops import winnowing_fingerprints
+
+        df = spark.createDataFrame(
+            [(1, "ab"), (2, None)], "doc_id long, text string"
+        )
+        out = winnowing_fingerprints(df, k=5, w=4)
+        assert {r["doc_id"] for r in out.collect()} == {1, 2}
