@@ -121,14 +121,23 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 4, rows_per_band: int = 3
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (doc1 < doc2) sharing ≥1 LSH band.
 
     Plan shape: explode to (band, band_sig, doc) → self-join within bucket.
     At scale the join key (band, band_sig) is high-cardinality and uniform
-    (hash values), so the shuffle is well balanced; enormous buckets (all
-    identical docs) are bounded by an optional per-bucket cap upstream.
+    (hash values), so the shuffle is well balanced.
+
+    ``max_bucket_size`` bounds degenerate buckets (a corpus of identical
+    boilerplate puts every doc in one bucket → that bucket alone is O(n²)):
+    buckets with more than ``max_bucket_size`` members are dropped entirely
+    — a deterministic rule, and safe in a tiered pipeline because
+    boilerplate-identical docs are exactly what the cheaper exact-dedup
+    tier (tier 1) already collapses before LSH runs.
     """
     banded = signatures.select(
         "doc_id",
@@ -153,6 +162,14 @@ def lsh_candidate_pairs(
     # the self-join below consumes `banded` twice; caching stops the whole
     # shingle→signature pipeline from executing twice
     banded = banded.cache()
+    if max_bucket_size is not None:
+        small = (
+            banded.groupBy("band", "band_sig")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("band", "band_sig")
+        )
+        banded = banded.join(small, on=["band", "band_sig"], how="left_semi")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -172,38 +189,55 @@ def jaccard_pairs(
     shingle when ``candidates`` is None — correct but quadratic; always
     pass LSH candidates at scale).
 
-    intersection via groupBy(doc1,doc2) on co-occurring shingles;
-    |A|,|B| joined in; jaccard = inter/(|A|+|B|-inter) exact in integers
-    until the final division.
-
-    Exact pruning: shingles with document frequency 1 cannot co-occur, so
-    they are dropped from the JOIN inputs (but kept in the |A|/|B| sizes)
-    — results are bit-identical with strictly less join work. On
-    natural-language corpora the df=1 tail is the majority of distinct
-    shingles, so this is the difference between joining the long tail and
-    joining only the shared vocabulary.
+    With ``candidates``, intersections are computed per candidate pair
+    (explode pair by doc1's shingles → match doc2's set) — the quadratic
+    work is confined to the LSH candidate set, which is what survives
+    100 TB. Without, a corpus self-join on shingle with df≥2 vocabulary
+    pruning. Either way jaccard = inter/(|A|+|B|-inter), exact in
+    integers until the final division.
 
     ``shingled`` is consumed several times, so it is cached here — at
     scale, materialize it once (parquet/Delta stage) instead."""
     shingled = shingled.cache()
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    shared = (
-        shingled.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") >= 2)
-        .select("shingle")
-    )
-    joinable = shingled.join(shared, on="shingle", how="left_semi")
-    a = joinable.alias("a")
-    b = joinable.alias("b")
-    co = (
-        a.join(b, on="shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
     if candidates is not None:
-        co = co.join(candidates, on=["doc1", "doc2"], how="left_semi")
+        # Candidates prune BEFORE the quadratic work: each candidate pair is
+        # exploded by doc1's shingles, then matched against doc2's shingle
+        # set on (doc2, shingle) — per-pair intersection counting, no corpus
+        # self-join at all. Pairs with zero overlap vanish here, exactly as
+        # they vanish from the oracle's inner-join co-occurrence. The df≥2
+        # vocabulary pruning below is pointless in this branch (unshared
+        # shingles simply find no match), so its groupBy is skipped.
+        cand = candidates.select("doc1", "doc2")
+        a = shingled.select(F.col("doc_id").alias("doc1"), "shingle")
+        b = shingled.select(F.col("doc_id").alias("doc2"), "shingle")
+        co = (
+            cand.join(a, on="doc1")
+            .join(b, on=["doc2", "shingle"])
+            .groupBy("doc1", "doc2")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        # Exact pruning for the all-pairs path: shingles with document
+        # frequency 1 cannot co-occur, so drop them from the join inputs
+        # (but not from the |A|/|B| sizes) — bit-identical results with
+        # strictly less join work; on natural-language corpora the df=1
+        # tail is the majority of distinct shingles.
+        shared = (
+            shingled.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") >= 2)
+            .select("shingle")
+        )
+        joinable = shingled.join(shared, on="shingle", how="left_semi")
+        a = joinable.alias("a")
+        b = joinable.alias("b")
+        co = (
+            a.join(b, on="shingle")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     out = (
         co.join(sizes.withColumnsRenamed({"doc_id": "doc1", "n_shingles": "n1"}), on="doc1")
         .join(sizes.withColumnsRenamed({"doc_id": "doc2", "n_shingles": "n2"}), on="doc2")

@@ -319,6 +319,71 @@ def topk_blas(
     )
 
 
+def neardup_pairs_lsh(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float,
+    num_planes: int = 8,
+    seed: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """LSH-bucketed exact near-dup pairs — the scale shape for dense
+    near-dup: the deterministic hyperplane signature is the ONLY shuffle
+    key; each bucket's pairwise cosines come from one BLAS matmul inside
+    ``applyInPandas`` (no pairwise row explosion, no driver collect).
+
+    Bucket bits and unit vectors are computed JVM-side with the same fold
+    exprs the DuckDB oracle mirrors, so bucket membership is bit-exact;
+    within-bucket scores are numpy matmuls rounded to ``round_digits``
+    (pairwise-vs-sequential float error ≈ 1e-14 « the rounding quantum,
+    same contract as :func:`neardup_pairs_blas`).
+
+    At 100 TB: one shuffle on an ~uniform 2^planes-way key; degenerate
+    buckets are bounded by raising ``num_planes`` (or pre-splitting hot
+    buckets — see dedup.lsh_candidate_pairs' per-bucket cap).
+    """
+    import numpy as np
+
+    withb = corpus.select(
+        F.col(id_col).alias("vid"),
+        unit_expr(F.col(vec_col)).alias("unit"),
+        lsh_bucket_expr(F.col(vec_col), dim=dim, num_planes=num_planes, seed=seed).alias(
+            "bucket"
+        ),
+    )
+
+    def bucket_pairs(pdf):
+        import pandas as pd
+
+        ids = pdf["vid"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {
+                    "id1": np.array([], dtype=np.int64),
+                    "id2": np.array([], dtype=np.int64),
+                    "cosine": np.array([], dtype=np.float64),
+                }
+            )
+        mat = np.array(pdf["unit"].tolist(), dtype=np.float64)
+        sims = mat @ mat.T
+        ai, bi = np.nonzero(sims >= threshold)
+        id1, id2 = ids[ai], ids[bi]
+        keep = id1 < id2
+        return pd.DataFrame(
+            {
+                "id1": id1[keep],
+                "id2": id2[keep],
+                "cosine": np.round(sims[ai, bi][keep], round_digits),
+            }
+        )
+
+    return withb.groupBy("bucket").applyInPandas(
+        bucket_pairs, schema="id1 long, id2 long, cosine double"
+    )
+
+
 def neardup_pairs(
     corpus: DataFrame,
     threshold: float,

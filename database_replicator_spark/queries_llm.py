@@ -546,34 +546,14 @@ _LSH_DOT_RAW = (
 def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-prefiltered near-dup pairs, fully oracle-exact: the hyperplanes
     are deterministic (md5-derived literals embedded in the oracle SQL),
-    bucket bits come from sign-of-dot folds, and candidate pairs within a
-    bucket get exact rounded cosines. The scale story of similarity_lsh_topk
-    with none of its approximation opacity."""
-    from .operators.similarity import (
-        dot_expr,
-        lsh_bucket_expr,
-        unit_expr,
-    )
+    bucket bits come from sign-of-dot folds (JVM-side, bit-exact vs the
+    oracle), and within-bucket pairs get one BLAS matmul per bucket via
+    applyInPandas — bucket is the only shuffle key. The scale story of
+    similarity_lsh_topk with none of its approximation opacity."""
+    from .operators.similarity import neardup_pairs_lsh
 
     emb = load_table(spark, sf_dir, "embeddings")
-    withb = emb.select(
-        "vec_id",
-        unit_expr(F.col("embedding")).alias("unit"),
-        lsh_bucket_expr(F.col("embedding"), dim=64, num_planes=6).alias("bucket"),
-    ).cache()
-    a = withb.select(
-        F.col("vec_id").alias("id1"), F.col("unit").alias("u1"), "bucket"
-    )
-    b = withb.select(
-        F.col("vec_id").alias("id2"), F.col("unit").alias("u2"), "bucket"
-    )
-    return (
-        a.join(b, on="bucket")
-        .filter(F.col("id1") < F.col("id2"))
-        .withColumn("cosine", F.round(dot_expr(F.col("u1"), F.col("u2")), 6))
-        .filter(dot_expr(F.col("u1"), F.col("u2")) >= 0.15)
-        .select("id1", "id2", "cosine")
-    )
+    return neardup_pairs_lsh(emb, dim=64, threshold=0.15, num_planes=6)
 
 
 @query("similarity_lsh_topk")  # no oracle: approximate operator, rows-only check

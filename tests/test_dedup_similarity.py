@@ -129,3 +129,70 @@ class TestSimilarity:
         }
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.2, f"LSH recall collapsed: {recall}"
+
+
+class TestLshBucketCap:
+    def test_degenerate_bucket_dropped(self, spark):
+        # pathological corpus: 20 identical boilerplate docs (one mega
+        # bucket) + 2 planted near-dups with distinct content
+        boiler = "terms of service apply to all users of this website always"
+        a = "the quick brown fox jumps over the lazy dog again and again today"
+        b = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+        rows = [(i, boiler) for i in range(20)] + [(100, a), (101, b)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        sig = minhash_signatures(doc_shingles(docs), num_hashes=12)
+
+        uncapped = {(r["doc1"], r["doc2"]) for r in lsh_candidate_pairs(sig).collect()}
+        capped = {
+            (r["doc1"], r["doc2"])
+            for r in lsh_candidate_pairs(sig, max_bucket_size=5).collect()
+        }
+        # uncapped: the boilerplate bucket alone yields C(20,2)=190 pairs
+        assert len(uncapped) >= 190
+        # capped: every boilerplate pair gone, the planted near-dup survives
+        assert all(p[0] >= 100 for p in capped), capped
+        assert (100, 101) in capped
+
+    def test_cap_none_is_identity(self, spark, docs):
+        sig = minhash_signatures(doc_shingles(docs), num_hashes=12)
+        base = {(r["doc1"], r["doc2"]) for r in lsh_candidate_pairs(sig).collect()}
+        wide = {
+            (r["doc1"], r["doc2"])
+            for r in lsh_candidate_pairs(sig, max_bucket_size=10**6).collect()
+        }
+        assert base == wide
+
+
+class TestNeardupPairsLsh:
+    def test_matches_bucket_join_formulation(self, spark):
+        from database_replicator_spark.operators.similarity import (
+            dot_expr,
+            lsh_bucket_expr,
+            neardup_pairs_lsh,
+            unit_expr,
+        )
+        from database_replicator_spark.sources.catalog import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        got = {
+            (r["id1"], r["id2"]): r["cosine"]
+            for r in neardup_pairs_lsh(emb, dim=64, threshold=0.15, num_planes=6).collect()
+        }
+        # reference formulation: explicit bucket self-join + fold dot
+        withb = emb.select(
+            "vec_id",
+            unit_expr(F.col("embedding")).alias("unit"),
+            lsh_bucket_expr(F.col("embedding"), dim=64, num_planes=6).alias("bucket"),
+        ).cache()
+        a = withb.select(F.col("vec_id").alias("id1"), F.col("unit").alias("u1"), "bucket")
+        b = withb.select(F.col("vec_id").alias("id2"), F.col("unit").alias("u2"), "bucket")
+        want = {
+            (r["id1"], r["id2"]): r["cosine"]
+            for r in a.join(b, on="bucket")
+            .filter(F.col("id1") < F.col("id2"))
+            .withColumn("d", dot_expr(F.col("u1"), F.col("u2")))
+            .filter(F.col("d") >= 0.15)
+            .select("id1", "id2", F.round(F.col("d"), 6).alias("cosine"))
+            .collect()
+        }
+        assert got == want
