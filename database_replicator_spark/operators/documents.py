@@ -23,6 +23,11 @@ from pyspark.sql import functions as F
 
 ID_CANDIDATES = ("id", "rowid", "_id")
 
+#: MySQL's candidate list is case-VARIANT and ordered (src/mysql/
+#: converter.rs:262-276): exact column names `id`, `Id`, `ID`, first
+#: present wins, NO uniqueness verification (unlike the SQLite heuristic).
+MYSQL_ID_CANDIDATES = ("id", "Id", "ID")
+
 
 def is_column_unique(df: DataFrame, col: str) -> bool:
     """A3: COUNT(*) == COUNT(DISTINCT col) (null-excluding, like SQL).
@@ -55,6 +60,42 @@ def extract_document_id(
     order = order_cols or df.columns
     w = Window.orderBy(*[F.col(c) for c in order])
     return df.withColumn("_doc_id", F.row_number().over(w).cast("string")), "rownum_fallback"
+
+
+def extract_document_id_mysql(
+    df: DataFrame, order_cols: list[str] | None = None
+) -> tuple[DataFrame, str]:
+    """MySQL document-ID rule (src/mysql/converter.rs:262-276): the first
+    of the exact-case columns ``id``/``Id``/``ID`` present is used as-is
+    (no uniqueness gate); rows of a table with none get sequential
+    ``generated_<n>`` ids, 1-based.
+
+    The reference's ``<n>`` is the read-cursor position; Spark has no scan
+    order, so ``order_cols`` must supply the total order that stands in
+    for it (defaults to all columns — deterministic, though not
+    necessarily the server's physical order; SURVEY.md §7 hard-part 4)."""
+    for cand in MYSQL_ID_CANDIDATES:
+        if cand in df.columns:
+            # positional plumbing: the rule is case-SENSITIVE but Spark's
+            # name resolution is case-insensitive (a table with both `id`
+            # and `ID` makes any by-name reference ambiguous), so the
+            # column is picked by ordinal under temporary unique names
+            idx = df.columns.index(cand)
+            tmp_names = [f"_c{i}" for i in range(len(df.columns))]
+            out = (
+                df.toDF(*tmp_names)
+                .withColumn("_doc_id", F.col(f"_c{idx}").cast("string"))
+                .toDF(*df.columns, "_doc_id")
+            )
+            return out, f"mysql_{cand}"
+    order = order_cols or df.columns
+    w = Window.orderBy(*[F.col(c) for c in order])
+    return (
+        df.withColumn(
+            "_doc_id", F.concat(F.lit("generated_"), F.row_number().over(w).cast("string"))
+        ),
+        "mysql_generated",
+    )
 
 
 def auto_fragments(df: DataFrame, style: str = "mysql") -> Column:

@@ -208,6 +208,57 @@ def lsh_topk(
     )
 
 
+def lsh_topk_bucketed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_planes: int = 8,
+    seed: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Deterministic LSH top-k: candidates are exactly the corpus vectors
+    whose full hyperplane signature equals the query's — a bucket equijoin,
+    no approximation opacity (the hyperplanes are md5-derived literals, so
+    a SQL oracle reproduces the candidate set bit-for-bit).
+
+    Plan: corpus → (id, unit, bucket) map-side; small query side broadcast;
+    bucket equijoin confines scoring to signature-identical vectors; exact
+    fold cosines on the surviving pairs; global top-k window per query.
+    Ranking happens on the rounded score with corpus-id tiebreak in both
+    engines. Recall < 1 by LSH design — tune with fewer planes/multiprobe;
+    the recall-vs-bruteforce contract is tested on :func:`lsh_topk`."""
+    cb = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        unit_expr(F.col(vec_col)).alias("cvec"),
+        lsh_bucket_expr(F.col(vec_col), dim, num_planes, seed).alias("bucket"),
+    )
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        unit_expr(F.col(vec_col)).alias("qvec"),
+        lsh_bucket_expr(F.col(vec_col), dim, num_planes, seed).alias("bucket"),
+    )
+    scored = (
+        cb.join(F.broadcast(qb), on="bucket")
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "corpus_id",
+            F.round(dot_expr(F.col("cvec"), F.col("qvec")), round_digits).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
 def collect_unit_matrix(df: DataFrame, id_col: str, vec_col: str):
     """Driver-side (ids, unit-normalized float64 matrix) for broadcasting.
     Bounded use only: the broadcast side of a similarity scan (queries, or

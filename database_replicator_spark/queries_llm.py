@@ -157,6 +157,60 @@ def document_mysql_style_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "document_mongo_style_events",
+    oracle="""
+    SELECT lower(substr(md5(CAST(event_id AS VARCHAR)), 1, 24)) AS id,
+           '{"_id":{"_type":"objectid","$oid":"'
+           || lower(substr(md5(CAST(event_id AS VARCHAR)), 1, 24)) || '"}'
+           || ',"event_id":' || event_id
+           || ',"ts":{"_type":"datetime","$date":'
+           || epoch_ms(CAST(ts AS TIMESTAMP)) || '}'
+           || ',"event_type":' || to_json(event_type)
+           || ',"value":' || (CASE WHEN isnan(value) THEN '"NaN"'
+                                   WHEN value = 'inf'::DOUBLE THEN '"inf"'
+                                   WHEN value = '-inf'::DOUBLE THEN '"-inf"'
+                                   ELSE CAST(value AS VARCHAR) END)
+           || ',"amount":"' || CAST(CAST(value AS DECIMAL(18,4)) AS VARCHAR) || '"'
+           || ',"payload":{"_type":"binary","subtype":0,"data":"'
+           || to_base64(encode(event_type)) || '"}}' AS data,
+           'mongodb' AS _source_type
+    FROM events
+    """,
+)
+def document_mongo_style_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MongoDB-style document ingestion (S12→JSONB without a live Mongo):
+    a deterministic ObjectId (md5-derived 24-hex) exercises the `_id`
+    ObjectId→hex rule (mongodb/converter.rs:236-260); the payload covers
+    the $date epoch-millis, Decimal128-as-string, and binary-subtype tags
+    (converter.rs:69-113). The dynamic per-value path for real dumps is
+    sources/mongo_source.read_dump_docs."""
+    from .functions import doc_json as J
+
+    ev = load_table(spark, sf_dir, "events")
+    oid = F.lower(F.substring(F.md5(F.col("event_id").cast("string")), 1, 24))
+    enriched = ev.select(
+        "event_id", "ts", "event_type", "value",
+        F.col("value").cast("decimal(18,4)").alias("amount"),
+        F.encode(F.col("event_type"), "UTF-8").alias("payload"),
+        oid.alias("_oid"),
+    )
+    data = J.object_from_fragments(
+        _id=J.json_bson_objectid(F.col("_oid")),
+        event_id=J.json_number(F.col("event_id")),
+        ts=J.json_bson_datetime(F.col("ts")),
+        event_type=J.json_string(F.col("event_type")),
+        value=J.json_real(F.col("value")),
+        amount=J.json_bson_decimal128(F.col("amount")),
+        payload=J.json_bson_binary(F.col("payload"), F.lit(0)),
+    )
+    return enriched.select(
+        F.col("_oid").alias("id"),
+        data.alias("data"),
+        F.lit("mongodb").alias("_source_type"),
+    )
+
+
+@query(
     "document_id_uniqueness",
     oracle="""
     SELECT COUNT(*) AS n_rows, COUNT(DISTINCT doc_id) AS n_distinct,
@@ -556,12 +610,47 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_pairs_lsh(emb, dim=64, threshold=0.15, num_planes=6)
 
 
-@query("similarity_lsh_topk")  # no oracle: approximate operator, rows-only check
+@query(
+    "similarity_lsh_topk",
+    oracle=f"""
+    WITH planes(p, coeffs) AS (VALUES {{planes}}),
+    buckets AS (
+      SELECT e.vec_id,
+             SUM(CASE WHEN {_LSH_DOT_RAW.format(a='e.embedding', b='pl.coeffs')} >= 0
+                      THEN CAST(POWER(2, pl.p) AS BIGINT) ELSE 0 END) AS bucket
+      FROM embeddings e CROSS JOIN planes pl
+      GROUP BY e.vec_id
+    ),
+    units AS (
+      SELECT vec_id, {{unit}} AS unit FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+             round({{dot}}, 6) AS cosine
+      FROM buckets c JOIN buckets q
+        ON c.bucket = q.bucket AND q.vec_id < 5 AND c.vec_id != q.vec_id
+      JOIN units uc ON uc.vec_id = c.vec_id
+      JOIN units uq ON uq.vec_id = q.vec_id
+    )
+    SELECT query_id, corpus_id, cosine, rank FROM (
+      SELECT query_id, corpus_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, corpus_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """.replace("{planes}", _lsh_planes_sql(64, 6))
+       .replace("{unit}", _UNIT_SQL.format(v="embedding"))
+       .replace("{dot}", _DOT_SQL.format(a="uc.unit", b="uq.unit")),
+)
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-path ANN: LSH-bucketed cosine top-k. Approximate by design →
-    validated in tests by recall-vs-bruteforce, not a value oracle."""
-    from .operators.similarity import lsh_topk
+    """Scale-path ANN, made oracle-exact: candidates = corpus vectors with
+    an identical deterministic hyperplane signature (bucket equijoin), then
+    exact rounded cosines and a per-query top-k window. Approximation is in
+    RECALL (bucketing misses neighbors), never in values — so a value
+    oracle applies; the recall-vs-bruteforce bound is tested on the
+    mapInPandas variant (similarity.lsh_topk) in tests."""
+    from .operators.similarity import lsh_topk_bucketed
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
-    return lsh_topk(emb, queries_df, dim=64, k=10, num_planes=6)
+    return lsh_topk_bucketed(emb, queries_df, dim=64, k=10, num_planes=6)

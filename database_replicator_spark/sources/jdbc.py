@@ -26,6 +26,18 @@ from pyspark.sql import DataFrame, SparkSession
 from ..plans.rules import quote_ident
 
 
+def quote_table(name: str) -> str:
+    """Quote a possibly schema-qualified table name: each dot-separated
+    part is identifier-quoted (``public.orders`` → ``"public"."orders"``).
+    Config-supplied table names must never reach generated SQL raw
+    (reference quotes via utils.rs:392-465 and validates via
+    jsonb/validate_table_name)."""
+    parts = name.split(".")
+    if not parts or any(p == "" for p in parts) or len(parts) > 3:
+        raise ValueError(f"invalid table name: {name!r}")
+    return ".".join(quote_ident(p) for p in parts)
+
+
 def detect_source_type(url_or_path: str) -> str:
     """Source-type sniffing (reference src/lib.rs:65-86)."""
     low = url_or_path.lower()
@@ -64,7 +76,8 @@ def partitioned_read(
     reader = spark.read.format("jdbc").option("url", url).option("fetchsize", str(fetchsize))
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
-    source = f"(SELECT * FROM {table} WHERE {predicate}) AS src" if predicate else table
+    qtable = quote_table(table)
+    source = f"(SELECT * FROM {qtable} WHERE {predicate}) AS src" if predicate else qtable
     reader = reader.option("dbtable", source)
     if partition_column:
         bounds = (
@@ -73,7 +86,7 @@ def partitioned_read(
             .option(
                 "dbtable",
                 f"(SELECT MIN({quote_ident(partition_column)}) AS lo, "
-                f"MAX({quote_ident(partition_column)}) AS hi FROM {table}) AS b",
+                f"MAX({quote_ident(partition_column)}) AS hi FROM {qtable}) AS b",
             )
             .load()
             .collect()[0]
@@ -99,14 +112,94 @@ def sql_literal(v) -> str:
     return "'" + str(v).replace("'", "''") + "'"
 
 
+#: the only cast-bearing watermark expression accepted verbatim — the
+#: Postgres xmin idiom (reader.rs:122-163). Anything else containing '::'
+#: is rejected rather than interpolated (config values are untrusted).
+WATERMARK_EXPR_WHITELIST = frozenset({"xmin::text::bigint"})
+
+
 def incremental_query(table: str, watermark_col: str, since, columns: list[str] | None = None) -> str:
     """The pushed-down incremental read (S13 generalized): for Postgres
     xmin mode pass ``watermark_col="xmin::text::bigint"``. The watermark
     value is rendered through :func:`sql_literal` (string/timestamp
-    watermarks quote correctly; state-file content cannot inject SQL)."""
+    watermarks quote correctly; state-file content cannot inject SQL) and
+    cast-bearing watermark expressions are whitelisted, not trusted."""
     cols = ", ".join(quote_ident(c) for c in columns) if columns else "*"
-    wm = watermark_col if "::" in watermark_col else quote_ident(watermark_col)
-    return f"SELECT {cols}, {wm} AS _watermark FROM {table} WHERE {wm} > {sql_literal(since)}"
+    if "::" in watermark_col:
+        if watermark_col not in WATERMARK_EXPR_WHITELIST:
+            raise ValueError(
+                f"watermark expression {watermark_col!r} not in whitelist "
+                f"{sorted(WATERMARK_EXPR_WHITELIST)}"
+            )
+        wm = watermark_col
+    else:
+        wm = quote_ident(watermark_col)
+    return (
+        f"SELECT {cols}, {wm} AS _watermark FROM {quote_table(table)} "
+        f"WHERE {wm} > {sql_literal(since)}"
+    )
+
+
+# --- MySQL introspection (src/mysql/reader.rs:35-46, converter.rs:181-199) -
+
+def _mysql_str_literal(v: str) -> str:
+    """Single-quoted MySQL string literal with quote doubling; the
+    reference binds these as parameters — Spark's JDBC ``dbtable`` has no
+    parameter channel, so values are rendered as validated literals."""
+    return "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+def mysql_list_tables_sql(database: str) -> str:
+    """User tables of one database, base tables only, deterministic order
+    (reference src/mysql/reader.rs:35-46)."""
+    return (
+        "SELECT TABLE_NAME FROM INFORMATION_SCHEMA.TABLES "
+        f"WHERE TABLE_SCHEMA = {_mysql_str_literal(database)} "
+        "AND TABLE_TYPE = 'BASE TABLE' ORDER BY TABLE_NAME"
+    )
+
+
+def mysql_columns_sql(database: str, table: str) -> str:
+    """Column names in ordinal order (reference src/mysql/converter.rs:
+    181-199) plus the data type, for schema mapping."""
+    return (
+        "SELECT COLUMN_NAME, DATA_TYPE, IS_NULLABLE "
+        "FROM INFORMATION_SCHEMA.COLUMNS "
+        f"WHERE TABLE_SCHEMA = {_mysql_str_literal(database)} "
+        f"AND TABLE_NAME = {_mysql_str_literal(table)} "
+        "ORDER BY ORDINAL_POSITION"
+    )
+
+
+def mysql_primary_key_sql(database: str, table: str) -> str:
+    """Declared-PK columns in key order via KEY_COLUMN_USAGE — the
+    introspection the reference's ID rule would need to prefer a true PK
+    over the id/Id/ID heuristic (the heuristic stays the documented
+    behavior; converter.rs:262-276)."""
+    return (
+        "SELECT COLUMN_NAME FROM INFORMATION_SCHEMA.KEY_COLUMN_USAGE "
+        f"WHERE TABLE_SCHEMA = {_mysql_str_literal(database)} "
+        f"AND TABLE_NAME = {_mysql_str_literal(table)} "
+        "AND CONSTRAINT_NAME = 'PRIMARY' ORDER BY ORDINAL_POSITION"
+    )
+
+
+def mysql_introspect(
+    spark: SparkSession, url: str, database: str, properties: dict[str, str] | None = None
+) -> dict[str, list[str]]:
+    """Live-wire MySQL discovery: {table: [columns…]} via the JDBC reader
+    running the INFORMATION_SCHEMA queries above (untestable in this
+    container — no MySQL; the SQL strings are unit-pinned instead)."""
+    def q(sql: str) -> DataFrame:
+        reader = spark.read.format("jdbc").option("url", url)
+        for k, v in (properties or {}).items():
+            reader = reader.option(k, v)
+        return reader.option("dbtable", f"({sql}) AS t").load()
+
+    tables = [r[0] for r in q(mysql_list_tables_sql(database)).collect()]
+    return {
+        t: [r[0] for r in q(mysql_columns_sql(database, t)).collect()] for t in tables
+    }
 
 
 # --- upsert / delete SQL generation (src/xmin/writer.rs parity) -----------
@@ -126,7 +219,7 @@ def build_upsert_sql(table: str, columns: list[str], pk_cols: list[str], n_rows:
         sets = ", ".join(f"{quote_ident(c)} = EXCLUDED.{quote_ident(c)}" for c in non_pk)
         conflict = f"DO UPDATE SET {sets}"
     return (
-        f"INSERT INTO {table} ({col_list}) VALUES {values} "
+        f"INSERT INTO {quote_table(table)} ({col_list}) VALUES {values} "
         f"ON CONFLICT ({pk_list}) {conflict}"
     )
 
@@ -142,11 +235,14 @@ def build_delete_sql(table: str, pk_cols: list[str], n_rows: int) -> str:
     (writer.rs:333-377)."""
     if len(pk_cols) == 1:
         placeholders = ", ".join(["%s"] * n_rows)
-        return f"DELETE FROM {table} WHERE {quote_ident(pk_cols[0])} IN ({placeholders})"
+        return (
+            f"DELETE FROM {quote_table(table)} "
+            f"WHERE {quote_ident(pk_cols[0])} IN ({placeholders})"
+        )
     tup = "(" + ", ".join(["%s"] * len(pk_cols)) + ")"
     placeholders = ", ".join([tup] * n_rows)
     cols = "(" + ", ".join(quote_ident(c) for c in pk_cols) + ")"
-    return f"DELETE FROM {table} WHERE {cols} IN ({placeholders})"
+    return f"DELETE FROM {quote_table(table)} WHERE {cols} IN ({placeholders})"
 
 
 def copy_escape(s: str) -> str:
@@ -206,6 +302,7 @@ def copy_sink(df: DataFrame, dsn: str, table: str, rows_per_copy: int = 10_000) 
 
     columns = df.columns
     col_list = ", ".join(quote_ident(c) for c in columns)
+    table = quote_table(table)
 
     def apply(rows) -> None:
         rows = iter(rows)

@@ -244,3 +244,109 @@ class TestReviewRegressions:
         eng.sync_cycle("t", "v", ["id"])
         leftovers = [p for p in (tmp_path / "tgt").iterdir() if p.name.endswith(".stage")]
         assert leftovers == []
+
+
+class TestMysqlParity:
+    """S11 parity: case-variant ID candidates + generated_<n> fallback
+    (src/mysql/converter.rs:262-276) and INFORMATION_SCHEMA introspection
+    SQL (src/mysql/reader.rs:35-46, converter.rs:181-199)."""
+
+    def test_id_case_variants_in_order(self, spark):
+        from database_replicator_spark.operators.documents import (
+            extract_document_id_mysql,
+        )
+
+        df = spark.createDataFrame([(1, "a")], "Id long, v string")
+        out, strat = extract_document_id_mysql(df)
+        assert strat == "mysql_Id"
+        assert out.collect()[0]["_doc_id"] == "1"
+
+        # exact-case: lowercase `id` wins over `ID` when both exist
+        df2 = spark.createDataFrame([(1, 2)], "ID long, id long")
+        _, strat2 = extract_document_id_mysql(df2)
+        assert strat2 == "mysql_id"
+
+    def test_generated_sequential_fallback(self, spark):
+        from database_replicator_spark.operators.documents import (
+            extract_document_id_mysql,
+        )
+
+        df = spark.createDataFrame(
+            [("b", 2), ("a", 1), ("c", 3)], "k string, v long"
+        )
+        out, strat = extract_document_id_mysql(df, order_cols=["k"])
+        assert strat == "mysql_generated"
+        got = {r["k"]: r["_doc_id"] for r in out.collect()}
+        assert got == {"a": "generated_1", "b": "generated_2", "c": "generated_3"}
+
+    def test_no_uniqueness_gate_unlike_sqlite(self, spark):
+        from database_replicator_spark.operators.documents import (
+            extract_document_id_mysql,
+        )
+
+        dup = spark.createDataFrame([(7, "x"), (7, "y")], "id long, v string")
+        out, strat = extract_document_id_mysql(dup)
+        assert strat == "mysql_id"
+        assert [r["_doc_id"] for r in out.collect()] == ["7", "7"]
+
+    def test_introspection_sql_shapes(self):
+        from database_replicator_spark.sources.jdbc import (
+            mysql_columns_sql,
+            mysql_list_tables_sql,
+            mysql_primary_key_sql,
+        )
+
+        t = mysql_list_tables_sql("shop")
+        assert "INFORMATION_SCHEMA.TABLES" in t and "'shop'" in t
+        assert "BASE TABLE" in t and "ORDER BY TABLE_NAME" in t
+
+        c = mysql_columns_sql("shop", "orders")
+        assert "INFORMATION_SCHEMA.COLUMNS" in c and "'orders'" in c
+        assert "ORDER BY ORDINAL_POSITION" in c
+
+        p = mysql_primary_key_sql("shop", "orders")
+        assert "KEY_COLUMN_USAGE" in p and "CONSTRAINT_NAME = 'PRIMARY'" in p
+
+    def test_introspection_sql_escapes_quotes(self):
+        from database_replicator_spark.sources.jdbc import mysql_list_tables_sql
+
+        assert "'sho''p'" in mysql_list_tables_sql("sho'p")
+
+
+class TestIdentifierHygiene:
+    """Table names are quoted wherever they reach generated SQL, and the
+    '::' watermark escape hatch is whitelisted (ADVICE r1)."""
+
+    def test_quote_table_parts(self):
+        from database_replicator_spark.sources.jdbc import quote_table
+
+        assert quote_table("orders") == '"orders"'
+        assert quote_table("public.orders") == '"public"."orders"'
+        assert quote_table('we"ird') == '"we""ird"'
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            quote_table("a.b.c.d")
+        with _pytest.raises(ValueError):
+            quote_table(".orders")
+
+    def test_upsert_delete_quote_table(self):
+        from database_replicator_spark.sources.jdbc import (
+            build_delete_sql,
+            build_upsert_sql,
+        )
+
+        up = build_upsert_sql("public.t; DROP TABLE x", ["id"], ["id"], 1)
+        assert '"public"."t; DROP TABLE x"' in up  # neutralized, not raw
+        de = build_delete_sql("t", ["id"], 2)
+        assert 'DELETE FROM "t"' in de
+
+    def test_watermark_whitelist(self):
+        import pytest as _pytest
+
+        from database_replicator_spark.sources.jdbc import incremental_query
+
+        ok = incremental_query("t", "xmin::text::bigint", 5)
+        assert "xmin::text::bigint > 5" in ok
+        with _pytest.raises(ValueError):
+            incremental_query("t", "pg_sleep(9)::text", 5)
