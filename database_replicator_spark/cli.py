@@ -95,7 +95,14 @@ def main(argv: list[str] | None = None) -> int:
     sync_p.add_argument("--table", required=True)
     sync_p.add_argument("--watermark-col", required=True)
     sync_p.add_argument("--pk", required=True, action="append")
-    sync_p.add_argument("--once", action="store_true", default=True)
+    sync_p.add_argument(
+        "--once", action="store_true",
+        help="run a single sync cycle and exit (default: loop at --interval)",
+    )
+    sync_p.add_argument(
+        "--interval", type=float, default=3600.0,
+        help="daemon sync interval in seconds (reference default 3600)",
+    )
     sync_p.add_argument("--reconcile", action="store_true")
     common(sub.add_parser("verify", help="checksum comparison"))
     status_p = sub.add_parser("status", help="sync state report")
@@ -129,10 +136,18 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"results": results, "seconds": round(time.time() - t0, 1)}))
             return 0
         if args.command == "sync":
-            out = eng.sync_cycle(args.table, args.watermark_col, args.pk)
-            if args.reconcile:
-                out["reconcile"] = eng.reconcile(args.table, args.pk)
-            print(json.dumps(out))
+            if args.once:
+                out = eng.sync_cycle(args.table, args.watermark_col, args.pk)
+                if args.reconcile:
+                    out["reconcile"] = eng.reconcile(args.table, args.pk)
+                print(json.dumps(out))
+                return 0
+            # daemon mode (reference default): loop until interrupted
+            reports = eng.run_sync_daemon(
+                {args.table: (args.watermark_col, args.pk)},
+                sync_interval_s=args.interval,
+            )
+            print(json.dumps(reports[-1] if reports else {}))
             return 0
         if args.command == "verify":
             results = eng.verify()

@@ -81,8 +81,20 @@ class Engine:
     state_path: str | None = None
 
     # -- validate ----------------------------------------------------------
-    def validate(self, source_id: str = "source", target_id: str | None = None) -> list[str]:
-        """Preflight: returns a list of failures (empty = OK)."""
+    def validate(
+        self,
+        source_id: str = "source",
+        target_id: str | None = None,
+        jdbc_url: str | None = None,
+        jdbc_properties: dict[str, str] | None = None,
+    ) -> list[str]:
+        """Preflight: returns a list of failures (empty = OK).
+
+        Always: src≠tgt guard + schema readability + rule consistency.
+        With ``jdbc_url``: the reference's live probes too — connectivity,
+        wal_level/version, per-table has_table_privilege scan — each
+        retried with exponential backoff (plans/preflight.py; reference
+        src/preflight.rs:163-339, src/postgres/privileges.rs:63-251)."""
         problems: list[str] = []
         try:
             validate_source_target_different(source_id, target_id or self.target.root)
@@ -93,6 +105,14 @@ class Engine:
                 _ = self.source_tables[t].schema
             except Exception as e:  # noqa: BLE001
                 problems.append(f"table {t}: schema unreadable: {e}")
+        if jdbc_url:
+            from .plans.preflight import run_jdbc_preflight
+
+            report = run_jdbc_preflight(
+                self.spark, jdbc_url,
+                tables=list(self.source_tables), properties=jdbc_properties,
+            )
+            problems.extend(report.problems)
         return problems
 
     # -- init (snapshot) ---------------------------------------------------

@@ -110,6 +110,86 @@ def sanitize_globals(sql: str) -> str:
     return sql
 
 
+# --- S1 replacement: globals as a JSON role manifest ----------------------
+#
+# The reference shells out to `pg_dumpall --globals-only` (dump.rs:12-86);
+# the engine's replacement (sanctioned by SURVEY.md §2.1 S1) exports the
+# same information as a JSON manifest via catalog introspection, and can
+# regenerate globals SQL from it — which then flows through the S2
+# sanitizers exactly like a real dump.
+
+def roles_manifest_sql() -> str:
+    """pg_roles introspection that feeds the manifest (the catalog the
+    reference's pg_dumpall reads; role attributes per privileges.rs:63-133)."""
+    return (
+        "SELECT rolname, rolsuper, rolcreatedb, rolcreaterole, rolreplication, "
+        "rolcanlogin, rolconnlimit FROM pg_roles WHERE rolname NOT LIKE 'pg\\_%' "
+        "ORDER BY rolname"
+    )
+
+
+def build_role_manifest(rows: list[dict]) -> dict:
+    """Normalize introspected role rows into the manifest document."""
+    return {
+        "version": 1,
+        "kind": "globals_manifest",
+        "roles": [
+            {
+                "name": r["rolname"],
+                "superuser": bool(r.get("rolsuper", False)),
+                "createdb": bool(r.get("rolcreatedb", False)),
+                "createrole": bool(r.get("rolcreaterole", False)),
+                "replication": bool(r.get("rolreplication", False)),
+                "login": bool(r.get("rolcanlogin", False)),
+                "conn_limit": r.get("rolconnlimit", -1),
+                "grants": list(r.get("grants", [])),
+                "settings": dict(r.get("settings", {})),
+            }
+            for r in rows
+        ],
+    }
+
+
+def manifest_to_globals_sql(manifest: dict) -> str:
+    """Regenerate globals SQL from a manifest — the inverse of the dump,
+    emitting the same statement shapes pg_dumpall writes so the S2
+    sanitizers (and their tests) apply unchanged."""
+    from ..plans.rules import quote_ident
+
+    lines: list[str] = []
+    for role in manifest.get("roles", []):
+        name = quote_ident(role["name"])
+        opts = []
+        opts.append("LOGIN" if role.get("login") else "NOLOGIN")
+        if role.get("createdb"):
+            opts.append("CREATEDB")
+        if role.get("createrole"):
+            opts.append("CREATEROLE")
+        if role.get("replication"):
+            opts.append("REPLICATION")
+        lines.append(f"CREATE ROLE {name};")
+        if opts:
+            lines.append(f"ALTER ROLE {name} WITH {' '.join(opts)};")
+        if role.get("superuser"):
+            lines.append(f"ALTER ROLE {name} WITH SUPERUSER;")
+        for guc, val in role.get("settings", {}).items():
+            lines.append(f"ALTER ROLE {name} SET {guc} = '{val}';")
+        for granted in role.get("grants", []):
+            lines.append(f"GRANT {granted} TO {name};")
+    return "\n".join(lines) + ("\n" if lines else "")
+
+
+def export_globals_manifest(rows: list[dict], path: str) -> dict:
+    """Write the manifest JSON (the driver-side artifact replacing the
+    globals dump file). Returns the manifest."""
+    import json
+
+    manifest = build_role_manifest(rows)
+    with open(path, "w") as fh:
+        json.dump(manifest, fh, indent=2, sort_keys=True)
+    return manifest
+
+
 # --- CREATE TABLE generation from StructType ------------------------------
 
 _TYPE_MAP: list[tuple[type, str]] = [

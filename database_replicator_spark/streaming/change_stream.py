@@ -78,61 +78,145 @@ class ChangeApplier:
         return os.path.join(self.target_dir, f"{table}{suffix}")
 
     def apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
-        """Idempotent per-epoch apply. Replays (at-least-once) are harmless:
-        the raw log dedups on (table, change_id) and _latest keeps max
-        change_id per pk."""
+        """Idempotent per-epoch apply, O(batch) — never O(history) — write
+        volume for the log and state:
+
+        1. raw log: the batch (deduped within itself) is APPENDED as its
+           own ``epoch=<id>`` partition — a replayed epoch overwrites the
+           same partition, so at-least-once delivery cannot duplicate.
+           Cross-epoch replays of individual changes are resolved at read
+           time (:func:`read_change_log`) or by :func:`compact_change_log`.
+        2. ``_latest``: merged from the batch + the PREVIOUS ``_latest``
+           (a keyed last-write-wins MERGE) — O(batch + live keys), never
+           re-derived from the full log.
+        3. ``_sync_state``: previous state merged with the batch's
+           aggregates; ``n_changes`` counts only rows above the previous
+           per-table high-water mark, which is exact because change_id is
+           monotone per table (queue.rs:8-28 AUTOINCREMENT)."""
         spark = batch.sparkSession
         if batch.isEmpty():
             return
         # explicit op routing: anything outside the change vocabulary is
         # dropped rather than silently upserted (the reference's per-op
         # grouping has the same effect — unknown ops never match a route)
-        batch = batch.filter(F.col("op").isin("insert", "update", "delete")).cache()
+        batch = (
+            batch.filter(F.col("op").isin("insert", "update", "delete"))
+            .dropDuplicates(["table", "change_id"])
+            .cache()
+        )
         try:
-            # 1. raw log: append new events, dedup on (table, change_id).
-            # Existence is checked explicitly — a transient read error must
-            # RAISE, never be mistaken for "first epoch" (which would
-            # overwrite and destroy the historical log).
             from ..util import parquet_exists, staged_overwrite
 
+            # 1. append-mode raw log, one partition per epoch
             log_path = self._table_path("_change_log")
-            if parquet_exists(log_path):
-                existing = spark.read.parquet(log_path)
-                merged = existing.unionByName(batch).dropDuplicates(
-                    ["table", "change_id"]
-                )
-            else:
-                merged = batch.dropDuplicates(["table", "change_id"])
-            staged_overwrite(spark, merged, log_path)
+            batch.write.mode("overwrite").parquet(
+                os.path.join(log_path, f"epoch={epoch_id}")
+            )
 
-            # 2. _latest per table (last-write-wins by change_id, delete wins)
+            # 2. _latest per touched table: batch ⊕ previous _latest
             if self.mode == "append_deduped":
                 from ..operators.latest import latest_by_key
 
                 for row in batch.select("table").distinct().collect():
                     tbl = row["table"]
-                    tbl_changes = spark.read.parquet(log_path).filter(
-                        F.col("table") == tbl
+                    tbl_changes = batch.filter(F.col("table") == tbl).select(
+                        "pk", "payload", "change_id", "op"
                     )
+                    latest_path = self._table_path(tbl, "_latest")
+                    if parquet_exists(latest_path):
+                        prev = spark.read.parquet(latest_path).select(
+                            "pk", "payload", "change_id", F.lit("insert").alias("op")
+                        )
+                        tbl_changes = tbl_changes.unionByName(prev)
                     latest = latest_by_key(tbl_changes, ["pk"], "change_id")
                     alive = latest.filter(F.col("op") != "delete").select(
                         "pk", "payload", "change_id"
                     )
-                    alive.write.mode("overwrite").parquet(
-                        self._table_path(tbl, "_latest")
-                    )
+                    # reads its own previous version → staged rewrite
+                    staged_overwrite(spark, alive, latest_path)
 
-            # 3. sync state (ST5): per-table high-water change_id
-            state = (
-                spark.read.parquet(log_path)
-                .groupBy("table")
-                .agg(F.max("change_id").alias("last_change_id"), F.count(F.lit(1)).alias("n_changes"))
-                .withColumn("epoch_id", F.lit(epoch_id))
+            # 3. sync state (ST5): previous state ⊕ batch aggregates
+            state_path = self._table_path("_sync_state")
+            agg = batch.groupBy("table").agg(
+                F.max("change_id").alias("_batch_max"),
+                F.count(F.lit(1)).alias("_batch_n"),
             )
-            state.write.mode("overwrite").parquet(self._table_path("_sync_state"))
+            if parquet_exists(state_path):
+                prev_state = spark.read.parquet(state_path).select(
+                    "table", "last_change_id", "n_changes"
+                )
+                # new rows are those above the previous HWM (monotone ids):
+                # a replayed epoch contributes zero
+                above = (
+                    batch.join(
+                        prev_state.select("table", "last_change_id"), on="table", how="left"
+                    )
+                    .filter(
+                        F.col("last_change_id").isNull()
+                        | (F.col("change_id") > F.col("last_change_id"))
+                    )
+                    .groupBy("table")
+                    .agg(F.count(F.lit(1)).alias("_new_n"))
+                )
+                state = (
+                    prev_state.join(agg, on="table", how="full")
+                    .join(above, on="table", how="left")
+                    .select(
+                        "table",
+                        F.greatest(
+                            F.coalesce(F.col("last_change_id"), F.lit(0)),
+                            F.coalesce(F.col("_batch_max"), F.lit(0)),
+                        ).alias("last_change_id"),
+                        (
+                            F.coalesce(F.col("n_changes"), F.lit(0))
+                            + F.coalesce(F.col("_new_n"), F.lit(0))
+                        ).alias("n_changes"),
+                    )
+                )
+            else:
+                state = agg.select(
+                    "table",
+                    F.col("_batch_max").alias("last_change_id"),
+                    F.col("_batch_n").alias("n_changes"),
+                )
+            state = state.withColumn("epoch_id", F.lit(epoch_id))
+            staged_overwrite(spark, state, state_path)
             self.applied_batches.append(epoch_id)
         finally:
             batch.unpersist()
+
+
+def read_change_log(spark: SparkSession, target_dir: str) -> DataFrame:
+    """The deduplicated view of the append-mode raw log: partition
+    discovery exposes ``epoch``; a change replayed across epochs keeps its
+    first appearance (min epoch) — read-side dedup, so epoch appends stay
+    O(batch)."""
+    path = os.path.join(target_dir, "_change_log")
+    log = spark.read.option("basePath", path).parquet(path)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("table", "change_id").orderBy("epoch")
+    return (
+        log.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def compact_change_log(spark: SparkSession, target_dir: str) -> None:
+    """Maintenance job: rewrite the per-epoch log partitions into a single
+    deduplicated ``epoch=0`` partition. Run periodically (the dedup window
+    then only spans epochs since the last compaction); the streaming query
+    must be stopped or paused around it, like any parquet table rewrite."""
+    from ..util import staged_overwrite
+
+    path = os.path.join(target_dir, "_change_log")
+    compacted = read_change_log(spark, target_dir).drop("epoch")
+    staged_overwrite(spark, compacted, os.path.join(path + ".compact", "epoch=0"))
+    import shutil
+
+    shutil.rmtree(path)
+    os.rename(path + ".compact", path)
 
 
 def start_change_apply(
@@ -160,8 +244,11 @@ def start_change_apply(
 
 
 def write_change_file(path: str, changes: list[dict]) -> None:
-    """Test/demo helper: append one JSON-lines chunk to the change queue."""
+    """Test/demo helper: append one JSON-lines chunk to the change queue.
+    True append mode — re-targeting an existing chunk file adds to it
+    rather than truncating history (a fresh path per chunk is still the
+    idiomatic use: the file streaming source tracks files by name)."""
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    with open(path, "w") as fh:
+    with open(path, "a") as fh:
         for c in changes:
             fh.write(json.dumps(c) + "\n")

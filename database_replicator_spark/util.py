@@ -14,13 +14,16 @@ def staged_overwrite(spark: SparkSession, df: DataFrame, path: str) -> None:
     rewrite the target from the staged copy, then remove the stage.
 
     A lakehouse format (Delta/Iceberg) replaces this dance with a real
-    transactional MERGE; plain parquet pays a double write."""
+    transactional MERGE; plain parquet pays a double write.
+
+    Crash posture: the stage directory is removed only AFTER the target
+    rewrite succeeds — if the final overwrite dies midway, the stage is
+    the only complete copy and is deliberately left on disk for manual
+    (or next-run) recovery."""
     stage = path + ".stage"
     df.write.mode("overwrite").parquet(stage)
-    try:
-        spark.read.parquet(stage).write.mode("overwrite").parquet(path)
-    finally:
-        shutil.rmtree(stage, ignore_errors=True)
+    spark.read.parquet(stage).write.mode("overwrite").parquet(path)
+    shutil.rmtree(stage, ignore_errors=True)
 
 
 def parquet_exists(path: str) -> bool:

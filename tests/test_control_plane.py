@@ -114,7 +114,7 @@ class TestJdbcSqlGen:
     def test_upsert_sql(self):
         sql = build_upsert_sql("t", ["id", "name", "v"], ["id"], 2)
         assert sql == (
-            'INSERT INTO t ("id", "name", "v") VALUES (%s, %s, %s), (%s, %s, %s) '
+            'INSERT INTO "t" ("id", "name", "v") VALUES (%s, %s, %s), (%s, %s, %s) '
             'ON CONFLICT ("id") DO UPDATE SET "name" = EXCLUDED."name", "v" = EXCLUDED."v"'
         )
 
@@ -130,11 +130,11 @@ class TestJdbcSqlGen:
     def test_delete_sql(self):
         assert (
             build_delete_sql("t", ["id"], 3)
-            == 'DELETE FROM t WHERE "id" IN (%s, %s, %s)'
+            == 'DELETE FROM "t" WHERE "id" IN (%s, %s, %s)'
         )
         assert (
             build_delete_sql("t", ["a", "b"], 2)
-            == 'DELETE FROM t WHERE ("a", "b") IN ((%s, %s), (%s, %s))'
+            == 'DELETE FROM "t" WHERE ("a", "b") IN ((%s, %s), (%s, %s))'
         )
 
     def test_copy_value_rendering(self):
@@ -165,7 +165,95 @@ class TestJdbcSqlGen:
         q = incremental_query("public.users", "xmin::text::bigint", 42, ["id", "name"])
         assert q == (
             'SELECT "id", "name", xmin::text::bigint AS _watermark '
-            "FROM public.users WHERE xmin::text::bigint > 42"
+            'FROM "public"."users" WHERE xmin::text::bigint > 42'
         )
         q = incremental_query("t", "updated_seq", 7)
-        assert q == 'SELECT *, "updated_seq" AS _watermark FROM t WHERE "updated_seq" > 7'
+        assert q == 'SELECT *, "updated_seq" AS _watermark FROM "t" WHERE "updated_seq" > 7'
+
+
+class TestPreflightRetry:
+    """§2.11: retry/backoff semantics (utils.rs:197-278) and preflight
+    probe SQL shapes (preflight.rs:163-339, privileges.rs:63-251)."""
+
+    def test_retry_succeeds_after_transient_failures(self):
+        from database_replicator_spark.plans.preflight import retry_backoff
+
+        calls, delays = [], []
+        def flaky():
+            calls.append(1)
+            if len(calls) < 3:
+                raise ConnectionError("connection refused")
+            return "ok"
+
+        out = retry_backoff(flaky, max_retries=3, initial_delay=1.0,
+                            sleep=delays.append)
+        assert out == "ok"
+        assert len(calls) == 3
+        assert delays == [1.0, 2.0]  # exponential: 1s then 2s
+
+    def test_retry_exhausts_and_raises_last_error(self):
+        import pytest as _pytest
+
+        from database_replicator_spark.plans.preflight import retry_backoff
+
+        delays = []
+        def always():
+            raise ConnectionError("could not connect to server")
+
+        with _pytest.raises(ConnectionError):
+            retry_backoff(always, max_retries=3, initial_delay=1.0,
+                          sleep=delays.append)
+        assert delays == [1.0, 2.0, 4.0]  # 3 retries => 4 attempts
+
+    def test_non_transient_not_retried_when_gated(self):
+        import pytest as _pytest
+
+        from database_replicator_spark.plans.preflight import (
+            is_transient_error,
+            retry_backoff,
+        )
+
+        calls = []
+        def authfail():
+            calls.append(1)
+            raise RuntimeError("password authentication failed")
+
+        with _pytest.raises(RuntimeError):
+            retry_backoff(authfail, retry_if=is_transient_error,
+                          sleep=lambda _t: None)
+        assert len(calls) == 1  # no retry on a permanent error
+
+    def test_transient_classification(self):
+        from database_replicator_spark.plans.preflight import is_transient_error
+
+        assert is_transient_error(OSError("Connection timed out"))
+        assert is_transient_error(RuntimeError("server closed the connection"))
+        assert not is_transient_error(RuntimeError("syntax error at or near"))
+
+    def test_probe_sql_shapes(self):
+        from database_replicator_spark.plans.preflight import (
+            has_table_privilege_sql,
+            role_attributes_sql,
+            server_version_sql,
+            wal_level_sql,
+        )
+
+        s = has_table_privilege_sql("public.orders")
+        assert "has_table_privilege(current_user, 'public.orders', 'SELECT')" in s
+        # table name is a string literal → quote-doubled, not identifier-quoted
+        assert "'public.o''rders'" in has_table_privilege_sql("public.o'rders")
+        assert "rolreplication" in role_attributes_sql()
+        assert wal_level_sql() == "SHOW wal_level"
+        assert server_version_sql() == "SHOW server_version"
+
+    def test_engine_validate_keeps_local_checks(self, spark, tmp_path):
+        from database_replicator_spark.engine import Engine, ParquetTarget
+
+        eng = Engine(
+            spark=spark,
+            source_tables={"t": spark.range(3).toDF("id")},
+            target=ParquetTarget(str(tmp_path / "tgt")),
+        )
+        assert eng.validate(source_id="src", target_id=str(tmp_path / "tgt")) == []
+        same = str(tmp_path / "same")
+        assert eng.validate(source_id=same, target_id=same) != []

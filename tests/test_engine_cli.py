@@ -152,3 +152,59 @@ class TestSyncDaemon:
             {"users": ("seq", ["id"])}, sync_interval_s=0.01, max_cycles=3
         )
         assert len(reports) == 3
+
+
+class TestGlobalsManifest:
+    """S1 replacement: role manifest round-trips through the S2 sanitizers."""
+
+    ROWS = [
+        {"rolname": "app_rw", "rolcanlogin": True, "rolcreatedb": True,
+         "grants": ["pg_read_server_files"],
+         "settings": {"log_statement": "all", "search_path": "app"}},
+        {"rolname": "admin", "rolsuper": True, "rolcanlogin": True},
+        {"rolname": "readonly"},
+    ]
+
+    def test_manifest_shape_and_export(self, tmp_path):
+        import json
+
+        from database_replicator_spark.operators.ddl import (
+            export_globals_manifest,
+            roles_manifest_sql,
+        )
+
+        assert "pg_roles" in roles_manifest_sql()
+        p = tmp_path / "globals.json"
+        manifest = export_globals_manifest(self.ROWS, str(p))
+        assert manifest["kind"] == "globals_manifest"
+        assert json.loads(p.read_text()) == manifest
+        names = [r["name"] for r in manifest["roles"]]
+        assert names == ["app_rw", "admin", "readonly"]
+
+    def test_regenerated_sql_passes_sanitizers(self, tmp_path):
+        from database_replicator_spark.operators.ddl import (
+            export_globals_manifest,
+            manifest_to_globals_sql,
+            sanitize_globals,
+        )
+
+        manifest = export_globals_manifest(self.ROWS, str(tmp_path / "g.json"))
+        sql = manifest_to_globals_sql(manifest)
+        # raw SQL has the dangerous statements…
+        assert 'ALTER ROLE "admin" WITH SUPERUSER;' in sql
+        assert "log_statement" in sql
+        assert "pg_read_server_files" in sql
+
+        cleaned = sanitize_globals(sql)
+        # …which the sanitizers neutralize:
+        for line in cleaned.splitlines():
+            if "SUPERUSER" in line or "pg_read_server_files" in line:
+                assert line.startswith("-- ")
+            if "log_statement" in line:
+                assert line.startswith("-- ")
+        # CREATE ROLE became idempotent; benign GUC survives
+        assert 'DO $$ BEGIN CREATE ROLE "app_rw"' in cleaned
+        assert any(
+            "search_path" in l and not l.startswith("-- ")
+            for l in cleaned.splitlines()
+        )

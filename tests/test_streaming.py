@@ -70,14 +70,72 @@ class TestChangeApply:
         got = {r["pk"]: json.loads(r["payload"]) for r in latest.collect()}
         assert got == {"1": {"name": "a2"}, "3": {"name": "c"}}
 
-        # raw log deduped the replayed change
-        log = spark.read.parquet(os.path.join(dirs["tgt"], "_change_log"))
+        # raw log: read-side dedup collapses the replayed change
+        from database_replicator_spark.streaming.change_stream import read_change_log
+
+        log = read_change_log(spark, dirs["tgt"])
         assert log.filter((F.col("table") == "users") & (F.col("change_id") == 3)).count() == 1
 
         # sync state advanced (ST5)
         state = spark.read.parquet(os.path.join(dirs["tgt"], "_sync_state"))
         st = {r["table"]: r["last_change_id"] for r in state.collect()}
         assert st == {"users": 5, "posts": 1}
+
+    def test_epoch_write_volume_is_o_batch(self, spark, dirs):
+        """The raw log is append-per-epoch: each epoch's partition holds
+        exactly that batch's rows — epoch N's write volume never includes
+        epoch <N's history (the r1 O(total-history) rewrite is gone)."""
+        write_change_file(
+            os.path.join(dirs["src"], "chunk1.json"),
+            [
+                {"change_id": i, "table": "t", "op": "insert", "pk": str(i), "payload": "{}"}
+                for i in range(1, 101)
+            ],
+        )
+        _run_once(spark, dirs)
+        write_change_file(
+            os.path.join(dirs["src"], "chunk2.json"),
+            [{"change_id": 101, "table": "t", "op": "insert", "pk": "101", "payload": "{}"}],
+        )
+        _run_once(spark, dirs)
+
+        log_dir = os.path.join(dirs["tgt"], "_change_log")
+        epochs = sorted(d for d in os.listdir(log_dir) if d.startswith("epoch="))
+        assert len(epochs) == 2
+        sizes = {
+            d: spark.read.parquet(os.path.join(log_dir, d)).count() for d in epochs
+        }
+        assert sorted(sizes.values()) == [1, 100]  # second epoch wrote 1 row, not 101
+
+        # state still reflects the union
+        state = spark.read.parquet(os.path.join(dirs["tgt"], "_sync_state"))
+        st = {r["table"]: (r["last_change_id"], r["n_changes"]) for r in state.collect()}
+        assert st == {"t": (101, 101)}
+
+    def test_compaction_collapses_epochs(self, spark, dirs):
+        from database_replicator_spark.streaming.change_stream import (
+            compact_change_log,
+            read_change_log,
+        )
+
+        write_change_file(
+            os.path.join(dirs["src"], "chunk1.json"),
+            [{"change_id": 1, "table": "t", "op": "insert", "pk": "1", "payload": "{}"}],
+        )
+        _run_once(spark, dirs)
+        write_change_file(
+            os.path.join(dirs["src"], "chunk2.json"),
+            [
+                # cross-epoch replay + a new change
+                {"change_id": 1, "table": "t", "op": "insert", "pk": "1", "payload": "{}"},
+                {"change_id": 2, "table": "t", "op": "insert", "pk": "2", "payload": "{}"},
+            ],
+        )
+        _run_once(spark, dirs)
+        compact_change_log(spark, dirs["tgt"])
+        log_dir = os.path.join(dirs["tgt"], "_change_log")
+        assert sorted(d for d in os.listdir(log_dir) if d.startswith("epoch=")) == ["epoch=0"]
+        assert read_change_log(spark, dirs["tgt"]).count() == 2
 
     def test_restart_resumes_from_checkpoint(self, spark, dirs):
         write_change_file(
