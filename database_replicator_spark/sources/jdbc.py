@@ -140,6 +140,53 @@ def incremental_query(table: str, watermark_col: str, since, columns: list[str] 
     )
 
 
+# --- Postgres catalog discovery (src/migration/schema.rs:33-130) ----------
+
+#: databases never replicated (schema.rs:36-44): templates, the maintenance
+#: db, and the RDS admin db
+PG_SYSTEM_DATABASES = ("template0", "template1", "postgres", "rdsadmin")
+
+#: schemas never replicated (P7; schema.rs:69)
+PG_SYSTEM_SCHEMAS = ("pg_catalog", "information_schema")
+
+
+def pg_list_databases_sql() -> str:
+    """User databases in deterministic order, excluding templates/system
+    (reference list_databases, schema.rs:33-55)."""
+    excl = ", ".join(f"'{d}'" for d in PG_SYSTEM_DATABASES)
+    return (
+        "SELECT datname FROM pg_database "
+        f"WHERE NOT datistemplate AND datname NOT IN ({excl}) "
+        "ORDER BY datname"
+    )
+
+
+def pg_list_tables_sql() -> str:
+    """User tables + row estimates (reference joins pg_tables with
+    pg_stat_user_tables for n_live_tup, schema.rs:58-86)."""
+    excl = ", ".join(f"'{s}'" for s in PG_SYSTEM_SCHEMAS)
+    return (
+        "SELECT t.schemaname, t.tablename, COALESCE(s.n_live_tup, 0) AS row_estimate "
+        "FROM pg_tables t LEFT JOIN pg_stat_user_tables s "
+        "ON s.schemaname = t.schemaname AND s.relname = t.tablename "
+        f"WHERE t.schemaname NOT IN ({excl}) "
+        "ORDER BY t.schemaname, t.tablename"
+    )
+
+
+def pg_primary_key_sql(qualified_table: str) -> str:
+    """Declared-PK columns via pg_index/pg_attribute (reference
+    src/xmin/reader.rs:378-397). Table name rides as a regclass literal."""
+    lit = qualified_table.replace("'", "''")
+    return (
+        "SELECT a.attname FROM pg_index i "
+        "JOIN pg_attribute a ON a.attrelid = i.indrelid "
+        "AND a.attnum = ANY(i.indkey) "
+        f"WHERE i.indrelid = '{lit}'::regclass AND i.indisprimary "
+        "ORDER BY a.attnum"
+    )
+
+
 # --- MySQL introspection (src/mysql/reader.rs:35-46, converter.rs:181-199) -
 
 def _mysql_str_literal(v: str) -> str:

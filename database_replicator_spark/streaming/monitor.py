@@ -60,6 +60,39 @@ def stream_status(query) -> StreamStatus:
     )
 
 
+#: reference srsubstate codes → names (subscription.rs:205-331)
+STATE_STREAMING = "streaming"        # 'r' — replicating, caught up or keeping up
+STATE_INITIALIZING = "initializing"  # 'i' — subscription created, no data yet
+STATE_COPYING = "copying"            # 'd' — initial table copy in flight
+STATE_SYNCING = "syncing"            # 's' — catching up a backlog
+STATE_ERROR = "error"
+
+
+def subscription_state(query) -> str:
+    """Map a StreamingQuery onto the reference's subscription state machine
+    (srsubstate → Streaming/Initializing/Copying/Syncing/Error):
+
+      * terminated with an exception        → error
+      * terminated cleanly (AvailableNow)   → streaming (it consumed its
+        committed range — the reference's 'r' after wait_for_sync)
+      * active, no progress events yet      → initializing
+      * active, first batch still running   → copying (the initial sync)
+      * active, caught up                   → streaming
+      * active, draining a backlog          → syncing
+    """
+    if not query.isActive:
+        return STATE_ERROR if query.exception() is not None else STATE_STREAMING
+    progress = query.lastProgress
+    if not progress:
+        return STATE_INITIALIZING
+    st = stream_status(query)
+    if st.caught_up:
+        return STATE_STREAMING
+    if st.batches_completed <= 1:
+        return STATE_COPYING
+    return STATE_SYNCING
+
+
 def wait_for_caught_up(query, timeout_seconds: float = 300.0, poll_seconds: float = 2.0) -> bool:
     """ST8's ``wait_for_sync`` analogue: poll until the stream has consumed
     all available input (or timeout; default 300 s / 2 s like

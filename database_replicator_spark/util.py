@@ -26,6 +26,34 @@ def staged_overwrite(spark: SparkSession, df: DataFrame, path: str) -> None:
     shutil.rmtree(stage, ignore_errors=True)
 
 
+def cleanup_stale_stages(root: str, max_age_hours: float = 24.0) -> list[str]:
+    """Startup GC for orphaned ``.stage`` directories (§2.11: the
+    reference cleans managed temp dirs older than 24 h at startup,
+    utils.rs:961-1023 / main.rs:254-259).
+
+    A fresh ``.stage`` may belong to a crash where the stage is the only
+    complete copy (see staged_overwrite) — hence the age guard: only
+    stages older than ``max_age_hours`` are reclaimed, giving operators a
+    recovery window. Returns the removed paths."""
+    import time
+
+    removed: list[str] = []
+    if not os.path.isdir(root):
+        return removed
+    cutoff = time.time() - max_age_hours * 3600
+    for dirpath, dirnames, _files in os.walk(root):
+        for d in list(dirnames):
+            if d.endswith(".stage"):
+                full = os.path.join(dirpath, d)
+                try:
+                    if os.path.getmtime(full) < cutoff:
+                        shutil.rmtree(full, ignore_errors=True)
+                        removed.append(full)
+                finally:
+                    dirnames.remove(d)  # never descend into stages
+    return removed
+
+
 def parquet_exists(path: str) -> bool:
     """True when ``path`` holds a readable parquet dataset (the _SUCCESS /
     part-file layout Spark writes)."""

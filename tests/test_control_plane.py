@@ -257,3 +257,106 @@ class TestPreflightRetry:
         assert eng.validate(source_id="src", target_id=str(tmp_path / "tgt")) == []
         same = str(tmp_path / "same")
         assert eng.validate(source_id=same, target_id=same) != []
+
+
+class TestDdlExecutor:
+    """S5: driver-side DDL replay, live against SQLite (restore.rs
+    semantics: ON_ERROR_STOP + 'already exists' tolerance)."""
+
+    def test_split_statements_respects_quoting(self):
+        from database_replicator_spark.sources.ddl_exec import split_statements
+
+        sql = (
+            "CREATE TABLE t (v TEXT DEFAULT 'a;b');\n"
+            "-- a comment;\n"
+            'CREATE TABLE "se;mi" (x INT);\n'
+            "DO $$ BEGIN CREATE ROLE r; EXCEPTION WHEN duplicate_object "
+            "THEN NULL; END $$;\n"
+        )
+        stmts = split_statements(sql)
+        assert len(stmts) == 3
+        assert stmts[0].endswith("'a;b')")
+        assert '"se;mi"' in stmts[1]
+        assert stmts[2].startswith("DO $$") and stmts[2].endswith("$$")
+
+    def test_sqlite_live_execution_and_tolerance(self, tmp_path):
+        import sqlite3
+
+        from database_replicator_spark.sources.ddl_exec import execute_ddl
+
+        db = str(tmp_path / "tgt.db")
+        ddl = "CREATE TABLE users (id INTEGER PRIMARY KEY, name TEXT);"
+        res = execute_ddl(db, ddl)
+        assert res.counts == {"executed": 1, "skipped": 0}
+
+        # replay: tolerated as already-existing, not an error
+        res2 = execute_ddl(db, ddl)
+        assert res2.counts == {"executed": 0, "skipped": 1}
+
+        # a real error still raises (ON_ERROR_STOP)
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            execute_ddl(db, "CREATE BOGUS SYNTAX;")
+
+        conn = sqlite3.connect(db)
+        try:
+            names = [r[0] for r in conn.execute(
+                "SELECT name FROM sqlite_master WHERE type='table'"
+            )]
+        finally:
+            conn.close()
+        assert names == ["users"]
+
+    def test_generated_schema_replays_onto_sqlite(self, spark, tmp_path):
+        """End-to-end S3→S5: StructType → CREATE TABLE → live replay."""
+        from database_replicator_spark.operators.ddl import create_table_sql
+        from database_replicator_spark.sources.ddl_exec import execute_ddl
+
+        df = spark.createDataFrame([(1, "a", 2.5)], "id long, name string, v double")
+        sql = create_table_sql("users", df.schema, pk_cols=["id"], if_not_exists=False)
+        db = str(tmp_path / "restore.db")
+        res = execute_ddl(db, sql + ";")
+        assert res.counts["executed"] == 1
+
+
+class TestStagingGc:
+    def test_old_stage_removed_fresh_kept(self, tmp_path):
+        import os
+        import time as _time
+
+        from database_replicator_spark.util import cleanup_stale_stages
+
+        old = tmp_path / "t1.stage"
+        fresh = tmp_path / "t2.stage"
+        normal = tmp_path / "t3"
+        for d in (old, fresh, normal):
+            d.mkdir()
+        stale_t = _time.time() - 48 * 3600
+        os.utime(old, (stale_t, stale_t))
+
+        removed = cleanup_stale_stages(str(tmp_path), max_age_hours=24)
+        assert removed == [str(old)]
+        assert not old.exists() and fresh.exists() and normal.exists()
+
+
+class TestPgCatalogSql:
+    def test_system_objects_excluded(self):
+        from database_replicator_spark.sources.jdbc import (
+            pg_list_databases_sql,
+            pg_list_tables_sql,
+            pg_primary_key_sql,
+        )
+
+        dbs = pg_list_databases_sql()
+        for sysdb in ("template0", "template1", "postgres", "rdsadmin"):
+            assert f"'{sysdb}'" in dbs
+        assert "ORDER BY datname" in dbs
+
+        tbls = pg_list_tables_sql()
+        assert "'pg_catalog'" in tbls and "'information_schema'" in tbls
+        assert "n_live_tup" in tbls
+
+        pk = pg_primary_key_sql("public.orders")
+        assert "indisprimary" in pk and "'public.orders'::regclass" in pk
+        assert "''" in pg_primary_key_sql("o'rders")  # literal-escaped

@@ -70,3 +70,65 @@ def test_unstarted_backlog_not_caught_up(spark):
     st = stream_status(FakeQuery())
     assert not st.caught_up
     assert st.batches_completed == 0
+
+
+class _Fake:
+    """Configurable StreamingQuery stand-in."""
+
+    def __init__(self, active=True, exc=None, progress=None, data_available=False):
+        self.isActive = active
+        self._exc = exc
+        self.lastProgress = progress
+        self.status = {"isDataAvailable": data_available}
+        self.name = None
+
+    def exception(self):
+        return self._exc
+
+
+def test_subscription_state_machine():
+    from database_replicator_spark.streaming.monitor import (
+        STATE_COPYING,
+        STATE_ERROR,
+        STATE_INITIALIZING,
+        STATE_STREAMING,
+        STATE_SYNCING,
+        subscription_state,
+    )
+
+    # terminated with error → error
+    assert subscription_state(_Fake(active=False, exc=RuntimeError("x"))) == STATE_ERROR
+    # clean AvailableNow termination → streaming
+    assert subscription_state(_Fake(active=False)) == STATE_STREAMING
+    # active, no progress yet → initializing
+    assert subscription_state(_Fake(progress=None)) == STATE_INITIALIZING
+    # first batch, backlog → copying
+    assert subscription_state(
+        _Fake(progress={"batchId": 0, "numInputRows": 10}, data_available=True)
+    ) == STATE_COPYING
+    # later batch, backlog → syncing
+    assert subscription_state(
+        _Fake(progress={"batchId": 5, "numInputRows": 10}, data_available=True)
+    ) == STATE_SYNCING
+    # no data left → streaming
+    assert subscription_state(
+        _Fake(progress={"batchId": 5, "numInputRows": 0}, data_available=False)
+    ) == STATE_STREAMING
+
+
+def test_subscription_state_on_live_availablenow(spark, tmp_path):
+    src = str(tmp_path / "q")
+    write_change_file(
+        os.path.join(src, "c1.json"),
+        [{"change_id": 1, "table": "t", "op": "insert", "pk": "1", "payload": "{}"}],
+    )
+    query, _ = start_change_apply(
+        spark, src, str(tmp_path / "t"), str(tmp_path / "c"), once=True
+    )
+    query.awaitTermination(120)
+    from database_replicator_spark.streaming.monitor import (
+        STATE_STREAMING,
+        subscription_state,
+    )
+
+    assert subscription_state(query) == STATE_STREAMING
