@@ -259,6 +259,82 @@ def lsh_topk_bucketed(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-flat ANN: a coarse quantizer partitions the corpus into
+    ``nlist`` inverted lists; each query scores only the ``nprobe``
+    nearest lists. The list id is the ONLY shuffle key — the second scale
+    path next to LSH bucketing, trading LSH's training-free hashing for
+    data-adaptive cells (better recall per probed fraction on clustered
+    corpora).
+
+    Quantizer: the unit vectors of the ``nlist`` lowest-id corpus vectors
+    — a deterministic data sample, i.e. k-means at zero Lloyd iterations.
+    That keeps the whole operator (assignment, probing, scores) exactly
+    reproducible in a SQL oracle; production swaps in sampled-kmeans
+    centroids trained driver-side and broadcast, with assignment in a
+    mapInPandas matmul — the plan shape (assign → equi-join on list id →
+    window top-k) is identical.
+
+    Ties (assignment and ranking) break on the 6-dp rounded score then
+    the lower id, in both engines."""
+    units = corpus.select(
+        F.col(id_col).alias("uid"), unit_expr(F.col(vec_col)).alias("unit")
+    ).cache()
+    cents = units.filter(F.col("uid") < nlist).select(
+        F.col("uid").alias("cid"), F.col("unit").alias("cvec")
+    )
+    scored_cells = (
+        units.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "_sim", F.round(dot_expr(F.col("unit"), F.col("cvec")), round_digits)
+        )
+        .select("uid", "unit", "cid", "_sim")
+    )
+    w_assign = Window.partitionBy("uid").orderBy(
+        F.col("_sim").desc(), F.col("cid").asc()
+    )
+    ranked = scored_cells.withColumn("_rn", F.row_number().over(w_assign)).cache()
+    assign = ranked.filter(F.col("_rn") == 1).select(
+        F.col("uid").alias("corpus_id"), F.col("unit").alias("cvec_u"), "cid"
+    )
+    qids = queries.select(F.col(id_col).alias("query_id"))
+    probes = (
+        ranked.join(F.broadcast(qids), ranked["uid"] == qids["query_id"])
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", F.col("unit").alias("qvec_u"), "cid")
+    )
+    scored = (
+        assign.join(F.broadcast(probes), on="cid")
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "corpus_id",
+            F.round(dot_expr(F.col("cvec_u"), F.col("qvec_u")), round_digits).alias(
+                "cosine"
+            ),
+        )
+    )
+    # no dedup needed: every corpus vector lives in exactly one list
+    # (assignment keeps _rn == 1 only), so (query, corpus) pairs are unique
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
 def collect_unit_matrix(df: DataFrame, id_col: str, vec_col: str):
     """Driver-side (ids, unit-normalized float64 matrix) for broadcasting.
     Bounded use only: the broadcast side of a similarity scan (queries, or

@@ -151,6 +151,127 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_asof_checkpoints",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, event_id, value FROM (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+                                  ORDER BY event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT u.user_id, g.pts AS probe_ts
+      FROM (SELECT DISTINCT user_id FROM events) u
+      CROSS JOIN (SELECT UNNEST(generate_series(TIMESTAMP '2024-01-02',
+                                                TIMESTAMP '2024-01-30',
+                                                INTERVAL 1 DAY)) AS pts) g
+    )
+    SELECT p.user_id, p.probe_ts,
+           e.event_id AS asof_event_id, e.value AS asof_value
+    FROM probes p ASOF LEFT JOIN ev e
+      ON p.user_id = e.user_id AND p.probe_ts >= e.ts
+    """,
+)
+def events_asof_checkpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (extension surface; operators/asof.py): daily
+    checkpoints per user pick up the latest event at or before the
+    checkpoint. The oracle is DuckDB's native ASOF LEFT JOIN; the Spark
+    side is the union-marker single-shuffle implementation — no
+    inequality join anywhere in the plan."""
+    from pyspark.sql import Window
+
+    from .operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    ev1 = (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "ts", "event_id", "value")
+    )
+    probes = (
+        ev.select("user_id").distinct()
+        .crossJoin(
+            spark.sql(
+                "SELECT explode(sequence(timestamp'2024-01-02 00:00:00', "
+                "timestamp'2024-01-30 00:00:00', interval 1 day)) AS probe_ts"
+            )
+        )
+    )
+    out = asof_join(
+        probes, ev1, on=["user_id"], probe_time="probe_ts", right_time="ts",
+        payload_cols=["event_id", "value"], tiebreak="event_id",
+    )
+    return out.select(
+        "user_id", "probe_ts",
+        F.col("event_id").alias("asof_event_id"),
+        F.col("value").alias("asof_value"),
+    )
+
+
+@query(
+    "events_window_attribution",
+    oracle="""
+    WITH hours AS (
+      SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS h,
+             COUNT(*) AS n
+      FROM events GROUP BY 1
+    ),
+    wins AS (
+      SELECT window_id, h - INTERVAL '30 minutes' AS w_start,
+             h + INTERVAL '90 minutes' AS w_end
+      FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY n DESC, h ASC) AS window_id
+            FROM hours)
+      WHERE window_id <= 20
+    )
+    SELECT w.window_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events e JOIN wins w
+      ON CAST(e.ts AS TIMESTAMP) >= w.w_start AND CAST(e.ts AS TIMESTAMP) < w.w_end
+    GROUP BY 1
+    """,
+)
+def events_window_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval containment) join (operators/rangejoin.py): events
+    attributed to the 20 busiest-hour windows, stretched to [-30 min,
+    +90 min) so windows overlap and straddle bucket boundaries. The
+    oracle is DuckDB's native inequality join (IEJoin); Spark would plan
+    that as a nested-loop cartesian, so the operator bucketizes: explode
+    intervals over an hour grid, equi-join on bucket, refine exactly."""
+    from pyspark.sql import Window
+
+    from .operators.rangejoin import range_join_intervals
+
+    ev = load_table(spark, sf_dir, "events")
+    hours = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wins = (
+        hours.withColumn(
+            "window_id",
+            F.row_number().over(Window.orderBy(F.col("n").desc(), F.col("h").asc())),
+        )
+        .filter(F.col("window_id") <= 20)
+        .select(
+            "window_id",
+            (F.col("h") - F.expr("INTERVAL 30 MINUTES")).alias("w_start"),
+            (F.col("h") + F.expr("INTERVAL 90 MINUTES")).alias("w_end"),
+        )
+    )
+    joined = range_join_intervals(
+        ev.select("event_id", "ts", "value"), wins,
+        point_time="ts", start_col="w_start", end_col="w_end",
+        bucket_seconds=3600,
+    )
+    return joined.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )
+
+
+@query(
     "multimodal_features",
     oracle="""
     SELECT doc_id AS id,

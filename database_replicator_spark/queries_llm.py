@@ -557,6 +557,53 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_blas(emb, queries_df, k=10)
 
 
+@query(
+    "similarity_ivf_topk",
+    oracle=f"""
+    WITH units AS (
+      SELECT vec_id, {_UNIT_SQL.format(v='embedding')} AS unit FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cid, unit AS cvec FROM units WHERE vec_id < 16),
+    cells AS (
+      SELECT u.vec_id, u.unit, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY u.vec_id
+               ORDER BY round({_DOT_SQL.format(a='u.unit', b='c.cvec')}, 6) DESC,
+                        c.cid ASC) AS rn
+      FROM units u CROSS JOIN cents c
+    ),
+    assign AS (SELECT vec_id AS corpus_id, unit AS cvec_u, cid
+               FROM cells WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, unit AS qvec_u, cid
+               FROM cells WHERE rn <= 2 AND vec_id < 5),
+    scored AS (
+      SELECT p.query_id, a.corpus_id,
+             round({_DOT_SQL.format(a='a.cvec_u', b='p.qvec_u')}, 6) AS cosine
+      FROM assign a JOIN probes p
+        ON a.cid = p.cid AND a.corpus_id != p.query_id
+    )
+    SELECT query_id, corpus_id, cosine, rank FROM (
+      SELECT query_id, corpus_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, corpus_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (the second scale path next to LSH): deterministic
+    sample quantizer (lowest-nlist ids, k-means at zero Lloyd
+    iterations), nprobe=2 probed lists per query, exact rounded cosines
+    within probed lists — every stage SQL-reproducible. Production
+    swaps sampled-kmeans centroids in without changing the plan shape
+    (operators/similarity.ivf_topk docstring)."""
+    from .operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries_df, k=10, nlist=16, nprobe=2)
+
+
 def _lsh_planes_sql(dim: int, num_planes: int, seed: int = 0) -> str:
     """Hyperplane coefficients as SQL literal rows (plane, coeffs[])."""
     from .operators.similarity import hyperplane_coeffs

@@ -1,0 +1,161 @@
+"""Extension joins: as-of join, bucketized range join, IVF ANN."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from database_replicator_spark.operators.asof import asof_join
+from database_replicator_spark.operators.rangejoin import range_join_intervals
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def quotes(spark):
+    # right side: per-key timestamped payloads
+    return spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 10:00:00"), 1, 100.0),
+            ("A", _ts("2024-01-01 10:05:00"), 2, 101.0),
+            ("A", _ts("2024-01-01 10:05:00"), 3, 102.0),  # same-ts tie
+            ("B", _ts("2024-01-01 11:00:00"), 4, 200.0),
+        ],
+        "k string, ts timestamp, qid long, px double",
+    )
+
+
+class TestAsofJoin:
+    def test_latest_at_or_before(self, spark, quotes):
+        probes = spark.createDataFrame(
+            [
+                ("A", _ts("2024-01-01 10:04:59")),
+                ("A", _ts("2024-01-01 10:05:00")),  # equal ts → inclusive
+                ("A", _ts("2024-01-01 12:00:00")),
+                ("B", _ts("2024-01-01 10:59:59")),  # before first → null
+                ("B", _ts("2024-01-01 11:00:00")),
+            ],
+            "k string, pts timestamp",
+        )
+        out = asof_join(
+            probes, quotes, on=["k"], probe_time="pts", right_time="ts",
+            payload_cols=["qid", "px"], tiebreak="qid",
+        )
+        got = {(r["k"], str(r["pts"])): r["qid"] for r in out.collect()}
+        assert got[("A", "2024-01-01 10:04:59")] == 1
+        assert got[("A", "2024-01-01 10:05:00")] == 3  # tie → highest qid
+        assert got[("A", "2024-01-01 12:00:00")] == 3
+        assert got[("B", "2024-01-01 10:59:59")] is None  # left join
+        assert got[("B", "2024-01-01 11:00:00")] == 4
+        assert out.count() == probes.count()  # exactly one row per probe
+
+    def test_tolerance_drops_stale_matches(self, spark, quotes):
+        probes = spark.createDataFrame(
+            [("A", _ts("2024-01-01 10:06:00")), ("A", _ts("2024-01-01 23:00:00"))],
+            "k string, pts timestamp",
+        )
+        out = asof_join(
+            probes, quotes, on=["k"], probe_time="pts", right_time="ts",
+            payload_cols=["qid"], tiebreak="qid", tolerance_seconds=600,
+        )
+        got = {str(r["pts"]): r["qid"] for r in out.collect()}
+        assert got["2024-01-01 10:06:00"] == 3       # 60s old: within tolerance
+        assert got["2024-01-01 23:00:00"] is None    # hours old: dropped
+
+    def test_single_shuffle_plan(self, spark, quotes):
+        """The as-of plan must contain no nested-loop/cartesian join —
+        the whole point vs the naive inequality join."""
+        probes = quotes.select("k", F.col("ts").alias("pts"))
+        out = asof_join(
+            probes, quotes, on=["k"], probe_time="pts", right_time="ts",
+            payload_cols=["qid"],
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+class TestRangeJoin:
+    def test_containment_exact(self, spark):
+        points = spark.createDataFrame(
+            [(i, _ts(f"2024-01-01 {h:02d}:30:00")) for i, h in enumerate([0, 1, 2, 5])],
+            "pid long, ts timestamp",
+        )
+        intervals = spark.createDataFrame(
+            [
+                (1, _ts("2024-01-01 00:00:00"), _ts("2024-01-01 02:00:00")),
+                (2, _ts("2024-01-01 01:45:00"), _ts("2024-01-01 02:31:00")),
+                (3, _ts("2024-01-01 03:00:00"), _ts("2024-01-01 03:00:00")),  # empty
+            ],
+            "iid long, w_start timestamp, w_end timestamp",
+        )
+        out = range_join_intervals(
+            points, intervals, point_time="ts",
+            start_col="w_start", end_col="w_end", bucket_seconds=3600,
+        )
+        got = sorted((r["pid"], r["iid"]) for r in out.collect())
+        # p0 (00:30) ∈ i1; p1 (01:30) ∈ i1; p2 (02:30) ∈ i2; p3 matches none;
+        # empty interval matches nothing
+        assert got == [(0, 1), (1, 1), (2, 2)]
+
+    def test_no_duplicate_matches_across_buckets(self, spark):
+        # interval spanning many buckets still matches each point once
+        points = spark.createDataFrame(
+            [(1, _ts("2024-01-01 05:00:00"))], "pid long, ts timestamp"
+        )
+        intervals = spark.createDataFrame(
+            [(1, _ts("2024-01-01 00:00:00"), _ts("2024-01-02 00:00:00"))],
+            "iid long, w_start timestamp, w_end timestamp",
+        )
+        out = range_join_intervals(
+            points, intervals, point_time="ts",
+            start_col="w_start", end_col="w_end", bucket_seconds=3600,
+        )
+        assert out.count() == 1
+
+    def test_half_open_boundaries(self, spark):
+        points = spark.createDataFrame(
+            [(1, _ts("2024-01-01 01:00:00")), (2, _ts("2024-01-01 02:00:00"))],
+            "pid long, ts timestamp",
+        )
+        intervals = spark.createDataFrame(
+            [(1, _ts("2024-01-01 01:00:00"), _ts("2024-01-01 02:00:00"))],
+            "iid long, w_start timestamp, w_end timestamp",
+        )
+        out = range_join_intervals(
+            points, intervals, point_time="ts",
+            start_col="w_start", end_col="w_end",
+        )
+        assert [r["pid"] for r in out.collect()] == [1]  # start in, end out
+
+
+class TestIvfTopk:
+    def test_recall_vs_bruteforce(self, spark):
+        from database_replicator_spark.operators.similarity import (
+            brute_force_topk,
+            ivf_topk,
+        )
+        from database_replicator_spark.sources.catalog import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        q = emb.filter(F.col("vec_id") < 5)
+        exact = {
+            (r["query_id"], r["corpus_id"])
+            for r in brute_force_topk(emb, q, k=10).collect()
+        }
+        approx = {
+            (r["query_id"], r["corpus_id"])
+            for r in ivf_topk(emb, q, k=10, nlist=8, nprobe=2).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.2, f"IVF recall collapsed: {recall}"
+
+    def test_disjoint_lists_unique_pairs(self, spark):
+        from database_replicator_spark.operators.similarity import ivf_topk
+        from database_replicator_spark.sources.catalog import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        q = emb.filter(F.col("vec_id") < 3)
+        out = ivf_topk(emb, q, k=1000, nlist=8, nprobe=2)
+        assert out.count() == out.select("query_id", "corpus_id").distinct().count()
