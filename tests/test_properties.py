@@ -175,3 +175,110 @@ class TestEscapingProperties:
         df = spark.createDataFrame([(s,)], "s string")
         out = df.select(json_string(F.col("s")).alias("j")).collect()[0]["j"]
         assert json.loads(out) == s
+
+
+asof_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),     # key
+        st.integers(min_value=0, max_value=100),   # t (seconds)
+        st.integers(min_value=0, max_value=999),   # payload id
+    ),
+    min_size=0, max_size=20,
+)
+asof_probes = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),
+        st.integers(min_value=0, max_value=100),
+    ),
+    min_size=1, max_size=12,
+)
+
+
+class TestAsofJoinProperties:
+    @settings(**{**SETTINGS, "max_examples": 8})
+    @given(events=asof_events, probes=asof_probes)
+    def test_matches_naive_semantics(self, spark, events, probes):
+        """asof_join ≡ 'max-t right row with t <= probe t, ties → max
+        tiebreak' computed naively in Python."""
+        from datetime import datetime, timezone
+
+        from database_replicator_spark.operators.asof import asof_join
+
+        def ts(s):
+            return datetime.fromtimestamp(1700000000 + s, tz=timezone.utc).replace(tzinfo=None)
+
+        ev = spark.createDataFrame(
+            [(k, ts(t), p) for k, t, p in events] or [(0, ts(0), 0)],
+            "k int, ts timestamp, pid int",
+        )
+        if not events:
+            ev = ev.filter(F.lit(False))
+        pr = spark.createDataFrame(
+            [(k, ts(t)) for k, t in probes], "k int, pts timestamp"
+        )
+        out = asof_join(
+            pr, ev, on=["k"], probe_time="pts", right_time="ts",
+            payload_cols=["pid"], tiebreak="pid",
+        )
+        got = {(r["k"], r["pts"]): r["pid"] for r in out.collect()}
+
+        for k, t in probes:
+            cands = [(et, pid) for ek, et, pid in events if ek == k and et <= t]
+            want = max(cands)[1] if cands else None
+            assert got[(k, ts(t))] == want, (k, t, cands)
+        assert out.count() == pr.count()
+
+
+range_points = st.lists(
+    st.integers(min_value=0, max_value=500), min_size=0, max_size=20
+)
+range_intervals = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=500),
+        st.integers(min_value=0, max_value=120),
+    ),
+    min_size=0, max_size=8,
+)
+
+
+class TestRangeJoinProperties:
+    @settings(**SETTINGS)
+    @given(points=range_points, intervals=range_intervals,
+           bucket=st.sampled_from([7, 60, 3600]))
+    def test_matches_naive_containment(self, spark, points, intervals, bucket):
+        """Bucketized range join ≡ naive [start, end) containment for any
+        bucket width (bucketing is an optimization, never a semantic)."""
+        from datetime import datetime, timezone
+
+        from database_replicator_spark.operators.rangejoin import (
+            range_join_intervals,
+        )
+
+        def ts(s):
+            return datetime.fromtimestamp(1700000000 + s, tz=timezone.utc).replace(tzinfo=None)
+
+        pdf = spark.createDataFrame(
+            [(i, ts(t)) for i, t in enumerate(points)] or [(0, ts(0))],
+            "pid int, ts timestamp",
+        )
+        if not points:
+            pdf = pdf.filter(F.lit(False))
+        idf = spark.createDataFrame(
+            [(i, ts(s), ts(s + d)) for i, (s, d) in enumerate(intervals)]
+            or [(0, ts(0), ts(0))],
+            "iid int, w_start timestamp, w_end timestamp",
+        )
+        if not intervals:
+            idf = idf.filter(F.lit(False))
+        out = range_join_intervals(
+            pdf, idf, point_time="ts", start_col="w_start", end_col="w_end",
+            bucket_seconds=bucket,
+        )
+        got = sorted((r["pid"], r["iid"]) for r in out.collect())
+        want = sorted(
+            (pi, ii)
+            for pi, t in enumerate(points)
+            for ii, (s, d) in enumerate(intervals)
+            if s <= t < s + d
+        )
+        assert got == want
