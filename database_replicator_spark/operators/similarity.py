@@ -285,33 +285,63 @@ def ivf_topk(
     window top-k) is identical.
 
     Ties (assignment and ranking) break on the 6-dp rounded score then
-    the lower id, in both engines."""
-    units = corpus.select(
-        F.col(id_col).alias("uid"), unit_expr(F.col(vec_col)).alias("unit")
-    ).cache()
-    cents = units.filter(F.col("uid") < nlist).select(
-        F.col("uid").alias("cid"), F.col("unit").alias("cvec")
+    the lower id, in both engines. Assignment runs as one
+    (batch × nlist) BLAS matmul per Arrow batch — the n×nlist work is
+    the bulk of IVF and must not be an interpreted per-pair fold; scores
+    are rounded before the argmax so numpy's pairwise summation and the
+    oracle's sequential fold agree (error ~1e-14 « 5e-7 quantum, the
+    same contract as neardup_pairs_blas)."""
+    import numpy as np
+
+    spark = corpus.sparkSession
+    cent_ids, cent_mat = collect_unit_matrix(
+        corpus.filter(F.col(id_col) < nlist), id_col, vec_col
     )
-    scored_cells = (
-        units.crossJoin(F.broadcast(cents))
-        .withColumn(
-            "_sim", F.round(dot_expr(F.col("unit"), F.col("cvec")), round_digits)
-        )
-        .select("uid", "unit", "cid", "_sim")
+    order = np.argsort(cent_ids)
+    cent_ids, cent_mat = cent_ids[order], cent_mat[order]
+    bc = spark.sparkContext.broadcast((cent_ids, cent_mat))
+
+    def assign_scan(batches):
+        import pandas as pd
+
+        c_ids, c_mat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            uids = pdf[id_col].to_numpy()
+            block = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            block /= np.sqrt((block * block).sum(axis=1, keepdims=True))
+            sims = np.round(block @ c_mat.T, round_digits)
+            # argmax returns the FIRST maximum and c_mat is sorted by cid
+            # ascending → ties break to the lower cid, like the oracle
+            best = sims.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "corpus_id": uids,
+                    "cid": c_ids[best],
+                    "cvec_u": list(block),
+                }
+            )
+
+    assign = corpus.mapInPandas(
+        assign_scan, schema="corpus_id long, cid long, cvec_u array<double>"
     )
-    w_assign = Window.partitionBy("uid").orderBy(
-        F.col("_sim").desc(), F.col("cid").asc()
+
+    # probe selection is driver-side numpy on the (small) query set: the
+    # same rounded sims, sorted by (-sim, cid) per query
+    q_ids, q_mat = collect_unit_matrix(queries, id_col, vec_col)
+    q_sims = np.round(q_mat @ cent_mat.T, round_digits)
+    probe_rows = []
+    for qi in range(len(q_ids)):
+        by_pref = sorted(range(len(cent_ids)), key=lambda c: (-q_sims[qi, c], cent_ids[c]))
+        for c in by_pref[:nprobe]:
+            probe_rows.append(
+                (int(q_ids[qi]), int(cent_ids[c]), [float(x) for x in q_mat[qi]])
+            )
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, cid long, qvec_u array<double>"
     )
-    ranked = scored_cells.withColumn("_rn", F.row_number().over(w_assign)).cache()
-    assign = ranked.filter(F.col("_rn") == 1).select(
-        F.col("uid").alias("corpus_id"), F.col("unit").alias("cvec_u"), "cid"
-    )
-    qids = queries.select(F.col(id_col).alias("query_id"))
-    probes = (
-        ranked.join(F.broadcast(qids), ranked["uid"] == qids["query_id"])
-        .filter(F.col("_rn") <= nprobe)
-        .select("query_id", F.col("unit").alias("qvec_u"), "cid")
-    )
+
     scored = (
         assign.join(F.broadcast(probes), on="cid")
         .filter(F.col("corpus_id") != F.col("query_id"))
@@ -323,8 +353,8 @@ def ivf_topk(
             ),
         )
     )
-    # no dedup needed: every corpus vector lives in exactly one list
-    # (assignment keeps _rn == 1 only), so (query, corpus) pairs are unique
+    # no dedup needed: every corpus vector lives in exactly one list,
+    # so (query, corpus) pairs are unique
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("corpus_id").asc()
     )
