@@ -1,0 +1,322 @@
+"""Corpus-level training-data pipeline operators.
+
+These extend the dedup/similarity tiers (dedup.py, similarity.py) with the
+operations a 100 TB pretraining-data pipeline runs *after* pair generation:
+
+  * **Connected components** — near-dup pairs are edges; the unit of
+    deduplication is the *cluster* (keep one canonical doc per component).
+    Implemented as iterative hash-min label propagation over DataFrames:
+    each round every node takes the min label among itself and its
+    neighbors; converges in O(component diameter) rounds. Near-dup
+    clusters are star-shaped in practice (diameter ≤ 4 even at web scale
+    — see the large-star/small-star analysis in Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14), so the
+    round count stays small; each round is one self-contained
+    join+groupBy shuffle on the edge list. For adversarial long-path
+    graphs, switch to the large-star/small-star rewrite (same join
+    primitives, O(log n) rounds).
+  * **Decontamination** — n-gram collision join between the training
+    corpus and a benchmark/eval set: any training doc sharing ≥ t
+    shingles with an eval doc is flagged. The benchmark side is tiny by
+    construction → broadcast join; cost is one scan of the corpus
+    shingles.
+  * **Stratified sampling** — deterministic per-stratum Bernoulli
+    sampling via a portable hash threshold: keep iff
+    hash60(seed:doc_id) < rate·2^60. Reproducible across engines and
+    re-runs (no RNG state), exactly-once per doc, and embarrassingly
+    parallel — the property a training-mix builder needs.
+  * **Sequence packing** — deterministic token-budget chunking: docs are
+    ordered within a partition key, cumulative token counts assign each
+    doc to pack floor(cum_before/budget). One window per partition key;
+    no shuffle beyond the partition key. (Greedy first-fit packs ~equally
+    well at corpus scale and would need a sequential scan; the cumulative
+    rule is order-parallel.)
+  * **TF-IDF top terms** — per-doc top-k salient terms: tf·idf with
+    idf = ln((N+1)/(df+1)), ranked on the 6-dp-rounded score (ties by
+    term) so ranking is reproducible bit-for-bit across engines.
+
+All hashes use the portable md5-based hash60 (functions/hashing.py) so
+every operator is oracle-checkable in DuckDB; swap xxhash64 at production
+scale where cross-engine parity is not needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash60, seeded
+
+#: 2^60 — the exclusive upper bound of hash60's range, used to turn a
+#: sampling rate into an integer hash threshold.
+HASH60_SPAN = 1 << 60
+
+
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "node",
+    src_col: str = "doc1",
+    dst_col: str = "doc2",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Label every node with the minimum node id reachable through
+    ``pairs`` (undirected). Returns (node, cluster_id).
+
+    Hash-min propagation with pointer jumping: labels start as self; each
+    round a node's label becomes min(own, neighbors' labels), then is
+    path-compressed through one label→label hop — so label distance to
+    the component minimum roughly halves per round and convergence takes
+    O(log diameter) rounds, not O(diameter). Each round is two keyed
+    joins + one groupBy, all shuffled on node ids; the loop is
+    driver-side but every iteration's *data* stays distributed — the only
+    driver value is the changed-row count used for convergence.
+
+    Singleton pruning: nodes that appear in no edge can never change
+    label, so the iteration runs only over edge endpoints (at 100 TB the
+    near-dup graph's vertex set is a small fraction of the corpus) and
+    singletons are appended unlabeled-as-self afterwards.
+
+    Lineage control: every per-round frame is cut with an eager
+    ``localCheckpoint()``, NOT ``cache()``. Iterative self-referential
+    joins defeat Spark's cache plan-matching (the round-N plan embeds
+    round-N-1's full lineage; a lookup miss re-runs the entire upstream
+    pair pipeline — measured 180 s/round vs 0.7 s checkpointed on a
+    477-node graph), and unbounded logical plans also blow up Catalyst
+    analysis time. localCheckpoint stores executor-local RDD blocks; on
+    a production cluster with preemptible executors, point
+    ``spark.sparkContext.setCheckpointDir`` at durable storage and swap
+    in ``checkpoint()`` for fault-tolerant lineage cuts.
+    """
+    edges = pairs.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint()
+
+    endpoints = sym.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    all_nodes = nodes.select(F.col(id_col).alias("node"))
+    singletons = all_nodes.join(endpoints, on="node", how="left_anti").select(
+        "node", F.col("node").alias("label")
+    )
+
+    labels = endpoints.select("node", F.col("node").alias("label")).localCheckpoint()
+    for _ in range(max_rounds):
+        neigh = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+            .withColumnRenamed("src", "node")
+        )
+        # min(self, neighbors) ...
+        cand = labels.select("node", F.col("label").alias("old_label")).join(
+            neigh, on="node", how="left"
+        ).select(
+            "node",
+            "old_label",
+            F.least(
+                F.col("old_label"), F.coalesce(F.col("nlabel"), F.col("old_label"))
+            ).alias("clabel"),
+        )
+        # ... then compress one hop: node→label→(that label's label).
+        # Labels are always node ids within the active set, so the join hits.
+        lmap = cand.select(
+            F.col("node").alias("lnode"), F.col("clabel").alias("llabel")
+        )
+        merged = (
+            cand.join(lmap, cand["clabel"] == lmap["lnode"], "left")
+            .select(
+                "node",
+                "old_label",
+                F.least(
+                    F.col("clabel"), F.coalesce(F.col("llabel"), F.col("clabel"))
+                ).alias("label"),
+            )
+        ).localCheckpoint()  # eager: cuts lineage and materializes in one action
+        # convergence compares against the PREVIOUS round's label (not the
+        # intermediate neighbor-min), else compression-free rounds would
+        # terminate early with unpropagated labels
+        changed = merged.filter(F.col("label") != F.col("old_label")).count()
+        labels = merged.select("node", "label")
+        if changed == 0:
+            break
+    return labels.unionByName(singletons).withColumnRenamed("label", "cluster_id")
+
+
+def ngram_overlap(
+    shingled: DataFrame,
+    bench_pred,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Decontamination: training docs sharing ≥ ``min_overlap`` shingles
+    with any benchmark doc.
+
+    ``shingled`` is (doc_id, shingle) distinct pairs (dedup.doc_shingles);
+    ``bench_pred`` is a Column predicate over doc_id selecting the
+    benchmark subset. Returns (train_doc, bench_doc, n_overlap,
+    n_train_shingles, overlap_frac).
+
+    Plan: the benchmark shingle set is small by construction — broadcast
+    it; the corpus side is scanned once and never self-joined. At 100 TB
+    the cost is one shuffle-free broadcast-hash-join pass over corpus
+    shingles plus a groupBy on (train_doc, bench_doc) whose cardinality is
+    bounded by actual collisions, not the corpus size.
+    """
+    shingled = shingled.cache()
+    bench = shingled.filter(bench_pred).select(
+        F.col("doc_id").alias("bench_doc"), "shingle"
+    )
+    train = shingled.filter(~bench_pred)
+    sizes = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_train_shingles"))
+    hits = (
+        train.join(F.broadcast(bench), on="shingle")
+        .groupBy(F.col("doc_id").alias("train_doc"), "bench_doc")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+    return (
+        hits.join(sizes.withColumnRenamed("doc_id", "train_doc"), on="train_doc")
+        .select(
+            "train_doc",
+            "bench_doc",
+            "n_overlap",
+            "n_train_shingles",
+            F.round(F.col("n_overlap") / F.col("n_train_shingles"), 6).alias(
+                "overlap_frac"
+            ),
+        )
+    )
+
+
+def sample_threshold(rate: float) -> int:
+    """Integer hash threshold for a Bernoulli rate (keep iff hash < this)."""
+    return int(rate * HASH60_SPAN)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 0,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified Bernoulli sample: a row in stratum s is
+    kept iff hash60(seed:id) < rates[s]·2^60. Adds ``sample_key`` (the
+    hash draw) and ``weight`` (1/rate — Horvitz-Thompson inverse
+    probability, what downstream mixture accounting multiplies by).
+
+    No RNG state, no per-partition seeding hazards: the decision is a pure
+    function of (id, seed, stratum rate), so re-runs, retries, and other
+    engines reproduce the identical sample — unlike ``df.sample`` whose
+    output depends on partitioning.
+    """
+    draw = hash60(seeded(F.col(id_col).cast("string"), seed))
+    rate_expr = None
+    for stratum, rate in rates.items():
+        cond = F.col(strata_col) == stratum
+        rate_expr = (
+            F.when(cond, F.lit(rate))
+            if rate_expr is None
+            else rate_expr.when(cond, F.lit(rate))
+        )
+    rate_expr = (
+        rate_expr.otherwise(F.lit(default_rate))
+        if rate_expr is not None
+        else F.lit(default_rate)
+    )
+    thresh = None
+    for stratum, rate in rates.items():
+        cond = F.col(strata_col) == stratum
+        t = F.lit(sample_threshold(rate))
+        thresh = F.when(cond, t) if thresh is None else thresh.when(cond, t)
+    thresh = (
+        thresh.otherwise(F.lit(sample_threshold(default_rate)))
+        if thresh is not None
+        else F.lit(sample_threshold(default_rate))
+    )
+    return (
+        df.withColumn("sample_key", draw)
+        .filter(F.col("sample_key") < thresh)
+        .withColumn("weight", F.round(F.lit(1.0) / rate_expr, 6))
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    part_col: str | None = None,
+) -> DataFrame:
+    """Assign each doc to a token-budget pack: docs are ordered by
+    ``order_col`` within ``part_col`` (or globally when None); pack_id =
+    (cumulative tokens before this doc) div budget, slot = position within
+    the pack.
+
+    One window over the partition key — at scale the sort is per-partition
+    (no global order needed when ``part_col`` spreads the corpus), and the
+    output is exactly the shard layout a sequence-packing data loader
+    consumes. Docs longer than the budget get a pack of their own (the
+    cumulative rule never splits a doc).
+    """
+    from pyspark.sql import Window
+
+    keys = [part_col] if part_col else []
+    w = Window.partitionBy(*keys).orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = F.sum(F.col(token_col)).over(w).cast("bigint")
+    out = df.withColumn("cum_tokens", cum).withColumn(
+        "pack_id", F.expr(f"(cum_tokens - {token_col}) div {budget}").cast("bigint")
+    )
+    w2 = Window.partitionBy(*(keys + ["pack_id"])).orderBy(order_col)
+    return out.withColumn("slot", F.row_number().over(w2))
+
+
+def tfidf_topterms(
+    docs: DataFrame,
+    n_docs: int,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    tf = term count in doc; df = number of docs containing the term;
+    idf = ln((N+1)/(df+1)) (smoothed, always > 0 so rare terms rank
+    high); score = round(tf·idf, 6). Ranking uses the ROUNDED score with
+    the term string as tiebreak, so the top-k set is deterministic and
+    engine-portable (ln differs at most in the last ulp — far below the
+    5e-7 rounding quantum).
+
+    Plan: explode→groupBy(doc,term) for tf (one shuffle), groupBy(term)
+    for df (second shuffle, carries one row per distinct (doc,term)), a
+    broadcast-sized join back on term when the vocabulary is bounded, and
+    a per-doc window for the top-k. N is passed in (a count the caller
+    already has) rather than recomputed.
+    """
+    from pyspark.sql import Window
+
+    words = F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")
+    terms = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(words).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.cache()  # consumed by both the df aggregation and the score join
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
+    scored = tf.join(dfc, on="term").withColumn(
+        "score",
+        F.round(
+            F.col("tf") * F.log((F.lit(float(n_docs + 1))) / (F.col("df_count") + 1)),
+            6,
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df_count", "score", "rank")
+    )

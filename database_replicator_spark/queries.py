@@ -290,4 +290,4 @@ def checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Register the LLM-pipeline, extension, and analytics query surfaces.
 # Imported at module bottom so the registry and @query decorator exist first.
-from . import queries_analytics, queries_ext, queries_llm  # noqa: E402,F401
+from . import queries_analytics, queries_ext, queries_llm, queries_pipeline  # noqa: E402,F401

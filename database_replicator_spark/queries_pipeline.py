@@ -1,0 +1,275 @@
+"""Query-surface entries for the corpus-level pipeline operators
+(operators/corpus.py): near-dup clustering, decontamination, stratified
+sampling, sequence packing, TF-IDF. Every query has an exact DuckDB
+oracle; the clustering oracle uses a recursive CTE to mirror the
+iterative hash-min propagation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.corpus import sample_threshold
+from .queries import query
+from .queries_llm import (
+    _LSH_BANDS,
+    _MINHASH_BASE,
+    _MINHASH_MINS,
+    _SHINGLES_CTE,
+    _TOKS_SQL,
+)
+from .sources.catalog import load_table
+
+# The verified near-dup pair pipeline (shingles → minhash → LSH bands →
+# candidate pairs → Jaccard ≥ 0.2), as one nested-WITH subquery — the same
+# construction queries_llm.dedup_lsh_verified gates, reused as the edge
+# list for clustering.
+_VERIFIED_PAIRS_SQL = f"""
+    WITH {_SHINGLES_CTE},
+    base AS ({_MINHASH_BASE}),
+    sig AS (
+      SELECT doc_id,
+       {_MINHASH_MINS}
+      FROM base GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, b.band, b.band_sig
+      FROM sig, UNNEST([{_LSH_BANDS}]) AS u(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    co AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT co.doc1, co.doc2
+    FROM co
+    JOIN cand ON cand.doc1 = co.doc1 AND cand.doc2 = co.doc2
+    JOIN sizes s1 ON s1.doc_id = co.doc1
+    JOIN sizes s2 ON s2.doc_id = co.doc2
+    WHERE inter / (s1.n + s2.n - inter) >= 0.2
+"""
+
+
+@query(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_VERIFIED_PAIRS_SQL}),
+    edges AS (
+      SELECT doc1 AS src, doc2 AS dst FROM pairs
+      UNION ALL
+      SELECT doc2, doc1 FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS m FROM documents
+      UNION
+      SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.m
+    ),
+    comp AS (
+      SELECT node AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           doc_id = cluster_id AS is_canonical
+    FROM comp
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cluster stage of the dedup pipeline: verified near-dup pairs
+    (the dedup_lsh_verified construction) become edges; every document is
+    labeled with its connected component's minimum doc_id, the canonical
+    survivor. Iterative hash-min over DataFrames (operators/corpus.py) —
+    the oracle mirrors it with a recursive CTE."""
+    from pyspark.sql import Window
+
+    from .operators.corpus import connected_components
+    from .operators.dedup import (
+        doc_shingles,
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs)
+    cand = lsh_candidate_pairs(minhash_signatures(sh, num_hashes=12))
+    pairs = jaccard_pairs(sh, candidates=cand, threshold=0.2)
+    comp = connected_components(
+        docs.select("doc_id"), pairs, id_col="doc_id", src_col="doc1", dst_col="doc2"
+    )
+    w = Window.partitionBy("cluster_id")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("node") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+@query(
+    "decontaminate_overlap",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    bench AS (SELECT doc_id AS bench_doc, shingle FROM sh WHERE doc_id % 50 = 0),
+    train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 != 0),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_train_shingles FROM train GROUP BY doc_id),
+    hits AS (
+      SELECT t.doc_id AS train_doc, b.bench_doc, COUNT(*) AS n_overlap
+      FROM train t JOIN bench b ON t.shingle = b.shingle
+      GROUP BY 1, 2
+    )
+    SELECT train_doc, bench_doc, n_overlap, s.n_train_shingles,
+           round(n_overlap / s.n_train_shingles, 6) AS overlap_frac
+    FROM hits JOIN sizes s ON s.doc_id = train_doc
+    WHERE n_overlap >= 1
+    """,
+)
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing word
+    3-gram shingles with a (deterministic) held-out eval slice
+    (doc_id % 50 = 0). The eval side broadcasts; the corpus is scanned
+    once — the shape that survives a 100 TB corpus against a fixed eval
+    suite."""
+    from .operators.corpus import ngram_overlap
+    from .operators.dedup import doc_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs)
+    return ngram_overlap(sh, F.col("doc_id") % 50 == 0, min_overlap=1)
+
+
+#: deterministic training-mix rates per language stratum
+SAMPLE_RATES = {"en": 0.9, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.25}
+_SAMPLE_SEED = 7
+
+
+def _sample_case_sql() -> tuple[str, str]:
+    thresh = " ".join(
+        f"WHEN lang = '{s}' THEN CAST({sample_threshold(r)} AS BIGINT)"
+        for s, r in SAMPLE_RATES.items()
+    )
+    weight = " ".join(
+        f"WHEN lang = '{s}' THEN {round(1.0 / r, 6)!r}" for s, r in SAMPLE_RATES.items()
+    )
+    return (
+        f"CASE {thresh} ELSE CAST(0 AS BIGINT) END",
+        f"CASE {weight} ELSE CAST(NULL AS DOUBLE) END",
+    )
+
+
+_THRESH_SQL, _WEIGHT_SQL = _sample_case_sql()
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    WITH drawn AS (
+      SELECT doc_id, lang, source,
+             CAST('0x' || substr(md5('{_SAMPLE_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS sample_key
+      FROM documents
+    )
+    SELECT doc_id, lang, source, sample_key, {_WEIGHT_SQL} AS weight
+    FROM drawn
+    WHERE sample_key < {_THRESH_SQL}
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language Bernoulli sample for training-mix
+    construction: keep iff hash60(seed:doc_id) < rate·2^60, weight =
+    1/rate. Pure map-side filter — zero shuffle, reproducible across
+    engines, retries, and cluster sizes."""
+    from .operators.corpus import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, strata_col="lang", rates=SAMPLE_RATES, id_col="doc_id", seed=_SAMPLE_SEED
+    )
+    return out.select("doc_id", "lang", "source", "sample_key", "weight")
+
+
+_PACK_BUDGET = 1024
+
+
+@query(
+    "doc_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, len({_TOKS_SQL}) AS n_tokens FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens,
+           (cum_tokens - n_tokens) // {_PACK_BUDGET} AS pack_id,
+           ROW_NUMBER() OVER (PARTITION BY source, (cum_tokens - n_tokens) // {_PACK_BUDGET}
+                              ORDER BY doc_id) AS slot
+    FROM c
+    """,
+)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: within each source shard, docs are
+    packed in doc_id order into {_PACK_BUDGET}-token bins via a cumulative
+    window — the deterministic, order-parallel packing a pretraining data
+    loader consumes. The windowed SUM is cast to BIGINT on both sides
+    (DuckDB widens window sums to HUGEINT)."""
+    from .operators.corpus import pack_sequences
+    from .operators.textops import normalize_text_expr, token_count_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    # token count over the NORMALIZED text to mirror _TOKS_SQL exactly
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(normalize_text_expr(F.coalesce(F.col("text"), F.lit(""))), " ")).alias(
+            "n_tokens"
+        ),
+    )
+    return pack_sequences(
+        base, budget=_PACK_BUDGET, token_col="n_tokens", order_col="doc_id", part_col="source"
+    )
+
+
+@query(
+    "doc_tfidf_topterms",
+    oracle="""
+    WITH terms AS (
+      SELECT doc_id, t.term
+      FROM documents,
+           UNNEST(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                              p -> p != '')) AS t(term)
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+    dfc AS (SELECT term, COUNT(*) AS df_count FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfc.df_count,
+             round(tf.tf * ln((n.n_docs + 1) / (dfc.df_count + 1)), 6) AS score
+      FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df_count, score, rank FROM (
+      SELECT doc_id, term, tf, df_count, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF terms. Ranking happens on the
+    6-dp-rounded score (term tiebreak) in BOTH engines so the top-k set is
+    reproducible; ln() cross-engine error (≤1 ulp) is far below the
+    rounding quantum."""
+    from .operators.corpus import tfidf_topterms
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    return tfidf_topterms(docs, n_docs=n_docs, k=5)

@@ -1,0 +1,155 @@
+"""Corpus-pipeline operator tests: clustering, decontamination, sampling,
+packing, tf-idf (operators/corpus.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from database_replicator_spark.operators.corpus import (
+    HASH60_SPAN,
+    connected_components,
+    ngram_overlap,
+    pack_sequences,
+    sample_threshold,
+    stratified_sample,
+    tfidf_topterms,
+)
+from database_replicator_spark.operators.dedup import doc_shingles
+
+
+class TestConnectedComponents:
+    def _run(self, spark, n_nodes, pairs):
+        nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], "node long")
+        edges = spark.createDataFrame(pairs, "doc1 long, doc2 long")
+        out = connected_components(nodes, edges)
+        return {r["node"]: r["cluster_id"] for r in out.collect()}
+
+    def test_chain_converges_to_min(self, spark):
+        # 0-1-2-3-4 path: min label must propagate the full diameter
+        labels = self._run(spark, 6, [(0, 1), (1, 2), (2, 3), (3, 4)])
+        assert labels == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5}
+
+    def test_two_components_and_singletons(self, spark):
+        labels = self._run(spark, 7, [(1, 2), (2, 3), (5, 6)])
+        assert labels == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
+
+    def test_edge_direction_irrelevant(self, spark):
+        # edges given high->low still propagate the low id
+        labels = self._run(spark, 3, [(2, 0), (1, 2)])
+        assert labels == {0: 0, 1: 0, 2: 0}
+
+    def test_empty_edges_all_singletons(self, spark):
+        nodes = spark.createDataFrame([(i,) for i in range(4)], "node long")
+        edges = spark.createDataFrame([], "doc1 long, doc2 long")
+        out = connected_components(nodes, edges).collect()
+        assert all(r["node"] == r["cluster_id"] for r in out)
+
+
+class TestDecontamination:
+    def test_overlap_counts_and_fraction(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (0, "alpha beta gamma delta epsilon"),  # bench (id % 2 == 0... use pred id==0)
+                (1, "alpha beta gamma something else entirely"),
+                (2, "nothing shared with the benchmark at all"),
+            ],
+            "doc_id long, text string",
+        )
+        sh = doc_shingles(docs, k=3)
+        out = ngram_overlap(sh, F.col("doc_id") == 0, min_overlap=1).collect()
+        # doc 1 shares the 'alpha beta gamma' 3-gram with bench doc 0; doc 2 none
+        assert len(out) == 1
+        row = out[0]
+        assert (row["train_doc"], row["bench_doc"], row["n_overlap"]) == (1, 0, 1)
+        assert row["n_train_shingles"] == 4
+        assert row["overlap_frac"] == 0.25
+
+    def test_min_overlap_filters(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "a b c d e"), (1, "a b c d x")],
+            "doc_id long, text string",
+        )
+        sh = doc_shingles(docs, k=3)
+        assert ngram_overlap(sh, F.col("doc_id") == 0, min_overlap=3).count() == 0
+        assert ngram_overlap(sh, F.col("doc_id") == 0, min_overlap=2).count() == 1
+
+
+class TestStratifiedSample:
+    def test_deterministic_and_rate_roughly_honored(self, spark):
+        rows = [(i, "en" if i % 2 == 0 else "zh") for i in range(2000)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        rates = {"en": 0.5, "zh": 0.1}
+        a = stratified_sample(df, "lang", rates, seed=3)
+        b = stratified_sample(df, "lang", rates, seed=3)
+        got_a = sorted(r["doc_id"] for r in a.collect())
+        got_b = sorted(r["doc_id"] for r in b.collect())
+        assert got_a == got_b  # pure function of (id, seed, rate)
+        by_lang = {
+            r["lang"]: r["n"]
+            for r in a.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        # 1000 per stratum; binomial 3-sigma bounds
+        assert 450 <= by_lang["en"] <= 550
+        assert 70 <= by_lang["zh"] <= 130
+
+    def test_weights_are_inverse_rates(self, spark):
+        df = spark.createDataFrame([(i, "en") for i in range(50)], "doc_id long, lang string")
+        out = stratified_sample(df, "lang", {"en": 0.25}, seed=0)
+        assert {r["weight"] for r in out.collect()} == {4.0}
+
+    def test_unknown_stratum_dropped_by_default(self, spark):
+        df = spark.createDataFrame([(1, "xx")], "doc_id long, lang string")
+        assert stratified_sample(df, "lang", {"en": 1.0}).count() == 0
+
+    def test_threshold_monotone(self):
+        assert sample_threshold(0.0) == 0
+        assert sample_threshold(1.0) == HASH60_SPAN
+        assert 0 < sample_threshold(0.3) < sample_threshold(0.7) < HASH60_SPAN
+
+
+class TestPackSequences:
+    def test_cumulative_binning(self, spark):
+        df = spark.createDataFrame(
+            [(1, 60), (2, 50), (3, 10), (4, 200), (5, 5)],
+            "doc_id long, n_tokens int",
+        )
+        out = {r["doc_id"]: (r["pack_id"], r["slot"]) for r in
+               pack_sequences(df, budget=100).collect()}
+        # cum-before: 0, 60, 110, 120, 320 → packs 0,0,1,1,3
+        assert out == {1: (0, 1), 2: (0, 2), 3: (1, 1), 4: (1, 2), 5: (3, 1)}
+
+    def test_oversized_doc_gets_own_packs_not_split(self, spark):
+        df = spark.createDataFrame([(1, 500), (2, 10)], "doc_id long, n_tokens int")
+        out = {r["doc_id"]: r["pack_id"] for r in pack_sequences(df, budget=100).collect()}
+        assert out == {1: 0, 2: 5}  # doc 2 starts a fresh pack after the giant
+
+    def test_partitioned_packing_is_per_key(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a", 80), (2, "a", 80), (1, "b", 80), (2, "b", 80)],
+            "doc_id long, src string, n_tokens int",
+        )
+        out = pack_sequences(df, budget=100, part_col="src").collect()
+        packs = {(r["src"], r["doc_id"]): r["pack_id"] for r in out}
+        assert packs == {("a", 1): 0, ("a", 2): 0, ("b", 1): 0, ("b", 2): 0}
+
+
+class TestTfidf:
+    def test_rare_terms_outrank_common(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "common common rare1"),
+                (2, "common common rare2"),
+                (3, "common common rare3"),
+            ],
+            "doc_id long, text string",
+        )
+        out = tfidf_topterms(docs, n_docs=3, k=1).collect()
+        top = {r["doc_id"]: r["term"] for r in out}
+        # 'common' has df=3 → idf=0; each rareN has df=1 → positive score
+        assert top == {1: "rare1", 2: "rare2", 3: "rare3"}
+
+    def test_rank_deterministic_on_ties(self, spark):
+        docs = spark.createDataFrame([(1, "zeta alpha")], "doc_id long, text string")
+        out = tfidf_topterms(docs, n_docs=1, k=2).collect()
+        ranked = sorted((r["rank"], r["term"]) for r in out)
+        # equal scores → alphabetical tiebreak
+        assert ranked == [(1, "alpha"), (2, "zeta")]
