@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import hash60, seeded
+from ..functions.hashing import hash60, hash60_tail
 from .textops import fingerprint_expr, normalize_text_expr, tokens_expr
 
 
@@ -99,17 +99,19 @@ def minhash_signatures(
     """One row per doc: ``sig`` = array of minhash values.
 
     Hash family is Carter-Wegman over two base hashes,
-    ``h_i = (h1 + i * (h2 mod P)) mod P`` — 2 md5 evaluations per shingle
-    regardless of signature width (vs. one md5 per hash function), which
-    cut the sf0.1 minhash stage ~3×. Single groupBy over the exploded
-    shingles; each family member is a map-side integer expression."""
+    ``h_i = (h1 + i * (h2 mod P)) mod P``, with BOTH bases sliced from one
+    md5 digest (head/tail 60 bits) — a single md5 evaluation per shingle
+    regardless of signature width; codegen subexpression elimination
+    collapses the two slices onto one digest computation. Single groupBy
+    over the exploded shingles; each family member is a map-side integer
+    expression."""
     if num_hashes > CW_MAX_HASHES:
         raise ValueError(
             f"num_hashes={num_hashes} exceeds the int64-safe Carter-Wegman "
             f"bound of {CW_MAX_HASHES}; use a second seed pair for wider signatures"
         )
     h1 = hash60(F.col("shingle"))
-    h2 = hash60(seeded(F.col("shingle"), 1)) % F.lit(CW_PRIME)
+    h2 = hash60_tail(F.col("shingle")) % F.lit(CW_PRIME)
     aggs = [
         F.min((h1 + F.lit(s) * h2) % F.lit(CW_PRIME)).alias(f"h{s}")
         for s in range(num_hashes)
@@ -139,29 +141,29 @@ def lsh_candidate_pairs(
     boilerplate-identical docs are exactly what the cheaper exact-dedup
     tier (tier 1) already collapses before LSH runs.
     """
+    # Band structs are built with plain codegen expressions (element_at +
+    # concat_ws + md5) over a LITERAL band list, not higher-order
+    # transform/slice lambdas — HOFs run interpreted per element and showed
+    # up as a measurable slice of the candidate stage at sf0.1.
+    def band_struct(b: int) -> Column:
+        cells = [
+            F.element_at(F.col("sig"), b * rows_per_band + r + 1).cast("string")
+            for r in range(rows_per_band)
+        ]
+        return F.struct(
+            F.lit(b).alias("band"), F.md5(F.concat_ws(",", *cells)).alias("band_sig")
+        )
+
     banded = signatures.select(
         "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.md5(
-                        F.array_join(
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                            ",",
-                        )
-                    ).alias("band_sig"),
-                ),
-            )
-        ).alias("bb"),
+        F.explode(F.array(*[band_struct(b) for b in range(bands)])).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_sig").alias("band_sig"))
-    # the self-join below consumes `banded` twice; caching stops the whole
-    # shingle→signature pipeline from executing twice
-    banded = banded.cache()
+    # the self-join below consumes `banded` twice, but BOTH consumers
+    # shuffle it on the same (band, band_sig) keys from identical
+    # subplans, so Catalyst's ReuseExchange computes the
+    # shingle→signature pipeline once and reads the exchange twice — no
+    # cache materialization barrier needed (and the bucket-size filter's
+    # groupBy below shares the same exchange too)
     if max_bucket_size is not None:
         small = (
             banded.groupBy("band", "band_sig")
@@ -189,35 +191,83 @@ def jaccard_pairs(
     shingle when ``candidates`` is None — correct but quadratic; always
     pass LSH candidates at scale).
 
-    With ``candidates``, intersections are computed per candidate pair
-    (explode pair by doc1's shingles → match doc2's set) — the quadratic
-    work is confined to the LSH candidate set, which is what survives
-    100 TB. Without, a corpus self-join on shingle with df≥2 vocabulary
-    pruning. Either way jaccard = inter/(|A|+|B|-inter), exact in
-    integers until the final division.
+    With ``candidates``, each candidate pair intersects its two docs'
+    shingle SETS pair-locally (array_intersect on per-doc collect_set
+    rows) — the quadratic work is confined to the LSH candidate set, which
+    is what survives 100 TB. Without, a corpus self-join on shingle with
+    df≥2 vocabulary pruning. Either way jaccard = inter/(|A|+|B|-inter),
+    exact in integers until the final division.
 
-    ``shingled`` is consumed several times, so it is cached here — at
-    scale, materialize it once (parquet/Delta stage) instead."""
-    shingled = shingled.cache()
-    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    In the all-pairs branch ``shingled`` is consumed three times and is
+    cached; in the candidate branch it is deliberately NOT cached — the
+    two consumers (the signature pipeline behind ``candidates`` and the
+    semi-join feeding the per-doc set aggregation) each run it FUSED with
+    their own stages, and a measured cache write+read of the full shingle
+    set costs more than one extra fused recompute. At scale, materialize
+    shingles once as a parquet/Delta stage instead."""
     if candidates is not None:
-        # Candidates prune BEFORE the quadratic work: each candidate pair is
-        # exploded by doc1's shingles, then matched against doc2's shingle
-        # set on (doc2, shingle) — per-pair intersection counting, no corpus
-        # self-join at all. Pairs with zero overlap vanish here, exactly as
-        # they vanish from the oracle's inner-join co-occurrence. The df≥2
-        # vocabulary pruning below is pointless in this branch (unshared
-        # shingles simply find no match), so its groupBy is skipped.
-        cand = candidates.select("doc1", "doc2")
-        a = shingled.select(F.col("doc_id").alias("doc1"), "shingle")
-        b = shingled.select(F.col("doc_id").alias("doc2"), "shingle")
-        co = (
-            cand.join(a, on="doc1")
-            .join(b, on=["doc2", "shingle"])
-            .groupBy("doc1", "doc2")
-            .agg(F.count(F.lit(1)).alias("inter"))
+        # Candidates prune BEFORE the quadratic work, and the intersection
+        # is computed PAIR-LOCALLY: the shingle table is semi-joined down
+        # to candidate doc ids, collapsed to one shingle-set row per doc,
+        # and each candidate pair intersects its two sets in a codegen
+        # expression (array_intersect). No corpus self-join, no shuffle
+        # keyed on shingle at all — so a corpus-wide hot shingle
+        # (boilerplate) cannot skew this stage; per-pair cost is bounded
+        # by the two docs' own shingle counts. Zero-overlap candidates are
+        # filtered (inter ≥ 1), exactly as they vanish from the oracle's
+        # inner-join co-occurrence. Set sizes double as |A|/|B| (the
+        # semi-join keeps ALL shingles of a kept doc, so counts equal
+        # full-corpus sizes for every emitted row).
+        # cand is consumed by ids AND the final join; sets by both join
+        # sides — cache both, or the upstream LSH candidate pipeline
+        # replays once per consumer. Both are candidate-bounded, far
+        # below corpus size.
+        cand = candidates.select("doc1", "doc2").cache()
+        # no .distinct() — left_semi ignores duplicate build-side keys, and
+        # skipping it saves a shuffle; cached cand's stats let the planner
+        # broadcast the id list outright at candidate-bounded sizes
+        ids = cand.select(F.explode(F.array("doc1", "doc2")).alias("doc_id"))
+        sets = (
+            shingled.join(ids, on="doc_id", how="left_semi")
+            .groupBy("doc_id")
+            .agg(F.collect_set("shingle").alias("sh_set"))
+            .select(
+                "doc_id", "sh_set", F.size("sh_set").alias("n_shingles")
+            )
+            .cache()
         )
+        s1 = sets.select(
+            F.col("doc_id").alias("doc1"),
+            F.col("sh_set").alias("set1"),
+            F.col("n_shingles").alias("n1"),
+        )
+        s2 = sets.select(
+            F.col("doc_id").alias("doc2"),
+            F.col("sh_set").alias("set2"),
+            F.col("n_shingles").alias("n2"),
+        )
+        co = (
+            cand.join(s1, on="doc1")
+            .join(s2, on="doc2")
+            .select(
+                "doc1",
+                "doc2",
+                F.size(F.array_intersect("set1", "set2")).alias("inter"),
+                "n1",
+                "n2",
+            )
+            .filter(F.col("inter") >= 1)
+        )
+        out = co.withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")),
+        )
+        if threshold > 0:
+            out = out.filter(F.col("jaccard") >= threshold)
+        return out.select("doc1", "doc2", "inter", "n1", "n2", "jaccard")
     else:
+        shingled = shingled.cache()
+        sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
         # Exact pruning for the all-pairs path: shingles with document
         # frequency 1 cannot co-occur, so drop them from the join inputs
         # (but not from the |A|/|B| sizes) — bit-identical results with

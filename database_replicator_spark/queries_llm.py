@@ -361,9 +361,11 @@ _CW_P = 576460752303423433
 _MINHASH_MINS = ",\n       ".join(
     f"MIN((h1 + {s} * h2m) % {_CW_P}) AS h{s}" for s in range(12)
 )
+# both bases come from ONE md5 digest: head 15 hex chars → h1, tail 15
+# (chars 17-31) → h2 — mirrors hashing.hash60 / hash60_tail
 _MINHASH_BASE = (
     f"SELECT doc_id, {_hash60_sql('shingle')} AS h1, "
-    f"{_hash60_sql(chr(39) + '1:' + chr(39) + ' || shingle')} % {_CW_P} AS h2m FROM sh"
+    f"CAST('0x' || substr(md5(shingle), 17, 15) AS BIGINT) % {_CW_P} AS h2m FROM sh"
 )
 
 _LSH_BANDS = ", ".join(
