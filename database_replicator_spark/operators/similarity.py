@@ -428,6 +428,95 @@ def neardup_pairs_blas(
     return corpus.mapInPandas(scan, schema="id1 long, id2 long, cosine double")
 
 
+def neardup_pairs_blocked(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_blocks: int = 4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Distributed exact all-pairs cosine scan via block-matrix cogroup —
+    the 100 TB shape for *exact* near-dup (no driver collect anywhere,
+    unlike :func:`neardup_pairs_blas`, which broadcasts the whole corpus
+    from the driver and is kept only as the small-scale twin).
+
+    The corpus is hashed into ``num_blocks`` row blocks; each unordered
+    block pair (i ≤ j) becomes one cogroup key, whose task receives block
+    i's rows and block j's rows as pandas frames and runs one
+    unit-normalized float64 matmul (``block_i @ block_j.T``) — vectorized
+    BLAS, no per-pair row explosion. Replication cost: each row is shipped
+    to ``num_blocks + 1`` tasks (its row-block paired with every block),
+    i.e. O(n·B) shuffle for O(n²) compute — choose B so one block
+    (~n/B × dim float64) fits executor memory; compute, not shuffle,
+    dominates for any realistic B. Same-block pairs keep ``id1 < id2``;
+    cross-block pairs are emitted min-id-first, matching the oracle's
+    ``a.vec_id < b.vec_id`` exactly."""
+    import numpy as np
+
+    spark = corpus.sparkSession
+    base = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    blk = F.pmod(F.hash(F.col("vid")), F.lit(num_blocks))
+    blocks = base.withColumn("blk", blk)
+    pair_rows = [
+        (i, j) for i in range(num_blocks) for j in range(num_blocks) if i <= j
+    ]
+    pairs = spark.createDataFrame(pair_rows, "bi int, bj int")
+    # each row fans out to every block pair containing its block: the left
+    # stream carries pair (bi=own block, bj), the right stream (bi, bj=own).
+    # Aliased copies keep the two blocks⨝pairs joins unambiguous when the
+    # analyzer sees both under one cogroup plan.
+    bl, pl = blocks.alias("bl"), pairs.alias("pl")
+    br, pr = blocks.alias("br"), pairs.alias("pr")
+    left = bl.join(F.broadcast(pl), F.col("bl.blk") == F.col("pl.bi")).select(
+        F.col("pl.bi").alias("bi"),
+        F.col("pl.bj").alias("bj"),
+        F.col("bl.vid").alias("lvid"),
+        F.col("bl.vec").alias("lvec"),
+    )
+    right = br.join(F.broadcast(pr), F.col("br.blk") == F.col("pr.bj")).select(
+        F.col("pr.bi").alias("bi"),
+        F.col("pr.bj").alias("bj"),
+        F.col("br.vid").alias("rvid"),
+        F.col("br.vec").alias("rvec"),
+    )
+
+    def scan_pair(key, lpdf, rpdf):
+        import pandas as pd
+
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame({"id1": [], "id2": [], "cosine": []})
+        li = lpdf["lvid"].to_numpy()
+        ri = rpdf["rvid"].to_numpy()
+        lm = np.array(lpdf["lvec"].tolist(), dtype=np.float64)
+        rm = np.array(rpdf["rvec"].tolist(), dtype=np.float64)
+        lm /= np.sqrt((lm * lm).sum(axis=1, keepdims=True))
+        rm /= np.sqrt((rm * rm).sum(axis=1, keepdims=True))
+        sims = lm @ rm.T
+        ai, bi_ = np.nonzero(sims >= threshold)
+        id_a, id_b = li[ai], ri[bi_]
+        keep = id_a != id_b
+        if key[0] == key[1]:
+            # same block appears on both streams: every pair shows up
+            # twice (and self-pairs once) — keep each once, ordered
+            keep &= id_a < id_b
+        out_lo = np.minimum(id_a[keep], id_b[keep])
+        out_hi = np.maximum(id_a[keep], id_b[keep])
+        return pd.DataFrame(
+            {
+                "id1": out_lo,
+                "id2": out_hi,
+                "cosine": np.round(sims[ai, bi_][keep], round_digits),
+            }
+        )
+
+    return (
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("bi", "bj"))
+        .applyInPandas(scan_pair, schema="id1 long, id2 long, cosine double")
+    )
+
+
 def topk_blas(
     corpus: DataFrame,
     queries: DataFrame,

@@ -520,13 +520,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BLAS near-dup scan; scores rounded to 6 dp so the BLAS pairwise
-    summation and the oracle's sequential fold agree exactly (float error
-    ~1e-14 « 5e-7 quantum)."""
-    from .operators.similarity import neardup_pairs_blas
+    """Distributed block-matrix near-dup scan (cogrouped per-block-pair
+    BLAS matmuls — no driver collect, survives corpora that don't fit one
+    machine); scores rounded to 6 dp so the BLAS pairwise summation and
+    the oracle's sequential fold agree exactly (float error ~1e-14 «
+    5e-7 quantum)."""
+    from .operators.similarity import neardup_pairs_blocked
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return neardup_pairs_blas(emb, threshold=0.5)
+    return neardup_pairs_blocked(emb, threshold=0.5)
 
 
 @query(

@@ -17,6 +17,8 @@ from database_replicator_spark.operators.similarity import (
     cosine_expr,
     lsh_topk,
     neardup_pairs,
+    neardup_pairs_blas,
+    neardup_pairs_blocked,
 )
 
 
@@ -113,6 +115,30 @@ class TestSimilarity:
     def test_neardup_pairs_threshold(self, spark, vectors):
         pairs = neardup_pairs(vectors, threshold=0.999).collect()
         assert {(p["id1"], p["id2"]) for p in pairs} == {(0, 100)}
+
+    def test_blocked_matches_blas_exactly(self, spark, vectors):
+        # the distributed block-matrix scan must reproduce the
+        # driver-broadcast BLAS twin bit-for-bit (same rounding)
+        blas = {
+            (r["id1"], r["id2"]): r["cosine"]
+            for r in neardup_pairs_blas(vectors, threshold=0.3).collect()
+        }
+        blocked = {
+            (r["id1"], r["id2"]): r["cosine"]
+            for r in neardup_pairs_blocked(vectors, threshold=0.3).collect()
+        }
+        assert blas == blocked and len(blocked) > 1
+
+    def test_blocked_invariant_to_block_count(self, spark, vectors):
+        one = {
+            (r["id1"], r["id2"])
+            for r in neardup_pairs_blocked(vectors, threshold=0.3, num_blocks=1).collect()
+        }
+        many = {
+            (r["id1"], r["id2"])
+            for r in neardup_pairs_blocked(vectors, threshold=0.3, num_blocks=7).collect()
+        }
+        assert one == many
 
     def test_lsh_recall_on_fixture(self, spark):
         from database_replicator_spark.sources.catalog import load_table
