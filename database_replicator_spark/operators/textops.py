@@ -98,6 +98,122 @@ def fingerprint_expr(text: Column) -> Column:
     return F.md5(normalize_text_expr(text))
 
 
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models", table A1 — adapted to token-level measures
+    since the corpus has no line structure):
+
+      * ``type_token_ratio`` — distinct tokens / tokens (low = repetitive)
+      * ``top_bigram_frac``  — tokens covered by the most frequent bigram
+        (2·max_count / n_tokens)
+      * ``dup_trigram_frac`` — fraction of trigram occurrences that are
+        repeats (1 − distinct/total)
+      * ``is_repetitive``    — Gopher-ish cut: (top-bigram repeats AND
+        covers > 0.18 of tokens) OR dup-trigram > 0.30
+
+    Plan shape: ONE posexplode of tokens, a partition-by-doc window to
+    build bigrams/trigrams with ``lead`` (no re-tokenization), then two
+    aggregations that share the doc_id shuffle key. All codegen; fractions
+    rounded to 6 dp for cross-engine parity. At 100 TB every shuffle is
+    keyed by doc_id (uniform), payload a few longs per n-gram — no
+    corpus-wide keys, no skew beyond document length itself."""
+    from pyspark.sql import Window
+
+    norm = normalize_text_expr(F.coalesce(F.col(text_col), F.lit("")))
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(norm, " ")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = toks.select(
+        "doc_id",
+        "tok",
+        F.lead("tok", 1).over(w).alias("t1"),
+        F.lead("tok", 2).over(w).alias("t2"),
+    ).select(
+        "doc_id",
+        "tok",
+        F.when(F.col("t1").isNotNull(), F.concat_ws(" ", "tok", "t1")).alias("bigram"),
+        F.when(F.col("t2").isNotNull(), F.concat_ws(" ", "tok", "t1", "t2")).alias(
+            "trigram"
+        ),
+    )
+    per_bigram = (
+        grams.filter(F.col("bigram").isNotNull())
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_count"))
+    )
+    per_doc = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct_tokens"),
+        F.count("trigram").alias("n_trigrams"),
+        F.countDistinct("trigram").alias("n_distinct_trigrams"),
+    )
+    out = per_doc.join(per_bigram, on="doc_id", how="left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("top_bigram_count"), F.lit(0)).alias("top_bigram_count"),
+        F.round(F.col("n_distinct_tokens") / F.col("n_tokens"), 6).alias(
+            "type_token_ratio"
+        ),
+        F.round(
+            F.coalesce(F.col("top_bigram_count") * 2, F.lit(0)) / F.col("n_tokens"), 6
+        ).alias("top_bigram_frac"),
+        F.round(
+            F.when(
+                F.col("n_trigrams") > 0,
+                1 - F.col("n_distinct_trigrams") / F.col("n_trigrams"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_trigram_frac"),
+    )
+    # the top-bigram cut requires an ACTUAL repeat (count ≥ 2): a short
+    # all-distinct doc has top frac 2/n > 0.18 for n < 12 without any
+    # repetition, which is not what the Gopher rule targets
+    return out.withColumn(
+        "is_repetitive",
+        ((F.col("top_bigram_count") >= 2) & (F.col("top_bigram_frac") > 0.18))
+        | (F.col("dup_trigram_frac") > 0.30),
+    )
+
+
+#: PII patterns — the RE2 ∩ Java-regex compatible subset (no backrefs, no
+#: lookaround) so Spark and the DuckDB oracle compile the SAME pattern.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?[0-9]{1,2}[- ][0-9]{3}[- ][0-9]{4}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", out_col: str = "redacted"
+) -> DataFrame:
+    """Scrub emails → ``<EMAIL>``, phone-ish numbers → ``<PHONE>``, IPv4
+    literals → ``<IP>`` and count each class. Pure codegen
+    regexp_replace/regexp_count chain — the shape of a 100 TB PII pass is
+    exactly a map-only scan, no shuffle at all. Order matters: emails are
+    replaced first so their host parts can't be re-matched as phones/IPs."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return df.withColumns(
+        {
+            "n_emails": F.regexp_count(text, F.lit(PII_EMAIL)),
+            "n_ips": F.regexp_count(text, F.lit(PII_IPV4)),
+            "n_phones": F.regexp_count(text, F.lit(PII_PHONE)),
+            out_col: redacted,
+        }
+    )
+
+
 def winnowing_fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     k: int = 5, w: int = 4,

@@ -239,6 +239,112 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_repetition_signals",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    tok AS (SELECT doc_id, t.tok FROM norm, UNNEST(toks) AS t(tok)),
+    bi AS (
+      SELECT doc_id, u.b FROM norm, UNNEST(
+        list_transform(generate_series(1, len(toks) - 1),
+                       i -> array_to_string(toks[i:i+1], ' '))) AS u(b)
+    ),
+    tri AS (
+      SELECT doc_id, u.t FROM norm, UNNEST(
+        list_transform(generate_series(1, len(toks) - 2),
+                       i -> array_to_string(toks[i:i+2], ' '))) AS u(t)
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             COUNT(DISTINCT tok) AS n_distinct_tokens
+      FROM tok GROUP BY doc_id
+    ),
+    per_tri AS (
+      SELECT doc_id, COUNT(*) AS n_trigrams,
+             COUNT(DISTINCT t) AS n_distinct_trigrams
+      FROM tri GROUP BY doc_id
+    ),
+    per_bigram AS (
+      SELECT doc_id, MAX(c) AS top_bigram_count FROM (
+        SELECT doc_id, b, COUNT(*) AS c FROM bi GROUP BY 1, 2
+      ) GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.n_tokens,
+           COALESCE(g.top_bigram_count, 0) AS top_bigram_count,
+           round(d.n_distinct_tokens / d.n_tokens, 6) AS type_token_ratio,
+           round(COALESCE(g.top_bigram_count * 2, 0) / d.n_tokens, 6) AS top_bigram_frac,
+           round(CASE WHEN COALESCE(t.n_trigrams, 0) > 0
+                      THEN 1 - CAST(t.n_distinct_trigrams AS DOUBLE) / t.n_trigrams
+                      ELSE 0.0 END, 6) AS dup_trigram_frac,
+           ((COALESCE(g.top_bigram_count, 0) >= 2
+             AND round(COALESCE(g.top_bigram_count * 2, 0) / d.n_tokens, 6) > 0.18)
+            OR round(CASE WHEN COALESCE(t.n_trigrams, 0) > 0
+                          THEN 1 - CAST(t.n_distinct_trigrams AS DOUBLE) / t.n_trigrams
+                          ELSE 0.0 END, 6) > 0.30) AS is_repetitive
+    FROM per_doc d
+    LEFT JOIN per_bigram g ON g.doc_id = d.doc_id
+    LEFT JOIN per_tri t ON t.doc_id = d.doc_id
+    """,
+)
+def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition filters at token granularity:
+    type-token ratio, top-bigram coverage, duplicate-trigram fraction, and
+    the resulting is_repetitive cut. One token explode, window-built
+    n-grams, doc-keyed aggregations only (operators/textops.py
+    repetition_signals)."""
+    from .operators.textops import repetition_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_signals(docs)
+
+
+# Deterministic PII-bearing contact line derived from existing columns —
+# the corpus itself is synthetic word soup with no PII, so the redaction
+# query plants one email/IP/phone per document as a pure function of
+# (source, doc_id) and must scrub all of them. Both engines build the
+# SAME string, so counts and redacted text are exactly comparable.
+_CONTACT_SPARK = (
+    "concat(text, ' contact ', source, '@example.com ip 10.0.', "
+    "CAST(pmod(doc_id, 256) AS STRING), '.1 ph +1-555-', lpad(CAST(doc_id AS STRING), 4, '0'))"
+)
+_CONTACT_DUCK = (
+    "text || ' contact ' || source || '@example.com ip 10.0.' || "
+    "CAST(doc_id % 256 AS VARCHAR) || '.1 ph +1-555-' || lpad(CAST(doc_id AS VARCHAR), 4, '0')"
+)
+
+
+@query(
+    "doc_pii_redaction",
+    oracle=f"""
+    WITH lines AS (
+      SELECT doc_id, {_CONTACT_DUCK} AS contact FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(contact, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_emails,
+           len(regexp_extract_all(contact, '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b')) AS n_ips,
+           len(regexp_extract_all(contact, '\\+?[0-9]{{1,2}}[- ][0-9]{{3}}[- ][0-9]{{4}}')) AS n_phones,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(contact, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+               '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b', '<IP>', 'g'),
+             '\\+?[0-9]{{1,2}}[- ][0-9]{{3}}[- ][0-9]{{4}}', '<PHONE>', 'g') AS redacted
+    FROM lines
+    """,
+)
+def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: plant a deterministic contact line (email + IPv4 +
+    phone derived from source/doc_id), then redact and count each class
+    with shared RE2∩Java-compatible patterns. Map-only codegen scan — the
+    exact shape of a 100 TB PII pass (operators/textops.py pii_redact)."""
+    from .operators.textops import pii_redact
+
+    docs = load_table(spark, sf_dir, "documents")
+    lines = docs.select("doc_id", F.expr(_CONTACT_SPARK).alias("contact"))
+    return pii_redact(lines, text_col="contact", out_col="redacted").select(
+        "doc_id", "n_emails", "n_ips", "n_phones", "redacted"
+    )
+
+
+@query(
     "doc_tfidf_topterms",
     oracle="""
     WITH terms AS (

@@ -202,3 +202,74 @@ class TestWinnowing:
         )
         out = winnowing_fingerprints(df, k=5, w=4)
         assert {r["doc_id"] for r in out.collect()} == {1, 2}
+
+
+class TestRepetitionSignals:
+    def test_repetitive_doc_flagged_clean_doc_not(self, spark):
+        from database_replicator_spark.operators.textops import repetition_signals
+
+        rep = " ".join(["buy now"] * 20)  # one bigram covers the doc
+        clean = "every word here appears exactly once in this sentence"
+        df = spark.createDataFrame(
+            [(1, rep), (2, clean)], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+        assert out[1]["is_repetitive"] and not out[2]["is_repetitive"]
+        assert out[1]["top_bigram_frac"] > 0.5
+        assert out[2]["type_token_ratio"] == 1.0
+        assert out[2]["dup_trigram_frac"] == 0.0
+
+    def test_short_docs_survive(self, spark):
+        from database_replicator_spark.operators.textops import repetition_signals
+
+        df = spark.createDataFrame(
+            [(1, "one"), (2, "two words"), (3, None)], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+        assert set(out) == {1, 2, 3}
+        # no bigrams/trigrams → zero fractions, never repetitive
+        assert out[1]["top_bigram_frac"] == 0.0
+        assert out[1]["dup_trigram_frac"] == 0.0
+        assert not out[1]["is_repetitive"]
+
+    def test_type_token_ratio_counts_duplicates(self, spark):
+        from database_replicator_spark.operators.textops import repetition_signals
+
+        df = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+        row = repetition_signals(df).collect()[0]
+        assert row["n_tokens"] == 4
+        assert row["type_token_ratio"] == 0.5
+
+
+class TestPiiRedact:
+    def test_all_three_classes_scrubbed(self, spark):
+        from database_replicator_spark.operators.textops import pii_redact
+
+        df = spark.createDataFrame(
+            [(1, "mail bob.smith+x@corp.example.org from 192.168.0.1 call +1 555 867-5309 end")],
+            "doc_id long, text string",
+        )
+        row = pii_redact(df).collect()[0]
+        assert row["n_emails"] == 1 and row["n_ips"] == 1
+        assert "<EMAIL>" in row["redacted"] and "<IP>" in row["redacted"]
+        assert "bob.smith" not in row["redacted"]
+        assert "192.168.0.1" not in row["redacted"]
+
+    def test_phone_variants(self, spark):
+        from database_replicator_spark.operators.textops import pii_redact
+
+        df = spark.createDataFrame(
+            [(1, "a +1-555-1234 b"), (2, "c 44 123-9999 d"), (3, "no pii at all")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in pii_redact(df).collect()}
+        assert out[1]["n_phones"] == 1 and "<PHONE>" in out[1]["redacted"]
+        assert out[2]["n_phones"] == 1
+        assert out[3]["n_phones"] == 0 and out[3]["redacted"] == "no pii at all"
+
+    def test_null_text_safe(self, spark):
+        from database_replicator_spark.operators.textops import pii_redact
+
+        df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+        row = pii_redact(df).collect()[0]
+        assert row["redacted"] == "" and row["n_emails"] == 0
