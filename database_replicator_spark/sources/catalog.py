@@ -52,8 +52,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     ensure_configured(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) fixtures read as long under nanosAsLong.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # timestamp[us] (no tz) fixtures read as TIMESTAMP_NTZ, which
+            # rejects numeric casts (gap arithmetic, epoch bucketing).
+            # Session tz is pinned UTC, so NTZ→LTZ is value-identical and
+            # restores TimestampType for every downstream operator.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
