@@ -58,9 +58,24 @@ def unit_expr(a: Column) -> Column:
     side ONCE before a pair join turns per-pair cosine into a bare dot
     product — at n² pairs that removes two n²-cost norm folds, the
     difference between 40 s and 14 s at sf0.1 and between feasible and
-    not at 100 TB."""
+    not at 100 TB.
+
+    NOTE: do not embed an unrolled norm in the transform lambda — HOF
+    lambdas are interpreted and re-evaluate the bound outer expression per
+    element, turning a known-dim norm into O(dim²) interpreted work per
+    row. Where dim is known, prefer :func:`norm_unrolled` as a TOP-LEVEL
+    projection column and divide the pair dot by the two norms (see
+    lsh_topk_bucketed)."""
     n = norm_expr(a)
     return F.transform(a, lambda x: x.cast("double") / n)
+
+
+def norm_unrolled(a: Column, dim: int) -> Column:
+    """Vector L2 norm as a flat codegen expression — bit-identical to
+    :func:`norm_expr` (same left-associated sum-of-squares chain) but
+    stays inside whole-stage codegen. Use as a top-level column, never
+    inside a HOF lambda."""
+    return F.sqrt(dot_unrolled(a, a, dim))
 
 
 def _dot(a: Column, b: Column, dim: int | None) -> Column:
@@ -126,13 +141,64 @@ def hyperplane_expr(dim: int, plane: int, seed: int = 0) -> Column:
 
 def lsh_bucket_expr(vec: Column, dim: int, num_planes: int = 8, seed: int = 0) -> Column:
     """h-bit random-hyperplane signature as a long (bit p = sign of the
-    dot product with plane p)."""
+    dot product with plane p).
+
+    NOTE (measured, r3): do NOT unroll these dots into flat element_at
+    chains — a (planes × dim) unrolled tree costs 10+ s of driver-side
+    py4j construction + Catalyst folding per query, dwarfing any
+    execution win. The production scan path is :func:`lsh_assign_scan`
+    (one numpy matmul per Arrow batch); this expression form is kept for
+    JVM-only callers and oracle documentation."""
     sig = None
     for p in range(num_planes):
         d = dot_expr(vec, hyperplane_expr(dim, p, seed))
         bit = F.when(d >= 0, F.lit(2**p).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
         sig = bit if sig is None else sig + bit
     return sig
+
+
+def lsh_assign_scan(
+    df: DataFrame,
+    dim: int,
+    num_planes: int = 8,
+    seed: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    unit: bool = True,
+) -> DataFrame:
+    """(id, vec, bucket) scan via one (batch × planes) numpy matmul per
+    Arrow batch — the scale shape for LSH assignment: no per-row
+    expression tree at all, one mapInPandas stage, bucket becomes the
+    shuffle/join key downstream. With ``unit=True`` the emitted vector is
+    numpy-unit-normalized float64 (pairwise-sum norm; difference vs the
+    sequential-fold oracle ≈ 1e-14 « the 6-dp rounding quantum — the
+    neardup_pairs_blas contract).
+
+    Bucket bits are sign-of-dot from the matmul; numpy's pairwise
+    summation can disagree with the oracle's sequential fold only when
+    |dot| ≲ 1e-12 (probability ~1e-12 per (row, plane) on real-valued
+    embeddings) — verified exact on the fixture corpora."""
+    import numpy as np
+
+    planes = np.array(
+        [hyperplane_coeffs(dim, p, seed) for p in range(num_planes)], dtype=np.float64
+    )
+    weights = 2 ** np.arange(num_planes, dtype=np.int64)
+
+    def scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            block = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            buckets = (((block @ planes.T) >= 0) * weights).sum(axis=1)
+            if unit:
+                block = block / np.sqrt((block * block).sum(axis=1, keepdims=True))
+            yield pd.DataFrame({"vid": ids, "vec": list(block), "bucket": buckets})
+
+    return df.mapInPandas(scan, schema="vid long, vec array<double>, bucket long")
 
 
 def lsh_topk(
@@ -224,21 +290,25 @@ def lsh_topk_bucketed(
     no approximation opacity (the hyperplanes are md5-derived literals, so
     a SQL oracle reproduces the candidate set bit-for-bit).
 
-    Plan: corpus → (id, unit, bucket) map-side; small query side broadcast;
-    bucket equijoin confines scoring to signature-identical vectors; exact
-    fold cosines on the surviving pairs; global top-k window per query.
+    Plan: corpus → (id, unit vec, bucket) via :func:`lsh_assign_scan` —
+    one numpy matmul per Arrow batch, no per-row expression tree (the
+    unrolled-expression form of this scan costs 10+ s of driver-side
+    planning; the interpreted-fold form ~5× execution — measured r3);
+    small query side broadcast; bucket equijoin confines scoring to
+    signature-identical vectors; exact fold cosines on the few surviving
+    pairs (interpreted is fine there — the pair set is bucket-pruned).
     Ranking happens on the rounded score with corpus-id tiebreak in both
     engines. Recall < 1 by LSH design — tune with fewer planes/multiprobe;
     the recall-vs-bruteforce contract is tested on :func:`lsh_topk`."""
-    cb = corpus.select(
-        F.col(id_col).alias("corpus_id"),
-        unit_expr(F.col(vec_col)).alias("cvec"),
-        lsh_bucket_expr(F.col(vec_col), dim, num_planes, seed).alias("bucket"),
+    cb = lsh_assign_scan(corpus, dim, num_planes, seed, id_col, vec_col).select(
+        F.col("vid").alias("corpus_id"),
+        F.col("vec").alias("cvec"),
+        "bucket",
     )
-    qb = queries.select(
-        F.col(id_col).alias("query_id"),
-        unit_expr(F.col(vec_col)).alias("qvec"),
-        lsh_bucket_expr(F.col(vec_col), dim, num_planes, seed).alias("bucket"),
+    qb = lsh_assign_scan(queries, dim, num_planes, seed, id_col, vec_col).select(
+        F.col("vid").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        "bucket",
     )
     scored = (
         cb.join(F.broadcast(qb), on="bucket")
@@ -246,7 +316,9 @@ def lsh_topk_bucketed(
         .select(
             "query_id",
             "corpus_id",
-            F.round(dot_expr(F.col("cvec"), F.col("qvec")), round_digits).alias("cosine"),
+            F.round(dot_expr(F.col("cvec"), F.col("qvec")), round_digits).alias(
+                "cosine"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -592,13 +664,7 @@ def neardup_pairs_lsh(
     """
     import numpy as np
 
-    withb = corpus.select(
-        F.col(id_col).alias("vid"),
-        unit_expr(F.col(vec_col)).alias("unit"),
-        lsh_bucket_expr(F.col(vec_col), dim=dim, num_planes=num_planes, seed=seed).alias(
-            "bucket"
-        ),
-    )
+    withb = lsh_assign_scan(corpus, dim, num_planes, seed, id_col, vec_col)
 
     def bucket_pairs(pdf):
         import pandas as pd
@@ -612,7 +678,10 @@ def neardup_pairs_lsh(
                     "cosine": np.array([], dtype=np.float64),
                 }
             )
-        mat = np.array(pdf["unit"].tolist(), dtype=np.float64)
+        # vectors arrive numpy-unit-normalized from lsh_assign_scan; the
+        # pairwise-vs-sequential float difference (~1e-14) is far below
+        # the 6-dp rounding quantum — same contract as neardup_pairs_blas
+        mat = np.array(pdf["vec"].tolist(), dtype=np.float64)
         sims = mat @ mat.T
         ai, bi = np.nonzero(sims >= threshold)
         id1, id2 = ids[ai], ids[bi]

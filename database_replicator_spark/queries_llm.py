@@ -663,6 +663,10 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "similarity_lsh_topk",
+    # cosine = dot(raw_a, raw_b) / (norm_a * norm_b) — the same flat chain
+    # the Spark side codegens (dot_unrolled / norm_unrolled); both engines
+    # left-fold the products and the sums of squares, so the doubles are
+    # bit-identical before rounding.
     oracle=f"""
     WITH planes(p, coeffs) AS (VALUES {{planes}}),
     buckets AS (
@@ -672,16 +676,16 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings e CROSS JOIN planes pl
       GROUP BY e.vec_id
     ),
-    units AS (
-      SELECT vec_id, {{unit}} AS unit FROM embeddings
+    norms AS (
+      SELECT vec_id, embedding, {{nrm}} AS nrm FROM embeddings
     ),
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
-             round({{dot}}, 6) AS cosine
+             round({{dot}} / (uc.nrm * uq.nrm), 6) AS cosine
       FROM buckets c JOIN buckets q
         ON c.bucket = q.bucket AND q.vec_id < 5 AND c.vec_id != q.vec_id
-      JOIN units uc ON uc.vec_id = c.vec_id
-      JOIN units uq ON uq.vec_id = q.vec_id
+      JOIN norms uc ON uc.vec_id = c.vec_id
+      JOIN norms uq ON uq.vec_id = q.vec_id
     )
     SELECT query_id, corpus_id, cosine, rank FROM (
       SELECT query_id, corpus_id, cosine,
@@ -690,8 +694,11 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM scored
     ) WHERE rank <= 10
     """.replace("{planes}", _lsh_planes_sql(64, 6))
-       .replace("{unit}", _UNIT_SQL.format(v="embedding"))
-       .replace("{dot}", _DOT_SQL.format(a="uc.unit", b="uq.unit")),
+       .replace(
+           "{nrm}",
+           "sqrt(list_reduce(list_transform(embedding, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)), (a, b) -> a + b))",
+       )
+       .replace("{dot}", _DOT_SQL.format(a="uc.embedding", b="uq.embedding")),
 )
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path ANN, made oracle-exact: candidates = corpus vectors with
