@@ -249,26 +249,61 @@ def pack_sequences(
     token_col: str = "n_tokens",
     order_col: str = "doc_id",
     part_col: str | None = None,
+    range_width: int | None = 4096,
 ) -> DataFrame:
     """Assign each doc to a token-budget pack: docs are ordered by
     ``order_col`` within ``part_col`` (or globally when None); pack_id =
     (cumulative tokens before this doc) div budget, slot = position within
-    the pack.
-
-    One window over the partition key — at scale the sort is per-partition
-    (no global order needed when ``part_col`` spreads the corpus), and the
-    output is exactly the shard layout a sequence-packing data loader
-    consumes. Docs longer than the budget get a pack of their own (the
+    the pack. Docs longer than the budget get a pack of their own (the
     cumulative rule never splits a doc).
+
+    Scale shape (two-pass range packing): a real pretraining corpus has
+    maybe tens of sources (common_crawl alone is most of 100 TB), so a
+    window partitioned by ``part_col`` alone would sort a multi-TB stratum
+    in ONE task. Instead docs are range-bucketed on ``order_col div
+    range_width`` — pass 1 aggregates per-bucket token totals (tiny:
+    strata × buckets rows) and turns them into per-bucket prefix offsets
+    with a window over the AGGREGATE frame; pass 2 windows inside each
+    (part, bucket) — thousands of parallel bounded sorts — and adds the
+    broadcast offset. The output (cum_tokens / pack_id / slot) is
+    identical to the single-window form, which remains available via
+    ``range_width=None`` (requires a numeric ``order_col`` otherwise).
+
+    The slot window partitions by pack_id; packs are ≤ budget tokens so
+    those partitions are bounded regardless of corpus size.
     """
     from pyspark.sql import Window
 
     keys = [part_col] if part_col else []
-    w = Window.partitionBy(*keys).orderBy(order_col).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cum = F.sum(F.col(token_col)).over(w).cast("bigint")
-    out = df.withColumn("cum_tokens", cum).withColumn(
+    if range_width:
+        data = df.withColumn("_bkt", F.expr(f"{order_col} div {range_width}"))
+        totals = data.groupBy(*keys, "_bkt").agg(
+            F.sum(F.col(token_col)).alias("_bkt_tokens")
+        )
+        woff = Window.partitionBy(*keys).orderBy("_bkt").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = totals.withColumn(
+            "_offset",
+            F.coalesce(F.sum("_bkt_tokens").over(woff), F.lit(0)).cast("bigint"),
+        ).drop("_bkt_tokens")
+        wb = Window.partitionBy(*(keys + ["_bkt"])).orderBy(order_col).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        out = (
+            data.join(F.broadcast(offsets), on=keys + ["_bkt"])
+            .withColumn(
+                "cum_tokens",
+                (F.col("_offset") + F.sum(F.col(token_col)).over(wb)).cast("bigint"),
+            )
+            .select(*df.columns, "cum_tokens")
+        )
+    else:
+        w = Window.partitionBy(*keys).orderBy(order_col).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        out = df.withColumn("cum_tokens", F.sum(F.col(token_col)).over(w).cast("bigint"))
+    out = out.withColumn(
         "pack_id", F.expr(f"(cum_tokens - {token_col}) div {budget}").cast("bigint")
     )
     w2 = Window.partitionBy(*(keys + ["pack_id"])).orderBy(order_col)

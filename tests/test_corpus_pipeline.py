@@ -131,6 +131,40 @@ class TestPackSequences:
         packs = {(r["src"], r["doc_id"]): r["pack_id"] for r in out}
         assert packs == {("a", 1): 0, ("a", 2): 0, ("b", 1): 0, ("b", 2): 0}
 
+    def test_range_packing_matches_single_window(self, spark):
+        # 400 docs, 2 sources, varied token counts, non-contiguous ids —
+        # the two-pass range path must reproduce the single-window output
+        # exactly while spreading each source across many buckets
+        rows = [
+            (i * 3 + 7, "ab"[i % 2], (i * 37) % 190 + 1) for i in range(400)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, src string, n_tokens int")
+        key = ["src", "doc_id"]
+        fast = pack_sequences(
+            df, budget=500, part_col="src", range_width=64
+        ).orderBy(*key).collect()
+        slow = pack_sequences(
+            df, budget=500, part_col="src", range_width=None
+        ).orderBy(*key).collect()
+        assert [tuple(r) for r in fast] == [tuple(r) for r in slow]
+
+    def test_range_packing_uses_many_buckets_per_source(self, spark):
+        # the scale property: each source's cumulative sort is split over
+        # >1 range bucket (no single-task source-wide sort)
+        rows = [(i, "cc", 10) for i in range(1000)]
+        df = spark.createDataFrame(rows, "doc_id long, src string, n_tokens int")
+        n_buckets = (
+            df.withColumn("_bkt", F.expr("doc_id div 64"))
+            .groupBy("src")
+            .agg(F.countDistinct("_bkt").alias("nb"))
+            .collect()[0]["nb"]
+        )
+        assert n_buckets > 1
+        out = pack_sequences(df, budget=100, part_col="src", range_width=64)
+        # windowed cum must still be globally consistent across buckets
+        cums = {r["doc_id"]: r["cum_tokens"] for r in out.collect()}
+        assert cums[0] == 10 and cums[999] == 10_000
+
 
 class TestTfidf:
     def test_rare_terms_outrank_common(self, spark):
