@@ -32,10 +32,14 @@ TABLES = (
 def ensure_configured(spark: SparkSession) -> None:
     """Set the runtime SQL confs the engine's semantics depend on, so queries
     behave identically on a session we did not build (e.g. the driver's):
-    nanos-as-long lets Spark read TIMESTAMP(NANOS) parquet, and a UTC session
-    timezone pins timestamp rendering/casts."""
+    nanos-as-long lets Spark read TIMESTAMP(NANOS) parquet, a UTC session
+    timezone pins timestamp rendering/casts, and pinning timestampType to
+    the default LTZ keeps ``cast("timestamp")`` meaning TimestampType even
+    on a caller session that overrode it (a TIMESTAMP_NTZ default would
+    turn the NTZ→LTZ restore in load_table into a no-op)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.timestampType", "TIMESTAMP_LTZ")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -61,8 +65,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # timestamp[us] (no tz) fixtures read as TIMESTAMP_NTZ, which
             # rejects numeric casts (gap arithmetic, epoch bucketing).
             # Session tz is pinned UTC, so NTZ→LTZ is value-identical and
-            # restores TimestampType for every downstream operator.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            # restores TimestampType for every downstream operator. Cast
+            # to the explicit type, not "timestamp", which resolves
+            # through spark.sql.timestampType at execution time.
+            from pyspark.sql.types import TimestampType
+
+            df = df.withColumn("ts", F.col("ts").cast(TimestampType()))
     return df
 
 
