@@ -68,10 +68,17 @@ class ChangeApplier:
     ``mode`` mirrors the reference: 'append' keeps only the raw change log;
     'append_deduped' also maintains a last-write-wins ``_latest`` table per
     source table (sync_sqlite.rs:169-181).
+
+    ``_latest`` is Hive-partitioned by ``bucket = pmod(hash(pk),
+    n_buckets)`` and each epoch rewrites ONLY the buckets present in the
+    batch: per-epoch write volume is O(batch + live keys in touched
+    buckets), not O(table). A Delta/Iceberg MERGE would subsume this; on
+    plain parquet the bucket layout is the transactional-MERGE stand-in.
     """
 
     target_dir: str
     mode: str = "append_deduped"
+    n_buckets: int = 64
     applied_batches: list[int] = field(default_factory=list)
 
     def _table_path(self, table: str, suffix: str = "") -> str:
@@ -105,7 +112,12 @@ class ChangeApplier:
             .cache()
         )
         try:
-            from ..util import parquet_exists, staged_overwrite
+            from ..util import (
+                bucketed_exists,
+                parquet_exists,
+                staged_bucket_overwrite,
+                staged_overwrite,
+            )
 
             # 1. append-mode raw log, one partition per epoch
             log_path = self._table_path("_change_log")
@@ -113,27 +125,58 @@ class ChangeApplier:
                 os.path.join(log_path, f"epoch={epoch_id}")
             )
 
-            # 2. _latest per touched table: batch ⊕ previous _latest
+            # 2. _latest per touched table: batch ⊕ previous _latest,
+            #    restricted to (and rewriting only) the pk-hash buckets
+            #    the batch actually touches
             if self.mode == "append_deduped":
                 from ..operators.latest import latest_by_key
 
+                bucket = F.pmod(F.hash(F.col("pk")), F.lit(self.n_buckets))
                 for row in batch.select("table").distinct().collect():
                     tbl = row["table"]
-                    tbl_changes = batch.filter(F.col("table") == tbl).select(
-                        "pk", "payload", "change_id", "op"
+                    tbl_changes = (
+                        batch.filter(F.col("table") == tbl)
+                        .select("pk", "payload", "change_id", "op")
+                        .withColumn("bucket", bucket)
                     )
                     latest_path = self._table_path(tbl, "_latest")
+                    touched = sorted(
+                        r["bucket"]
+                        for r in tbl_changes.select("bucket").distinct().collect()
+                    )
                     if parquet_exists(latest_path):
+                        # legacy flat layout: fold the whole table in once;
+                        # every bucket of the merged result gets written and
+                        # the flat files are dropped (one-time migration)
                         prev = spark.read.parquet(latest_path).select(
-                            "pk", "payload", "change_id", F.lit("insert").alias("op")
+                            "pk",
+                            "payload",
+                            "change_id",
+                            F.lit("insert").alias("op"),
+                        ).withColumn("bucket", bucket)
+                        tbl_changes = tbl_changes.unionByName(prev)
+                        touched = None
+                    elif bucketed_exists(latest_path):
+                        prev = (
+                            spark.read.option("basePath", latest_path)
+                            .parquet(latest_path)
+                            .filter(F.col("bucket").isin(touched))
+                            .select(
+                                "pk",
+                                "payload",
+                                "change_id",
+                                F.lit("insert").alias("op"),
+                                "bucket",
+                            )
                         )
                         tbl_changes = tbl_changes.unionByName(prev)
                     latest = latest_by_key(tbl_changes, ["pk"], "change_id")
                     alive = latest.filter(F.col("op") != "delete").select(
-                        "pk", "payload", "change_id"
+                        "pk", "payload", "change_id", "bucket"
                     )
-                    # reads its own previous version → staged rewrite
-                    staged_overwrite(spark, alive, latest_path)
+                    # reads its own previous version → staged rewrite of
+                    # the touched buckets only
+                    staged_bucket_overwrite(spark, alive, latest_path, touched)
 
             # 3. sync state (ST5): previous state ⊕ batch aggregates
             state_path = self._table_path("_sync_state")

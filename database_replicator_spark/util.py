@@ -54,6 +54,54 @@ def cleanup_stale_stages(root: str, max_age_hours: float = 24.0) -> list[str]:
     return removed
 
 
+def bucketed_exists(path: str) -> bool:
+    """True when ``path`` holds a Hive-partitioned parquet dataset with
+    ``bucket=<n>`` partition directories (the bucketed ``_latest``
+    layout)."""
+    if not os.path.isdir(path):
+        return False
+    return any(name.startswith("bucket=") for name in os.listdir(path))
+
+
+def staged_bucket_overwrite(
+    spark: SparkSession, df: DataFrame, path: str, touched: list[int] | None
+) -> None:
+    """Overwrite only the ``bucket=<n>`` partitions of ``path`` named in
+    ``touched`` with ``df`` (which must carry a ``bucket`` column), even
+    when ``df`` reads from ``path``: the staged write materializes the
+    merged buckets first, then swaps each touched partition directory in.
+    Untouched bucket directories are never opened or rewritten — their
+    files stay byte-identical, which keeps per-epoch write volume
+    O(touched buckets), not O(table).
+
+    ``touched=None`` means "replace everything" (the one-time migration
+    from a flat layout): every bucket of ``df`` is written and any
+    top-level flat parquet files are removed.
+
+    Crash posture mirrors :func:`staged_overwrite`: the stage directory is
+    removed only after the swaps complete."""
+    stage = path + ".stage"
+    df.write.mode("overwrite").partitionBy("bucket").parquet(stage)
+    os.makedirs(path, exist_ok=True)
+    if touched is None:
+        touched = [
+            int(name.split("=", 1)[1])
+            for name in os.listdir(stage)
+            if name.startswith("bucket=")
+        ]
+        for name in list(os.listdir(path)):
+            if name.endswith(".parquet") or name == "_SUCCESS":
+                os.remove(os.path.join(path, name))
+    for b in touched:
+        dst = os.path.join(path, f"bucket={b}")
+        src = os.path.join(stage, f"bucket={b}")
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        if os.path.isdir(src):
+            shutil.move(src, dst)
+    shutil.rmtree(stage, ignore_errors=True)
+
+
 def parquet_exists(path: str) -> bool:
     """True when ``path`` holds a readable parquet dataset (the _SUCCESS /
     part-file layout Spark writes)."""

@@ -137,6 +137,53 @@ class TestChangeApply:
         assert sorted(d for d in os.listdir(log_dir) if d.startswith("epoch=")) == ["epoch=0"]
         assert read_change_log(spark, dirs["tgt"]).count() == 2
 
+    def test_latest_rewrites_only_touched_buckets(self, spark, dirs):
+        """The bucketed _latest layout: an epoch touching one pk leaves
+        every other bucket's files byte-identical on disk (no full-table
+        rewrite per epoch)."""
+        import hashlib
+
+        write_change_file(
+            os.path.join(dirs["src"], "chunk1.json"),
+            [
+                {"change_id": i, "table": "t", "op": "insert", "pk": str(i), "payload": "{}"}
+                for i in range(1, 41)
+            ],
+        )
+        _run_once(spark, dirs)
+        latest_dir = os.path.join(dirs["tgt"], "t_latest")
+        buckets = sorted(d for d in os.listdir(latest_dir) if d.startswith("bucket="))
+        assert len(buckets) > 1  # 40 pks spread over several hash buckets
+
+        def snapshot():
+            out = {}
+            for b in os.listdir(latest_dir):
+                if not b.startswith("bucket="):
+                    continue
+                for f in os.listdir(os.path.join(latest_dir, b)):
+                    p = os.path.join(latest_dir, b, f)
+                    out[f"{b}/{f}"] = hashlib.md5(open(p, "rb").read()).hexdigest()
+            return out
+
+        before = snapshot()
+        # find which bucket pk "1" hashes into
+        pk1_bucket = spark.sql("SELECT pmod(hash('1'), 64) AS b").collect()[0]["b"]
+        write_change_file(
+            os.path.join(dirs["src"], "chunk2.json"),
+            [{"change_id": 41, "table": "t", "op": "update", "pk": "1", "payload": '{"v":2}'}],
+        )
+        _run_once(spark, dirs)
+        after = snapshot()
+        untouched_before = {k: v for k, v in before.items() if not k.startswith(f"bucket={pk1_bucket}/")}
+        untouched_after = {k: v for k, v in after.items() if not k.startswith(f"bucket={pk1_bucket}/")}
+        assert untouched_before == untouched_after  # byte-identical files
+        assert before != after  # the touched bucket did change
+
+        # and the merged view is still correct
+        latest = spark.read.parquet(latest_dir)
+        got = {r["pk"]: r["payload"] for r in latest.collect()}
+        assert got["1"] == '{"v":2}' and len(got) == 40
+
     def test_restart_resumes_from_checkpoint(self, spark, dirs):
         write_change_file(
             os.path.join(dirs["src"], "chunk1.json"),
