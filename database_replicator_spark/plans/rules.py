@@ -194,6 +194,9 @@ class TableRules:
             )
         rule.schema_only = True
 
+    def is_empty(self) -> bool:
+        return not self._rules
+
     def rule_for_table(self, database: str, schema: str, table: str) -> _Rule | None:
         """Database-scoped rule wins over global (src/table_rules.rs:320-357)."""
         db_key = f"{database}.{schema}.{table}"
@@ -259,6 +262,16 @@ class ReplicationFilter:
         for t in self.include_tables + self.exclude_tables:
             if "." not in t:
                 raise RuleConflictError(f"table spec must be db.table: {t!r}")
+
+    def is_empty(self) -> bool:
+        """No selection or rules at all → replicate everything (the
+        reference's filter.is_empty() publication fast path)."""
+        return not (
+            self.include_databases
+            or self.exclude_databases
+            or self.include_tables
+            or self.exclude_tables
+        ) and self.rules.is_empty()
 
     def databases_to_check(self, all_databases: list[str]) -> list[str]:
         """Sorted, deduped database working set (src/filters.rs:155-174)."""
