@@ -394,6 +394,34 @@ def copy_sink(df: DataFrame, dsn: str, table: str, rows_per_copy: int = 10_000) 
     df.foreachPartition(apply)
 
 
+def _pyformat_to_qmark(sql: str) -> str:
+    """Translate psycopg %s placeholders to DB-API qmark style (sqlite)."""
+    return sql.replace("%s", "?")
+
+
+def open_dbapi(dsn: str):
+    """(connection, placeholder-translator) for a sink DSN.
+
+    Postgres routes through psycopg2 (%s style, untranslated); sqlite file
+    paths route through the stdlib driver with ``%s`` → ``?`` — SQLite
+    speaks the same ``INSERT … ON CONFLICT (pk) DO UPDATE SET c =
+    EXCLUDED.c`` and row-value ``(a,b) IN ((?,?),…)`` dialect, which makes
+    it the live-wire integration path for the upsert/delete sinks in this
+    container (no Postgres server available)."""
+    kind = detect_source_type(dsn)
+    if kind == "sqlite":
+        import sqlite3
+
+        return sqlite3.connect(dsn, timeout=30), _pyformat_to_qmark
+    if kind == "postgres":  # pragma: no cover - driver not in test env
+        try:
+            import psycopg2  # type: ignore
+        except ImportError as e:
+            raise RuntimeError("psycopg2 required for JDBC upsert fast path") from e
+        return psycopg2.connect(dsn), lambda s: s
+    raise ValueError(f"no DB-API sink path for source type {kind!r}")
+
+
 @dataclass
 class JdbcUpsertWriter:
     """foreachPartition upsert/delete applier for plain-JDBC targets.
@@ -401,8 +429,9 @@ class JdbcUpsertWriter:
     Executors open one connection per partition and send batched ON
     CONFLICT statements — MERGE semantics without requiring a lakehouse
     table format. Batch size honors the parameter-limit rule; task retries
-    are safe because upsert is idempotent (the reference's recovery
-    contract, writer.rs:31-47)."""
+    are safe because upsert and delete are idempotent (the reference's
+    recovery contract, writer.rs:31-47). Connections route per DSN via
+    :func:`open_dbapi` — Postgres in production, live SQLite in tests."""
 
     dsn: str
     table: str
@@ -415,29 +444,77 @@ class JdbcUpsertWriter:
         dsn, table, pks = self.dsn, self.table, self.pk_cols
 
         def apply(rows) -> None:
+            rows = iter(rows)
             try:
-                import psycopg2  # type: ignore
-            except ImportError as e:  # pragma: no cover - driver not in test env
-                raise RuntimeError("psycopg2 required for JDBC upsert fast path") from e
-            conn = psycopg2.connect(dsn)
+                first = next(rows)
+            except StopIteration:
+                return  # empty partition: never connect
+            import itertools
+
+            conn, xlate = open_dbapi(dsn)
             try:
-                with conn.cursor() as cur:
+                cur = conn.cursor()
+                try:
                     buf: list = []
-                    for r in rows:
+                    for r in itertools.chain([first], rows):
                         buf.append(tuple(r[c] for c in columns))
                         if len(buf) >= batch:
                             cur.execute(
-                                build_upsert_sql(table, columns, pks, len(buf)),
+                                xlate(build_upsert_sql(table, columns, pks, len(buf))),
                                 [v for row in buf for v in row],
                             )
                             buf.clear()
                     if buf:
                         cur.execute(
-                            build_upsert_sql(table, columns, pks, len(buf)),
+                            xlate(build_upsert_sql(table, columns, pks, len(buf))),
                             [v for row in buf for v in row],
                         )
+                finally:
+                    cur.close()
                 conn.commit()
             finally:
                 conn.close()
 
         df.foreachPartition(apply)
+
+    def delete(self, keys: DataFrame) -> None:
+        """Apply batched deletes for a DataFrame of PK rows (S19): the
+        anti-join reconcile produces the orphan keys; this ships them as
+        ``DELETE … WHERE pk IN (…)`` / composite row-value IN batches of
+        ``delete_batch`` (writer.rs:333-377)."""
+        dsn, table, pks, batch = self.dsn, self.table, self.pk_cols, self.delete_batch
+        key_cols = list(self.pk_cols)
+
+        def apply(rows) -> None:
+            rows = iter(rows)
+            try:
+                first = next(rows)
+            except StopIteration:
+                return
+            import itertools
+
+            conn, xlate = open_dbapi(dsn)
+            try:
+                cur = conn.cursor()
+                try:
+                    buf: list = []
+                    for r in itertools.chain([first], rows):
+                        buf.append(tuple(r[c] for c in key_cols))
+                        if len(buf) >= batch:
+                            cur.execute(
+                                xlate(build_delete_sql(table, pks, len(buf))),
+                                [v for row in buf for v in row],
+                            )
+                            buf.clear()
+                    if buf:
+                        cur.execute(
+                            xlate(build_delete_sql(table, pks, len(buf))),
+                            [v for row in buf for v in row],
+                        )
+                finally:
+                    cur.close()
+                conn.commit()
+            finally:
+                conn.close()
+
+        keys.select(*key_cols).foreachPartition(apply)
