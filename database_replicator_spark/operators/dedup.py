@@ -122,11 +122,20 @@ def minhash_signatures(
     )
 
 
+#: Default per-bucket candidate cap: a bucket of B docs contributes
+#: B(B−1)/2 pairs, so 50 bounds any single bucket at ~1.2k pairs while
+#: being far above what honest near-dup groups produce once exact dedup
+#: (tier 1) has collapsed identical boilerplate. The gated pipeline runs
+#: with this cap ON and the DuckDB oracle mirrors it (HAVING COUNT(*) <=
+#: cap), so the rule is part of the verified contract, not a silent drop.
+DEFAULT_MAX_BUCKET_SIZE = 50
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 4,
     rows_per_band: int = 3,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Distinct candidate pairs (doc1 < doc2) sharing ≥1 LSH band.
 
@@ -134,12 +143,13 @@ def lsh_candidate_pairs(
     At scale the join key (band, band_sig) is high-cardinality and uniform
     (hash values), so the shuffle is well balanced.
 
-    ``max_bucket_size`` bounds degenerate buckets (a corpus of identical
-    boilerplate puts every doc in one bucket → that bucket alone is O(n²)):
-    buckets with more than ``max_bucket_size`` members are dropped entirely
-    — a deterministic rule, and safe in a tiered pipeline because
-    boilerplate-identical docs are exactly what the cheaper exact-dedup
-    tier (tier 1) already collapses before LSH runs.
+    ``max_bucket_size`` (default :data:`DEFAULT_MAX_BUCKET_SIZE`) bounds
+    degenerate buckets (a corpus of identical boilerplate puts every doc
+    in one bucket → that bucket alone is O(n²)): buckets with more than
+    ``max_bucket_size`` members are dropped entirely — a deterministic
+    rule, and safe in a tiered pipeline because boilerplate-identical docs
+    are exactly what the cheaper exact-dedup tier (tier 1) already
+    collapses before LSH runs. Pass ``None`` to disable.
     """
     # Band structs are built with plain codegen expressions (element_at +
     # concat_ws + md5) over a LITERAL band list, not higher-order

@@ -374,6 +374,22 @@ _LSH_BANDS = ", ".join(
     for b in range(4)
 )
 
+# The per-bucket cap is part of the gated contract: the Spark side drops
+# buckets larger than DEFAULT_MAX_BUCKET_SIZE (operators/dedup.py), the
+# oracle mirrors the same rule with a HAVING filter on bucket size.
+from .operators.dedup import DEFAULT_MAX_BUCKET_SIZE as _LSH_BUCKET_CAP  # noqa: E402
+
+_CAPPED_CTE = f"""
+    capped AS (
+      SELECT banded.doc_id, banded.band, banded.band_sig
+      FROM banded
+      JOIN (SELECT band, band_sig FROM banded
+            GROUP BY band, band_sig
+            HAVING COUNT(*) <= {_LSH_BUCKET_CAP}) ok
+        USING (band, band_sig)
+    )
+"""
+
 @query(
     "dedup_minhash_lsh",
     oracle=f"""
@@ -387,9 +403,10 @@ _LSH_BANDS = ", ".join(
     banded AS (
       SELECT doc_id, b.band, b.band_sig
       FROM sig, UNNEST([{_LSH_BANDS}]) AS u(b)
-    )
+    ),
+    {_CAPPED_CTE}
     SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-    FROM banded a JOIN banded b
+    FROM capped a JOIN capped b
       ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
     """,
 )
@@ -442,9 +459,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, b.band, b.band_sig
       FROM sig, UNNEST([{_LSH_BANDS}]) AS u(b)
     ),
+    {_CAPPED_CTE},
     cand AS (
       SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-      FROM banded a JOIN banded b
+      FROM capped a JOIN capped b
         ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from .operators.corpus import sample_threshold
 from .queries import query
 from .queries_llm import (
+    _CAPPED_CTE,
     _LSH_BANDS,
     _MINHASH_BASE,
     _MINHASH_MINS,
@@ -37,9 +38,10 @@ _VERIFIED_PAIRS_SQL = f"""
       SELECT doc_id, b.band, b.band_sig
       FROM sig, UNNEST([{_LSH_BANDS}]) AS u(b)
     ),
+    {_CAPPED_CTE},
     cand AS (
       SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-      FROM banded a JOIN banded b
+      FROM capped a JOIN capped b
         ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),

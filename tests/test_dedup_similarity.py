@@ -179,6 +179,19 @@ class TestLshBucketCap:
         assert all(p[0] >= 100 for p in capped), capped
         assert (100, 101) in capped
 
+    def test_default_cap_drops_degenerate_bucket(self, spark):
+        # 60 identical docs exceed DEFAULT_MAX_BUCKET_SIZE=50: the default
+        # pipeline (what the gates run) drops that bucket entirely while
+        # max_bucket_size=None keeps its C(60,2) pairs
+        from database_replicator_spark.operators.dedup import DEFAULT_MAX_BUCKET_SIZE
+
+        boiler = "subscribe to our newsletter for updates and exclusive offers"
+        rows = [(i, boiler) for i in range(DEFAULT_MAX_BUCKET_SIZE + 10)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        sig = minhash_signatures(doc_shingles(docs), num_hashes=12)
+        assert lsh_candidate_pairs(sig).count() == 0
+        assert lsh_candidate_pairs(sig, max_bucket_size=None).count() == 60 * 59 // 2
+
     def test_cap_none_is_identity(self, spark, docs):
         sig = minhash_signatures(doc_shingles(docs), num_hashes=12)
         base = {(r["doc1"], r["doc2"]) for r in lsh_candidate_pairs(sig).collect()}
