@@ -1,0 +1,114 @@
+"""ANN recall audit: recall@k of every approximate top-k operator vs the
+exact BLAS scan, on the fixture embeddings.
+
+The approximation contract of lsh_topk / ivf_topk is "approximate in
+RECALL, exact in VALUES" — this tool makes the recall half auditable per
+round. Writes RECALL.md (human) and RECALL.json (machine) at the repo
+root.
+
+Usage: python tools/ann_recall.py [sf_dir] [k]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from database_replicator_spark.operators.similarity import (
+        ivf_topk,
+        lsh_topk_bucketed,
+        topk_blas,
+    )
+    from database_replicator_spark.session import build_session
+    from database_replicator_spark.sources.catalog import load_table
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+
+    spark = build_session("ann_recall")
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 50)
+
+    def pair_set(df):
+        return {(r["query_id"], r["corpus_id"]) for r in df.collect()}
+
+    truth = pair_set(topk_blas(emb, queries, k=k))
+    n_queries = queries.count()
+
+    variants = {
+        "lsh_topk_bucketed(planes=6)": lsh_topk_bucketed(
+            emb, queries, dim=64, k=k, num_planes=6
+        ),
+        "lsh_topk_bucketed(planes=4)": lsh_topk_bucketed(
+            emb, queries, dim=64, k=k, num_planes=4
+        ),
+        "ivf_topk(sample, nprobe=2)": ivf_topk(
+            emb, queries, k=k, nlist=16, nprobe=2, quantizer="sample"
+        ),
+        "ivf_topk(kmeans, nprobe=2)": ivf_topk(
+            emb, queries, k=k, nlist=16, nprobe=2, quantizer="kmeans"
+        ),
+        "ivf_topk(kmeans, nprobe=4)": ivf_topk(
+            emb, queries, k=k, nlist=16, nprobe=4, quantizer="kmeans"
+        ),
+    }
+    results = {}
+    for name, df in variants.items():
+        got = pair_set(df)
+        results[name] = round(len(got & truth) / len(truth), 4)
+
+    payload = {
+        "sf_dir": sf_dir,
+        "k": k,
+        "n_queries": n_queries,
+        "truth_pairs": len(truth),
+        "recall_at_k": results,
+    }
+    with open(os.path.join(REPO, "RECALL.json"), "w") as fh:
+        json.dump(payload, fh, indent=2)
+
+    lines = [
+        "# ANN recall audit",
+        "",
+        f"recall@{k} vs exact BLAS top-k (`topk_blas`) on "
+        f"`{sf_dir}/embeddings.parquet`, {n_queries} queries "
+        f"({len(truth)} truth pairs). Regenerate with "
+        "`python tools/ann_recall.py`.",
+        "",
+        "| operator | recall@{k} |".format(k=k),
+        "|---|---|",
+    ]
+    for name, r in results.items():
+        lines.append(f"| `{name}` | {r:.4f} |")
+    lines += [
+        "",
+        "Both families are *value-exact on the candidates they surface* "
+        "(the CORRECTNESS gate hashes them against a DuckDB oracle); the "
+        "approximation budget lives entirely in recall, tuned by "
+        "`num_planes` (fewer planes → bigger buckets → higher recall, "
+        "more compute) and `nlist`/`nprobe`/`quantizer` for IVF.",
+        "",
+        "Caveat: the fixture embeddings are near-uniform random, the "
+        "worst case for any ANN index — these recalls are LOWER BOUNDS. "
+        "On a corpus with real cluster structure the k-means quantizer "
+        "clears recall ≥ 0.9 at nprobe=1 "
+        "(tests/test_dedup_similarity.py::"
+        "test_kmeans_quantizer_beats_sample_on_clustered_corpus).",
+    ]
+    with open(os.path.join(REPO, "RECALL.md"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print(json.dumps(payload))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
