@@ -1,0 +1,86 @@
+"""Per-query bench budget check: fail when any query regresses more than
+2× its last recorded per-round time, so new work can't silently
+reintroduce a 50-second query.
+
+Usage:
+    python tools/bench_budget.py                  # runs bench.py fresh
+    python tools/bench_budget.py fresh.json       # compare a saved run
+    python tools/bench_budget.py fresh.json BENCH_r02.json
+
+The baseline defaults to the newest BENCH_r*.json in the repo root. A
+regression = fresh > 2× baseline AND fresh − baseline > 0.5 s (the
+absolute guard keeps sub-second queries from tripping on scheduler
+noise). New queries without a baseline row are listed, never failed.
+Exit code 1 on any regression.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def load_bench_json(path: str) -> dict[str, float]:
+    """Accept either bench.py's raw one-line JSON or the driver's wrapped
+    BENCH_r*.json (queries live under ["parsed"]["queries"])."""
+    with open(path) as fh:
+        data = json.load(fh)
+    if "queries" in data:
+        return data["queries"]
+    if "parsed" in data and "queries" in data["parsed"]:
+        return data["parsed"]["queries"]
+    raise ValueError(f"no queries dict in {path}")
+
+
+def latest_baseline() -> str:
+    paths = glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+    if not paths:
+        raise FileNotFoundError("no BENCH_r*.json baseline in repo root")
+    return max(paths, key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
+
+
+def run_fresh() -> dict[str, float]:
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        check=True,
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)["queries"]
+
+
+def main() -> int:
+    fresh = (
+        load_bench_json(sys.argv[1]) if len(sys.argv) > 1 else run_fresh()
+    )
+    base_path = sys.argv[2] if len(sys.argv) > 2 else latest_baseline()
+    base = load_bench_json(base_path)
+
+    regressions, new = [], []
+    for q, t in sorted(fresh.items()):
+        b = base.get(q)
+        if b is None:
+            new.append((q, t))
+            continue
+        if t > 2 * b and t - b > 0.5:
+            regressions.append((q, b, t))
+
+    for q, t in new:
+        print(f"NEW      {q}: {t:.2f}s (no baseline row)")
+    for q, b, t in regressions:
+        print(f"REGRESS  {q}: {b:.2f}s -> {t:.2f}s ({t / b:.1f}x)")
+    if not regressions:
+        print(f"OK: {len(fresh)} queries within 2x of {os.path.basename(base_path)}")
+    return 1 if regressions else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
