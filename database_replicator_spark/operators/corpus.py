@@ -310,6 +310,119 @@ def pack_sequences(
     return out.withColumn("slot", F.row_number().over(w2))
 
 
+def mixture_report(
+    df: DataFrame,
+    strata_cols: list[str],
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Corpus mixture accounting: per stratum (e.g. source × lang) the
+    document count, token total, mean doc length, and the stratum's share
+    of all corpus tokens — the table every pretraining-mixture decision
+    starts from (and what Horvitz-Thompson weights from
+    :func:`stratified_sample` are audited against).
+
+    One groupBy to the stratum grain, then the share is computed against
+    a broadcast 1-row total (sum over the already-tiny aggregate), not a
+    window over the corpus — zero full-data shuffles beyond the groupBy.
+    """
+    agg = df.groupBy(*strata_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(token_col)).cast("bigint").alias("total_tokens"),
+        F.round(F.avg(F.col(token_col)), 6).alias("mean_tokens"),
+    )
+    total = agg.agg(F.sum("total_tokens").alias("_grand")).withColumn(
+        "_k", F.lit(1)
+    )
+    return (
+        agg.withColumn("_k", F.lit(1))
+        .join(F.broadcast(total), on="_k")
+        .withColumn(
+            "token_share", F.round(F.col("total_tokens") / F.col("_grand"), 6)
+        )
+        .drop("_k", "_grand")
+    )
+
+
+def passage_fingerprints(
+    df: DataFrame,
+    window: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, passage_idx, passage_fp) — fixed-width token-window
+    fingerprints, the substrate for passage-level exact dedup (finer than
+    whole-document fingerprints, coarser than shingles; boilerplate
+    passages repeated across documents surface here even when the
+    surrounding documents differ).
+
+    The chunking runs as one codegen-friendly expression per row (slice
+    over the token array via transform(sequence(...))) — no explode until
+    the chunks exist, so the shuffle carries (doc, md5) rows only."""
+    from .textops import normalize_text_expr
+
+    norm = normalize_text_expr(F.coalesce(F.col(text_col), F.lit("")))
+    toks = F.split(norm, " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(window)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * window + 1, window)),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), chunks.alias("_chunks"))
+        .select("doc_id", F.posexplode("_chunks").alias("passage_idx", "passage"))
+        .select(
+            "doc_id",
+            "passage_idx",
+            F.md5(F.col("passage")).alias("passage_fp"),
+        )
+    )
+
+
+def passage_dedup_groups(
+    df: DataFrame,
+    window: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Duplicated-passage report: fingerprints occurring ≥2 times across
+    the corpus, with the document spread, occurrence count, and the
+    deterministic survivor (lowest doc_id). One shuffle on the
+    fingerprint — the passage-granularity twin of exact_dedup_groups."""
+    fps = passage_fingerprints(df, window, id_col, text_col)
+    return (
+        fps.groupBy("passage_fp")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("keep_doc"),
+        )
+        .filter(F.col("n_occurrences") >= 2)
+    )
+
+
+def top_ngrams(
+    shingled: DataFrame,
+    k: int = 20,
+) -> DataFrame:
+    """Corpus-wide top-k n-grams by document frequency (distinct docs
+    containing the gram) — the contamination-audit / boilerplate-survey
+    primitive. Input is the (doc_id, shingle) table from
+    :func:`..dedup.doc_shingles` (already distinct per doc).
+
+    groupBy(shingle) then a global TakeOrdered — Spark's orderBy+limit
+    plans as a per-partition top-k merge on the driver, never a global
+    sort shuffle, so this survives any vocabulary size. Ties break on the
+    gram string for determinism."""
+    from pyspark.sql import Window
+
+    counts = shingled.groupBy("shingle").agg(
+        F.countDistinct("doc_id").alias("df_docs")
+    )
+    topk = counts.orderBy(F.col("df_docs").desc(), F.col("shingle").asc()).limit(k)
+    w = Window.orderBy(F.col("df_docs").desc(), F.col("shingle").asc())
+    return topk.withColumn("rank", F.row_number().over(w))
+
+
 def tfidf_topterms(
     docs: DataFrame,
     n_docs: int,

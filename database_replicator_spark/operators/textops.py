@@ -86,6 +86,74 @@ def quality_score_expr() -> Column:
     )
 
 
+def quality_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_tokens: int = 50_000,
+    stop_permille: int = 20,
+    max_token_share_pct: int = 20,
+) -> DataFrame:
+    """C4-style rule-cascade document filter: every document gets a keep
+    flag and the FIRST failing rule as ``reject_reason`` (fixed rule
+    order: too_short → too_long → low_stopword → repetitive), so drops
+    are explainable and re-runnable — the pipeline stage between raw
+    ingestion and dedup in a pretraining corpus build.
+
+    All rules are integer comparisons (no float thresholds), so the
+    decision is exactly reproducible in any engine:
+      * too_short / too_long — token-count bounds
+      * low_stopword — stopword per-mille below ``stop_permille``
+        (gibberish / non-language detector)
+      * repetitive — the single most frequent token exceeds
+        ``max_token_share_pct`` of all tokens (boilerplate detector)
+
+    Plan: one token explode + two-level groupBy for the max-token count
+    (shuffles on (doc, token) then doc — both keyed on the doc grain at
+    worst), joined back to per-doc integer signals computed map-side.
+    """
+    norm = normalize_text_expr(F.coalesce(F.col(text_col), F.lit("")))
+    toks = F.split(norm, " ")
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).alias(
+            "n_stop"
+        ),
+        toks.alias("_toks"),
+    )
+    top = (
+        base.select("doc_id", F.explode("_toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .groupBy("doc_id")
+        .agg(F.max("_n").alias("max_tok_count"))
+    )
+    joined = base.drop("_toks").join(top, on="doc_id")
+    reason = (
+        F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(F.col("n_tokens") > max_tokens, F.lit("too_long"))
+        .when(
+            F.col("n_stop") * 1000 < F.col("n_tokens") * stop_permille,
+            F.lit("low_stopword"),
+        )
+        .when(
+            F.col("max_tok_count") * 100 > F.col("n_tokens") * max_token_share_pct,
+            F.lit("repetitive"),
+        )
+    )
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        "n_stop",
+        "max_tok_count",
+        reason.alias("reject_reason"),
+        reason.isNull().alias("keep"),
+    )
+
+
 def normalize_text_expr(text: Column) -> Column:
     """Canonical text form for fingerprinting/dedup: lowercase, collapse
     whitespace runs to single spaces, trim."""

@@ -730,3 +730,75 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
     return lsh_topk_bucketed(emb, queries_df, dim=64, k=10, num_planes=6)
+
+
+@query(
+    "embedding_components",
+    # the embedding twin of dedup_components: LSH near-dup pairs (the
+    # embedding_neardup_lsh construction) become edges, clustered by
+    # hash-min connected components; the oracle mirrors the iteration
+    # with a recursive CTE over the same deterministic pair set
+    oracle=f"""
+    WITH RECURSIVE planes(p, coeffs) AS (VALUES {{planes}}),
+    buckets AS (
+      SELECT e.vec_id,
+             SUM(CASE WHEN {_LSH_DOT_RAW.format(a='e.embedding', b='pl.coeffs')} >= 0
+                      THEN CAST(POWER(2, pl.p) AS BIGINT) ELSE 0 END) AS bucket
+      FROM embeddings e CROSS JOIN planes pl
+      GROUP BY e.vec_id
+    ),
+    units AS (
+      SELECT vec_id, {{unit}} AS unit FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id1, b.vec_id AS id2
+      FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      JOIN units ua ON ua.vec_id = a.vec_id
+      JOIN units ub ON ub.vec_id = b.vec_id
+      WHERE {{dot}} >= 0.15
+    ),
+    edges AS (
+      SELECT id1 AS src, id2 AS dst FROM pairs
+      UNION ALL
+      SELECT id2, id1 FROM pairs
+    ),
+    reach AS (
+      SELECT vec_id AS node, vec_id AS m FROM embeddings
+      UNION
+      SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.m
+    ),
+    comp AS (
+      SELECT node AS vec_id, MIN(m) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT vec_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           vec_id = cluster_id AS is_canonical
+    FROM comp
+    """.replace("{planes}", _lsh_planes_sql(64, 6))
+       .replace("{unit}", _UNIT_SQL.format(v="embedding"))
+       .replace("{dot}", _DOT_SQL.format(a="ua.unit", b="ub.unit")),
+)
+def embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) cluster dedup: cosine near-dup pairs
+    from the LSH-bucketed scan become edges; every vector is labeled with
+    its connected component's minimum id — the canonical survivor of a
+    semantic duplicate cluster. The lexical pipeline's dedup_components
+    with embedding edges: together they are the two halves of a
+    production near-dup stage (lexical catches templated text, semantic
+    catches paraphrases)."""
+    from .operators.corpus import connected_components
+    from .operators.similarity import neardup_pairs_lsh
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = neardup_pairs_lsh(emb, dim=64, threshold=0.15, num_planes=6)
+    comp = connected_components(
+        emb.select("vec_id"), pairs, id_col="vec_id", src_col="id1", dst_col="id2"
+    )
+    w = Window.partitionBy("cluster_id")
+    return comp.select(
+        F.col("node").alias("vec_id"),
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("node") == F.col("cluster_id")).alias("is_canonical"),
+    )

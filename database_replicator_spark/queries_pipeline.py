@@ -381,3 +381,137 @@ def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()
     return tfidf_topterms(docs, n_docs=n_docs, k=5)
+
+
+@query(
+    "corpus_mixture_report",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, lang, len({_TOKS_SQL}) AS n_tokens FROM documents
+    ),
+    agg AS (
+      SELECT source, lang, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             round(AVG(n_tokens), 6) AS mean_tokens
+      FROM t GROUP BY 1, 2
+    )
+    SELECT source, lang, n_docs, total_tokens, mean_tokens,
+           round(total_tokens / (SELECT SUM(total_tokens) FROM agg), 6) AS token_share
+    FROM agg
+    """,
+)
+def corpus_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture accounting at the (source, lang) grain: doc counts, token
+    totals, and each stratum's share of all corpus tokens — the table a
+    pretraining-mix decision (and the stratified_sample audit) starts
+    from. One groupBy to the stratum grain; the grand total comes from
+    the tiny aggregate, never a second corpus pass."""
+    from .operators.corpus import mixture_report
+    from .operators.textops import normalize_text_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        "lang",
+        F.size(
+            F.split(normalize_text_expr(F.coalesce(F.col("text"), F.lit(""))), " ")
+        ).alias("n_tokens"),
+    )
+    return mixture_report(base, strata_cols=["source", "lang"])
+
+
+@query(
+    "doc_quality_filter",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    base AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS n_stop,
+             toks
+      FROM norm
+    ),
+    top AS (
+      SELECT doc_id, MAX(c) AS max_tok_count FROM (
+        SELECT doc_id, tok, COUNT(*) AS c
+        FROM base, UNNEST(toks) AS u(tok) GROUP BY 1, 2
+      ) GROUP BY doc_id
+    ),
+    j AS (
+      SELECT b.doc_id, b.n_tokens, b.n_stop, t.max_tok_count,
+             CASE WHEN b.n_tokens < 10 THEN 'too_short'
+                  WHEN b.n_tokens > 50000 THEN 'too_long'
+                  WHEN b.n_stop * 1000 < b.n_tokens * 20 THEN 'low_stopword'
+                  WHEN t.max_tok_count * 100 > b.n_tokens * 20 THEN 'repetitive'
+             END AS reject_reason
+      FROM base b JOIN top t USING (doc_id)
+    )
+    SELECT doc_id, n_tokens, n_stop, max_tok_count, reject_reason,
+           reject_reason IS NULL AS keep
+    FROM j
+    """,
+)
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style rule-cascade filter: integer-only rules (token bounds,
+    stopword floor, single-token repetition cap) with the first failing
+    rule as the reject reason — drops stay explainable and the decision
+    is bit-reproducible across engines."""
+    from .operators.textops import quality_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_filter(docs)
+
+
+@query(
+    "doc_passage_dedup",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    chunks AS (
+      SELECT doc_id,
+             md5(array_to_string(toks[(i-1)*16+1:(i-1)*16+16], ' ')) AS passage_fp
+      FROM norm,
+           UNNEST(generate_series(1, CAST(ceil(len(toks) / 16.0) AS BIGINT))) AS g(i)
+    )
+    SELECT passage_fp, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences,
+           MIN(doc_id) AS keep_doc
+    FROM chunks GROUP BY 1 HAVING COUNT(*) >= 2
+    """,
+)
+def doc_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup: fixed 16-token windows fingerprinted per
+    document; fingerprints occurring more than once across the corpus are
+    reported with their spread and deterministic survivor. Finer than
+    whole-doc fingerprints, cheaper than shingle Jaccard — the tier that
+    catches repeated boilerplate passages inside otherwise-unique
+    documents. One shuffle on the fingerprint."""
+    from .operators.corpus import passage_dedup_groups
+
+    docs = load_table(spark, sf_dir, "documents")
+    return passage_dedup_groups(docs, window=16)
+
+
+@query(
+    "corpus_top_ngrams",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    counts AS (
+      SELECT shingle, COUNT(DISTINCT doc_id) AS df_docs FROM sh GROUP BY 1
+    ),
+    topk AS (
+      SELECT shingle, df_docs FROM counts
+      ORDER BY df_docs DESC, shingle ASC LIMIT 20
+    )
+    SELECT shingle, df_docs,
+           ROW_NUMBER() OVER (ORDER BY df_docs DESC, shingle ASC) AS rank
+    FROM topk
+    """,
+)
+def corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word 3-grams by document frequency — the
+    boilerplate-survey / contamination-audit primitive. orderBy+limit
+    plans as a distributed TakeOrdered (per-partition top-k merged on the
+    driver), never a global sort shuffle; ties break on the gram string."""
+    from .operators.corpus import top_ngrams
+    from .operators.dedup import doc_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    return top_ngrams(doc_shingles(docs), k=20)

@@ -166,6 +166,85 @@ class TestPackSequences:
         assert cums[0] == 10 and cums[999] == 10_000
 
 
+class TestMixtureReport:
+    def test_shares_sum_to_one_and_counts(self, spark):
+        from database_replicator_spark.operators.corpus import mixture_report
+
+        df = spark.createDataFrame(
+            [("cc", "en", 100), ("cc", "en", 300), ("wiki", "de", 600)],
+            "source string, lang string, n_tokens int",
+        )
+        out = {(r["source"], r["lang"]): r for r in
+               mixture_report(df, ["source", "lang"]).collect()}
+        assert out[("cc", "en")]["n_docs"] == 2
+        assert out[("cc", "en")]["total_tokens"] == 400
+        assert out[("cc", "en")]["token_share"] == 0.4
+        assert out[("wiki", "de")]["token_share"] == 0.6
+        assert out[("cc", "en")]["mean_tokens"] == 200.0
+
+
+class TestQualityFilter:
+    def test_rule_cascade_first_reason_wins(self, spark):
+        from database_replicator_spark.operators.textops import quality_filter
+
+        rows = [
+            (1, "word " * 5),                     # 5 tokens -> too_short
+            (2, "the " + "unique" + " of and to in is it for on " + " ".join(f"w{i}" for i in range(20))),
+            (3, " ".join(["spam"] * 40)),          # no stopwords -> low_stopword fires before repetitive
+            (4, "the a of and to in is it for on " + " ".join(["x"] * 30)),  # x = 30/40 -> repetitive
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: (r["keep"], r["reject_reason"]) for r in
+               quality_filter(df).collect()}
+        assert out[1] == (False, "too_short")
+        assert out[2] == (True, None)
+        assert out[3] == (False, "low_stopword")
+        assert out[4] == (False, "repetitive")
+
+
+class TestPassageDedup:
+    def test_repeated_passage_found_across_docs(self, spark):
+        from database_replicator_spark.operators.corpus import passage_dedup_groups
+
+        boiler = " ".join(f"b{i}" for i in range(16))  # exactly one window
+        rows = [
+            (1, boiler + " " + " ".join(f"u{i}" for i in range(16))),
+            (2, boiler + " " + " ".join(f"v{i}" for i in range(16))),
+            (3, " ".join(f"w{i}" for i in range(32))),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = passage_dedup_groups(df, window=16).collect()
+        assert len(out) == 1  # only the shared boilerplate window repeats
+        assert out[0]["n_docs"] == 2 and out[0]["keep_doc"] == 1
+
+    def test_within_doc_repetition_counts_occurrences(self, spark):
+        from database_replicator_spark.operators.corpus import passage_dedup_groups
+
+        chunk = " ".join(f"c{i}" for i in range(16))
+        df = spark.createDataFrame(
+            [(7, chunk + " " + chunk)], "doc_id long, text string"
+        )
+        out = passage_dedup_groups(df, window=16).collect()
+        assert len(out) == 1
+        assert out[0]["n_docs"] == 1 and out[0]["n_occurrences"] == 2
+
+
+class TestTopNgrams:
+    def test_df_ranking_with_ties(self, spark):
+        from database_replicator_spark.operators.corpus import top_ngrams
+        from database_replicator_spark.operators.dedup import doc_shingles
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "alpha beta gamma epsilon")],
+            "doc_id long, text string",
+        )
+        out = [(r["shingle"], r["df_docs"], r["rank"]) for r in
+               top_ngrams(doc_shingles(docs), k=3).collect()]
+        # 'alpha beta gamma' appears in both docs; ties break alphabetically
+        assert out[0] == ("alpha beta gamma", 2, 1)
+        assert all(out[i][1] >= out[i + 1][1] for i in range(len(out) - 1))
+
+
 class TestTfidf:
     def test_rare_terms_outrank_common(self, spark):
         docs = spark.createDataFrame(
