@@ -369,6 +369,9 @@ def passage_fingerprints(
     )
     return (
         df.select(F.col(id_col).alias("doc_id"), chunks.alias("_chunks"))
+        # spread the chunk explode across cores (single-file fixture scans
+        # are one partition; see textops.winnowing_fingerprints)
+        .repartition(F.col("doc_id"))
         .select("doc_id", F.posexplode("_chunks").alias("passage_idx", "passage"))
         .select(
             "doc_id",
@@ -449,7 +452,11 @@ def tfidf_topterms(
 
     words = F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")
     terms = (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(words).alias("term"))
+        docs.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
+        # spread the term explode across cores (single-file fixture scans
+        # are one partition; the tf groupBy keys on doc_id anyway)
+        .repartition(F.col("doc_id"))
+        .select("doc_id", F.explode("_w").alias("term"))
         .filter(F.col("term") != "")
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))

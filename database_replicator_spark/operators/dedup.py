@@ -48,7 +48,8 @@ def exact_dedup_groups(
 
 
 def doc_shingles(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3,
+    spread: bool = False,
 ) -> DataFrame:
     """Distinct (doc_id, shingle) word-k-shingle pairs — the substrate for
     minhash & jaccard. Documents shorter than k words contribute their whole
@@ -59,7 +60,18 @@ def doc_shingles(
     ``transform``+``slice`` formulation was ~4× slower because lambda
     functions are interpreted and the token split was re-evaluated per
     element). Cost: one shuffle on doc_id for the window + one for the
-    distinct — both on (id, small-string) rows."""
+    distinct — both on (id, small-string) rows.
+
+    ``spread=True`` repartitions on doc_id BEFORE the token explode so a
+    single-partition input (one small parquet file) doesn't run the whole
+    expansion on one core; the per-doc lead window needs that partitioning
+    anyway, so the shuffle is moved, not added. Measured (sf0.1,
+    local[32]): direct shingle consumers (Jaccard all-pairs,
+    decontamination, top-ngrams) cut ~45% — but pipelines that RE-EXECUTE
+    the shingle plan several times (the minhash → LSH banded self-join,
+    and especially iterative connected components) pay the extra exchange
+    per replay and regress up to ~70%. Hence per-pipeline opt-in rather
+    than a default."""
     from pyspark.sql import Window
 
     # NULL text behaves as empty text (one '' shingle) so no document ever
@@ -70,6 +82,8 @@ def doc_shingles(
         F.size(F.split(norm, " ")).alias("n_toks"),
         norm.alias("norm"),
     )
+    if spread:
+        toks = toks.repartition(F.col("doc_id"))
     long_docs = toks.filter(F.col("n_toks") >= k).select(
         "doc_id", F.posexplode(F.split(F.col("norm"), " ")).alias("pos", "tok")
     )
