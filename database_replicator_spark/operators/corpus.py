@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash60, seeded
+from ..util import spread_by
 
 #: 2^60 — the exclusive upper bound of hash60's range, used to turn a
 #: sampling rate into an integer hash threshold.
@@ -370,8 +371,8 @@ def passage_fingerprints(
     return (
         df.select(F.col(id_col).alias("doc_id"), chunks.alias("_chunks"))
         # spread the chunk explode across cores (single-file fixture scans
-        # are one partition; see textops.winnowing_fingerprints)
-        .repartition(F.col("doc_id"))
+        # are one partition; see util.spread_by)
+        .transform(lambda d: spread_by(d, F.col("doc_id")))
         .select("doc_id", F.posexplode("_chunks").alias("passage_idx", "passage"))
         .select(
             "doc_id",
@@ -455,7 +456,7 @@ def tfidf_topterms(
         docs.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
         # spread the term explode across cores (single-file fixture scans
         # are one partition; the tf groupBy keys on doc_id anyway)
-        .repartition(F.col("doc_id"))
+        .transform(lambda d: spread_by(d, F.col("doc_id")))
         .select("doc_id", F.explode("_w").alias("term"))
         .filter(F.col("term") != "")
     )

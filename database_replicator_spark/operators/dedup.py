@@ -83,7 +83,9 @@ def doc_shingles(
         norm.alias("norm"),
     )
     if spread:
-        toks = toks.repartition(F.col("doc_id"))
+        from ..util import spread_by
+
+        toks = spread_by(toks, F.col("doc_id"))
     long_docs = toks.filter(F.col("n_toks") >= k).select(
         "doc_id", F.posexplode(F.split(F.col("norm"), " ")).alias("pos", "tok")
     )

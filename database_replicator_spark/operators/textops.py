@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..util import spread_by
+
 #: tiny English stopword list for the n-gram/stopword language heuristic
 EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
 
@@ -123,7 +125,8 @@ def quality_filter(
             "n_stop"
         ),
         toks.alias("_toks"),
-    ).repartition(F.col("doc_id"))  # spread the explode (see winnowing note)
+    )
+    base = spread_by(base, F.col("doc_id"))  # spread the explode (see winnowing note)
     top = (
         base.select("doc_id", F.explode("_toks").alias("tok"))
         .groupBy("doc_id", "tok")
@@ -311,7 +314,7 @@ def winnowing_fingerprints(
     grams = (
         df.withColumn("_norm", norm)
         .select(F.col(id_col).alias("doc_id"), "_norm")
-        .repartition(F.col("doc_id"))
+        .transform(lambda d: spread_by(d, F.col("doc_id")))
         .select(
             "doc_id",
             F.posexplode(

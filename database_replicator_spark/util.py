@@ -54,6 +54,19 @@ def cleanup_stale_stages(root: str, max_age_hours: float = 24.0) -> list[str]:
     return removed
 
 
+def spread_by(df: DataFrame, col) -> DataFrame:
+    """Repartition on a key with an EXPLICIT partition count
+    (``sparkContext.defaultParallelism``). A bare ``repartition(col)``
+    is subject to AQE coalescing, which folds a small-but-CPU-heavy
+    shuffle (e.g. 5k docs ≈ 1.5 MB about to explode into 1.5M char-gram
+    rows) back into ONE partition — measured 9× slower on the winnowing
+    scan at sf0.1. The explicit count pins the fan-out; AQE still
+    coalesces every DOWNSTREAM shuffle where sizing is the right
+    heuristic."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, col)
+
+
 def bucketed_exists(path: str) -> bool:
     """True when ``path`` holds a Hive-partitioned parquet dataset with
     ``bucket=<n>`` partition directories (the bucketed ``_latest``
