@@ -49,7 +49,7 @@ def exact_dedup_groups(
 
 def doc_shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3,
-    spread: bool = False,
+    spread: bool = True,
 ) -> DataFrame:
     """Distinct (doc_id, shingle) word-k-shingle pairs — the substrate for
     minhash & jaccard. Documents shorter than k words contribute their whole
@@ -62,16 +62,13 @@ def doc_shingles(
     element). Cost: one shuffle on doc_id for the window + one for the
     distinct — both on (id, small-string) rows.
 
-    ``spread=True`` repartitions on doc_id BEFORE the token explode so a
+    ``spread`` (default on) repartitions on doc_id with an explicit
+    partition count (util.spread_by) BEFORE the token explode so a
     single-partition input (one small parquet file) doesn't run the whole
-    expansion on one core; the per-doc lead window needs that partitioning
-    anyway, so the shuffle is moved, not added. Measured (sf0.1,
-    local[32]): direct shingle consumers (Jaccard all-pairs,
-    decontamination, top-ngrams) cut ~45% — but pipelines that RE-EXECUTE
-    the shingle plan several times (the minhash → LSH banded self-join,
-    and especially iterative connected components) pay the extra exchange
-    per replay and regress up to ~70%. Hence per-pipeline opt-in rather
-    than a default."""
+    expansion on one core; the per-doc lead window needs that
+    partitioning anyway, so the shuffle is moved, not added. (A bare
+    ``repartition(col)`` would NOT work here — AQE coalesces the small
+    pre-explosion shuffle back to one partition; see spread_by.)"""
     from pyspark.sql import Window
 
     # NULL text behaves as empty text (one '' shingle) so no document ever

@@ -441,7 +441,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import doc_shingles, jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = doc_shingles(docs, spread=True)
+    sh = doc_shingles(docs)
     return jaccard_pairs(sh, threshold=0.05)
 
 

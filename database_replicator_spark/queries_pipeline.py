@@ -142,7 +142,7 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import doc_shingles
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = doc_shingles(docs, spread=True)
+    sh = doc_shingles(docs)
     return ngram_overlap(sh, F.col("doc_id") % 50 == 0, min_overlap=1)
 
 
@@ -514,4 +514,4 @@ def corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import doc_shingles
 
     docs = load_table(spark, sf_dir, "documents")
-    return top_ngrams(doc_shingles(docs, spread=True), k=20)
+    return top_ngrams(doc_shingles(docs), k=20)
