@@ -205,6 +205,70 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_incremental_candidates(
+    new_sigs: DataFrame,
+    index_sigs: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 3,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Candidate pairs between a NEW batch and an EXISTING corpus index —
+    the daily-increment dedup shape: a crawl delta is checked against the
+    accumulated signature index without ever self-joining the corpus.
+
+    Both sides band identically; the join is new-banded ⋈ index-banded on
+    (band, band_sig) — at a 100 TB corpus with a daily delta the new side
+    is orders of magnitude smaller, so this is a broadcast or small-side
+    shuffle join keyed on uniform hash values, and the index side is
+    touched once per band with no quadratic term. The bucket cap applies
+    to the INDEX side (a degenerate boilerplate bucket there would match
+    every new doc). Output: (new_doc, index_doc) distinct pairs; new-batch
+    self-duplicates are the ordinary within-batch pipeline's job.
+
+    At scale the banded index is a materialized table partitioned by
+    (band, band_sig) — appending each day's accepted batch keeps the
+    index current without recomputation."""
+    def band_struct(b: int) -> Column:
+        cells = [
+            F.element_at(F.col("sig"), b * rows_per_band + r + 1).cast("string")
+            for r in range(rows_per_band)
+        ]
+        return F.struct(
+            F.lit(b).alias("band"), F.md5(F.concat_ws(",", *cells)).alias("band_sig")
+        )
+
+    def banded(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            "doc_id",
+            F.explode(F.array(*[band_struct(b) for b in range(bands)])).alias("bb"),
+        ).select(
+            "doc_id",
+            F.col("bb.band").alias("band"),
+            F.col("bb.band_sig").alias("band_sig"),
+        )
+
+    new_b = banded(new_sigs)
+    idx_b = banded(index_sigs)
+    if max_bucket_size is not None:
+        small = (
+            idx_b.groupBy("band", "band_sig")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("band", "band_sig")
+        )
+        idx_b = idx_b.join(small, on=["band", "band_sig"], how="left_semi")
+    n = new_b.alias("n")
+    i = idx_b.alias("i")
+    return (
+        n.join(i, on=["band", "band_sig"])
+        .filter(F.col("n.doc_id") != F.col("i.doc_id"))
+        .select(
+            F.col("n.doc_id").alias("new_doc"), F.col("i.doc_id").alias("index_doc")
+        )
+        .distinct()
+    )
+
+
 def jaccard_pairs(
     shingled: DataFrame,
     candidates: DataFrame | None = None,

@@ -802,3 +802,53 @@ def embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("cluster_size"),
         (F.col("node") == F.col("cluster_id")).alias("is_canonical"),
     )
+
+
+@query(
+    "dedup_incremental",
+    # new batch = doc_id % 10 == 0 (the daily delta); index = the rest.
+    # The capped CTE applies to the INDEX side only, mirroring
+    # lsh_incremental_candidates.
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    base AS ({_MINHASH_BASE}),
+    sig AS (
+      SELECT doc_id,
+       {_MINHASH_MINS}
+      FROM base GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, b.band, b.band_sig
+      FROM sig, UNNEST([{_LSH_BANDS}]) AS u(b)
+    ),
+    new_b AS (SELECT * FROM banded WHERE doc_id % 10 = 0),
+    idx_all AS (SELECT * FROM banded WHERE doc_id % 10 != 0),
+    idx_b AS (
+      SELECT idx_all.doc_id, idx_all.band, idx_all.band_sig
+      FROM idx_all
+      JOIN (SELECT band, band_sig FROM idx_all
+            GROUP BY band, band_sig
+            HAVING COUNT(*) <= {_LSH_BUCKET_CAP}) ok
+        USING (band, band_sig)
+    )
+    SELECT DISTINCT n.doc_id AS new_doc, i.doc_id AS index_doc
+    FROM new_b n JOIN idx_b i
+      ON n.band = i.band AND n.band_sig = i.band_sig AND n.doc_id != i.doc_id
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (delta-vs-index) near-dup candidates: a deterministic
+    'new batch' slice (doc_id % 10 = 0) is banded and joined against the
+    existing corpus's signature index — the daily-crawl dedup shape where
+    the corpus is never self-joined and the delta side broadcasts."""
+    from .operators.dedup import (
+        doc_shingles,
+        lsh_incremental_candidates,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(doc_shingles(docs), num_hashes=12)
+    new_sigs = sig.filter(F.col("doc_id") % 10 == 0)
+    index_sigs = sig.filter(F.col("doc_id") % 10 != 0)
+    return lsh_incremental_candidates(new_sigs, index_sigs)

@@ -221,6 +221,31 @@ class TestLshBucketCap:
         assert all(p[0] >= 100 for p in capped), capped
         assert (100, 101) in capped
 
+    def test_incremental_candidates_delta_vs_index(self, spark):
+        """Delta-vs-index banding: a new doc near-identical to an index
+        doc pairs with it; an unrelated new doc pairs with nothing; and
+        pairs never form within the index (no corpus self-join)."""
+        from database_replicator_spark.operators.dedup import (
+            lsh_incremental_candidates,
+        )
+
+        a = "the quick brown fox jumps over the lazy dog again and again today"
+        b = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+        idx_docs = spark.createDataFrame(
+            [(1, a), (2, "completely different content about databases and replication")],
+            "doc_id long, text string",
+        )
+        new_docs = spark.createDataFrame(
+            [(100, b), (101, "nothing like anything in the index corpus at all")],
+            "doc_id long, text string",
+        )
+        idx_sigs = minhash_signatures(doc_shingles(idx_docs), num_hashes=12)
+        new_sigs = minhash_signatures(doc_shingles(new_docs), num_hashes=12)
+        out = {(r["new_doc"], r["index_doc"]) for r in
+               lsh_incremental_candidates(new_sigs, idx_sigs).collect()}
+        assert (100, 1) in out
+        assert all(nd in (100, 101) for nd, _ in out)  # left side is always the delta
+
     def test_default_cap_drops_degenerate_bucket(self, spark):
         # 60 identical docs exceed DEFAULT_MAX_BUCKET_SIZE=50: the default
         # pipeline (what the gates run) drops that bucket entirely while
