@@ -107,8 +107,60 @@ def main(argv: list[str] | None = None) -> int:
     common(sub.add_parser("verify", help="checksum comparison"))
     status_p = sub.add_parser("status", help="sync state report")
     status_p.add_argument("--target", required=True)
+    repl_p = sub.add_parser(
+        "replication-plan",
+        help="emit the CREATE PUBLICATION/SUBSCRIPTION statement plan (S24)",
+    )
+    repl_p.add_argument("--publication", required=True)
+    repl_p.add_argument("--subscription", required=True)
+    repl_p.add_argument("--source-conn", required=True, metavar="CONNSTR")
+    repl_p.add_argument("--db-name", default="")
+    repl_p.add_argument(
+        "--server-version", type=int, help="source server_version_num (PG15 gate)"
+    )
+    repl_p.add_argument(
+        "--publish-table", action="append", metavar="SCHEMA.TABLE",
+        help="catalog listing for a filtered publication (repeatable)",
+    )
+    repl_p.add_argument("--table-filter", action="append", metavar="TABLE:PRED")
+    repl_p.add_argument("--exclude-table", action="append", metavar="DB.TABLE")
+    repl_p.add_argument("--schema-only", action="append", metavar="TABLE")
 
     args = p.parse_args(argv)
+
+    if args.command == "replication-plan":
+        from .plans.rules import ReplicationFilter
+        from .sources.replication import logical_replication_plan
+
+        try:
+            filt = ReplicationFilter(
+                exclude_tables=[t for t in (args.exclude_table or [])],
+            )
+            for spec in args.table_filter or []:
+                table, _, pred = spec.partition(":")
+                filt.rules.add_predicate(table, pred)
+            for t in args.schema_only or []:
+                filt.rules.add_schema_only(t)
+            tables = None
+            if args.publish_table:
+                tables = []
+                for t in args.publish_table:
+                    schema, _, name = t.rpartition(".")
+                    tables.append((schema or "public", name))
+            plan = logical_replication_plan(
+                args.publication,
+                args.subscription,
+                args.source_conn,
+                tables=tables,
+                db_name=args.db_name,
+                filter=None if filt.is_empty() else filt,
+                server_version=args.server_version,
+            )
+            print(json.dumps({"ok": True, "plan": plan}))
+            return 0
+        except Exception as e:  # validation failures → clean CLI error
+            print(json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"}))
+            return 2
 
     if args.command == "status":
         from .engine import Engine, ParquetTarget

@@ -81,6 +81,38 @@ class TestEngineLifecycle:
 
 
 class TestCli:
+    def test_replication_plan_command(self, capsys):
+        import json
+
+        from database_replicator_spark import cli
+
+        rc = cli.main(
+            ["replication-plan", "--publication", "p1", "--subscription", "s1",
+             "--source-conn", "host=src", "--db-name", "db",
+             "--publish-table", "public.orders", "--publish-table", "public.users",
+             "--schema-only", "db.users", "--server-version", "160000"]
+        )
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["ok"]
+        assert out["plan"]["source"] == ['CREATE PUBLICATION "p1" FOR TABLE "public"."orders"']
+        assert 'CREATE SUBSCRIPTION "s1"' in out["plan"]["target"][0]
+
+    def test_replication_plan_pg15_gate_fails_clean(self, capsys):
+        import json
+
+        from database_replicator_spark import cli
+
+        rc = cli.main(
+            ["replication-plan", "--publication", "p1", "--subscription", "s1",
+             "--source-conn", "c", "--db-name", "db",
+             "--publish-table", "public.orders",
+             "--table-filter", "orders:x > 1", "--server-version", "140000"]
+        )
+        assert rc == 2
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert "PostgreSQL 15" in out["error"]
+
     def test_init_and_verify_roundtrip(self, tmp_path, monkeypatch):
         # CLI spins its own session; run in-process against sf0.001
         from database_replicator_spark import cli
