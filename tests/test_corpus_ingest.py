@@ -1,0 +1,89 @@
+"""Streaming corpus-ingestion lifecycle: quality gate → within-batch
+dedup → against-corpus dedup → idempotent epoch appends
+(streaming/corpus_ingest.py)."""
+
+import json
+import os
+
+import pytest
+
+from database_replicator_spark.streaming.corpus_ingest import (
+    read_corpus,
+    start_corpus_ingest,
+)
+
+GOOD = (
+    "the quick brown fox jumps over a lazy dog and it runs on for "
+    "quite a while with plenty of variety in the words it uses"
+)
+GOOD2 = (
+    "a different document about the state of databases and the many "
+    "ways in which they replicate data for analytical workloads"
+)
+LOW_QUALITY = "tiny"  # < 10 tokens -> too_short
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    return {
+        "src": str(tmp_path / "queue"),
+        "tgt": str(tmp_path / "corpus_out"),
+        "chk": str(tmp_path / "chk"),
+    }
+
+
+def _write(path, docs):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as fh:
+        for d in docs:
+            fh.write(json.dumps(d) + "\n")
+
+
+def _run_once(spark, dirs):
+    q, ing = start_corpus_ingest(spark, dirs["src"], dirs["tgt"], dirs["chk"], once=True)
+    q.awaitTermination(120)
+    return ing
+
+
+def _doc(i, text, lang="en", source="cc"):
+    return {"doc_id": i, "text": text, "lang": lang, "source": source}
+
+
+class TestCorpusIngest:
+    def test_gauntlet_and_cross_epoch_dedup(self, spark, dirs):
+        # epoch 1: a good doc, a within-batch duplicate of it, a low-quality doc
+        _write(
+            os.path.join(dirs["src"], "b1.json"),
+            [_doc(1, GOOD), _doc(2, GOOD), _doc(3, LOW_QUALITY)],
+        )
+        _run_once(spark, dirs)
+        corpus = read_corpus(spark, dirs["tgt"])
+        assert {r["doc_id"] for r in corpus.collect()} == {1}  # min-id survivor
+
+        stats_p = os.path.join(dirs["tgt"], "_ingest_stats")
+        s1 = spark.read.parquet(os.path.join(stats_p, "epoch=0")).collect()[0]
+        assert (
+            s1["n_in"],
+            s1["n_quality_rejected"],
+            s1["n_dup_in_batch"],
+            s1["n_dup_vs_corpus"],
+            s1["n_accepted"],
+        ) == (3, 1, 1, 0, 1)
+
+        # epoch 2: a re-crawl of the accepted doc (cross-epoch dup) + a new doc
+        _write(
+            os.path.join(dirs["src"], "b2.json"),
+            [_doc(10, GOOD), _doc(11, GOOD2)],
+        )
+        _run_once(spark, dirs)
+        corpus = read_corpus(spark, dirs["tgt"])
+        assert {r["doc_id"] for r in corpus.collect()} == {1, 11}
+        epochs = {r["epoch"] for r in corpus.select("epoch").collect()}
+        assert epochs == {0, 1}
+
+    def test_restart_without_new_data_is_noop(self, spark, dirs):
+        _write(os.path.join(dirs["src"], "b1.json"), [_doc(1, GOOD)])
+        _run_once(spark, dirs)
+        ing2 = _run_once(spark, dirs)
+        assert ing2.applied_batches == []
+        assert read_corpus(spark, dirs["tgt"]).count() == 1
