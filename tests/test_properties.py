@@ -282,3 +282,37 @@ class TestRangeJoinProperties:
             if s <= t < s + d
         )
         assert got == want
+
+
+class TestPackSequencesProperties:
+    @settings(**SETTINGS)
+    @given(
+        docs=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=10_000),  # doc_id
+                st.sampled_from(["cc", "wiki"]),             # source
+                st.integers(min_value=1, max_value=500),     # n_tokens
+            ),
+            min_size=1,
+            max_size=40,
+            unique_by=lambda t: t[0],
+        ),
+        budget=st.integers(min_value=10, max_value=400),
+        width=st.sampled_from([1, 7, 64, 4096]),
+    )
+    def test_range_packing_equals_single_window(self, spark, docs, budget, width):
+        """The two-pass range packing must reproduce the single-window
+        packing exactly for ANY doc-id distribution, bucket width, and
+        budget — including widths that put every doc in its own bucket
+        (1) or all docs in one bucket (4096)."""
+        from database_replicator_spark.operators.corpus import pack_sequences
+
+        df = spark.createDataFrame(docs, "doc_id long, source string, n_tokens int")
+        key = ["source", "doc_id"]
+        fast = pack_sequences(
+            df, budget=budget, part_col="source", range_width=width
+        ).orderBy(*key).collect()
+        slow = pack_sequences(
+            df, budget=budget, part_col="source", range_width=None
+        ).orderBy(*key).collect()
+        assert [tuple(r) for r in fast] == [tuple(r) for r in slow]
