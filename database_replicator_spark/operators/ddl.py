@@ -17,6 +17,7 @@ idiomatic replacement called out in SURVEY.md §1.3.
 from __future__ import annotations
 
 import re
+from dataclasses import dataclass
 
 from pyspark.sql import types as T
 
@@ -238,3 +239,102 @@ def create_table_sql(
         cols.append("PRIMARY KEY (" + ", ".join(quote_ident(c) for c in pk_cols) + ")")
     ine = "IF NOT EXISTS " if if_not_exists else ""
     return f"CREATE TABLE {ine}{table} (\n  " + ",\n  ".join(cols) + "\n)"
+
+
+@dataclass(frozen=True)
+class SchemaDrift:
+    """Source-vs-target schema comparison for a long-lived sync.
+
+    The reference's posture on drift is drop-and-recreate (commands/
+    init.rs add-tables mode); for a continuously-synced 100 TB target a
+    full recopy is not an option, so this classifies the drift and
+    generates the additive ALTERs that can be applied online:
+
+      * ``added``    — columns present only in source → ALTER TABLE ADD
+        COLUMN (always safe; backfill happens through the normal sync).
+      * ``removed``  — columns present only in target → reported, NOT
+        dropped (data-destructive; operator decides).
+      * ``retyped``  — same column, different SQL type → reported with
+        both renderings; an automatic USING cast is deliberately not
+        generated (lossy casts must be a human call).
+      * ``renullable`` — nullability tightened/loosened → reported;
+        loosening generates DROP NOT NULL (safe), tightening is
+        reported only (may fail on existing data).
+    """
+
+    added: list[str]
+    removed: list[str]
+    retyped: list[tuple[str, str, str]]
+    renullable: list[tuple[str, bool, bool]]  # (col, src_nullable, tgt_nullable)
+
+    @property
+    def is_drifted(self) -> bool:
+        return bool(self.added or self.removed or self.retyped or self.renullable)
+
+
+def schema_diff(source: T.StructType, target: T.StructType) -> SchemaDrift:
+    """Classify drift between a (fresh) source schema and the target's
+    last-known schema. Comparison is by rendered SQL type, so Spark-level
+    aliases that map to the same target type (e.g. Short vs Int → both
+    INTEGER? no — each renders itself) never false-positive."""
+    src = {f.name: f for f in source.fields}
+    tgt = {f.name: f for f in target.fields}
+    added = [n for n in src if n not in tgt]
+    removed = [n for n in tgt if n not in src]
+    retyped = []
+    renull = []
+    for n in src.keys() & tgt.keys():
+        s_t, t_t = _sql_type(src[n].dataType), _sql_type(tgt[n].dataType)
+        if s_t != t_t:
+            retyped.append((n, s_t, t_t))
+        if src[n].nullable != tgt[n].nullable:
+            renull.append((n, src[n].nullable, tgt[n].nullable))
+    return SchemaDrift(
+        added=sorted(added),
+        removed=sorted(removed),
+        retyped=sorted(retyped),
+        renullable=sorted(renull),
+    )
+
+
+def drift_alter_sql(
+    table: str, source: T.StructType, drift: SchemaDrift
+) -> tuple[list[str], list[str]]:
+    """(apply, review): ``apply`` holds the safe, online-appliable
+    statements (ADD COLUMN for added columns, DROP NOT NULL where the
+    source loosened nullability); ``review`` holds human-decision items
+    rendered as commented SQL (drops, retypes, tightened nullability) so
+    a run log shows exactly what was NOT done."""
+    from ..plans.rules import quote_ident
+
+    src = {f.name: f for f in source.fields}
+    apply: list[str] = []
+    review: list[str] = []
+    for n in drift.added:
+        f = src[n]
+        null = "" if f.nullable else " NOT NULL DEFAULT NULL /* backfill via sync */"
+        apply.append(
+            f"ALTER TABLE {table} ADD COLUMN IF NOT EXISTS "
+            f"{quote_ident(n)} {_sql_type(f.dataType)}{null}"
+        )
+    for n, s_null, _t_null in drift.renullable:
+        if s_null:  # source loosened → safe to loosen target
+            apply.append(
+                f"ALTER TABLE {table} ALTER COLUMN {quote_ident(n)} DROP NOT NULL"
+            )
+        else:
+            review.append(
+                f"-- source tightened nullability; verify data first:\n"
+                f"-- ALTER TABLE {table} ALTER COLUMN {quote_ident(n)} SET NOT NULL"
+            )
+    for n in drift.removed:
+        review.append(
+            f"-- column dropped at source; data-destructive, apply manually:\n"
+            f"-- ALTER TABLE {table} DROP COLUMN {quote_ident(n)}"
+        )
+    for n, s_t, t_t in drift.retyped:
+        review.append(
+            f"-- type drift {t_t} -> {s_t}; pick an explicit USING cast:\n"
+            f"-- ALTER TABLE {table} ALTER COLUMN {quote_ident(n)} TYPE {s_t}"
+        )
+    return apply, review

@@ -360,3 +360,84 @@ class TestPgCatalogSql:
         pk = pg_primary_key_sql("public.orders")
         assert "indisprimary" in pk and "'public.orders'::regclass" in pk
         assert "''" in pg_primary_key_sql("o'rders")  # literal-escaped
+
+
+class TestSchemaDrift:
+    def _schemas(self):
+        from pyspark.sql import types as T
+
+        src = T.StructType(
+            [
+                T.StructField("id", T.LongType(), False),
+                T.StructField("name", T.StringType(), True),
+                T.StructField("score", T.DoubleType(), True),   # added at source
+                T.StructField("age", T.LongType(), True),       # was INT at target
+                T.StructField("note", T.StringType(), True),    # was NOT NULL at target
+            ]
+        )
+        tgt = T.StructType(
+            [
+                T.StructField("id", T.LongType(), False),
+                T.StructField("name", T.StringType(), True),
+                T.StructField("age", T.IntegerType(), True),
+                T.StructField("note", T.StringType(), False),
+                T.StructField("legacy", T.StringType(), True),  # dropped at source
+            ]
+        )
+        return src, tgt
+
+    def test_diff_classifies_every_drift_kind(self):
+        from database_replicator_spark.operators.ddl import schema_diff
+
+        src, tgt = self._schemas()
+        d = schema_diff(src, tgt)
+        assert d.is_drifted
+        assert d.added == ["score"]
+        assert d.removed == ["legacy"]
+        assert d.retyped == [("age", "BIGINT", "INTEGER")]
+        assert d.renullable == [("note", True, False)]
+
+    def test_identical_schemas_do_not_drift(self):
+        from database_replicator_spark.operators.ddl import schema_diff
+
+        src, _ = self._schemas()
+        assert not schema_diff(src, src).is_drifted
+
+    def test_alter_sql_splits_safe_from_review(self):
+        from database_replicator_spark.operators.ddl import drift_alter_sql, schema_diff
+
+        src, tgt = self._schemas()
+        apply, review = drift_alter_sql('"t"', src, schema_diff(src, tgt))
+        assert any('ADD COLUMN IF NOT EXISTS "score" DOUBLE PRECISION' in s for s in apply)
+        assert any('ALTER COLUMN "note" DROP NOT NULL' in s for s in apply)
+        # destructive/lossy items are commented, never in apply
+        assert all(not s.lstrip().startswith("--") for s in apply)
+        assert any('DROP COLUMN "legacy"' in s for s in review)
+        assert any('"age" TYPE BIGINT' in s for s in review)
+        assert all(s.lstrip().startswith("--") for s in review)
+
+    def test_applied_alters_execute_on_sqlite(self, tmp_path):
+        # live-wire: the safe ADD COLUMN statements run through the real
+        # DDL executor (SQLite accepts ALTER TABLE ... ADD COLUMN)
+        from pyspark.sql import types as T
+
+        from database_replicator_spark.operators.ddl import drift_alter_sql, schema_diff
+        from database_replicator_spark.sources.ddl_exec import execute_ddl
+
+        db = str(tmp_path / "drift.db")
+        execute_ddl(db, 'CREATE TABLE "t" ("id" INTEGER PRIMARY KEY)')
+        src = T.StructType(
+            [
+                T.StructField("id", T.LongType(), False),
+                T.StructField("extra", T.StringType(), True),
+            ]
+        )
+        tgt = T.StructType([T.StructField("id", T.LongType(), False)])
+        apply, _ = drift_alter_sql('"t"', src, schema_diff(src, tgt))
+        # SQLite has no IF NOT EXISTS on ADD COLUMN — strip for the smoke
+        res = execute_ddl(db, ";\n".join(s.replace(" IF NOT EXISTS", "") for s in apply))
+        assert res.counts["executed"] == 1
+        import sqlite3
+
+        cols = [r[1] for r in sqlite3.connect(db).execute('PRAGMA table_info("t")')]
+        assert cols == ["id", "extra"]
