@@ -520,3 +520,113 @@ def corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return top_ngrams(doc_shingles(docs), k=20)
+
+
+@query(
+    "corpus_clean_view",
+    # the full acceptance decision per document, composed from the gated
+    # building blocks: quality cascade + exact-dedup survivorship +
+    # benchmark decontamination (doc_id % 50 = 0 is the eval slice)
+    oracle=f"""
+    WITH norm0 AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    base AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS n_stop,
+             toks
+      FROM norm0
+    ),
+    top AS (
+      SELECT doc_id, MAX(c) AS max_tok_count FROM (
+        SELECT doc_id, tok, COUNT(*) AS c
+        FROM base, UNNEST(toks) AS u(tok) GROUP BY 1, 2
+      ) GROUP BY doc_id
+    ),
+    qual AS (
+      SELECT b.doc_id,
+             (CASE WHEN b.n_tokens < 10 THEN 'too_short'
+                   WHEN b.n_tokens > 50000 THEN 'too_long'
+                   WHEN b.n_stop * 1000 < b.n_tokens * 20 THEN 'low_stopword'
+                   WHEN t.max_tok_count * 100 > b.n_tokens * 20 THEN 'repetitive'
+              END) IS NULL AS keep_quality
+      FROM base b JOIN top t USING (doc_id)
+    ),
+    fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(COALESCE(text, '')), '\\s+', ' ', 'g'))) AS fingerprint
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id, doc_id = MIN(doc_id) OVER (PARTITION BY fingerprint) AS is_canonical
+      FROM fp
+    ),
+    {_SHINGLES_CTE.lstrip()},
+    contaminated AS (
+      SELECT DISTINCT t.doc_id
+      FROM sh t JOIN sh b ON t.shingle = b.shingle
+      WHERE t.doc_id % 50 != 0 AND b.doc_id % 50 = 0
+    )
+    SELECT d.doc_id,
+           q.keep_quality,
+           c.is_canonical,
+           d.doc_id % 50 = 0 AS is_benchmark,
+           ct.doc_id IS NOT NULL AS is_contaminated,
+           q.keep_quality AND c.is_canonical AND d.doc_id % 50 != 0
+             AND ct.doc_id IS NULL AS accepted
+    FROM documents d
+    JOIN qual q ON q.doc_id = d.doc_id
+    JOIN canon c ON c.doc_id = d.doc_id
+    LEFT JOIN contaminated ct ON ct.doc_id = d.doc_id
+    """,
+)
+def corpus_clean_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship corpus-cleaning decision: every document labeled with
+    its quality verdict, exact-dedup survivorship, benchmark membership,
+    and contamination flag, plus the final acceptance — the composed view
+    a pretraining data build materializes before sampling/packing. Each
+    component is itself a gated operator; this query pins that they
+    compose without re-deriving anything (one quality pass, one
+    fingerprint window, one broadcast decontamination join)."""
+    from pyspark.sql import Window
+
+    from .operators.dedup import doc_shingles
+    from .operators.textops import fingerprint_expr, quality_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    qual = quality_filter(docs).select(
+        "doc_id", F.col("keep").alias("keep_quality")
+    )
+    w = Window.partitionBy("fingerprint")
+    canon = docs.select(
+        "doc_id", fingerprint_expr(F.col("text")).alias("fingerprint")
+    ).select(
+        "doc_id",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
+    )
+    sh = doc_shingles(docs)
+    bench_sh = sh.filter(F.col("doc_id") % 50 == 0).select("shingle").distinct()
+    contaminated = (
+        sh.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(bench_sh), on="shingle", how="left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    return (
+        docs.select("doc_id")
+        .join(qual, on="doc_id")
+        .join(canon, on="doc_id")
+        .join(contaminated, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "keep_quality",
+            "is_canonical",
+            (F.col("doc_id") % 50 == 0).alias("is_benchmark"),
+            F.coalesce(F.col("_hit"), F.lit(False)).alias("is_contaminated"),
+            (
+                F.col("keep_quality")
+                & F.col("is_canonical")
+                & (F.col("doc_id") % 50 != 0)
+                & F.coalesce(F.col("_hit"), F.lit(False)).__invert__()
+            ).alias("accepted"),
+        )
+    )
