@@ -311,6 +311,34 @@ def pack_sequences(
     return out.withColumn("slot", F.row_number().over(w2))
 
 
+def deterministic_shuffle(
+    df: DataFrame,
+    n_shards: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reproducible global shuffle into training shards: every row gets
+    (shard, pos) from the seeded portable hash of its id — shard =
+    hash mod n_shards, pos = rank of the hash within the shard. The
+    ordering is a pure function of (id, seed): re-runs, retries, other
+    engines, and any partitioning produce the identical layout, unlike
+    ``orderBy(rand())``. Changing the seed is a fresh epoch-level
+    reshuffle.
+
+    Scale: one shuffle on the (uniform) shard key; each shard sorts
+    corpus/n_shards rows — pick n_shards so a shard fits a task
+    (100 TB / 100k shards ≈ 1 GB). No global sort ever happens."""
+    from pyspark.sql import Window
+
+    draw = hash60(seeded(F.col(id_col).cast("string"), seed))
+    w = Window.partitionBy("shard").orderBy("draw", id_col)
+    return (
+        df.withColumn("draw", draw)
+        .withColumn("shard", F.pmod(F.col("draw"), F.lit(n_shards)).cast("int"))
+        .withColumn("pos", F.row_number().over(w))
+    )
+
+
 def mixture_report(
     df: DataFrame,
     strata_cols: list[str],

@@ -630,3 +630,34 @@ def corpus_clean_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("accepted"),
         )
     )
+
+
+_SHUFFLE_SEED = 11
+_SHUFFLE_SHARDS = 8
+
+
+@query(
+    "corpus_shuffle",
+    oracle=f"""
+    WITH drawn AS (
+      SELECT doc_id, source,
+             CAST('0x' || substr(md5('{_SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS draw
+      FROM documents
+    )
+    SELECT doc_id, source, draw,
+           CAST(draw % {_SHUFFLE_SHARDS} AS INTEGER) AS shard,
+           ROW_NUMBER() OVER (PARTITION BY draw % {_SHUFFLE_SHARDS}
+                              ORDER BY draw, doc_id) AS pos
+    FROM drawn
+    """,
+)
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard shuffle: (shard, pos) from the seeded
+    portable hash of doc_id — identical layout across engines, re-runs,
+    and partitionings (unlike orderBy(rand())); the shard key is uniform
+    so no task ever sorts more than corpus/n_shards rows."""
+    from .operators.corpus import deterministic_shuffle
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = deterministic_shuffle(docs.select("doc_id", "source"), n_shards=_SHUFFLE_SHARDS, seed=_SHUFFLE_SEED)
+    return out.select("doc_id", "source", "draw", "shard", "pos")

@@ -245,6 +245,33 @@ class TestTopNgrams:
         assert all(out[i][1] >= out[i + 1][1] for i in range(len(out) - 1))
 
 
+class TestDeterministicShuffle:
+    def test_layout_invariant_to_partitioning(self, spark):
+        from database_replicator_spark.operators.corpus import deterministic_shuffle
+
+        df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+        a = {(r["doc_id"], r["shard"], r["pos"]) for r in
+             deterministic_shuffle(df, n_shards=4, seed=3).collect()}
+        b = {(r["doc_id"], r["shard"], r["pos"]) for r in
+             deterministic_shuffle(df.repartition(7), n_shards=4, seed=3).collect()}
+        assert a == b
+
+    def test_seed_changes_layout_and_positions_are_dense(self, spark):
+        from database_replicator_spark.operators.corpus import deterministic_shuffle
+
+        df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+        s0 = deterministic_shuffle(df, n_shards=4, seed=0)
+        s1 = deterministic_shuffle(df, n_shards=4, seed=1)
+        l0 = {(r["doc_id"], r["shard"], r["pos"]) for r in s0.collect()}
+        l1 = {(r["doc_id"], r["shard"], r["pos"]) for r in s1.collect()}
+        assert l0 != l1  # reshuffled epoch
+        # positions within each shard are 1..n dense
+        for shard_rows in s0.groupBy("shard").agg(
+            F.count(F.lit(1)).alias("n"), F.max("pos").alias("mx"), F.min("pos").alias("mn")
+        ).collect():
+            assert shard_rows["mn"] == 1 and shard_rows["mx"] == shard_rows["n"]
+
+
 class TestTfidf:
     def test_rare_terms_outrank_common(self, spark):
         docs = spark.createDataFrame(
