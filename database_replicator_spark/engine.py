@@ -268,6 +268,40 @@ class Engine:
             }
         return out
 
+    # -- drift -------------------------------------------------------------
+    def check_drift(self, tables: list[str] | None = None) -> dict[str, dict]:
+        """Schema-drift report per table: the live source schema compared
+        against the target's current schema, with the safe/review ALTER
+        split (operators/ddl.schema_diff). A sync daemon runs this before
+        each cycle; apply-side statements execute through
+        sources/ddl_exec.execute_ddl on JDBC targets (parquet targets
+        evolve by mergeSchema instead)."""
+        from .operators.ddl import drift_alter_sql, schema_diff
+        from .plans.rules import quote_ident
+
+        out: dict[str, dict] = {}
+        for t in tables or list(self.source_tables):
+            if not self.target.exists(t):
+                out[t] = {"status": "missing_target"}
+                continue
+            src_schema = self.source_tables[t].schema
+            tgt_schema = self.target.read(self.spark, t).schema
+            drift = schema_diff(src_schema, tgt_schema)
+            if not drift.is_drifted:
+                out[t] = {"status": "in_sync"}
+                continue
+            apply, review = drift_alter_sql(quote_ident(t), src_schema, drift)
+            out[t] = {
+                "status": "drifted",
+                "added": drift.added,
+                "removed": drift.removed,
+                "retyped": drift.retyped,
+                "renullable": drift.renullable,
+                "apply": apply,
+                "review": review,
+            }
+        return out
+
     # -- status ------------------------------------------------------------
     def status(self) -> dict:
         state = WatermarkState(self.state_path or os.path.join(self.target.root, "_state.json"))

@@ -441,3 +441,24 @@ class TestSchemaDrift:
 
         cols = [r[1] for r in sqlite3.connect(db).execute('PRAGMA table_info("t")')]
         assert cols == ["id", "extra"]
+
+
+class TestEngineDrift:
+    def test_check_drift_reports_per_table(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from database_replicator_spark.engine import Engine, ParquetTarget
+
+        tgt = ParquetTarget(str(tmp_path / "tgt"))
+        base = spark.createDataFrame([(1, "a")], "id long, name string")
+        tgt.overwrite(base, "t")
+        # source grew a column since the snapshot
+        src = base.withColumn("extra", F.lit(1.5))
+        eng = Engine(spark=spark, source_tables={"t": src}, target=tgt)
+        rep = eng.check_drift()
+        assert rep["t"]["status"] == "drifted"
+        assert rep["t"]["added"] == ["extra"]
+        assert any("ADD COLUMN" in s for s in rep["t"]["apply"])
+
+        eng2 = Engine(spark=spark, source_tables={"t": base}, target=tgt)
+        assert eng2.check_drift()["t"]["status"] == "in_sync"
