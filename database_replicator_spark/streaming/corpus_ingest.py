@@ -47,17 +47,39 @@ DOC_SCHEMA = T.StructType(
 
 @dataclass
 class CorpusIngestor:
-    """foreachBatch sink applying the corpus acceptance gauntlet."""
+    """foreachBatch sink applying the corpus acceptance gauntlet.
+
+    ``near_dup=True`` adds tier 3b: the batch's minhash signatures are
+    banded against the accumulated signature index
+    (dedup.lsh_incremental_candidates) and any batch doc that band-
+    collides with an already-accepted doc is rejected. Band collision is
+    a high-recall/imperfect-precision rule (a verified-Jaccard pass
+    would re-read accepted text); the per-bucket cap bounds degenerate
+    collisions — the documented trade for an O(delta) streaming tier."""
 
     target_dir: str
+    near_dup: bool = False
     applied_batches: list[int] = field(default_factory=list)
 
     def _path(self, name: str) -> str:
         return os.path.join(self.target_dir, name)
 
+    def _epoch_index(self, spark, name: str, epoch_id: int):
+        """All rows of an epoch-partitioned index EXCEPT the current
+        epoch's (a replayed epoch must not reject its own rows)."""
+        path = self._path(name)
+        if not os.path.isdir(path):
+            return None
+        df = spark.read.option("basePath", path).parquet(path)
+        return df.filter(F.col("epoch") != epoch_id)
+
     def ingest_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        from ..operators.dedup import (
+            doc_shingles,
+            lsh_incremental_candidates,
+            minhash_signatures,
+        )
         from ..operators.textops import fingerprint_expr, quality_filter
-        from ..util import parquet_exists
 
         spark = batch.sparkSession
         if batch.isEmpty():
@@ -84,15 +106,26 @@ class CorpusIngestor:
             n_batch_unique = batch_unique.count()
 
             # 3. against-corpus exact dedup (anti-join on the index)
-            index_path = self._path("_fingerprints")
-            if parquet_exists(index_path) or os.path.isdir(index_path):
-                index = spark.read.option("basePath", index_path).parquet(index_path)
-                # a replayed epoch must not reject its OWN rows
-                index = index.filter(F.col("epoch") != epoch_id).select("fingerprint")
-                accepted = batch_unique.join(index, on="fingerprint", how="left_anti")
+            index = self._epoch_index(spark, "_fingerprints", epoch_id)
+            if index is not None:
+                accepted = batch_unique.join(
+                    index.select("fingerprint"), on="fingerprint", how="left_anti"
+                )
             else:
                 accepted = batch_unique
             accepted = accepted.cache()
+            n_exact = accepted.count()
+
+            # 3b. against-corpus NEAR-dup rejection (optional)
+            batch_sigs = None
+            if self.near_dup:
+                batch_sigs = minhash_signatures(doc_shingles(accepted)).cache()
+                sig_index = self._epoch_index(spark, "_signatures", epoch_id)
+                if sig_index is not None:
+                    hits = lsh_incremental_candidates(
+                        batch_sigs, sig_index.select("doc_id", "sig")
+                    ).select(F.col("new_doc").alias("doc_id")).distinct()
+                    accepted = accepted.join(hits, on="doc_id", how="left_anti").cache()
             n_accepted = accepted.count()
 
             # 4. idempotent epoch appends
@@ -100,25 +133,32 @@ class CorpusIngestor:
                 os.path.join(self._path("corpus"), f"epoch={epoch_id}")
             )
             accepted.select("fingerprint").write.mode("overwrite").parquet(
-                os.path.join(index_path, f"epoch={epoch_id}")
+                os.path.join(self._path("_fingerprints"), f"epoch={epoch_id}")
             )
+            if self.near_dup:
+                accepted.select("doc_id").join(batch_sigs, on="doc_id").write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(self._path("_signatures"), f"epoch={epoch_id}"))
             stats = spark.createDataFrame(
                 [
                     (
                         n_in,
                         n_in - n_quality,
                         n_quality - n_batch_unique,
-                        n_batch_unique - n_accepted,
+                        n_batch_unique - n_exact,
+                        n_exact - n_accepted,
                         n_accepted,
                     )
                 ],
                 "n_in long, n_quality_rejected long, n_dup_in_batch long, "
-                "n_dup_vs_corpus long, n_accepted long",
+                "n_dup_vs_corpus long, n_neardup_vs_corpus long, n_accepted long",
             )
             stats.write.mode("overwrite").parquet(
                 os.path.join(self._path("_ingest_stats"), f"epoch={epoch_id}")
             )
             accepted.unpersist()
+            if batch_sigs is not None:
+                batch_sigs.unpersist()
             self.applied_batches.append(epoch_id)
         finally:
             batch.unpersist()
@@ -130,10 +170,11 @@ def start_corpus_ingest(
     target_dir: str,
     checkpoint_dir: str,
     once: bool = True,
+    near_dup: bool = False,
 ):
     """Wire a JSON-lines document queue → CorpusIngestor → streaming
     query (Trigger.AvailableNow for --once parity, like change_stream)."""
-    ingestor = CorpusIngestor(target_dir=target_dir)
+    ingestor = CorpusIngestor(target_dir=target_dir, near_dup=near_dup)
     stream = (
         spark.readStream.schema(DOC_SCHEMA).option("maxFilesPerTrigger", 10).json(source_dir)
     )

@@ -81,6 +81,30 @@ class TestCorpusIngest:
         epochs = {r["epoch"] for r in corpus.select("epoch").collect()}
         assert epochs == {0, 1}
 
+    def test_near_dup_tier_rejects_band_collisions(self, spark, dirs):
+        # epoch 1 accepts GOOD; epoch 2 brings a near-identical variant
+        # (one word changed) and an unrelated doc — with near_dup on, the
+        # variant band-collides with the accepted doc and is rejected
+        near = GOOD.replace("lazy", "sleepy")
+
+        def run():
+            q, ing = start_corpus_ingest(
+                spark, dirs["src"], dirs["tgt"], dirs["chk"], once=True, near_dup=True
+            )
+            q.awaitTermination(120)
+            return ing
+
+        _write(os.path.join(dirs["src"], "b1.json"), [_doc(1, GOOD)])
+        run()
+        _write(os.path.join(dirs["src"], "b2.json"), [_doc(20, near), _doc(21, GOOD2)])
+        run()
+        corpus = read_corpus(spark, dirs["tgt"])
+        assert {r["doc_id"] for r in corpus.collect()} == {1, 21}
+        s2 = spark.read.parquet(
+            os.path.join(dirs["tgt"], "_ingest_stats", "epoch=1")
+        ).collect()[0]
+        assert s2["n_neardup_vs_corpus"] == 1 and s2["n_accepted"] == 1
+
     def test_restart_without_new_data_is_noop(self, spark, dirs):
         _write(os.path.join(dirs["src"], "b1.json"), [_doc(1, GOOD)])
         _run_once(spark, dirs)
