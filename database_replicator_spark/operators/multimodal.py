@@ -169,3 +169,93 @@ def sample_frames_expr(duration_ms: Column, every_ms: int) -> Column:
     the cheap plan-side half of frame extraction; the decode itself is the
     stubbed heavy half."""
     return F.sequence(F.lit(0), duration_ms, F.lit(every_ms))
+
+
+def fake_frame_extract(payload: bytes, ts_ms: int) -> bytes:
+    """Deterministic frame-grab stand-in: a byte window selected by the
+    timestamp. Replace with ffmpeg seek+decode outside this container."""
+    if not payload:
+        return b""
+    start = (ts_ms * 7) % max(len(payload), 1)
+    return (payload + payload)[start : start + 16]
+
+
+def explode_frames(
+    media: DataFrame,
+    every_ms: int,
+    extractor: Callable[[bytes, int], bytes] | None = None,
+) -> DataFrame:
+    """Video → per-frame rows: frame timestamps come from the plan-side
+    :func:`sample_frames_expr` over the duration metadata (cheap, codegen),
+    then each (video, ts) row gets its frame payload from an Arrow-batched
+    extractor — the expensive half, stubbed behind the same injection
+    contract as decode/resize. A video with NULL duration contributes no
+    frames (undecoded media must run a probe stage first).
+
+    Shuffle story at 100 TB: the explode multiplies ROWS map-side but the
+    heavy payload column is carried once per video into the task that
+    explodes it; repartition videos (not frames) upstream and size Arrow
+    batches by bytes. Output: (id, frame_ts_ms, frame payload).
+    """
+    with_ts = media.filter(F.col("meta.duration_ms").isNotNull()).select(
+        "id",
+        "payload",
+        F.explode(
+            sample_frames_expr(F.col("meta.duration_ms"), every_ms)
+        ).alias("frame_ts_ms"),
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if extractor is None:
+                raise NotImplementedError(
+                    "no frame extractor available in this environment; "
+                    "inject one (e.g. ffmpeg) or use fake_frame_extract"
+                )
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "frame_ts_ms": pdf["frame_ts_ms"],
+                    "frame": [
+                        extractor(p, int(t))
+                        for p, t in zip(pdf["payload"], pdf["frame_ts_ms"])
+                    ],
+                }
+            )
+
+    return with_ts.mapInPandas(
+        run, schema="id long, frame_ts_ms long, frame binary"
+    )
+
+
+def chunk_audio(
+    media: DataFrame,
+    bytes_per_chunk: int,
+) -> DataFrame:
+    """Audio → fixed-size chunk rows, pure plan-side (no Python): chunk
+    boundaries are byte offsets into the payload, the substrate for
+    windowed transcription/feature stages. Output: (id, chunk_idx,
+    chunk binary, n_bytes). The final short chunk is kept."""
+    n_chunks = F.ceil(
+        F.length(F.col("payload")) / F.lit(bytes_per_chunk)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+        lambda i: F.substring(
+            F.col("payload").cast("binary"), i * bytes_per_chunk + 1, bytes_per_chunk
+        ),
+    )
+    return (
+        media.filter(F.length("payload") > 0)
+        .select("id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+        .select(
+            "id",
+            "chunk_idx",
+            "chunk",
+            F.length("chunk").cast("long").alias("n_bytes"),
+        )
+    )

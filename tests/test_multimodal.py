@@ -70,3 +70,65 @@ class TestResize:
         assert all(r["meta"]["width"] == 4 and r["meta"]["height"] == 4 for r in out)
         assert all(r["meta"]["n_bytes"] == 16 for r in out)
         assert out[0]["meta"]["mime"] == "image/png"  # original mime preserved
+
+
+class TestExplodeFrames:
+    def _video(self, spark):
+        from database_replicator_spark.operators.multimodal import media_table
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(1, b"videopayloadbytes" * 4), (2, b"short")],
+            "doc_id long, payload binary",
+        )
+        m = media_table(df, "doc_id", "payload", "video/mp4")
+        # probe stage stand-in: fill duration for doc 1 only
+        return m.withColumn(
+            "meta",
+            F.struct(
+                F.col("meta.mime"),
+                F.col("meta.n_bytes"),
+                F.col("meta.width"),
+                F.col("meta.height"),
+                F.when(F.col("id") == 1, F.lit(9000)).cast("long").alias("duration_ms"),
+            ),
+        )
+
+    def test_stub_raises_without_extractor(self, spark):
+        import pytest
+        from database_replicator_spark.operators.multimodal import explode_frames
+
+        with pytest.raises(Exception, match="NotImplementedError|no frame extractor"):
+            explode_frames(self._video(spark), every_ms=4000).collect()
+
+    def test_frames_per_sampled_timestamp(self, spark):
+        from database_replicator_spark.operators.multimodal import (
+            explode_frames,
+            fake_frame_extract,
+        )
+
+        out = explode_frames(
+            self._video(spark), every_ms=4000, extractor=fake_frame_extract
+        ).collect()
+        rows = {(r["id"], r["frame_ts_ms"]): r["frame"] for r in out}
+        # duration 9000 @ every 4000 -> ts 0, 4000, 8000; doc 2 has no duration
+        assert set(rows) == {(1, 0), (1, 4000), (1, 8000)}
+        assert all(isinstance(v, (bytes, bytearray)) and len(v) > 0 for v in rows.values())
+
+
+class TestChunkAudio:
+    def test_fixed_chunks_with_short_tail(self, spark):
+        from database_replicator_spark.operators.multimodal import chunk_audio, media_table
+
+        df = spark.createDataFrame(
+            [(1, b"0123456789"), (2, b"abc")], "doc_id long, payload binary"
+        )
+        m = media_table(df, "doc_id", "payload", "audio/wav")
+        out = chunk_audio(m, bytes_per_chunk=4).collect()
+        got = {(r["id"], r["chunk_idx"]): (bytes(r["chunk"]), r["n_bytes"]) for r in out}
+        assert got == {
+            (1, 0): (b"0123", 4),
+            (1, 1): (b"4567", 4),
+            (1, 2): (b"89", 2),
+            (2, 0): (b"abc", 3),
+        }
