@@ -105,6 +105,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     sync_p.add_argument("--reconcile", action="store_true")
     common(sub.add_parser("verify", help="checksum comparison"))
+    common(sub.add_parser("drift", help="schema-drift report with safe/review ALTERs"))
     status_p = sub.add_parser("status", help="sync state report")
     status_p.add_argument("--target", required=True)
     repl_p = sub.add_parser(
@@ -206,6 +207,11 @@ def main(argv: list[str] | None = None) -> int:
             bad = [t for t, r in results.items() if r["status"] != "match"]
             print(json.dumps({"ok": not bad, "tables": results}))
             return 1 if bad else 0
+        if args.command == "drift":
+            results = eng.check_drift()
+            drifted = [t for t, r in results.items() if r["status"] == "drifted"]
+            print(json.dumps({"ok": not drifted, "tables": results}))
+            return 1 if drifted else 0
     finally:
         if owns:
             spark.stop()

@@ -192,3 +192,32 @@ def read_corpus(spark: SparkSession, target_dir: str) -> DataFrame:
     """The accepted corpus across all epochs."""
     path = os.path.join(target_dir, "corpus")
     return spark.read.option("basePath", path).parquet(path)
+
+
+def compact_ingest_indexes(spark: SparkSession, target_dir: str) -> None:
+    """Maintenance job: collapse the per-epoch fingerprint/signature
+    index partitions into one ``epoch=0`` partition each, bounding the
+    partition listing cost for long-running queues (the corpus itself
+    keeps its epoch layout — that IS the shard structure downstream
+    consumers want). Same posture as change_stream.compact_change_log:
+    run with the streaming query stopped. Caveat (shared with the change
+    log): compacted rows live under ``epoch=0``, so compact only after
+    epoch 0 can no longer be replayed (its checkpoint offset is
+    committed) — otherwise an epoch-0 replay would exclude the whole
+    compacted index from its own-rows filter."""
+    import shutil
+
+    from ..util import staged_overwrite
+
+    for name in ("_fingerprints", "_signatures"):
+        path = os.path.join(target_dir, name)
+        if not os.path.isdir(path):
+            continue
+        compacted = (
+            spark.read.option("basePath", path).parquet(path).drop("epoch").distinct()
+        )
+        staged_overwrite(
+            spark, compacted, os.path.join(path + ".compact", "epoch=0")
+        )
+        shutil.rmtree(path)
+        os.rename(path + ".compact", path)

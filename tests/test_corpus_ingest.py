@@ -105,6 +105,21 @@ class TestCorpusIngest:
         ).collect()[0]
         assert s2["n_neardup_vs_corpus"] == 1 and s2["n_accepted"] == 1
 
+    def test_compaction_preserves_rejection_behavior(self, spark, dirs):
+        from database_replicator_spark.streaming.corpus_ingest import (
+            compact_ingest_indexes,
+        )
+
+        _write(os.path.join(dirs["src"], "b1.json"), [_doc(1, GOOD)])
+        _run_once(spark, dirs)
+        compact_ingest_indexes(spark, dirs["tgt"])
+        fp_dir = os.path.join(dirs["tgt"], "_fingerprints")
+        assert sorted(d for d in os.listdir(fp_dir) if d.startswith("epoch=")) == ["epoch=0"]
+        # a post-compaction re-crawl of the accepted doc is still rejected
+        _write(os.path.join(dirs["src"], "b2.json"), [_doc(30, GOOD), _doc(31, GOOD2)])
+        _run_once(spark, dirs)
+        assert {r["doc_id"] for r in read_corpus(spark, dirs["tgt"]).collect()} == {1, 31}
+
     def test_restart_without_new_data_is_noop(self, spark, dirs):
         _write(os.path.join(dirs["src"], "b1.json"), [_doc(1, GOOD)])
         _run_once(spark, dirs)
