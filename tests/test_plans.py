@@ -94,3 +94,17 @@ class TestPlanShapes:
         assert "partial_sum" in plan  # map-side combine precedes the exchange
         # the only shuffle is the final 5-long tuple per task
         assert plan.count("Exchange") == 1
+
+
+class TestSpreadBy:
+    def test_fanout_survives_aqe(self, spark):
+        """spread_by must pin the partition count: a bare repartition(col)
+        gets AQE-coalesced back to ~1 partition for byte-small inputs
+        (which is exactly when the CPU fan-out matters most)."""
+        from pyspark.sql import functions as F
+
+        from database_replicator_spark.util import spread_by
+
+        df = spark.createDataFrame([(i, "x" * 100) for i in range(5000)], "id long, s string")
+        spread = spread_by(df, F.col("id"))
+        assert spread.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
