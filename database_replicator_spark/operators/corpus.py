@@ -159,12 +159,14 @@ def ngram_overlap(
     n_train_shingles, overlap_frac).
 
     Plan: the benchmark shingle set is small by construction — broadcast
-    it; the corpus side is scanned once and never self-joined. At 100 TB
-    the cost is one shuffle-free broadcast-hash-join pass over corpus
-    shingles plus a groupBy on (train_doc, bench_doc) whose cardinality is
-    bounded by actual collisions, not the corpus size.
+    it; the corpus side is never self-joined and NEVER cached. The train
+    side is deliberately re-derived from the scan for its two consumers
+    (per-doc sizes, collision hits): shingling is a map-only codegen
+    explode, so the cost is two columnar scans with pushdown — cheap at
+    any scale — whereas MEMORY_AND_DISK-caching an exploded (doc_id,
+    shingle) table (~10× the corpus text at 100 TB) is an eviction storm.
+    Only the tiny benchmark side is materialized (broadcast).
     """
-    shingled = shingled.cache()
     bench = shingled.filter(bench_pred).select(
         F.col("doc_id").alias("bench_doc"), "shingle"
     )

