@@ -165,6 +165,7 @@ def lsh_assign_scan(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     unit: bool = True,
+    num_tables: int = 1,
 ) -> DataFrame:
     """(id, vec, bucket) scan via one (batch × planes) numpy matmul per
     Arrow batch — the scale shape for LSH assignment: no per-row
@@ -174,6 +175,14 @@ def lsh_assign_scan(
     sequential-fold oracle ≈ 1e-14 « the 6-dp rounding quantum — the
     neardup_pairs_blas contract).
 
+    ``num_tables > 1`` is the standard LSH recall lever (OR over
+    independent hash tables): table ``t`` uses planes seeded ``seed + t``
+    and each vector emits one row per table with bucket
+    ``t * 2**num_planes + signature`` — table-disjoint key space, so one
+    downstream equijoin serves all tables at once. All tables' bits come
+    from the SAME single matmul (planes are stacked row-wise); the cost
+    is ``num_tables×`` rows into the shuffle, recall ≈ 1-(1-r)^T.
+
     Bucket bits are sign-of-dot from the matmul; numpy's pairwise
     summation can disagree with the oracle's sequential fold only when
     |dot| ≲ 1e-12 (probability ~1e-12 per (row, plane) on real-valued
@@ -181,9 +190,15 @@ def lsh_assign_scan(
     import numpy as np
 
     planes = np.array(
-        [hyperplane_coeffs(dim, p, seed) for p in range(num_planes)], dtype=np.float64
-    )
+        [
+            hyperplane_coeffs(dim, p, seed + t)
+            for t in range(num_tables)
+            for p in range(num_planes)
+        ],
+        dtype=np.float64,
+    )  # (num_tables*num_planes, dim), table-major
     weights = 2 ** np.arange(num_planes, dtype=np.int64)
+    offsets = (2**num_planes) * np.arange(num_tables, dtype=np.int64)
 
     def scan(batches):
         import pandas as pd
@@ -193,10 +208,17 @@ def lsh_assign_scan(
                 continue
             ids = pdf[id_col].to_numpy()
             block = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            buckets = (((block @ planes.T) >= 0) * weights).sum(axis=1)
+            bits = (block @ planes.T) >= 0  # (B, T*P)
             if unit:
                 block = block / np.sqrt((block * block).sum(axis=1, keepdims=True))
-            yield pd.DataFrame({"vid": ids, "vec": list(block), "bucket": buckets})
+            vecs = list(block)
+            for t in range(num_tables):
+                sig = (bits[:, t * num_planes : (t + 1) * num_planes] * weights).sum(
+                    axis=1
+                )
+                yield pd.DataFrame(
+                    {"vid": ids, "vec": vecs, "bucket": sig + offsets[t]}
+                )
 
     return df.mapInPandas(scan, schema="vid long, vec array<double>, bucket long")
 
@@ -284,6 +306,8 @@ def lsh_topk_bucketed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    num_tables: int = 1,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Deterministic LSH top-k: candidates are exactly the corpus vectors
     whose full hyperplane signature equals the query's — a bucket equijoin,
@@ -298,28 +322,56 @@ def lsh_topk_bucketed(
     signature-identical vectors; exact fold cosines on the few surviving
     pairs (interpreted is fine there — the pair set is bucket-pruned).
     Ranking happens on the rounded score with corpus-id tiebreak in both
-    engines. Recall < 1 by LSH design — tune with fewer planes/multiprobe;
-    the recall-vs-bruteforce contract is tested on :func:`lsh_topk`."""
-    cb = lsh_assign_scan(corpus, dim, num_planes, seed, id_col, vec_col).select(
+    engines. Recall < 1 by LSH design — the two standard levers are both
+    here: ``num_tables`` (OR over independently-seeded hash tables —
+    corpus pays ``T×`` shuffle rows, recall ≈ 1-(1-r)^T) and
+    ``multiprobe`` (each QUERY also probes every bucket within Hamming
+    distance ≤ ``multiprobe`` of its signature in each table — corpus
+    side unchanged, so this is nearly free at corpus scale: probe rows
+    multiply only the tiny broadcast side). Candidate pairs surfaced by
+    more than one table/probe are deduped BEFORE scoring, so values stay
+    oracle-exact; the recall-vs-bruteforce contract is tested on
+    :func:`lsh_topk` and audited in RECALL.md."""
+    cb = lsh_assign_scan(
+        corpus, dim, num_planes, seed, id_col, vec_col, num_tables=num_tables
+    ).select(
         F.col("vid").alias("corpus_id"),
         F.col("vec").alias("cvec"),
         "bucket",
     )
-    qb = lsh_assign_scan(queries, dim, num_planes, seed, id_col, vec_col).select(
+    qb = lsh_assign_scan(
+        queries, dim, num_planes, seed, id_col, vec_col, num_tables=num_tables
+    ).select(
         F.col("vid").alias("query_id"),
         F.col("vec").alias("qvec"),
         "bucket",
     )
-    scored = (
-        cb.join(F.broadcast(qb), on="bucket")
-        .filter(F.col("corpus_id") != F.col("query_id"))
-        .select(
+    if multiprobe > 0:
+        # Hamming-ball probe masks: signature XOR each subset of ≤ m plane
+        # bits. XOR with low bits never crosses the table-offset block.
+        from itertools import combinations
+
+        masks = [0]
+        for r in range(1, multiprobe + 1):
+            masks += [
+                sum(1 << b for b in combo)
+                for combo in combinations(range(num_planes), r)
+            ]
+        probe = F.explode(F.array(*[F.lit(m).cast("bigint") for m in masks]))
+        qb = qb.withColumn("probe_mask", probe).select(
             "query_id",
-            "corpus_id",
-            F.round(dot_expr(F.col("cvec"), F.col("qvec")), round_digits).alias(
-                "cosine"
-            ),
+            "qvec",
+            F.col("bucket").bitwiseXOR(F.col("probe_mask")).alias("bucket"),
         )
+    cand = cb.join(F.broadcast(qb), on="bucket").filter(
+        F.col("corpus_id") != F.col("query_id")
+    )
+    if num_tables > 1 or multiprobe > 0:
+        cand = cand.dropDuplicates(["query_id", "corpus_id"])
+    scored = cand.select(
+        "query_id",
+        "corpus_id",
+        F.round(dot_expr(F.col("cvec"), F.col("qvec")), round_digits).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("corpus_id").asc()
@@ -340,10 +392,12 @@ def kmeans_centroids(
     iters: int = 10,
 ):
     """Driver-trained spherical k-means coarse quantizer: a deterministic
-    sample (the ``sample_size`` lowest-id vectors — stable across runs and
-    partitionings), unit-normalized, run through Lloyd iterations with
-    cosine assignment; centroids re-normalize after every mean update.
-    Returns a (nlist, dim) float64 matrix ready to broadcast.
+    sample (the ``sample_size`` lowest-``hash60(id)`` vectors — stable
+    across runs and partitionings, and unlike lowest-ID order it cannot
+    collapse onto one stratum when id ranges correlate with data sources,
+    which they usually do), unit-normalized, run through Lloyd iterations
+    with cosine assignment; centroids re-normalize after every mean
+    update. Returns a (nlist, dim) float64 matrix ready to broadcast.
 
     Everything is numpy on the driver: the sample is bounded (≤ ~4k × dim
     doubles), and training cost is O(sample · nlist · iters) — negligible
@@ -356,8 +410,14 @@ def kmeans_centroids(
     the cell count never collapses."""
     import numpy as np
 
+    from ..functions.hashing import hash60
+
     _ids, mat = collect_unit_matrix(
-        corpus.orderBy(F.col(id_col)).limit(sample_size), id_col, vec_col
+        corpus.orderBy(
+            hash60(F.col(id_col).cast("string")), F.col(id_col)
+        ).limit(sample_size),
+        id_col,
+        vec_col,
     )
     chosen = [0]
     max_sim = mat @ mat[0]
@@ -706,6 +766,7 @@ def neardup_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    num_tables: int = 1,
 ) -> DataFrame:
     """LSH-bucketed exact near-dup pairs — the scale shape for dense
     near-dup: the deterministic hyperplane signature is the ONLY shuffle
@@ -721,10 +782,16 @@ def neardup_pairs_lsh(
     At 100 TB: one shuffle on an ~uniform 2^planes-way key; degenerate
     buckets are bounded by raising ``num_planes`` (or pre-splitting hot
     buckets — see dedup.lsh_candidate_pairs' per-bucket cap).
+    ``num_tables > 1`` unions candidates over independently-seeded hash
+    tables (recall ≈ 1-(1-r)^T for T tables at linear cost); pairs found
+    by several tables carry identical rounded cosines, deduped on the
+    pair key afterwards — values stay oracle-exact.
     """
     import numpy as np
 
-    withb = lsh_assign_scan(corpus, dim, num_planes, seed, id_col, vec_col)
+    withb = lsh_assign_scan(
+        corpus, dim, num_planes, seed, id_col, vec_col, num_tables=num_tables
+    )
 
     def bucket_pairs(pdf):
         import pandas as pd
@@ -754,9 +821,12 @@ def neardup_pairs_lsh(
             }
         )
 
-    return withb.groupBy("bucket").applyInPandas(
+    pairs = withb.groupBy("bucket").applyInPandas(
         bucket_pairs, schema="id1 long, id2 long, cosine double"
     )
+    if num_tables > 1:
+        pairs = pairs.dropDuplicates(["id1", "id2"])
+    return pairs
 
 
 def neardup_pairs(

@@ -198,6 +198,34 @@ class TestSimilarity:
         assert r_kmeans > r_sample, (r_kmeans, r_sample)
         assert r_kmeans >= 0.9, r_kmeans
 
+    def test_kmeans_sample_unbiased_when_ids_are_stratified(self, spark):
+        """Quantizer training sample is drawn in hash60(id) order, not id
+        order: when ids correlate with strata (id ranges per source — the
+        common production layout) and the sample budget is SMALLER than
+        one stratum, an id-ordered sample would train every centroid on
+        stratum 0 and never see the others. The hash-ordered sample must
+        still place a centroid near every true cluster center."""
+        import numpy as np
+
+        from database_replicator_spark.operators.similarity import kmeans_centroids
+
+        rng = np.random.default_rng(11)
+        K, dim, per = 8, 16, 100
+        centers = rng.normal(size=(K, dim))
+        centers /= np.sqrt((centers * centers).sum(axis=1, keepdims=True))
+        rows = []
+        vid = 0
+        for c in range(K):  # ids 0..99 are ALL cluster 0, etc.
+            for _ in range(per):
+                v = centers[c] + 0.10 * rng.normal(size=dim)
+                rows.append((vid, [float(x) for x in v]))
+                vid += 1
+        corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        # sample budget < one stratum: id-order would see ONLY cluster 0
+        cent = kmeans_centroids(corpus, nlist=K, sample_size=per - 20)
+        coverage = (centers @ cent.T).max(axis=1)  # best centroid per true center
+        assert (coverage >= 0.8).sum() >= K - 1, coverage
+
 
 class TestLshBucketCap:
     def test_degenerate_bucket_dropped(self, spark):
@@ -302,3 +330,74 @@ class TestNeardupPairsLsh:
             .collect()
         }
         assert got == want
+
+    def test_multi_table_unions_candidates_no_dupes(self, spark):
+        """num_tables > 1 ORs independently-seeded hash tables: the pair
+        set must contain the single-table pairs (table 0 is the same
+        seed), stay a subset of the exact blocked pairs with identical
+        cosines, and never emit a pair twice."""
+        from database_replicator_spark.operators.similarity import (
+            neardup_pairs_blocked,
+            neardup_pairs_lsh,
+        )
+        from database_replicator_spark.sources.catalog import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        one = {
+            (r["id1"], r["id2"]): r["cosine"]
+            for r in neardup_pairs_lsh(emb, dim=64, threshold=0.15, num_planes=6).collect()
+        }
+        rows = neardup_pairs_lsh(
+            emb, dim=64, threshold=0.15, num_planes=6, num_tables=4
+        ).collect()
+        multi = {(r["id1"], r["id2"]): r["cosine"] for r in rows}
+        assert len(rows) == len(multi)  # dedup happened
+        assert set(one) <= set(multi)  # table 0 is the single-table family
+        exact = {
+            (r["id1"], r["id2"]): r["cosine"]
+            for r in neardup_pairs_blocked(emb, threshold=0.15).collect()
+        }
+        assert set(multi) <= set(exact)
+        for pair, cos in multi.items():
+            assert cos == exact[pair]  # values stay oracle-exact
+
+
+class TestLshTopkRecallLevers:
+    def test_tables_and_multiprobe_lift_recall_values_exact(self, spark):
+        """The two recall levers must strictly widen candidate coverage on
+        the fixture while every surfaced cosine stays bit-identical to the
+        brute-force score (approximation lives in recall, never values)."""
+        from database_replicator_spark.operators.similarity import (
+            lsh_topk_bucketed,
+            topk_blas,
+        )
+        from database_replicator_spark.sources.catalog import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        q = emb.filter(F.col("vec_id") < 10)
+        truth = {
+            (r["query_id"], r["corpus_id"])
+            for r in topk_blas(emb, q, k=10).collect()
+        }
+        base = {
+            (r["query_id"], r["corpus_id"])
+            for r in lsh_topk_bucketed(emb, q, dim=64, k=10, num_planes=6).collect()
+        }
+        rows = lsh_topk_bucketed(
+            emb, q, dim=64, k=10, num_planes=6, num_tables=4, multiprobe=1
+        ).collect()
+        lifted = {(r["query_id"], r["corpus_id"]) for r in rows}
+        assert len(rows) == len(lifted)  # no duplicate pairs post-union
+        r_base = len(base & truth) / len(truth)
+        r_lift = len(lifted & truth) / len(truth)
+        assert r_lift > r_base, (r_base, r_lift)
+        assert r_lift >= 0.4, r_lift
+        # value-exactness: surfaced cosines equal the exact BLAS scores
+        exact_scores = {
+            (r["query_id"], r["corpus_id"]): r["cosine"]
+            for r in topk_blas(emb, q, k=10).collect()
+        }
+        for r in rows:
+            key = (r["query_id"], r["corpus_id"])
+            if key in exact_scores:
+                assert r["cosine"] == exact_scores[key]
