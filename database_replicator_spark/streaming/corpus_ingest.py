@@ -53,12 +53,22 @@ class CorpusIngestor:
     banded against the accumulated signature index
     (dedup.lsh_incremental_candidates) and any batch doc that band-
     collides with an already-accepted doc is rejected. Band collision is
-    a high-recall/imperfect-precision rule (a verified-Jaccard pass
-    would re-read accepted text); the per-bucket cap bounds degenerate
-    collisions — the documented trade for an O(delta) streaming tier."""
+    a high-recall/imperfect-precision rule; the per-bucket cap bounds
+    degenerate collisions — the documented trade for an O(delta)
+    streaming tier.
+
+    ``verify_jaccard=<threshold>`` upgrades tier 3b to verified
+    precision: band collision only NOMINATES; the colliding accepted
+    docs' text is re-read from the corpus (only those docs — a semi-join
+    on the candidate ids, never a corpus scan of text) and the batch doc
+    is rejected only when its exact shingle Jaccard against some
+    colliding accepted doc reaches the threshold. Cost stays O(delta):
+    the re-read side is bounded by the candidate pairs the bucket cap
+    already bounds."""
 
     target_dir: str
     near_dup: bool = False
+    verify_jaccard: float | None = None
     applied_batches: list[int] = field(default_factory=list)
 
     def _path(self, name: str) -> str:
@@ -72,6 +82,45 @@ class CorpusIngestor:
             return None
         df = spark.read.option("basePath", path).parquet(path)
         return df.filter(F.col("epoch") != epoch_id)
+
+    def _verified_hits(
+        self, spark, accepted: DataFrame, pairs: DataFrame, epoch_id: int
+    ) -> DataFrame:
+        """Tier 3b verification: exact shingle Jaccard on the band-colliding
+        pairs only. Each side's shingle sets are built from just the
+        colliding docs (semi-join), the pair intersection is a pair-local
+        codegen ``array_intersect`` — no corpus self-join, no shuffle keyed
+        on shingle. Returns the batch doc_ids to reject."""
+        from ..operators.dedup import doc_shingles
+
+        pairs = pairs.cache()
+        corpus_prev = self._epoch_index(spark, "corpus", epoch_id)
+        if corpus_prev is None:
+            return pairs.select(F.col("new_doc").alias("doc_id")).filter(F.lit(False))
+        new_ids = pairs.select(F.col("new_doc").alias("doc_id")).distinct()
+        idx_ids = pairs.select(F.col("index_doc").alias("doc_id")).distinct()
+        new_sets = (
+            doc_shingles(accepted.join(new_ids, on="doc_id", how="left_semi"))
+            .groupBy("doc_id")
+            .agg(F.collect_set("shingle").alias("s_new"))
+            .withColumnRenamed("doc_id", "new_doc")
+        )
+        idx_sets = (
+            doc_shingles(corpus_prev.join(idx_ids, on="doc_id", how="left_semi"))
+            .groupBy("doc_id")
+            .agg(F.collect_set("shingle").alias("s_idx"))
+            .withColumnRenamed("doc_id", "index_doc")
+        )
+        inter = F.size(F.array_intersect(F.col("s_new"), F.col("s_idx")))
+        jac = inter / (F.size("s_new") + F.size("s_idx") - inter)
+        return (
+            pairs.join(new_sets, on="new_doc")
+            .join(idx_sets, on="index_doc")
+            .withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= self.verify_jaccard)
+            .select(F.col("new_doc").alias("doc_id"))
+            .distinct()
+        )
 
     def ingest_batch(self, batch: DataFrame, epoch_id: int) -> None:
         from ..operators.dedup import (
@@ -122,9 +171,15 @@ class CorpusIngestor:
                 batch_sigs = minhash_signatures(doc_shingles(accepted)).cache()
                 sig_index = self._epoch_index(spark, "_signatures", epoch_id)
                 if sig_index is not None:
-                    hits = lsh_incremental_candidates(
+                    pairs = lsh_incremental_candidates(
                         batch_sigs, sig_index.select("doc_id", "sig")
-                    ).select(F.col("new_doc").alias("doc_id")).distinct()
+                    )
+                    if self.verify_jaccard is not None:
+                        hits = self._verified_hits(spark, accepted, pairs, epoch_id)
+                    else:
+                        hits = pairs.select(
+                            F.col("new_doc").alias("doc_id")
+                        ).distinct()
                     accepted = accepted.join(hits, on="doc_id", how="left_anti").cache()
             n_accepted = accepted.count()
 
@@ -171,10 +226,13 @@ def start_corpus_ingest(
     checkpoint_dir: str,
     once: bool = True,
     near_dup: bool = False,
+    verify_jaccard: float | None = None,
 ):
     """Wire a JSON-lines document queue → CorpusIngestor → streaming
     query (Trigger.AvailableNow for --once parity, like change_stream)."""
-    ingestor = CorpusIngestor(target_dir=target_dir, near_dup=near_dup)
+    ingestor = CorpusIngestor(
+        target_dir=target_dir, near_dup=near_dup, verify_jaccard=verify_jaccard
+    )
     stream = (
         spark.readStream.schema(DOC_SCHEMA).option("maxFilesPerTrigger", 10).json(source_dir)
     )

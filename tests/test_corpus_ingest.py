@@ -105,6 +105,65 @@ class TestCorpusIngest:
         ).collect()[0]
         assert s2["n_neardup_vs_corpus"] == 1 and s2["n_accepted"] == 1
 
+    def test_verified_jaccard_accepts_low_overlap_collision(self, spark, dirs):
+        """Band collision only NOMINATES when verify_jaccard is set: the
+        one-word variant band-collides with the accepted doc (the plain
+        near_dup tier rejects it — test above) but its true shingle
+        Jaccard ≈ 0.76 sits below a 0.9 threshold, so the verified tier
+        re-reads the colliding accepted doc and lets it through."""
+        near = GOOD.replace("lazy", "sleepy")
+
+        def run():
+            q, ing = start_corpus_ingest(
+                spark,
+                dirs["src"],
+                dirs["tgt"],
+                dirs["chk"],
+                once=True,
+                near_dup=True,
+                verify_jaccard=0.9,
+            )
+            q.awaitTermination(120)
+            return ing
+
+        _write(os.path.join(dirs["src"], "b1.json"), [_doc(1, GOOD)])
+        run()
+        _write(os.path.join(dirs["src"], "b2.json"), [_doc(20, near)])
+        run()
+        assert {r["doc_id"] for r in read_corpus(spark, dirs["tgt"]).collect()} == {1, 20}
+        s2 = spark.read.parquet(
+            os.path.join(dirs["tgt"], "_ingest_stats", "epoch=1")
+        ).collect()[0]
+        assert s2["n_neardup_vs_corpus"] == 0 and s2["n_accepted"] == 1
+
+    def test_verified_jaccard_still_rejects_true_neardups(self, spark, dirs):
+        """Same collision, threshold below the true Jaccard: the verified
+        tier must keep rejecting genuine near-duplicates."""
+        near = GOOD.replace("lazy", "sleepy")
+
+        def run():
+            q, ing = start_corpus_ingest(
+                spark,
+                dirs["src"],
+                dirs["tgt"],
+                dirs["chk"],
+                once=True,
+                near_dup=True,
+                verify_jaccard=0.5,
+            )
+            q.awaitTermination(120)
+            return ing
+
+        _write(os.path.join(dirs["src"], "b1.json"), [_doc(1, GOOD)])
+        run()
+        _write(os.path.join(dirs["src"], "b2.json"), [_doc(20, near), _doc(21, GOOD2)])
+        run()
+        assert {r["doc_id"] for r in read_corpus(spark, dirs["tgt"]).collect()} == {1, 21}
+        s2 = spark.read.parquet(
+            os.path.join(dirs["tgt"], "_ingest_stats", "epoch=1")
+        ).collect()[0]
+        assert s2["n_neardup_vs_corpus"] == 1 and s2["n_accepted"] == 1
+
     def test_compaction_preserves_rejection_behavior(self, spark, dirs):
         from database_replicator_spark.streaming.corpus_ingest import (
             compact_ingest_indexes,
