@@ -74,11 +74,19 @@ class ChangeApplier:
     batch: per-epoch write volume is O(batch + live keys in touched
     buckets), not O(table). A Delta/Iceberg MERGE would subsume this; on
     plain parquet the bucket layout is the transactional-MERGE stand-in.
+
+    ``storage="delta"`` activates that MERGE for ``_latest`` when
+    delta-spark is installed (sinks.apply_latest_delta — row-level ACID
+    commits instead of bucket file rewrites; raises with guidance when the
+    package is missing). The raw log and sync state keep their parquet
+    epoch-partition layout either way — idempotent epoch overwrite needs
+    no transaction log.
     """
 
     target_dir: str
     mode: str = "append_deduped"
     n_buckets: int = 64
+    storage: str = "parquet"
     applied_batches: list[int] = field(default_factory=list)
 
     def _table_path(self, table: str, suffix: str = "") -> str:
@@ -128,7 +136,19 @@ class ChangeApplier:
             # 2. _latest per touched table: batch ⊕ previous _latest,
             #    restricted to (and rewriting only) the pk-hash buckets
             #    the batch actually touches
-            if self.mode == "append_deduped":
+            if self.mode == "append_deduped" and self.storage == "delta":
+                from ..sinks import apply_latest_delta
+
+                for row in batch.select("table").distinct().collect():
+                    tbl = row["table"]
+                    apply_latest_delta(
+                        spark,
+                        batch.filter(F.col("table") == tbl).select(
+                            "pk", "payload", "change_id", "op"
+                        ),
+                        self._table_path(tbl, "_latest"),
+                    )
+            elif self.mode == "append_deduped":
                 from ..operators.latest import latest_by_key
 
                 bucket = F.pmod(F.hash(F.col("pk")), F.lit(self.n_buckets))

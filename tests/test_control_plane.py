@@ -444,6 +444,59 @@ class TestSchemaDrift:
 
 
 class TestEngineDrift:
+    def test_check_drift_apply_path_end_to_end(self, spark, tmp_path):
+        """The full drift apply loop against a LIVE SQLite target: engine
+        reports the drift, its "apply" ALTER list runs through the real
+        DDL executor, existing rows backfill NULL in the new column, and
+        the post-ALTER table reads back with the evolved schema."""
+        import sqlite3
+
+        from pyspark.sql import functions as F
+
+        from database_replicator_spark.engine import Engine, ParquetTarget
+        from database_replicator_spark.sources.ddl_exec import execute_ddl
+        from database_replicator_spark.sources.sqlite_source import (
+            read_table_docs,
+            table_info,
+        )
+
+        # live target table with one pre-drift row
+        db = str(tmp_path / "live.db")
+        execute_ddl(
+            db,
+            'CREATE TABLE "t" ("id" INTEGER PRIMARY KEY, "name" TEXT);\n'
+            "INSERT INTO \"t\" VALUES (1, 'a')",
+        )
+        # engine sees the source schema grown by one column
+        tgt = ParquetTarget(str(tmp_path / "tgt"))
+        base = spark.createDataFrame([(1, "a")], "id long, name string")
+        tgt.overwrite(base, "t")
+        src = spark.createDataFrame(
+            [(1, "a", 1.5)], "id long, name string, extra double"
+        )  # extra is nullable — ADD COLUMN must be backfillable
+        eng = Engine(spark=spark, source_tables={"t": src}, target=tgt)
+        rep = eng.check_drift()
+        assert rep["t"]["status"] == "drifted" and rep["t"]["apply"]
+        # execute the engine-emitted apply list on the live target
+        # (SQLite lacks IF NOT EXISTS on ADD COLUMN — dialect strip)
+        res = execute_ddl(
+            db,
+            ";\n".join(s.replace(" IF NOT EXISTS", "") for s in rep["t"]["apply"]),
+        )
+        assert res.counts["executed"] == len(rep["t"]["apply"])
+        # existing row backfilled NULL; post-ALTER write+read round-trips
+        cols, _ = table_info(db, "t")
+        assert cols == ["id", "name", "extra"]
+        conn = sqlite3.connect(db)
+        conn.execute('INSERT INTO "t" VALUES (2, \'b\', 2.5)')
+        conn.commit()
+        rows = {r[0]: r[2] for r in conn.execute('SELECT * FROM "t" ORDER BY "id"')}
+        conn.close()
+        assert rows == {1: None, 2: 2.5}
+        # and the distributed reader sees the evolved table
+        docs = read_table_docs(spark, db, "t")
+        assert docs.count() == 2
+
     def test_check_drift_reports_per_table(self, spark, tmp_path):
         from pyspark.sql import functions as F
 
