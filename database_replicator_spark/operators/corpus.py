@@ -42,7 +42,7 @@ scale where cross-engine parity is not needed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash60, seeded
@@ -243,6 +243,114 @@ def stratified_sample(
         df.withColumn("sample_key", draw)
         .filter(F.col("sample_key") < thresh)
         .withColumn("weight", F.round(F.lit(1.0) / rate_expr, 6))
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Per-group document cap with deterministic hash-ordered selection —
+    the C4/RefinedWeb-style per-domain cap: within each ``group_col``
+    value keep at most ``cap`` docs, chosen by ascending
+    ``hash60(seed:id)`` (an unbiased deterministic draw; re-runs and
+    other engines reproduce it exactly). Adds ``sel_rank`` (1-based rank
+    within the group's draw order).
+
+    Scale shape: one shuffle on the group key + a per-group sort on the
+    60-bit draw — the same cost class as any per-group top-k. The known
+    hazard is a mega-domain (billions of docs in one group): its sort
+    lands on one task. Mitigations at that scale: pre-aggregate counts
+    and route only oversized groups through the window (under-cap groups
+    need no truncation), or two-phase rank (per-salt-shard row_number +
+    offset merge). At typical domain-cap settings (cap ≤ 10^5, heavy-tail
+    domain sizes) the single window is the right default.
+    """
+    draw = hash60(seeded(F.col(id_col).cast("string"), seed))
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("sel_key").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("sel_key", draw)
+        .withColumn("sel_rank", F.row_number().over(w))
+        .filter(F.col("sel_rank") <= cap)
+        .drop("sel_key")
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_token_digits: int = 6,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Corpus-trained unigram LM quality score per document — the
+    CCNet-style perplexity filter with the LM reduced to unigrams so the
+    whole operator stays inside Catalyst codegen and is SQL-reproducible.
+
+    Model: add-one-smoothed unigram probabilities over the corpus's own
+    normalized whitespace tokens, p(t) = (c_t + 1) / (N + V). Score:
+    avg_logprob = Σ ln p(t_i) / n_tokens (monotone in perplexity =
+    exp(-avg); the exp is omitted to avoid a second libm call in the
+    cross-engine contract). Low avg_logprob → rare-token-heavy (gibberish
+    or boilerplate-free unique text); high → repetitive common-token text.
+
+    Cross-engine determinism: ln p is rounded to ``round_token_digits``
+    and cast DECIMAL(28,12) BEFORE the sum, so both engines perform the
+    identical exact decimal addition in any order (libm's last-ulp ln
+    differences sit ~1e-10 below the rounding quantum).
+
+    Scale shape: one token explode (map-only), one groupBy token for the
+    vocab (partial-combine shuffle), one token→freq join (sort-merge on
+    the token key at corpus scale; the vocab side is Zipf-skewed but the
+    join key is the token itself so AQE's skew split applies), one
+    per-doc aggregation. No Python anywhere.
+    """
+    from .textops import normalize_text_expr
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(normalize_text_expr(F.coalesce(F.col(text_col), F.lit(""))), " ")
+        ).alias("token"),
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    totals = vocab.agg(
+        F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v_size")
+    )
+    scored = (
+        toks.join(vocab, on="token")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.round(
+                F.log((F.col("c") + 1) / (F.col("n_total") + F.col("v_size"))),
+                round_token_digits,
+            )
+            .cast("decimal(28,12)")
+            .alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lp").alias("_sum_lp"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(F.col("_sum_lp").cast("double"), round_digits).alias("sum_logprob"),
+            # double division of the exact decimal sum — decimal-division
+            # scale rules differ across engines, double division does not
+            F.round(
+                F.col("_sum_lp").cast("double") / F.col("n_tokens"), round_digits
+            ).alias("avg_logprob"),
+        )
     )
 
 

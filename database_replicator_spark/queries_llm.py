@@ -732,6 +732,83 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk_bucketed(emb, queries_df, dim=64, k=10, num_planes=6)
 
 
+def _lsh_planes_mt_sql(dim: int, num_planes: int, num_tables: int) -> str:
+    """Multi-table hyperplane literals as SQL rows (t, p, coeffs[]) —
+    table t uses seed t, matching lsh_assign_scan's seed + t."""
+    from .operators.similarity import hyperplane_coeffs
+
+    rows = []
+    for t in range(num_tables):
+        for p in range(num_planes):
+            coeffs = hyperplane_coeffs(dim, p, seed=t)
+            rows.append(f"({t}, {p}, [{', '.join(repr(c) for c in coeffs)}])")
+    return ", ".join(rows)
+
+
+@query(
+    "similarity_lsh_topk_mt",
+    # The recall-lever rendering of the LSH gate: 2 hash tables OR'd +
+    # Hamming-1 query multiprobe, candidates deduped before scoring —
+    # the oracle reproduces tables (per-table signatures), probes
+    # (xor with each ≤1-bit mask), the DISTINCT, and the exact cosines.
+    oracle=f"""
+    WITH planes(t, p, coeffs) AS (VALUES {{planes}}),
+    buckets AS (
+      SELECT e.vec_id, pl.t,
+             SUM(CASE WHEN {_LSH_DOT_RAW.format(a='e.embedding', b='pl.coeffs')} >= 0
+                      THEN CAST(POWER(2, pl.p) AS BIGINT) ELSE 0 END) AS sig
+      FROM embeddings e CROSS JOIN planes pl
+      GROUP BY e.vec_id, pl.t
+    ),
+    masks(mask) AS (VALUES (0), (1), (2), (4), (8), (16), (32)),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id
+      FROM buckets q
+      CROSS JOIN masks m
+      JOIN buckets c
+        ON c.t = q.t AND c.sig = xor(q.sig, CAST(m.mask AS BIGINT))
+      WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
+    ),
+    norms AS (
+      SELECT vec_id, embedding, {{nrm}} AS nrm FROM embeddings
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.corpus_id,
+             round({{dot}} / (uc.nrm * uq.nrm), 6) AS cosine
+      FROM cand
+      JOIN norms uc ON uc.vec_id = cand.corpus_id
+      JOIN norms uq ON uq.vec_id = cand.query_id
+    )
+    SELECT query_id, corpus_id, cosine, rank FROM (
+      SELECT query_id, corpus_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, corpus_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """.replace("{planes}", "__MT_PLANES__")
+       .replace(
+           "{nrm}",
+           "sqrt(list_reduce(list_transform(embedding, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)), (a, b) -> a + b))",
+       )
+       .replace("{dot}", _DOT_SQL.format(a="uc.embedding", b="uq.embedding"))
+       .replace("__MT_PLANES__", _lsh_planes_mt_sql(64, 6, 2)),
+)
+def similarity_lsh_topk_mt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH recall levers, gated: 2 independently-seeded hash tables
+    (OR'd candidates) + Hamming-1 query-side multiprobe, pairs deduped
+    before exact rounded cosine scoring — recall rises from 0.06 to ~0.5
+    (RECALL.md) while every surfaced value stays oracle-exact. At corpus
+    scale the tables multiply shuffle rows linearly and the probes
+    multiply only the tiny broadcast query side."""
+    from .operators.similarity import lsh_topk_bucketed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return lsh_topk_bucketed(
+        emb, queries_df, dim=64, k=10, num_planes=6, num_tables=2, multiprobe=1
+    )
+
+
 @query(
     "embedding_components",
     # the embedding twin of dedup_components: LSH near-dup pairs (the

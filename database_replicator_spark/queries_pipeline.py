@@ -661,3 +661,71 @@ def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = deterministic_shuffle(docs.select("doc_id", "source"), n_shards=_SHUFFLE_SHARDS, seed=_SHUFFLE_SEED)
     return out.select("doc_id", "source", "draw", "shard", "pos")
+
+
+_CAP_SEED = 77
+_CAP_N = 40
+
+
+@query(
+    "doc_domain_caps",
+    oracle=f"""
+    WITH drawn AS (
+      SELECT doc_id, source,
+             CAST('0x' || substr(md5('{_CAP_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS sel_key
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY sel_key ASC, doc_id ASC) AS sel_rank
+      FROM drawn
+    )
+    SELECT doc_id, source, sel_rank FROM ranked WHERE sel_rank <= {_CAP_N}
+    """,
+)
+def doc_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style per-domain cap: each source keeps at most
+    {_CAP_N} docs, chosen by the seeded deterministic hash draw — an
+    unbiased per-domain subsample reproducible across engines, re-runs,
+    and partitionings (operators/corpus.cap_per_group)."""
+    from .operators.corpus import cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cap_per_group(
+        docs.select("doc_id", "source"), "source", cap=_CAP_N, seed=_CAP_SEED
+    ).select("doc_id", "source", "sel_rank")
+
+
+@query(
+    "doc_unigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents
+    ),
+    vocab AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+    totals AS (SELECT SUM(c) AS n_total, COUNT(*) AS v_size FROM vocab),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(round(ln((v.c + 1) / (tt.n_total + tt.v_size)), 6)
+                  AS DECIMAL(28,12)) AS lp
+      FROM toks t JOIN vocab v ON t.token = v.token CROSS JOIN totals tt
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           round(CAST(SUM(lp) AS DOUBLE), 6) AS sum_logprob,
+           round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+    FROM scored
+    GROUP BY doc_id
+    """,
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram-LM quality score (the CCNet perplexity
+    filter reduced to unigrams so it stays SQL-reproducible): add-one
+    smoothed p(t), per-doc Σ ln p and mean. Per-token logprobs are
+    rounded then summed as exact decimals, so both engines add the same
+    quantities in any order (operators/corpus.unigram_logprob)."""
+    from .operators.corpus import unigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_logprob(docs)

@@ -293,3 +293,51 @@ class TestTfidf:
         ranked = sorted((r["rank"], r["term"]) for r in out)
         # equal scores → alphabetical tiebreak
         assert ranked == [(1, "alpha"), (2, "zeta")]
+
+
+class TestCapPerGroup:
+    def test_caps_only_oversized_groups_deterministically(self, spark):
+        from database_replicator_spark.operators.corpus import cap_per_group
+
+        rows = [(i, "big") for i in range(10)] + [(100, "small"), (101, "small")]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = cap_per_group(df, "source", cap=3).collect()
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r["source"], []).append(r)
+        assert len(by_src["big"]) == 3 and len(by_src["small"]) == 2
+        assert {r["sel_rank"] for r in by_src["big"]} == {1, 2, 3}
+        # deterministic: a reshuffled input yields the identical selection
+        again = cap_per_group(df.repartition(7), "source", cap=3).collect()
+        assert {(r["doc_id"], r["sel_rank"]) for r in again} == {
+            (r["doc_id"], r["sel_rank"]) for r in out
+        }
+
+    def test_seed_changes_selection(self, spark):
+        from database_replicator_spark.operators.corpus import cap_per_group
+
+        df = spark.createDataFrame(
+            [(i, "s") for i in range(20)], "doc_id long, source string"
+        )
+        a = {r["doc_id"] for r in cap_per_group(df, "source", cap=5, seed=1).collect()}
+        b = {r["doc_id"] for r in cap_per_group(df, "source", cap=5, seed=2).collect()}
+        assert a != b  # 20C5 space — seeded draws differ
+
+
+class TestUnigramLogprob:
+    def test_common_token_docs_score_higher(self, spark):
+        from database_replicator_spark.operators.corpus import unigram_logprob
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the the the the"),          # only common tokens
+                (2, "the qwxz the vbnm"),        # half rare tokens
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+        assert out[1]["n_tokens"] == 4 and out[2]["n_tokens"] == 4
+        assert out[1]["avg_logprob"] > out[2]["avg_logprob"]
+        # sum = avg * n within rounding
+        for r in out.values():
+            assert abs(r["sum_logprob"] - r["avg_logprob"] * r["n_tokens"]) < 1e-4

@@ -27,14 +27,22 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def load_bench_json(path: str) -> dict[str, float]:
-    """Accept either bench.py's raw one-line JSON or the driver's wrapped
-    BENCH_r*.json (queries live under ["parsed"]["queries"])."""
+    """Accept bench.py's raw one-line JSON, the driver's wrapped
+    BENCH_r*.json (["parsed"]["queries"]), or — when the driver recorded
+    ``parsed: null`` because its tail capture truncated the head of the
+    line — the per-query dict recovered from the ``tail`` string."""
     with open(path) as fh:
         data = json.load(fh)
     if "queries" in data:
         return data["queries"]
-    if "parsed" in data and "queries" in data["parsed"]:
-        return data["parsed"]["queries"]
+    parsed = data.get("parsed")
+    if isinstance(parsed, dict) and "queries" in parsed:
+        return parsed["queries"]
+    tail = data.get("tail")
+    if isinstance(tail, str):
+        m = re.search(r'"queries":\s*(\{[^{}]*\})', tail)
+        if m:
+            return json.loads(m.group(1))
     raise ValueError(f"no queries dict in {path}")
 
 
