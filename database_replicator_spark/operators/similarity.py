@@ -829,6 +829,54 @@ def neardup_pairs_lsh(
     return pairs
 
 
+def cross_neardup_lsh(
+    corpus: DataFrame,
+    bench: DataFrame,
+    dim: int,
+    threshold: float,
+    num_planes: int = 8,
+    seed: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    num_tables: int = 1,
+) -> DataFrame:
+    """Semantic decontamination: corpus vectors whose cosine against some
+    BENCHMARK vector reaches ``threshold``, candidates confined to shared
+    LSH buckets — the embedding-space twin of corpus.ngram_overlap.
+
+    Plan: both sides run the same one-matmul-per-batch bucket assignment
+    (:func:`lsh_assign_scan`, same seeds — REQUIRED for collision
+    correctness); the benchmark side is small by construction and
+    broadcast, so the corpus is scanned once with a map-side hash join on
+    the bucket and never self-joined. Scoring is an exact fold dot on the
+    surviving (corpus, bench) pairs. ``num_tables`` is the same recall
+    lever as everywhere else in this module; pairs found by several
+    tables dedup before emission. Returns (corpus_id, bench_id, cosine).
+    """
+    cb = lsh_assign_scan(
+        corpus, dim, num_planes, seed, id_col, vec_col, num_tables=num_tables
+    ).select(F.col("vid").alias("corpus_id"), F.col("vec").alias("cvec"), "bucket")
+    bb = lsh_assign_scan(
+        bench, dim, num_planes, seed, id_col, vec_col, num_tables=num_tables
+    ).select(F.col("vid").alias("bench_id"), F.col("vec").alias("bvec"), "bucket")
+    pairs = (
+        cb.join(F.broadcast(bb), on="bucket")
+        .filter(F.col("corpus_id") != F.col("bench_id"))
+        .select(
+            "corpus_id",
+            "bench_id",
+            F.round(dot_expr(F.col("cvec"), F.col("bvec")), round_digits).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    if num_tables > 1:
+        pairs = pairs.dropDuplicates(["corpus_id", "bench_id"])
+    return pairs
+
+
 def neardup_pairs(
     corpus: DataFrame,
     threshold: float,

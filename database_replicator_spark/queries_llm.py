@@ -929,3 +929,47 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_sigs = sig.filter(F.col("doc_id") % 10 == 0)
     index_sigs = sig.filter(F.col("doc_id") % 10 != 0)
     return lsh_incremental_candidates(new_sigs, index_sigs)
+
+
+@query(
+    "decontaminate_semantic",
+    # Embedding-space decontamination: corpus vectors whose cosine
+    # against some benchmark vector (vec_id % 50 == 0) clears 0.15,
+    # candidates confined to shared single-table LSH buckets. Same
+    # bucket/unit/dot machinery as embedding_neardup_lsh.
+    oracle=f"""
+    WITH planes(p, coeffs) AS (VALUES {{planes}}),
+    buckets AS (
+      SELECT e.vec_id,
+             SUM(CASE WHEN {_LSH_DOT_RAW.format(a='e.embedding', b='pl.coeffs')} >= 0
+                      THEN CAST(POWER(2, pl.p) AS BIGINT) ELSE 0 END) AS bucket
+      FROM embeddings e CROSS JOIN planes pl
+      GROUP BY e.vec_id
+    ),
+    units AS (
+      SELECT vec_id, {{unit}} AS unit FROM embeddings
+    )
+    SELECT c.vec_id AS corpus_id, b.vec_id AS bench_id,
+           round({{dot}}, 6) AS cosine
+    FROM buckets c
+    JOIN buckets b ON c.bucket = b.bucket
+                  AND b.vec_id % 50 = 0
+                  AND c.vec_id != b.vec_id
+    JOIN units uc ON uc.vec_id = c.vec_id
+    JOIN units ub ON ub.vec_id = b.vec_id
+    WHERE round({{dot}}, 6) >= 0.15
+    """.replace("{planes}", _lsh_planes_sql(64, 6))
+       .replace("{unit}", _UNIT_SQL.format(v="embedding"))
+       .replace("{dot}", _DOT_SQL.format(a="uc.unit", b="ub.unit")),
+)
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination — the embedding-space twin of the
+    n-gram `decontaminate_overlap` gate: training vectors too close
+    (cosine ≥ 0.15) to any benchmark vector, surfaced via shared LSH
+    buckets so the corpus is scanned once and never self-joined
+    (operators/similarity.cross_neardup_lsh; benchmark side broadcast)."""
+    from .operators.similarity import cross_neardup_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 50 == 0)
+    return cross_neardup_lsh(emb, bench, dim=64, threshold=0.15, num_planes=6)

@@ -401,3 +401,30 @@ class TestLshTopkRecallLevers:
             key = (r["query_id"], r["corpus_id"])
             if key in exact_scores:
                 assert r["cosine"] == exact_scores[key]
+
+
+class TestCrossNeardupLsh:
+    def test_matches_bruteforce_on_shared_buckets(self, spark):
+        """Cross near-dup = corpus⋈bench restricted to shared buckets:
+        every emitted pair must carry the exact cosine and clear the
+        threshold; a planted copy of a bench vector must always surface
+        (identical vectors share every bucket)."""
+        from database_replicator_spark.operators.similarity import (
+            cross_neardup_lsh,
+        )
+        from database_replicator_spark.sources.catalog import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+            "vec_id", "embedding"
+        )
+        bench = emb.filter(F.col("vec_id") % 20 == 0)
+        # plant an exact copy of bench vector 0 under a fresh id
+        v0 = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        corpus = emb.unionByName(
+            spark.createDataFrame([(99999, v0)], emb.schema)
+        )
+        out = cross_neardup_lsh(corpus, bench, dim=64, threshold=0.15)
+        rows = {(r["corpus_id"], r["bench_id"]): r["cosine"] for r in out.collect()}
+        assert (99999, 0) in rows and rows[(99999, 0)] == 1.0
+        assert all(c >= 0.15 for c in rows.values())
+        assert all(cid != bid for cid, bid in rows)
