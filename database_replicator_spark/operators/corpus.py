@@ -252,6 +252,7 @@ def cap_per_group(
     cap: int,
     id_col: str = "doc_id",
     seed: int = 0,
+    range_shards: int | None = None,
 ) -> DataFrame:
     """Per-group document cap with deterministic hash-ordered selection —
     the C4/RefinedWeb-style per-domain cap: within each ``group_col``
@@ -263,21 +264,52 @@ def cap_per_group(
     Scale shape: one shuffle on the group key + a per-group sort on the
     60-bit draw — the same cost class as any per-group top-k. The known
     hazard is a mega-domain (billions of docs in one group): its sort
-    lands on one task. Mitigations at that scale: pre-aggregate counts
-    and route only oversized groups through the window (under-cap groups
-    need no truncation), or two-phase rank (per-salt-shard row_number +
-    offset merge). At typical domain-cap settings (cap ≤ 10^5, heavy-tail
-    domain sizes) the single window is the right default.
+    lands on one task. ``range_shards=S`` closes it exactly (not
+    approximately): the draw is uniform in [0, 2^60), so fixed ranges
+    ``shard = draw >> (60 - log2 S)`` split every group into ~equal
+    DRAW-ORDERED shards; rank = row_number within (group, shard) + the
+    group's cumulative count of lower shards (a tiny offsets join —
+    same two-pass trick as pack_sequences). Output is IDENTICAL to the
+    single-window form; no task ever sorts more than group/S rows. The
+    single window (default) is right at typical cap settings.
     """
     draw = hash60(seeded(F.col(id_col).cast("string"), seed))
-    w = Window.partitionBy(group_col).orderBy(
+    keyed = df.withColumn("sel_key", draw)
+    if range_shards is None:
+        w = Window.partitionBy(group_col).orderBy(
+            F.col("sel_key").asc(), F.col(id_col).asc()
+        )
+        return (
+            keyed.withColumn("sel_rank", F.row_number().over(w))
+            .filter(F.col("sel_rank") <= cap)
+            .drop("sel_key")
+        )
+    shard_bits = max(range_shards - 1, 1).bit_length()
+    keyed = keyed.withColumn(
+        "_shard", F.shiftright(F.col("sel_key"), 60 - shard_bits)
+    )
+    # pass 1: per-(group, shard) counts → per-group offsets of lower shards
+    counts = keyed.groupBy(group_col, "_shard").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("_shard").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_offset", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+    ).select(group_col, "_shard", "_offset")
+    # pass 2: rank within each bounded (group, shard) + offset
+    w_shard = Window.partitionBy(group_col, "_shard").orderBy(
         F.col("sel_key").asc(), F.col(id_col).asc()
     )
     return (
-        df.withColumn("sel_key", draw)
-        .withColumn("sel_rank", F.row_number().over(w))
+        keyed.join(offsets, on=[group_col, "_shard"])
+        .withColumn(
+            "sel_rank",
+            (F.row_number().over(w_shard) + F.col("_offset")).cast("int"),
+        )
         .filter(F.col("sel_rank") <= cap)
-        .drop("sel_key")
+        .drop("sel_key", "_shard", "_offset")
     )
 
 

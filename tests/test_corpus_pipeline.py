@@ -341,3 +341,21 @@ class TestUnigramLogprob:
         # sum = avg * n within rounding
         for r in out.values():
             assert abs(r["sum_logprob"] - r["avg_logprob"] * r["n_tokens"]) < 1e-4
+
+    def test_range_sharded_form_is_output_identical(self, spark):
+        """The scale-safe two-phase rank (range shards on the uniform
+        draw + offset merge) must reproduce the single-window output
+        exactly — same selection, same ranks."""
+        from database_replicator_spark.operators.corpus import cap_per_group
+
+        rows = [(i, "a") for i in range(40)] + [(i + 1000, "b") for i in range(7)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        one = {
+            (r["doc_id"], r["source"], r["sel_rank"])
+            for r in cap_per_group(df, "source", cap=12).collect()
+        }
+        sharded = {
+            (r["doc_id"], r["source"], r["sel_rank"])
+            for r in cap_per_group(df, "source", cap=12, range_shards=8).collect()
+        }
+        assert one == sharded

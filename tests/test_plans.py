@@ -101,7 +101,10 @@ class TestPlanShapes:
         100 TB, and MEMORY_AND_DISK-caching it is an eviction storm. The
         train side re-derives from the scan; only the tiny benchmark side
         is materialized (broadcast). No InMemoryRelation anywhere in the
-        plan — the broadcast shows up as BroadcastExchange/HashJoin."""
+        plan — the broadcast shows up as BroadcastExchange/HashJoin.
+        (clearCache first: Spark's cache manager plan-matches OTHER tests'
+        cached frames over the same parquet into this plan.)"""
+        spark.catalog.clearCache()
         df = q.all_queries()["decontaminate_overlap"](spark, sf_dir)
         plan = plan_of(df)
         assert "InMemoryRelation" not in plan
