@@ -646,3 +646,126 @@ def tfidf_topterms(
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "df_count", "score", "rank")
     )
+
+
+def temperature_rates(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based mixture rates per stratum — the multinomial
+    re-balancing used by multilingual/multi-source pretraining mixes
+    (XLM-R / mT5 style): sampling probability p_temp(d) ∝ n_d^alpha
+    flattens the raw distribution toward uniform as alpha → 0.
+
+    Returns one row per stratum with ``n_docs``, ``p_raw`` (= n_d/N),
+    ``p_temp`` (= n_d^alpha / Σ n_d^alpha), and ``rate`` — the per-doc
+    Bernoulli keep rate (n_min/n_d)^(1-alpha) that realizes the
+    temperature mix by pure DOWN-sampling (the smallest stratum keeps
+    everything; effective counts are ∝ n_d^alpha). Shares are rounded to
+    6 dp for cross-engine reproducibility.
+
+    Scale shape: one groupBy to the stratum grain (tiny output), then the
+    normalizers come from broadcast 1-row aggregates over that tiny table
+    — the corpus is scanned exactly once, no window over the full data.
+
+    Determinism note: at alpha = 0.5 every float step is IEEE
+    correctly-rounded (double divide, ``sqrt``, multiply by 2^60 — an
+    exact exponent shift), so derived hash thresholds are bit-identical
+    across engines; other alphas go through ``pow``, whose last ulp is
+    libm-specific — fine for reporting, not for threshold parity.
+    """
+    agg = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    if alpha == 0.5:
+        weight = F.sqrt(F.col("n_docs").cast("double"))
+    else:
+        weight = F.pow(F.col("n_docs").cast("double"), F.lit(alpha))
+    agg = agg.withColumn("_w", weight)
+    totals = agg.agg(
+        F.sum("n_docs").alias("_total"),
+        F.sum("_w").alias("_z"),
+        F.min("n_docs").alias("_n_min"),
+    ).withColumn("_k", F.lit(1))
+    if alpha == 0.5:
+        rate = F.sqrt(F.col("_n_min").cast("double") / F.col("n_docs"))
+    else:
+        rate = F.pow(
+            F.col("_n_min").cast("double") / F.col("n_docs"), F.lit(1.0 - alpha)
+        )
+    return (
+        agg.withColumn("_k", F.lit(1))
+        .join(F.broadcast(totals), on="_k")
+        .withColumn("p_raw", F.round(F.col("n_docs") / F.col("_total"), 6))
+        .withColumn("p_temp", F.round(F.col("_w") / F.col("_z"), 6))
+        .withColumn("rate", F.round(rate, 6))
+        .withColumn(
+            "keep_threshold",
+            F.floor(rate * F.lit(float(HASH60_SPAN))).cast("bigint"),
+        )
+        .select(strata_col, "n_docs", "p_raw", "p_temp", "rate", "keep_threshold")
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Down-sample the corpus to a temperature-alpha mixture: stratum d is
+    Bernoulli-kept at rate (n_min/n_d)^(1-alpha), so effective counts are
+    ∝ n_d^alpha and the smallest stratum is kept in full. The keep
+    decision is the portable hash draw ``hash60(seed:id) <
+    floor(rate·2^60)`` — deterministic across engines, re-runs, retries,
+    and partitionings (see :func:`stratified_sample`).
+
+    Unlike :func:`stratified_sample`, the rates are DERIVED from the data
+    (one tiny stratum-count aggregate, broadcast back onto the corpus) —
+    nothing is collected to the driver and the corpus is scanned once for
+    counting and once for filtering (the count side is the groupBy's tiny
+    output; at 100 TB the two scans beat caching the corpus by far).
+
+    alpha = 0.5 (the common pretraining setting) keeps every float step
+    IEEE-exact (sqrt + exponent shift), making thresholds bit-identical
+    across engines — the property the CORRECTNESS gate relies on.
+    """
+    rates = temperature_rates(df, strata_col, alpha=alpha).select(
+        strata_col, "n_docs", "keep_threshold"
+    )
+    draw = hash60(seeded(F.col(id_col).cast("string"), seed))
+    return (
+        df.join(F.broadcast(rates), on=strata_col)
+        .withColumn("sample_key", draw)
+        .filter(F.col("sample_key") < F.col("keep_threshold"))
+    )
+
+
+def dataset_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the portable 60-bit hash
+    draw of (seed, id) is bucketed by cumulative integer thresholds
+    computed ONCE in Python from ``fractions`` (insertion order), so the
+    split is a pure function of (id, seed) — stable across engines,
+    re-runs, appends (a new doc never moves an old doc's split), and
+    cluster sizes. Fractions must sum to ≤ 1; any remainder falls into
+    the last split.
+
+    Scale: map-only — zero shuffles, no RNG state, embarrassingly
+    parallel."""
+    names = list(fractions)
+    cum = 0.0
+    expr = None
+    draw = hash60(seeded(F.col(id_col).cast("string"), seed))
+    keyed = df.withColumn("split_key", draw)
+    for name in names[:-1]:
+        cum += fractions[name]
+        t = F.lit(sample_threshold(cum))
+        cond = F.col("split_key") < t
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return keyed.withColumn("split", expr)

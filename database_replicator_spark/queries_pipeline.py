@@ -729,3 +729,120 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return unigram_logprob(docs)
+
+
+_TEMP_SEED = 11
+_H60 = "CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+_SPAN = 1 << 60
+
+
+@query(
+    "corpus_temperature_mix",
+    oracle=f"""
+    WITH s AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    t AS (
+      SELECT SUM(n_docs) AS total,
+             SUM(sqrt(CAST(n_docs AS DOUBLE))) AS z,
+             MIN(n_docs) AS n_min
+      FROM s
+    )
+    SELECT s.source, s.n_docs,
+           round(CAST(s.n_docs AS DOUBLE) / t.total, 6) AS p_raw,
+           round(sqrt(CAST(s.n_docs AS DOUBLE)) / t.z, 6) AS p_temp,
+           round(sqrt(CAST(t.n_min AS DOUBLE) / s.n_docs), 6) AS rate,
+           CAST(floor(sqrt(CAST(t.n_min AS DOUBLE) / s.n_docs) * {float(_SPAN)!r})
+                AS BIGINT) AS keep_threshold
+    FROM s CROSS JOIN t
+    """,
+)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-0.5 mixture table per source: raw share, temperature
+    share (∝ √n), the down-sampling rate (√(n_min/n)) that realizes it,
+    and the integer hash threshold. Every float step is IEEE
+    correctly-rounded (divide, sqrt, ×2^60 exponent shift), so even the
+    60-bit thresholds match DuckDB bit-for-bit
+    (operators/corpus.temperature_rates)."""
+    from .operators.corpus import temperature_rates
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_rates(docs, strata_col="source", alpha=0.5)
+
+
+@query(
+    "corpus_temperature_sample",
+    oracle=f"""
+    WITH s AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    m AS (SELECT MIN(n_docs) AS n_min FROM s),
+    th AS (
+      SELECT s.source,
+             CAST(floor(sqrt(CAST(m.n_min AS DOUBLE) / s.n_docs) * {float(_SPAN)!r})
+                  AS BIGINT) AS keep_threshold
+      FROM s CROSS JOIN m
+    )
+    SELECT d.doc_id, d.source, d.lang,
+           {_H60.format(expr=f"'{_TEMP_SEED}:' || CAST(d.doc_id AS VARCHAR)")} AS sample_key,
+           th.keep_threshold
+    FROM documents d JOIN th ON d.source = th.source
+    WHERE {_H60.format(expr=f"'{_TEMP_SEED}:' || CAST(d.doc_id AS VARCHAR)")} < th.keep_threshold
+    """,
+)
+def corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The temperature mix REALIZED: every source down-sampled to its
+    √-temperature rate by the portable hash draw — rates derived from the
+    data in-plan (tiny count aggregate broadcast back; nothing collected
+    to the driver), decision map-side, reproducible across engines and
+    cluster sizes (operators/corpus.temperature_sample)."""
+    from .operators.corpus import temperature_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = temperature_sample(
+        docs, strata_col="source", alpha=0.5, id_col="doc_id", seed=_TEMP_SEED
+    )
+    return out.select("doc_id", "source", "lang", "sample_key", "keep_threshold")
+
+
+_SPLIT_SEED = 13
+_SPLIT_FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def _split_case_sql() -> str:
+    names = list(_SPLIT_FRACTIONS)
+    cum = 0.0
+    arms = []
+    for name in names[:-1]:
+        cum += _SPLIT_FRACTIONS[name]
+        arms.append(f"WHEN split_key < {sample_threshold(cum)} THEN '{name}'")
+    return f"CASE {' '.join(arms)} ELSE '{names[-1]}' END"
+
+
+@query(
+    "corpus_split",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT lang,
+             {_H60.format(expr=f"'{_SPLIT_SEED}:' || CAST(doc_id AS VARCHAR)")} AS split_key
+      FROM documents
+    )
+    SELECT {_split_case_sql()} AS split, lang,
+           COUNT(*) AS n_docs,
+           MIN(split_key) AS min_key,
+           MAX(split_key) AS max_key
+    FROM keyed
+    GROUP BY 1, 2
+    """,
+)
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment audited at the
+    (split, lang) grain: cumulative integer thresholds over the portable
+    hash draw — a pure function of (doc_id, seed), so appends never move
+    an existing doc's split. Map-only + one tiny aggregate
+    (operators/corpus.dataset_split)."""
+    from .operators.corpus import dataset_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = dataset_split(docs, _SPLIT_FRACTIONS, id_col="doc_id", seed=_SPLIT_SEED)
+    return out.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("split_key").alias("min_key"),
+        F.max("split_key").alias("max_key"),
+    )

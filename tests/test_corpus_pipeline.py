@@ -359,3 +359,122 @@ class TestUnigramLogprob:
             for r in cap_per_group(df, "source", cap=12, range_shards=8).collect()
         }
         assert one == sharded
+
+
+class TestTemperatureMix:
+    def _docs(self, spark):
+        # 3 strata with sizes 100 / 25 / 4
+        rows = (
+            [(i, "big") for i in range(100)]
+            + [(100 + i, "mid") for i in range(25)]
+            + [(125 + i, "small") for i in range(4)]
+        )
+        return spark.createDataFrame(rows, "doc_id long, source string")
+
+    def test_rates_alpha_half(self, spark):
+        from database_replicator_spark.operators.corpus import temperature_rates
+
+        out = {
+            r["source"]: r.asDict()
+            for r in temperature_rates(self._docs(spark), "source").collect()
+        }
+        # rate = sqrt(n_min/n); smallest stratum keeps everything
+        assert out["small"]["rate"] == 1.0
+        assert out["small"]["keep_threshold"] == HASH60_SPAN
+        assert out["big"]["rate"] == pytest.approx((4 / 100) ** 0.5, abs=1e-6)
+        assert out["mid"]["rate"] == pytest.approx((4 / 25) ** 0.5, abs=1e-6)
+        # p_temp ∝ sqrt(n): shares sum to 1 and order-flatten vs p_raw
+        assert sum(v["p_temp"] for v in out.values()) == pytest.approx(1.0, abs=1e-5)
+        assert out["big"]["p_temp"] < out["big"]["p_raw"]
+        assert out["small"]["p_temp"] > out["small"]["p_raw"]
+
+    def test_rates_alpha_one_is_identity(self, spark):
+        from database_replicator_spark.operators.corpus import temperature_rates
+
+        out = {
+            r["source"]: r.asDict()
+            for r in temperature_rates(self._docs(spark), "source", alpha=1.0).collect()
+        }
+        for v in out.values():
+            assert v["p_temp"] == v["p_raw"]
+            assert v["rate"] == 1.0
+
+    def test_sample_deterministic_and_full_min_stratum(self, spark):
+        from database_replicator_spark.operators.corpus import temperature_sample
+
+        docs = self._docs(spark)
+        a = temperature_sample(docs, "source", seed=3)
+        b = temperature_sample(docs, "source", seed=3)
+        ids_a = sorted(r["doc_id"] for r in a.collect())
+        ids_b = sorted(r["doc_id"] for r in b.collect())
+        assert ids_a == ids_b
+        kept = {s: 0 for s in ("big", "mid", "small")}
+        for r in a.collect():
+            kept[r["source"]] += 1
+        assert kept["small"] == 4  # min stratum kept in full
+        # effective counts ∝ sqrt(n): 100→~20, 25→~10 (hash noise allowed)
+        assert 10 <= kept["big"] <= 30
+        assert 4 <= kept["mid"] <= 16
+
+    def test_sample_matches_manual_threshold(self, spark):
+        from database_replicator_spark.functions.hashing import hash60, seeded
+        from database_replicator_spark.operators.corpus import temperature_sample
+
+        docs = self._docs(spark)
+        import math
+
+        out = temperature_sample(docs, "source", seed=3)
+        draws = {
+            r["doc_id"]: r["k"]
+            for r in docs.select(
+                "doc_id", hash60(seeded(F.col("doc_id").cast("string"), 3)).alias("k")
+            ).collect()
+        }
+        thresh = {
+            "big": math.floor(math.sqrt(4 / 100) * HASH60_SPAN),
+            "mid": math.floor(math.sqrt(4 / 25) * HASH60_SPAN),
+            "small": HASH60_SPAN,
+        }
+        expect = {
+            r["doc_id"]
+            for r in docs.collect()
+            if draws[r["doc_id"]] < thresh[r["source"]]
+        }
+        assert {r["doc_id"] for r in out.collect()} == expect
+
+
+class TestDatasetSplit:
+    def test_partition_exhaustive_and_deterministic(self, spark):
+        from database_replicator_spark.operators.corpus import dataset_split
+
+        docs = spark.createDataFrame(
+            [(i,) for i in range(2000)], "doc_id long"
+        )
+        fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+        out = dataset_split(docs, fr, seed=5)
+        rows = out.collect()
+        assert len(rows) == 2000  # every doc assigned exactly once
+        counts = {}
+        for r in rows:
+            counts[r["split"]] = counts.get(r["split"], 0) + 1
+        assert set(counts) == {"train", "val", "test"}
+        assert counts["train"] == pytest.approx(1600, abs=120)
+        assert counts["val"] == pytest.approx(200, abs=60)
+        # stable under re-run and under appends (same doc, same split)
+        again = {r["doc_id"]: r["split"] for r in dataset_split(docs, fr, seed=5).collect()}
+        more = spark.createDataFrame([(i,) for i in range(3000)], "doc_id long")
+        bigger = {
+            r["doc_id"]: r["split"] for r in dataset_split(more, fr, seed=5).collect()
+        }
+        for r in rows:
+            assert again[r["doc_id"]] == r["split"]
+            assert bigger[r["doc_id"]] == r["split"]
+
+    def test_split_seed_changes_assignment(self, spark):
+        from database_replicator_spark.operators.corpus import dataset_split
+
+        docs = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+        fr = {"a": 0.5, "b": 0.5}
+        s1 = {r["doc_id"]: r["split"] for r in dataset_split(docs, fr, seed=1).collect()}
+        s2 = {r["doc_id"]: r["split"] for r in dataset_split(docs, fr, seed=2).collect()}
+        assert any(s1[i] != s2[i] for i in s1)
