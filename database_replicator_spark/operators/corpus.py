@@ -769,3 +769,82 @@ def dataset_split(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
     return keyed.withColumn("split", expr)
+
+
+def dsir_logratio(
+    df: DataFrame,
+    target_pred,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_token_digits: int = 6,
+    round_digits: int = 6,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023): per-doc
+    log importance ratio Σ [ln p_target(t) − ln p_raw(t)] under two
+    add-one-smoothed unigram LMs — ``target`` trained on the rows
+    matching ``target_pred`` (a boolean Column, e.g. the trusted
+    high-quality slice), ``raw`` on the whole corpus. Docs whose token
+    distribution looks like the target get high ``avg_log_ratio``;
+    resampling by these weights shifts the training mix toward the
+    target domain without hand-written rules.
+
+    Both LMs share the raw corpus's vocabulary size V in the smoothing
+    denominator, so target-unseen tokens contribute a finite negative
+    ratio instead of −∞.
+
+    Cross-engine determinism: each ln is rounded to
+    ``round_token_digits`` and cast DECIMAL(28,12) BEFORE the subtraction
+    and sum (the :func:`unigram_logprob` contract, applied twice) — both
+    engines add/subtract identical exact decimals in any order.
+
+    Scale shape: one token explode; two vocab aggregations (the target
+    one over a filtered — typically tiny — slice); one token→freqs join
+    (left join on the target counts: absent → 0); one per-doc
+    aggregation. The raw-vocab join dominates and is the same
+    sort-merge-on-token shape as :func:`unigram_logprob`; no Python
+    anywhere.
+    """
+    from .textops import normalize_text_expr
+
+    toks = df.select(
+        F.col(id_col),
+        F.when(target_pred, F.lit(1)).otherwise(F.lit(0)).alias("_is_target"),
+        F.explode(
+            F.split(normalize_text_expr(F.coalesce(F.col(text_col), F.lit(""))), " ")
+        ).alias("token"),
+    )
+    vocab = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum("_is_target").alias("c_tgt"),
+    )
+    totals = vocab.agg(
+        F.sum("c_raw").alias("n_raw"),
+        F.sum("c_tgt").alias("n_tgt"),
+        F.count(F.lit(1)).alias("v_size"),
+    )
+    lp = lambda c, n: F.round(  # noqa: E731
+        F.log((c + 1) / (n + F.col("v_size"))), round_token_digits
+    ).cast("decimal(28,12)")
+    scored = (
+        toks.join(vocab, on="token")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            (lp(F.col("c_tgt"), F.col("n_tgt")) - lp(F.col("c_raw"), F.col("n_raw"))).alias(
+                "lr"
+            ),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("lr").alias("_sum_lr"))
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(F.col("_sum_lr").cast("double"), round_digits).alias("log_ratio_sum"),
+            F.round(
+                F.col("_sum_lr").cast("double") / F.col("n_tokens"), round_digits
+            ).alias("avg_log_ratio"),
+        )
+    )

@@ -846,3 +846,47 @@ def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("split_key").alias("min_key"),
         F.max("split_key").alias("max_key"),
     )
+
+
+@query(
+    "doc_dsir_weights",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_target,
+             unnest({_TOKS_SQL}) AS token
+      FROM documents
+    ),
+    vocab AS (
+      SELECT token, COUNT(*) AS c_raw, SUM(is_target) AS c_tgt
+      FROM toks GROUP BY token
+    ),
+    totals AS (
+      SELECT SUM(c_raw) AS n_raw, SUM(c_tgt) AS n_tgt, COUNT(*) AS v_size
+      FROM vocab
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(round(ln((v.c_tgt + 1) / (tt.n_tgt + tt.v_size)), 6)
+                  AS DECIMAL(28,12))
+             - CAST(round(ln((v.c_raw + 1) / (tt.n_raw + tt.v_size)), 6)
+                  AS DECIMAL(28,12)) AS lr
+      FROM toks t JOIN vocab v ON t.token = v.token CROSS JOIN totals tt
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           round(CAST(SUM(lr) AS DOUBLE), 6) AS log_ratio_sum,
+           round(CAST(SUM(lr) AS DOUBLE) / COUNT(*), 6) AS avg_log_ratio
+    FROM scored
+    GROUP BY doc_id
+    """,
+)
+def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: per-doc Σ[ln p_target − ln p_raw] under
+    two corpus-trained add-one unigram LMs (target = the src0 slice),
+    the importance-resampling signal that shifts a training mix toward a
+    trusted domain. Per-token log-ratios are rounded then subtracted and
+    summed as exact decimals — the unigram_logprob cross-engine contract
+    applied twice (operators/corpus.dsir_logratio)."""
+    from .operators.corpus import dsir_logratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_logratio(docs, F.col("source") == "src0")

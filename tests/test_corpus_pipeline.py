@@ -478,3 +478,38 @@ class TestDatasetSplit:
         s1 = {r["doc_id"]: r["split"] for r in dataset_split(docs, fr, seed=1).collect()}
         s2 = {r["doc_id"]: r["split"] for r in dataset_split(docs, fr, seed=2).collect()}
         assert any(s1[i] != s2[i] for i in s1)
+
+
+class TestDsirLogratio:
+    def test_target_like_docs_score_higher(self, spark):
+        from database_replicator_spark.operators.corpus import dsir_logratio
+
+        rows = (
+            # target slice: fruit vocabulary
+            [(i, "apple banana apple cherry", "tgt") for i in range(5)]
+            # raw bulk: animal vocabulary
+            + [(10 + i, "dog cat dog bird", "web") for i in range(20)]
+            # probes: one fruit-like, one animal-like
+            + [(100, "apple banana cherry apple", "probe"),
+               (101, "dog cat bird dog", "probe")]
+        )
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = {
+            r["doc_id"]: r["avg_log_ratio"]
+            for r in dsir_logratio(docs, F.col("source") == "tgt").collect()
+        }
+        assert out[100] > out[101]
+        # target docs themselves score above the raw bulk
+        assert min(out[i] for i in range(5)) > max(out[10 + i] for i in range(20))
+
+    def test_deterministic_and_complete(self, spark):
+        from database_replicator_spark.operators.corpus import dsir_logratio
+
+        docs = spark.createDataFrame(
+            [(i, f"tok{i % 7} tok{i % 3} common", "s" + str(i % 4)) for i in range(50)],
+            "doc_id long, text string, source string",
+        )
+        a = dsir_logratio(docs, F.col("source") == "s0").collect()
+        b = dsir_logratio(docs, F.col("source") == "s0").collect()
+        assert len(a) == 50
+        assert sorted(map(str, a)) == sorted(map(str, b))
