@@ -112,6 +112,39 @@ class TestPlanShapes:
         assert "BroadcastHashJoin" in plan
 
 
+    def test_runtime_bloom_filter_join_eligible(self, spark, sf_dir):
+        """At 100 TB a selective dim-filtered join prunes the fact scan via
+        Spark's RUNTIME BLOOM FILTER (InjectRuntimeFilter, on by default):
+        the filtered creation side builds a bloom, the probe side gets a
+        might_contain predicate BEFORE its shuffle. It stays dormant at toy
+        scale only because the probe scan is under the 10 GiB
+        applicationSideScanSizeThreshold — this test drops the thresholds
+        to prove our fact⋈filtered-dim shape is bloom-eligible, so the
+        optimization engages at scale with no code change."""
+        assert (
+            spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+            == "true"
+        )
+        confs = {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        }
+        saved = {k: spark.conf.get(k) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            li = load_table(spark, sf_dir, "lineitem")
+            orders = load_table(spark, sf_dir, "orders").filter(
+                "o_orderpriority = '1-URGENT'"
+            )
+            j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            assert "might_contain" in plan_of(j).lower()
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
+
+
 class TestSpreadBy:
     def test_fanout_survives_aqe(self, spark):
         """spread_by must pin the partition count: a bare repartition(col)
