@@ -444,3 +444,59 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
         .limit(10)
     )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > s1.t1
+      GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.t2
+      GROUP BY 1
+    ),
+    f AS (
+      SELECT s1.user_id, t1, t2, t3
+      FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+              LEFT JOIN s3 ON s1.user_id = s3.user_id
+    ),
+    agg AS (
+      SELECT 1 AS step, 'view' AS event_type, COUNT(t1) AS n_users,
+             CAST(NULL AS BIGINT) AS gap_us FROM f
+      UNION ALL
+      SELECT 2, 'click', COUNT(t2),
+             SUM(CASE WHEN t2 IS NOT NULL THEN epoch_us(t2) - epoch_us(t1) END)
+      FROM f
+      UNION ALL
+      SELECT 3, 'purchase', COUNT(t3),
+             SUM(CASE WHEN t3 IS NOT NULL THEN epoch_us(t3) - epoch_us(t2) END)
+      FROM f
+    )
+    SELECT step, event_type, n_users,
+           round(CAST(n_users AS DOUBLE) /
+                 (SELECT n_users FROM agg WHERE step = 1), 6) AS conversion,
+           round(CAST(gap_us AS DOUBLE) / (n_users * 1000000.0), 6)
+             AS avg_seconds_from_prev
+    FROM agg
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step product funnel (view → click → purchase) via
+    min-timestamp chaining: each stage is one filtered aggregation plus
+    an equi-join on the user key — k small uniform-key shuffles, no
+    per-user event sequences ever materialized
+    (operators/funnel.funnel_counts)."""
+    from .operators.funnel import funnel_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_counts(ev, ["view", "click", "purchase"])

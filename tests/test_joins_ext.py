@@ -159,3 +159,72 @@ class TestIvfTopk:
         q = emb.filter(F.col("vec_id") < 3)
         out = ivf_topk(emb, q, k=1000, nlist=8, nprobe=2)
         assert out.count() == out.select("query_id", "corpus_id").distinct().count()
+
+
+class TestFunnel:
+    def _events(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, u, t, ty) for i, (u, t, ty) in enumerate(rows)],
+            "event_id long, user_id long, ts timestamp, event_type string",
+        )
+
+    def test_strict_ordering_required(self, spark):
+        from datetime import datetime
+
+        from database_replicator_spark.operators.funnel import funnel_counts
+
+        T = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+        rows = [
+            # user 1 completes the funnel in order
+            (1, T(1), "view"), (1, T(2), "click"), (1, T(3), "purchase"),
+            # user 2 clicks BEFORE viewing — click must not count
+            (2, T(5), "click"), (2, T(6), "view"),
+            # user 3 views only
+            (3, T(1), "view"),
+            # user 4 purchases without clicking — stops at view
+            (4, T(1), "view"), (4, T(2), "purchase"),
+            # user 5 never views — not in the funnel at all
+            (5, T(1), "click"), (5, T(2), "purchase"),
+        ]
+        out = {
+            r["step"]: r.asDict()
+            for r in funnel_counts(
+                self._events(spark, rows), ["view", "click", "purchase"]
+            ).collect()
+        }
+        assert out[1]["n_users"] == 4
+        assert out[2]["n_users"] == 1
+        assert out[3]["n_users"] == 1
+        assert out[2]["conversion"] == 0.25
+        assert out[1]["avg_seconds_from_prev"] is None
+        assert out[2]["avg_seconds_from_prev"] == 1.0
+
+    def test_equal_timestamp_does_not_advance(self, spark):
+        from datetime import datetime
+
+        from database_replicator_spark.operators.funnel import funnel_counts
+
+        t = datetime(2024, 1, 1)
+        rows = [(1, t, "view"), (1, t, "click")]  # same instant: not after
+        out = {
+            r["step"]: r["n_users"]
+            for r in funnel_counts(self._events(spark, rows), ["view", "click"]).collect()
+        }
+        assert out == {1: 1, 2: 0}
+
+    def test_min_qualifying_occurrence_chains(self, spark):
+        from datetime import datetime
+
+        from database_replicator_spark.operators.funnel import funnel_entries
+
+        T = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+        # user clicks at 2 (before view at 3 — ignored) and at 5 (counts);
+        # purchase at 4 precedes the qualifying click → not counted
+        rows = [
+            (1, T(3), "view"), (1, T(2), "click"), (1, T(5), "click"),
+            (1, T(4), "purchase"),
+        ]
+        row = funnel_entries(
+            self._events(spark, rows), ["view", "click", "purchase"]
+        ).collect()[0]
+        assert row["t_1"] == T(3) and row["t_2"] == T(5) and row["t_3"] is None
