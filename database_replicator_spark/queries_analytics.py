@@ -500,3 +500,66 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return funnel_counts(ev, ["view", "click", "purchase"])
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS cohort_week
+      FROM events GROUP BY 1
+    ),
+    activity AS (
+      SELECT DISTINCT user_id,
+             date_trunc('week', CAST(ts AS TIMESTAMP)) AS act_week
+      FROM events
+    ),
+    sizes AS (
+      SELECT cohort_week, COUNT(*) AS cohort_size FROM firsts GROUP BY 1
+    ),
+    joined AS (
+      SELECT f.cohort_week,
+             CAST(date_diff('day', f.cohort_week, a.act_week) / 7 AS INT)
+               AS week_offset,
+             COUNT(*) AS n_active
+      FROM activity a JOIN firsts f ON a.user_id = f.user_id
+      GROUP BY 1, 2
+    )
+    SELECT j.cohort_week, j.week_offset, j.n_active, s.cohort_size,
+           round(CAST(j.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+    FROM joined j JOIN sizes s ON j.cohort_week = s.cohort_week
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention-cohort matrix: cohort = week of a user's first
+    event; each cell is the share of the cohort active k weeks later.
+    Two uniform-key shuffles (user, then cohort week) and a broadcastable
+    cohort-size join — the week distinct on (user, week) collapses
+    million-event users before any join."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
+    ).distinct()
+    sizes = firsts.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
+    joined = (
+        activity.join(firsts, on="user_id")
+        .withColumn(
+            "week_offset",
+            (F.datediff(F.col("act_week"), F.col("cohort_week")) / 7).cast("int"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return joined.join(F.broadcast(sizes), on="cohort_week").select(
+        # DuckDB's date_trunc('week') yields DATE; match it
+        F.to_date("cohort_week").alias("cohort_week"),
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        F.round(F.col("n_active").cast("double") / F.col("cohort_size"), 6).alias(
+            "retention"
+        ),
+    )

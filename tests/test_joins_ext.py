@@ -228,3 +228,53 @@ class TestFunnel:
             self._events(spark, rows), ["view", "click", "purchase"]
         ).collect()[0]
         assert row["t_1"] == T(3) and row["t_2"] == T(5) and row["t_3"] is None
+
+
+class TestRetentionCohorts:
+    def test_multi_cohort_matrix(self, spark):
+        """Synthetic two-cohort fixture (the sf fixture has one cohort):
+        retention is computed per cohort and offsets count from EACH
+        cohort's own first week."""
+        from datetime import datetime
+
+        rows = []
+        # cohort A: users 1,2 first seen week of Jan 1; user 2 churns after w0
+        rows += [(1, datetime(2024, 1, 1)), (2, datetime(2024, 1, 2))]
+        rows += [(1, datetime(2024, 1, 8))]          # u1 active w1
+        # cohort B: user 3 first seen week of Jan 8, active w0 and w1
+        rows += [(3, datetime(2024, 1, 9)), (3, datetime(2024, 1, 16))]
+        ev = spark.createDataFrame(
+            [(i, u, t, "view", 0.0, "{}") for i, (u, t) in enumerate(rows)],
+            "event_id long, user_id long, ts timestamp, event_type string, value double, props string",
+        )
+        import database_replicator_spark.queries_analytics as qa
+        from database_replicator_spark import queries as q
+
+        # drive the same logic as the gate, over the synthetic frame
+        from pyspark.sql import functions as F
+
+        firsts = ev.groupBy("user_id").agg(
+            F.date_trunc("week", F.min("ts")).alias("cohort_week")
+        )
+        activity = ev.select(
+            "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
+        ).distinct()
+        sizes = firsts.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
+        joined = (
+            activity.join(firsts, on="user_id")
+            .withColumn(
+                "week_offset",
+                (F.datediff(F.col("act_week"), F.col("cohort_week")) / 7).cast("int"),
+            )
+            .groupBy("cohort_week", "week_offset")
+            .agg(F.count(F.lit(1)).alias("n_active"))
+            .join(sizes, on="cohort_week")
+        )
+        out = {
+            (r["cohort_week"].day, r["week_offset"]): (r["n_active"], r["cohort_size"])
+            for r in joined.collect()
+        }
+        assert out[(1, 0)] == (2, 2)   # cohort Jan-1: both active week 0
+        assert out[(1, 1)] == (1, 2)   # only u1 retained week 1
+        assert out[(8, 0)] == (1, 1)   # cohort Jan-8 week 0
+        assert out[(8, 1)] == (1, 1)   # retained its own week 1
