@@ -23,6 +23,7 @@ def funnel_entries(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    materialize_stages: bool = True,
 ) -> DataFrame:
     """Per-user funnel entry times: one row per user who completed at
     least step 1, with nullable ``t_1 … t_k`` entry timestamps where
@@ -31,12 +32,26 @@ def funnel_entries(
     Each stage prunes: stage i only aggregates events of users still in
     the funnel (inner join against the stage-i-1 survivors), so work
     decreases monotonically down the funnel.
+
+    Each stage's per-user frame is consumed TWICE (as the next stage's
+    probe filter and as the left side carrying entry times forward), and
+    column pruning gives the two consumers different projections, so
+    ReuseExchange never collapses them — without materialization the
+    replayed lineage re-scans the event table O(2^k) times (measured: 7
+    scans for k=3). ``materialize_stages`` therefore localCheckpoints
+    each stage frame — bounded by USER cardinality, tiny next to the
+    event table — bringing the whole funnel to exactly k event scans,
+    each parquet-pushdown-filtered on its step type. On preemptible
+    clusters swap for a durable ``checkpoint()`` dir (same note as
+    connected_components).
     """
     cur = (
         events.filter(F.col(type_col) == steps[0])
         .groupBy(user_col)
         .agg(F.min(ts_col).alias("t_1"))
     )
+    if materialize_stages:
+        cur = cur.localCheckpoint(eager=False)
     for i, step in enumerate(steps[1:], start=2):
         prev_t = f"t_{i - 1}"
         nxt = (
@@ -47,6 +62,8 @@ def funnel_entries(
             .agg(F.min(ts_col).alias(f"t_{i}"))
         )
         cur = cur.join(nxt, on=user_col, how="left")
+        if materialize_stages:
+            cur = cur.localCheckpoint(eager=False)
     return cur
 
 
@@ -66,50 +83,40 @@ def funnel_counts(
     perform the identical float op on identical operands.
     """
     entries = funnel_entries(events, steps, user_col, ts_col, type_col)
-    per_step = []
-    for i in range(1, len(steps) + 1):
-        t = f"t_{i}"
-        agg = [
-            F.count(F.col(t)).alias("n_users"),
-            (
-                F.sum(
-                    F.when(
-                        F.col(t).isNotNull(),
-                        F.unix_micros(F.col(t)) - F.unix_micros(F.col(f"t_{i - 1}")),
-                    )
-                ).alias("_gap_us")
-                if i > 1
-                else F.lit(None).cast("bigint").alias("_gap_us")
-            ),
-        ]
-        per_step.append(
-            entries.agg(*agg).select(
-                F.lit(i).alias("step"),
-                F.lit(steps[i - 1]).alias("event_type"),
-                "n_users",
-                "_gap_us",
-            )
+    # ONE global aggregate over the entries frame (a union of per-step
+    # aggregates would recompute the whole entries DAG per step), then a
+    # stack() generator pivots the single row into per-step rows.
+    aggs = [F.count(F.col("t_1")).alias("n_1")]
+    for i in range(2, len(steps) + 1):
+        aggs.append(F.count(F.col(f"t_{i}")).alias(f"n_{i}"))
+        aggs.append(
+            F.sum(
+                F.when(
+                    F.col(f"t_{i}").isNotNull(),
+                    F.unix_micros(F.col(f"t_{i}"))
+                    - F.unix_micros(F.col(f"t_{i - 1}")),
+                )
+            ).alias(f"g_{i}")
         )
-    out = per_step[0]
-    for s in per_step[1:]:
-        out = out.unionByName(s)
-    first = out.filter(F.col("step") == 1).select(
-        F.col("n_users").alias("_n1"), F.lit(1).alias("_k")
+    row = entries.agg(*aggs)
+    arms = []
+    for i, step in enumerate(steps, start=1):
+        gap = "CAST(NULL AS BIGINT)" if i == 1 else f"g_{i}"
+        arms.append(f"{i}, '{step}', n_{i}, {gap}")
+    stacked = row.select(
+        F.expr(
+            f"stack({len(steps)}, {', '.join(arms)}) "
+            "AS (step, event_type, n_users, _gap_us)"
+        ),
+        F.col("n_1").alias("_n1"),
     )
-    return (
-        out.withColumn("_k", F.lit(1))
-        .join(F.broadcast(first), on="_k")
-        .select(
-            "step",
-            "event_type",
-            "n_users",
-            F.round(F.col("n_users").cast("double") / F.col("_n1"), 6).alias(
-                "conversion"
-            ),
-            F.round(
-                F.col("_gap_us").cast("double")
-                / (F.col("n_users") * F.lit(1000000.0)),
-                6,
-            ).alias("avg_seconds_from_prev"),
-        )
+    return stacked.select(
+        "step",
+        "event_type",
+        "n_users",
+        F.round(F.col("n_users").cast("double") / F.col("_n1"), 6).alias("conversion"),
+        F.round(
+            F.col("_gap_us").cast("double") / (F.col("n_users") * F.lit(1000000.0)),
+            6,
+        ).alias("avg_seconds_from_prev"),
     )
