@@ -848,3 +848,60 @@ def dsir_logratio(
             ).alias("avg_log_ratio"),
         )
     )
+
+
+def chunk_long_docs(
+    df: DataFrame,
+    budget: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split over-budget documents into ``budget``-token sliding windows
+    with ``overlap`` tokens of context carry-over — the complement of
+    :func:`pack_sequences` (which BINS whole short docs; this SPLITS long
+    ones so no sequence is ever truncated silently). Chunk i of a doc
+    covers tokens [i·step, i·step+budget), step = budget − overlap; a doc
+    with n ≤ budget tokens yields exactly one chunk.
+
+    Output: one row per (doc, chunk) with ``chunk_id``, ``start_tok``,
+    ``chunk_tokens`` (actual length), ``chunk_text`` (space-joined).
+
+    Scale shape: pure map + explode — zero shuffles; chunk arithmetic is
+    integer-exact (`div`, no float), so the layout is reproducible
+    across engines. The explode fan-out is bounded by n/step per doc;
+    downstream repartition is the consumer's choice.
+    """
+    if not 0 <= overlap < budget:
+        raise ValueError("need 0 <= overlap < budget")
+    step = budget - overlap
+    from .textops import normalize_text_expr
+
+    toks = F.split(normalize_text_expr(F.coalesce(F.col(text_col), F.lit(""))), " ")
+    base = df.select(
+        F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n")
+    ).withColumn(
+        "n_chunks",
+        F.when(F.col("_n") <= budget, F.lit(1)).otherwise(
+            (F.lit(1) + F.expr(f"(_n - {budget} + {step} - 1) div {step}")).cast("int")
+        ),
+    )
+    return (
+        base.select(
+            id_col,
+            "_toks",
+            "_n",
+            F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            (F.col("chunk_id") * step).alias("start_tok"),
+            F.least(F.lit(budget), F.col("_n") - F.col("chunk_id") * step).alias(
+                "chunk_tokens"
+            ),
+            F.array_join(
+                F.slice(F.col("_toks"), F.col("chunk_id") * step + 1, budget), " "
+            ).alias("chunk_text"),
+        )
+    )

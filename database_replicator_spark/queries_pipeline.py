@@ -890,3 +890,54 @@ def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return dsir_logratio(docs, F.col("source") == "src0")
+
+
+_CHUNK_BUDGET = 64
+_CHUNK_OVERLAP = 16
+_CHUNK_STEP = _CHUNK_BUDGET - _CHUNK_OVERLAP
+
+
+@query(
+    "doc_chunk_windows",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks, len({_TOKS_SQL}) AS n FROM documents
+    ),
+    c AS (
+      SELECT doc_id, toks, n,
+             CASE WHEN n <= {_CHUNK_BUDGET} THEN 1
+                  ELSE 1 + (n - {_CHUNK_BUDGET} + {_CHUNK_STEP} - 1) // {_CHUNK_STEP}
+             END AS n_chunks
+      FROM t
+    ),
+    e AS (
+      SELECT doc_id, toks, n, u.i AS chunk_id
+      FROM c, UNNEST(generate_series(0, n_chunks - 1)) AS u(i)
+    )
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           CAST(chunk_id * {_CHUNK_STEP} AS INT) AS start_tok,
+           CAST(least({_CHUNK_BUDGET}, n - chunk_id * {_CHUNK_STEP}) AS INT)
+             AS chunk_tokens,
+           array_to_string(
+             toks[chunk_id * {_CHUNK_STEP} + 1 : chunk_id * {_CHUNK_STEP} + {_CHUNK_BUDGET}],
+             ' ') AS chunk_text
+    FROM e
+    """,
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking of over-budget docs ({_CHUNK_BUDGET}-token
+    windows, {_CHUNK_OVERLAP}-token overlap): the split half of sequence
+    preparation (pack_sequences bins the short docs). Map+explode only,
+    integer-exact chunk arithmetic
+    (operators/corpus.chunk_long_docs)."""
+    from .operators.corpus import chunk_long_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = chunk_long_docs(docs, budget=_CHUNK_BUDGET, overlap=_CHUNK_OVERLAP)
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("start_tok").cast("int").alias("start_tok"),
+        F.col("chunk_tokens").cast("int").alias("chunk_tokens"),
+        "chunk_text",
+    )

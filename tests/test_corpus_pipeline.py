@@ -513,3 +513,52 @@ class TestDsirLogratio:
         b = dsir_logratio(docs, F.col("source") == "s0").collect()
         assert len(a) == 50
         assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+class TestChunkLongDocs:
+    def test_short_doc_single_chunk(self, spark):
+        from database_replicator_spark.operators.corpus import chunk_long_docs
+
+        docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        rows = chunk_long_docs(docs, budget=10).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["chunk_id"], r["start_tok"], r["chunk_tokens"]) == (0, 0, 3)
+        assert r["chunk_text"] == "a b c"
+
+    def test_windows_cover_with_overlap(self, spark):
+        from database_replicator_spark.operators.corpus import chunk_long_docs
+
+        text = " ".join(f"t{i}" for i in range(10))
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = sorted(
+            chunk_long_docs(docs, budget=4, overlap=1).collect(),
+            key=lambda r: r["chunk_id"],
+        )
+        # step 3: starts 0,3,6 — [6,10) already covers the tail, so no
+        # degenerate 1-token window is emitted
+        assert [r["start_tok"] for r in rows] == [0, 3, 6]
+        assert [r["chunk_tokens"] for r in rows] == [4, 4, 4]
+        assert rows[0]["chunk_text"] == "t0 t1 t2 t3"
+        assert rows[1]["chunk_text"] == "t3 t4 t5 t6"   # 1-token carry-over
+        assert rows[2]["chunk_text"] == "t6 t7 t8 t9"
+        # every token appears in some window; consecutive windows share `overlap`
+        seen = set()
+        for r in rows:
+            seen.update(r["chunk_text"].split(" "))
+        assert seen == {f"t{i}" for i in range(10)}
+
+    def test_exact_boundary_no_empty_tail(self, spark):
+        from database_replicator_spark.operators.corpus import chunk_long_docs
+
+        text = " ".join(f"t{i}" for i in range(8))
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = chunk_long_docs(docs, budget=4, overlap=0).collect()
+        assert sorted(r["chunk_tokens"] for r in rows) == [4, 4]
+
+    def test_invalid_overlap_raises(self, spark):
+        from database_replicator_spark.operators.corpus import chunk_long_docs
+
+        docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            chunk_long_docs(docs, budget=4, overlap=4)
