@@ -941,3 +941,52 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_tokens").cast("int").alias("chunk_tokens"),
         "chunk_text",
     )
+
+
+#: fixed merge list for the gate (common English merges; the TRAINING
+#: loop is iterative/non-SQL — it is verified against a pure-Python BPE
+#: reference in tests/test_docs_text.py::TestBpe instead)
+_BPE_MERGES = [("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"), ("in", "g")]
+
+
+def _bpe_oracle_sql() -> str:
+    s = "chr(31)"
+    ss = f"{s} || {s}"
+    sym = f"{ss} || array_to_string(string_split(word, ''), {ss}) || {ss}"
+    for a, b in _BPE_MERGES:
+        pat = f"{s} || '{a}' || {ss} || '{b}' || {s}"
+        rep = f"{s} || '{a}{b}' || {s}"
+        sym = f"replace({sym}, {pat}, {rep})"
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, t.word FROM (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+      ), UNNEST(toks) AS t(word)
+      WHERE t.word <> ''
+    ),
+    dist AS (SELECT DISTINCT word FROM tok),
+    seg AS (
+      SELECT word,
+             len(string_split(trim({sym}, chr(31)), {ss})) AS n_sym
+      FROM dist
+    )
+    SELECT tok.doc_id, COUNT(*) AS n_words,
+           CAST(SUM(seg.n_sym) AS BIGINT) AS n_bpe_tokens
+    FROM tok JOIN seg ON tok.word = seg.word
+    GROUP BY tok.doc_id
+    """
+
+
+@query("doc_bpe_segment", oracle=_bpe_oracle_sql())
+def doc_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge APPLICATION over the corpus with a fixed merge list:
+    per-doc whitespace-word and BPE-token counts. Merges run on the
+    DISTINCT word table (Zipf-small) as literal separator-framed string
+    replaces — bit-identical in DuckDB — then join back to the token
+    stream. The merge TRAINING loop (operators/bpe.bpe_train) is
+    iterative argmax and verified against a pure-Python BPE reference in
+    pytest instead (operators/bpe.py)."""
+    from .operators.bpe import bpe_segment
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_segment(docs, _BPE_MERGES)

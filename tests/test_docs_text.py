@@ -273,3 +273,86 @@ class TestPiiRedact:
         df = spark.createDataFrame([(1, None)], "doc_id long, text string")
         row = pii_redact(df).collect()[0]
         assert row["redacted"] == "" and row["n_emails"] == 0
+
+
+def _ref_bpe_train(word_counts, num_merges, min_pair_count=2):
+    """Pure-Python Sennrich-style BPE on a word-frequency dict."""
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(num_merges):
+        pairs = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = pairs.get((syms[i], syms[i + 1]), 0) + c
+        if not pairs:
+            break
+        # tie-break: count desc, then pair lexicographic
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_pair_count:
+            break
+        merges.append((a, b, cnt))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+class TestBpe:
+    def test_train_matches_python_reference(self, spark):
+        from database_replicator_spark.operators.bpe import bpe_train
+
+        wc = {"lower": 5, "lowest": 2, "newer": 6, "wider": 3, "new": 2}
+        words = spark.createDataFrame(list(wc.items()), "word string, count long")
+        got = bpe_train(words, num_merges=8)
+        want = _ref_bpe_train(wc, 8)
+        assert got == want
+        assert len(got) >= 4  # the fixture supports several merges
+
+    def test_train_deterministic_ties(self, spark):
+        from database_replicator_spark.operators.bpe import bpe_train
+
+        # 'ab' and 'cd' both appear 3 times: lexicographic tie-break
+        wc = {"ab": 3, "cd": 3}
+        words = spark.createDataFrame(list(wc.items()), "word string, count long")
+        got = bpe_train(words, num_merges=2, min_pair_count=2)
+        assert got == [("a", "b", 3), ("c", "d", 3)]
+
+    def test_greedy_overlap_semantics(self, spark):
+        from database_replicator_spark.operators.bpe import bpe_train
+
+        # 'aaa' x4: pair (a,a) counts 8 (two per word); after the merge the
+        # word is (aa, a) — greedy non-overlapping, like python BPE
+        words = spark.createDataFrame([("aaa", 4)], "word string, count long")
+        got = bpe_train(words, num_merges=2)
+        assert got[0] == ("a", "a", 8)
+        assert got == _ref_bpe_train({"aaa": 4}, 2)
+
+    def test_segment_counts(self, spark):
+        from database_replicator_spark.operators.bpe import bpe_segment
+
+        docs = spark.createDataFrame(
+            [(1, "newer lower"), (2, "new")], "doc_id long, text string"
+        )
+        merges = [("e", "r"), ("n", "e"), ("ne", "w")]
+        out = {r["doc_id"]: r.asDict() for r in bpe_segment(docs, merges).collect()}
+        # newer -> new,er (2); lower -> l,o,w,er (4); new -> new (1)
+        assert out[1]["n_words"] == 2 and out[1]["n_bpe_tokens"] == 6
+        assert out[2]["n_words"] == 1 and out[2]["n_bpe_tokens"] == 1
+
+    def test_word_counts_one_scan(self, spark):
+        from database_replicator_spark.operators.bpe import word_counts
+
+        docs = spark.createDataFrame(
+            [(1, "The the THE"), (2, "the cat")], "doc_id long, text string"
+        )
+        wc = {r["word"]: r["count"] for r in word_counts(docs).collect()}
+        assert wc["the"] == 4 and wc["cat"] == 1
