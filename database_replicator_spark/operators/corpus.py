@@ -145,6 +145,103 @@ def connected_components(
     return labels.unionByName(singletons).withColumnRenamed("label", "cluster_id")
 
 
+def connected_components_star(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "node",
+    src_col: str = "doc1",
+    dst_col: str = "doc2",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    adversarial-graph companion to :func:`connected_components`:
+    hash-min+pointer-jumping is ideal for the star-shaped clusters
+    near-dup graphs produce, but a long-path graph costs it O(log
+    diameter) rounds with the FULL edge set alive each round; the star
+    rewrites provably converge in O(log n) rounds while monotonically
+    bending edges toward component minima.
+
+    Per round (u = the groupBy center, m = min of u and its neighbors):
+
+    * large-star: every neighbor v > u re-attaches to m — (v, m);
+    * small-star: every neighbor v < u, and u itself, attach to m.
+
+    Each half-round is ONE groupBy on the symmetric adjacency + a
+    projection — the same shuffle budget as a hash-min round but with an
+    edge set that can only shrink toward the final star forest.
+    Convergence = unchanged (count, hash-sum) edge signature; the
+    signature is two longs to the driver per round. Same localCheckpoint
+    lineage-cut policy as :func:`connected_components` (and the same
+    durable-``checkpoint()`` swap on preemptible clusters).
+    """
+    edges = pairs.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).filter(F.col(src_col) != F.col(dst_col))
+    sym = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    endpoints = sym.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    all_nodes = nodes.select(F.col(id_col).alias("node"))
+    singletons = all_nodes.join(endpoints, on="node", how="left_anti").select(
+        "node", F.col("node").alias("cluster_id")
+    )
+
+    def _star(cur: DataFrame, large: bool) -> DataFrame:
+        m = cur.groupBy("src").agg(F.min("dst").alias("_nmin"))
+        m = m.select(
+            "src", F.least(F.col("src"), F.col("_nmin")).alias("m")
+        )
+        joined = cur.join(m, on="src")
+        cond = F.col("dst") > F.col("src") if large else F.col("dst") < F.col("src")
+        out = joined.filter(cond).select(F.col("dst").alias("a"), F.col("m").alias("b"))
+        if not large:
+            out = out.unionByName(
+                m.select(F.col("src").alias("a"), F.col("m").alias("b"))
+            )
+        out = out.filter(F.col("a") != F.col("b"))
+        # re-symmetrize for the next half-round's groupBy
+        return (
+            out.unionByName(
+                out.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            )
+            .distinct()
+            .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        )
+
+    def _sig(cur: DataFrame) -> tuple[int, int]:
+        row = cur.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.coalesce(F.sum(F.hash("src", "dst").cast("long")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return int(row["c"]), int(row["h"])
+
+    cur = sym
+    sig = _sig(cur)
+    for _ in range(max_rounds):
+        cur = _star(cur, large=True).localCheckpoint()
+        cur = _star(cur, large=False).localCheckpoint()
+        nsig = _sig(cur)
+        if nsig == sig:
+            break
+        sig = nsig
+    labels = (
+        cur.groupBy("src")
+        .agg(F.min("dst").alias("_nmin"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("_nmin")).alias("cluster_id"),
+        )
+    )
+    # nodes already at their component minimum have only larger neighbors
+    # in the final star forest; their own id IS the label (least() above).
+    return labels.unionByName(singletons)
+
+
 def ngram_overlap(
     shingled: DataFrame,
     bench_pred,

@@ -562,3 +562,48 @@ class TestChunkLongDocs:
         docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         with pytest.raises(ValueError):
             chunk_long_docs(docs, budget=4, overlap=4)
+
+
+class TestStarConnectedComponents:
+    def _run(self, spark, n_nodes, pairs):
+        from database_replicator_spark.operators.corpus import (
+            connected_components_star,
+        )
+
+        nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], "node long")
+        edges = spark.createDataFrame(pairs, "doc1 long, doc2 long")
+        out = connected_components_star(nodes, edges)
+        return {r["node"]: r["cluster_id"] for r in out.collect()}
+
+    def test_long_path_converges(self, spark):
+        # the adversarial case for plain label propagation
+        n = 16
+        labels = self._run(spark, n, [(i, i + 1) for i in range(n - 1)])
+        assert labels == {i: 0 for i in range(n)}
+
+    def test_matches_hashmin_on_random_graphs(self, spark):
+        import random
+
+        from database_replicator_spark.operators.corpus import connected_components
+
+        rng = random.Random(7)
+        n = 60
+        pairs = sorted({(min(a, b), max(a, b))
+                        for a, b in (sorted(rng.sample(range(n), 2)) for _ in range(45))})
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+        edges = spark.createDataFrame(pairs, "doc1 long, doc2 long")
+        star = {
+            r["node"]: r["cluster_id"]
+            for r in __import__(
+                "database_replicator_spark.operators.corpus", fromlist=["x"]
+            ).connected_components_star(nodes, edges).collect()
+        }
+        hashmin = {
+            r["node"]: r["cluster_id"]
+            for r in connected_components(nodes, edges).collect()
+        }
+        assert star == hashmin
+
+    def test_self_loops_and_duplicate_edges(self, spark):
+        labels = self._run(spark, 4, [(1, 1), (2, 3), (3, 2), (2, 3)])
+        assert labels == {0: 0, 1: 1, 2: 2, 3: 2}
