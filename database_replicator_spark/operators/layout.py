@@ -1,0 +1,106 @@
+"""Multi-dimensional data layout: z-order (Morton) clustering for
+parquet min/max data skipping.
+
+A 100 TB table sorted on one column prunes scans on THAT column only;
+interleaving the bits of several quantized columns (the z-order curve —
+what Delta/Iceberg `OPTIMIZE ZORDER BY` implements) gives every indexed
+column locality, so per-file min/max statistics prune selective scans on
+ANY of them. Everything here is exact integer/float-step arithmetic —
+no sampling — so the same layout is reproducible across engines and
+re-runs (unlike `repartitionByRange`, whose boundaries come from
+reservoir sampling).
+
+The write path composes with ``util.staged_overwrite``:
+``df.repartition(F.col("z_shard")).sortWithinPartitions("z_key")`` then
+write — files then carry tight bounding boxes over every z-indexed
+column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def quantize_minmax(col, lo, hi, bits: int):
+    """Linear min-max quantization of a numeric column to [0, 2^bits):
+    floor((x-lo)/(hi-lo) · (2^bits−1)). One double divide+multiply+floor
+    — identical in any IEEE engine given identical bounds. Degenerate
+    (lo == hi) columns quantize to 0."""
+    span = F.lit(float(hi)) - F.lit(float(lo))
+    scaled = F.when(span == 0, F.lit(0.0)).otherwise(
+        (col.cast("double") - F.lit(float(lo))) / span * F.lit(float((1 << bits) - 1))
+    )
+    return F.floor(scaled).cast("long")
+
+
+def interleave_bits(cols: list, bits: int):
+    """Morton-interleave k quantized columns (each in [0, 2^bits)): output
+    bit (i·k + j) = bit i of cols[k-1-j] — pure shift/and/or arithmetic,
+    bit-identical in DuckDB. k·bits must fit a signed long (≤ 62)."""
+    k = len(cols)
+    if k * bits > 62:
+        raise ValueError("k*bits must fit a signed long")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            # column j contributes to output bit i*k + (k-1-j): earlier
+            # cols get the higher bit within each group
+            out_bit = i * k + (k - 1 - j)
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1)), out_bit
+                )
+            )
+    return z
+
+
+def interleave_bits_sql(exprs: list[str], bits: int) -> str:
+    """DuckDB rendering of :func:`interleave_bits` (for oracle parity)."""
+    k = len(exprs)
+    terms = []
+    for i in range(bits):
+        for j, e in enumerate(exprs):
+            out_bit = i * k + (k - 1 - j)
+            terms.append(f"((({e} >> {i}) & 1) << {out_bit})")
+    return " | ".join(terms)
+
+
+def zorder_keys(
+    df: DataFrame,
+    cols: list[str],
+    bounds: dict[str, tuple[float, float]],
+    bits: int = 12,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Attach ``z_key`` (the Morton code over min-max-quantized ``cols``)
+    and ``z_shard`` (the key's top log2(n_shards) bits — a FIXED range
+    split, not a sampled one, so the shard of a row is a pure function of
+    its values and the bounds).
+
+    ``bounds`` are the (lo, hi) per column — at scale these come from one
+    cheap min/max aggregate (or existing table statistics); passing them
+    in keeps this function a pure map and the layout reproducible even as
+    new data arrives (frozen bounds → stable shard meaning).
+    """
+    if n_shards & (n_shards - 1):
+        raise ValueError("n_shards must be a power of two")
+    shard_bits = n_shards.bit_length() - 1
+    total_bits = bits * len(cols)
+    q = [
+        quantize_minmax(F.col(c), bounds[c][0], bounds[c][1], bits) for c in cols
+    ]
+    z = interleave_bits(q, bits)
+    out = df.withColumn("z_key", z)
+    return out.withColumn(
+        "z_shard", F.shiftright(F.col("z_key"), total_bits - shard_bits).cast("int")
+    )
+
+
+def column_bounds(df: DataFrame, cols: list[str]) -> dict[str, tuple[float, float]]:
+    """One aggregate for the quantization bounds (2 doubles per column)."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(F.col(c)).alias(f"_lo_{c}"), F.max(F.col(c)).alias(f"_hi_{c}")]
+    row = df.agg(*aggs).collect()[0]
+    return {c: (float(row[f"_lo_{c}"]), float(row[f"_hi_{c}"])) for c in cols}

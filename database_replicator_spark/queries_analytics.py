@@ -563,3 +563,44 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention"
         ),
     )
+
+
+def _zorder_oracle_sql() -> str:
+    from .operators.layout import interleave_bits_sql
+
+    inter = interleave_bits_sql(["q1", "q2"], bits=8)
+    return f"""
+    WITH b AS (
+      SELECT CAST(MIN(o_custkey) AS DOUBLE) AS lo1, CAST(MAX(o_custkey) AS DOUBLE) AS hi1,
+             CAST(MIN(o_totalprice) AS DOUBLE) AS lo2, CAST(MAX(o_totalprice) AS DOUBLE) AS hi2
+      FROM orders
+    ),
+    q AS (
+      SELECT o_orderkey,
+             CAST(floor((CAST(o_custkey AS DOUBLE) - lo1) / (hi1 - lo1) * 255.0) AS BIGINT) AS q1,
+             CAST(floor((CAST(o_totalprice AS DOUBLE) - lo2) / (hi2 - lo2) * 255.0) AS BIGINT) AS q2
+      FROM orders CROSS JOIN b
+    )
+    SELECT o_orderkey, CAST({inter} AS BIGINT) AS z_key,
+           CAST(({inter}) >> 12 AS INT) AS z_shard
+    FROM q
+    """
+
+
+@query("orders_zorder_keys", oracle=_zorder_oracle_sql())
+def orders_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering keys over (o_custkey, o_totalprice):
+    8-bit min-max quantization per column, bit interleave, and a FIXED
+    top-bit shard split (16 shards) — the Delta/Iceberg OPTIMIZE ZORDER
+    layout as exact reproducible arithmetic, no sampled range boundaries.
+    Files written shard-by-shard carry tight min/max bounding boxes on
+    BOTH columns, so parquet stats prune selective scans on either
+    (operators/layout.py)."""
+    from .operators.layout import column_bounds, zorder_keys
+
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = column_bounds(orders, ["o_custkey", "o_totalprice"])
+    out = zorder_keys(
+        orders, ["o_custkey", "o_totalprice"], bounds, bits=8, n_shards=16
+    )
+    return out.select("o_orderkey", "z_key", "z_shard")
