@@ -127,7 +127,46 @@ def main(argv: list[str] | None = None) -> int:
     repl_p.add_argument("--exclude-table", action="append", metavar="DB.TABLE")
     repl_p.add_argument("--schema-only", action="append", metavar="TABLE")
 
+    corpus_p = sub.add_parser(
+        "corpus-build",
+        help="batch corpus build: ingest → quality → dedup → mix → split → pack → shard",
+    )
+    corpus_p.add_argument("--source", required=True, metavar="JSONL_OR_PARQUET_DIR")
+    corpus_p.add_argument("--out", required=True)
+    corpus_p.add_argument("--budget", type=int, default=1024)
+    corpus_p.add_argument("--shards", type=int, default=8)
+    corpus_p.add_argument(
+        "--temperature", type=float, default=None,
+        help="mixture alpha (e.g. 0.5); omit to keep the raw source mix",
+    )
+    corpus_p.add_argument("--seed", type=int, default=0)
+    corpus_p.add_argument("--min-tokens", type=int, default=10)
+
     args = p.parse_args(argv)
+
+    if args.command == "corpus-build":
+        from .pipeline import build_corpus
+
+        spark, owns = _get_session()
+        try:
+            report = build_corpus(
+                spark,
+                args.source,
+                args.out,
+                budget=args.budget,
+                n_shards=args.shards,
+                alpha=args.temperature,
+                seed=args.seed,
+                min_tokens=args.min_tokens,
+            )
+            print(json.dumps({"ok": True, **report}))
+            return 0
+        except Exception as e:
+            print(json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"}))
+            return 2
+        finally:
+            if owns:
+                spark.stop()
 
     if args.command == "replication-plan":
         from .plans.rules import ReplicationFilter

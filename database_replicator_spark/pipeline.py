@@ -1,0 +1,139 @@
+"""End-to-end corpus build: the batch composition of the pipeline
+operators, runnable from the CLI (``corpus-build``).
+
+Stages (each individually gated/tested elsewhere; this module only
+composes them and accounts for every document):
+
+  ingest (JSONL or parquet) → quality rule-cascade → exact dedup →
+  optional temperature-α mixture down-sample → train/val/test split →
+  token-budget sequence packing → deterministic shard shuffle → write
+
+Scale notes: every stage is one of the audited operators — the
+composition adds NO new shuffles beyond the stages' own (quality: doc
+grain; dedup: fingerprint; packing: (split, source) windows; shuffle:
+shard key). Stage counts come from one tiny aggregate per stage, and the
+output is written shard-partitioned (fresh directory, overwrite mode) so
+a training loader reads shards sequentially; a rebuild into the SAME
+directory that is also the input should route through
+``util.staged_overwrite`` instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def build_corpus(
+    spark: SparkSession,
+    source: str,
+    out_dir: str,
+    text_field: str = "text",
+    budget: int = 1024,
+    n_shards: int = 8,
+    alpha: float | None = None,
+    split_fractions: dict[str, float] | None = None,
+    seed: int = 0,
+    min_tokens: int = 10,
+) -> dict:
+    """Run the batch corpus build; returns the per-stage accounting dict
+    (every input document ends in exactly one bucket: corrupt, rejected,
+    duplicate, downsampled, or written)."""
+    from .operators.corpus import (
+        dataset_split,
+        deterministic_shuffle,
+        pack_sequences,
+        temperature_sample,
+    )
+    from .operators.dedup import exact_dedup_groups
+    from .operators.textops import (
+        normalize_text_expr,
+        quality_filter,
+        token_count_expr,
+    )
+    from .sources.text_corpus import read_jsonl_documents
+
+    report: dict = {"source": source}
+
+    if source.endswith((".jsonl", ".json", ".jsonl.gz", ".json.gz")):
+        docs, corrupt = read_jsonl_documents(spark, source, text_field=text_field)
+        report["n_corrupt"] = corrupt.count()
+    else:
+        from .sources.catalog import load_table
+
+        docs = load_table(spark, source, "documents")
+        report["n_corrupt"] = 0
+    docs = docs.localCheckpoint(eager=False)
+    report["n_ingested"] = docs.count()
+
+    # exact dedup FIRST: content-hash ingestion ids make textual dupes
+    # SHARE an id, so dedup must precede any id-keyed join. One survivor
+    # per fingerprint; dropDuplicates covers shared-id rows (textually
+    # identical by construction — survivor metadata is arbitrary-of-equal).
+    groups = exact_dedup_groups(docs)
+    survivors = groups.select(F.col("keep_id").alias("doc_id"))
+    docs = (
+        docs.join(survivors, on="doc_id")
+        .dropDuplicates(["doc_id"])
+        .localCheckpoint(eager=False)
+    )
+    after_dedup = docs.count()
+    report["n_exact_duplicates"] = report["n_ingested"] - after_dedup
+
+    # quality rule cascade (integer rules, explainable drops)
+    flagged = quality_filter(docs, min_tokens=min_tokens)
+    kept_ids = flagged.filter(F.col("keep")).select("doc_id")
+    docs = docs.join(kept_ids, on="doc_id").localCheckpoint(eager=False)
+    kept_count = docs.count()
+    report["n_quality_rejected"] = after_dedup - kept_count
+    after_dedup = kept_count
+
+    if alpha is not None:
+        docs = temperature_sample(
+            docs, strata_col="source", alpha=alpha, seed=seed
+        ).drop("n_docs", "keep_threshold", "sample_key")
+        kept = docs.count()
+        report["n_downsampled"] = after_dedup - kept
+        after_dedup = kept
+    else:
+        report["n_downsampled"] = 0
+
+    docs = dataset_split(
+        docs, split_fractions or {"train": 0.98, "val": 0.01, "test": 0.01},
+        seed=seed,
+    ).drop("split_key")
+
+    # token counts once, then pack within (split, source)
+    docs = docs.withColumn(
+        "n_tokens",
+        F.size(
+            F.split(normalize_text_expr(F.coalesce(F.col(text_field), F.lit(""))), " ")
+        ),
+    )
+    packed = pack_sequences(
+        docs.withColumn("_pk", F.concat_ws("|", "split", "source")),
+        budget=budget,
+        token_col="n_tokens",
+        order_col="doc_id",
+        part_col="_pk",
+    ).drop("_pk")
+    out = deterministic_shuffle(packed, n_shards=n_shards, seed=seed).drop("draw")
+
+    (
+        out.repartition("shard")
+        .sortWithinPartitions("pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(f"{out_dir}/corpus")
+    )
+    report["n_written"] = after_dedup
+    report["n_shards"] = n_shards
+    per_split = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    report["split_counts"] = per_split
+    report["total_tokens"] = int(
+        out.agg(F.coalesce(F.sum("n_tokens"), F.lit(0))).collect()[0][0]
+    )
+    return report

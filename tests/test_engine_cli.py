@@ -240,3 +240,45 @@ class TestGlobalsManifest:
             "search_path" in l and not l.startswith("-- ")
             for l in cleaned.splitlines()
         )
+
+
+class TestCorpusBuildCli:
+    def test_end_to_end_jsonl_to_shards(self, spark, tmp_path, capsys):
+        import json as _json
+        import os
+
+        src = os.path.join(str(tmp_path), "dump.jsonl")
+        with open(src, "w") as f:
+            texts = {}
+            for i in range(40):
+                t = "the quick brown fox jumps over the lazy dog " + " ".join(
+                    f"w{i}x{j}" for j in range(12)
+                )
+                texts[i] = t
+                f.write(_json.dumps({"text": t, "lang": "en", "source": f"s{i % 3}"}) + "\n")
+            # an exact duplicate, a too-short doc, and a corrupt line
+            f.write(_json.dumps({"text": texts[0], "lang": "en", "source": "s0"}) + "\n")
+            f.write(_json.dumps({"text": "tiny", "lang": "en", "source": "s0"}) + "\n")
+            f.write('{"broken\n')
+
+        from database_replicator_spark.cli import main
+
+        out_dir = os.path.join(str(tmp_path), "built")
+        rc = main(["corpus-build", "--source", src, "--out", out_dir, "--budget", "64",
+                   "--shards", "4"])
+        captured = capsys.readouterr().out.strip().splitlines()[-1]
+        rep = _json.loads(captured)
+        assert rc == 0 and rep["ok"]
+        assert rep["n_corrupt"] == 1
+        assert rep["n_quality_rejected"] == 1     # 'tiny'
+        assert rep["n_exact_duplicates"] == 1     # content-hash collision
+        assert rep["n_ingested"] == 42
+        assert rep["n_written"] == 40
+        assert sum(rep["split_counts"].values()) == 40
+
+        built = spark.read.parquet(os.path.join(out_dir, "corpus"))
+        assert built.count() == 40
+        cols = set(built.columns)
+        assert {"doc_id", "split", "pack_id", "shard", "pos", "n_tokens"} <= cols
+        # shards partitioned on disk
+        assert built.select("shard").distinct().count() <= 4
