@@ -604,3 +604,72 @@ def orders_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders, ["o_custkey", "o_totalprice"], bounds, bits=8, n_shards=16
     )
     return out.select("o_orderkey", "z_key", "z_shard")
+
+
+@query(
+    "events_rolling_anomaly",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    winstats AS (
+      SELECT event_type, h, n,
+             CAST(SUM(CAST(n AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s1,
+             CAST(SUM(CAST(n AS DECIMAL(18,6)) * CAST(n AS DECIMAL(18,6))) OVER w
+                  AS DOUBLE) AS s2,
+             COUNT(*) OVER w AS k
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, h, n, k AS window_n,
+           round(s1 / k, 6) AS mean_prev,
+           round((n - s1 / k) / sqrt((s2 - s1 * s1 / k) / (k - 1)), 6) AS zscore
+    FROM winstats
+    WHERE k >= 12 AND (s2 - s1 * s1 / k) > 0
+    """,
+)
+def events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection over hourly event counts: each
+    hour scored against the trailing 24-hour window (mean/std from
+    EXACT decimal sums of n and n², so both engines feed identical
+    doubles into the same float steps — no engine-specific streaming
+    variance). One groupBy to the hour grain, then a bounded window per
+    event type."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-24, -1)
+    )
+    dn = F.col("n").cast("decimal(18,6)")
+    stats = hourly.select(
+        "event_type",
+        "h",
+        "n",
+        F.sum(dn).over(w).cast("double").alias("s1"),
+        F.sum(dn * dn).over(w).cast("double").alias("s2"),
+        F.count(F.lit(1)).over(w).alias("k"),
+    )
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("k")) / (F.col("k") - 1)
+    return (
+        stats.filter(
+            (F.col("k") >= 12)
+            & ((F.col("s2") - F.col("s1") * F.col("s1") / F.col("k")) > 0)
+        )
+        .select(
+            "event_type",
+            "h",
+            "n",
+            F.col("k").alias("window_n"),
+            F.round(F.col("s1") / F.col("k"), 6).alias("mean_prev"),
+            F.round(
+                (F.col("n") - F.col("s1") / F.col("k")) / F.sqrt(var), 6
+            ).alias("zscore"),
+        )
+    )
