@@ -428,3 +428,76 @@ class TestCrossNeardupLsh:
         assert (99999, 0) in rows and rows[(99999, 0)] == 1.0
         assert all(c >= 0.15 for c in rows.values())
         assert all(cid != bid for cid, bid in rows)
+
+
+class TestProductQuantization:
+    def _clustered(self, spark, n=240, dim=16, n_clusters=6, seed=5):
+        import random
+
+        rng = random.Random(seed)
+        centers = [
+            [rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_clusters)
+        ]
+        rows = []
+        for i in range(n):
+            c = centers[i % n_clusters]
+            rows.append((i, [v + rng.gauss(0, 0.05) for v in c]))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_encode_deterministic_across_partitionings(self, spark):
+        from database_replicator_spark.operators.similarity import (
+            pq_encode,
+            pq_train,
+        )
+
+        emb = self._clustered(spark)
+        books = pq_train(emb, m=4, ksub=8, sample_size=240)
+        a = {r["vid"]: list(r["codes"]) for r in pq_encode(emb, books).collect()}
+        b = {
+            r["vid"]: list(r["codes"])
+            for r in pq_encode(emb.repartition(13), books).collect()
+        }
+        assert a == b
+        assert all(len(c) == 4 for c in a.values())
+
+    def test_adc_recall_on_clustered_corpus(self, spark):
+        from pyspark.sql import functions as F
+
+        from database_replicator_spark.operators.similarity import pq_topk, topk_blas
+
+        emb = self._clustered(spark)
+        queries = emb.filter(F.col("vec_id") < 12)
+        truth = {
+            (r["query_id"], r["corpus_id"])
+            for r in topk_blas(emb, queries, k=10).collect()
+        }
+        # plain ADC: within a tight cluster every member shares codes, so
+        # ADC cannot rank INSIDE the cluster — but it must never leave it
+        plain = pq_topk(emb, queries, k=10, m=4, ksub=16).collect()
+        for r in plain:
+            assert r["corpus_id"] % 6 == r["query_id"] % 6
+        # ADC + exact rerank (the production contract): candidate choice
+        # approximate, ranking exact → recall recovers
+        got = {
+            (r["query_id"], r["corpus_id"])
+            for r in pq_topk(emb, queries, k=10, m=4, ksub=16, rerank=40).collect()
+        }
+        recall = len(got & truth) / len(truth)
+        assert recall >= 0.9
+
+    def test_rerank_returns_exact_cosines(self, spark):
+        from pyspark.sql import functions as F
+
+        from database_replicator_spark.operators.similarity import pq_topk, topk_blas
+
+        emb = self._clustered(spark)
+        queries = emb.filter(F.col("vec_id") < 6)
+        exact = {
+            (r["query_id"], r["corpus_id"]): r["cosine"]
+            for r in topk_blas(emb, queries, k=50).collect()
+        }
+        got = pq_topk(emb, queries, k=10, m=4, ksub=16, rerank=40).collect()
+        for r in got:
+            key = (r["query_id"], r["corpus_id"])
+            assert key in exact
+            assert abs(r["cosine"] - exact[key]) < 1e-9  # exact rescore

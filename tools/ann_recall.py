@@ -28,6 +28,7 @@ def main() -> int:
         lsh_topk_bucketed,
         neardup_pairs_blocked,
         neardup_pairs_lsh,
+        pq_topk,
         topk_blas,
     )
     from database_replicator_spark.session import build_session
@@ -67,6 +68,10 @@ def main() -> int:
         ),
         "ivf_topk(kmeans, nprobe=4)": ivf_topk(
             emb, queries, k=k, nlist=16, nprobe=4, quantizer="kmeans"
+        ),
+        "pq_topk(m=8, ksub=32)": pq_topk(emb, queries, k=k, m=8, ksub=32),
+        "pq_topk(m=8, ksub=32, rerank=50)": pq_topk(
+            emb, queries, k=k, m=8, ksub=32, rerank=50
         ),
     }
     results = {}
