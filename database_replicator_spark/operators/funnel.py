@@ -114,9 +114,18 @@ def funnel_counts(
         "step",
         "event_type",
         "n_users",
-        F.round(F.col("n_users").cast("double") / F.col("_n1"), 6).alias("conversion"),
         F.round(
-            F.col("_gap_us").cast("double") / (F.col("n_users") * F.lit(1000000.0)),
+            F.when(
+                F.col("_n1") > 0, F.col("n_users").cast("double") / F.col("_n1")
+            ),
+            6,
+        ).alias("conversion"),
+        F.round(
+            F.when(
+                F.col("n_users") > 0,
+                F.col("_gap_us").cast("double")
+                / (F.col("n_users") * F.lit(1000000.0)),
+            ),
             6,
         ).alias("avg_seconds_from_prev"),
     )

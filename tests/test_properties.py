@@ -316,3 +316,112 @@ class TestPackSequencesProperties:
             df, budget=budget, part_col="source", range_width=None
         ).orderBy(*key).collect()
         assert [tuple(r) for r in fast] == [tuple(r) for r in slow]
+
+
+class TestChunkWindowProperties:
+    @settings(**SETTINGS)
+    @given(
+        n_tokens=st.integers(min_value=1, max_value=60),
+        budget=st.integers(min_value=2, max_value=12),
+        overlap=st.integers(min_value=0, max_value=6),
+    )
+    def test_windows_cover_every_token_without_gaps(
+        self, spark, n_tokens, budget, overlap
+    ):
+        from database_replicator_spark.operators.corpus import chunk_long_docs
+
+        if overlap >= budget:
+            overlap = budget - 1
+        text = " ".join(f"t{i}" for i in range(n_tokens))
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = sorted(
+            chunk_long_docs(docs, budget=budget, overlap=overlap).collect(),
+            key=lambda r: r["chunk_id"],
+        )
+        # coverage: every token index in exactly the expected windows
+        covered = set()
+        prev_start = None
+        for r in rows:
+            start, ln = r["start_tok"], r["chunk_tokens"]
+            assert 1 <= ln <= budget
+            assert r["chunk_text"] == " ".join(
+                f"t{i}" for i in range(start, start + ln)
+            )
+            if prev_start is not None:
+                assert start - prev_start == budget - overlap
+            prev_start = start
+            covered.update(range(start, start + ln))
+        assert covered == set(range(n_tokens))
+
+
+class TestDatasetSplitProperties:
+    @settings(**SETTINGS)
+    @given(
+        ids=st.lists(
+            st.integers(min_value=0, max_value=10_000), min_size=1, max_size=40,
+            unique=True,
+        ),
+        seed=st.integers(min_value=0, max_value=9),
+    )
+    def test_split_total_and_append_stability(self, spark, ids, seed):
+        from database_replicator_spark.operators.corpus import dataset_split
+
+        fr = {"train": 0.7, "val": 0.2, "test": 0.1}
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        rows = dataset_split(df, fr, seed=seed).collect()
+        assert len(rows) == len(ids)  # exhaustive, no dupes
+        by_id = {r["doc_id"]: r["split"] for r in rows}
+        # subset invariance: splitting any subset assigns identically
+        sub = ids[: max(1, len(ids) // 2)]
+        sub_rows = dataset_split(
+            spark.createDataFrame([(i,) for i in sub], "doc_id long"), fr, seed=seed
+        ).collect()
+        for r in sub_rows:
+            assert by_id[r["doc_id"]] == r["split"]
+
+
+class TestFunnelProperties:
+    @settings(**SETTINGS)
+    @given(
+        events=st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=6),    # user
+                st.integers(min_value=0, max_value=50),   # second offset
+                st.sampled_from(["a", "b", "c"]),         # type
+            ),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def test_step_counts_monotone_and_match_reference(self, spark, events):
+        from datetime import datetime, timedelta
+
+        from database_replicator_spark.operators.funnel import funnel_counts
+
+        base = datetime(2024, 1, 1)
+        rows = [
+            (i, u, base + timedelta(seconds=s), t)
+            for i, (u, s, t) in enumerate(events)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, event_type string"
+        )
+        out = {
+            r["step"]: r["n_users"]
+            for r in funnel_counts(df, ["a", "b", "c"]).collect()
+        }
+        assert out[1] >= out[2] >= out[3]  # funnel never widens
+        # reference: per-user greedy min-ts chaining in pure python
+        per_user = {}
+        for _, u, ts, t in rows:
+            per_user.setdefault(u, []).append((ts, t))
+        expect = [0, 0, 0]
+        for evs in per_user.values():
+            last = None
+            for si, step in enumerate(["a", "b", "c"]):
+                cand = [ts for ts, t in evs if t == step and (last is None or ts > last)]
+                if not cand:
+                    break
+                last = min(cand)
+                expect[si] += 1
+        assert [out[1], out[2], out[3]] == expect
