@@ -673,3 +673,38 @@ def events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("zscore"),
         )
     )
+
+
+_PROFILE_COLS = {
+    "o_orderkey": "CAST({c} AS VARCHAR)",
+    "o_orderstatus": "{c}",
+    "o_totalprice": "printf('%.6f', {c})",
+    "o_orderdate": "strftime(CAST({c} AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f')",
+}
+
+
+def _profile_oracle_sql() -> str:
+    parts = []
+    for c, render in _PROFILE_COLS.items():
+        mn = render.format(c=f"MIN({c})")
+        mx = render.format(c=f"MAX({c})")
+        parts.append(
+            f"""SELECT '{c}' AS column_name, COUNT(*) AS n_rows,
+                 CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                 COUNT(DISTINCT {c}) AS n_distinct,
+                 {mn} AS min_value, {mx} AS max_value
+              FROM orders"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query("profile_orders", oracle=_profile_oracle_sql())
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profile of four differently-typed orders columns in ONE scan
+    (single agg + stack pivot): rows, nulls, exact distincts, canonical
+    min/max rendering — the verification-tier stats table
+    (operators/estimation.profile_table)."""
+    from .operators.estimation import profile_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_table(orders, list(_PROFILE_COLS))

@@ -350,3 +350,28 @@ class TestIdentifierHygiene:
         assert "xmin::text::bigint > 5" in ok
         with _pytest.raises(ValueError):
             incremental_query("t", "pg_sleep(9)::text", 5)
+
+
+class TestProfileTable:
+    def test_profile_counts_nulls_distincts_minmax(self, spark):
+        from database_replicator_spark.operators.estimation import profile_table
+
+        df = spark.createDataFrame(
+            [(1, "a", 1.5), (2, None, 2.5), (3, "a", None), (4, "b", 1.5)],
+            "id long, s string, x double",
+        )
+        out = {r["column_name"]: r.asDict() for r in profile_table(df).collect()}
+        assert out["id"]["n_rows"] == 4 and out["id"]["n_nulls"] == 0
+        assert out["id"]["n_distinct"] == 4
+        assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
+        assert out["s"]["min_value"] == "a" and out["s"]["max_value"] == "b"
+        assert out["x"]["n_nulls"] == 1 and out["x"]["n_distinct"] == 2
+        assert out["x"]["min_value"] == "1.500000"  # canonical %.6f
+        assert out["x"]["max_value"] == "2.500000"
+
+    def test_profile_is_single_scan(self, spark):
+        from database_replicator_spark.operators.estimation import profile_table
+
+        df = spark.range(100).selectExpr("id", "id % 7 AS m")
+        plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan") <= 1  # one pass over the input
