@@ -708,3 +708,37 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     return profile_table(orders, list(_PROFILE_COLS))
+
+
+@query(
+    "small_quantity_revenue",
+    oracle="""
+    WITH pavg AS (
+      SELECT l_partkey, AVG(l_quantity) AS avg_qty
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                 / 7.0, 6) AS avg_yearly
+    FROM lineitem l JOIN pavg p ON l.l_partkey = p.l_partkey
+    WHERE l.l_quantity < 0.2 * p.avg_qty
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q17 shape — the correlated scalar subquery (per-part average
+    gating the fact rows) decorrelated into an aggregate + equi-join,
+    which is exactly what Catalyst's DecorrelateInnerQuery does to the
+    SQL form: one part-key shuffle for the averages, one fact join on the
+    same key (co-partitioned: AQE reuses the exchange), no per-row
+    subquery execution anywhere. Revenue summed as exact decimals."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pavg = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    j = li.join(pavg, on="l_partkey").filter(
+        F.col("l_quantity") < 0.2 * F.col("avg_qty")
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.round(
+            F.sum(_dec("l_extendedprice")).cast("double") / 7.0, 6
+        ).alias("avg_yearly"),
+    )

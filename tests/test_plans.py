@@ -145,6 +145,41 @@ class TestPlanShapes:
                 spark.conf.set(k, v)
 
 
+    def test_aqe_skew_join_splits_hot_partition(self, spark):
+        """AQE skew-join evidence: a join with one hot key must show
+        SortMergeJoin(skew=true) with a skewed AQEShuffleRead once the
+        partition crosses the size thresholds. Operational finding this
+        test pins: when the join feeds another shuffle (an aggregation),
+        AQE declines the split UNLESS forceOptimizeSkewedJoin is on,
+        because splitting breaks the co-partitioning and costs an extra
+        exchange — at 100 TB that extra exchange is almost always worth
+        it and the flag belongs in the job conf (see SCALING.md)."""
+        confs = {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+            "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        }
+        saved = {k: spark.conf.get(k) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            hot = F.when(F.col("id") % 5 != 0, 0).otherwise(F.col("id"))
+            a = spark.range(200_000).select(
+                hot.alias("k"), F.col("id").alias("va"),
+                F.lit("x" * 40).alias("pad"),
+            )
+            b = spark.range(50_000).select(hot.alias("k"), F.col("id").alias("vb"))
+            j = a.join(b, on="k").select(F.sum("va").alias("s"))
+            j.collect()  # AQE decides at runtime — must execute
+            plan = plan_of(j)
+            assert "skew=true" in plan
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
+
+
 class TestSpreadBy:
     def test_fanout_survives_aqe(self, spark):
         """spread_by must pin the partition count: a bare repartition(col)
