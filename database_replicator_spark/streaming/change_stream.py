@@ -266,6 +266,37 @@ def read_change_log(spark: SparkSession, target_dir: str) -> DataFrame:
     )
 
 
+def read_table_asof(
+    spark: SparkSession, target_dir: str, table: str, epoch: int
+) -> DataFrame:
+    """CDC time travel: reconstruct a table's state AS OF the end of
+    ``epoch`` from the append-per-epoch change log — the capability the
+    epoch-partitioned layout buys for free (a lakehouse format would call
+    this ``VERSION AS OF``). Per pk, the surviving row is the max
+    ``change_id`` at or before the epoch (change_id is monotone per
+    table); a final ``delete`` erases the key. Output matches the
+    ``_latest`` materialization — ``(pk, payload, change_id)`` — so
+    ``read_table_asof(…, current_epoch)`` equals reading ``_latest``.
+
+    Scale: partition pruning on the ``epoch=`` directory keys confines
+    the scan to epochs ≤ E; one pk-keyed window. Run
+    :func:`compact_change_log` with a retention floor in mind — epochs
+    compacted away are no longer travel targets (compaction trades
+    history for read speed, exactly the lakehouse VACUUM trade)."""
+    log = read_change_log(spark, target_dir).filter(
+        (F.col("table") == table) & (F.col("epoch") <= epoch)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("pk").orderBy(F.col("change_id").desc())
+    cur = (
+        log.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return cur.filter(F.col("op") != "delete").select("pk", "payload", "change_id")
+
+
 def compact_change_log(spark: SparkSession, target_dir: str) -> None:
     """Maintenance job: rewrite the per-epoch log partitions into a single
     deduplicated ``epoch=0`` partition. Run periodically (the dedup window
