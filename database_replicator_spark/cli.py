@@ -127,6 +127,12 @@ def main(argv: list[str] | None = None) -> int:
     repl_p.add_argument("--exclude-table", action="append", metavar="DB.TABLE")
     repl_p.add_argument("--schema-only", action="append", metavar="TABLE")
 
+    profile_p = sub.add_parser(
+        "profile", help="per-column data profile of every table in a parquet dir"
+    )
+    profile_p.add_argument("--source", required=True)
+    profile_p.add_argument("--table", action="append", help="restrict to table(s)")
+
     corpus_p = sub.add_parser(
         "corpus-build",
         help="batch corpus build: ingest → quality → dedup → mix → split → pack → shard",
@@ -143,6 +149,27 @@ def main(argv: list[str] | None = None) -> int:
     corpus_p.add_argument("--min-tokens", type=int, default=10)
 
     args = p.parse_args(argv)
+
+    if args.command == "profile":
+        from .operators.estimation import profile_table
+
+        spark, owns = _get_session()
+        try:
+            tables = _load_sources(spark, args.source)
+            if args.table:
+                tables = {t: df for t, df in tables.items() if t in set(args.table)}
+            out = {
+                t: [r.asDict() for r in profile_table(df).collect()]
+                for t, df in tables.items()
+            }
+            print(json.dumps({"ok": True, "profiles": out}, default=str))
+            return 0
+        except Exception as e:
+            print(json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"}))
+            return 2
+        finally:
+            if owns:
+                spark.stop()
 
     if args.command == "corpus-build":
         from .pipeline import build_corpus

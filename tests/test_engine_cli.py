@@ -282,3 +282,20 @@ class TestCorpusBuildCli:
         assert {"doc_id", "split", "pack_id", "shard", "pos", "n_tokens"} <= cols
         # shards partitioned on disk
         assert built.select("shard").distinct().count() <= 4
+
+
+class TestProfileCli:
+    def test_profile_command_emits_per_table_stats(self, spark, capsys):
+        import json as _json
+
+        from database_replicator_spark.cli import main
+
+        rc = main(["profile", "--source", "/root/testdata/sf0.001",
+                   "--table", "region", "--table", "nation"])
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and out["ok"]
+        assert set(out["profiles"]) == {"region", "nation"}
+        region = {r["column_name"]: r for r in out["profiles"]["region"]}
+        assert region["r_regionkey"]["n_rows"] == 5
+        assert region["r_regionkey"]["n_distinct"] == 5
+        assert region["r_regionkey"]["n_nulls"] == 0
