@@ -74,9 +74,14 @@ def main() -> int:
             emb, queries, k=k, m=8, ksub=32, rerank=50
         ),
     }
+    import time
+
     results = {}
+    times = {}
     for name, df in variants.items():
+        t0 = time.perf_counter()
         got = pair_set(df)
+        times[name] = round(time.perf_counter() - t0, 2)
         results[name] = round(len(got & truth) / len(truth), 4)
 
     # Near-dup PAIR recall: neardup_pairs_lsh vs the exact blocked scan
@@ -108,6 +113,7 @@ def main() -> int:
         "n_queries": n_queries,
         "truth_pairs": len(truth),
         "recall_at_k": results,
+        "wall_seconds": times,
         "neardup_threshold": nd_threshold,
         "neardup_truth_pairs": len(nd_truth),
         "neardup_pair_recall": nd_results,
@@ -123,11 +129,11 @@ def main() -> int:
         f"({len(truth)} truth pairs). Regenerate with "
         "`python tools/ann_recall.py`.",
         "",
-        "| operator | recall@{k} |".format(k=k),
-        "|---|---|",
+        "| operator | recall@{k} | sec |".format(k=k),
+        "|---|---|---|",
     ]
     for name, r in results.items():
-        lines.append(f"| `{name}` | {r:.4f} |")
+        lines.append(f"| `{name}` | {r:.4f} | {times[name]:.2f} |")
     lines += [
         "",
         f"Near-dup PAIR recall vs the exact blocked scan "
@@ -149,7 +155,11 @@ def main() -> int:
         "tables: recall ≈ 1-(1-r)^T at T× shuffle-row cost), `multiprobe` "
         "(queries also probe Hamming-≤m neighbor buckets — corpus side "
         "unchanged, nearly free at corpus scale), and "
-        "`nlist`/`nprobe`/`quantizer` for IVF.",
+        "`nlist`/`nprobe`/`quantizer` for IVF — and `m`/`ksub`/`rerank` "
+        "for PQ, whose ADC scan reads the m-byte code index instead of "
+        "raw vectors (32x memory cut) and whose rerank stage re-scores "
+        "top candidates with exact cosine, so only candidate CHOICE "
+        "stays approximate.",
         "",
         "Caveat: the fixture embeddings are near-uniform random, the "
         "worst case for any ANN index — these recalls are LOWER BOUNDS. "
