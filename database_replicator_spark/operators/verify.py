@@ -136,3 +136,83 @@ def verify_tables(
             "target": tgt,
         }
     return out
+
+
+def constraint_audit(
+    df: DataFrame,
+    unique_cols: list[str] | None = None,
+    not_null_cols: list[str] | None = None,
+    checks: dict[str, "F.Column"] | None = None,
+    fks: dict[str, tuple[DataFrame, str, str]] | None = None,
+) -> DataFrame:
+    """Declarative constraint audit: one row per constraint with its
+    violation count — the data-quality report a replication target runs
+    after every sync (and what the reference's uniqueness probe, A3,
+    generalizes to).
+
+      * ``unique_cols``   — duplicate-key count per column
+      * ``not_null_cols`` — null count per column
+      * ``checks``        — named boolean expressions; violations = rows
+        where the predicate is NOT satisfied (nulls count as violations:
+        a CHECK that cannot be proven true fails the audit, stricter
+        than SQL's CHECK-passes-on-NULL — deliberate for a data gate)
+      * ``fks``           — name → (parent_df, child_col, parent_col):
+        orphaned-child count via left-anti join
+
+    Scale shape: each uniqueness audit is one column-pruned groupBy;
+    NOT NULL and CHECK audits share ONE scan (single conditional agg);
+    each FK is one anti-join where Catalyst picks broadcast vs
+    sort-merge. Results union to a tiny frame.
+    """
+    parts: list[DataFrame] = []
+    agg_exprs = []
+    for c in not_null_cols or []:
+        agg_exprs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"not_null:{c}")
+        )
+    for name, pred in (checks or {}).items():
+        agg_exprs.append(
+            F.sum(F.when(pred, 0).otherwise(1)).cast("bigint").alias(f"check:{name}")
+        )
+    if agg_exprs:
+        row = df.agg(*agg_exprs)
+        arms = ", ".join(f"'{c}', `{c}`" for c in row.columns)
+        parts.append(
+            row.select(
+                F.expr(
+                    f"stack({len(row.columns)}, {arms}) AS (constraint, n_violations)"
+                )
+            )
+        )
+    for c in unique_cols or []:
+        dups = (
+            df.groupBy(c)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .agg(
+                F.coalesce(F.sum(F.col("_n") - 1), F.lit(0))
+                .cast("bigint")
+                .alias("n_violations")
+            )
+            .select(F.lit(f"unique:{c}").alias("constraint"), "n_violations")
+        )
+        parts.append(dups)
+    for name, (parent, child_col, parent_col) in (fks or {}).items():
+        orphans = (
+            df.join(
+                parent.select(F.col(parent_col).alias(child_col)).distinct(),
+                on=child_col,
+                how="left_anti",
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+            .select(F.lit(f"fk:{name}").alias("constraint"), "n_violations")
+        )
+        parts.append(orphans)
+    if not parts:
+        raise ValueError("no constraints given")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -742,3 +742,43 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("l_extendedprice")).cast("double") / 7.0, 6
         ).alias("avg_yearly"),
     )
+
+
+@query(
+    "constraint_audit_orders",
+    oracle="""
+    SELECT 'not_null:o_custkey' AS "constraint",
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'check:positive_total',
+           CAST(SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'unique:o_orderkey',
+           CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+    FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders GROUP BY 1 HAVING COUNT(*) > 1)
+    UNION ALL
+    SELECT 'fk:orders_customer', CAST(COUNT(*) AS BIGINT)
+    FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL
+    """,
+)
+def constraint_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-sync data-quality audit (A3 generalized): NOT NULL + CHECK in
+    one shared scan, pk uniqueness via a pruned groupBy, FK orphans via
+    anti-join — one row per constraint with its violation count
+    (operators/verify.constraint_audit)."""
+    from .operators.verify import constraint_audit
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return constraint_audit(
+        orders,
+        unique_cols=["o_orderkey"],
+        not_null_cols=["o_custkey"],
+        checks={"positive_total": F.col("o_totalprice") > 0},
+        fks={"orders_customer": (customer, "o_custkey", "c_custkey")},
+    )

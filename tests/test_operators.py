@@ -375,3 +375,39 @@ class TestProfileTable:
         df = spark.range(100).selectExpr("id", "id % 7 AS m")
         plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Scan") <= 1  # one pass over the input
+
+
+class TestConstraintAudit:
+    def test_all_constraint_kinds_count_violations(self, spark):
+        from pyspark.sql import functions as F
+
+        from database_replicator_spark.operators.verify import constraint_audit
+
+        child = spark.createDataFrame(
+            [(1, 10, 5.0), (2, 10, -1.0), (2, None, 3.0), (3, 99, None)],
+            "id long, parent_id long, amount double",
+        )
+        parent = spark.createDataFrame([(10,), (20,)], "pid long")
+        out = {
+            r["constraint"]: r["n_violations"]
+            for r in constraint_audit(
+                child,
+                unique_cols=["id"],
+                not_null_cols=["parent_id"],
+                checks={"positive_amount": F.col("amount") > 0},
+                fks={"child_parent": (parent, "parent_id", "pid")},
+            ).collect()
+        }
+        assert out["unique:id"] == 1          # id=2 twice → 1 extra row
+        assert out["not_null:parent_id"] == 1
+        # -1.0 fails, NULL cannot be proven → 2 violations
+        assert out["check:positive_amount"] == 2
+        # parent 99 missing; NULL parent_id never matches → 2 orphans
+        assert out["fk:child_parent"] == 2
+
+    def test_clean_table_all_zero(self, spark):
+        from database_replicator_spark.operators.verify import constraint_audit
+
+        df = spark.createDataFrame([(1,), (2,)], "id long")
+        out = constraint_audit(df, unique_cols=["id"], not_null_cols=["id"]).collect()
+        assert all(r["n_violations"] == 0 for r in out)
