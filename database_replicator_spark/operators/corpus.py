@@ -1002,3 +1002,87 @@ def chunk_long_docs(
             ).alias("chunk_text"),
         )
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.75,
+    round_token_digits: int = 6,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Interpolated bigram LM score per document — the next rung of the
+    CCNet-style perplexity ladder above :func:`unigram_logprob`:
+    p(t|prev) = λ·p_bi(t|prev) + (1−λ)·p_uni(t), both add-one smoothed
+    over the corpus's own counts (bigram contexts = occurrences of prev
+    as a non-final token; shared vocab size V in both denominators).
+    Scores tokens 2…n of each doc (no sentence-start padding), so
+    ``n_scored = n_tokens − 1`` and single-token docs drop out.
+
+    Cross-engine determinism: the same round-then-decimal-sum contract —
+    each token's ln(λ·p_bi + (1−λ)·p_uni) is one chain of correctly-
+    rounded float ops from exact integer counts, rounded to 6 dp and cast
+    DECIMAL before summation.
+
+    Scale shape: one bigram explode (map-only, built from the token
+    array by index — no self-join on position), one groupBy each for
+    bigram counts / context counts / unigram counts (all partial-agg
+    shuffles on hash-uniform-ish keys; the Zipf head is the same AQE
+    skew-split story as unigram_logprob), two token-keyed joins, one
+    per-doc agg.
+    """
+    from .textops import normalize_text_expr
+
+    toks_arr = F.split(
+        normalize_text_expr(F.coalesce(F.col(text_col), F.lit(""))), " "
+    )
+    base = df.select(F.col(id_col), toks_arr.alias("_t")).filter(F.size("_t") >= 2)
+    bi = base.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_t") - 2),
+                lambda i: F.struct(
+                    F.element_at(F.col("_t"), i + 1).alias("prev"),
+                    F.element_at(F.col("_t"), i + 2).alias("cur"),
+                ),
+            )
+        ).alias("p"),
+    ).select(id_col, F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+    toks = df.select(F.col(id_col), F.explode(toks_arr).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c_uni"))
+    totals = vocab.agg(
+        F.sum("c_uni").alias("n_uni"), F.count(F.lit(1)).alias("v_size")
+    )
+    bi_counts = bi.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c_bi"))
+    ctx_counts = bi_counts.groupBy("prev").agg(F.sum("c_bi").alias("c_ctx"))
+    p_bi = (F.col("c_bi") + 1) / (F.col("c_ctx") + F.col("v_size"))
+    p_uni = (F.col("c_uni") + 1) / (F.col("n_uni") + F.col("v_size"))
+    scored = (
+        bi.join(bi_counts, on=["prev", "cur"])
+        .join(ctx_counts, on="prev")
+        .join(vocab.select(F.col("token").alias("cur"), "c_uni"), on="cur")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.round(
+                F.log(F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni),
+                round_token_digits,
+            )
+            .cast("decimal(28,12)")
+            .alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_scored"), F.sum("lp").alias("_s"))
+        .select(
+            id_col,
+            "n_scored",
+            F.round(F.col("_s").cast("double"), round_digits).alias("sum_logprob"),
+            F.round(F.col("_s").cast("double") / F.col("n_scored"), round_digits).alias(
+                "avg_logprob"
+            ),
+        )
+    )

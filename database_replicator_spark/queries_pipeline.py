@@ -990,3 +990,48 @@ def doc_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_segment(docs, _BPE_MERGES)
+
+
+@query(
+    "doc_bigram_logprob",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+      WHERE len({_TOKS_SQL}) >= 2
+    ),
+    bi AS (
+      SELECT doc_id, t[g.i] AS prev, t[g.i + 1] AS cur
+      FROM base, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+    ),
+    toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents),
+    vocab AS (SELECT token, COUNT(*) AS c_uni FROM toks GROUP BY 1),
+    totals AS (SELECT SUM(c_uni) AS n_uni, COUNT(*) AS v_size FROM vocab),
+    bic AS (SELECT prev, cur, COUNT(*) AS c_bi FROM bi GROUP BY 1, 2),
+    ctx AS (SELECT prev, SUM(c_bi) AS c_ctx FROM bic GROUP BY 1),
+    scored AS (
+      SELECT b.doc_id,
+             CAST(round(ln(0.75 * ((c.c_bi + 1) / (x.c_ctx + tt.v_size))
+                         + 0.25 * ((v.c_uni + 1) / (tt.n_uni + tt.v_size))), 6)
+                  AS DECIMAL(28,12)) AS lp
+      FROM bi b
+      JOIN bic c ON b.prev = c.prev AND b.cur = c.cur
+      JOIN ctx x ON b.prev = x.prev
+      JOIN vocab v ON b.cur = v.token
+      CROSS JOIN totals tt
+    )
+    SELECT doc_id, COUNT(*) AS n_scored,
+           round(CAST(SUM(lp) AS DOUBLE), 6) AS sum_logprob,
+           round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM score (λ=0.75 bigram + 0.25 unigram, both
+    add-one smoothed on the corpus's own counts) — the next rung of the
+    CCNet perplexity ladder above doc_unigram_logprob, still fully in
+    codegen and decimal-exact across engines
+    (operators/corpus.bigram_logprob)."""
+    from .operators.corpus import bigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_logprob(docs)

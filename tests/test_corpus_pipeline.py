@@ -607,3 +607,28 @@ class TestStarConnectedComponents:
     def test_self_loops_and_duplicate_edges(self, spark):
         labels = self._run(spark, 4, [(1, 1), (2, 3), (3, 2), (2, 3)])
         assert labels == {0: 0, 1: 1, 2: 2, 3: 2}
+
+
+class TestBigramLogprob:
+    def test_repetitive_bigrams_score_higher(self, spark):
+        from database_replicator_spark.operators.corpus import bigram_logprob
+
+        rows = (
+            # corpus dominated by 'a b' transitions
+            [(i, "a b a b a b") for i in range(10)]
+            # probe with the same transitions vs a probe with unseen ones
+            + [(100, "a b a b"), (101, "b a b a")]
+        )
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r.asDict() for r in bigram_logprob(docs).collect()}
+        assert out[100]["avg_logprob"] > out[101]["avg_logprob"]
+        assert out[100]["n_scored"] == 3
+
+    def test_single_token_docs_dropped(self, spark):
+        from database_replicator_spark.operators.corpus import bigram_logprob
+
+        docs = spark.createDataFrame(
+            [(1, "solo"), (2, "two words")], "doc_id long, text string"
+        )
+        out = bigram_logprob(docs).collect()
+        assert {r["doc_id"] for r in out} == {2}
