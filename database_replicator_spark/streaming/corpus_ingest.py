@@ -279,3 +279,73 @@ def compact_ingest_indexes(spark: SparkSession, target_dir: str) -> None:
         )
         shutil.rmtree(path)
         os.rename(path + ".compact", path)
+
+
+def forget_documents(
+    spark: SparkSession, target_dir: str, doc_ids: list[int]
+) -> dict[str, int]:
+    """Right-to-be-forgotten: remove documents AND their derived index
+    rows (fingerprints, minhash signatures) from an ingested corpus.
+
+    Only epoch partitions that actually contain a target doc are
+    rewritten (partition-pruned scan finds them; each rewrite goes
+    through ``staged_overwrite`` because the rewrite reads the partition
+    it replaces). The fingerprints to remove are recomputed from the
+    corpus rows being deleted — the fingerprint index stores no doc_id
+    by design (it is a set).
+
+    Consequence, by design: once the fingerprint is gone, a future
+    re-crawl of the forgotten text is ADMITTED again. If policy requires
+    permanent suppression instead of erasure, keep a separate tombstone
+    fingerprint set and check it in the ingest gauntlet — erasure and
+    suppression are different legal obligations; this function implements
+    erasure.
+
+    Returns per-index removed-row counts.
+    """
+    from ..operators.textops import fingerprint_expr
+    from ..util import staged_overwrite
+
+    ids_df = spark.createDataFrame([(i,) for i in doc_ids], "doc_id long")
+    report: dict[str, int] = {}
+
+    corpus_path = os.path.join(target_dir, "corpus")
+    corpus = spark.read.option("basePath", corpus_path).parquet(corpus_path)
+    victims = corpus.join(ids_df, on="doc_id").select(
+        "doc_id", "epoch", fingerprint_expr(F.col("text")).alias("fingerprint")
+    ).cache()
+    try:
+        touched = [r["epoch"] for r in victims.select("epoch").distinct().collect()]
+        fps = victims.select("fingerprint").distinct()
+        report["corpus"] = victims.count()
+
+        def _rewrite(name: str, filter_join):
+            path = os.path.join(target_dir, name)
+            if not os.path.isdir(path):
+                return 0
+            removed = 0
+            for ep in touched:
+                part = os.path.join(path, f"epoch={ep}")
+                if not os.path.isdir(part):
+                    continue
+                df = spark.read.parquet(part)
+                kept = filter_join(df)
+                n = df.count() - kept.count()
+                if n > 0:
+                    staged_overwrite(spark, kept, part)
+                    removed += n
+            return removed
+
+        report["corpus"] = _rewrite(
+            "corpus", lambda df: df.join(ids_df, on="doc_id", how="left_anti")
+        )
+        report["_fingerprints"] = _rewrite(
+            "_fingerprints",
+            lambda df: df.join(fps, on="fingerprint", how="left_anti"),
+        )
+        report["_signatures"] = _rewrite(
+            "_signatures", lambda df: df.join(ids_df, on="doc_id", how="left_anti")
+        )
+        return report
+    finally:
+        victims.unpersist()

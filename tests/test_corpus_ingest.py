@@ -185,3 +185,46 @@ class TestCorpusIngest:
         ing2 = _run_once(spark, dirs)
         assert ing2.applied_batches == []
         assert read_corpus(spark, dirs["tgt"]).count() == 1
+
+
+class TestForgetDocuments:
+    def test_forget_erases_doc_and_derived_rows(self, spark, dirs):
+        from database_replicator_spark.streaming.corpus_ingest import (
+            CorpusIngestor,
+            forget_documents,
+            read_corpus,
+        )
+
+        ing = CorpusIngestor(target_dir=dirs["tgt"], near_dup=True)
+        mk = lambda i, t: spark.createDataFrame(  # noqa: E731
+            [(i, t, "en", "cc")], "doc_id long, text string, lang string, source string"
+        )
+        ing.ingest_batch(mk(1, GOOD), 0)
+        ing.ingest_batch(mk(2, GOOD2), 1)
+        rep = forget_documents(spark, dirs["tgt"], [1])
+        assert rep["corpus"] == 1
+        assert rep["_fingerprints"] == 1
+        assert rep["_signatures"] >= 1
+        assert {r["doc_id"] for r in read_corpus(spark, dirs["tgt"]).collect()} == {2}
+        # erasure (not suppression): the same text is admissible again
+        ing.ingest_batch(mk(10, GOOD), 2)
+        assert {r["doc_id"] for r in read_corpus(spark, dirs["tgt"]).collect()} == {2, 10}
+
+    def test_forget_unknown_id_is_noop(self, spark, dirs):
+        from database_replicator_spark.streaming.corpus_ingest import (
+            CorpusIngestor,
+            forget_documents,
+            read_corpus,
+        )
+
+        ing = CorpusIngestor(target_dir=dirs["tgt"])
+        ing.ingest_batch(
+            spark.createDataFrame(
+                [(1, GOOD, "en", "cc")],
+                "doc_id long, text string, lang string, source string",
+            ),
+            0,
+        )
+        rep = forget_documents(spark, dirs["tgt"], [999])
+        assert rep == {"corpus": 0, "_fingerprints": 0, "_signatures": 0}
+        assert read_corpus(spark, dirs["tgt"]).count() == 1
