@@ -149,3 +149,41 @@ def read_embedding_index(spark: SparkSession, target_dir: str) -> DataFrame:
     """The accumulated accepted-vector view (all epochs)."""
     path = os.path.join(target_dir, "vectors")
     return spark.read.option("basePath", path).parquet(path)
+
+
+def forget_vectors(
+    spark: SparkSession, target_dir: str, vec_ids: list[int]
+) -> dict[str, int]:
+    """Right-to-be-forgotten for the embedding index: erase vectors and
+    their bucket assignments, rewriting only the epoch partitions that
+    contain a target id (same erasure-not-suppression contract as
+    corpus_ingest.forget_documents — a re-embed of the forgotten item is
+    admissible again)."""
+    from ..util import staged_overwrite
+
+    ids_df = spark.createDataFrame([(i,) for i in vec_ids], "vec_id long")
+    report: dict[str, int] = {}
+    for name in ("vectors", "buckets"):
+        path = os.path.join(target_dir, name)
+        if not os.path.isdir(path):
+            report[name] = 0
+            continue
+        idx = spark.read.option("basePath", path).parquet(path)
+        touched = [
+            r["epoch"]
+            for r in idx.join(ids_df, on="vec_id")
+            .select("epoch")
+            .distinct()
+            .collect()
+        ]
+        removed = 0
+        for ep in touched:
+            part = os.path.join(path, f"epoch={ep}")
+            df = spark.read.parquet(part)
+            kept = df.join(ids_df, on="vec_id", how="left_anti")
+            n = df.count() - kept.count()
+            if n > 0:
+                staged_overwrite(spark, kept, part)
+                removed += n
+        report[name] = removed
+    return report

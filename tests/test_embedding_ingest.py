@@ -93,3 +93,22 @@ class TestEmbeddingIngestStream:
         q.awaitTermination(120)
         idx = read_embedding_index(spark, dirs["tgt"])
         assert idx.count() == 6
+
+
+class TestForgetVectors:
+    def test_erases_vector_and_buckets(self, spark, dirs):
+        from database_replicator_spark.streaming.embedding_ingest import (
+            forget_vectors,
+        )
+
+        ing = EmbeddingIngestor(target_dir=dirs["tgt"], dim=DIM)
+        ing.ingest_batch(_df(spark, [(1, _vec(1)), (2, _vec(2))]), 0)
+        ing.ingest_batch(_df(spark, [(3, _vec(3))]), 1)
+        rep = forget_vectors(spark, dirs["tgt"], [1])
+        assert rep["vectors"] == 1
+        assert rep["buckets"] >= 1  # one row per hash table
+        idx = read_embedding_index(spark, dirs["tgt"])
+        assert {r["vec_id"] for r in idx.collect()} == {2, 3}
+        # a re-embed of the forgotten id is admissible again (erasure)
+        ing.ingest_batch(_df(spark, [(1, _vec(1))]), 2)
+        assert {r["vec_id"] for r in read_embedding_index(spark, dirs["tgt"]).collect()} == {1, 2, 3}
