@@ -147,6 +147,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     corpus_p.add_argument("--seed", type=int, default=0)
     corpus_p.add_argument("--min-tokens", type=int, default=10)
+    corpus_p.add_argument(
+        "--near-dup", action="store_true",
+        help="add LSH + verified-Jaccard cluster dedup after exact dedup",
+    )
 
     args = p.parse_args(argv)
 
@@ -185,6 +189,7 @@ def main(argv: list[str] | None = None) -> int:
                 alpha=args.temperature,
                 seed=args.seed,
                 min_tokens=args.min_tokens,
+                near_dup=args.near_dup,
             )
             print(json.dumps({"ok": True, **report}))
             return 0

@@ -35,6 +35,8 @@ def build_corpus(
     split_fractions: dict[str, float] | None = None,
     seed: int = 0,
     min_tokens: int = 10,
+    near_dup: bool = False,
+    jaccard_threshold: float = 0.2,
 ) -> dict:
     """Run the batch corpus build; returns the per-stage accounting dict
     (every input document ends in exactly one bucket: corrupt, rejected,
@@ -87,6 +89,35 @@ def build_corpus(
     kept_count = docs.count()
     report["n_quality_rejected"] = after_dedup - kept_count
     after_dedup = kept_count
+
+    if near_dup:
+        # near-dup CLUSTER dedup: LSH candidates → verified Jaccard pairs
+        # → connected components → keep each cluster's min doc_id. The
+        # quadratic verify is confined to LSH buckets; the cluster (not
+        # the pair) is the unit of deduplication.
+        from .operators.corpus import connected_components
+        from .operators.dedup import (
+            doc_shingles,
+            jaccard_pairs,
+            lsh_candidate_pairs,
+            minhash_signatures,
+        )
+
+        sh = doc_shingles(docs)
+        cand = lsh_candidate_pairs(minhash_signatures(sh, num_hashes=12))
+        pairs = jaccard_pairs(sh, candidates=cand, threshold=jaccard_threshold)
+        labels = connected_components(
+            docs.select("doc_id"), pairs.select("doc1", "doc2"), id_col="doc_id"
+        )
+        keepers = labels.filter(F.col("node") == F.col("cluster_id")).select(
+            F.col("node").alias("doc_id")
+        )
+        docs = docs.join(keepers, on="doc_id").localCheckpoint(eager=False)
+        kept = docs.count()
+        report["n_neardup_removed"] = after_dedup - kept
+        after_dedup = kept
+    else:
+        report["n_neardup_removed"] = 0
 
     if alpha is not None:
         docs = temperature_sample(

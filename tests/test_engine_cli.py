@@ -299,3 +299,29 @@ class TestProfileCli:
         assert region["r_regionkey"]["n_rows"] == 5
         assert region["r_regionkey"]["n_distinct"] == 5
         assert region["r_regionkey"]["n_nulls"] == 0
+
+
+class TestCorpusBuildNearDup:
+    def test_near_dup_cluster_collapses_to_survivor(self, spark, tmp_path, capsys):
+        import json as _json
+        import os
+
+        base = ("the quick brown fox jumps over the lazy dog while many other "
+                "animals watch from a safe distance in the forest clearing")
+        variant = base.replace("safe distance", "safe spot")  # near-dup of base
+        distinct = ("an entirely different piece of text about databases and "
+                    "replication strategies for large analytical clusters today")
+        src = os.path.join(str(tmp_path), "nd.jsonl")
+        with open(src, "w") as f:
+            for t in (base, variant, distinct):
+                f.write(_json.dumps({"text": t, "lang": "en", "source": "s"}) + "\n")
+
+        from database_replicator_spark.cli import main
+
+        out_dir = os.path.join(str(tmp_path), "built")
+        rc = main(["corpus-build", "--source", src, "--out", out_dir,
+                   "--near-dup", "--shards", "2", "--budget", "64"])
+        rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and rep["ok"]
+        assert rep["n_neardup_removed"] == 1
+        assert rep["n_written"] == 2
