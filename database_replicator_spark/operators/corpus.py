@@ -1086,3 +1086,142 @@ def bigram_logprob(
             ),
         )
     )
+
+
+def duplicate_span_coverage(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicated-SPAN coverage per document (the substring-level
+    complement of the doc-level dedup tiers — Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", which found
+    verbatim spans repeated across otherwise-distinct documents dominate
+    memorization).
+
+    A span is a k-word window. A span is *duplicated* when it occurs in at
+    least ``min_docs`` distinct documents; every word position covered by at
+    least one duplicated span counts as covered. Output per doc:
+    ``n_words``, ``n_covered`` and ``coverage`` (fraction of word positions
+    inside duplicated spans) — the masking/cut stage consumes this directly.
+
+    Shape at scale: one explode to (doc, pos, gram) — k-bounded, linear in
+    corpus tokens; one groupBy on the gram string for document frequency;
+    one join back on the same gram key (Catalyst reuses the exchange); one
+    k-bounded position explode + distinct per doc. Every shuffle key is a
+    uniform hash (gram text, doc id) — no skew beyond genuinely viral spans,
+    which the `min_docs` HAVING prunes to the duplicated minority before the
+    join back. Suffix-array exactness at arbitrary span length is a
+    single-node luxury; fixed-k windows are the MapReduce-able form.
+    """
+    d = docs.select(
+        F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_w")
+    ).withColumn("n_words", F.size("_w"))
+
+    grams = (
+        spread_by(d.filter(F.col("n_words") >= k), "_id")
+        .select(
+            "_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, n_words - {k}), "
+                    f"i -> concat_ws(' ', slice(_w, i + 1, {k})))"
+                )
+            ).alias("pos", "gram"),
+        )
+    )
+
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("gram")
+    )
+
+    covered = (
+        grams.join(dup_grams, "gram")
+        .select("_id", F.explode(F.expr(f"sequence(pos, pos + {k} - 1)")).alias("_wi"))
+        .distinct()
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_covered"))
+    )
+
+    return (
+        d.select("_id", "n_words")
+        .join(covered, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_words",
+            F.coalesce(F.col("n_covered"), F.lit(0)).alias("n_covered"),
+            (
+                F.coalesce(F.col("n_covered"), F.lit(0)).cast("double")
+                / F.col("n_words").cast("double")
+            ).alias("coverage"),
+        )
+    )
+
+
+def select_token_budget(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    tokens_col: str = "n_tokens",
+    score_buckets: int = 1000,
+) -> DataFrame:
+    """Deterministic best-first selection under a token budget: rank docs by
+    (score DESC, id ASC), keep every doc whose INCLUSIVE running token total
+    stays within ``budget``. This is the final "fill the training mix to N
+    tokens, best documents first" stage of a corpus build.
+
+    The naive form is a single global window (ORDER BY score DESC) — one
+    task sorts the corpus. Here the same two-phase trick as
+    ``pack_sequences``: scores are binned into ``score_buckets`` coarse
+    buckets (floor(score·B), monotone with the global order), per-bucket
+    token totals are aggregated (one tiny groupBy, B rows to the driver),
+    the driver computes prefix offsets over ≤B+1 totals, and the exact
+    cumulative sum runs as a per-bucket window with the broadcast offset
+    added — every task sorts only its bucket's slice, ~corpus/B docs.
+
+    Requires ``score_col`` in [0, 1] (callers normalize). Output keeps the
+    exact global ``cum_tokens`` so the selection is auditable.
+    """
+    scored = docs.select(
+        F.col(id_col), F.col(score_col), F.col(tokens_col)
+    ).withColumn(
+        "_bkt",
+        F.least(
+            F.floor(F.col(score_col) * score_buckets).cast("int"),
+            F.lit(score_buckets - 1),
+        ),
+    )
+
+    totals = {
+        int(r["_bkt"]): int(r["_t"])
+        for r in scored.groupBy("_bkt").agg(F.sum(tokens_col).alias("_t")).collect()
+    }
+    offsets, running = {}, 0
+    for b in sorted(totals, reverse=True):
+        offsets[b] = running
+        running += totals[b]
+
+    spark = docs.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(b, o) for b, o in offsets.items()], ["_bkt", "_offset"]
+        )
+    )
+
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.join(off_df, "_bkt")
+        .withColumn("cum_tokens", (F.col("_offset") + F.sum(tokens_col).over(w)).cast("long"))
+        .filter(F.col("cum_tokens") <= budget)
+        .select(id_col, score_col, tokens_col, "cum_tokens")
+    )

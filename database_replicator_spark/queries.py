@@ -300,7 +300,13 @@ def checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Register the LLM-pipeline, extension, and analytics query surfaces.
 # Imported at module bottom so the registry and @query decorator exist first.
-from . import queries_analytics, queries_ext, queries_llm, queries_pipeline  # noqa: E402,F401
+from . import (  # noqa: E402,F401
+    queries_analytics,
+    queries_ext,
+    queries_ext2,
+    queries_llm,
+    queries_pipeline,
+)
 
 
 def _driver_evidence_rounds() -> dict[str, int]:

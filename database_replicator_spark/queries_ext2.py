@@ -1,0 +1,311 @@
+"""Query-surface entries added in round 4 (late): warehouse-sink history
+(SCD2), incremental view maintenance, span-level dedup, sequence analytics
+(Markov transitions), TPC-H q13-shaped join distribution, token-budget
+corpus selection, and time-series gap fill.
+
+Determinism follows the house rules in queries.py: decimal-carried sums,
+identical aliases both sides, integer-exact divisions emitted as the same
+IEEE double on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .queries import query
+from .sources.catalog import load_table
+
+
+@query(
+    "scd2_user_event_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           lead(ts) OVER w IS NULL AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 dimension history from a keyed change feed: the
+    keep-every-version counterpart of the reference's overwrite upsert
+    (J4, src/xmin/writer.rs:271-320). Consecutive duplicate states
+    collapse; each version carries its validity interval. Two per-key
+    windows, one shuffle on the key (operators/scd.py)."""
+    from .operators.scd import scd2_from_changes
+
+    ev = load_table(spark, sf_dir, "events")
+    return scd2_from_changes(
+        ev.select("user_id", "event_type", "ts", "event_id"),
+        key_cols=["user_id"],
+        attr_cols=["event_type"],
+        ts_col="ts",
+        tiebreak_cols=["event_id"],
+    ).select(
+        "user_id", "event_type", "valid_from", "valid_to", "version", "is_current"
+    )
+
+
+@query(
+    "ivm_pricing_merge",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
+             AS l_extendedprice_sum,
+           COUNT(l_extendedprice) AS l_extendedprice_cnt,
+           MIN(l_extendedprice) AS l_extendedprice_min,
+           MAX(l_extendedprice) AS l_extendedprice_max,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
+             / CAST(COUNT(l_extendedprice) AS DOUBLE) AS l_extendedprice_avg
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def ivm_pricing_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the rollup is maintained as mergeable
+    partial aggregates (operators/ivm.py) — here the table is split into a
+    base snapshot and a delta (the incremental-sync shape, S13), each
+    aggregated independently, then MERGED. The oracle recomputes from the
+    full table: merge(partial(base), partial(delta)) must equal it exactly.
+    At 100 TB this replaces a full-corpus re-aggregation with an
+    O(delta) + O(groups) merge per sync cycle."""
+    from .operators.ivm import finalize, merge_partials, partial_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = ["l_returnflag", "l_linestatus"]
+    measures = ["l_extendedprice"]
+    base = partial_agg(li.filter(F.col("l_orderkey") <= 7500), keys, measures)
+    delta = partial_agg(li.filter(F.col("l_orderkey") > 7500), keys, measures)
+    merged = merge_partials([base, delta], keys, measures)
+    return finalize(merged, keys, measures)
+
+
+@query(
+    "doc_duplicate_spans",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS words,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             generate_subscripts(grams, 1) - 1 AS pos,
+             unnest(grams) AS gram
+      FROM (
+        SELECT doc_id,
+               [array_to_string(words[i:i+7], ' ') FOR i IN range(1, n_words - 6)]
+                 AS grams
+        FROM d WHERE n_words >= 8
+      )
+    ),
+    dup AS (
+      SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, wi FROM (
+        SELECT g.doc_id, unnest(range(g.pos, g.pos + 8)) AS wi
+        FROM g JOIN dup USING (gram)
+      )
+    ),
+    per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_covered FROM cov GROUP BY doc_id)
+    SELECT d.doc_id, d.n_words,
+           COALESCE(per.n_covered, 0) AS n_covered,
+           CAST(COALESCE(per.n_covered, 0) AS DOUBLE)
+             / CAST(d.n_words AS DOUBLE) AS coverage
+    FROM d LEFT JOIN per USING (doc_id)
+    """,
+)
+def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level (exact substring) duplication coverage per document — the
+    fixed-k MapReduce form of suffix-array dedup (Lee et al. 2022). Word
+    positions covered by any 8-gram occurring in ≥2 distinct docs count as
+    duplicated; the masking stage consumes the per-doc coverage directly."""
+    from .operators.corpus import duplicate_span_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = duplicate_span_coverage(docs, k=8, min_docs=2)
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_covered").cast("long").alias("n_covered"),
+        "coverage",
+    )
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS next_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    )
+    SELECT prev_type, next_type, COUNT(*) AS n_transitions,
+           CAST(COUNT(*) AS DOUBLE)
+             / CAST(SUM(COUNT(*)) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+    FROM seq
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    lag window on (ts, event_id), count per (prev, next), row-normalized
+    per prev state. One shuffle on user_id for the lag, one on the pair for
+    the count; the normalizing window runs over the tiny matrix."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seq = ev.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wn = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(wn).cast("double")
+        ).alias("p"),
+    )
+
+
+@query(
+    "customer_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q13 shape: orders-per-customer via left outer join (customers
+    with zero orders kept), then the distribution histogram. The outer join
+    shuffles on the customer key; the histogram aggregates the (tiny)
+    count space."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "corpus_token_budget",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS score,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    b AS (SELECT SUM(n_tokens) // 5 AS budget FROM t),
+    c AS (
+      SELECT doc_id, score, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, score, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c, b WHERE cum_tokens <= budget
+    """,
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-first corpus selection under a token budget (20% of the corpus):
+    docs ranked by lexical-diversity score (type-token ratio), kept while
+    the inclusive running token total fits. The oracle is the single global
+    window; the engine runs the two-phase bucketed form
+    (operators/corpus.py `select_token_budget`) — per-bucket windows plus
+    broadcast driver-computed prefix offsets, so no task ever sorts more
+    than ~1/1000 of the corpus."""
+    from .operators.corpus import select_token_budget
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    t = docs.select(
+        "doc_id",
+        (
+            F.size(F.array_distinct(words)).cast("double")
+            / F.size(words).cast("double")
+        ).alias("score"),
+        F.size(words).cast("long").alias("n_tokens"),
+    )
+    total = t.agg(F.sum("n_tokens").alias("t")).collect()[0]["t"]
+    return select_token_budget(t, budget=int(total) // 5)
+
+
+@query(
+    "events_gapfill",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(hour_start) AS h0, MAX(hour_start) AS h1 FROM hourly),
+    hours AS (
+      SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_start
+      FROM bounds
+    ),
+    spine AS (
+      SELECT t.event_type, h.hour_start
+      FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN hours h
+    )
+    SELECT s.event_type, s.hour_start,
+           CAST(COALESCE(hourly.n_events, 0) AS BIGINT) AS n_events
+    FROM spine s LEFT JOIN hourly USING (event_type, hour_start)
+    """,
+)
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense time-series gap fill: a generated hour spine (min..max) per
+    event type left-joined to the hourly rollup, zeros where no events — the
+    shape downstream anomaly/forecast jobs require. The spine is generated
+    (sequence + explode of a 1-row bound), never shuffled at data scale; the
+    join shuffles only the rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_start")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    bounds = hourly.agg(
+        F.min("hour_start").alias("h0"), F.max("hour_start").alias("h1")
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias(
+            "hour_start"
+        )
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(hours))
+    return spine.join(hourly, ["event_type", "hour_start"], "left").select(
+        "event_type",
+        "hour_start",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+    )
