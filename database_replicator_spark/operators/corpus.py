@@ -1088,6 +1088,38 @@ def bigram_logprob(
     )
 
 
+def _split_words(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_w")
+    ).withColumn("n_words", F.size("_w"))
+
+
+def _covered_positions(d: DataFrame, k: int, min_docs: int) -> DataFrame:
+    """Distinct (``_id``, ``_wi``) word positions covered by any k-gram that
+    occurs in ≥ ``min_docs`` distinct docs. Shared by the span-coverage
+    report and the span-masking text producer."""
+    grams = spread_by(d.filter(F.col("n_words") >= k), "_id").select(
+        "_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, n_words - {k}), "
+                f"i -> concat_ws(' ', slice(_w, i + 1, {k})))"
+            )
+        ).alias("pos", "gram"),
+    )
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("gram")
+    )
+    return (
+        grams.join(dup_grams, "gram")
+        .select("_id", F.explode(F.expr(f"sequence(pos, pos + {k} - 1)")).alias("_wi"))
+        .distinct()
+    )
+
+
 def duplicate_span_coverage(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -1116,36 +1148,9 @@ def duplicate_span_coverage(
     join back. Suffix-array exactness at arbitrary span length is a
     single-node luxury; fixed-k windows are the MapReduce-able form.
     """
-    d = docs.select(
-        F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_w")
-    ).withColumn("n_words", F.size("_w"))
-
-    grams = (
-        spread_by(d.filter(F.col("n_words") >= k), "_id")
-        .select(
-            "_id",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(0, n_words - {k}), "
-                    f"i -> concat_ws(' ', slice(_w, i + 1, {k})))"
-                )
-            ).alias("pos", "gram"),
-        )
-    )
-
-    dup_grams = (
-        grams.groupBy("gram")
-        .agg(F.count_distinct("_id").alias("_nd"))
-        .filter(F.col("_nd") >= min_docs)
-        .select("gram")
-    )
-
-    covered = (
-        grams.join(dup_grams, "gram")
-        .select("_id", F.explode(F.expr(f"sequence(pos, pos + {k} - 1)")).alias("_wi"))
-        .distinct()
-        .groupBy("_id")
-        .agg(F.count(F.lit(1)).alias("n_covered"))
+    d = _split_words(docs, id_col, text_col)
+    covered = _covered_positions(d, k, min_docs).groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_covered")
     )
 
     return (
@@ -1224,4 +1229,39 @@ def select_token_budget(
         .withColumn("cum_tokens", (F.col("_offset") + F.sum(tokens_col).over(w)).cast("long"))
         .filter(F.col("cum_tokens") <= budget)
         .select(id_col, score_col, tokens_col, "cum_tokens")
+    )
+
+
+def mask_duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The text-producing half of span-level dedup: emit each document with
+    every word position covered by a duplicated k-gram REMOVED (Lee et al.
+    2022 cut duplicated spans from all-but-one occurrence; the symmetric
+    drop-everywhere rule used here is order-independent — no global
+    "first occurrence" tiebreak — which is what makes it embarrassingly
+    parallel, at the cost of also dropping the canonical copy; pair with
+    doc-level dedup which already keeps one canonical document per
+    near-dup cluster).
+
+    The per-doc rebuild is a lambda filter over the original word array
+    against that doc's (bounded, ≤ n_words) covered-position set — no
+    second explode-and-reassemble shuffle for the text itself.
+    """
+    d = _split_words(docs, id_col, text_col)
+    cov_arr = (
+        _covered_positions(d, k, min_docs)
+        .groupBy("_id")
+        .agg(F.collect_set("_wi").alias("_cov"))
+    )
+    joined = d.join(cov_arr, "_id", "left")
+    keep = F.expr("filter(_w, (w, i) -> _cov IS NULL OR NOT array_contains(_cov, CAST(i AS BIGINT)))")
+    return joined.select(
+        F.col("_id").alias(id_col),
+        F.concat_ws(" ", keep).alias("clean_text"),
+        F.coalesce(F.size("_cov"), F.lit(0)).cast("long").alias("n_dropped"),
     )

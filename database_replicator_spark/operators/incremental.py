@@ -132,3 +132,49 @@ class WatermarkState:
         entry["last_watermark"] = watermark
         entry["synced_rows"] = entry.get("synced_rows", 0) + synced_rows
         self.save(state)
+
+
+def compact_changes(
+    changes: DataFrame,
+    pk_cols: list[str],
+    version_col: str,
+    op_col: str = "op",
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """Changelog net-effect compaction (the normalization step CDC runtimes
+    apply before fan-out; the reference ships every intermediate change to
+    the sink — src/commands/sync_sqlite.rs applies row-by-row batches —
+    whereas one net row per key is sufficient and at 100 TB is the
+    difference between O(changes) and O(touched keys) sink traffic).
+
+    Per key, ordered by ``version_col``: the FIRST op decides whether the key
+    existed before the batch, the LAST change decides its final state:
+
+      first=insert, last=delete  → key net-never-existed: emit nothing
+      first≠insert, last=delete  → emit one delete
+      first=insert, last≠delete  → emit one insert carrying the last values
+      first≠insert, last≠delete  → emit one update carrying the last values
+
+    One groupBy on the key (min_by/max_by — map-side partials, no window,
+    no sort). Requires ``version_col`` unique per key (change sequence).
+    """
+    vals = value_cols if value_cols is not None else [
+        c for c in changes.columns if c not in {*pk_cols, op_col, version_col}
+    ]
+    agg = changes.groupBy(*pk_cols).agg(
+        F.min_by(op_col, version_col).alias("_first_op"),
+        F.max_by(F.struct(op_col, *vals), version_col).alias("_last"),
+    )
+    net_op = (
+        F.when(
+            F.col(f"_last.{op_col}") == "delete",
+            F.when(F.col("_first_op") == "insert", F.lit(None)).otherwise("delete"),
+        )
+        .when(F.col("_first_op") == "insert", F.lit("insert"))
+        .otherwise(F.lit("update"))
+    )
+    return (
+        agg.withColumn("net_op", net_op)
+        .filter(F.col("net_op").isNotNull())
+        .select(*pk_cols, "net_op", *[F.col(f"_last.{v}").alias(v) for v in vals])
+    )

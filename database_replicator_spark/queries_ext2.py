@@ -94,10 +94,10 @@ def ivm_pricing_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize(merged, keys, measures)
 
 
-@query(
-    "doc_duplicate_spans",
-    oracle="""
-    WITH d AS (
+#: shared CTE chain: word arrays → 8-gram windows → cross-document duplicated
+#: grams → distinct covered word positions. Used by both span gates.
+_SPAN_COV_CTES = """
+    d AS (
       SELECT doc_id, string_split(text, ' ') AS words,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
       FROM documents
@@ -121,7 +121,14 @@ def ivm_pricing_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT g.doc_id, unnest(range(g.pos, g.pos + 8)) AS wi
         FROM g JOIN dup USING (gram)
       )
-    ),
+    )
+"""
+
+
+@query(
+    "doc_duplicate_spans",
+    oracle=f"""
+    WITH {_SPAN_COV_CTES},
     per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_covered FROM cov GROUP BY doc_id)
     SELECT d.doc_id, d.n_words,
            COALESCE(per.n_covered, 0) AS n_covered,
@@ -308,4 +315,165 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "hour_start",
         F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+    )
+
+
+@query(
+    "doc_span_mask",
+    oracle=f"""
+    WITH {_SPAN_COV_CTES},
+    wordpos AS (
+      SELECT doc_id, unnest(words) AS word,
+             generate_subscripts(words, 1) - 1 AS pos
+      FROM d
+    ),
+    retained AS (
+      SELECT w.doc_id, w.word, w.pos
+      FROM wordpos w LEFT JOIN cov ON cov.doc_id = w.doc_id AND cov.wi = w.pos
+      WHERE cov.doc_id IS NULL
+    ),
+    clean AS (
+      SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text
+      FROM retained GROUP BY doc_id
+    ),
+    ndrop AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dropped FROM cov GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(clean.clean_text, '') AS clean_text,
+           COALESCE(ndrop.n_dropped, 0) AS n_dropped
+    FROM d LEFT JOIN clean USING (doc_id) LEFT JOIN ndrop USING (doc_id)
+    """,
+)
+def doc_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The text-producing half of span-level dedup: documents re-emitted
+    with every duplicated-8-gram word position removed
+    (operators/corpus.py `mask_duplicate_spans`). The per-doc rebuild is a
+    lambda filter over the original word array — no reassembly shuffle."""
+    from .operators.corpus import mask_duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mask_duplicate_spans(docs, k=8, min_docs=2)
+
+
+@query(
+    "changes_net_effect",
+    oracle="""
+    WITH ch AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'signup' THEN 'insert'
+                  WHEN event_type = 'purchase' THEN 'delete'
+                  ELSE 'update' END AS op,
+             event_id AS version,
+             value
+      FROM events
+    ),
+    agg AS (
+      SELECT user_id,
+             arg_min(op, version) AS first_op,
+             arg_max(op, version) AS last_op,
+             arg_max(value, version) AS value
+      FROM ch GROUP BY user_id
+    ),
+    net AS (
+      SELECT user_id,
+             CASE WHEN last_op = 'delete'
+                    THEN CASE WHEN first_op = 'insert' THEN NULL ELSE 'delete' END
+                  WHEN first_op = 'insert' THEN 'insert'
+                  ELSE 'update' END AS net_op,
+             value
+      FROM agg
+    )
+    SELECT user_id, net_op, value FROM net WHERE net_op IS NOT NULL
+    """,
+)
+def changes_net_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog net-effect compaction (operators/incremental.py
+    `compact_changes`): the event feed is read as a per-user change
+    sequence (signup→insert, purchase→delete, else update, ordered by
+    event_id) and collapsed to ONE net row per key — the normalization CDC
+    runtimes apply so sink traffic is O(touched keys), not O(changes)."""
+    from .operators.incremental import compact_changes
+
+    ev = load_table(spark, sf_dir, "events")
+    ch = ev.select(
+        "user_id",
+        F.when(F.col("event_type") == "signup", "insert")
+        .when(F.col("event_type") == "purchase", "delete")
+        .otherwise("update")
+        .alias("op"),
+        F.col("event_id").alias("version"),
+        "value",
+    )
+    return compact_changes(ch, ["user_id"], "version", value_cols=["value"])
+
+
+@query(
+    "late_shipment_priority",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE CAST(l_shipdate AS TIMESTAMP)
+            > CAST(o_orderdate AS TIMESTAMP) + INTERVAL 90 DAY
+    GROUP BY l_returnflag
+    """,
+)
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q12 shape adapted to the synthetic schema (no l_shipmode
+    column): conditional aggregation over a fact-fact join with a
+    cross-table date-arithmetic predicate — lines shipped >90 days after
+    order placement, split by order priority class."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "orders_dow_seasonality",
+    oracle="""
+    WITH d AS (
+      SELECT dayofweek(CAST(o_orderdate AS TIMESTAMP)) + 1 AS dow,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      FROM orders
+    )
+    SELECT dow, n_orders, revenue, revenue / total AS revenue_share
+    FROM d, t
+    """,
+)
+def orders_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile: order counts and exact-decimal
+    revenue per weekday plus each weekday's share of total revenue. The
+    grand total is computed once in decimal (exact, order-independent) and
+    broadcast — never a double sum over an unordered window, which would
+    be partition-order-dependent."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(F.dayofweek("o_orderdate").alias("dow")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+    total = orders.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("total")
+    )
+    return d.crossJoin(F.broadcast(total)).select(
+        "dow", "n_orders", "revenue", (F.col("revenue") / F.col("total")).alias("revenue_share")
     )

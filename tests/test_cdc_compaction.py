@@ -1,0 +1,133 @@
+"""Changelog net-effect compaction + streaming SCD2 maintenance tests."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from database_replicator_spark.operators.incremental import (
+    apply_change_batch,
+    compact_changes,
+)
+from database_replicator_spark.operators.scd import (
+    scd2_from_changes,
+    scd2_merge_batch,
+)
+
+COLS = ["k", "op", "version", "v"]
+
+
+def test_compact_changes_net_rules(spark):
+    rows = [
+        # insert then updates → one insert with last value
+        (1, "insert", 1, 10.0), (1, "update", 2, 11.0), (1, "update", 3, 12.0),
+        # insert then delete → net nothing
+        (2, "insert", 1, 20.0), (2, "delete", 2, None),
+        # update then delete → one delete
+        (3, "update", 1, 30.0), (3, "delete", 2, None),
+        # updates only → one update with last value
+        (4, "update", 1, 40.0), (4, "update", 2, 41.0),
+        # delete then re-insert → last wins, key pre-existed → update
+        (5, "delete", 1, None), (5, "insert", 2, 50.0),
+    ]
+    out = {
+        r["k"]: (r["net_op"], r["v"])
+        for r in compact_changes(
+            spark.createDataFrame(rows, COLS), ["k"], "version", value_cols=["v"]
+        ).collect()
+    }
+    assert out[1] == ("insert", 12.0)
+    assert 2 not in out
+    assert out[3] == ("delete", None)
+    assert out[4] == ("update", 41.0)
+    assert out[5] == ("update", 50.0)
+
+
+def test_compact_changes_equivalent_to_full_replay(spark):
+    """Applying the compacted batch to a base table must produce the same
+    final state as replaying every change row through apply_change_batch."""
+    base = spark.createDataFrame([(3, 300.0), (4, 400.0), (5, 500.0)], ["k", "v"])
+    rows = [
+        (1, "insert", 1, 10.0), (1, "update", 2, 12.0),
+        (2, "insert", 3, 20.0), (2, "delete", 4, None),
+        (3, "update", 5, 31.0), (3, "delete", 6, None),
+        (4, "update", 7, 41.0),
+    ]
+    changes = spark.createDataFrame(rows, COLS)
+
+    replayed = apply_change_batch(base, changes, ["k"], version_col="version")
+
+    net = compact_changes(changes, ["k"], "version", value_cols=["v"])
+    compacted = apply_change_batch(
+        base, net.withColumnRenamed("net_op", "op").withColumn("version", F.lit(1)),
+        ["k"], version_col="version",
+    )
+    assert sorted(map(tuple, replayed.collect())) == sorted(map(tuple, compacted.collect()))
+
+
+def _t(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def test_scd2_streaming_maintenance(spark, tmp_path):
+    """Dimension history maintained from a file change stream via
+    foreachBatch + scd2_merge_batch: after two micro-batches the stored
+    history equals a batch rebuild over all changes."""
+    import json
+    import os
+
+    from database_replicator_spark.util import staged_overwrite
+
+    src = str(tmp_path / "src")
+    hist_dir = str(tmp_path / "hist")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    b1 = [
+        {"k": 1, "attr": "a", "ts": "2024-01-01T00:00:00"},
+        {"k": 2, "attr": "x", "ts": "2024-01-01T06:00:00"},
+    ]
+    b2 = [
+        {"k": 1, "attr": "b", "ts": "2024-01-02T00:00:00"},
+        {"k": 3, "attr": "z", "ts": "2024-01-02T06:00:00"},
+    ]
+
+    def apply_batch(batch_df, _epoch):
+        batch = batch_df.withColumn("ts", F.to_timestamp("ts"))
+        if os.path.isdir(hist_dir):
+            hist = batch.sparkSession.read.parquet(hist_dir)
+            merged = scd2_merge_batch(hist, batch, ["k"], ["attr"], "ts")
+        else:
+            merged = scd2_from_changes(batch, ["k"], ["attr"], "ts")
+        staged_overwrite(batch.sparkSession, merged, hist_dir)
+
+    def run_available(path_rows, name):
+        with open(os.path.join(src, name), "w") as f:
+            for r in path_rows:
+                f.write(json.dumps(r) + "\n")
+        q = (
+            spark.readStream.schema("k int, attr string, ts string")
+            .json(src)
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_available(b1, "b1.json")
+    run_available(b2, "b2.json")
+
+    stored = spark.read.parquet(hist_dir)
+    all_changes = spark.createDataFrame(
+        [(r["k"], r["attr"], _t(r["ts"])) for r in b1 + b2], ["k", "attr", "ts"]
+    )
+    want = scd2_from_changes(all_changes, ["k"], ["attr"], "ts")
+    key = lambda df: sorted(
+        (r["k"], r["attr"], r["valid_from"], r["valid_to"], r["version"], r["is_current"])
+        for r in df.collect()
+    )
+    assert key(stored) == key(want)
+    cur = {r["k"]: r["attr"] for r in stored.filter("is_current").collect()}
+    assert cur == {1: "b", 2: "x", 3: "z"}

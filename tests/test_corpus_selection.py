@@ -82,3 +82,31 @@ def test_select_token_budget_no_global_sort_in_plan(spark, sf_dir):
     # a global window shows up as 'Window ... ORDER BY' over a SinglePartition
     # exchange; the bucketed form partitions by _bkt first
     assert "SinglePartition" not in plan
+
+
+def test_mask_duplicate_spans_drops_only_covered(spark):
+    from database_replicator_spark.operators.corpus import mask_duplicate_spans
+
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} alpha beta"),
+            (2, f"gamma {shared} delta"),
+            (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in mask_duplicate_spans(docs, k=8).collect()}
+    assert out[1]["clean_text"] == "alpha beta" and out[1]["n_dropped"] == 8
+    assert out[2]["clean_text"] == "gamma delta" and out[2]["n_dropped"] == 8
+    assert out[3]["clean_text"] == "u1 u2 u3 u4 u5 u6 u7 u8 u9"
+    assert out[3]["n_dropped"] == 0
+
+
+def test_mask_fully_covered_doc_yields_empty_text(spark):
+    from database_replicator_spark.operators.corpus import mask_duplicate_spans
+
+    span = "a b c d e f g h"
+    docs = spark.createDataFrame([(1, span), (2, span)], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in mask_duplicate_spans(docs, k=8).collect()}
+    assert out[1]["clean_text"] == "" and out[1]["n_dropped"] == 8
