@@ -1,0 +1,125 @@
+"""Mergeable approximate-aggregate sketches (KMV distinct, hash-Bernoulli
+quantile sample).
+
+The IVM tier (ivm.py) makes SUM/COUNT/MIN/MAX rollups maintainable at
+O(delta); the two aggregates that do NOT merge are COUNT(DISTINCT) and
+percentiles. The standard fix is a *mergeable sketch* stored per group:
+
+  * **KMV / bottom-k distinct sketch** (Bar-Yossef et al. 2002; Beyer et
+    al., "On Synopses for Distinct-Value Estimation Under Multiset
+    Operations", SIGMOD'07): keep the k smallest hash values per group;
+    with hashes uniform on [0, 2^60), E[D] ≈ (k-1)·2^60 / h_(k), relative
+    error ≈ 1/√k. Union of sketches = merge (flatten, dedup, re-take k
+    smallest) — exact, associative, no re-scan of the base.
+  * **Hash-Bernoulli sample**: keep rows with hash60(seed:id) below
+    rate·2^60 — the same deterministic threshold construction as
+    `stratified_sample` (corpus.py). Samples union trivially; quantiles
+    of the sample estimate quantiles of the whole.
+
+Because both sketches are HASH-deterministic (no RNG state), the merge
+property is EXACT — sketch(A ∪ B) is bit-identical to
+merge(sketch(A), sketch(B)) — which the tests assert as equality, not
+approximately. Spark's own approx_count_distinct/approx_percentile keep
+their state inside one query; these sketches are *storable* columns, so
+the combine spans pipeline runs (the IVM contract).
+
+Scale notes: partial sketches are built per Arrow batch inside
+mapInPandas (bounded memory: G·k longs for G groups in the batch), then
+merged with ONE groupBy on the group key whose rows are k-bounded arrays
+— the value space itself is never shuffled, which is the entire point at
+100 TB (an exact COUNT(DISTINCT) shuffles every distinct value).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash60, seeded
+
+#: 2^60 — exclusive upper bound of hash60's range.
+HASH60_SPAN = 1 << 60
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Per-group KMV sketch: ``(group_cols…, kmv array<bigint>)`` holding
+    the k smallest 60-bit hashes of the value column. Store it alongside
+    the IVM partials; merge new deltas in with :func:`merge_kmv`."""
+    groups = list(group_cols)
+    hashed = df.select(
+        *groups, hash60(F.col(value_col).cast("string")).alias("_h")
+    )
+
+    out_schema = ", ".join(
+        [f"`{c}` {hashed.schema[c].dataType.simpleString()}" for c in groups]
+        + ["kmv array<bigint>"]
+    )
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict[tuple, set] = {}
+        for pdf in batches:
+            for key, sub in pdf.groupby(groups, sort=False):
+                key = key if isinstance(key, tuple) else (key,)
+                s = acc.setdefault(key, set())
+                s.update(sub["_h"].tolist())
+                if len(s) > 4 * k:  # cap growth; keep k smallest
+                    acc[key] = set(sorted(s)[:k])
+        rows = [
+            {**dict(zip(groups, key)), "kmv": sorted(vals)[:k]}
+            for key, vals in acc.items()
+        ]
+        yield pd.DataFrame(rows, columns=[*groups, "kmv"])
+
+    part = hashed.mapInPandas(partials, out_schema)
+    return _combine(part, groups, k)
+
+
+def merge_kmv(sketches: Sequence[DataFrame], group_cols: Sequence[str], k: int = 256) -> DataFrame:
+    """Merge stored KMV sketches (base + deltas): flatten, dedup, re-take
+    the k smallest. Associative and commutative — slice boundaries never
+    change the result."""
+    groups = list(group_cols)
+    unioned = sketches[0]
+    for s in sketches[1:]:
+        unioned = unioned.unionByName(s)
+    return _combine(unioned, groups, k)
+
+
+def _combine(part: DataFrame, groups: list[str], k: int) -> DataFrame:
+    return part.groupBy(*groups).agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("kmv")))), 1, k
+        ).alias("kmv")
+    )
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 256) -> DataFrame:
+    """Distinct-count estimate per group: exact when the sketch holds
+    fewer than k hashes (every distinct value is present), else the KMV
+    estimator (k-1)·2^60 / h_(k)."""
+    n = F.size("kmv")
+    kth = F.element_at("kmv", k).cast("double")
+    est = F.when(n < k, n.cast("double")).otherwise(
+        (F.lit(float(k - 1)) * F.lit(float(HASH60_SPAN))) / kth
+    )
+    return sketch.withColumn("distinct_est", est).drop("kmv")
+
+
+def bernoulli_sample(
+    df: DataFrame, id_col: str, rate: float, seed: int = 1
+) -> DataFrame:
+    """Deterministic hash-threshold row sample (keep iff
+    hash60(seed:id) < rate·2^60). Union-mergeable; re-runs reproduce the
+    identical sample. The quantile path: store the sample, answer
+    percentile queries from it with error O(1/√(n·rate))."""
+    thr = int(rate * HASH60_SPAN)
+    return df.filter(hash60(seeded(F.col(id_col).cast("string"), seed)) < F.lit(thr))

@@ -477,3 +477,97 @@ def orders_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.crossJoin(F.broadcast(total)).select(
         "dow", "n_orders", "revenue", (F.col("revenue") / F.col("total")).alias("revenue_share")
     )
+
+
+@query(
+    "events_user_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d
+      FROM events
+    ),
+    grp AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INTEGER)
+               AS anchor
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, anchor, CAST(COUNT(*) AS BIGINT) AS len
+      FROM grp GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           MAX(len) AS longest_streak
+    FROM streaks GROUP BY user_id
+    """,
+)
+def events_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest run of consecutive active days per user
+    (the date-minus-row_number anchor trick). Distinct (user, day) first —
+    heavy users collapse to ≤days rows before any window — then two
+    aggregations on the user key."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = grp.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").alias("n_active_days"),
+        F.max("len").alias("longest_streak"),
+    )
+
+
+@query(
+    "orders_winsorize_report",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderstatus,
+             quantile_cont(o_totalprice, 0.05) AS p05,
+             quantile_cont(o_totalprice, 0.95) AS p95
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o.o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           b.p05, b.p95,
+           CAST(SUM(CASE WHEN o.o_totalprice < b.p05 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_low,
+           CAST(SUM(CASE WHEN o.o_totalprice > b.p95 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_high
+    FROM orders o JOIN b USING (o_orderstatus)
+    GROUP BY o.o_orderstatus, b.p05, b.p95
+    """,
+)
+def orders_winsorize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust-statistics winsorization report: per-group p05/p95 bounds
+    (linear-interpolated percentiles — Spark and DuckDB share the
+    definition, proven by the totalprice_percentiles gate) and how many
+    rows each tail clip would touch. The bounds table is group-grain tiny
+    and broadcast back onto the fact scan; counts are integers, so the
+    output carries no double-rounding hazard."""
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.05)").alias("p05"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
+    )
+    return (
+        orders.join(F.broadcast(b), "o_orderstatus")
+        .groupBy("o_orderstatus", "p05", "p95")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("o_totalprice") < F.col("p05"), 1).otherwise(0)).alias(
+                "n_clipped_low"
+            ),
+            F.sum(F.when(F.col("o_totalprice") > F.col("p95"), 1).otherwise(0)).alias(
+                "n_clipped_high"
+            ),
+        )
+        .select("o_orderstatus", "n", "p05", "p95", "n_clipped_low", "n_clipped_high")
+    )

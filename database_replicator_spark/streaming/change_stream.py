@@ -346,3 +346,18 @@ def write_change_file(path: str, changes: list[dict]) -> None:
     with open(path, "a") as fh:
         for c in changes:
             fh.write(json.dumps(c) + "\n")
+
+
+def net_effect_sink_rows(batch: DataFrame) -> DataFrame:
+    """Collapse a change batch to ONE net row per (table, pk) for
+    relational sink fan-out (operators/incremental.py `compact_changes`):
+    an insert followed by updates ships as one insert with the final
+    payload; insert+delete inside one batch ships nothing. The raw change
+    log keeps full fidelity (time travel reads it); only the sink's SQL
+    traffic shrinks — from O(changes) statements per epoch to O(touched
+    keys). Returns (table, pk, net_op, payload)."""
+    from ..operators.incremental import compact_changes
+
+    return compact_changes(
+        batch, ["table", "pk"], "change_id", value_cols=["payload"]
+    )

@@ -131,3 +131,68 @@ def test_scd2_streaming_maintenance(spark, tmp_path):
     assert key(stored) == key(want)
     cur = {r["k"]: r["attr"] for r in stored.filter("is_current").collect()}
     assert cur == {1: "b", 2: "x", 3: "z"}
+
+
+def test_net_effect_sink_livewire_equals_sequential_replay(spark, tmp_path):
+    """The compacted batch, routed through the real S18/S19 sink writers
+    against SQLite, lands the same final table state as replaying every
+    change row in change_id order — with fewer statements shipped."""
+    import sqlite3
+
+    from database_replicator_spark.sources.ddl_exec import execute_ddl
+    from database_replicator_spark.sources.jdbc import JdbcUpsertWriter
+    from database_replicator_spark.streaming.change_stream import (
+        net_effect_sink_rows,
+    )
+
+    rows = [
+        # k1: insert→update→update  → one upsert with final payload
+        (1, "t", "insert", "k1", '{"v": 1}'),
+        (2, "t", "update", "k1", '{"v": 2}'),
+        (3, "t", "update", "k1", '{"v": 3}'),
+        # k2 existed before the batch; update→delete → one delete
+        (4, "t", "update", "k2", '{"v": 9}'),
+        (5, "t", "delete", "k2", None),
+        # k3: insert→delete → nothing shipped
+        (6, "t", "insert", "k3", '{"v": 7}'),
+        (7, "t", "delete", "k3", None),
+    ]
+    batch = spark.createDataFrame(
+        rows, "change_id long, table string, op string, pk string, payload string"
+    )
+
+    def fresh_db(name):
+        db = str(tmp_path / name)
+        execute_ddl(db, 'CREATE TABLE "t" ("pk" TEXT PRIMARY KEY, "payload" TEXT)')
+        conn = sqlite3.connect(db)
+        conn.execute("INSERT INTO t VALUES ('k2', '{\"v\": 0}')")
+        conn.commit()
+        conn.close()
+        return db
+
+    def state(db):
+        conn = sqlite3.connect(db)
+        try:
+            return sorted(conn.execute("SELECT pk, payload FROM t").fetchall())
+        finally:
+            conn.close()
+
+    # sequential replay, one statement per change row
+    db_seq = fresh_db("seq.db")
+    w = JdbcUpsertWriter(dsn=db_seq, table="t", pk_cols=["pk"])
+    for _, _tbl, op, pk, payload in rows:
+        one = spark.createDataFrame([(pk, payload)], "pk string, payload string")
+        if op == "delete":
+            w.delete(one.select("pk"))
+        else:
+            w.upsert(one)
+
+    # net-effect apply: one upsert batch + one delete batch
+    db_net = fresh_db("net.db")
+    net = net_effect_sink_rows(batch)
+    assert net.count() == 2  # k1 upsert + k2 delete; k3 vanished
+    wn = JdbcUpsertWriter(dsn=db_net, table="t", pk_cols=["pk"])
+    wn.upsert(net.filter("net_op != 'delete'").select("pk", "payload"))
+    wn.delete(net.filter("net_op = 'delete'").select("pk"))
+
+    assert state(db_seq) == state(db_net) == [("k1", '{"v": 3}')]
