@@ -151,6 +151,14 @@ def main(argv: list[str] | None = None) -> int:
         "--near-dup", action="store_true",
         help="add LSH + verified-Jaccard cluster dedup after exact dedup",
     )
+    corpus_p.add_argument(
+        "--span-mask", action="store_true",
+        help="remove cross-document duplicated 8-gram spans from surviving docs",
+    )
+    corpus_p.add_argument(
+        "--token-budget", type=int, default=None,
+        help="best-first selection to this total token target before splitting",
+    )
 
     args = p.parse_args(argv)
 
@@ -190,6 +198,8 @@ def main(argv: list[str] | None = None) -> int:
                 seed=args.seed,
                 min_tokens=args.min_tokens,
                 near_dup=args.near_dup,
+                span_mask=args.span_mask,
+                token_budget=args.token_budget,
             )
             print(json.dumps({"ok": True, **report}))
             return 0

@@ -1215,7 +1215,7 @@ def select_token_budget(
     spark = docs.sparkSession
     off_df = F.broadcast(
         spark.createDataFrame(
-            [(b, o) for b, o in offsets.items()], ["_bkt", "_offset"]
+            [(b, o) for b, o in offsets.items()], "_bkt int, _offset long"
         )
     )
 

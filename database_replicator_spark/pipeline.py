@@ -37,6 +37,8 @@ def build_corpus(
     min_tokens: int = 10,
     near_dup: bool = False,
     jaccard_threshold: float = 0.2,
+    span_mask: bool = False,
+    token_budget: int | None = None,
 ) -> dict:
     """Run the batch corpus build; returns the per-stage accounting dict
     (every input document ends in exactly one bucket: corrupt, rejected,
@@ -118,6 +120,57 @@ def build_corpus(
         after_dedup = kept
     else:
         report["n_neardup_removed"] = 0
+
+    if span_mask:
+        # span-level dedup: drop word positions covered by cross-document
+        # duplicated 8-grams; doc-level near-dup (above) keeps cluster
+        # canonicals, this removes residual verbatim boilerplate INSIDE
+        # surviving docs (Lee et al. 2022)
+        from .operators.corpus import mask_duplicate_spans
+
+        masked = mask_duplicate_spans(docs, text_col=text_field)
+        docs = (
+            docs.drop(text_field)
+            .join(masked, on="doc_id")
+            .withColumnRenamed("clean_text", text_field)
+            .localCheckpoint(eager=False)
+        )
+        stats = docs.agg(
+            F.coalesce(F.sum("n_dropped"), F.lit(0)).alias("w"),
+            F.coalesce(F.sum((F.col("n_dropped") > 0).cast("long")), F.lit(0)).alias("d"),
+        ).collect()[0]
+        report["n_span_masked_docs"] = int(stats["d"])
+        report["n_span_words_dropped"] = int(stats["w"])
+        docs = docs.drop("n_dropped")
+    else:
+        report["n_span_masked_docs"] = 0
+        report["n_span_words_dropped"] = 0
+
+    if token_budget is not None:
+        # best-first fill to the token target: lexical-diversity priority,
+        # exact inclusive running total (two-phase bucketed cumsum)
+        from .operators.corpus import select_token_budget
+
+        words = F.split(
+            normalize_text_expr(F.coalesce(F.col(text_field), F.lit(""))), " "
+        )
+        scored = docs.select(
+            "doc_id",
+            (
+                F.size(F.array_distinct(words)).cast("double")
+                / F.greatest(F.size(words), F.lit(1)).cast("double")
+            ).alias("score"),
+            F.size(words).cast("long").alias("n_tokens"),
+        )
+        sel = select_token_budget(scored, budget=token_budget)
+        docs = docs.join(sel.select("doc_id"), on="doc_id").localCheckpoint(
+            eager=False
+        )
+        kept = docs.count()
+        report["n_over_token_budget"] = after_dedup - kept
+        after_dedup = kept
+    else:
+        report["n_over_token_budget"] = 0
 
     if alpha is not None:
         docs = temperature_sample(

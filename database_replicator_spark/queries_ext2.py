@@ -571,3 +571,133 @@ def orders_winsorize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderstatus", "n", "p05", "p95", "n_clipped_low", "n_clipped_high")
     )
+
+
+@query(
+    "local_supplier_revenue",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+             AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+    GROUP BY n_name
+    """,
+)
+def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q5 shape: revenue from lineitems where the supplier sits in
+    the customer's own nation, rolled up by nation — a five-way join
+    chain. The dimension spine (supplier⋈nation⋈region) is tiny and
+    broadcast; the only data-scale shuffles are the two fact joins on
+    their natural keys."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    dims = supp.join(
+        nation, supp.s_nationkey == nation.n_nationkey
+    ).join(region, nation.n_regionkey == region.r_regionkey)
+
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(dims),
+            (li.l_suppkey == dims.s_suppkey)
+            & (cust.c_nationkey == dims.s_nationkey),
+        )
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(rev).cast("double").alias("revenue")
+    )
+
+
+_KMV_K = 256
+_SPAN_DOUBLE = "1152921504606846976.0"  # 2^60 as an exact double literal
+
+
+@query(
+    "distinct_kmv_estimate",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT l_returnflag,
+             CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT)
+               AS h
+      FROM lineitem
+    ),
+    r AS (
+      SELECT l_returnflag, h,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+      FROM h
+    ),
+    k AS (
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_in_sketch,
+             MAX(CASE WHEN rn = {_KMV_K} THEN h END) AS kth
+      FROM r WHERE rn <= {_KMV_K} GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n_in_sketch,
+           CASE WHEN n_in_sketch < {_KMV_K} THEN CAST(n_in_sketch AS DOUBLE)
+                ELSE {_KMV_K - 1}.0 * {_SPAN_DOUBLE} / CAST(kth AS DOUBLE)
+           END AS distinct_est
+    FROM k
+    """,
+)
+def distinct_kmv_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMV distinct sketch (operators/sketch.py) as a GATE: because the
+    sketch is hash-deterministic (bottom-k of md5-based hash60), even the
+    approximate estimate is bit-reproducible — the oracle recomputes the
+    identical k smallest hashes and estimator in SQL. The engine never
+    shuffles the value space (per-batch partial k-mins inside mapInPandas,
+    then one k-bounded-array merge); the oracle's DISTINCT is the luxury
+    the sketch exists to avoid."""
+    from .operators.sketch import kmv_estimate, kmv_sketch
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sk = kmv_sketch(li, ["l_returnflag"], "l_partkey", k=_KMV_K)
+    return kmv_estimate(
+        sk.withColumn("n_in_sketch", F.size("kmv").cast("long")), k=_KMV_K
+    ).select("l_returnflag", "n_in_sketch", "distinct_est")
+
+
+@query(
+    "sample_quantile_estimate",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderstatus, o_totalprice
+      FROM orders
+      WHERE CAST('0x' || substr(md5('7:' || CAST(o_orderkey AS VARCHAR)), 1, 15)
+                 AS BIGINT) < CAST(0.25 * 1152921504606846976.0 AS BIGINT)
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           quantile_cont(o_totalprice, 0.5) AS median_est
+    FROM s GROUP BY o_orderstatus
+    """,
+)
+def sample_quantile_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile estimation from the deterministic hash-threshold sample
+    (operators/sketch.py `bernoulli_sample`): the sample is reproducible
+    across engines, so the estimate itself is oracle-exact. The scale
+    contract: store the O(rate·n) sample next to the IVM partials and
+    answer quantile queries without re-scanning the base."""
+    from .operators.sketch import bernoulli_sample
+
+    orders = load_table(spark, sf_dir, "orders")
+    s = bernoulli_sample(orders, "o_orderkey", rate=0.25, seed=7)
+    return s.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("median_est"),
+    )

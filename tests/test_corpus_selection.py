@@ -110,3 +110,8 @@ def test_mask_fully_covered_doc_yields_empty_text(spark):
     docs = spark.createDataFrame([(1, span), (2, span)], ["doc_id", "text"])
     out = {r["doc_id"]: r for r in mask_duplicate_spans(docs, k=8).collect()}
     assert out[1]["clean_text"] == "" and out[1]["n_dropped"] == 8
+
+
+def test_select_token_budget_empty_input(spark):
+    t = spark.createDataFrame([], "doc_id long, score double, n_tokens long")
+    assert select_token_budget(t, budget=100).count() == 0

@@ -325,3 +325,66 @@ class TestCorpusBuildNearDup:
         assert rc == 0 and rep["ok"]
         assert rep["n_neardup_removed"] == 1
         assert rep["n_written"] == 2
+
+
+class TestCorpusBuildSpanMaskAndBudget:
+    def test_span_mask_strips_shared_boilerplate(self, spark, tmp_path, capsys):
+        import json as _json
+        import os
+
+        boiler = "subscribe to our newsletter for updates every single day"  # 9 words
+        src = os.path.join(str(tmp_path), "sm.jsonl")
+        with open(src, "w") as f:
+            for i in range(3):
+                uniq = " ".join(f"doc{i}word{j}" for j in range(20))
+                f.write(_json.dumps({"text": f"{boiler} {uniq}",
+                                     "lang": "en", "source": "s"}) + "\n")
+
+        from database_replicator_spark.cli import main
+
+        out_dir = os.path.join(str(tmp_path), "built")
+        rc = main(["corpus-build", "--source", src, "--out", out_dir,
+                   "--span-mask", "--shards", "2", "--budget", "64"])
+        rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and rep["ok"]
+        assert rep["n_span_masked_docs"] == 3
+        assert rep["n_span_words_dropped"] == 27  # 9-word boilerplate × 3 docs
+
+        built = spark.read.parquet(os.path.join(out_dir, "corpus"))
+        texts = [r["text"] for r in built.collect()]
+        assert all("subscribe" not in t for t in texts)
+        assert all("doc0word0" in t for t in texts if "doc0" in t)
+
+    def test_token_budget_keeps_best_first(self, spark, tmp_path, capsys):
+        import json as _json
+        import os
+
+        src = os.path.join(str(tmp_path), "tb.jsonl")
+        with open(src, "w") as f:
+            # 10 docs × 20 tokens = 200 tokens; all pass the quality rules
+            # (stopwords present, max token share ≤ 10%); the first five are
+            # fully distinct (diversity 1.0), the rest half-distinct (0.5)
+            for i in range(10):
+                if i < 5:
+                    words = [f"d{i}w{j}" for j in range(18)] + ["the", "of"]
+                else:
+                    words = ([f"d{i}w{j}" for j in range(8)] + ["the", "of"]) * 2
+                f.write(_json.dumps({"text": " ".join(words),
+                                     "lang": "en", "source": "s"}) + "\n")
+
+        from database_replicator_spark.cli import main
+
+        out_dir = os.path.join(str(tmp_path), "built")
+        rc = main(["corpus-build", "--source", src, "--out", out_dir,
+                   "--token-budget", "100", "--shards", "2", "--budget", "64",
+                   "--min-tokens", "5"])
+        rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and rep["ok"]
+        assert rep["n_over_token_budget"] == 5
+        assert rep["n_written"] == 5
+        assert rep["total_tokens"] == 100
+
+        built = spark.read.parquet(os.path.join(out_dir, "corpus"))
+        # exactly the five lexically-diverse docs survive
+        kept = [r["text"].split()[0][:2] for r in built.collect()]
+        assert all(k in {"d0", "d1", "d2", "d3", "d4"} for k in kept)
