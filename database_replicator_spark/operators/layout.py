@@ -104,3 +104,23 @@ def column_bounds(df: DataFrame, cols: list[str]) -> dict[str, tuple[float, floa
         aggs += [F.min(F.col(c)).alias(f"_lo_{c}"), F.max(F.col(c)).alias(f"_hi_{c}")]
     row = df.agg(*aggs).collect()[0]
     return {c: (float(row[f"_lo_{c}"]), float(row[f"_hi_{c}"])) for c in cols}
+
+
+def sorted_export(df: DataFrame, sort_cols: list[str], n_files: int | None = None) -> DataFrame:
+    """Globally ordered single-column-sorted export — the distributed form
+    of ``ORDER BY`` for final dataset materialization: range-partition on
+    the sort key (boundaries from Spark's reservoir sample → balanced
+    tasks), then sort within each partition. File *i*'s keys all precede
+    file *i+1*'s, so a consumer reading files in partition order streams
+    the table in key order; no single task ever holds more than ~1/n of
+    the data (a bare ``orderBy`` before a write plans the same shape, but
+    making the partition count explicit here pins the file-size contract).
+
+    Use z-order (``zorder_keys``) instead when MULTIPLE columns need
+    skipping locality; use this when one key's total order is the product
+    (time-ordered training shards, sorted merge inputs). Note the sampled
+    boundaries make file SPLITS nondeterministic across runs — the row
+    ORDER is still total and reproducible; pair with ``zorder_keys`` when
+    bit-identical layout matters."""
+    n = n_files or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartitionByRange(n, *sort_cols).sortWithinPartitions(*sort_cols)

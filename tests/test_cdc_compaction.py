@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import os
 from datetime import datetime
 
 from pyspark.sql import functions as F
@@ -196,3 +197,58 @@ def test_net_effect_sink_livewire_equals_sequential_replay(spark, tmp_path):
     wn.delete(net.filter("net_op = 'delete'").select("pk"))
 
     assert state(db_seq) == state(db_net) == [("k1", '{"v": 3}')]
+
+
+def test_diff_epochs_net_changes_between_travel_points(spark, tmp_path):
+    """diff_epochs over the applied change log: inserts born in the window,
+    updates folded to their last payload, insert-after-existing reclassified
+    as update, delete of a pre-window key surfaced, and insert+delete
+    inside the window invisible."""
+    from database_replicator_spark.streaming.change_stream import (
+        diff_epochs,
+        start_change_apply,
+        write_change_file,
+    )
+
+    src = str(tmp_path / "queue")
+    tgt = str(tmp_path / "target")
+    chk = str(tmp_path / "checkpoint")
+
+    def run_once():
+        q, _ = start_change_apply(spark, src, tgt, chk, once=True)
+        q.awaitTermination(120)
+
+    # epoch 0: baseline state — k1, k2
+    write_change_file(
+        os.path.join(src, "c0.json"),
+        [
+            {"change_id": 1, "table": "t", "op": "insert", "pk": "k1", "payload": '{"v":1}'},
+            {"change_id": 2, "table": "t", "op": "insert", "pk": "k2", "payload": '{"v":2}'},
+        ],
+    )
+    run_once()
+
+    # epoch 1: k1 updated twice, k2 deleted, k3 born, k4 born-and-dies,
+    # k1 ALSO re-"inserted" (resync replay shape) — net must be update
+    write_change_file(
+        os.path.join(src, "c1.json"),
+        [
+            {"change_id": 3, "table": "t", "op": "insert", "pk": "k1", "payload": '{"v":10}'},
+            {"change_id": 4, "table": "t", "op": "update", "pk": "k1", "payload": '{"v":11}'},
+            {"change_id": 5, "table": "t", "op": "delete", "pk": "k2", "payload": None},
+            {"change_id": 6, "table": "t", "op": "insert", "pk": "k3", "payload": '{"v":3}'},
+            {"change_id": 7, "table": "t", "op": "insert", "pk": "k4", "payload": '{"v":4}'},
+            {"change_id": 8, "table": "t", "op": "delete", "pk": "k4", "payload": None},
+        ],
+    )
+    run_once()
+
+    diff = {
+        r["pk"]: (r["net_op"], r["payload"], r["change_id"])
+        for r in diff_epochs(spark, tgt, "t", epoch_from=0, epoch_to=1).collect()
+    }
+    assert diff["k1"] == ("update", '{"v":11}', 4)  # reclassified + last payload
+    assert diff["k2"][0] == "delete"
+    assert diff["k3"] == ("insert", '{"v":3}', 6)
+    assert "k4" not in diff  # born and died inside the window
+    assert set(diff) == {"k1", "k2", "k3"}

@@ -110,3 +110,37 @@ class TestZorderSkipping:
             df.repartition(7), ["x", "y"], bounds, bits=8, n_shards=8
         ).collect()[0]
         assert (a["z_key"], a["z_shard"]) == (b["z_key"], b["z_shard"])
+
+
+class TestSortedExport:
+    def test_global_order_across_partitions(self, spark):
+        from database_replicator_spark.operators.layout import sorted_export
+
+        df = spark.range(0, 10_000).withColumn(
+            "k", (F.col("id") * 2654435761) % 100_000
+        )
+        out = sorted_export(df, ["k"], n_files=8)
+        rows = out.select(
+            F.spark_partition_id().alias("p"), "k"
+        ).collect()
+        # within-partition sorted AND partition ranges non-overlapping
+        by_p = {}
+        for r in rows:
+            by_p.setdefault(r["p"], []).append(r["k"])
+        for ks in by_p.values():
+            assert ks == sorted(ks)
+        bounds = sorted((min(ks), max(ks)) for ks in by_p.values())
+        for (lo1, hi1), (lo2, _hi2) in zip(bounds, bounds[1:]):
+            assert hi1 <= lo2
+        # nothing lost
+        assert sorted(r["k"] for r in rows) == sorted(
+            r["k"] for r in df.select("k").collect()
+        )
+
+    def test_plan_uses_range_partitioning_not_single(self, spark):
+        from database_replicator_spark.operators.layout import sorted_export
+
+        df = spark.range(0, 1000).withColumn("k", F.col("id") % 97)
+        plan = sorted_export(df, ["k"], n_files=8)._jdf.queryExecution().executedPlan().toString()
+        assert "rangepartitioning" in plan.lower()
+        assert "SinglePartition" not in plan
