@@ -425,3 +425,164 @@ class TestFunnelProperties:
                 last = min(cand)
                 expect[si] += 1
         assert [out[1], out[2], out[3]] == expect
+
+
+# --- change feeds for the SCD2 / compaction contracts -----------------------
+
+change_feed = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=5),          # key
+        st.sampled_from(["a", "b", "c"]),               # attribute state
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+def _feed_df(spark, feed):
+    # unique, monotone timestamps: position in the feed IS the clock
+    return spark.createDataFrame(
+        [(k, a, i) for i, (k, a) in enumerate(feed)], ["k", "attr", "ts"]
+    )
+
+
+class TestScd2Properties:
+    @settings(**SETTINGS)
+    @given(feed=change_feed, cut=st.integers(min_value=0, max_value=24))
+    def test_incremental_merge_equals_batch_rebuild(self, spark, feed, cut):
+        """Folding any suffix of the feed into the history built from the
+        prefix must equal building from the whole feed — the invariant that
+        makes nightly SCD2 maintenance trustworthy."""
+        from database_replicator_spark.operators.scd import (
+            scd2_from_changes,
+            scd2_merge_batch,
+        )
+
+        cut = min(cut, len(feed))
+        prefix, suffix = feed[:cut], feed[cut:]
+        full = scd2_from_changes(_feed_df(spark, feed), ["k"], ["attr"], "ts")
+        if not prefix:
+            merged = scd2_from_changes(_feed_df(spark, suffix), ["k"], ["attr"], "ts")
+        elif not suffix:
+            merged = scd2_from_changes(_feed_df(spark, prefix), ["k"], ["attr"], "ts")
+        else:
+            hist = scd2_from_changes(_feed_df(spark, prefix), ["k"], ["attr"], "ts")
+            batch = spark.createDataFrame(
+                [(k, a, cut + i) for i, (k, a) in enumerate(suffix)],
+                ["k", "attr", "ts"],
+            )
+            merged = scd2_merge_batch(hist, batch, ["k"], ["attr"], "ts")
+        key = lambda df: sorted(map(tuple, df.collect()))
+        assert key(merged) == key(full)
+
+    @settings(**SETTINGS)
+    @given(feed=change_feed)
+    def test_history_invariants(self, spark, feed):
+        """Intervals per key chain without gaps or overlaps; exactly one
+        open (current) version per key; versions are 1..n."""
+        from database_replicator_spark.operators.scd import scd2_from_changes
+
+        hist = scd2_from_changes(_feed_df(spark, feed), ["k"], ["attr"], "ts")
+        by_key = {}
+        for r in hist.collect():
+            by_key.setdefault(r["k"], []).append(r)
+        for rows in by_key.values():
+            rows.sort(key=lambda r: r["version"])
+            assert [r["version"] for r in rows] == list(range(1, len(rows) + 1))
+            assert sum(r["is_current"] for r in rows) == 1
+            for a, b in zip(rows, rows[1:]):
+                assert a["valid_to"] == b["valid_from"]  # gap/overlap-free
+                assert a["attr"] != b["attr"]            # genuinely collapsed
+            assert rows[-1]["valid_to"] is None
+
+
+ops_feed = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),                    # key
+        st.sampled_from(["insert", "update", "delete"]),          # op
+        st.integers(min_value=-99, max_value=99),                 # value
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+class TestCompactionProperties:
+    @settings(**SETTINGS)
+    @given(feed=ops_feed)
+    def test_net_apply_equals_sequential_replay(self, spark, feed):
+        """For ANY change feed, applying the compacted net batch to any base
+        yields the same final state as replaying every change in order."""
+        from database_replicator_spark.operators.incremental import (
+            apply_change_batch,
+            compact_changes,
+        )
+
+        base = spark.createDataFrame(
+            [(k, float(1000 + k)) for k in (2, 4)], ["k", "v"]
+        )
+        changes = spark.createDataFrame(
+            [(k, op, i, float(v)) for i, (k, op, v) in enumerate(feed)],
+            ["k", "op", "version", "v"],
+        )
+        replayed = apply_change_batch(base, changes, ["k"], version_col="version")
+        net = compact_changes(changes, ["k"], "version", value_cols=["v"])
+        compacted = apply_change_batch(
+            base,
+            net.withColumnRenamed("net_op", "op").withColumn("version", F.lit(0)),
+            ["k"],
+            version_col="version",
+        )
+        key = lambda df: sorted(map(tuple, df.collect()))
+        assert key(replayed) == key(compacted)
+
+    @settings(**SETTINGS)
+    @given(feed=ops_feed, cut=st.integers(min_value=1, max_value=19))
+    def test_compaction_never_grows(self, spark, feed, cut):
+        """Net rows ≤ touched keys, and compacting slice-compactions equals
+        compacting the whole feed (associativity on version order)."""
+        from database_replicator_spark.operators.incremental import compact_changes
+
+        changes = spark.createDataFrame(
+            [(k, op, i, float(v)) for i, (k, op, v) in enumerate(feed)],
+            ["k", "op", "version", "v"],
+        )
+        net = compact_changes(changes, ["k"], "version", value_cols=["v"])
+        assert net.count() <= changes.select("k").distinct().count()
+
+
+class TestTokenBudgetProperties:
+    @settings(**SETTINGS)
+    @given(
+        docs=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=999),     # score permille
+                st.integers(min_value=1, max_value=40),      # tokens
+            ),
+            min_size=1,
+            max_size=25,
+            unique_by=lambda t: t,
+        ),
+        budget=st.integers(min_value=0, max_value=400),
+    )
+    def test_selection_is_prefix_of_global_order(self, spark, docs, budget):
+        from database_replicator_spark.operators.corpus import select_token_budget
+
+        t = spark.createDataFrame(
+            [(i, s / 1000.0, n) for i, (s, n) in enumerate(docs)],
+            "doc_id long, score double, n_tokens long",
+        )
+        got = sorted(r["doc_id"] for r in select_token_budget(t, budget).collect())
+        # naive reference: inclusive running total over (score desc, id asc)
+        order = sorted(
+            ((i, s / 1000.0, n) for i, (s, n) in enumerate(docs)),
+            key=lambda r: (-r[1], r[0]),
+        )
+        want, cum = [], 0
+        for i, _s, n in order:
+            cum += n
+            if cum <= budget:
+                want.append(i)
+            else:
+                break
+        assert got == sorted(want)
