@@ -160,6 +160,23 @@ def main(argv: list[str] | None = None) -> int:
         help="best-first selection to this total token target before splitting",
     )
 
+    rollup_p = sub.add_parser(
+        "rollup",
+        help="incrementally maintained aggregate: stored mergeable partials",
+    )
+    rollup_p.add_argument("--source", required=True, metavar="PARQUET_DIR")
+    rollup_p.add_argument("--table", required=True)
+    rollup_p.add_argument("--keys", required=True, help="comma-separated group cols")
+    rollup_p.add_argument("--measures", required=True, help="comma-separated measure cols")
+    rollup_p.add_argument("--state", required=True, help="partial-aggregate store dir")
+    rollup_p.add_argument(
+        "--filter", default=None, help="SQL predicate selecting the slice to fold in"
+    )
+    rollup_p.add_argument(
+        "--delta", action="store_true",
+        help="merge the slice into existing state (default: rebuild state)",
+    )
+
     args = p.parse_args(argv)
 
     if args.command == "profile":
@@ -175,6 +192,42 @@ def main(argv: list[str] | None = None) -> int:
                 for t, df in tables.items()
             }
             print(json.dumps({"ok": True, "profiles": out}, default=str))
+            return 0
+        except Exception as e:
+            print(json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"}))
+            return 2
+        finally:
+            if owns:
+                spark.stop()
+
+    if args.command == "rollup":
+        import os as _os
+
+        from .operators.ivm import finalize, merge_partials, partial_agg
+        from .sources.catalog import load_table
+        from .util import staged_overwrite
+
+        spark, owns = _get_session()
+        try:
+            keys = args.keys.split(",")
+            measures = args.measures.split(",")
+            df = load_table(spark, args.source, args.table)
+            if args.filter:
+                df = df.filter(args.filter)
+            part = partial_agg(df, keys, measures)
+            state_path = _os.path.join(args.state, "partials")
+            if args.delta:
+                if not _os.path.isdir(state_path):
+                    print(json.dumps({"ok": False,
+                                      "error": "no state to merge into; run without --delta first"}))
+                    return 2
+                prev = spark.read.parquet(state_path)
+                part = merge_partials([prev, part], keys, measures)
+            staged_overwrite(spark, part, state_path)
+            view = finalize(spark.read.parquet(state_path), keys, measures)
+            rows = [r.asDict() for r in view.orderBy(*keys).collect()]
+            print(json.dumps({"ok": True, "mode": "delta" if args.delta else "init",
+                              "groups": len(rows), "rollup": rows}, default=str))
             return 0
         except Exception as e:
             print(json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"}))
