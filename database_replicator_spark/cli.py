@@ -160,6 +160,26 @@ def main(argv: list[str] | None = None) -> int:
         help="best-first selection to this total token target before splitting",
     )
 
+    audit_p = sub.add_parser(
+        "audit", help="declarative constraint audit of a parquet table"
+    )
+    audit_p.add_argument("--source", required=True, metavar="PARQUET_DIR")
+    audit_p.add_argument("--table", required=True)
+    audit_p.add_argument("--unique", action="append", help="column that must be unique")
+    audit_p.add_argument("--not-null", action="append", help="column that must be non-null")
+    audit_p.add_argument(
+        "--check", action="append", metavar="NAME:PREDICATE",
+        help="named SQL predicate every row must satisfy",
+    )
+    audit_p.add_argument(
+        "--fk", action="append", metavar="CHILDCOL:PARENT_TABLE.PARENTCOL",
+        help="referential check against another table in the same dir",
+    )
+    audit_p.add_argument(
+        "--fail-on-violation", action="store_true",
+        help="exit 1 when any constraint has violations (CI gate mode)",
+    )
+
     rollup_p = sub.add_parser(
         "rollup",
         help="incrementally maintained aggregate: stored mergeable partials",
@@ -193,6 +213,48 @@ def main(argv: list[str] | None = None) -> int:
             }
             print(json.dumps({"ok": True, "profiles": out}, default=str))
             return 0
+        except Exception as e:
+            print(json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"}))
+            return 2
+        finally:
+            if owns:
+                spark.stop()
+
+    if args.command == "audit":
+        from pyspark.sql import functions as _F
+
+        from .operators.verify import constraint_audit
+        from .sources.catalog import load_table
+
+        spark, owns = _get_session()
+        try:
+            df = load_table(spark, args.source, args.table)
+            checks = {}
+            for spec in args.check or []:
+                name, _, pred = spec.partition(":")
+                checks[name] = _F.expr(pred)
+            fks = {}
+            for spec in args.fk or []:
+                child_col, _, parent = spec.partition(":")
+                parent_table, _, parent_col = parent.partition(".")
+                fks[f"{child_col}->{parent}"] = (
+                    load_table(spark, args.source, parent_table),
+                    child_col,
+                    parent_col,
+                )
+            report = constraint_audit(
+                df,
+                unique_cols=args.unique,
+                not_null_cols=args.not_null,
+                checks=checks or None,
+                fks=fks or None,
+            )
+            rows = [r.asDict() for r in report.orderBy("constraint").collect()]
+            bad = sum(r["n_violations"] for r in rows)
+            print(json.dumps({"ok": True, "table": args.table,
+                              "total_violations": int(bad), "audit": rows},
+                             default=str))
+            return 1 if (args.fail_on_violation and bad) else 0
         except Exception as e:
             print(json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"}))
             return 2

@@ -473,11 +473,19 @@ def unigram_logprob(
         .select(
             id_col,
             "n_tokens",
-            F.round(F.col("_sum_lp").cast("double"), round_digits).alias("sum_logprob"),
-            # double division of the exact decimal sum — decimal-division
-            # scale rules differ across engines, double division does not
+            # the decimal sum is exactly 6-dp, so rounding its double to 6
+            # is identity-stable; the string round-trip keeps the
+            # decimal→double conversion correctly rounded in both engines
             F.round(
-                F.col("_sum_lp").cast("double") / F.col("n_tokens"), round_digits
+                F.col("_sum_lp").cast("string").cast("double"), round_digits
+            ).alias("sum_logprob"),
+            # double division of the exact decimal sum — decimal-division
+            # scale rules differ across engines, double division does not.
+            # NO final round: sum/count is not 6-dp, and rounding a value
+            # that CAN sit on a .5e-6 midpoint diverges between engines
+            (
+                F.col("_sum_lp").cast("string").cast("double")
+                / F.col("n_tokens")
             ).alias("avg_logprob"),
         )
     )
@@ -1080,10 +1088,13 @@ def bigram_logprob(
         .select(
             id_col,
             "n_scored",
-            F.round(F.col("_s").cast("double"), round_digits).alias("sum_logprob"),
-            F.round(F.col("_s").cast("double") / F.col("n_scored"), round_digits).alias(
-                "avg_logprob"
-            ),
+            F.round(
+                F.col("_s").cast("string").cast("double"), round_digits
+            ).alias("sum_logprob"),
+            # no final round on the average — see unigram_logprob
+            (
+                F.col("_s").cast("string").cast("double") / F.col("n_scored")
+            ).alias("avg_logprob"),
         )
     )
 

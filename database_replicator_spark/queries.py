@@ -13,15 +13,23 @@ comparison passes):
   * Timestamps stay microsecond-precision; DuckDB reads the same parquet.
   * Every computed column is aliased identically on both sides.
 
-Known residual hazard (documented, accepted): ``round(x, 6)`` of a
-DOUBLE whose true value sits within 1 ulp of a 0.5e-6 boundary can pick
-adjacent doubles in the two engines (~1e-10 probability per value). One
-such hit exists at sf0.001 — ``pricing_summary``'s charge sum renders
-…181047 (Spark) vs …181046996 (DuckDB) — while the same query is
-value-exact at the driver's sf0.01 and sf0.1. The alternative (emitting
-raw DECIMAL) trades this for cross-engine decimal-rendering drift, a
-worse class; keep 6-dp rounded doubles and treat a boundary hit at an
-ungated scale as a measurement artifact, not a correctness bug.
+Two further conversion rules, learned from 1-ulp mismatches the
+three-scale oracle sweep surfaced (both now fixed at every scale):
+
+  * Decimal→double via a STRING round-trip when the decimal can exceed
+    2^53 · 10^-scale (scale-8 product sums at nation/flag grain):
+    DuckDB's native conversion double-rounds (int128→double, then
+    /10^scale) and can land 1 ulp off Spark's correctly-rounded cast;
+    both engines parse the exact decimal string correctly rounded.
+    ``CAST(x AS STRING) AS DOUBLE`` == ``CAST(CAST(x AS VARCHAR) AS
+    DOUBLE)`` — applied in pricing_summary, regional_customer_volume,
+    local_supplier_revenue, and the LM-score sums.
+  * Never ``round(x, 6)`` a double that is NOT already a 6-dp quantity:
+    a value sitting on a .5e-6 midpoint rounds differently across
+    engines (float-multiply rounding paths differ). Rounding a double
+    whose true value IS a 6-dp decimal (e.g. the exact decimal sum of
+    6-dp-rounded terms) is identity-stable and safe; the LM-score
+    AVERAGES (sum/count — not 6-dp) are therefore emitted unrounded.
 """
 
 from __future__ import annotations
@@ -75,11 +83,11 @@ def _dec(col, scale: int = 4):
       l_linestatus,
       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-               * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+               * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
                * (1 - CAST(l_discount AS DECIMAL(18,4)))
-               * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE) AS sum_charge,
+               * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
       COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -96,8 +104,16 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
             F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(_dec("l_extendedprice") * disc).cast("double").alias("sum_disc_price"),
+            # scale-8 product sums exceed 2^53·10⁻⁸, where DuckDB's native
+            # decimal→double (int128→double, then /10⁸) double-rounds and
+            # can sit 1 ulp off Spark's correctly-rounded conversion; the
+            # string round-trip is correctly rounded in BOTH engines
+            F.sum(_dec("l_extendedprice") * disc)
+            .cast("string")
+            .cast("double")
+            .alias("sum_disc_price"),
             F.sum(_dec("l_extendedprice") * disc * (1 + _dec("l_tax")))
+            .cast("string")
             .cast("double")
             .alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),

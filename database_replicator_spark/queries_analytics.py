@@ -67,8 +67,8 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n.n_name AS nation,
            COUNT(*) AS n_lineitems,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
-                    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -98,7 +98,10 @@ def regional_customer_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("nation")
         .agg(
             F.count(F.lit(1)).alias("n_lineitems"),
+            # nation-grain scale-8 sums exceed 2^53·10⁻⁸ — string round-trip
+            # avoids DuckDB's double-rounded decimal→double (see queries.py)
             F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")))
+            .cast("string")
             .cast("double")
             .alias("revenue"),
         )

@@ -577,8 +577,8 @@ def orders_winsorize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "local_supplier_revenue",
     oracle="""
     SELECT n_name,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE)
              AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey
@@ -620,8 +620,10 @@ def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").cast("decimal(18,4)")
         * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
     )
+    # nation-grain scale-8 sums exceed 2^53·10⁻⁸ — string round-trip avoids
+    # DuckDB's double-rounded decimal→double conversion (see queries.py)
     return joined.groupBy("n_name").agg(
-        F.sum(rev).cast("double").alias("revenue")
+        F.sum(rev).cast("string").cast("double").alias("revenue")
     )
 
 
@@ -734,4 +736,92 @@ def customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .cast("double")
         .alias("cum_spend"),
+    )
+
+
+@query(
+    "returned_item_revenue",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+             AS revenue,
+           n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_returnflag = 'R'
+      AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q10 shape: revenue lost to returned items per customer, top
+    20. The returnflag filter pushes into the lineitem scan; nation
+    broadcasts; the top-k head is a distributed TakeOrdered (never a
+    global sort). Ties broken by c_custkey so the LIMIT is deterministic
+    cross-engine."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "large_volume_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 150
+    )
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           CAST(t.total_qty AS DOUBLE) AS total_qty
+    FROM customer, orders,
+         (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS total_qty
+          FROM lineitem GROUP BY l_orderkey) t
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+      AND c_custkey = o_custkey
+      AND o_orderkey = t.l_orderkey
+    """,
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q18 shape: customers holding orders whose total lineitem
+    quantity clears a threshold — grouped-HAVING subquery semi-joined back
+    to the fact chain. The quantity rollup happens once and serves both
+    the HAVING filter and the output column (ReuseExchange); quantities
+    sum in exact decimal."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    totals = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("total_qty")
+    )
+    big = totals.filter(F.col("total_qty") > 150)
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
     )

@@ -713,8 +713,8 @@ def doc_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            COUNT(*) AS n_tokens,
-           round(CAST(SUM(lp) AS DOUBLE), 6) AS sum_logprob,
-           round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+           round(CAST(CAST(SUM(lp) AS VARCHAR) AS DOUBLE), 6) AS sum_logprob,
+           CAST(CAST(SUM(lp) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_logprob
     FROM scored
     GROUP BY doc_id
     """,
@@ -1020,8 +1020,8 @@ def doc_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
       CROSS JOIN totals tt
     )
     SELECT doc_id, COUNT(*) AS n_scored,
-           round(CAST(SUM(lp) AS DOUBLE), 6) AS sum_logprob,
-           round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+           round(CAST(CAST(SUM(lp) AS VARCHAR) AS DOUBLE), 6) AS sum_logprob,
+           CAST(CAST(SUM(lp) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_logprob
     FROM scored GROUP BY doc_id
     """,
 )

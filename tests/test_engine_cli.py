@@ -388,3 +388,31 @@ class TestCorpusBuildSpanMaskAndBudget:
         # exactly the five lexically-diverse docs survive
         kept = [r["text"].split()[0][:2] for r in built.collect()]
         assert all(k in {"d0", "d1", "d2", "d3", "d4"} for k in kept)
+
+
+class TestAuditCli:
+    def test_audit_clean_and_violating(self, spark, capsys):
+        import json as _json
+
+        from database_replicator_spark.cli import main
+
+        rc = main(["audit", "--source", "/root/testdata/sf0.001",
+                   "--table", "orders",
+                   "--unique", "o_orderkey",
+                   "--not-null", "o_custkey",
+                   "--check", "positive_price:o_totalprice > 0",
+                   "--fk", "o_custkey:customer.c_custkey",
+                   "--fail-on-violation"])
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and out["ok"] and out["total_violations"] == 0
+        names = {r["constraint"] for r in out["audit"]}
+        assert names == {"unique:o_orderkey", "not_null:o_custkey",
+                         "check:positive_price", "fk:o_custkey->customer.c_custkey"}
+
+        # a failing CHECK flips the exit code in gate mode
+        rc = main(["audit", "--source", "/root/testdata/sf0.001",
+                   "--table", "orders",
+                   "--check", "impossible:o_totalprice < 0",
+                   "--fail-on-violation"])
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 1 and out["ok"] and out["total_violations"] > 0
