@@ -336,3 +336,66 @@ def winnowing_fingerprints(
         .select("doc_id", "fingerprint")
         .distinct()
     )
+
+def classifier_weight(bucket: int, num_buckets: int, seed: str = "w") -> int:
+    """Deterministic integer weight in [-1000, 1000] for one feature
+    bucket — the stand-in for a trained model's coefficient, derived from
+    md5 exactly like the SQL ``hash60`` so oracles can recompute it."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{seed}:{bucket % num_buckets}".encode()).hexdigest()[:15], 16)
+    return h % 2001 - 1000
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 512,
+    seed: str = "w",
+) -> DataFrame:
+    """fastText-style linear quality classifier over hashed bag-of-words
+    features: ``score(doc) = (Σ_t W[hash(t) mod D]) / (1000·|tokens|)``.
+
+    The production shape for corpus-quality classifiers (GPT-3/LLaMA-style
+    "looks like reference text" scoring): a trained weight vector small
+    enough to broadcast, applied as an O(1) lookup per token. Here the
+    weight vector is a deterministic fake (md5-derived integers — swap in
+    trained coefficients at deployment); it is embedded as a plan-literal
+    array and the per-document feature sum folds inside ONE codegen'd
+    higher-order ``aggregate`` over the token array — zero shuffles, zero
+    Python, no explode. Integer weight sums are exact, so the final double
+    division is bit-identical across engines (the DuckDB oracle recomputes
+    W from the same md5 formula).
+
+    Scale: map-only over the corpus; cost is one md5 per token. At larger
+    D swap the literal array for a broadcast ``map_from_arrays`` lookup —
+    the plan shape is otherwise unchanged.
+    """
+    weights = F.array(
+        *[F.lit(classifier_weight(b, num_buckets, seed)) for b in range(num_buckets)]
+    )
+    toks = tokens_expr(F.col(text_col))
+
+    def _w(t: Column) -> Column:
+        bucket = (
+            F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
+            % num_buckets
+        )
+        return F.element_at(weights, (bucket + 1).cast("int")).cast("bigint")
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + _w(t)).alias(
+            "feat_sum"
+        ),
+    )
+    score = F.when(
+        F.col("n_tokens") > 0,
+        F.col("feat_sum").cast("double")
+        / (F.lit(1000.0) * F.col("n_tokens").cast("double")),
+    )
+    return base.withColumn("score", score).withColumn(
+        "accept", F.coalesce(F.col("score") >= 0, F.lit(False))
+    )

@@ -322,6 +322,7 @@ from . import (  # noqa: E402,F401
     queries_ext2,
     queries_llm,
     queries_pipeline,
+    queries_tpch,
 )
 
 

@@ -973,3 +973,39 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     bench = emb.filter(F.col("vec_id") % 50 == 0)
     return cross_neardup_lsh(emb, bench, dim=64, threshold=0.15, num_planes=6)
+
+
+@query(
+    "doc_classifier_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             CAST(list_sum(list_transform(
+               regexp_split_to_array(trim(text), '\\s+'),
+               tok -> CAST('0x' || substr(md5('w:' || CAST(
+                          CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 512
+                        AS VARCHAR)), 1, 15) AS BIGINT) % 2001 - 1000
+             )) AS BIGINT) AS feat_sum
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, feat_sum,
+           CASE WHEN n_tokens > 0
+                THEN CAST(feat_sum AS DOUBLE) / (1000.0 * CAST(n_tokens AS DOUBLE))
+           END AS score,
+           COALESCE(CASE WHEN n_tokens > 0
+                THEN CAST(feat_sum AS DOUBLE) / (1000.0 * CAST(n_tokens AS DOUBLE))
+           END >= 0, FALSE) AS accept
+    FROM t
+    """,
+)
+def doc_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed-feature linear quality classifier
+    (textops.hashed_linear_score): the trained-weight-vector production
+    shape with a deterministic md5-derived fake weight table, folded over
+    the token array in one codegen'd higher-order aggregate — zero
+    shuffles, no explode, integer-exact feature sums."""
+    from .operators.textops import hashed_linear_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hashed_linear_score(docs, num_buckets=512)

@@ -1,0 +1,751 @@
+"""Adapted TPC-H join/subquery shapes over the driver's star schema.
+
+The reference engine replicates tables; the analytics a user runs on the
+replicated warehouse are standard TPC-H-style shapes. Earlier rounds gated
+q1/q3/q5/q10/q12/q13/q17/q18; this module covers the remaining distinct
+plan shapes — correlated EXISTS / NOT EXISTS (q4, q21, q22), two-alias
+dimension joins (q7), CASE-ratio market share (q8, q14), group-vs-grand
+total scalar subqueries (q11, q22), correlated min (q2, q15), NOT IN
+anti-join with COUNT DISTINCT (q16), and OR-of-conjuncts pushdown (q19) —
+adapted to the available columns (no partsupp / commitdate / receiptdate
+in the fixture; each adaptation keeps the plan shape, which is the point).
+
+Determinism follows the house rules in queries.py: decimal-carried sums,
+string-roundtrip decimal→double, no raw-double accumulation, identical
+aliases both sides. Ratios divide two bit-identical doubles (IEEE division
+is correctly rounded, so the quotients match bit-for-bit).
+
+Scale notes: every dimension join (region/nation/supplier/part/customer)
+is broadcast-hinted; semi/anti joins shuffle on the join key only; the
+scalar-subquery totals are 1-row aggregates crossJoin-broadcast back, so
+no plan ever collects corpus-scale data to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from .queries import query
+from .sources.catalog import load_table
+
+
+def _dec(col, scale: int = 4):
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+def _rev():
+    """Exact decimal revenue term ext*(1-disc)."""
+    return _dec("l_extendedprice") * (1 - _dec("l_discount"))
+
+
+def _s2d(c):
+    """Decimal → double via the string round-trip (correctly rounded in
+    both engines; DuckDB's native int128 path can be 1 ulp off)."""
+    return c.cast("string").cast("double")
+
+
+# ---------------------------------------------------------------------------
+# q4 shape: priority count with correlated EXISTS (semi-join with an
+# extra inequality on the correlated row).
+# ---------------------------------------------------------------------------
+
+@query(
+    "order_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 20 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q4 shape (EXISTS decorrelated to a left-semi join whose
+    condition carries the shipped-late inequality; adapted predicate
+    `shipdate > orderdate + 20d` since the fixture has no commitdate).
+    One shuffle on orderkey; the count aggregates map-side."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    hit = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 20 DAYS")),
+        "left_semi",
+    )
+    return (
+        hit.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q7 shape: volume shipping between two nations (two aliases of the same
+# dimension, joined through different fact foreign keys).
+# ---------------------------------------------------------------------------
+
+@query(
+    "nation_volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE)
+             AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY n1.n_name, n2.n_name, CAST(year(l.l_shipdate) AS INT)
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q7 shape: the same `nation` dimension joined twice under two
+    aliases (supplier side and customer side), with a symmetric pair
+    predicate. Both nation sides and supplier/customer broadcast; the
+    only real shuffle is lineitem⋈orders on orderkey."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(broadcast(n1), F.col("sn_key") == F.col("s_nationkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(broadcast(n2), F.col("cn_key") == F.col("c_nationkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        j.withColumn("l_year", F.year("l_shipdate").cast("int"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(_s2d(F.sum(_rev())).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q8 shape: national market share (CASE-sum ratio inside a region scope).
+# ---------------------------------------------------------------------------
+
+@query(
+    "nation_market_share",
+    oracle="""
+    SELECT o_year,
+           CAST(CAST(nation_rev AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(total_rev AS VARCHAR) AS DOUBLE) AS mkt_share,
+           CAST(CAST(total_rev AS VARCHAR) AS DOUBLE) AS total_revenue
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             SUM(CASE WHEN n1.n_name = 'NATION_5'
+                 THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,4)))
+                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS nation_rev,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS total_rev
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n2.n_regionkey
+      WHERE r.r_name = 'ASIA'
+      GROUP BY CAST(year(o.o_orderdate) AS INT)
+    ) t
+    ORDER BY o_year
+    """,
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q8 shape: NATION_5's share of ASIA-customer revenue per order
+    year. The CASE keeps both sums in one aggregation pass (no second
+    scan); the share divides two string-roundtripped exact-decimal
+    doubles, so the quotient is bit-identical across engines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_regionkey").alias("cn_region"),
+    )
+    asia = region.filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    rev = _rev()
+    zero = F.lit(0).cast("decimal(18,4)")
+    agg = (
+        li.join(broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(broadcast(n1), F.col("sn_key") == F.col("s_nationkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(broadcast(n2), F.col("cn_key") == F.col("c_nationkey"))
+        .join(broadcast(asia), F.col("r_regionkey") == F.col("cn_region"))
+        .withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_5", rev).otherwise(zero)
+            ).alias("nation_rev"),
+            F.sum(rev).alias("total_rev"),
+        )
+    )
+    return agg.select(
+        "o_year",
+        (_s2d(F.col("nation_rev")) / _s2d(F.col("total_rev"))).alias("mkt_share"),
+        _s2d(F.col("total_rev")).alias("total_revenue"),
+    ).orderBy("o_year")
+
+
+# ---------------------------------------------------------------------------
+# q9 shape: product-line profit by supplier nation and year.
+# ---------------------------------------------------------------------------
+
+@query(
+    "product_profit_by_nation",
+    oracle="""
+    SELECT n.n_name AS nation, CAST(year(l.l_shipdate) AS INT) AS o_year,
+           CAST(CAST(SUM(
+             CAST(l.l_extendedprice AS DECIMAL(18,4))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,4)))
+             - CAST(p.p_retailprice AS DECIMAL(18,4))
+               * CAST(l.l_quantity AS DECIMAL(18,4))
+           ) AS VARCHAR) AS DOUBLE) AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_type = 'PROMO'
+    GROUP BY n.n_name, CAST(year(l.l_shipdate) AS INT)
+    ORDER BY nation, o_year
+    """,
+)
+def product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q9 shape (no partsupp in the fixture, so cost =
+    retailprice×quantity instead of supplycost×quantity — same
+    revenue-minus-cost decimal algebra). Part/supplier/nation broadcast;
+    the profit term stays exact decimal until the final string→double."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+        "l_discount", "l_shipdate",
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_type", "p_retailprice"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = _rev() - _dec("p_retailprice") * _dec("l_quantity")
+    return (
+        li.join(
+            broadcast(part.filter(F.col("p_type") == "PROMO")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .withColumn("o_year", F.year("l_shipdate").cast("int"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("o_year"))
+        .agg(_s2d(F.sum(profit)).alias("sum_profit"))
+        .orderBy("nation", "o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q11 shape: value concentration (group totals vs a grand-total scalar
+# subquery).
+# ---------------------------------------------------------------------------
+
+@query(
+    "part_value_concentration",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey AS p_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS value_dec
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p_partkey, CAST(CAST(value_dec AS VARCHAR) AS DOUBLE) AS part_value
+    FROM pv
+    WHERE CAST(CAST(value_dec AS VARCHAR) AS DOUBLE) >
+          (SELECT CAST(CAST(SUM(value_dec) AS VARCHAR) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE) FROM pv) * 1.5
+    ORDER BY part_value DESC, p_partkey
+    """,
+)
+def part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q11 shape: per-part value filtered against a multiple of the
+    MEAN part value (q11's 0.0001-of-grand-total fraction is tuned to
+    partsupp's cardinality; value > 1.5× mean keeps the same
+    group-vs-scalar-subquery plan shape while yielding rows at every
+    scale factor). The scalar is a 1-row crossJoin broadcast, never a
+    driver collect, and the threshold math runs on bit-identical doubles
+    so the comparison agrees across engines."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    pv = li.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.sum(_dec("l_extendedprice")).alias("value_dec")
+    )
+    total = pv.agg(
+        (_s2d(F.sum("value_dec")) / F.count(F.lit(1)).cast("double")).alias(
+            "mean_value"
+        )
+    )
+    return (
+        pv.withColumn("part_value", _s2d(F.col("value_dec")))
+        .crossJoin(broadcast(total))
+        .filter(F.col("part_value") > F.col("mean_value") * F.lit(1.5))
+        .select("p_partkey", "part_value")
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q14 shape: promotion revenue share per month (CASE ratio over a join).
+# ---------------------------------------------------------------------------
+
+@query(
+    "promo_revenue_share",
+    oracle="""
+    SELECT o_year, o_month,
+           CAST(CAST(promo_dec AS VARCHAR) AS DOUBLE) AS promo_revenue,
+           CAST(CAST(total_dec AS VARCHAR) AS DOUBLE) AS total_revenue,
+           100.0 * (CAST(CAST(promo_dec AS VARCHAR) AS DOUBLE)
+                    / CAST(CAST(total_dec AS VARCHAR) AS DOUBLE)) AS promo_pct
+    FROM (
+      SELECT CAST(year(l.l_shipdate) AS INT) AS o_year,
+             CAST(month(l.l_shipdate) AS INT) AS o_month,
+             SUM(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,4)))
+                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS promo_dec,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS total_dec
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ) t
+    ORDER BY o_year, o_month
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q14 shape, widened from one scalar to a per-month series.
+    Part broadcast, one shuffle on the (year, month) grain; the percent
+    multiplies a bit-identical quotient by the exact literal 100.0."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _rev()
+    zero = F.lit(0).cast("decimal(18,4)")
+    agg = (
+        li.join(broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .withColumn("o_year", F.year("l_shipdate").cast("int"))
+        .withColumn("o_month", F.month("l_shipdate").cast("int"))
+        .groupBy("o_year", "o_month")
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).alias(
+                "promo_dec"
+            ),
+            F.sum(rev).alias("total_dec"),
+        )
+    )
+    promo_d = _s2d(F.col("promo_dec"))
+    total_d = _s2d(F.col("total_dec"))
+    return agg.select(
+        "o_year",
+        "o_month",
+        promo_d.alias("promo_revenue"),
+        total_d.alias("total_revenue"),
+        (F.lit(100.0) * (promo_d / total_d)).alias("promo_pct"),
+    ).orderBy("o_year", "o_month")
+
+
+# ---------------------------------------------------------------------------
+# q15 shape: top supplier(s) by revenue (aggregate, then filter against
+# the aggregate's own max — ties kept).
+# ---------------------------------------------------------------------------
+
+@query(
+    "top_supplier_by_revenue",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS total_dec
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(CAST(r.total_dec AS VARCHAR) AS DOUBLE) AS total_revenue
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_dec = (SELECT MAX(total_dec) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q15 shape: revenue view, then equality against its own MAX.
+    The max/equality run on the exact decimals (not doubles), so ties are
+    exact; an empty-over() window max broadcasts the scalar instead of
+    re-aggregating."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_rev()).alias("total_dec"))
+    )
+    w = Window.partitionBy()
+    best = rev.withColumn("max_dec", F.max("total_dec").over(w)).filter(
+        F.col("total_dec") == F.col("max_dec")
+    )
+    return (
+        best.join(broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", _s2d(F.col("total_dec")).alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16 shape: supplier-count histogram with a NOT IN anti-join.
+# ---------------------------------------------------------------------------
+
+@query(
+    "parts_supplier_count",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q16 shape: COUNT DISTINCT per part-attribute group, with the
+    excluded-supplier NOT IN decorrelated to a broadcast left-anti join
+    (safe here: s_suppkey is a non-null PK, so NOT IN ≡ anti-join).
+    The distinct shuffles (group, suppkey) once — no second exchange."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    pf = part.filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    return (
+        li.join(broadcast(bad), F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        .join(broadcast(pf), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q19 shape: OR-of-conjuncts predicate across a join (tests that the
+# disjunction still prunes at the scan and the join stays broadcast).
+# ---------------------------------------------------------------------------
+
+@query(
+    "disjunctive_filter_revenue",
+    oracle="""
+    SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+             * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 1 AND 15)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 5 AND 20
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 20 AND 45)
+    """,
+)
+def disjunctive_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q19 shape: three OR'd brand/size/quantity conjunct groups.
+    Catalyst extracts the common `l_quantity BETWEEN 1 AND 45` envelope
+    into the lineitem scan and the brand/size envelope into the broadcast
+    part side; the residual disjunction evaluates post-join in codegen."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(5, 20)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(20, 45)
+        )
+    )
+    return j.filter(cond).agg(
+        _s2d(F.sum(_rev())).alias("revenue"), F.count(F.lit(1)).alias("n_lines")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21 shape: the sole-late-supplier blame query (EXISTS + NOT EXISTS,
+# both correlated with inequality conditions).
+# ---------------------------------------------------------------------------
+
+@query(
+    "late_supplier_blame",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    """,
+)
+def late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q21 shape: lines late by >60d (adapted from receipt-vs-commit,
+    absent in the fixture) in multi-supplier finished orders where ONLY
+    this supplier is late — a correlated EXISTS (left-semi) plus a
+    correlated NOT EXISTS (left-anti), both carrying non-equi conditions
+    beside the orderkey equi-key, so both decorrelate to shuffles on
+    orderkey alone."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late_cut = F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    l1 = (
+        li.join(
+            orders.filter(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .filter(F.col("l_shipdate") > late_cut)
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("x_orderkey"), F.col("l_suppkey").alias("x_suppkey")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("y_orderkey"),
+        F.col("l_suppkey").alias("y_suppkey"),
+        F.col("l_shipdate").alias("y_shipdate"),
+    )
+    blamed = l1.join(
+        l2,
+        (F.col("x_orderkey") == F.col("l_orderkey"))
+        & (F.col("x_suppkey") != F.col("l_suppkey")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("y_orderkey") == F.col("l_orderkey"))
+        & (F.col("y_suppkey") != F.col("l_suppkey"))
+        & (F.col("y_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_anti",
+    )
+    return (
+        blamed.join(broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q22 shape: above-average balances with no orders (scalar AVG subquery +
+# NOT EXISTS anti-join).
+# ---------------------------------------------------------------------------
+
+@query(
+    "idle_customers_by_segment",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS numcust,
+           CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+             AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+        SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS VARCHAR)
+                    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        FROM customer WHERE c_acctbal > 0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+      )
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def idle_customers_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q22 shape (segment stands in for the phone prefix): customers
+    above the positive-balance average with no RECENT orders (every
+    fixture customer has at least one order ever, so the dormancy window
+    keeps the anti-join non-trivial at every scale). The AVG scalar is
+    an exact decimal sum divided by an exact count (no raw-double AVG,
+    whose accumulation order differs across engines); the NOT EXISTS is a
+    left-anti on custkey."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    thresh = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                _s2d(F.sum(_dec("c_acctbal")))
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_bal")
+        )
+    )
+    return (
+        cust.crossJoin(broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _s2d(F.sum(_dec("c_acctbal"))).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q2 shape: correlated per-group minimum (the min-cost supplier).
+# ---------------------------------------------------------------------------
+
+@query(
+    "min_unitprice_supplier",
+    oracle="""
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_price
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT o.l_partkey AS p_partkey, o.l_suppkey AS s_suppkey,
+           s.s_name, o.unit_price
+    FROM offers o
+    JOIN supplier s ON s.s_suppkey = o.l_suppkey
+    JOIN part p ON p.p_partkey = o.l_partkey
+    WHERE p.p_size = 25
+      AND o.unit_price = (
+        SELECT MIN(o2.unit_price) FROM offers o2
+        WHERE o2.l_partkey = o.l_partkey
+      )
+    ORDER BY p_partkey, s_suppkey
+    """,
+)
+def min_unitprice_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q2 shape (unit price from lineitem stands in for the missing
+    partsupp.supplycost): per size-25 part, the supplier(s) achieving the
+    minimum observed unit price. The correlated MIN decorrelates to a
+    partition window over partkey — one shuffle, ties kept. The division
+    l_extendedprice/l_quantity is a single IEEE op on identical operands,
+    so MIN and the equality agree bit-for-bit across engines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_size")
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    )
+    w = Window.partitionBy("l_partkey")
+    best = offers.withColumn("min_price", F.min("unit_price").over(w)).filter(
+        F.col("unit_price") == F.col("min_price")
+    )
+    return (
+        best.join(
+            broadcast(part.filter(F.col("p_size") == 25)),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            "unit_price",
+        )
+        .orderBy("p_partkey", "s_suppkey")
+    )

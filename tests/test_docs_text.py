@@ -356,3 +356,50 @@ class TestBpe:
         )
         wc = {r["word"]: r["count"] for r in word_counts(docs).collect()}
         assert wc["the"] == 4 and wc["cat"] == 1
+
+
+class TestHashedLinearClassifier:
+    def test_matches_pure_python_reference(self, spark):
+        import hashlib
+
+        from database_replicator_spark.operators.textops import (
+            classifier_weight,
+            hashed_linear_score,
+        )
+
+        texts = ["the cat sat", "one", "alpha beta gamma delta", ""]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: r
+            for r in hashed_linear_score(df, num_buckets=64).collect()
+        }
+
+        def py_score(text):
+            # split(trim(''), '\s+') yields [''] (size 1) in both engines
+            toks = text.strip().split() or [""]
+            s = 0
+            for t in toks:
+                b = int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % 64
+                s += classifier_weight(b, 64)
+            return s, len(toks)
+
+        for i, t in enumerate(texts):
+            s, n = py_score(t)
+            assert got[i]["feat_sum"] == s, (t, got[i])
+            assert got[i]["n_tokens"] == n
+            if n:
+                assert got[i]["score"] == s / (1000.0 * n)
+
+    def test_plan_is_shuffle_free(self, spark):
+        from database_replicator_spark.operators.textops import hashed_linear_score
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        plan = (
+            hashed_linear_score(df, num_buckets=8)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
