@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .queries import query
+from .queries import _dec  # noqa: F401
 from .sources.catalog import load_table
 
 
@@ -824,4 +825,126 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderdate",
             F.col("total_qty").cast("double").alias("total_qty"),
         )
+    )
+
+
+@query(
+    "order_grouping_sets",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderpriority,
+           CAST(GROUPING(CAST(year(o_orderdate) AS INT)) AS INT) AS g_year,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((CAST(year(o_orderdate) AS INT)),
+                            (o_orderpriority), ())
+    ORDER BY g_year, g_prio, o_year, o_orderpriority
+    """,
+)
+def order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with GROUPING() disambiguation flags — the
+    third grouping-set surface next to the gated ROLLUP and CUBE, and the
+    one that distinguishes a NULL group key from an aggregated-out key.
+    Runs through spark.sql (the DataFrame API has no grouping-sets verb);
+    one shuffle, partial aggregation underneath like any groupBy."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.select(
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        "o_orderpriority",
+        "o_totalprice",
+    ).createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_year, o_orderpriority,
+               CAST(GROUPING(o_year) AS INT) AS g_year,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_year), (o_orderpriority), ())
+        ORDER BY g_year, g_prio, o_year, o_orderpriority
+        """
+    )
+
+
+@query(
+    "customer_value_deciles",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey AS c_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS spend_dec
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c_custkey,
+           CAST(CAST(spend_dec AS VARCHAR) AS DOUBLE) AS spend,
+           CAST(ntile(10) OVER w AS INT) AS decile,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM spend
+    WINDOW w AS (ORDER BY spend_dec DESC, c_custkey)
+    ORDER BY rnk
+    """,
+)
+def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window family over customer lifetime spend: ntile decile
+    assignment, rank, percent_rank, cume_dist in one window. The ORDER BY
+    carries a unique custkey tiebreak so every rank function is
+    deterministic; percent_rank/cume_dist divide exact integer ranks, so
+    the doubles match bit-for-bit. The global window is the semantic;
+    at corpus scale the same result ships via range-partitioned sort
+    (operators/layout.sorted_export) + per-partition offsets."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.sum(_dec("o_totalprice")).alias("spend_dec")
+    )
+    w = Window.orderBy(F.desc("spend_dec"), F.col("c_custkey"))
+    return (
+        spend.select(
+            "c_custkey",
+            F.col("spend_dec").cast("string").cast("double").alias("spend"),
+            F.ntile(10).over(w).cast("int").alias("decile"),
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .orderBy("rnk")
+    )
+
+
+@query(
+    "quality_unpivot",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars_m,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens,
+             CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))
+               AS BIGINT) AS n_punct
+      FROM documents WHERE doc_id < 100
+    )
+    UNPIVOT c ON n_chars_m, n_tokens, n_punct
+    INTO NAME metric VALUE value
+    """,
+)
+def quality_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide per-document quality metrics to long
+    (doc_id, metric, value) form — the shape feature stores and metric
+    sinks ingest. Map-only (no shuffle); the DataFrame `unpivot` verb is
+    the inverse of the gated conditional-aggregation pivot."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    t = F.col("text")
+    wide = docs.select(
+        "doc_id",
+        F.length(t).cast("bigint").alias("n_chars_m"),
+        F.size(F.split(F.trim(t), r"\s+")).cast("bigint").alias("n_tokens"),
+        F.regexp_count(t, F.lit(r"[.!?,;:]")).cast("bigint").alias("n_punct"),
+    )
+    return wide.unpivot(
+        ids=["doc_id"],
+        values=["n_chars_m", "n_tokens", "n_punct"],
+        variableColumnName="metric",
+        valueColumnName="value",
     )

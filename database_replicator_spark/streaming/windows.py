@@ -80,3 +80,47 @@ def session_stats(
         F.max(ts_col).alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[tuple[str, str]],
+    left_ts: str,
+    right_ts: str,
+    within: str,
+    left_watermark: str = "10 minutes",
+    right_watermark: str = "10 minutes",
+    join_type: str = "inner",
+) -> DataFrame:
+    """Stream-stream event-time interval join: pair each left event with
+    right events on the same key whose timestamp falls in
+    ``[left_ts, left_ts + within]`` (e.g. purchases within 1 hour of the
+    click).
+
+    Structured Streaming requires BOTH watermarks plus the two-sided
+    time-range condition — that is what lets the engine garbage-collect
+    join state: a buffered left row can be dropped once the right
+    watermark passes ``left_ts + within``, so state is O(key-rate ×
+    (within + watermark)), never unbounded. Without the range bounds the
+    same join would accumulate state forever; this helper makes the
+    bounds impossible to forget.
+
+    Works identically on batch frames (the condition is plain Catalyst),
+    which is how the oracle-checked attribution gate validates the join
+    semantics; this wrapper's value in streaming mode is the state-TTL
+    contract. ``on`` is a list of (left_col, right_col) equality pairs;
+    keep the two frames' column names disjoint apart from the keys.
+    """
+    l_wm = left.withWatermark(left_ts, left_watermark)
+    r_wm = right.withWatermark(right_ts, right_watermark)
+    cond = None
+    for lc, rc in on:
+        piece = l_wm[lc] == r_wm[rc]
+        cond = piece if cond is None else (cond & piece)
+    cond = (
+        cond
+        & (r_wm[right_ts] >= l_wm[left_ts])
+        & (r_wm[right_ts] <= l_wm[left_ts] + F.expr(f"INTERVAL {within}"))
+    )
+    return l_wm.join(r_wm, cond, join_type)

@@ -192,3 +192,40 @@ class TestSpreadBy:
         df = spark.createDataFrame([(i, "x" * 100) for i in range(5000)], "id long, s string")
         spread = spread_by(df, F.col("id"))
         assert spread.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+class TestTpchShapePlans:
+    """Plan invariants for the session-2 TPC-H shape suite: decorrelated
+    subqueries must land as semi/anti joins (never cartesians), dimensions
+    must broadcast, and scalar subqueries must be 1-row broadcasts."""
+
+    def test_exists_decorrelates_to_semi_join(self, spark, sf_dir):
+        plan = plan_of(q.all_queries()["order_priority_exists"](spark, sf_dir))
+        assert "LeftSemi" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_blame_query_has_semi_and_anti_on_orderkey(self, spark, sf_dir):
+        plan = plan_of(q.all_queries()["late_supplier_blame"](spark, sf_dir))
+        assert "LeftSemi" in plan
+        assert "LeftAnti" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_two_alias_dimension_joins_broadcast(self, spark, sf_dir):
+        plan = plan_of(q.all_queries()["nation_volume_shipping"](spark, sf_dir))
+        # supplier, customer and both nation aliases broadcast; the only
+        # volume join is lineitem⋈orders
+        assert plan.count("BroadcastHashJoin") >= 4
+        assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+    def test_scalar_subquery_is_broadcast_not_collect(self, spark, sf_dir):
+        plan = plan_of(q.all_queries()["part_value_concentration"](spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        # the 1-row threshold side must never shuffle the aggregate table
+        assert "CartesianProduct" not in plan
+
+    def test_grouping_sets_single_expand_single_shuffle(self, spark, sf_dir):
+        plan = plan_of(q.all_queries()["order_grouping_sets"](spark, sf_dir))
+        assert "Expand" in plan
+        # one base-table pass: a second scan would mean the sets were
+        # computed as a union of aggregations
+        assert plan.count("Scan parquet") == 1

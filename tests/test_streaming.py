@@ -358,3 +358,98 @@ class TestTimeTravel:
         }
         want = {r["pk"]: r["payload"] for r in live.collect()}
         assert got == want
+
+
+class TestStreamIntervalJoin:
+    def test_stream_stream_join_matches_batch(self, spark, tmp_path):
+        import json as _json
+
+        from database_replicator_spark.streaming.windows import stream_interval_join
+
+        clicks_dir = str(tmp_path / "clicks")
+        buys_dir = str(tmp_path / "buys")
+        os.makedirs(clicks_dir)
+        os.makedirs(buys_dir)
+        clicks = [
+            {"user": 1, "click_ts": "2024-01-01 10:00:00", "page": "a"},
+            {"user": 1, "click_ts": "2024-01-01 12:00:00", "page": "b"},
+            {"user": 2, "click_ts": "2024-01-01 10:30:00", "page": "c"},
+        ]
+        buys = [
+            {"user": 1, "buy_ts": "2024-01-01 10:40:00", "amount": 5.0},
+            {"user": 1, "buy_ts": "2024-01-01 13:30:00", "amount": 7.0},  # >1h after b
+            {"user": 2, "buy_ts": "2024-01-01 10:31:00", "amount": 9.0},
+            {"user": 2, "buy_ts": "2024-01-01 09:00:00", "amount": 1.0},  # before click
+        ]
+        with open(os.path.join(clicks_dir, "c.json"), "w") as fh:
+            for r in clicks:
+                fh.write(_json.dumps(r) + "\n")
+        with open(os.path.join(buys_dir, "b.json"), "w") as fh:
+            for r in buys:
+                fh.write(_json.dumps(r) + "\n")
+
+        c_schema = "user long, click_ts timestamp, page string"
+        b_schema = "user long, buy_ts timestamp, amount double"
+        c_stream = spark.readStream.schema(c_schema).json(clicks_dir)
+        b_stream = (
+            spark.readStream.schema(b_schema).json(buys_dir)
+            .withColumnRenamed("user", "b_user")
+        )
+        joined = stream_interval_join(
+            c_stream,
+            b_stream,
+            on=[("user", "b_user")],
+            left_ts="click_ts",
+            right_ts="buy_ts",
+            within="1 hour",
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("ij_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["user"], r["page"], r["amount"])
+            for r in spark.sql("SELECT * FROM ij_out").collect()
+        }
+        assert got == {(1, "a", 5.0), (2, "c", 9.0)}
+
+        # batch twin: identical condition, identical result
+        c_b = spark.createDataFrame(
+            [(1, "2024-01-01 10:00:00", "a"), (1, "2024-01-01 12:00:00", "b"),
+             (2, "2024-01-01 10:30:00", "c")],
+            "user long, click_ts string, page string",
+        ).withColumn("click_ts", F.col("click_ts").cast("timestamp"))
+        b_b = spark.createDataFrame(
+            [(1, "2024-01-01 10:40:00", 5.0), (1, "2024-01-01 13:30:00", 7.0),
+             (2, "2024-01-01 10:31:00", 9.0), (2, "2024-01-01 09:00:00", 1.0)],
+            "b_user long, buy_ts string, amount double",
+        ).withColumn("buy_ts", F.col("buy_ts").cast("timestamp"))
+        batch = stream_interval_join(
+            c_b, b_b, on=[("user", "b_user")], left_ts="click_ts",
+            right_ts="buy_ts", within="1 hour",
+        )
+        got_b = {(r["user"], r["page"], r["amount"]) for r in batch.collect()}
+        assert got_b == got
+
+    def test_state_bound_documented_in_plan(self, spark, tmp_path):
+        """The streaming plan must carry the watermark + range condition
+        (the state-GC contract) — assert the analyzed plan shows both
+        event-time watermarks."""
+        c_stream = spark.readStream.schema(
+            "user long, click_ts timestamp"
+        ).json(str(tmp_path))
+        b_stream = spark.readStream.schema(
+            "b_user long, buy_ts timestamp"
+        ).json(str(tmp_path))
+        from database_replicator_spark.streaming.windows import stream_interval_join
+
+        j = stream_interval_join(
+            c_stream, b_stream, on=[("user", "b_user")],
+            left_ts="click_ts", right_ts="buy_ts", within="30 minutes",
+        )
+        plan = j._jdf.queryExecution().analyzed().toString()
+        assert plan.count("EventTimeWatermark") == 2
