@@ -159,6 +159,11 @@ def main(argv: list[str] | None = None) -> int:
         "--token-budget", type=int, default=None,
         help="best-first selection to this total token target before splitting",
     )
+    corpus_p.add_argument(
+        "--classifier-threshold", type=float, default=None,
+        help="keep only docs whose hashed-feature linear-classifier score "
+        "is >= this value (model-based quality gate after the rule cascade)",
+    )
 
     audit_p = sub.add_parser(
         "audit", help="declarative constraint audit of a parquet table"
@@ -315,6 +320,7 @@ def main(argv: list[str] | None = None) -> int:
                 near_dup=args.near_dup,
                 span_mask=args.span_mask,
                 token_budget=args.token_budget,
+                classifier_threshold=args.classifier_threshold,
             )
             print(json.dumps({"ok": True, **report}))
             return 0

@@ -4,7 +4,9 @@ operators, runnable from the CLI (``corpus-build``).
 Stages (each individually gated/tested elsewhere; this module only
 composes them and accounts for every document):
 
-  ingest (JSONL or parquet) → quality rule-cascade → exact dedup →
+  ingest (JSONL or parquet) → exact dedup → quality rule-cascade →
+  optional classifier gate (hashed-feature linear score) → optional
+  near-dup cluster dedup / span masking / token-budget selection →
   optional temperature-α mixture down-sample → train/val/test split →
   token-budget sequence packing → deterministic shard shuffle → write
 
@@ -39,6 +41,7 @@ def build_corpus(
     jaccard_threshold: float = 0.2,
     span_mask: bool = False,
     token_budget: int | None = None,
+    classifier_threshold: float | None = None,
 ) -> dict:
     """Run the batch corpus build; returns the per-stage accounting dict
     (every input document ends in exactly one bucket: corrupt, rejected,
@@ -91,6 +94,24 @@ def build_corpus(
     kept_count = docs.count()
     report["n_quality_rejected"] = after_dedup - kept_count
     after_dedup = kept_count
+
+    if classifier_threshold is not None:
+        # model-based quality gate AFTER the rule cascade: the hashed
+        # bag-of-words linear scorer (deterministic fake weights here;
+        # trained coefficients at deployment) — map-only, zero shuffle,
+        # so ordering it after the cheap integer rules costs nothing
+        from .operators.textops import hashed_linear_score
+
+        scored = hashed_linear_score(docs, text_col=text_field)
+        passing = scored.filter(
+            F.col("score") >= F.lit(classifier_threshold)
+        ).select("doc_id")
+        docs = docs.join(passing, on="doc_id").localCheckpoint(eager=False)
+        kept_count = docs.count()
+        report["n_classifier_rejected"] = after_dedup - kept_count
+        after_dedup = kept_count
+    else:
+        report["n_classifier_rejected"] = 0
 
     if near_dup:
         # near-dup CLUSTER dedup: LSH candidates → verified Jaccard pairs

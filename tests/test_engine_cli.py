@@ -284,6 +284,50 @@ class TestCorpusBuildCli:
         assert built.select("shard").distinct().count() <= 4
 
 
+    def test_classifier_threshold_stage_accounts_rejects(
+        self, spark, tmp_path, capsys
+    ):
+        import json as _json
+        import os
+
+        src = os.path.join(str(tmp_path), "cls.jsonl")
+        with open(src, "w") as f:
+            for i in range(30):
+                t = "the cat is on a mat and it is fine " + " ".join(
+                    f"tok{i}y{j}" for j in range(10)
+                )
+                f.write(_json.dumps({"text": t, "lang": "en", "source": "s0"}) + "\n")
+
+        from database_replicator_spark.cli import main
+        from database_replicator_spark.operators.textops import hashed_linear_score
+        from database_replicator_spark.sources.text_corpus import read_jsonl_documents
+
+        # expected rejects straight from the operator on the ingested docs
+        docs, _ = read_jsonl_documents(spark, src, text_field="text")
+        import pyspark.sql.functions as F
+        expected_reject = (
+            hashed_linear_score(docs).filter(F.col("score") < 0.0).count()
+        )
+        assert 0 < expected_reject < 30  # threshold actually separates
+
+        out_dir = os.path.join(str(tmp_path), "built_cls")
+        rc = main(["corpus-build", "--source", src, "--out", out_dir,
+                   "--budget", "64", "--shards", "2", "--min-tokens", "3",
+                   "--classifier-threshold", "0.0"])
+        rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and rep["ok"]
+        assert rep["n_classifier_rejected"] == expected_reject
+        assert rep["n_written"] == 30 - expected_reject
+
+        # threshold below the score floor (weights are in [-1,1]) keeps all
+        out_dir2 = os.path.join(str(tmp_path), "built_cls2")
+        rc = main(["corpus-build", "--source", src, "--out", out_dir2,
+                   "--budget", "64", "--shards", "2", "--min-tokens", "3",
+                   "--classifier-threshold", "-1.5"])
+        rep2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and rep2["n_classifier_rejected"] == 0
+
+
 class TestProfileCli:
     def test_profile_command_emits_per_table_stats(self, spark, capsys):
         import json as _json
