@@ -42,14 +42,39 @@ def main() -> None:
         spark.catalog.clearCache()
         return dt
 
+    # Wall budget: the gate count grows every round, and an external
+    # timeout that kills bench mid-loop yields NO json line at all —
+    # strictly worse than noisier timings. Degrade the per-query protocol
+    # (3 runs → 2 → 1) as the budget is consumed so the full query dict
+    # is always emitted. At 118 gates / sf0.1 the 3-run protocol fits the
+    # default budget on an idle host; degradation only kicks in under
+    # neighbor load.
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
+    bench_t0 = time.perf_counter()
+
     timings: dict[str, float] = {}
     total = 0.0
+    n_degraded = 0
     for name, fn in q.all_queries().items():
-        run_once(fn)            # warm-up: codegen/JIT + python workers
-        # steady-state = min of two measured runs: this box shares a host
-        # and neighbor load spikes individual runs 3-5x; the min is the
-        # reproducible engine time, not the noise
-        dt = min(run_once(fn), run_once(fn))
+        elapsed = time.perf_counter() - bench_t0
+        if elapsed > budget * 0.9:
+            runs = 1            # cold single run: complete beats precise
+        elif elapsed > budget * 0.65:
+            runs = 2            # warm-up + one measured
+        else:
+            runs = 3            # warm-up + min of two measured
+        if runs < 3:
+            n_degraded += 1
+        if runs == 1:
+            dt = run_once(fn)
+        else:
+            run_once(fn)        # warm-up: codegen/JIT + python workers
+            # steady-state = min of the measured runs: this box shares a
+            # host and neighbor load spikes individual runs 3-5x; the min
+            # is the reproducible engine time, not the noise
+            dt = run_once(fn)
+            if runs == 3:
+                dt = min(dt, run_once(fn))
         timings[name] = round(dt, 3)
         total += dt
 
@@ -61,6 +86,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "degraded_queries": n_degraded,
             }
         )
     )
