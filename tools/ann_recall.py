@@ -84,6 +84,26 @@ def main() -> int:
         times[name] = round(time.perf_counter() - t0, 2)
         results[name] = round(len(got & truth) / len(truth), 4)
 
+    # PCA-projected exact scan: dim 64 → 16 via the distributed Gram pass,
+    # then the same BLAS top-k in projected space. This is the "shrink
+    # before you index" lever — recall here bounds what any ANN index
+    # built on the projected vectors can achieve, and the wall time
+    # includes fitting the projection.
+    from database_replicator_spark.operators.projection import (
+        fit_pca,
+        project_vectors,
+    )
+
+    for pk in (16, 32):
+        name = f"pca({pk}) + exact scan"
+        t0 = time.perf_counter()
+        comps, mean, _ = fit_pca(emb, k=pk, vec_col="embedding", dim=64)
+        p_corpus = project_vectors(emb, comps, mean, vec_col="embedding")
+        p_queries = project_vectors(queries, comps, mean, vec_col="embedding")
+        got = pair_set(topk_blas(p_corpus, p_queries, k=k, vec_col="projected"))
+        times[name] = round(time.perf_counter() - t0, 2)
+        results[name] = round(len(got & truth) / len(truth), 4)
+
     # Near-dup PAIR recall: neardup_pairs_lsh vs the exact blocked scan
     # (ground truth) at the gated threshold — the same audit for the
     # symmetric-pairs operator that recall@k is for top-k.
@@ -166,7 +186,14 @@ def main() -> int:
         "On a corpus with real cluster structure the k-means quantizer "
         "clears recall ≥ 0.9 at nprobe=1 "
         "(tests/test_dedup_similarity.py::"
-        "test_kmeans_quantizer_beats_sample_on_clustered_corpus).",
+        "test_kmeans_quantizer_beats_sample_on_clustered_corpus). The "
+        "same applies doubly to the `pca(k) + exact scan` rows: a "
+        "near-uniform cloud has a FLAT spectrum, so dropping dimensions "
+        "necessarily discards ~proportional variance (recall ≈ what random "
+        "projection would give); on real embeddings — whose variance "
+        "concentrates in a few hundred directions — the projected scan "
+        "approaches full recall at a fraction of the matmul/index cost "
+        "(tests/test_projection.py pins the clustered-fixture behavior).",
     ]
     with open(os.path.join(REPO, "RECALL.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
