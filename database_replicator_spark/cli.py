@@ -164,6 +164,11 @@ def main(argv: list[str] | None = None) -> int:
         help="keep only docs whose hashed-feature linear-classifier score "
         "is >= this value (model-based quality gate after the rule cascade)",
     )
+    corpus_p.add_argument(
+        "--export-jsonl", action="store_true",
+        help="also write gzipped JSON-lines shards + manifest.json "
+        "(the training-loader format) next to the parquet corpus",
+    )
 
     audit_p = sub.add_parser(
         "audit", help="declarative constraint audit of a parquet table"
@@ -321,6 +326,7 @@ def main(argv: list[str] | None = None) -> int:
                 span_mask=args.span_mask,
                 token_budget=args.token_budget,
                 classifier_threshold=args.classifier_threshold,
+                export_jsonl=args.export_jsonl,
             )
             print(json.dumps({"ok": True, **report}))
             return 0

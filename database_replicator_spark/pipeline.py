@@ -42,6 +42,7 @@ def build_corpus(
     span_mask: bool = False,
     token_budget: int | None = None,
     classifier_threshold: float | None = None,
+    export_jsonl: bool = False,
 ) -> dict:
     """Run the batch corpus build; returns the per-stage accounting dict
     (every input document ends in exactly one bucket: corrupt, rejected,
@@ -60,7 +61,17 @@ def build_corpus(
     )
     from .sources.text_corpus import read_jsonl_documents
 
+    import time as _time
+
     report: dict = {"source": source}
+    stage_seconds: dict[str, float] = {}
+    _t = _time.perf_counter()
+
+    def _mark(stage: str) -> None:
+        nonlocal _t
+        now = _time.perf_counter()
+        stage_seconds[stage] = round(now - _t, 2)
+        _t = now
 
     if source.endswith((".jsonl", ".json", ".jsonl.gz", ".json.gz")):
         docs, corrupt = read_jsonl_documents(spark, source, text_field=text_field)
@@ -72,6 +83,7 @@ def build_corpus(
         report["n_corrupt"] = 0
     docs = docs.localCheckpoint(eager=False)
     report["n_ingested"] = docs.count()
+    _mark("ingest")
 
     # exact dedup FIRST: content-hash ingestion ids make textual dupes
     # SHARE an id, so dedup must precede any id-keyed join. One survivor
@@ -86,6 +98,7 @@ def build_corpus(
     )
     after_dedup = docs.count()
     report["n_exact_duplicates"] = report["n_ingested"] - after_dedup
+    _mark("exact_dedup")
 
     # quality rule cascade (integer rules, explainable drops)
     flagged = quality_filter(docs, min_tokens=min_tokens)
@@ -94,6 +107,7 @@ def build_corpus(
     kept_count = docs.count()
     report["n_quality_rejected"] = after_dedup - kept_count
     after_dedup = kept_count
+    _mark("quality")
 
     if classifier_threshold is not None:
         # model-based quality gate AFTER the rule cascade: the hashed
@@ -110,6 +124,7 @@ def build_corpus(
         kept_count = docs.count()
         report["n_classifier_rejected"] = after_dedup - kept_count
         after_dedup = kept_count
+        _mark("classifier")
     else:
         report["n_classifier_rejected"] = 0
 
@@ -139,6 +154,7 @@ def build_corpus(
         kept = docs.count()
         report["n_neardup_removed"] = after_dedup - kept
         after_dedup = kept
+        _mark("near_dup")
     else:
         report["n_neardup_removed"] = 0
 
@@ -163,6 +179,7 @@ def build_corpus(
         report["n_span_masked_docs"] = int(stats["d"])
         report["n_span_words_dropped"] = int(stats["w"])
         docs = docs.drop("n_dropped")
+        _mark("span_mask")
     else:
         report["n_span_masked_docs"] = 0
         report["n_span_words_dropped"] = 0
@@ -190,6 +207,7 @@ def build_corpus(
         kept = docs.count()
         report["n_over_token_budget"] = after_dedup - kept
         after_dedup = kept
+        _mark("token_budget")
     else:
         report["n_over_token_budget"] = 0
 
@@ -200,6 +218,7 @@ def build_corpus(
         kept = docs.count()
         report["n_downsampled"] = after_dedup - kept
         after_dedup = kept
+        _mark("temperature_mix")
     else:
         report["n_downsampled"] = 0
 
@@ -231,6 +250,7 @@ def build_corpus(
         .partitionBy("shard")
         .parquet(f"{out_dir}/corpus")
     )
+    _mark("pack_shuffle_write")
     report["n_written"] = after_dedup
     report["n_shards"] = n_shards
     per_split = {
@@ -241,4 +261,11 @@ def build_corpus(
     report["total_tokens"] = int(
         out.agg(F.coalesce(F.sum("n_tokens"), F.lit(0))).collect()[0][0]
     )
+    if export_jsonl:
+        from .sources.text_corpus import export_jsonl_shards
+
+        manifest = export_jsonl_shards(out, out_dir)
+        report["jsonl_manifest"] = manifest
+        _mark("export_jsonl")
+    report["stage_seconds"] = stage_seconds
     return report

@@ -148,3 +148,54 @@ def ingestion_report(docs: DataFrame, corrupt: DataFrame) -> DataFrame:
     ).withColumn("_k", F.lit(1))
     c = corrupt.agg(F.count(F.lit(1)).alias("n_corrupt")).withColumn("_k", F.lit(1))
     return d.join(c, on="_k").drop("_k")
+
+
+def export_jsonl_shards(
+    df: DataFrame,
+    out_dir: str,
+    shard_col: str = "shard",
+    order_col: str = "pos",
+    compression: str = "gzip",
+) -> dict:
+    """Write a built corpus as gzipped JSON-lines shards — the format
+    training loaders stream (WebDataset-adjacent; one directory per
+    shard, rows in deterministic ``order_col`` order within each) — plus
+    a ``manifest.json`` a loader can use for length-aware scheduling
+    without touching the data files.
+
+    Plan: one repartition on the shard key (the rows were already
+    assigned shards by ``deterministic_shuffle``; this is a co-location
+    shuffle, not an assignment), per-partition sort, direct JSON write.
+    The manifest comes from ONE per-shard aggregate (rows, docs where the
+    schema carries doc_id, token sum where it carries n_tokens) — driver
+    traffic is O(shards).
+    """
+    import json as _json
+    import os as _os
+
+    writer = (
+        df.repartition(F.col(shard_col))
+        .sortWithinPartitions(order_col)
+        .write.mode("overwrite")
+        .partitionBy(shard_col)
+        .option("compression", compression)
+    )
+    writer.json(f"{out_dir}/shards")
+
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if "n_tokens" in df.columns:
+        aggs.append(F.sum("n_tokens").cast("long").alias("n_tokens"))
+    if "doc_id" in df.columns:
+        aggs.append(F.countDistinct("doc_id").alias("n_docs"))
+    per_shard = (
+        df.groupBy(shard_col).agg(*aggs).orderBy(shard_col).collect()
+    )
+    manifest = {
+        "format": f"jsonl+{compression}",
+        "n_shards": len(per_shard),
+        "shards": [r.asDict() for r in per_shard],
+    }
+    path = _os.path.join(out_dir, "manifest.json")
+    with open(path, "w") as fh:
+        _json.dump(manifest, fh, indent=2, default=int)
+    return manifest

@@ -328,6 +328,50 @@ class TestCorpusBuildCli:
         assert rc == 0 and rep2["n_classifier_rejected"] == 0
 
 
+    def test_export_jsonl_shards_with_manifest(self, spark, tmp_path, capsys):
+        import gzip
+        import glob as _glob
+        import json as _json
+        import os
+
+        src = os.path.join(str(tmp_path), "exp.jsonl")
+        with open(src, "w") as f:
+            for i in range(20):
+                t = "the cat is on a mat and it is fine " + " ".join(
+                    f"e{i}z{j}" for j in range(8)
+                )
+                f.write(_json.dumps({"text": t, "lang": "en", "source": "s0"}) + "\n")
+
+        from database_replicator_spark.cli import main
+
+        out_dir = os.path.join(str(tmp_path), "built_exp")
+        rc = main(["corpus-build", "--source", src, "--out", out_dir,
+                   "--budget", "64", "--shards", "3", "--min-tokens", "3",
+                   "--export-jsonl"])
+        rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and rep["ok"]
+        man = rep["jsonl_manifest"]
+        assert man["n_shards"] == 3
+        assert sum(s["n_rows"] for s in man["shards"]) == rep["n_written"] == 20
+        assert sum(s["n_tokens"] for s in man["shards"]) == rep["total_tokens"]
+        # stage timings present for every mandatory stage
+        assert {"ingest", "exact_dedup", "quality", "pack_shuffle_write",
+                "export_jsonl"} <= set(rep["stage_seconds"])
+
+        # the gzipped shards round-trip: every doc readable, pos-ordered
+        files = _glob.glob(os.path.join(out_dir, "shards", "shard=*", "*.json.gz"))
+        assert files
+        rows = []
+        for fp in files:
+            with gzip.open(fp, "rt") as fh:
+                rows += [_json.loads(line) for line in fh]
+        assert len(rows) == 20
+        assert all("text" in r and "pos" in r for r in rows)
+        # manifest matches a direct re-read through Spark too
+        back = spark.read.json(os.path.join(out_dir, "shards"))
+        assert back.count() == 20
+
+
 class TestProfileCli:
     def test_profile_command_emits_per_table_stats(self, spark, capsys):
         import json as _json
