@@ -586,3 +586,102 @@ class TestTokenBudgetProperties:
             else:
                 break
         assert got == sorted(want)
+
+
+class TestClassifierProperties:
+    @settings(**SETTINGS)
+    @given(
+        texts=st.lists(
+            st.text(
+                alphabet=st.characters(
+                    codec="ascii", categories=("L", "N", "P", "Zs")
+                ),
+                min_size=0,
+                max_size=60,
+            ),
+            min_size=1,
+            max_size=10,
+        )
+    )
+    def test_matches_python_reference_on_ascii(self, spark, texts):
+        """hashed_linear_score == the pure-python model for any printable
+        ASCII input (the contract is scoped to ASCII: JVM `\\s` is
+        ASCII-whitespace while Python str.split() is unicode-aware, so
+        the cross-engine tokenization contract is ASCII whitespace)."""
+        import hashlib
+
+        from database_replicator_spark.operators.textops import (
+            classifier_weight,
+            hashed_linear_score,
+        )
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: r["feat_sum"]
+            for r in hashed_linear_score(df, num_buckets=32).collect()
+        }
+        for i, t in enumerate(texts):
+            toks = t.strip().split() or [""]
+            want = sum(
+                classifier_weight(
+                    int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 32, 32
+                )
+                for tok in toks
+            )
+            assert got[i] == want, (repr(t), got[i], want)
+
+
+class TestIntervalJoinProperties:
+    @settings(**SETTINGS)
+    @given(
+        lefts=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3),   # key
+                st.integers(min_value=0, max_value=500), # ts offset (s)
+            ),
+            min_size=0,
+            max_size=12,
+        ),
+        rights=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3),
+                st.integers(min_value=0, max_value=500),
+            ),
+            min_size=0,
+            max_size=12,
+        ),
+    )
+    def test_batch_semantics_match_naive(self, spark, lefts, rights):
+        """stream_interval_join's condition on batch frames == the naive
+        O(n·m) python double loop."""
+        import datetime
+
+        from database_replicator_spark.streaming.windows import stream_interval_join
+
+        base = datetime.datetime(2024, 1, 1)
+        l_rows = [
+            (i, k, base + datetime.timedelta(seconds=s))
+            for i, (k, s) in enumerate(lefts)
+        ]
+        r_rows = [
+            (i, k, base + datetime.timedelta(seconds=s))
+            for i, (k, s) in enumerate(rights)
+        ]
+        ldf = spark.createDataFrame(l_rows, "lid long, k long, lts timestamp")
+        rdf = spark.createDataFrame(r_rows, "rid long, rk long, rts timestamp")
+        got = {
+            (r["lid"], r["rid"])
+            for r in stream_interval_join(
+                ldf, rdf, on=[("k", "rk")], left_ts="lts", right_ts="rts",
+                within="2 minutes",
+            ).collect()
+        }
+        want = {
+            (li, ri)
+            for li, (lk, ls) in enumerate(lefts)
+            for ri, (rk, rs) in enumerate(rights)
+            if lk == rk and ls <= rs <= ls + 120
+        }
+        assert got == want
