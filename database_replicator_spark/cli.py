@@ -170,6 +170,17 @@ def main(argv: list[str] | None = None) -> int:
         "(the training-loader format) next to the parquet corpus",
     )
 
+    datasheet_p = sub.add_parser(
+        "datasheet",
+        help="corpus data card: size, composition, lengths, dup + quality rates",
+    )
+    datasheet_p.add_argument("--source", required=True, metavar="PARQUET_DIR")
+    datasheet_p.add_argument(
+        "--approximate", action="store_true",
+        help="sketch/approx paths for percentiles and distinct counts "
+        "(the 100 TB mode; exact is fine through ~1e9 docs)",
+    )
+
     audit_p = sub.add_parser(
         "audit", help="declarative constraint audit of a parquet table"
     )
@@ -300,6 +311,23 @@ def main(argv: list[str] | None = None) -> int:
             rows = [r.asDict() for r in view.orderBy(*keys).collect()]
             print(json.dumps({"ok": True, "mode": "delta" if args.delta else "init",
                               "groups": len(rows), "rollup": rows}, default=str))
+            return 0
+        except Exception as e:
+            print(json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"}))
+            return 2
+        finally:
+            if owns:
+                spark.stop()
+
+    if args.command == "datasheet":
+        from .pipeline import corpus_datasheet
+
+        spark, owns = _get_session()
+        try:
+            sheet = corpus_datasheet(
+                spark, args.source, approximate=args.approximate
+            )
+            print(json.dumps({"ok": True, **sheet}))
             return 0
         except Exception as e:
             print(json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"}))

@@ -269,3 +269,109 @@ def build_corpus(
         _mark("export_jsonl")
     report["stage_seconds"] = stage_seconds
     return report
+
+
+def corpus_datasheet(
+    spark: SparkSession,
+    source: str,
+    text_field: str = "text",
+    approximate: bool = False,
+) -> dict:
+    """Corpus data card ("datasheet"): the summary a team publishes next
+    to a training corpus — size, composition, length distribution,
+    duplication and quality rates — composed from the audited operators
+    in a handful of small aggregates.
+
+    ``approximate=False`` (default, fine through ~10^9 docs) uses exact
+    percentiles and exact distinct-fingerprint counts; ``approximate=True``
+    is the 100 TB path: `approx_percentile` for lengths and the mergeable
+    KMV sketch (operators/sketch.py) for the duplicate-rate estimate, so
+    no single task ever sorts or holds the full value set.
+    """
+    from .operators.sketch import kmv_estimate, kmv_sketch
+    from .operators.textops import (
+        fingerprint_expr,
+        lang_id_expr,
+        quality_filter,
+        token_count_expr,
+    )
+    from .sources.catalog import load_table
+
+    docs = load_table(spark, source, "documents")
+    t = F.col(text_field)
+    base = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        token_count_expr(t).alias("n_tokens"),
+        F.length(t).alias("n_chars"),
+        lang_id_expr(t).alias("lang_pred"),
+        fingerprint_expr(t).alias("fp"),
+    ).localCheckpoint(eager=False)
+
+    sheet: dict = {"source_dir": source}
+
+    overall = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    ).collect()[0]
+    n_docs = overall["n_docs"]
+    sheet["n_docs"] = n_docs
+    sheet["total_tokens"] = overall["total_tokens"]
+    sheet["total_chars"] = overall["total_chars"]
+
+    sheet["per_source"] = {
+        r["source"]: {
+            "n_docs": r["n"],
+            "n_tokens": r["tok"],
+            "doc_share": round(r["n"] / n_docs, 6) if n_docs else 0.0,
+        }
+        for r in base.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_tokens").cast("long").alias("tok"),
+        )
+        .collect()
+    }
+    sheet["per_lang"] = {
+        r["lang"]: r["n"]
+        for r in base.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    agree = base.filter(
+        (F.col("lang_pred") == "en") == (F.col("lang") == "en")
+    ).count()
+    sheet["lang_id_agreement"] = round(agree / n_docs, 6) if n_docs else None
+
+    pct_fn = "approx_percentile" if approximate else "percentile"
+    pct = base.selectExpr(
+        f"{pct_fn}(n_tokens, array(0.1, 0.5, 0.9)) AS p"
+    ).collect()[0]["p"]
+    sheet["token_percentiles"] = {
+        "p10": float(pct[0]), "p50": float(pct[1]), "p90": float(pct[2])
+    }
+
+    if approximate:
+        est = kmv_estimate(
+            kmv_sketch(base.withColumn("_g", F.lit(1)), ["_g"], "fp")
+        ).collect()[0]["distinct_est"]
+        distinct_fp = float(est)
+    else:
+        distinct_fp = float(base.select("fp").distinct().count())
+    sheet["distinct_fingerprints"] = round(distinct_fp, 1)
+    sheet["duplicate_rate"] = (
+        round(1.0 - distinct_fp / n_docs, 6) if n_docs else None
+    )
+
+    flagged = quality_filter(docs, text_col=text_field)
+    kept = flagged.filter(F.col("keep")).count()
+    sheet["quality_keep_rate"] = round(kept / n_docs, 6) if n_docs else None
+    reasons = {
+        r["reject_reason"]: r["n"]
+        for r in flagged.filter(~F.col("keep"))
+        .groupBy("reject_reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    sheet["quality_reject_reasons"] = reasons
+    return sheet

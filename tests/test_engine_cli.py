@@ -372,6 +372,49 @@ class TestCorpusBuildCli:
         assert back.count() == 20
 
 
+class TestDatasheetCli:
+    def test_datasheet_over_fixture_documents(self, spark, capsys):
+        import json as _json
+
+        from database_replicator_spark.cli import main
+
+        rc = main(["datasheet", "--source", "/root/testdata/sf0.001"])
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and out["ok"]
+        assert out["n_docs"] == 500
+        assert out["total_tokens"] > 0
+        assert abs(sum(v["doc_share"] for v in out["per_source"].values()) - 1.0) < 1e-6
+        assert sum(out["per_lang"].values()) == 500
+        p = out["token_percentiles"]
+        assert p["p10"] <= p["p50"] <= p["p90"]
+        assert 0 <= out["duplicate_rate"] <= 1
+        assert 0 <= out["quality_keep_rate"] <= 1
+        # rejects + keeps account for every doc
+        assert sum(out["quality_reject_reasons"].values()) == round(
+            500 * (1 - out["quality_keep_rate"])
+        )
+
+    def test_approximate_mode_close_to_exact(self, spark, capsys):
+        import json as _json
+
+        from database_replicator_spark.cli import main
+
+        main(["datasheet", "--source", "/root/testdata/sf0.001"])
+        exact = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        main(["datasheet", "--source", "/root/testdata/sf0.001", "--approximate"])
+        approx = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert approx["ok"]
+        # KMV (k=256) over ~500 distincts runs the estimator path; the
+        # standard error is ~1/sqrt(k) ≈ 6% — hold it to 10%
+        rel = abs(
+            approx["distinct_fingerprints"] - exact["distinct_fingerprints"]
+        ) / exact["distinct_fingerprints"]
+        assert rel < 0.10, (approx["distinct_fingerprints"], exact["distinct_fingerprints"])
+        # approx percentiles stay within a token of exact on this fixture
+        for q in ("p10", "p50", "p90"):
+            assert abs(approx["token_percentiles"][q] - exact["token_percentiles"][q]) <= 2
+
+
 class TestProfileCli:
     def test_profile_command_emits_per_table_stats(self, spark, capsys):
         import json as _json
