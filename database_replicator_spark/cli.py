@@ -181,6 +181,18 @@ def main(argv: list[str] | None = None) -> int:
         "(the 100 TB mode; exact is fine through ~1e9 docs)",
     )
 
+    explain_p = sub.add_parser(
+        "explain",
+        help="formatted physical plan of a named gate query (plan review "
+        "without running it)",
+    )
+    explain_p.add_argument("--query", required=True, metavar="GATE_NAME")
+    explain_p.add_argument("--source", default="/root/testdata/sf0.001")
+    explain_p.add_argument(
+        "--mode", default="formatted",
+        choices=["simple", "extended", "formatted", "cost", "codegen"],
+    )
+
     audit_p = sub.add_parser(
         "audit", help="declarative constraint audit of a parquet table"
     )
@@ -311,6 +323,33 @@ def main(argv: list[str] | None = None) -> int:
             rows = [r.asDict() for r in view.orderBy(*keys).collect()]
             print(json.dumps({"ok": True, "mode": "delta" if args.delta else "init",
                               "groups": len(rows), "rollup": rows}, default=str))
+            return 0
+        except Exception as e:
+            print(json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"}))
+            return 2
+        finally:
+            if owns:
+                spark.stop()
+
+    if args.command == "explain":
+        from . import queries as q
+
+        spark, owns = _get_session()
+        try:
+            fns = q.all_queries()
+            if args.query not in fns:
+                import difflib
+
+                near = difflib.get_close_matches(args.query, fns, n=5)
+                print(json.dumps({"ok": False,
+                                  "error": f"unknown query {args.query!r}",
+                                  "did_you_mean": near}))
+                return 2
+            df = fns[args.query](spark, args.source)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), args.mode
+            )
+            print(plan)
             return 0
         except Exception as e:
             print(json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"}))

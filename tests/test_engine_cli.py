@@ -415,6 +415,28 @@ class TestDatasheetCli:
             assert abs(approx["token_percentiles"][q] - exact["token_percentiles"][q]) <= 2
 
 
+class TestExplainCli:
+    def test_explain_prints_formatted_plan(self, spark, capsys):
+        from database_replicator_spark.cli import main
+
+        rc = main(["explain", "--query", "pricing_summary",
+                   "--source", "/root/testdata/sf0.001"])
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "== Physical Plan ==" in out
+        assert "PushedFilters" in out
+
+    def test_unknown_query_suggests_names(self, spark, capsys):
+        import json as _json
+
+        from database_replicator_spark.cli import main
+
+        rc = main(["explain", "--query", "pricing_sumary"])
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 2 and not out["ok"]
+        assert "pricing_summary" in out["did_you_mean"]
+
+
 class TestProfileCli:
     def test_profile_command_emits_per_table_stats(self, spark, capsys):
         import json as _json
