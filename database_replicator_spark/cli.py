@@ -35,6 +35,17 @@ def _load_sources(spark, source: str):
             from .sources.catalog import load_table
 
             df[name[: -len(".parquet")]] = load_table(spark, source, name[: -len(".parquet")])
+        elif name.endswith((".csv", ".orc")):
+            # CSV/ORC table drops (warehouse handoffs) next to parquet:
+            # read via the schema-sidecar reader; corrupt CSV rows are
+            # split off so downstream tables stay typed
+            from .sources.files import read_table, split_corrupt
+
+            tbl, _, ext = name.rpartition(".")
+            loaded = read_table(spark, os.path.join(source, name))
+            if ext == "csv":
+                loaded, _bad = split_corrupt(loaded)
+            df[tbl] = loaded
     return df
 
 
