@@ -204,6 +204,29 @@ def main(argv: list[str] | None = None) -> int:
         choices=["simple", "extended", "formatted", "cost", "codegen"],
     )
 
+    compact_p = sub.add_parser(
+        "compact",
+        help="CDC maintenance: rewrite the per-epoch change log into one "
+        "deduplicated partition (stop the stream around it)",
+    )
+    compact_p.add_argument("--target", required=True)
+    compact_p.add_argument(
+        "--ingest-indexes", action="store_true",
+        help="also compact the corpus-ingest fingerprint/signature indexes",
+    )
+
+    asof_p = sub.add_parser(
+        "asof",
+        help="CDC time travel: reconstruct a table AS OF the end of an epoch",
+    )
+    asof_p.add_argument("--target", required=True)
+    asof_p.add_argument("--table", required=True)
+    asof_p.add_argument("--epoch", type=int, required=True)
+    asof_p.add_argument(
+        "--out", help="write the reconstruction to this parquet dir "
+        "(default: print row count + sample only)",
+    )
+
     audit_p = sub.add_parser(
         "audit", help="declarative constraint audit of a parquet table"
     )
@@ -361,6 +384,51 @@ def main(argv: list[str] | None = None) -> int:
                 df._jdf.queryExecution(), args.mode
             )
             print(plan)
+            return 0
+        except Exception as e:
+            print(json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"}))
+            return 2
+        finally:
+            if owns:
+                spark.stop()
+
+    if args.command == "compact":
+        spark, owns = _get_session()
+        try:
+            from .streaming.change_stream import compact_change_log
+
+            done = []
+            if os.path.isdir(os.path.join(args.target, "_change_log")):
+                compact_change_log(spark, args.target)
+                done.append("_change_log")
+            if args.ingest_indexes:
+                from .streaming.corpus_ingest import compact_ingest_indexes
+
+                compact_ingest_indexes(spark, args.target)
+                done.append("ingest_indexes")
+            print(json.dumps({"ok": True, "compacted": done}))
+            return 0
+        except Exception as e:
+            print(json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"}))
+            return 2
+        finally:
+            if owns:
+                spark.stop()
+
+    if args.command == "asof":
+        spark, owns = _get_session()
+        try:
+            from .streaming.change_stream import read_table_asof
+
+            df = read_table_asof(spark, args.target, args.table, args.epoch)
+            if args.out:
+                df.write.mode("overwrite").parquet(args.out)
+            n = df.count()
+            sample = [r.asDict() for r in df.limit(5).collect()]
+            print(json.dumps({"ok": True, "table": args.table,
+                              "epoch": args.epoch, "rows": n,
+                              "sample": sample,
+                              "out": args.out}, default=str))
             return 0
         except Exception as e:
             print(json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"}))

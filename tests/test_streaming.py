@@ -453,3 +453,39 @@ class TestStreamIntervalJoin:
         )
         plan = j._jdf.queryExecution().analyzed().toString()
         assert plan.count("EventTimeWatermark") == 2
+
+
+class TestMaintenanceCli:
+    def test_asof_and_compact_verbs(self, spark, dirs, capsys, tmp_path):
+        from database_replicator_spark.cli import main
+        from database_replicator_spark.streaming.change_stream import ChangeApplier
+
+        applier = ChangeApplier(target_dir=dirs["tgt"])
+        schema = "table string, pk string, payload string, change_id long, op string"
+        applier.apply_batch(
+            spark.createDataFrame(
+                [("t1", "1", '{"v":1}', 1, "insert"),
+                 ("t1", "2", '{"v":2}', 2, "insert")], schema),
+            0,
+        )
+        applier.apply_batch(
+            spark.createDataFrame([("t1", "2", '{"v":2}', 3, "delete")], schema), 1
+        )
+
+        out_dir = str(tmp_path / "asof_out")
+        rc = main(["asof", "--target", dirs["tgt"], "--table", "t1",
+                   "--epoch", "0", "--out", out_dir])
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and rep["ok"] and rep["rows"] == 2
+        assert spark.read.parquet(out_dir).count() == 2
+
+        rc = main(["compact", "--target", dirs["tgt"]])
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and rep["compacted"] == ["_change_log"]
+
+        # post-compaction: current state preserved, history collapsed
+        rc = main(["asof", "--target", dirs["tgt"], "--table", "t1",
+                   "--epoch", "99"])
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and rep["rows"] == 1
+        assert rep["sample"][0]["pk"] == "1"
