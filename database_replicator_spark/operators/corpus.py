@@ -1276,3 +1276,52 @@ def mask_duplicate_spans(
         F.concat_ws(" ", keep).alias("clean_text"),
         F.coalesce(F.size("_cov"), F.lit(0)).cast("long").alias("n_dropped"),
     )
+
+
+def select_canonicals(
+    labels: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    priority_col: str | None = None,
+    ascending: bool = True,
+) -> DataFrame:
+    """Pick ONE canonical document per duplicate cluster.
+
+    ``labels`` is (node, cluster_id) from :func:`connected_components`;
+    ``docs`` supplies the optional ``priority_col``. Without a priority
+    the canonical is the min doc id (the classic choice, and what the
+    gated pipelines use). WITH one, the canonical is the best-priority
+    member — the production knob when a dup cluster spans sources of
+    different quality (curated > crawl): dedup should keep the curated
+    copy, not whichever happened to get the smaller id. Ties (and the
+    no-priority case) break on doc id, so the choice is deterministic
+    under any partitioning.
+
+    One window over cluster_id (single shuffle). Returns
+    (cluster_id, canonical_id, cluster_size).
+    """
+    from pyspark.sql import Window
+
+    j = labels.select(F.col("node").alias(id_col), "cluster_id")
+    if priority_col is not None:
+        j = j.join(docs.select(id_col, priority_col), on=id_col)
+        order = [
+            F.col(priority_col).asc() if ascending else F.col(priority_col).desc(),
+            F.col(id_col).asc(),
+        ]
+    else:
+        order = [F.col(id_col).asc()]
+    w = Window.partitionBy("cluster_id").orderBy(*order)
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            "cluster_id",
+            F.col(id_col).alias("canonical_id"),
+            "cluster_size",
+        )
+    )

@@ -632,3 +632,42 @@ class TestBigramLogprob:
         )
         out = bigram_logprob(docs).collect()
         assert {r["doc_id"] for r in out} == {2}
+
+
+class TestSelectCanonicals:
+    def test_priority_beats_min_id(self, spark):
+        from database_replicator_spark.operators.corpus import (
+            connected_components,
+            select_canonicals,
+        )
+
+        # cluster {1,2,3}: doc 3 is from the curated source (priority 0)
+        # cluster {7,8}: both crawl; singleton 9
+        docs = spark.createDataFrame(
+            [(1, 2), (2, 2), (3, 0), (7, 2), (8, 2), (9, 1)],
+            "doc_id long, src_priority int",
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (7, 8)], "doc1 long, doc2 long"
+        )
+        labels = connected_components(
+            docs.select(F.col("doc_id").alias("node")), pairs
+        )
+        # default: min id wins
+        by_id = {
+            r["cluster_id"]: (r["canonical_id"], r["cluster_size"])
+            for r in select_canonicals(labels, docs).collect()
+        }
+        assert by_id[1] == (1, 3)
+        assert by_id[7] == (7, 2)
+        assert by_id[9] == (9, 1)
+        # with priority: the curated member wins its cluster
+        by_prio = {
+            r["cluster_id"]: r["canonical_id"]
+            for r in select_canonicals(
+                labels, docs, priority_col="src_priority"
+            ).collect()
+        }
+        assert by_prio[1] == 3
+        assert by_prio[7] == 7   # tie on priority → min id
+        assert by_prio[9] == 9
