@@ -1009,3 +1009,48 @@ def doc_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return hashed_linear_score(docs, num_buckets=512)
+
+
+@query(
+    "corpus_source_stats",
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           quantile_cont(n_tokens, 0.5) AS p50_tokens,
+           MIN(n_tokens) AS min_tokens,
+           MAX(n_tokens) AS max_tokens
+    FROM t
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The datasheet's composition core as a driver-verifiable gate:
+    per-source doc/token counts and the exact interpolated median length
+    (`percentile` / `quantile_cont` interpolate identically on integer
+    inputs, so the doubles match bit-for-bit). One shuffle on source;
+    the scale path swaps the exact percentile for `approx_percentile`
+    (pipeline.corpus_datasheet's --approximate mode)."""
+    from .operators.textops import token_count_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source", token_count_expr(F.col("text")).alias("n_tokens")
+    )
+    return (
+        base.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.expr("percentile(n_tokens, 0.5)").alias("p50_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("source")
+    )

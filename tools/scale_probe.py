@@ -125,12 +125,18 @@ def probe_ops(spark, path: str) -> dict[str, float]:
 
         mat(quality_filter(docs))
 
+    def classifier():
+        from database_replicator_spark.operators.textops import hashed_linear_score
+
+        mat(hashed_linear_score(docs))
+
     for name, fn in [
         ("exact_dedup", exact_dedup),
         ("minhash_lsh_pairs", minhash_lsh),
         ("duplicate_span_coverage", span_coverage),
         ("select_token_budget", token_budget),
         ("quality_filter", quality),
+        ("hashed_linear_score", classifier),
     ]:
         fn()  # warm (codegen + python workers)
         out[name] = round(min(timed(fn), timed(fn)), 3)
