@@ -124,3 +124,27 @@ def stream_interval_join(
         & (r_wm[right_ts] <= l_wm[left_ts] + F.expr(f"INTERVAL {within}"))
     )
     return l_wm.join(r_wm, cond, join_type)
+
+
+def stream_exact_dedup(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state: drop repeats of the same
+    key arriving within the watermark horizon
+    (``dropDuplicatesWithinWatermark``), so state holds only keys newer
+    than the watermark instead of every key ever seen — the difference
+    between O(rate × horizon) and O(stream lifetime) memory.
+
+    This is the at-source companion to the corpus ingestor's
+    against-index anti-join (corpus_ingest.py): use THIS to collapse
+    duplicate deliveries inside the transport window (at-least-once
+    sources redeliver within minutes), and the index anti-join for
+    content-level dedup against all of history. The two compose; neither
+    replaces the other.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )

@@ -489,3 +489,40 @@ class TestMaintenanceCli:
         rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rc == 0 and rep["rows"] == 1
         assert rep["sample"][0]["pk"] == "1"
+
+
+class TestStreamExactDedup:
+    def test_within_watermark_duplicates_collapse(self, spark, tmp_path):
+        import json as _json
+
+        from database_replicator_spark.streaming.windows import stream_exact_dedup
+
+        src = str(tmp_path / "dupsrc")
+        os.makedirs(src)
+        rows = [
+            {"k": "a", "ts": "2024-01-01 00:00:00", "v": 1},
+            {"k": "a", "ts": "2024-01-01 00:00:30", "v": 2},  # redelivery
+            {"k": "b", "ts": "2024-01-01 00:01:00", "v": 3},
+            {"k": "a", "ts": "2024-01-01 00:01:30", "v": 4},  # also within horizon
+        ]
+        with open(os.path.join(src, "r.json"), "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+        stream = spark.readStream.schema("k string, ts timestamp, v long").json(src)
+        out = stream_exact_dedup(stream, ["k"], "ts", watermark="10 minutes")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("dedup_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["k"], r["v"]) for r in spark.sql("SELECT * FROM dedup_out").collect()
+        }
+        # one survivor per key within the horizon (first arrival wins)
+        assert {k for k, _ in got} == {"a", "b"}
+        assert len(got) == 2
+        plan = out._jdf.queryExecution().analyzed().toString()
+        assert "EventTimeWatermark" in plan
