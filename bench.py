@@ -19,6 +19,17 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def runs_for(elapsed: float, budget: float) -> int:
+    """Per-query measurement protocol under the wall budget: 3 (warmup +
+    min-of-2) while under 65% consumed, 2 (warmup + 1) to 90%, then 1
+    (single cold run) — complete-but-noisier beats an absent JSON line."""
+    if elapsed > budget * 0.9:
+        return 1
+    if elapsed > budget * 0.65:
+        return 2
+    return 3
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -56,13 +67,7 @@ def main() -> None:
     total = 0.0
     n_degraded = 0
     for name, fn in q.all_queries().items():
-        elapsed = time.perf_counter() - bench_t0
-        if elapsed > budget * 0.9:
-            runs = 1            # cold single run: complete beats precise
-        elif elapsed > budget * 0.65:
-            runs = 2            # warm-up + one measured
-        else:
-            runs = 3            # warm-up + min of two measured
+        runs = runs_for(time.perf_counter() - bench_t0, budget)
         if runs < 3:
             n_degraded += 1
         if runs == 1:

@@ -23,3 +23,14 @@ def test_each_query_runs_on_sf0001(spark, sf_dir):
         df = fn(spark, sf_dir)
         assert df.columns, name
         df.limit(1).collect()
+
+
+class TestBenchProtocol:
+    def test_runs_degrade_with_consumed_budget(self):
+        import bench
+
+        assert bench.runs_for(0, 420) == 3
+        assert bench.runs_for(272, 420) == 3      # under 65%
+        assert bench.runs_for(274, 420) == 2      # past 65%
+        assert bench.runs_for(377, 420) == 2      # under 90%
+        assert bench.runs_for(379, 420) == 1      # past 90%
