@@ -43,6 +43,34 @@ class TestConnectedComponents:
         out = connected_components(nodes, edges).collect()
         assert all(r["node"] == r["cluster_id"] for r in out)
 
+    def test_driver_and_distributed_paths_identical(self, spark):
+        """The union-find fast path and the hash-min loop must be
+        output-identical on a graph mixing chains, cliques, reversed
+        edges and singletons (the oracle never sees which ran)."""
+        import random
+
+        rng = random.Random(11)
+        n = 60
+        pairs = []
+        # random chains + a clique + reversed edges
+        for _ in range(40):
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                pairs.append((a, b))
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+        edges = spark.createDataFrame(pairs, "doc1 long, doc2 long")
+        fast = {
+            r["node"]: r["cluster_id"]
+            for r in connected_components(nodes, edges).collect()
+        }
+        loop = {
+            r["node"]: r["cluster_id"]
+            for r in connected_components(
+                nodes, edges, driver_path_max_edges=0
+            ).collect()
+        }
+        assert fast == loop
+
 
 class TestDecontamination:
     def test_overlap_counts_and_fraction(self, spark):
