@@ -204,6 +204,18 @@ def main(argv: list[str] | None = None) -> int:
         choices=["simple", "extended", "formatted", "cost", "codegen"],
     )
 
+    diff_p = sub.add_parser(
+        "diff",
+        help="row-level divergence report between source and target tables "
+        "(missing_in_target / extra_in_target / mismatch per pk)",
+    )
+    diff_p.add_argument("--source", required=True)
+    diff_p.add_argument("--target", required=True)
+    diff_p.add_argument("--table", required=True)
+    diff_p.add_argument("--pk", required=True, action="append")
+    diff_p.add_argument("--limit", type=int, default=20,
+                        help="sample size in the JSON output")
+
     compact_p = sub.add_parser(
         "compact",
         help="CDC maintenance: rewrite the per-epoch change log into one "
@@ -385,6 +397,38 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(plan)
             return 0
+        except Exception as e:
+            print(json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"}))
+            return 2
+        finally:
+            if owns:
+                spark.stop()
+
+    if args.command == "diff":
+        spark, owns = _get_session()
+        try:
+            from .operators.reconcile import row_diff
+
+            src = _load_sources(spark, args.source)
+            tgt = _load_sources(spark, args.target)
+            if args.table not in src or args.table not in tgt:
+                missing = [d for d, t in (("source", src), ("target", tgt))
+                           if args.table not in t]
+                print(json.dumps({"ok": False,
+                                  "error": f"table {args.table!r} absent in "
+                                           + "/".join(missing)}))
+                return 2
+            d = row_diff(src[args.table], tgt[args.table], args.pk)
+            counts = {
+                r["status"]: r["n"]
+                for r in d.groupBy("status").count()
+                .withColumnRenamed("count", "n").collect()
+            }
+            sample = [r.asDict() for r in d.limit(args.limit).collect()]
+            print(json.dumps({"ok": True, "table": args.table,
+                              "counts": counts, "sample": sample},
+                             default=str))
+            return 0 if not counts else 1
         except Exception as e:
             print(json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"}))
             return 2

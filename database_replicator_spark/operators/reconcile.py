@@ -16,6 +16,7 @@ hack disappears because the join compares native types.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def find_orphans(target: DataFrame, source: DataFrame, pk_cols: list[str]) -> DataFrame:
@@ -35,3 +36,42 @@ def apply_deletes(target: DataFrame, orphans: DataFrame, pk_cols: list[str]) -> 
     is NOT in the orphan set. For JDBC/Delta targets the same orphan set
     feeds ``DELETE WHERE pk IN …`` / ``MERGE WHEN MATCHED THEN DELETE``."""
     return target.join(orphans, on=pk_cols, how="left_anti")
+
+
+def row_diff(
+    source: DataFrame,
+    target: DataFrame,
+    pk_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level divergence report — the third leg of verification next
+    to table checksums (is anything wrong?) and orphan anti-joins (what
+    must be deleted?): WHICH keys differ and HOW.
+
+    Each side reduces to (pk, md5 of the canonical non-pk rendering — the
+    same rules as the checksums, functions/render.py), then one
+    full-outer join on pk classifies every divergent key:
+    ``missing_in_target`` / ``extra_in_target`` / ``mismatch``. Matching
+    rows are filtered out, so the output is O(divergence), not O(table).
+
+    Scale: the join shuffles (pk, 32-byte hash) pairs only — same
+    key-only-shuffle contract as the reconciliation anti-join; at 100 TB
+    that is TBs of keys, not the tables. With both sides bucketed by pk
+    the exchange disappears entirely.
+    """
+    from ..functions.render import row_hash_expr
+
+    cols = compare_cols or [c for c in source.columns if c not in pk_cols]
+    s = source.select(*pk_cols, row_hash_expr(source, cols).alias("_s_hash"))
+    t = target.select(*pk_cols, row_hash_expr(target, cols).alias("_t_hash"))
+    j = s.join(t, on=pk_cols, how="full_outer")
+    status = (
+        F.when(F.col("_t_hash").isNull(), F.lit("missing_in_target"))
+        .when(F.col("_s_hash").isNull(), F.lit("extra_in_target"))
+        .when(F.col("_s_hash") != F.col("_t_hash"), F.lit("mismatch"))
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(*pk_cols, "status")
+    )

@@ -948,3 +948,80 @@ def quality_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@query(
+    "row_diff_orders",
+    oracle="""
+    WITH tgt AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 97 != 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_custkey, 'X', o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 101 = 0
+    ),
+    s AS (
+      SELECT o_orderkey, md5(concat_ws('|',
+        COALESCE(CAST(o_custkey AS VARCHAR), ''),
+        COALESCE(o_orderstatus, ''),
+        COALESCE(printf('%.6f', o_totalprice), ''),
+        COALESCE(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f'), ''),
+        COALESCE(o_orderpriority, ''))) AS s_hash
+      FROM orders
+    ),
+    t AS (
+      SELECT o_orderkey, md5(concat_ws('|',
+        COALESCE(CAST(o_custkey AS VARCHAR), ''),
+        COALESCE(o_orderstatus, ''),
+        COALESCE(printf('%.6f', o_totalprice), ''),
+        COALESCE(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f'), ''),
+        COALESCE(o_orderpriority, ''))) AS t_hash
+      FROM tgt
+    )
+    SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+           CASE WHEN t_hash IS NULL THEN 'missing_in_target'
+                WHEN s_hash IS NULL THEN 'extra_in_target'
+                WHEN s_hash != t_hash THEN 'mismatch' END AS status
+    FROM s FULL OUTER JOIN t ON s.o_orderkey = t.o_orderkey
+    WHERE (CASE WHEN t_hash IS NULL THEN 'missing_in_target'
+                WHEN s_hash IS NULL THEN 'extra_in_target'
+                WHEN s_hash != t_hash THEN 'mismatch' END) IS NOT NULL
+    ORDER BY o_orderkey
+    """,
+)
+def row_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level divergence classification (operators/reconcile.row_diff):
+    a synthetic target drops every 97th order, perturbs every 89th price,
+    and appends shifted-key extras; the diff must name each divergent key
+    with its kind and nothing else. Both sides hash the same canonical
+    rendering the checksums use, so the comparison is value-exact across
+    engines; the join shuffles (pk, hash) pairs only."""
+    from .operators.reconcile import row_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    tgt = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + F.lit(1.0)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    ).unionByName(
+        orders.filter(F.col("o_orderkey") % 101 == 0).select(
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+            "o_custkey",
+            F.lit("X").alias("o_orderstatus"),
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+    return row_diff(orders, tgt, ["o_orderkey"]).orderBy("o_orderkey")

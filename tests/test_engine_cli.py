@@ -437,6 +437,61 @@ class TestExplainCli:
         assert "pricing_summary" in out["did_you_mean"]
 
 
+class TestDiffCli:
+    def test_diff_reports_divergence_kinds(self, spark, tmp_path, capsys):
+        import json as _json
+        import os
+
+        from database_replicator_spark.cli import main
+        from database_replicator_spark.sources.catalog import load_table
+
+        src_dir = str(tmp_path / "src")
+        tgt_dir = str(tmp_path / "tgt")
+        os.makedirs(src_dir)
+        os.makedirs(tgt_dir)
+        orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+        orders.write.parquet(os.path.join(src_dir, "orders.parquet"))
+        # target: drop one key, mutate one, add one
+        mut = (
+            orders.filter(F.col("o_orderkey") != 1)
+            .withColumn(
+                "o_totalprice",
+                F.when(F.col("o_orderkey") == 2, F.lit(0.0)).otherwise(
+                    F.col("o_totalprice")
+                ),
+            )
+        )
+        extra = orders.limit(1).withColumn(
+            "o_orderkey", F.col("o_orderkey") + 999999
+        )
+        mut.unionByName(extra).write.parquet(os.path.join(tgt_dir, "orders.parquet"))
+
+        rc = main(["diff", "--source", src_dir, "--target", tgt_dir,
+                   "--table", "orders", "--pk", "o_orderkey"])
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 1 and out["ok"]
+        assert out["counts"] == {
+            "missing_in_target": 1, "mismatch": 1, "extra_in_target": 1
+        }
+
+    def test_identical_tables_exit_zero(self, spark, tmp_path, capsys):
+        import json as _json
+        import os
+
+        from database_replicator_spark.cli import main
+        from database_replicator_spark.sources.catalog import load_table
+
+        d = str(tmp_path / "same")
+        os.makedirs(d)
+        load_table(spark, "/root/testdata/sf0.001", "region").write.parquet(
+            os.path.join(d, "region.parquet")
+        )
+        rc = main(["diff", "--source", d, "--target", d,
+                   "--table", "region", "--pk", "r_regionkey"])
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and out["ok"] and out["counts"] == {}
+
+
 class TestProfileCli:
     def test_profile_command_emits_per_table_stats(self, spark, capsys):
         import json as _json
