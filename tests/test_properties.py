@@ -685,3 +685,53 @@ class TestIntervalJoinProperties:
             if lk == rk and ls <= rs <= ls + 120
         }
         assert got == want
+
+
+class TestJsonlIngestProperties:
+    @settings(**SETTINGS)
+    @given(
+        lines=st.lists(
+            st.one_of(
+                # valid doc object
+                st.fixed_dictionaries(
+                    {"text": st.text(min_size=0, max_size=30)},
+                    optional={"lang": st.sampled_from(["en", "de"]),
+                              "source": st.text(
+                                  alphabet="abc", min_size=1, max_size=3)},
+                ),
+                # arbitrary junk line (usually invalid JSON)
+                st.text(min_size=1, max_size=30).filter(
+                    lambda s: "\n" not in s and "\r" not in s
+                ),
+            ),
+            min_size=1,
+            max_size=15,
+        )
+    )
+    def test_docs_plus_corrupt_equals_lines(self, spark, tmp_path_factory, lines):
+        """Ingestion NEVER silently drops: every input line lands in docs
+        or in the corrupt channel, for arbitrary mixes of valid docs,
+        empty-text docs, and junk."""
+        import json as _json
+        import os
+
+        from database_replicator_spark.sources.text_corpus import (
+            read_jsonl_documents,
+        )
+
+        d = tmp_path_factory.mktemp("jsonl")
+        path = os.path.join(str(d), "in.jsonl")
+        n_written = 0
+        with open(path, "w") as fh:
+            for ln in lines:
+                if isinstance(ln, dict):
+                    fh.write(_json.dumps(ln) + "\n")
+                else:
+                    fh.write(ln + "\n")
+                n_written += 1
+        docs, corrupt = read_jsonl_documents(spark, path)
+        assert docs.count() + corrupt.count() == n_written
+        # docs all carry non-empty text and a deterministic id
+        rows = docs.collect()
+        assert all(r["text"] for r in rows)
+        assert all(r["doc_id"] is not None for r in rows)
