@@ -216,6 +216,19 @@ def main(argv: list[str] | None = None) -> int:
     diff_p.add_argument("--limit", type=int, default=20,
                         help="sample size in the JSON output")
 
+    optimize_p = sub.add_parser(
+        "optimize",
+        help="small-file compaction of a parquet dir (lakehouse OPTIMIZE): "
+        "rewrite into target-sized files, optionally restoring sort keys",
+    )
+    optimize_p.add_argument("--path", required=True)
+    optimize_p.add_argument("--target-file-mb", type=int, default=128)
+    optimize_p.add_argument(
+        "--sort-col", action="append",
+        help="restore clustering on these columns (repeatable) — a bare "
+        "repartition destroys min/max pruning order",
+    )
+
     compact_p = sub.add_parser(
         "compact",
         help="CDC maintenance: rewrite the per-epoch change log into one "
@@ -429,6 +442,24 @@ def main(argv: list[str] | None = None) -> int:
                               "counts": counts, "sample": sample},
                              default=str))
             return 0 if not counts else 1
+        except Exception as e:
+            print(json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"}))
+            return 2
+        finally:
+            if owns:
+                spark.stop()
+
+    if args.command == "optimize":
+        spark, owns = _get_session()
+        try:
+            from .operators.layout import compact_parquet_dir
+
+            rep = compact_parquet_dir(
+                spark, args.path, target_file_mb=args.target_file_mb,
+                sort_cols=args.sort_col,
+            )
+            print(json.dumps({"ok": True, **rep}))
+            return 0
         except Exception as e:
             print(json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"}))
             return 2

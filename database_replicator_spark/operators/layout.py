@@ -124,3 +124,57 @@ def sorted_export(df: DataFrame, sort_cols: list[str], n_files: int | None = Non
     bit-identical layout matters."""
     n = n_files or df.sparkSession.sparkContext.defaultParallelism
     return df.repartitionByRange(n, *sort_cols).sortWithinPartitions(*sort_cols)
+
+
+def compact_parquet_dir(
+    spark,
+    path: str,
+    target_file_mb: int = 128,
+    sort_cols: list[str] | None = None,
+) -> dict:
+    """Small-file compaction (the lakehouse ``OPTIMIZE`` verb) for a
+    parquet directory: rewrite the data into files sized for the scan
+    path — streaming sinks and per-epoch appends leave thousands of tiny
+    files, and at 100 TB every scan then pays file-open latency and
+    footer reads instead of sequential column reads.
+
+    Target file count = ceil(on-disk bytes / target_file_mb); the rewrite
+    is one `repartition(n)` (plus an optional `sortWithinPartitions` to
+    restore clustering for min/max pruning — pass the z-order/sort keys
+    the table was laid out with, since a bare repartition destroys
+    clustering). Content is checksum-identical by construction; the
+    rewrite routes through `staged_overwrite`, so a crash mid-rewrite
+    leaves the stage as the recovery copy, never a half-written table.
+
+    Returns {files_before, files_after, bytes}.
+    """
+    import glob as _glob
+    import math
+    import os as _os
+
+    from ..util import staged_overwrite
+
+    data_files = [
+        p
+        for p in _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+        + _glob.glob(_os.path.join(path, "**", "part-*"), recursive=True)
+        if _os.path.isfile(p) and not _os.path.basename(p).startswith(("_", "."))
+    ]
+    data_files = sorted(set(data_files))
+    total = sum(_os.path.getsize(p) for p in data_files)
+    n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    out = df.repartition(n)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    staged_overwrite(spark, out, path)
+    after = [
+        p
+        for p in _glob.glob(_os.path.join(path, "*.parquet"))
+        if _os.path.isfile(p)
+    ]
+    return {
+        "files_before": len(data_files),
+        "files_after": len(after),
+        "bytes": total,
+    }

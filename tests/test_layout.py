@@ -144,3 +144,42 @@ class TestSortedExport:
         plan = sorted_export(df, ["k"], n_files=8)._jdf.queryExecution().executedPlan().toString()
         assert "rangepartitioning" in plan.lower()
         assert "SinglePartition" not in plan
+
+
+
+class TestOptimize:
+    def test_compaction_preserves_content_and_merges_files(
+        self, spark, tmp_path, capsys
+    ):
+        import glob
+        import json as _json
+        import os
+
+        from database_replicator_spark.cli import main
+        from database_replicator_spark.operators.verify import table_checksum
+        from database_replicator_spark.sources.catalog import load_table
+
+        path = str(tmp_path / "frag")
+        orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+        orders.repartition(32).write.parquet(path)  # 32 tiny files
+        before_sum = table_checksum(spark.read.parquet(path))
+        assert len(glob.glob(os.path.join(path, "*.parquet"))) == 32
+
+        rc = main(["optimize", "--path", path, "--target-file-mb", "128"])
+        rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and rep["ok"]
+        assert rep["files_before"] == 32
+        assert rep["files_after"] == 1      # tiny fixture fits one file
+        assert table_checksum(spark.read.parquet(path)) == before_sum
+
+    def test_sort_cols_restore_clustering(self, spark, tmp_path):
+        from database_replicator_spark.operators.layout import compact_parquet_dir
+        from database_replicator_spark.sources.catalog import load_table
+
+        path = str(tmp_path / "frag2")
+        orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+        orders.repartition(8).write.parquet(path)
+        compact_parquet_dir(spark, path, sort_cols=["o_orderkey"])
+        rows = [r["o_orderkey"] for r in spark.read.parquet(path).collect()]
+        # one output file sorted within partition -> fully sorted read
+        assert rows == sorted(rows)
