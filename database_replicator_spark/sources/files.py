@@ -140,3 +140,33 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     clean = df.filter(F.col("_corrupt").isNull()).drop("_corrupt")
     bad = df.filter(F.col("_corrupt").isNotNull()).select("_corrupt")
     return clean, bad
+
+
+def read_evolving(
+    spark: SparkSession,
+    path: str,
+    defaults: dict | None = None,
+) -> DataFrame:
+    """Read a parquet directory whose shard generations have DIFFERENT
+    schemas (columns added over time — the normal life of a corpus that
+    gains metadata fields), unioning them into the widest schema.
+
+    ``mergeSchema`` makes Spark reconcile the footers (added columns are
+    NULL for older files); ``defaults`` then backfills those NULLs with
+    typed values so downstream integer/boolean rules never trip on
+    nullability they didn't expect. This is read-side evolution — the
+    old files are untouched; rewrite-side evolution is `optimize`'s job
+    once the column is universal.
+
+    Scale note: mergeSchema reads every file footer up front — O(files)
+    driver work. Run it once and persist the merged schema (the
+    `_schema.json` sidecar) for the steady-state reader, or keep file
+    counts tamed with `compact_parquet_dir`.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    for col, default in (defaults or {}).items():
+        if col in df.columns:
+            df = df.withColumn(col, F.coalesce(F.col(col), F.lit(default)))
+    return df

@@ -89,3 +89,35 @@ class TestCliRouting:
         assert rc == 0
         back = spark.read.parquet(os.path.join(tgt, "orders"))
         assert back.count() == 100
+
+
+class TestEvolvingRead:
+    def test_added_column_backfilled_with_typed_default(self, spark, tmp_path):
+        from database_replicator_spark.sources.files import read_evolving
+
+        path = str(tmp_path / "gen")
+        v1 = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "doc_id bigint, text string"
+        )
+        v1.write.parquet(path)  # generation 1: no quality column
+        v2 = spark.createDataFrame(
+            [(3, "c", 0.9)], "doc_id bigint, text string, quality double"
+        )
+        v2.write.mode("append").parquet(path)  # generation 2 adds quality
+
+        out = read_evolving(spark, path, defaults={"quality": 0.5})
+        got = {r["doc_id"]: r["quality"] for r in out.collect()}
+        assert got == {1: 0.5, 2: 0.5, 3: 0.9}
+        assert dict(out.dtypes)["quality"] == "double"
+
+    def test_without_defaults_old_rows_are_null(self, spark, tmp_path):
+        from database_replicator_spark.sources.files import read_evolving
+
+        path = str(tmp_path / "gen2")
+        spark.createDataFrame([(1,)], "doc_id bigint").write.parquet(path)
+        spark.createDataFrame(
+            [(2, "en")], "doc_id bigint, lang string"
+        ).write.mode("append").parquet(path)
+        out = read_evolving(spark, path)
+        got = {r["doc_id"]: r["lang"] for r in out.collect()}
+        assert got == {1: None, 2: "en"}
