@@ -176,6 +176,12 @@ def main(argv: list[str] | None = None) -> int:
         "is >= this value (model-based quality gate after the rule cascade)",
     )
     corpus_p.add_argument(
+        "--prefer-source", action="append", metavar="SOURCE=RANK",
+        help="near-dup cluster survivor preference: lower rank wins "
+        "(e.g. --prefer-source curated=0 --prefer-source crawl=1); "
+        "unranked sources lose to any ranked one",
+    )
+    corpus_p.add_argument(
         "--export-jsonl", action="store_true",
         help="also write gzipped JSON-lines shards + manifest.json "
         "(the training-loader format) next to the parquet corpus",
@@ -548,6 +554,10 @@ def main(argv: list[str] | None = None) -> int:
                 token_budget=args.token_budget,
                 classifier_threshold=args.classifier_threshold,
                 export_jsonl=args.export_jsonl,
+                source_priority={
+                    kv.split("=", 1)[0]: int(kv.split("=", 1)[1])
+                    for kv in (args.prefer_source or [])
+                } or None,
             )
             print(json.dumps({"ok": True, **report}))
             return 0

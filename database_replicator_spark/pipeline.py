@@ -43,6 +43,7 @@ def build_corpus(
     token_budget: int | None = None,
     classifier_threshold: float | None = None,
     export_jsonl: bool = False,
+    source_priority: dict | None = None,
 ) -> dict:
     """Run the batch corpus build; returns the per-stage accounting dict
     (every input document ends in exactly one bucket: corrupt, rejected,
@@ -147,9 +148,26 @@ def build_corpus(
         labels = connected_components(
             docs.select("doc_id"), pairs.select("doc1", "doc2"), id_col="doc_id"
         )
-        keepers = labels.filter(F.col("node") == F.col("cluster_id")).select(
-            F.col("node").alias("doc_id")
-        )
+        if source_priority:
+            # cluster survivor = best-ranked source, not min id: when a
+            # dup cluster spans curated and crawl copies, keep curated
+            from .operators.corpus import select_canonicals
+
+            rank = F.coalesce(
+                *[
+                    F.when(F.col("source") == s, F.lit(int(r)))
+                    for s, r in source_priority.items()
+                ],
+                F.lit(1_000_000),  # unranked sources lose to any ranked one
+            )
+            prio = docs.select("doc_id", rank.alias("_rank"))
+            keepers = select_canonicals(
+                labels, prio, id_col="doc_id", priority_col="_rank"
+            ).select(F.col("canonical_id").alias("doc_id"))
+        else:
+            keepers = labels.filter(F.col("node") == F.col("cluster_id")).select(
+                F.col("node").alias("doc_id")
+            )
         docs = docs.join(keepers, on="doc_id").localCheckpoint(eager=False)
         kept = docs.count()
         report["n_neardup_removed"] = after_dedup - kept

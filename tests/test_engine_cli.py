@@ -492,6 +492,48 @@ class TestDiffCli:
         assert rc == 0 and out["ok"] and out["counts"] == {}
 
 
+    def test_prefer_source_keeps_curated_cluster_member(
+        self, spark, tmp_path, capsys
+    ):
+        import json as _json
+        import os
+
+        src = os.path.join(str(tmp_path), "pref.jsonl")
+        base = "the cat is on a mat and it is fine w1 w2 w3 w4 w5 w6 w7 w8"
+        with open(src, "w") as f:
+            # two near-identical docs, different sources (crawl id sorts
+            # first alphabetically in content-hash space — unknown, so the
+            # test derives which doc survives from the report)
+            f.write(_json.dumps({"text": base + " crawlmark", "lang": "en",
+                                 "source": "crawl"}) + "\n")
+            f.write(_json.dumps({"text": base + " curatedmark", "lang": "en",
+                                 "source": "curated"}) + "\n")
+            for i in range(10):  # filler docs: only 'the'/'is' shared, so
+                # pairwise Jaccard stays far below the 0.2 threshold
+                f.write(_json.dumps({
+                    "text": f"the f{i}a is " + " ".join(
+                        f"f{i}x{j}" for j in range(10)),
+                    "lang": "en", "source": "crawl"}) + "\n")
+
+        from database_replicator_spark.cli import main
+
+        out_dir = os.path.join(str(tmp_path), "built_pref")
+        rc = main(["corpus-build", "--source", src, "--out", out_dir,
+                   "--budget", "64", "--shards", "2", "--min-tokens", "3",
+                   "--near-dup",
+                   "--prefer-source", "curated=0", "--prefer-source", "crawl=1"])
+        rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and rep["ok"]
+        assert rep["n_neardup_removed"] == 1
+        built = spark.read.parquet(os.path.join(out_dir, "corpus"))
+        kept_sources = {r["source"] for r in built.select("source").collect()}
+        # the curated twin survived the cluster
+        texts = [r["text"] for r in built.select("text").collect()]
+        assert any("curatedmark" in t for t in texts)
+        assert not any("crawlmark" in t for t in texts)
+        assert "curated" in kept_sources
+
+
 class TestProfileCli:
     def test_profile_command_emits_per_table_stats(self, spark, capsys):
         import json as _json
