@@ -448,6 +448,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     round_digits: int = 6,
     quantizer: str = "sample",
+    centroids=None,
 ) -> DataFrame:
     """IVF-flat ANN: a coarse quantizer partitions the corpus into
     ``nlist`` inverted lists; each query scores only the ``nprobe``
@@ -480,7 +481,13 @@ def ivf_topk(
     import numpy as np
 
     spark = corpus.sparkSession
-    if quantizer == "kmeans":
+    if centroids is not None:
+        # pre-trained/persisted quantizer (load_index_artifact): skip
+        # training entirely — the index lifecycle at scale trains once,
+        # stores, and serves many query batches
+        cent_mat = np.asarray(centroids, dtype=np.float64)
+        cent_ids = np.arange(len(cent_mat), dtype=np.int64)
+    elif quantizer == "kmeans":
         cent_mat = kmeans_centroids(corpus, nlist, id_col, vec_col)
         cent_ids = np.arange(len(cent_mat), dtype=np.int64)
     elif quantizer == "sample":
@@ -1011,6 +1018,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    codebooks=None,
 ) -> DataFrame:
     """PQ/ADC top-k: train codebooks, encode the corpus, then scan CODES
     only — each query's asymmetric-distance lookup table (m × ksub inner
@@ -1027,7 +1035,11 @@ def pq_topk(
     import numpy as np
 
     spark = corpus.sparkSession
-    books = pq_train(corpus, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
+    if codebooks is not None:
+        books = np.asarray(codebooks, dtype=np.float64)
+        m, ksub = books.shape[0], books.shape[1]
+    else:
+        books = pq_train(corpus, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
     encoded = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
     qids, qmat = collect_unit_matrix(queries, id_col, vec_col)
     bc = spark.sparkContext.broadcast((qids, qmat, books))
@@ -1117,3 +1129,44 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "cosine", "rank")
     )
+
+
+def save_index_artifact(path: str, arrays: dict, meta: dict | None = None) -> None:
+    """Persist trained index components (k-means centroids, PQ codebooks)
+    as an on-disk artifact: one ``.npy`` per named array plus a
+    ``meta.json`` of the training parameters. The index lifecycle at
+    scale is train-once / serve-many — a nightly job fits the quantizer
+    on a corpus sample, and every query session loads the artifact and
+    broadcasts it instead of re-training (drift between corpus and
+    quantizer is a recall knob, re-audit with tools/ann_recall.py after
+    big corpus changes)."""
+    import json as _json
+    import os as _os
+
+    import numpy as np
+
+    _os.makedirs(path, exist_ok=True)
+    for name, arr in arrays.items():
+        np.save(_os.path.join(path, f"{name}.npy"), np.asarray(arr))
+    with open(_os.path.join(path, "meta.json"), "w") as fh:
+        _json.dump(meta or {}, fh, indent=2, default=int)
+
+
+def load_index_artifact(path: str):
+    """(arrays dict, meta dict) back from :func:`save_index_artifact`."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    import numpy as np
+
+    arrays = {
+        _os.path.splitext(_os.path.basename(p))[0]: np.load(p)
+        for p in _glob.glob(_os.path.join(path, "*.npy"))
+    }
+    meta_path = _os.path.join(path, "meta.json")
+    meta = {}
+    if _os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            meta = _json.load(fh)
+    return arrays, meta

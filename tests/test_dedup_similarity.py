@@ -501,3 +501,56 @@ class TestProductQuantization:
             key = (r["query_id"], r["corpus_id"])
             assert key in exact
             assert abs(r["cosine"] - exact[key]) < 1e-9  # exact rescore
+
+
+class TestIndexArtifacts:
+    def test_persisted_quantizers_reproduce_results(self, spark, tmp_path):
+        """Train → save → load → serve must equal train → serve for both
+        IVF (centroids) and PQ (codebooks) — the train-once/serve-many
+        index lifecycle."""
+        import numpy as np
+
+        from database_replicator_spark.operators.similarity import (
+            ivf_topk,
+            kmeans_centroids,
+            load_index_artifact,
+            pq_topk,
+            pq_train,
+            save_index_artifact,
+        )
+        from database_replicator_spark.sources.catalog import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        queries = emb.filter(F.col("vec_id") < 5)
+
+        cent = kmeans_centroids(emb, nlist=8)
+        books = pq_train(emb, m=8, ksub=16)
+        path = str(tmp_path / "index")
+        save_index_artifact(
+            path, {"centroids": cent, "codebooks": books},
+            meta={"nlist": 8, "m": 8, "ksub": 16},
+        )
+        arrays, meta = load_index_artifact(path)
+        assert meta["nlist"] == 8
+        np.testing.assert_array_equal(arrays["centroids"], cent)
+        np.testing.assert_array_equal(arrays["codebooks"], books)
+
+        def rows(df, score_col):
+            return sorted(
+                (r["query_id"], r["corpus_id"], r[score_col]) for r in df.collect()
+            )
+
+        direct = rows(
+            ivf_topk(emb, queries, k=5, nlist=8, quantizer="kmeans"), "cosine"
+        )
+        served = rows(
+            ivf_topk(emb, queries, k=5, nlist=8, centroids=arrays["centroids"]),
+            "cosine",
+        )
+        assert direct == served
+
+        pq_direct = rows(pq_topk(emb, queries, k=5, m=8, ksub=16), "score")
+        pq_served = rows(
+            pq_topk(emb, queries, k=5, codebooks=arrays["codebooks"]), "score"
+        )
+        assert pq_direct == pq_served
