@@ -193,6 +193,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     datasheet_p.add_argument("--source", required=True, metavar="PARQUET_DIR")
     datasheet_p.add_argument(
+        "--embeddings", action="store_true",
+        help="include embedding-table stats (dims, norm distribution, "
+        "degenerate-vector count, per-label counts)",
+    )
+    datasheet_p.add_argument(
         "--approximate", action="store_true",
         help="sketch/approx paths for percentiles and distinct counts "
         "(the 100 TB mode; exact is fine through ~1e9 docs)",
@@ -526,6 +531,10 @@ def main(argv: list[str] | None = None) -> int:
             sheet = corpus_datasheet(
                 spark, args.source, approximate=args.approximate
             )
+            if args.embeddings:
+                from .pipeline import embedding_datasheet
+
+                sheet["embeddings"] = embedding_datasheet(spark, args.source)
             print(json.dumps({"ok": True, **sheet}))
             return 0
         except Exception as e:

@@ -393,3 +393,52 @@ def corpus_datasheet(
     }
     sheet["quality_reject_reasons"] = reasons
     return sheet
+
+
+def embedding_datasheet(
+    spark: SparkSession,
+    source: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Embedding-table companion to :func:`corpus_datasheet`: vector
+    count, dimensionality, norm distribution (degenerate zero/near-zero
+    vectors are an upstream-encoder bug worth catching before they hit
+    the unit-normalizing similarity operators), and per-label counts when
+    a label column exists. One pass; the norm math is a codegen
+    `aggregate` over the array — no Python."""
+    from .sources.catalog import load_table
+
+    emb = load_table(spark, source, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    base = emb.select(
+        id_col,
+        F.size(F.col(vec_col)).alias("dim"),
+        norm.alias("norm"),
+        *(["label"] if "label" in emb.columns else []),
+    )
+    overall = base.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.countDistinct("dim").alias("n_dims_seen"),
+        F.min("dim").alias("dim_min"),
+        F.max("dim").alias("dim_max"),
+        F.min("norm").alias("norm_min"),
+        F.expr("percentile(norm, 0.5)").alias("norm_p50"),
+        F.max("norm").alias("norm_max"),
+        F.sum((F.col("norm") < 1e-6).cast("long")).alias("n_degenerate"),
+    ).collect()[0]
+    sheet = {k: (float(v) if isinstance(v, float) else v)
+             for k, v in overall.asDict().items()}
+    sheet["source_dir"] = source
+    if "label" in emb.columns:
+        sheet["per_label"] = {
+            str(r["label"]): r["n"]
+            for r in base.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+    return sheet

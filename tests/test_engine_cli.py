@@ -394,6 +394,22 @@ class TestDatasheetCli:
             500 * (1 - out["quality_keep_rate"])
         )
 
+    def test_embeddings_section(self, spark, capsys):
+        import json as _json
+
+        from database_replicator_spark.cli import main
+
+        rc = main(["datasheet", "--source", "/root/testdata/sf0.001",
+                   "--embeddings"])
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and out["ok"]
+        e = out["embeddings"]
+        assert e["n_vectors"] == 500
+        assert e["n_dims_seen"] == 1 and e["dim_min"] == e["dim_max"] == 64
+        assert e["n_degenerate"] == 0
+        assert 0 < e["norm_min"] <= e["norm_p50"] <= e["norm_max"]
+        assert sum(e["per_label"].values()) == 500
+
     def test_approximate_mode_close_to_exact(self, spark, capsys):
         import json as _json
 
