@@ -140,6 +140,7 @@ def compact_changes(
     version_col: str,
     op_col: str = "op",
     value_cols: list[str] | None = None,
+    strict_inserts: bool = True,
 ) -> DataFrame:
     """Changelog net-effect compaction (the normalization step CDC runtimes
     apply before fan-out; the reference ships every intermediate change to
@@ -157,6 +158,16 @@ def compact_changes(
 
     One groupBy on the key (min_by/max_by — map-side partials, no window,
     no sort). Requires ``version_col`` unique per key (change sequence).
+
+    ``strict_inserts`` encodes a trust decision about the feed: the
+    emit-nothing row above is only sound when an ``insert`` GUARANTEES the
+    key did not exist before the batch (a well-formed CDC log). Against a
+    sink that applies inserts as upserts, a spurious insert for an
+    EXISTING key followed by a delete would then leave the stale row
+    alive — a hypothesis-found divergence from sequential replay. Pass
+    ``strict_inserts=False`` (the streaming sink path does) to emit a
+    delete instead: idempotently harmless when the key never existed,
+    correct when it did, still O(touched keys).
     """
     vals = value_cols if value_cols is not None else [
         c for c in changes.columns if c not in {*pk_cols, op_col, version_col}
@@ -165,10 +176,13 @@ def compact_changes(
         F.min_by(op_col, version_col).alias("_first_op"),
         F.max_by(F.struct(op_col, *vals), version_col).alias("_last"),
     )
+    never_existed = F.lit(None) if strict_inserts else F.lit("delete")
     net_op = (
         F.when(
             F.col(f"_last.{op_col}") == "delete",
-            F.when(F.col("_first_op") == "insert", F.lit(None)).otherwise("delete"),
+            F.when(F.col("_first_op") == "insert", never_existed).otherwise(
+                "delete"
+            ),
         )
         .when(F.col("_first_op") == "insert", F.lit("insert"))
         .otherwise(F.lit("update"))

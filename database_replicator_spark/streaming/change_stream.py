@@ -352,14 +352,19 @@ def net_effect_sink_rows(batch: DataFrame) -> DataFrame:
     """Collapse a change batch to ONE net row per (table, pk) for
     relational sink fan-out (operators/incremental.py `compact_changes`):
     an insert followed by updates ships as one insert with the final
-    payload; insert+delete inside one batch ships nothing. The raw change
-    log keeps full fidelity (time travel reads it); only the sink's SQL
+    payload; insert+delete inside one batch ships one idempotent delete
+    (``strict_inserts=False``: sinks apply inserts as upserts, so
+    trusting a batch-local insert to mean "key never existed" would leave
+    a stale pre-existing row alive — deleting is a no-op when the key
+    truly never existed and correct when it did). The raw change log
+    keeps full fidelity (time travel reads it); only the sink's SQL
     traffic shrinks — from O(changes) statements per epoch to O(touched
     keys). Returns (table, pk, net_op, payload)."""
     from ..operators.incremental import compact_changes
 
     return compact_changes(
-        batch, ["table", "pk"], "change_id", value_cols=["payload"]
+        batch, ["table", "pk"], "change_id", value_cols=["payload"],
+        strict_inserts=False,
     )
 
 
@@ -386,7 +391,7 @@ def diff_epochs(
         & (F.col("epoch") <= epoch_to)
     )
     net = compact_changes(
-        log, ["pk"], "change_id", value_cols=["payload"]
+        log, ["pk"], "change_id", value_cols=["payload"], strict_inserts=False
     ).withColumn("change_id", F.lit(None).cast("long"))
     # a slice-local "insert" first-op only proves the key was born within
     # the slice if it did not ALSO exist at epoch_from (replays / resyncs
@@ -399,6 +404,12 @@ def diff_epochs(
             F.when(
                 (F.col("net_op") == "insert") & F.col("_existed"), F.lit("update")
             ).otherwise(F.col("net_op")),
+        )
+        # born-and-deleted within the slice (delete for a key absent at
+        # epoch_from) nets to nothing vs the as-of state — drop it, using
+        # the as-of keyset rather than trusting slice-local insert claims
+        .filter(
+            ~((F.col("net_op") == "delete") & F.col("_existed").isNull())
         )
         .drop("_existed")
     )

@@ -154,7 +154,10 @@ def test_net_effect_sink_livewire_equals_sequential_replay(spark, tmp_path):
         # k2 existed before the batch; update→delete → one delete
         (4, "t", "update", "k2", '{"v": 9}'),
         (5, "t", "delete", "k2", None),
-        # k3: insert→delete → nothing shipped
+        # k3: insert→delete → ships one idempotent delete (the sink
+        # applies inserts as upserts, so batch-local insert claims are
+        # not trusted to mean "never existed"; deleting an absent key is
+        # a no-op)
         (6, "t", "insert", "k3", '{"v": 7}'),
         (7, "t", "delete", "k3", None),
     ]
@@ -191,7 +194,7 @@ def test_net_effect_sink_livewire_equals_sequential_replay(spark, tmp_path):
     # net-effect apply: one upsert batch + one delete batch
     db_net = fresh_db("net.db")
     net = net_effect_sink_rows(batch)
-    assert net.count() == 2  # k1 upsert + k2 delete; k3 vanished
+    assert net.count() == 3  # k1 upsert + k2 delete + k3 idempotent delete
     wn = JdbcUpsertWriter(dsn=db_net, table="t", pk_cols=["pk"])
     wn.upsert(net.filter("net_op != 'delete'").select("pk", "payload"))
     wn.delete(net.filter("net_op = 'delete'").select("pk"))

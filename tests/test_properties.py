@@ -526,7 +526,14 @@ class TestCompactionProperties:
             ["k", "op", "version", "v"],
         )
         replayed = apply_change_batch(base, changes, ["k"], version_col="version")
-        net = compact_changes(changes, ["k"], "version", value_cols=["v"])
+        # apply_change_batch applies inserts as upserts, so the feed may
+        # "insert" keys that already exist in base — the upsert-tolerant
+        # compaction mode is the one that must match sequential replay
+        # (strict mode's emit-nothing is only sound for well-formed CDC
+        # feeds; a hypothesis run found exactly this divergence)
+        net = compact_changes(
+            changes, ["k"], "version", value_cols=["v"], strict_inserts=False
+        )
         compacted = apply_change_batch(
             base,
             net.withColumnRenamed("net_op", "op").withColumn("version", F.lit(0)),
@@ -535,6 +542,39 @@ class TestCompactionProperties:
         )
         key = lambda df: sorted(map(tuple, df.collect()))
         assert key(replayed) == key(compacted)
+
+    def test_insert_then_delete_of_preexisting_key_regression(self, spark):
+        """The hypothesis-found divergence, pinned: key 2 exists in base,
+        the feed re-inserts then deletes it. Upsert-tolerant compaction
+        must ship a delete (strict mode's emit-nothing leaves the stale
+        base row alive under upsert apply semantics)."""
+        from database_replicator_spark.operators.incremental import (
+            apply_change_batch,
+            compact_changes,
+        )
+
+        base = spark.createDataFrame([(2, 1002.0), (4, 1004.0)], ["k", "v"])
+        changes = spark.createDataFrame(
+            [(2, "insert", 0, 0.0), (2, "delete", 1, 0.0)],
+            ["k", "op", "version", "v"],
+        )
+        replayed = apply_change_batch(base, changes, ["k"], version_col="version")
+        net = compact_changes(
+            changes, ["k"], "version", value_cols=["v"], strict_inserts=False
+        )
+        assert [r["net_op"] for r in net.collect()] == ["delete"]
+        compacted = apply_change_batch(
+            base,
+            net.withColumnRenamed("net_op", "op").withColumn("version", F.lit(0)),
+            ["k"],
+            version_col="version",
+        )
+        assert sorted(map(tuple, replayed.collect())) == sorted(
+            map(tuple, compacted.collect())
+        ) == [(4, 1004.0)]
+        # strict mode documents the precondition: same feed, emit-nothing
+        strict = compact_changes(changes, ["k"], "version", value_cols=["v"])
+        assert strict.count() == 0
 
     @settings(**SETTINGS)
     @given(feed=ops_feed, cut=st.integers(min_value=1, max_value=19))
