@@ -590,6 +590,47 @@ class TestCompactionProperties:
         net = compact_changes(changes, ["k"], "version", value_cols=["v"])
         assert net.count() <= changes.select("k").distinct().count()
 
+    @settings(**SETTINGS)
+    @given(feed=ops_feed, cut=st.integers(min_value=1, max_value=19))
+    def test_slicewise_net_apply_equals_full_replay(self, spark, feed, cut):
+        """Compacting arbitrary version slices and applying the slice nets
+        in order must equal replaying the raw feed — the property that
+        makes per-epoch sink compaction safe no matter where sync cycles
+        happen to cut the change stream."""
+        from database_replicator_spark.operators.incremental import (
+            apply_change_batch,
+            compact_changes,
+        )
+
+        base = spark.createDataFrame(
+            [(k, float(1000 + k)) for k in (2, 4)], ["k", "v"]
+        )
+        changes = spark.createDataFrame(
+            [(k, op, i, float(v)) for i, (k, op, v) in enumerate(feed)],
+            ["k", "op", "version", "v"],
+        )
+        replayed = apply_change_batch(base, changes, ["k"], version_col="version")
+
+        state = base
+        for lo, hi in ((0, cut), (cut, 10**9)):
+            sl = changes.filter(
+                (F.col("version") >= lo) & (F.col("version") < hi)
+            )
+            net = compact_changes(
+                sl, ["k"], "version", value_cols=["v"], strict_inserts=False
+            )
+            state = apply_change_batch(
+                state,
+                net.withColumnRenamed("net_op", "op").withColumn(
+                    "version", F.lit(0)
+                ),
+                ["k"],
+                version_col="version",
+            ).localCheckpoint()
+        assert sorted(map(tuple, replayed.collect())) == sorted(
+            map(tuple, state.collect())
+        )
+
 
 class TestTokenBudgetProperties:
     @settings(**SETTINGS)
