@@ -816,3 +816,57 @@ class TestJsonlIngestProperties:
         rows = docs.collect()
         assert all(r["text"] for r in rows)
         assert all(r["doc_id"] is not None for r in rows)
+
+
+class TestRowDiffProperties:
+    @settings(**SETTINGS)
+    @given(
+        src=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=12),
+                st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),
+                st.one_of(st.none(), st.sampled_from(["a", "b", ""])),
+            ),
+            min_size=0, max_size=10, unique_by=lambda t: t[0],
+        ),
+        tgt=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=12),
+                st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),
+                st.one_of(st.none(), st.sampled_from(["a", "b", ""])),
+            ),
+            min_size=0, max_size=10, unique_by=lambda t: t[0],
+        ),
+    )
+    def test_matches_dict_reference(self, spark, src, tgt):
+        """row_diff == the dict-based reference diff for arbitrary keyed
+        rows with NULLs and empty strings (the rendering distinguishes
+        NULL from '' only through the joint hash — both map to '' in the
+        canonical form, so equality follows the rendering, and BOTH sides
+        apply it, keeping the classification consistent)."""
+        from database_replicator_spark.operators.reconcile import row_diff
+
+        schema = "k long, n long, s string"
+        sdf = spark.createDataFrame(src, schema)
+        tdf = spark.createDataFrame(tgt, schema)
+        got = {
+            r["k"]: r["status"] for r in row_diff(sdf, tdf, ["k"]).collect()
+        }
+
+        def render(t):
+            n, s_ = t[1], t[2]
+            return (
+                ("" if n is None else str(n)) + "|" + ("" if s_ is None else s_)
+            )
+
+        s_map = {t[0]: render(t) for t in src}
+        t_map = {t[0]: render(t) for t in tgt}
+        want = {}
+        for k in set(s_map) | set(t_map):
+            if k not in t_map:
+                want[k] = "missing_in_target"
+            elif k not in s_map:
+                want[k] = "extra_in_target"
+            elif s_map[k] != t_map[k]:
+                want[k] = "mismatch"
+        assert got == want
