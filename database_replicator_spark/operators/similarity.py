@@ -1170,3 +1170,87 @@ def load_index_artifact(path: str):
         with open(meta_path) as fh:
             meta = _json.load(fh)
     return arrays, meta
+
+
+def kmeans_distributed(
+    corpus: DataFrame,
+    nlist: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 10,
+    round_digits: int = 9,
+):
+    """Distributed spherical k-means: the corpus-scale trainer for IVF
+    coarse quantizers when ``nlist`` (or drift) outgrows what a bounded
+    driver sample can fit (:func:`kmeans_centroids` trains on ≤4k
+    vectors; at nlist in the thousands the sample starves cells).
+
+    Per Lloyd iteration: ONE pass over the corpus — each Arrow batch
+    assigns its block against the broadcast centroids (BLAS matmul,
+    6-dp-rounded sims with lowest-cid tiebreak, the house assignment
+    rule) and emits per-cell partial sums; the driver reduces
+    O(batches × nlist × dim) partials, renormalizes, and re-broadcasts.
+    No shuffle at all — the reduce traffic is bounded by task count, the
+    same contract as the PCA Gram pass.
+
+    Determinism: partial sums depend on batch boundaries, so raw float
+    centroids would differ across partitionings by ~1e-12; partials are
+    reduced in sorted order and the centroid coordinates are ROUNDED
+    (default 9 dp — far above float noise, far below data resolution)
+    after every update, so the fixpoint is reproducible under any
+    partition layout (tested). Empty cells keep their previous centroid.
+
+    Init is the same deterministic farthest-first over the hash-ordered
+    sample as the driver trainer — the two trainers differ only in WHERE
+    Lloyd runs.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    cent = kmeans_centroids(corpus, nlist, id_col, vec_col, iters=0)
+    cent = np.round(cent, round_digits)
+
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(cent)
+
+        def partials(batches):
+            import pandas as pd
+
+            c = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                block = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                block /= np.sqrt((block * block).sum(axis=1, keepdims=True))
+                sims = np.round(block @ c.T, 6)
+                best = sims.argmax(axis=1)  # first max → lowest cid on ties
+                rows = []
+                for cid in np.unique(best):
+                    members = block[best == cid]
+                    rows.append(
+                        {
+                            "cid": int(cid),
+                            "vsum": members.sum(axis=0).tolist(),
+                            "n": int(len(members)),
+                        }
+                    )
+                yield pd.DataFrame(rows, columns=["cid", "vsum", "n"])
+
+        got = (
+            corpus.select(vec_col)
+            .mapInPandas(partials, schema="cid int, vsum array<double>, n long")
+            .collect()
+        )
+        sums = np.zeros_like(cent)
+        counts = np.zeros(len(cent), dtype=np.int64)
+        # sorted reduce: collect order must not leak into the float sums
+        for r in sorted(got, key=lambda r: (r["cid"], r["n"], tuple(r["vsum"]))):
+            sums[r["cid"]] += np.array(r["vsum"])
+            counts[r["cid"]] += r["n"]
+        new = cent.copy()
+        nz = counts > 0
+        new[nz] = sums[nz] / counts[nz, None]
+        norms = np.sqrt((new * new).sum(axis=1, keepdims=True))
+        norms[norms == 0] = 1.0
+        cent = np.round(new / norms, round_digits)
+    return cent

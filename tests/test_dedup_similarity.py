@@ -554,3 +554,42 @@ class TestIndexArtifacts:
             pq_topk(emb, queries, k=5, codebooks=arrays["codebooks"]), "score"
         )
         assert pq_direct == pq_served
+
+
+class TestDistributedKmeans:
+    def test_partition_layout_invariance_exact(self, spark):
+        import numpy as np
+
+        from database_replicator_spark.operators.similarity import (
+            kmeans_distributed,
+        )
+        from database_replicator_spark.sources.catalog import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        c1 = kmeans_distributed(emb.repartition(3), nlist=8, iters=4)
+        c2 = kmeans_distributed(emb.repartition(13), nlist=8, iters=4)
+        np.testing.assert_array_equal(c1, c2)
+
+    def test_full_data_lloyd_beats_or_matches_sample_trainer(self, spark):
+        """Training on ALL vectors must fit at least as well as the
+        bounded-sample driver trainer (the reason the distributed path
+        exists): compare mean best-centroid cosine over the corpus."""
+        import numpy as np
+
+        from database_replicator_spark.operators.similarity import (
+            collect_unit_matrix,
+            kmeans_centroids,
+            kmeans_distributed,
+        )
+        from database_replicator_spark.sources.catalog import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        _ids, mat = collect_unit_matrix(emb, "vec_id", "embedding")
+
+        def fit(cent):
+            return float((mat @ np.asarray(cent).T).max(axis=1).mean())
+
+        dist = kmeans_distributed(emb, nlist=8, iters=6)
+        # sample trainer restricted to a small sample to expose the gap
+        samp = kmeans_centroids(emb, nlist=8, sample_size=32, iters=6)
+        assert fit(dist) >= fit(samp) - 1e-9
