@@ -870,3 +870,76 @@ class TestRowDiffProperties:
             elif s_map[k] != t_map[k]:
                 want[k] = "mismatch"
         assert got == want
+
+
+class TestSplitProperties:
+    @settings(**SETTINGS)
+    @given(
+        ids=st.lists(
+            st.integers(min_value=0, max_value=10_000),
+            min_size=1, max_size=30, unique=True,
+        ),
+        extra=st.lists(
+            st.integers(min_value=10_001, max_value=20_000),
+            min_size=1, max_size=10, unique=True,
+        ),
+        seed=st.integers(min_value=0, max_value=3),
+    )
+    def test_append_stability(self, spark, ids, extra, seed):
+        """Adding documents NEVER moves an existing document's split —
+        the property that lets a corpus grow without test-set leakage
+        (a doc that was ever in test stays in test)."""
+        from database_replicator_spark.operators.corpus import dataset_split
+
+        fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+        def assign(id_list):
+            df = spark.createDataFrame([(i,) for i in id_list], "doc_id long")
+            return {
+                r["doc_id"]: r["split"]
+                for r in dataset_split(df, fr, seed=seed).collect()
+            }
+
+        before = assign(ids)
+        after = assign(ids + extra)
+        assert all(after[i] == before[i] for i in ids)
+
+
+class TestWinnowingProperties:
+    @settings(**SETTINGS)
+    @given(
+        text=st.text(
+            alphabet=st.sampled_from("abcd efg"), min_size=12, max_size=80
+        ),
+    )
+    def test_window_coverage_invariant(self, spark, text):
+        """The winnowing guarantee (MOSS): every window of w consecutive
+        k-gram positions contributes at least one selected fingerprint —
+        i.e. for any w-window over the normalized text's k-gram hash
+        sequence, min(window) is among the selected hashes."""
+        import hashlib
+
+        from database_replicator_spark.operators.textops import (
+            normalize_text_expr,
+            winnowing_fingerprints,
+        )
+
+        k, w = 5, 4
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        selected = {
+            r["fingerprint"]
+            for r in winnowing_fingerprints(df, k=k, w=w).collect()
+        }
+        norm = df.select(
+            normalize_text_expr(F.col("text")).alias("n")
+        ).collect()[0]["n"]
+        # python reference: hash60 of every k-gram (clamped like the SQL:
+        # at least one gram even for short docs)
+        n_grams = max(len(norm) - (k - 1), 1)
+        grams = [norm[i : i + k] for i in range(n_grams)]
+        hashes = [
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams
+        ]
+        for i in range(len(hashes)):
+            window = hashes[i : i + w]
+            assert min(window) in selected, (norm, i)
