@@ -97,3 +97,56 @@ def topo_stages(edges: list[tuple[str, str]], tables: list[str]) -> list[list[st
         for d in remaining.values():
             d.difference_update(ready)
     return stages
+
+
+def fk_consistent_sample(
+    tables: dict,
+    root: str,
+    root_key: str,
+    child_edges: list[tuple[str, str, str, str]],
+    rate: float,
+    seed: int = 1,
+) -> dict:
+    """Referential-integrity-preserving sample: draw a deterministic
+    hash-threshold sample of ROOT keys, then follow foreign keys so every
+    child row whose parent was drawn comes along — the way a dev/staging
+    fixture is carved from production without orphaning rows (a naive
+    per-table sample breaks every join).
+
+    ``child_edges``: (child_table, child_fk_col, parent_table,
+    parent_key_col) — ordered topologically (parents before their
+    children), so transitive closure falls out of one pass.
+
+    The draw reuses the corpus sampler's portable hash-threshold rule
+    (operators/corpus.sample_threshold): the same (key, seed, rate)
+    decides membership in any engine — the oracle recomputes it — and a
+    higher rate yields a SUPERSET (nested samples, the property that lets
+    a fixture grow without reshuffling what teams already have).
+
+    Plan: each child attaches via one left-semi join on its fk against
+    the parent's sampled key projection (broadcast when small, AQE
+    decides); nothing shuffles more than (fk, key) pairs. Returns
+    {table: sampled DataFrame}.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import hash60, seeded
+    from .corpus import sample_threshold
+
+    threshold = sample_threshold(rate)
+    sampled: dict = {}
+    draw = hash60(seeded(F.col(root_key).cast("string"), seed))
+    sampled[root] = tables[root].filter(draw < F.lit(threshold))
+
+    for child, fk_col, parent, parent_key in child_edges:
+        if parent not in sampled:
+            raise ValueError(
+                f"edge for {child!r} references {parent!r} before it was "
+                "sampled — order child_edges topologically"
+            )
+        parent_keys = sampled[parent].select(F.col(parent_key).alias("_k"))
+        child_df = tables[child]
+        sampled[child] = child_df.join(
+            parent_keys, child_df[fk_col] == parent_keys["_k"], "left_semi"
+        )
+    return sampled

@@ -1025,3 +1025,61 @@ def row_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return row_diff(orders, tgt, ["o_orderkey"]).orderBy("o_orderkey")
+
+
+@query(
+    "fk_consistent_sample",
+    oracle="""
+    WITH sc AS (
+      SELECT c_custkey FROM customer
+      WHERE CAST('0x' || substr(md5('1:' || CAST(c_custkey AS VARCHAR)), 1, 15)
+            AS BIGINT) < 230584300921369408
+    ),
+    so AS (
+      SELECT o.o_orderkey FROM orders o JOIN sc ON sc.c_custkey = o.o_custkey
+    ),
+    sl AS (
+      SELECT l.l_orderkey, l.l_linenumber
+      FROM lineitem l JOIN so ON so.o_orderkey = l.l_orderkey
+    )
+    SELECT 'customer' AS table_name, COUNT(*) AS n_rows FROM sc
+    UNION ALL SELECT 'orders', COUNT(*) FROM so
+    UNION ALL SELECT 'lineitem', COUNT(*) FROM sl
+    ORDER BY table_name
+    """,
+)
+def fk_consistent_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity-preserving fixture sampling
+    (operators/fk.fk_consistent_sample): a 20% deterministic
+    hash-threshold draw of customers pulls every one of their orders and
+    every one of those orders' lineitems — zero orphans by construction.
+    The gate reports the per-table sampled row counts; the oracle follows
+    the identical hash rule and FK chain."""
+    from .operators.fk import fk_consistent_sample as fks
+
+    tables = {
+        "customer": load_table(spark, sf_dir, "customer"),
+        "orders": load_table(spark, sf_dir, "orders"),
+        "lineitem": load_table(spark, sf_dir, "lineitem"),
+    }
+    sampled = fks(
+        tables,
+        root="customer",
+        root_key="c_custkey",
+        child_edges=[
+            ("orders", "o_custkey", "customer", "c_custkey"),
+            ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ],
+        rate=0.2,
+        seed=1,
+    )
+    parts = [
+        sampled[t].agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit(t).alias("table_name"), "n_rows"
+        )
+        for t in ("customer", "orders", "lineitem")
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("table_name")

@@ -411,3 +411,63 @@ class TestConstraintAudit:
         df = spark.createDataFrame([(1,), (2,)], "id long")
         out = constraint_audit(df, unique_cols=["id"], not_null_cols=["id"]).collect()
         assert all(r["n_violations"] == 0 for r in out)
+
+
+class TestFkConsistentSample:
+    def test_no_orphans_and_nested_supersets(self, spark):
+        from database_replicator_spark.operators.fk import fk_consistent_sample
+        from database_replicator_spark.sources.catalog import load_table
+
+        sf = "/root/testdata/sf0.001"
+        tables = {
+            "customer": load_table(spark, sf, "customer"),
+            "orders": load_table(spark, sf, "orders"),
+            "lineitem": load_table(spark, sf, "lineitem"),
+        }
+        edges = [
+            ("orders", "o_custkey", "customer", "c_custkey"),
+            ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ]
+
+        s = fk_consistent_sample(tables, "customer", "c_custkey", edges, rate=0.3)
+        # zero orphans: every sampled order's customer is sampled, every
+        # sampled lineitem's order is sampled
+        ck = {r["c_custkey"] for r in s["customer"].select("c_custkey").collect()}
+        ok = {r["o_orderkey"] for r in s["orders"].select("o_orderkey").collect()}
+        assert all(
+            r["o_custkey"] in ck for r in s["orders"].select("o_custkey").collect()
+        )
+        assert all(
+            r["l_orderkey"] in ok
+            for r in s["lineitem"].select("l_orderkey").collect()
+        )
+        # completeness: ALL of a sampled customer's orders come along
+        total_orders_of_sampled = (
+            tables["orders"].filter(F.col("o_custkey").isin(ck)).count()
+        )
+        assert s["orders"].count() == total_orders_of_sampled
+
+        # nested: raising the rate yields a superset of customers
+        s2 = fk_consistent_sample(tables, "customer", "c_custkey", edges, rate=0.6)
+        ck2 = {r["c_custkey"] for r in s2["customer"].select("c_custkey").collect()}
+        assert ck <= ck2
+
+    def test_unordered_edges_rejected(self, spark):
+        import pytest as _pytest
+
+        from database_replicator_spark.operators.fk import fk_consistent_sample
+        from database_replicator_spark.sources.catalog import load_table
+
+        sf = "/root/testdata/sf0.001"
+        tables = {
+            "customer": load_table(spark, sf, "customer"),
+            "orders": load_table(spark, sf, "orders"),
+            "lineitem": load_table(spark, sf, "lineitem"),
+        }
+        with _pytest.raises(ValueError, match="topologically"):
+            fk_consistent_sample(
+                tables, "customer", "c_custkey",
+                [("lineitem", "l_orderkey", "orders", "o_orderkey"),
+                 ("orders", "o_custkey", "customer", "c_custkey")],
+                rate=0.3,
+            )
