@@ -227,6 +227,23 @@ def main(argv: list[str] | None = None) -> int:
     diff_p.add_argument("--limit", type=int, default=20,
                         help="sample size in the JSON output")
 
+    sample_p = sub.add_parser(
+        "sample",
+        help="FK-consistent fixture sample: hash-draw root keys, follow "
+        "foreign keys, write the sampled tables (zero orphans)",
+    )
+    sample_p.add_argument("--source", required=True)
+    sample_p.add_argument("--target", required=True)
+    sample_p.add_argument("--root", required=True, metavar="TABLE")
+    sample_p.add_argument("--root-key", required=True, metavar="COL")
+    sample_p.add_argument(
+        "--edge", action="append", default=[],
+        metavar="CHILD.FKCOL=PARENT.KEYCOL",
+        help="FK edge, topological order (e.g. orders.o_custkey=customer.c_custkey)",
+    )
+    sample_p.add_argument("--rate", type=float, required=True)
+    sample_p.add_argument("--seed", type=int, default=1)
+
     optimize_p = sub.add_parser(
         "optimize",
         help="small-file compaction of a parquet dir (lakehouse OPTIMIZE): "
@@ -453,6 +470,38 @@ def main(argv: list[str] | None = None) -> int:
                               "counts": counts, "sample": sample},
                              default=str))
             return 0 if not counts else 1
+        except Exception as e:
+            print(json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"}))
+            return 2
+        finally:
+            if owns:
+                spark.stop()
+
+    if args.command == "sample":
+        spark, owns = _get_session()
+        try:
+            from .operators.fk import fk_consistent_sample
+
+            tables = _load_sources(spark, args.source)
+            edges = []
+            for spec in args.edge:
+                child_part, parent_part = spec.split("=", 1)
+                child, fk_col = child_part.split(".", 1)
+                parent, pk_col = parent_part.split(".", 1)
+                edges.append((child, fk_col, parent, pk_col))
+            sampled = fk_consistent_sample(
+                tables, args.root, args.root_key, edges,
+                rate=args.rate, seed=args.seed,
+            )
+            counts = {}
+            for name, df in sampled.items():
+                df.write.mode("overwrite").parquet(
+                    os.path.join(args.target, f"{name}.parquet")
+                )
+                counts[name] = df.count()
+            print(json.dumps({"ok": True, "rate": args.rate,
+                              "row_counts": counts}))
+            return 0
         except Exception as e:
             print(json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"}))
             return 2

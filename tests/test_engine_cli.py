@@ -550,6 +550,33 @@ class TestDiffCli:
         assert "curated" in kept_sources
 
 
+class TestSampleCli:
+    def test_fixture_sample_writes_consistent_tables(self, spark, tmp_path, capsys):
+        import json as _json
+        import os
+
+        from database_replicator_spark.cli import main
+
+        tgt = str(tmp_path / "fixture")
+        rc = main(["sample", "--source", "/root/testdata/sf0.001",
+                   "--target", tgt,
+                   "--root", "customer", "--root-key", "c_custkey",
+                   "--edge", "orders.o_custkey=customer.c_custkey",
+                   "--edge", "lineitem.l_orderkey=orders.o_orderkey",
+                   "--rate", "0.2"])
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and out["ok"]
+        assert set(out["row_counts"]) == {"customer", "orders", "lineitem"}
+        # written fixture joins cleanly: zero orphaned orders
+        cust = spark.read.parquet(os.path.join(tgt, "customer.parquet"))
+        orders = spark.read.parquet(os.path.join(tgt, "orders.parquet"))
+        orphans = orders.join(
+            cust, orders["o_custkey"] == cust["c_custkey"], "left_anti"
+        ).count()
+        assert orphans == 0
+        assert orders.count() == out["row_counts"]["orders"]
+
+
 class TestProfileCli:
     def test_profile_command_emits_per_table_stats(self, spark, capsys):
         import json as _json
