@@ -176,6 +176,10 @@ def main(argv: list[str] | None = None) -> int:
         "is >= this value (model-based quality gate after the rule cascade)",
     )
     corpus_p.add_argument(
+        "--datasheet", action="store_true",
+        help="also write datasheet.json (the data card) over the BUILT corpus",
+    )
+    corpus_p.add_argument(
         "--prefer-source", action="append", metavar="SOURCE=RANK",
         help="near-dup cluster survivor preference: lower rank wins "
         "(e.g. --prefer-source curated=0 --prefer-source crawl=1); "
@@ -616,6 +620,7 @@ def main(argv: list[str] | None = None) -> int:
                     kv.split("=", 1)[0]: int(kv.split("=", 1)[1])
                     for kv in (args.prefer_source or [])
                 } or None,
+                with_datasheet=args.datasheet,
             )
             print(json.dumps({"ok": True, **report}))
             return 0

@@ -44,6 +44,7 @@ def build_corpus(
     classifier_threshold: float | None = None,
     export_jsonl: bool = False,
     source_priority: dict | None = None,
+    with_datasheet: bool = False,
 ) -> dict:
     """Run the batch corpus build; returns the per-stage accounting dict
     (every input document ends in exactly one bucket: corrupt, rejected,
@@ -285,6 +286,16 @@ def build_corpus(
         manifest = export_jsonl_shards(out, out_dir)
         report["jsonl_manifest"] = manifest
         _mark("export_jsonl")
+    if with_datasheet:
+        # data card over the WRITTEN corpus (not the raw input): the
+        # numbers a consumer of this build actually gets
+        import json as _json
+
+        sheet = corpus_datasheet(spark, f"{out_dir}/corpus", text_field=text_field)
+        with open(f"{out_dir}/datasheet.json", "w") as fh:
+            _json.dump(sheet, fh, indent=2, default=str)
+        report["datasheet"] = sheet
+        _mark("datasheet")
     report["stage_seconds"] = stage_seconds
     return report
 
@@ -306,6 +317,8 @@ def corpus_datasheet(
     KMV sketch (operators/sketch.py) for the duplicate-rate estimate, so
     no single task ever sorts or holds the full value set.
     """
+    import os as _os
+
     from .operators.sketch import kmv_estimate, kmv_sketch
     from .operators.textops import (
         fingerprint_expr,
@@ -313,9 +326,15 @@ def corpus_datasheet(
         quality_filter,
         token_count_expr,
     )
-    from .sources.catalog import load_table
+    from .sources.catalog import ensure_configured, load_table
 
-    docs = load_table(spark, source, "documents")
+    if _os.path.exists(_os.path.join(source, "documents.parquet")):
+        docs = load_table(spark, source, "documents")
+    else:
+        # a built corpus directory (shard-partitioned parquet) — read it
+        # directly; the card then describes what a consumer actually gets
+        ensure_configured(spark)
+        docs = spark.read.parquet(source)
     t = F.col(text_field)
     base = docs.select(
         "doc_id",

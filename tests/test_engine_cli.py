@@ -577,6 +577,35 @@ class TestSampleCli:
         assert orders.count() == out["row_counts"]["orders"]
 
 
+    def test_datasheet_flag_writes_card_over_built_corpus(
+        self, spark, tmp_path, capsys
+    ):
+        import json as _json
+        import os
+
+        src = os.path.join(str(tmp_path), "ds.jsonl")
+        with open(src, "w") as f:
+            for i in range(15):
+                t = "the cat is on a mat and it is fine " + " ".join(
+                    f"d{i}q{j}" for j in range(8)
+                )
+                f.write(_json.dumps({"text": t, "lang": "en", "source": "s0"}) + "\n")
+
+        from database_replicator_spark.cli import main
+
+        out_dir = os.path.join(str(tmp_path), "built_ds")
+        rc = main(["corpus-build", "--source", src, "--out", out_dir,
+                   "--budget", "64", "--shards", "2", "--min-tokens", "3",
+                   "--datasheet"])
+        rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and rep["ok"]
+        assert rep["datasheet"]["n_docs"] == rep["n_written"] == 15
+        with open(os.path.join(out_dir, "datasheet.json")) as fh:
+            card = _json.load(fh)
+        assert card["n_docs"] == 15
+        assert "datasheet" in rep["stage_seconds"]
+
+
 class TestProfileCli:
     def test_profile_command_emits_per_table_stats(self, spark, capsys):
         import json as _json
