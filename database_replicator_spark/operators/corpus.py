@@ -127,10 +127,16 @@ def connected_components(
                 # union by MIN id keeps the label = component minimum
                 lo, hi = (a, b) if a < b else (b, a)
                 parent[hi] = lo
+        import pandas as pd
+
         ep_rows = [r["node"] for r in endpoints.collect()]
         spark = nodes.sparkSession
+        # pandas → Arrow ingestion: ~10× cheaper than a Python tuple list
+        # at the cap boundary (hundreds of thousands of endpoint rows)
         labeled = spark.createDataFrame(
-            [(n, find(n)) for n in ep_rows],
+            pd.DataFrame(
+                {"node": ep_rows, "cluster_id": [find(n) for n in ep_rows]}
+            ),
             schema=endpoints.select(
                 "node", F.col("node").alias("cluster_id")
             ).schema,
