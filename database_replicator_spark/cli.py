@@ -143,6 +143,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     profile_p.add_argument("--source", required=True)
     profile_p.add_argument("--table", action="append", help="restrict to table(s)")
+    profile_p.add_argument(
+        "--approximate", action="store_true",
+        help="HLL distinct counts (~2%% error) instead of exact — drops "
+        "the Expand multiplier, the 100 TB mode",
+    )
 
     corpus_p = sub.add_parser(
         "corpus-build",
@@ -332,7 +337,12 @@ def main(argv: list[str] | None = None) -> int:
             if args.table:
                 tables = {t: df for t, df in tables.items() if t in set(args.table)}
             out = {
-                t: [r.asDict() for r in profile_table(df).collect()]
+                t: [
+                    r.asDict()
+                    for r in profile_table(
+                        df, approximate=args.approximate
+                    ).collect()
+                ]
                 for t, df in tables.items()
             }
             print(json.dumps({"ok": True, "profiles": out}, default=str))

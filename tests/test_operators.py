@@ -471,3 +471,24 @@ class TestFkConsistentSample:
                  ("orders", "o_custkey", "customer", "c_custkey")],
                 rate=0.3,
             )
+
+
+class TestProfileApproximate:
+    def test_hll_mode_within_two_pct_and_other_stats_identical(self, spark):
+        from database_replicator_spark.operators.estimation import profile_table
+        from database_replicator_spark.sources.catalog import load_table
+
+        orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+        exact = {r["column_name"]: r for r in profile_table(orders).collect()}
+        approx = {
+            r["column_name"]: r
+            for r in profile_table(orders, approximate=True).collect()
+        }
+        for c, e in exact.items():
+            a = approx[c]
+            # everything except n_distinct must be byte-identical
+            assert (a["n_rows"], a["n_nulls"], a["min_value"], a["max_value"]) == (
+                e["n_rows"], e["n_nulls"], e["min_value"], e["max_value"]
+            )
+            rel = abs(a["n_distinct"] - e["n_distinct"]) / max(e["n_distinct"], 1)
+            assert rel < 0.05, (c, e["n_distinct"], a["n_distinct"])
