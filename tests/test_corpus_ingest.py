@@ -228,3 +228,35 @@ class TestForgetDocuments:
         rep = forget_documents(spark, dirs["tgt"], [999])
         assert rep == {"corpus": 0, "_fingerprints": 0, "_signatures": 0}
         assert read_corpus(spark, dirs["tgt"]).count() == 1
+
+
+class TestForgetCompactInteraction:
+    def test_erasure_survives_index_compaction(self, spark, dirs):
+        """forget → compact must not resurrect the erased doc in ANY
+        surface (corpus, fingerprint index, signature index), and the
+        forgotten content stays admissible after compaction."""
+        from database_replicator_spark.streaming.corpus_ingest import (
+            CorpusIngestor,
+            compact_ingest_indexes,
+            forget_documents,
+            read_corpus,
+        )
+
+        ing = CorpusIngestor(target_dir=dirs["tgt"], near_dup=True)
+        mk = lambda i, t: spark.createDataFrame(  # noqa: E731
+            [(i, t, "en", "cc")],
+            "doc_id long, text string, lang string, source string",
+        )
+        ing.ingest_batch(mk(1, GOOD), 0)
+        ing.ingest_batch(mk(2, GOOD2), 1)
+        forget_documents(spark, dirs["tgt"], [1])
+        compact_ingest_indexes(spark, dirs["tgt"])
+        assert {r["doc_id"] for r in read_corpus(spark, dirs["tgt"]).collect()} == {2}
+
+        # post-compaction: the forgotten text is admissible, a dup of the
+        # SURVIVING doc is still rejected
+        ing2 = CorpusIngestor(target_dir=dirs["tgt"], near_dup=True)
+        ing2.ingest_batch(mk(10, GOOD), 2)
+        ing2.ingest_batch(mk(11, GOOD2), 3)  # exact dup of doc 2 → rejected
+        got = {r["doc_id"] for r in read_corpus(spark, dirs["tgt"]).collect()}
+        assert got == {2, 10}
