@@ -58,10 +58,29 @@ def main() -> int:
     import __spark_entry__ as entry_mod
     from database_replicator_spark.session import build_session
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    if args and args[0] == "--scales":
+        # three-scale sweep in ONE session: the idiom for validating new
+        # gates (scale-dependent tie/rounding bugs only show at some SFs)
+        rc = 0
+        spark = build_session("check_oracle")
+        for sf in ("0.001", "0.01", "0.1"):
+            print(f"--- sf{sf}")
+            rc |= _run(spark, f"/root/testdata/sf{sf}", set(args[1:]),
+                       entry_mod, duckdb)
+        spark.stop()
+        return rc
+
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     spark = build_session("check_oracle")
+    rc = _run(spark, sf_dir, only, entry_mod, duckdb)
+    spark.stop()
+    return rc
+
+
+def _run(spark, sf_dir: str, only: set, entry_mod, duckdb) -> int:
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
@@ -112,7 +131,7 @@ def main() -> int:
             failures += 1
         else:
             print(f"ok    {name}: {len(s_rows)} rows")
-    spark.stop()
+    con.close()
     return 1 if failures else 0
 
 
