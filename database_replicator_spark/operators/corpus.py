@@ -1372,3 +1372,59 @@ def select_canonicals(
             "cluster_size",
         )
     )
+
+
+def dedup_repeated_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 20,
+) -> DataFrame:
+    """WITHIN-document dedup: drop repeated fixed-width word chunks inside
+    each document, keeping the first occurrence — the intra-page
+    counterpart of cross-document passage dedup (templated pages repeat
+    their own boilerplate: nav blocks, cookie banners, footer text).
+
+    The text splits into ``chunk_words``-word windows as ONE codegen
+    expression (transform over sequence + slice — no Python, no explode
+    until after chunking); duplicates are detected by exact chunk-text
+    equality under a per-doc window, so the only shuffle is on
+    (doc, chunk) at doc grain. Returns (doc_id, n_chunks, n_dropped,
+    clean_text) with clean_text = surviving chunks rejoined in order.
+    """
+    from pyspark.sql import Window
+
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_chunks = F.ceil(F.size(words) / F.lit(chunk_words)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * chunk_words + 1, chunk_words), " "
+        ),
+    )
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(chunks).alias("idx", "chunk")
+    )
+    w = Window.partitionBy("doc_id", "chunk").orderBy("idx")
+    kept = exploded.withColumn("_rn", F.row_number().over(w))
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("_rn") > 1).cast("long")).alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_rn") == 1,
+                                F.struct(F.col("idx"), F.col("chunk")),
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )

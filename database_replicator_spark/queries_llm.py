@@ -1054,3 +1054,43 @@ def corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "doc_chunk_dedup",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, idx,
+             array_to_string(words[(idx*20+1):(idx*20+20)], ' ') AS chunk
+      FROM w, LATERAL (
+        SELECT unnest(range(CAST(ceil(len(words)/20.0) AS INT))) AS idx
+      ) i
+    ),
+    r AS (
+      SELECT doc_id, idx, chunk,
+             row_number() OVER (PARTITION BY doc_id, chunk ORDER BY idx) AS rn
+      FROM c
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY idx)
+             AS clean_text
+    FROM r
+    GROUP BY doc_id
+    """,
+)
+def doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-chunk removal
+    (corpus.dedup_repeated_chunks): templated pages repeat their own
+    boilerplate; drop later occurrences of any exact 20-word chunk,
+    keeping document order. Chunking is one codegen expression; the only
+    shuffle is the per-doc window."""
+    from .operators.corpus import dedup_repeated_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_repeated_chunks(docs, chunk_words=20)

@@ -699,3 +699,32 @@ class TestSelectCanonicals:
         assert by_prio[1] == 3
         assert by_prio[7] == 7   # tie on priority → min id
         assert by_prio[9] == 9
+
+
+class TestDedupRepeatedChunks:
+    def test_repeated_boilerplate_dropped_in_order(self, spark):
+        from database_replicator_spark.operators.corpus import (
+            dedup_repeated_chunks,
+        )
+
+        nav = " ".join(f"nav{i}" for i in range(20))     # one exact chunk
+        body1 = " ".join(f"b{i}" for i in range(20))
+        body2 = " ".join(f"c{i}" for i in range(20))
+        # nav repeats twice more after bodies
+        text = " ".join([nav, body1, nav, body2, nav])
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        out = dedup_repeated_chunks(df, chunk_words=20).collect()[0]
+        assert out["n_chunks"] == 5
+        assert out["n_dropped"] == 2
+        assert out["clean_text"] == " ".join([nav, body1, body2])
+
+    def test_no_repeats_is_identity(self, spark):
+        from database_replicator_spark.operators.corpus import (
+            dedup_repeated_chunks,
+        )
+
+        text = " ".join(f"w{i}" for i in range(45))  # 3 chunks, all distinct
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        out = dedup_repeated_chunks(df, chunk_words=20).collect()[0]
+        assert out["n_dropped"] == 0
+        assert out["clean_text"] == text
