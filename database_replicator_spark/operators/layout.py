@@ -164,17 +164,41 @@ def compact_parquet_dir(
     total = sum(_os.path.getsize(p) for p in data_files)
     n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
-    out = df.repartition(n)
-    if sort_cols:
-        out = out.sortWithinPartitions(*sort_cols)
-    staged_overwrite(spark, out, path)
+    # hive-partitioned layout (epoch=/shard=/bucket= dirs): preserve it —
+    # a flat rewrite would silently destroy partition pruning for every
+    # downstream reader
+    part_cols = sorted(
+        {
+            d.split("=", 1)[0]
+            for d in _os.listdir(path)
+            if "=" in d and _os.path.isdir(_os.path.join(path, d))
+        }
+    )
+    if part_cols:
+        out = df.repartition(n, *part_cols)
+        if sort_cols:
+            out = out.sortWithinPartitions(*sort_cols)
+        stage = path + ".stage"
+        out.write.mode("overwrite").partitionBy(*part_cols).parquet(stage)
+        spark.read.parquet(stage).write.mode("overwrite").partitionBy(
+            *part_cols
+        ).parquet(path)
+        import shutil as _shutil
+
+        _shutil.rmtree(stage, ignore_errors=True)
+    else:
+        out = df.repartition(n)
+        if sort_cols:
+            out = out.sortWithinPartitions(*sort_cols)
+        staged_overwrite(spark, out, path)
     after = [
         p
-        for p in _glob.glob(_os.path.join(path, "*.parquet"))
-        if _os.path.isfile(p)
+        for p in _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+        if _os.path.isfile(p) and not _os.path.basename(p).startswith(("_", "."))
     ]
     return {
         "files_before": len(data_files),
         "files_after": len(after),
         "bytes": total,
+        "partition_cols": part_cols,
     }

@@ -183,3 +183,35 @@ class TestOptimize:
         rows = [r["o_orderkey"] for r in spark.read.parquet(path).collect()]
         # one output file sorted within partition -> fully sorted read
         assert rows == sorted(rows)
+
+
+    def test_partitioned_layout_preserved(self, spark, tmp_path):
+        """optimize on a hive-partitioned dir must keep the partition
+        scheme (flattening would destroy pruning for every reader)."""
+        import glob
+        import os
+
+        from database_replicator_spark.operators.layout import compact_parquet_dir
+        from database_replicator_spark.sources.catalog import load_table
+
+        path = str(tmp_path / "parted")
+        orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+        (
+            orders.withColumn("bucket", F.pmod(F.col("o_orderkey"), F.lit(4)))
+            .repartition(8)
+            .write.partitionBy("bucket")
+            .parquet(path)
+        )
+        before = spark.read.parquet(path)
+        n_before = before.count()
+        want = before.filter(F.col("bucket") == 2).count()  # pre-rewrite
+        rep = compact_parquet_dir(spark, path, target_file_mb=128)
+        assert rep["partition_cols"] == ["bucket"]
+        # partition dirs still present, content preserved
+        assert {d.split("=")[0] for d in os.listdir(path) if "=" in d} == {"bucket"}
+        after = spark.read.parquet(path)
+        assert after.count() == n_before
+        assert rep["files_after"] <= rep["files_before"]
+        # pruning still works and content per partition is intact
+        got = after.filter(F.col("bucket") == 2).count()
+        assert got == want > 0
