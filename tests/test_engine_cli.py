@@ -606,6 +606,39 @@ class TestSampleCli:
         assert "datasheet" in rep["stage_seconds"]
 
 
+    def test_build_is_bit_deterministic_across_runs(self, spark, tmp_path, capsys):
+        """Two corpus-build runs over the same input must produce
+        checksum-identical corpora — the whole-pipeline determinism claim
+        (content-hash ids, hash-threshold draws, seeded shuffles; no RNG
+        state anywhere)."""
+        import json as _json
+        import os
+
+        from database_replicator_spark.cli import main
+        from database_replicator_spark.operators.verify import table_checksum
+
+        src = os.path.join(str(tmp_path), "det.jsonl")
+        with open(src, "w") as f:
+            for i in range(25):
+                t = "the cat is on a mat and it is fine " + " ".join(
+                    f"x{i}v{j}" for j in range(9)
+                )
+                f.write(_json.dumps({"text": t, "lang": "en",
+                                     "source": f"s{i % 2}"}) + "\n")
+
+        sums = []
+        for run in ("a", "b"):
+            out_dir = os.path.join(str(tmp_path), f"built_{run}")
+            rc = main(["corpus-build", "--source", src, "--out", out_dir,
+                       "--budget", "64", "--shards", "3", "--min-tokens", "3",
+                       "--temperature", "0.7", "--seed", "5"])
+            rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+            assert rc == 0 and rep["ok"]
+            df = spark.read.parquet(os.path.join(out_dir, "corpus"))
+            sums.append(table_checksum(df))
+        assert sums[0] == sums[1]
+
+
 class TestProfileCli:
     def test_profile_command_emits_per_table_stats(self, spark, capsys):
         import json as _json
