@@ -943,3 +943,54 @@ class TestWinnowingProperties:
         for i in range(len(hashes)):
             window = hashes[i : i + w]
             assert min(window) in selected, (norm, i)
+
+
+class TestTokenBudgetProperties:
+    @settings(**SETTINGS)
+    @given(
+        docs=st.lists(
+            st.tuples(
+                st.floats(min_value=0.0, max_value=1.0,
+                          allow_nan=False, width=32),
+                st.integers(min_value=1, max_value=40),
+            ),
+            min_size=1, max_size=20,
+        ),
+        budget=st.integers(min_value=1, max_value=400),
+    )
+    def test_matches_sorted_python_reference(self, spark, docs, budget):
+        """Two-phase bucketed selection == the naive sort-and-fill python
+        reference under arbitrary scores (including exact TIES, broken by
+        id) and any budget boundary. Inclusive semantics: a doc is kept
+        iff its inclusive running total fits."""
+        from database_replicator_spark.operators.corpus import select_token_budget
+
+        rows = [(i, float(s), int(t)) for i, (s, t) in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, score double, n_tokens long")
+        got = {
+            r["doc_id"]: r["cum_tokens"]
+            for r in select_token_budget(df, budget=budget).collect()
+        }
+
+        # PREFIX semantics: the running total accumulates over EVERY doc
+        # in rank order; once it overflows, everything after is excluded
+        # (no skip-and-continue backfilling of smaller later docs) — the
+        # contract the auditable cum_tokens column encodes
+        ref, cum = {}, 0
+        for i, s, t in sorted(rows, key=lambda r: (-r[1], r[0])):
+            cum += t
+            if cum <= budget:
+                ref[i] = cum
+        assert got == ref
+
+    def test_prefix_not_skip_and_continue(self, spark):
+        """The distinguishing case: an overflowing doc mid-ranking BLOCKS
+        smaller later docs (prefix), it is not skipped over."""
+        from database_replicator_spark.operators.corpus import select_token_budget
+
+        rows = [(0, 0.9, 10), (1, 0.8, 100), (2, 0.7, 5)]
+        df = spark.createDataFrame(rows, "doc_id long, score double, n_tokens long")
+        got = {
+            r["doc_id"] for r in select_token_budget(df, budget=20).collect()
+        }
+        assert got == {0}  # doc2 would fit under skip-and-continue
