@@ -994,3 +994,56 @@ class TestTokenBudgetProperties:
             r["doc_id"] for r in select_token_budget(df, budget=20).collect()
         }
         assert got == {0}  # doc2 would fit under skip-and-continue
+
+
+class TestCapPerGroupProperties:
+    @settings(**SETTINGS)
+    @given(
+        docs=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=500),        # id
+                st.sampled_from(["a", "b", "c"]),               # group
+            ),
+            min_size=1, max_size=25, unique_by=lambda t: t[0],
+        ),
+        cap=st.integers(min_value=1, max_value=6),
+        shards=st.sampled_from([None, 4]),
+    )
+    def test_count_nestedness_and_shard_invariance(self, spark, docs, cap, shards):
+        """Per-group kept count = min(group size, cap); the kept set is a
+        hash-order prefix, so cap K is a subset of cap K+1; and the
+        range-sharded mega-domain path returns the EXACT same selection
+        as the single-sort path."""
+        from collections import Counter
+
+        from database_replicator_spark.operators.corpus import cap_per_group
+
+        df = spark.createDataFrame(docs, "doc_id long, domain string")
+        kept = {
+            r["doc_id"]
+            for r in cap_per_group(
+                df, "domain", cap, range_shards=shards
+            ).collect()
+        }
+        sizes = Counter(g for _, g in docs)
+        kept_sizes = Counter(
+            g for i, g in docs if i in kept
+        )
+        for g, n in sizes.items():
+            assert kept_sizes[g] == min(n, cap)
+        # nested in cap
+        kept_next = {
+            r["doc_id"]
+            for r in cap_per_group(
+                df, "domain", cap + 1, range_shards=shards
+            ).collect()
+        }
+        assert kept <= kept_next
+        # sharded path identical to unsharded
+        other = {
+            r["doc_id"]
+            for r in cap_per_group(
+                df, "domain", cap, range_shards=8 if shards is None else None
+            ).collect()
+        }
+        assert kept == other
