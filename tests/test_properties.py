@@ -1047,3 +1047,52 @@ class TestCapPerGroupProperties:
             ).collect()
         }
         assert kept == other
+
+
+class TestTemperatureProperties:
+    @settings(**SETTINGS)
+    @given(
+        counts=st.lists(
+            st.integers(min_value=1, max_value=300), min_size=2, max_size=5
+        ),
+        alpha=st.sampled_from([0.25, 0.5, 0.75]),
+    )
+    def test_rate_laws(self, spark, counts, alpha):
+        """The temperature-rate contract, for any stratum-size mix:
+        the smallest stratum keeps everything (rate 1); rates fall
+        monotonically with stratum size; effective counts n_d·rate_d are
+        proportional to n_d^alpha (the defining XLM-R/mT5 property);
+        p_temp sums to 1."""
+        from database_replicator_spark.operators.corpus import temperature_rates
+
+        rows = [
+            (i * 1000 + j, f"s{i}")
+            for i, n in enumerate(counts)
+            for j in range(n)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = {
+            r["source"]: r
+            for r in temperature_rates(df, "source", alpha=alpha).collect()
+        }
+        n_min = min(counts)
+        sizes = {f"s{i}": n for i, n in enumerate(counts)}
+        # smallest stratum keeps everything
+        for s, n in sizes.items():
+            if n == n_min:
+                assert abs(out[s]["rate"] - 1.0) < 1e-9
+        # monotone: bigger stratum → smaller (or equal) rate
+        by_size = sorted(sizes.items(), key=lambda kv: kv[1])
+        for (s1, n1), (s2, n2) in zip(by_size, by_size[1:]):
+            if n1 < n2:
+                assert out[s1]["rate"] >= out[s2]["rate"] - 1e-12
+        # effective counts proportional to n^alpha
+        base = None
+        for s, n in sizes.items():
+            eff = n * out[s]["rate"]
+            ratio = eff / (n ** alpha)
+            if base is None:
+                base = ratio
+            # rates are 6-dp-rounded (documented) → up to ~1e-6 relative
+            assert abs(ratio - base) < 5e-6 * max(base, 1)
+        assert abs(sum(r["p_temp"] for r in out.values()) - 1.0) < 1e-4
