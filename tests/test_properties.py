@@ -1086,13 +1086,11 @@ class TestTemperatureProperties:
         for (s1, n1), (s2, n2) in zip(by_size, by_size[1:]):
             if n1 < n2:
                 assert out[s1]["rate"] >= out[s2]["rate"] - 1e-12
-        # effective counts proportional to n^alpha
-        base = None
+        # the defining law, checked against the closed form directly:
+        # rate_d = (n_min/n_d)^(1-alpha), 6-dp-rounded (so effective
+        # counts n_d·rate_d ∝ n_d^alpha); slack covers the rounding
+        # quantum plus any libm-vs-JVM pow ulp
         for s, n in sizes.items():
-            eff = n * out[s]["rate"]
-            ratio = eff / (n ** alpha)
-            if base is None:
-                base = ratio
-            # rates are 6-dp-rounded (documented) → up to ~1e-6 relative
-            assert abs(ratio - base) < 5e-6 * max(base, 1)
+            want = (n_min / n) ** (1 - alpha)
+            assert abs(out[s]["rate"] - want) <= 1e-6, (s, out[s]["rate"], want)
         assert abs(sum(r["p_temp"] for r in out.values()) - 1.0) < 1e-4
