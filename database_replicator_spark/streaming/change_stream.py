@@ -401,9 +401,19 @@ def diff_epochs(
         net.join(existed.withColumn("_existed", F.lit(True)), on="pk", how="left")
         .withColumn(
             "net_op",
+            # slice-local op names are claims about the slice, not about
+            # the as-of state — reclassify BOTH directions against the
+            # epoch_from keyset: an insert of an existing key is an
+            # update; an update materializing an absent key is an insert
+            # (apply semantics are upsert, so the state diff is the truth)
             F.when(
                 (F.col("net_op") == "insert") & F.col("_existed"), F.lit("update")
-            ).otherwise(F.col("net_op")),
+            )
+            .when(
+                (F.col("net_op") == "update") & F.col("_existed").isNull(),
+                F.lit("insert"),
+            )
+            .otherwise(F.col("net_op")),
         )
         # born-and-deleted within the slice (delete for a key absent at
         # epoch_from) nets to nothing vs the as-of state — drop it, using

@@ -255,3 +255,75 @@ def test_diff_epochs_net_changes_between_travel_points(spark, tmp_path):
     assert diff["k3"] == ("insert", '{"v":3}', 6)
     assert "k4" not in diff  # born and died inside the window
     assert set(diff) == {"k1", "k2", "k3"}
+
+
+class TestDiffEpochsProperty:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    feed = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),                # key
+            st.sampled_from(["insert", "update", "delete"]),      # op
+            st.integers(min_value=0, max_value=9),                # payload
+        ),
+        min_size=1,
+        max_size=16,
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.function_scoped_fixture, HealthCheck.too_slow
+        ],
+    )
+    @given(changes=feed, cut=st.integers(min_value=0, max_value=15))
+    def test_matches_state_diff_reference(self, spark, tmp_path_factory, changes, cut):
+        """diff_epochs(from, to) must equal the dict-diff of the two
+        replayed states for ANY change feed and window cut — including
+        re-inserts of pre-window keys (reported as update) and
+        born-and-deleted-within-window keys (reported not at all)."""
+        from database_replicator_spark.streaming.change_stream import (
+            ChangeApplier,
+            diff_epochs,
+        )
+
+        tgt = str(tmp_path_factory.mktemp("diffprop"))
+        applier = ChangeApplier(target_dir=tgt)
+        schema = "table string, pk string, payload string, change_id long, op string"
+        rows = [
+            ("t", str(k), None if op == "delete" else f'{{"v":{v}}}', i, op)
+            for i, (k, op, v) in enumerate(changes)
+        ]
+        cut = min(cut, len(rows))
+        # epoch 0: first `cut` changes; epoch 1: the rest
+        applier.apply_batch(spark.createDataFrame(rows[:cut] or [], schema), 0)
+        applier.apply_batch(spark.createDataFrame(rows[cut:] or [], schema), 1)
+
+        def state(upto):
+            st_ = {}
+            for _, pk, payload, _, op in rows[:upto]:
+                if op == "delete":
+                    st_.pop(pk, None)
+                else:
+                    st_[pk] = payload
+            return st_
+
+        a, b = state(cut), state(len(rows))
+        want = {}
+        for k in set(a) | set(b):
+            if k not in a:
+                want[k] = ("insert", b[k])
+            elif k not in b:
+                want[k] = ("delete", None)
+            elif a[k] != b[k]:
+                want[k] = ("update", b[k])
+        got = {
+            r["pk"]: (r["net_op"], r["payload"])
+            for r in diff_epochs(spark, tgt, "t", 0, 1).collect()
+        }
+        # the audit may also report update rows whose payload equals the
+        # old state (net value unchanged but key touched)? NO — dict-diff
+        # semantics are the contract: exact match required
+        assert got == want
