@@ -172,6 +172,11 @@ def main(argv: list[str] | None = None) -> int:
         help="remove cross-document duplicated 8-gram spans from surviving docs",
     )
     corpus_p.add_argument(
+        "--chunk-dedup", action="store_true",
+        help="drop repeated 20-word chunks WITHIN each doc (templated-page "
+        "boilerplate), after cross-document span masking",
+    )
+    corpus_p.add_argument(
         "--token-budget", type=int, default=None,
         help="best-first selection to this total token target before splitting",
     )
@@ -623,6 +628,7 @@ def main(argv: list[str] | None = None) -> int:
                 min_tokens=args.min_tokens,
                 near_dup=args.near_dup,
                 span_mask=args.span_mask,
+                chunk_dedup=args.chunk_dedup,
                 token_budget=args.token_budget,
                 classifier_threshold=args.classifier_threshold,
                 export_jsonl=args.export_jsonl,

@@ -40,6 +40,7 @@ def build_corpus(
     near_dup: bool = False,
     jaccard_threshold: float = 0.2,
     span_mask: bool = False,
+    chunk_dedup: bool = False,
     token_budget: int | None = None,
     classifier_threshold: float | None = None,
     export_jsonl: bool = False,
@@ -202,6 +203,31 @@ def build_corpus(
     else:
         report["n_span_masked_docs"] = 0
         report["n_span_words_dropped"] = 0
+
+    if chunk_dedup:
+        # WITHIN-document boilerplate removal (nav/footer blocks a page
+        # repeats internally) — runs after cross-document span masking;
+        # text is replaced by the first-occurrence chunks in order
+        from .operators.corpus import dedup_repeated_chunks
+
+        cleaned = dedup_repeated_chunks(docs, text_col=text_field)
+        docs = (
+            docs.drop(text_field)
+            .join(
+                cleaned.select(
+                    "doc_id", F.col("clean_text").alias(text_field), "n_dropped"
+                ),
+                on="doc_id",
+            )
+            .localCheckpoint(eager=False)
+        )
+        report["n_chunk_dedup_docs"] = int(
+            docs.filter(F.col("n_dropped") > 0).count()
+        )
+        docs = docs.drop("n_dropped")
+        _mark("chunk_dedup")
+    else:
+        report["n_chunk_dedup_docs"] = 0
 
     if token_budget is not None:
         # best-first fill to the token target: lexical-diversity priority,

@@ -639,6 +639,40 @@ class TestSampleCli:
         assert sums[0] == sums[1]
 
 
+    def test_chunk_dedup_stage_removes_internal_boilerplate(
+        self, spark, tmp_path, capsys
+    ):
+        import json as _json
+        import os
+
+        nav = " ".join(f"the nav{i} is here" for i in range(5))  # 20 words
+        src = os.path.join(str(tmp_path), "cd.jsonl")
+        with open(src, "w") as f:
+            # doc 0 repeats its nav block; others are clean
+            body = " ".join(f"z0b{j}" for j in range(20))
+            f.write(_json.dumps({"text": " ".join([nav, body, nav]),
+                                 "lang": "en", "source": "s0"}) + "\n")
+            for i in range(1, 10):
+                t = "the cat is on a mat and it is fine " + " ".join(
+                    f"cd{i}w{j}" for j in range(9)
+                )
+                f.write(_json.dumps({"text": t, "lang": "en",
+                                     "source": "s0"}) + "\n")
+
+        from database_replicator_spark.cli import main
+
+        out_dir = os.path.join(str(tmp_path), "built_cd")
+        rc = main(["corpus-build", "--source", src, "--out", out_dir,
+                   "--budget", "64", "--shards", "2", "--min-tokens", "3",
+                   "--chunk-dedup"])
+        rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and rep["ok"]
+        assert rep["n_chunk_dedup_docs"] == 1
+        built = spark.read.parquet(os.path.join(out_dir, "corpus"))
+        texts = [r["text"] for r in built.collect()]
+        assert any(t.count("nav0") == 1 for t in texts)  # repeat removed
+
+
 class TestProfileCli:
     def test_profile_command_emits_per_table_stats(self, spark, capsys):
         import json as _json
