@@ -673,6 +673,77 @@ class TestSampleCli:
         assert any(t.count("nav0") == 1 for t in texts)  # repeat removed
 
 
+    def test_all_stages_compose(self, spark, tmp_path, capsys):
+        """Kitchen sink: every optional stage enabled at once — the
+        interactions (column collisions, checkpoint chains, accounting
+        keys) are what this pins, not any single stage's math."""
+        import json as _json
+        import os
+
+        nav = " ".join(f"the nv{i} is set" for i in range(5))  # 20 words
+        src = os.path.join(str(tmp_path), "ks.jsonl")
+        base = "the cat is on a mat and it is fine"
+        with open(src, "w") as f:
+            # near-dup twins across sources (the ONLY docs sharing text:
+            # bulk docs interleave stopwords with unique tokens so every
+            # shingle carries a unique token — no accidental clustering)
+            f.write(_json.dumps({"text": base + " twinmark alpha",
+                                 "lang": "en", "source": "crawl"}) + "\n")
+            f.write(_json.dumps({"text": base + " twinmark beta",
+                                 "lang": "en", "source": "curated"}) + "\n")
+            # a doc with internal boilerplate repetition
+            body = " ".join(f"ksb{j}" for j in range(20))
+            f.write(_json.dumps({"text": " ".join([nav, body, nav]),
+                                 "lang": "en", "source": "crawl"}) + "\n")
+            # bulk docs across two sources
+            for i in range(20):
+                t = " ".join(
+                    f"the ks{i}w{j} is ks{i}x{j} it" for j in range(4)
+                )
+                f.write(_json.dumps({"text": t, "lang": "en",
+                                     "source": "crawl" if i % 2 else "curated"})
+                        + "\n")
+            f.write('{"broken\n')
+
+        from database_replicator_spark.cli import main
+
+        out_dir = os.path.join(str(tmp_path), "built_ks")
+        rc = main(["corpus-build", "--source", src, "--out", out_dir,
+                   "--budget", "64", "--shards", "3", "--min-tokens", "3",
+                   "--near-dup", "--span-mask", "--chunk-dedup",
+                   "--classifier-threshold", "-1.5",
+                   "--temperature", "0.7", "--seed", "3",
+                   "--prefer-source", "curated=0", "--prefer-source", "crawl=1",
+                   "--export-jsonl", "--datasheet"])
+        rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and rep["ok"], rep
+        # accounting identity: every ingested doc lands in exactly one bucket
+        assert rep["n_ingested"] == (
+            rep["n_exact_duplicates"] + rep["n_quality_rejected"]
+            + rep["n_classifier_rejected"] + rep["n_neardup_removed"]
+            + rep["n_over_token_budget"] + rep["n_downsampled"]
+            + rep["n_written"]
+        )
+        assert rep["n_corrupt"] == 1
+        assert rep["n_neardup_removed"] == 1  # exactly the twin cluster
+        # stage timing keys for every enabled stage
+        assert {"ingest", "exact_dedup", "quality", "classifier", "near_dup",
+                "span_mask", "chunk_dedup", "temperature_mix",
+                "pack_shuffle_write", "export_jsonl", "datasheet"} <= set(
+            rep["stage_seconds"]
+        )
+        # artifacts all present and consistent
+        built = spark.read.parquet(os.path.join(out_dir, "corpus"))
+        assert built.count() == rep["n_written"]
+        man = rep["jsonl_manifest"]
+        assert sum(sh["n_rows"] for sh in man["shards"]) == rep["n_written"]
+        assert rep["datasheet"]["n_docs"] == rep["n_written"]
+        # prefer-source kept the curated twin
+        texts = [r["text"] for r in built.collect()]
+        assert any("twinmark beta" in t for t in texts)
+        assert not any("twinmark alpha" in t for t in texts)
+
+
 class TestProfileCli:
     def test_profile_command_emits_per_table_stats(self, spark, capsys):
         import json as _json
