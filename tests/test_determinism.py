@@ -29,6 +29,11 @@ GATES = [
     "distinct_kmv_estimate",
     "dedup_minhash_lsh",
     "ivm_pricing_merge",
+    # session-2 gates whose plans carry windows/full-outer joins/HOF folds
+    "row_diff_orders",
+    "doc_chunk_dedup",
+    "customer_value_deciles",
+    "doc_classifier_score",
 ]
 
 
