@@ -749,3 +749,126 @@ def min_unitprice_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey", "s_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q6 shape: forecast revenue change (pure scan → filter → one-row aggregate;
+# the canonical predicate-pushdown / no-join baseline).
+# ---------------------------------------------------------------------------
+
+@query(
+    "forecast_revenue_change",
+    oracle="""
+    SELECT
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                  * CAST(l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+        AS revenue,
+      COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND CAST(l_discount AS DECIMAL(18,4)) BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q6 shape: revenue that would be lost if low-quantity discounts
+    were eliminated — a single filtered scan with a one-row aggregate and
+    zero joins. All three predicates (shipdate range, discount band,
+    quantity cap) push down to the parquet scan; the sum carries
+    decimal(18,4) exactly and round-trips to double through a string (the
+    house determinism rule). The discount band compares decimal-cast
+    values so both engines test the same rounded quantity.
+
+    Reference: the replicated-warehouse analytics tier (SURVEY.md §2.6);
+    completes the 22/22 TPC-H plan-shape coverage together with
+    `dominant_part_suppliers` (q20)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_discount", "l_quantity", "l_extendedprice"
+    )
+    disc = _dec("l_discount")
+    filtered = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (disc >= F.lit("0.05").cast("decimal(18,4)"))
+        & (disc <= F.lit("0.07").cast("decimal(18,4)"))
+        & (F.col("l_quantity") < 24)
+    )
+    return filtered.agg(
+        _s2d(F.sum(_dec("l_extendedprice") * disc)).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20 shape: potential part promotion — nested IN chain ending in a
+# correlated scalar aggregate (supplier ships more than half of a part's
+# total volume in the window).
+# ---------------------------------------------------------------------------
+
+@query(
+    "dominant_part_suppliers",
+    oracle="""
+    SELECT s.s_name, s.s_suppkey
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name IN ('NATION_3', 'NATION_7')
+      AND s.s_suppkey IN (
+        SELECT l.l_suppkey FROM lineitem l
+        WHERE l.l_partkey IN
+              (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+          AND l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING 2 * SUM(CAST(l_quantity AS DECIMAL(18,4))) > (
+          SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,4)))
+          FROM lineitem l2
+          WHERE l2.l_partkey = l.l_partkey
+            AND l2.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+            AND l2.l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+        )
+      )
+    ORDER BY s_name, s_suppkey
+    """,
+)
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q20 shape (shipped volume from lineitem stands in for the
+    missing partsupp.availqty): suppliers in two target nations that
+    shipped MORE THAN HALF of some widget-named part's 1995 volume. The
+    nested-IN + correlated-scalar chain decorrelates to: window lineitems
+    semi-joined to the name-filtered parts (partkey membership only, so
+    per-part totals computed after the semi-join equal the unrestricted
+    correlated totals), per-(supplier,part) sums vs per-part sums joined
+    on partkey, then a distinct-supplier semi-join into the
+    nation-filtered supplier dimension. Both engines compare
+    `2*pair > total` in exact decimal — no 0.5 rounding hazard. Shuffles:
+    one on partkey-ish keys for the two aggregates (the per-part total
+    reuses the pair aggregate map-side), one semi-join on suppkey;
+    part and nation/supplier dimensions broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    widgets = part.filter(F.col("p_name").like("%widget%")).select("p_partkey")
+    wli = li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    ).join(broadcast(widgets), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+
+    pair = wli.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(_dec("l_quantity")).alias("pair_qty")
+    )
+    tot = pair.groupBy("l_partkey").agg(F.sum("pair_qty").alias("tot_qty"))
+    dominant = (
+        pair.join(tot, "l_partkey")
+        .filter(F.lit(2).cast("decimal(18,4)") * F.col("pair_qty") > F.col("tot_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    chosen = sup.join(
+        broadcast(nat.filter(F.col("n_name").isin("NATION_3", "NATION_7"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+    return chosen.select("s_name", "s_suppkey").orderBy("s_name", "s_suppkey")
