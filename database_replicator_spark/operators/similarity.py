@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import hash60, seeded
+
 def dot_expr(a: Column, b: Column) -> Column:
     """Sequential-fold dot product of two float arrays, in doubles."""
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
@@ -969,16 +971,53 @@ def pq_train(
     return books
 
 
+def pq_sample_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic zero-iteration PQ codebooks: entry ``c`` of every
+    subspace is the subvector of the unit-normalized corpus vector with
+    id ``c`` — the same k-means-at-zero-Lloyd-iterations convention as
+    ``ivf_topk(quantizer="sample")``, which is what lets a SQL oracle
+    rebuild the whole encode→LUT→ADC pipeline (codes ARE the low
+    vec_ids). ``pq_train`` is the recall-bearing production swap; the
+    plan shape downstream is identical."""
+    import numpy as np
+
+    ids, mat = collect_unit_matrix(
+        corpus.filter(F.col(id_col) < ksub), id_col, vec_col
+    )
+    order = np.argsort(ids)
+    mat = mat[order]
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return np.ascontiguousarray(
+        mat.reshape(len(mat), m, dsub).transpose(1, 0, 2)
+    ).astype(np.float64)
+
+
 def pq_encode(
     corpus: DataFrame,
     codebooks,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Encode every (unit-normalized) vector to its ``m`` nearest-centroid
     codes — one Arrow-batched numpy pass, map-only, no shuffle. Output
     ``(vid, codes array<int>)`` is the compressed index a 100 TB ADC scan
-    reads INSTEAD of the raw vectors."""
+    reads INSTEAD of the raw vectors.
+
+    ``round_digits`` set = the oracle-parity contract: the FULL squared
+    distance (‖x‖²−2x·c+‖c‖², not the ‖x‖²-dropped shortcut, whose
+    different offset would round across different boundaries) is rounded
+    before the argmin, and numpy's first-minimum then matches the SQL
+    ``ORDER BY round(d2, 6), code`` tie-break exactly."""
     import numpy as np
 
     spark = corpus.sparkSession
@@ -1000,7 +1039,16 @@ def pq_encode(
                 # ||x-c||² = ||x||² - 2x·c + ||c||²; argmin over c
                 dots = sub @ books[j].T
                 c2 = (books[j] ** 2).sum(axis=1)
-                codes[:, j] = (c2[None, :] - 2.0 * dots).argmin(axis=1)
+                if round_digits is None:
+                    d2 = c2[None, :] - 2.0 * dots
+                else:
+                    d2 = np.round(
+                        (sub * sub).sum(axis=1, keepdims=True)
+                        - 2.0 * dots
+                        + c2[None, :],
+                        round_digits,
+                    )
+                codes[:, j] = d2.argmin(axis=1)
             yield pd.DataFrame(
                 {"vid": pdf[id_col].to_numpy(), "codes": list(codes)}
             )
@@ -1019,6 +1067,8 @@ def pq_topk(
     vec_col: str = "embedding",
     round_digits: int = 6,
     codebooks=None,
+    quantizer: str = "kmeans",
+    exact_micros: bool = False,
 ) -> DataFrame:
     """PQ/ADC top-k: train codebooks, encode the corpus, then scan CODES
     only — each query's asymmetric-distance lookup table (m × ksub inner
@@ -1031,6 +1081,16 @@ def pq_topk(
     EXACT and only the candidate CHOICE is approximate (the same contract
     as the LSH/IVF gates). At scale: codes scan is
     corpus-bytes/32, the rerank join touches R·Q rows.
+
+    ``quantizer="sample"`` swaps the trained codebooks for the
+    deterministic zero-iteration sample (:func:`pq_sample_codebooks`) and
+    ``exact_micros=True`` hardens ADC for the oracle gate: every LUT
+    entry becomes an exact BIGINT of ``round(dot, 6)·1e6`` and scores sum
+    as integers — bit-identical in any summation order, so the SQL
+    oracle's SUM-over-subspaces reproduces the score exactly. The
+    production path keeps float LUTs (one fused numpy add, no int
+    conversion) — candidate CHOICE is identical whenever scores differ by
+    more than float epsilon, and the recall tests pin the trained path.
     """
     import numpy as np
 
@@ -1038,12 +1098,23 @@ def pq_topk(
     if codebooks is not None:
         books = np.asarray(codebooks, dtype=np.float64)
         m, ksub = books.shape[0], books.shape[1]
-    else:
+    elif quantizer == "sample":
+        books = pq_sample_codebooks(corpus, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
+    elif quantizer == "kmeans":
         books = pq_train(corpus, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
-    encoded = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
+    else:
+        raise ValueError(f"unknown quantizer {quantizer!r}")
+    encoded = pq_encode(
+        corpus,
+        books,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_digits=round_digits if exact_micros else None,
+    )
     qids, qmat = collect_unit_matrix(queries, id_col, vec_col)
     bc = spark.sparkContext.broadcast((qids, qmat, books))
     mm, _ks, dsub = books.shape
+    micros = 10**round_digits
 
     def adc_scan(batches):
         import pandas as pd
@@ -1057,20 +1128,29 @@ def pq_topk(
             ],
             axis=1,
         )  # (Q, m, ksub)
+        if exact_micros:
+            lut = np.rint(np.round(lut, round_digits) * micros).astype(np.int64)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             codes = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (B, m)
             vids = pdf["vid"].to_numpy()
             # scores[q, b] = Σ_j lut[q, j, codes[b, j]]
-            scores = np.zeros((len(q_ids), len(vids)))
+            scores = np.zeros(
+                (len(q_ids), len(vids)), dtype=np.int64 if exact_micros else np.float64
+            )
             for j in range(mm):
                 scores += lut[:, j, :][:, codes[:, j]]
+            out = (
+                scores.ravel() / micros
+                if exact_micros
+                else np.round(scores.ravel(), round_digits)
+            )
             yield pd.DataFrame(
                 {
                     "query_id": np.repeat(q_ids, len(vids)),
                     "corpus_id": np.tile(vids, len(q_ids)),
-                    "adc_score": np.round(scores.ravel(), round_digits),
+                    "adc_score": out,
                 }
             )
 
@@ -1254,3 +1334,217 @@ def kmeans_distributed(
         norms[norms == 0] = 1.0
         cent = np.round(new / norms, round_digits)
     return cent
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space corpus SELECTION: coverage sampling, hard-negative
+# mining, k-NN label voting. These turn the ANN machinery above into the
+# dataset-curation operators a training pipeline runs between dedup and
+# packing (diversity-preserving subsets; contrastive negatives; cheap
+# label propagation for quality classifiers).
+# ---------------------------------------------------------------------------
+
+
+def cell_assign(
+    corpus: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Label every vector with its nearest-centroid cell id (max rounded
+    cosine, ties to the lower cid) — the shared front half of IVF,
+    coverage sampling, and cluster dedup. One (batch × nlist) matmul per
+    Arrow batch; map-only, no shuffle."""
+    import numpy as np
+
+    spark = corpus.sparkSession
+    cent = np.asarray(centroids, dtype=np.float64)
+    bc = spark.sparkContext.broadcast(cent)
+
+    def scan(batches):
+        import pandas as pd
+
+        c_mat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            block = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            block /= np.sqrt((block * block).sum(axis=1, keepdims=True))
+            sims = np.round(block @ c_mat.T, round_digits)
+            out = {id_col: ids, "cid": sims.argmax(axis=1)}
+            if keep_vec:
+                out["unit"] = list(block)
+            yield pd.DataFrame(out)
+
+    schema = f"{id_col} long, cid long" + (", unit array<double>" if keep_vec else "")
+    return corpus.mapInPandas(scan, schema=schema)
+
+
+def coverage_sample(
+    corpus: DataFrame,
+    per_cell: int,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 0,
+    quantizer: str = "sample",
+    centroids=None,
+    prefilter_buckets: int = 0,
+) -> DataFrame:
+    """Diversity-preserving subset: keep the ``per_cell``
+    lowest-``hash60(seed:id)`` vectors from every quantizer cell, so every
+    region of embedding space stays represented no matter how skewed the
+    corpus is toward its dense clusters (random sampling keeps dense
+    modes; coverage sampling keeps the manifold — the batch-selection
+    half of a SemDeDup-style curation stage). Hash order, not id order:
+    within-cell selection must not correlate with ingestion order.
+
+    Returns (id, cid, cell_rank) for kept rows, cell_rank 1-based.
+
+    Scale: assignment is map-only; selection is one shuffle on cid. A
+    single window sort per cell is fine while cells fit a task; for
+    corpus-scale cells set ``prefilter_buckets=B`` to cut each cell's
+    candidates to B·per_cell rows first (per-(cell, hash-bucket) local
+    top-``per_cell``, then the global per-cell window over the union —
+    output-identical, since every bucket forwards its own full top-n and
+    the global top-n is a subset of the union). The gated query keeps the
+    plain window; a test pins the two paths equal."""
+    cent = centroids
+    if cent is None:
+        if quantizer == "kmeans":
+            cent = kmeans_centroids(corpus, nlist, id_col, vec_col)
+        elif quantizer == "sample":
+            ids, mat = collect_unit_matrix(
+                corpus.filter(F.col(id_col) < nlist), id_col, vec_col
+            )
+            import numpy as np
+
+            cent = mat[np.argsort(ids)]
+        else:
+            raise ValueError(f"unknown quantizer {quantizer!r}")
+
+    assigned = cell_assign(corpus, cent, id_col, vec_col)
+    ranked = assigned.withColumn(
+        "pick", hash60(seeded(F.col(id_col).cast("string"), seed))
+    )
+    if prefilter_buckets > 0:
+        wb = Window.partitionBy(
+            "cid", F.pmod(F.col("pick"), F.lit(prefilter_buckets))
+        ).orderBy(F.col("pick").asc(), F.col(id_col).asc())
+        ranked = ranked.withColumn("brn", F.row_number().over(wb)).filter(
+            F.col("brn") <= per_cell
+        )
+    w = Window.partitionBy("cid").orderBy(F.col("pick").asc(), F.col(id_col).asc())
+    return (
+        ranked.withColumn("cell_rank", F.row_number().over(w))
+        .filter(F.col("cell_rank") <= per_cell)
+        .select(id_col, "cid", "cell_rank")
+    )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for every query, the ``k``
+    most-similar corpus vectors whose label DIFFERS from the query's —
+    the near-miss examples a retrieval/embedding trainer wants as
+    negatives. The label filter applies BEFORE the top-k cut (a plain
+    top-k then filter would under-deliver negatives near same-label
+    clusters). Same scan shape as topk_blas: queries (ids, labels, unit
+    matrix) broadcast, corpus streamed through one matmul per Arrow
+    batch; per-pair label comparison is a numpy broadcast against the
+    query label array, then the usual rounded-score window."""
+    import numpy as np
+
+    spark = corpus.sparkSession
+    q_pdf = queries.select(id_col, label_col).toPandas()
+    qids, qmat = collect_unit_matrix(queries, id_col, vec_col)
+    pos = {int(v): i for i, v in enumerate(q_pdf[id_col].to_numpy())}
+    qlabels = np.array(
+        [q_pdf[label_col].to_numpy()[pos[int(q)]] for q in qids], dtype=object
+    )
+    bc = spark.sparkContext.broadcast((qids, qmat, qlabels))
+
+    def scan(batches):
+        import pandas as pd
+
+        q_ids, q_mat, q_lab = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cids = pdf[id_col].to_numpy()
+            clab = pdf[label_col].to_numpy()
+            block = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            block /= np.sqrt((block * block).sum(axis=1, keepdims=True))
+            sims = np.round(q_mat @ block.T, round_digits)  # (Q, B)
+            mask = q_lab[:, None] != clab[None, :]
+            qi, bi = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "query_id": q_ids[qi],
+                    "corpus_id": cids[bi],
+                    "neg_label": clab[bi],
+                    "cosine": sims[qi, bi],
+                }
+            )
+
+    lab_type = dict(corpus.dtypes)[label_col]
+    scored = corpus.mapInPandas(
+        scan,
+        schema=f"query_id long, corpus_id long, neg_label {lab_type}, cosine double",
+    ).filter(F.col("query_id") != F.col("corpus_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "neg_label", "cosine", "rank")
+    )
+
+
+def knn_label_vote(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_digits: int = 6,
+) -> DataFrame:
+    """k-NN majority-label prediction — the cheap label-propagation stage
+    of a quality-classifier pipeline (label a seed set by hand, k-NN-vote
+    labels onto the corpus, train the fast classifier on the votes).
+    Returns (query_id, predicted_label, votes): the modal label among the
+    k nearest neighbors, ties broken by the smaller label so the
+    prediction is deterministic in both engines. Built on
+    the topk_blas scan (neighbors exclude the query itself); the vote is
+    one tiny groupBy over Q·k rows."""
+    neighbors = topk_blas(corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+                          round_digits=round_digits)
+    labeled = neighbors.join(
+        corpus.select(
+            F.col(id_col).alias("corpus_id"), F.col(label_col).alias("nbr_label")
+        ),
+        on="corpus_id",
+    )
+    votes = labeled.groupBy("query_id", "nbr_label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("nbr_label").asc()
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("nbr_label").alias("predicted_label"), "votes")
+    )

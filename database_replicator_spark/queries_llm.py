@@ -1094,3 +1094,211 @@ def doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return dedup_repeated_chunks(docs, chunk_words=20)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: compressed-index ANN (operators/pq.py). The gated
+# codebook is the deterministic zero-iteration sample (unit subvectors of
+# the 16 lowest-id vectors), so every stage — encode argmin, LUT build,
+# integer-micros ADC sum — reproduces in SQL. m=8 subspaces × 8 dims,
+# ksub=16 codes, queries = vec_id < 5.
+# ---------------------------------------------------------------------------
+
+_PQ_D2_SQL = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+    " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), (x, y) -> x + y)"
+)
+
+_PQ_SUBS_CTE = f"""
+    units AS (
+      SELECT vec_id, {_UNIT_SQL.format(v='embedding')} AS unit FROM embeddings
+    ),
+    subs AS (
+      SELECT vec_id, t.j, list_slice(unit, t.j * 8 + 1, t.j * 8 + 8) AS sub
+      FROM units, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS t(j)
+    ),
+    cents AS (
+      SELECT vec_id AS code, j, sub AS cvec FROM subs WHERE vec_id < 16
+    )
+"""
+
+
+@query(
+    "similarity_pq_topk",
+    oracle=f"""
+    WITH {_PQ_SUBS_CTE},
+    assign AS (
+      SELECT vec_id, j, code FROM (
+        SELECT s.vec_id, s.j, c.code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.vec_id, s.j
+                 ORDER BY round({_PQ_D2_SQL.format(a='s.sub', b='c.cvec')}, 6) ASC,
+                          c.code ASC) AS rn
+        FROM subs s JOIN cents c ON c.j = s.j
+      ) WHERE rn = 1
+    ),
+    luts AS (
+      SELECT q.vec_id AS query_id, c.j, c.code,
+             CAST(round({_DOT_SQL.format(a='q.sub', b='c.cvec')}, 6) * 1000000
+                  AS BIGINT) AS dot_micros
+      FROM subs q JOIN cents c ON c.j = q.j
+      WHERE q.vec_id < 5
+    ),
+    scored AS (
+      SELECT l.query_id, a.vec_id AS corpus_id, SUM(l.dot_micros) AS score_micros
+      FROM assign a JOIN luts l ON l.j = a.j AND l.code = a.code
+      WHERE a.vec_id != l.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, corpus_id, score, rank FROM (
+      SELECT query_id, corpus_id,
+             CAST(score_micros AS DOUBLE) / 1000000 AS score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score_micros DESC, corpus_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC top-k (similarity.pq_topk): the corpus is served from its
+    compressed code table (8 codes/vector); per-query LUTs of exact
+    BIGINT micros broadcast into a mapInPandas gather, so query-time IO
+    is the codes column only. Gated at the SQL-reproducible settings —
+    sample codebooks + integer-micros ADC; the trained-codebook + exact
+    rerank production path is recall-tested instead (RECALL.md). The
+    oracle rebuilds the same subvector slices and LUT dots with the
+    shared fold-order dot snippet."""
+    from .operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return pq_topk(
+        emb, queries_df, k=10, m=8, ksub=16, quantizer="sample", exact_micros=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space corpus selection (similarity.py selection tier):
+# coverage sampling, hard-negative mining, k-NN label voting.
+# ---------------------------------------------------------------------------
+
+@query(
+    "embedding_coverage_sample",
+    oracle=f"""
+    WITH units AS (
+      SELECT vec_id, {_UNIT_SQL.format(v='embedding')} AS unit FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cid, unit AS cvec FROM units WHERE vec_id < 16),
+    cells AS (
+      SELECT u.vec_id, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY u.vec_id
+               ORDER BY round({_DOT_SQL.format(a='u.unit', b='c.cvec')}, 6) DESC,
+                        c.cid ASC) AS rn
+      FROM units u CROSS JOIN cents c
+    ),
+    assign AS (SELECT vec_id, cid FROM cells WHERE rn = 1),
+    ranked AS (
+      SELECT vec_id, cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY cid
+               ORDER BY {_hash60_sql("'0:' || CAST(vec_id AS VARCHAR)")} ASC,
+                        vec_id ASC) AS cell_rank
+      FROM assign
+    )
+    SELECT vec_id, cid, cell_rank FROM ranked WHERE cell_rank <= 10
+    """,
+)
+def embedding_coverage_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-preserving subset (similarity.coverage_sample): 10
+    hash-selected vectors per quantizer cell, so sparse regions of
+    embedding space survive selection that raw Bernoulli sampling would
+    starve. Gated with the two-stage bucket prefilter ON
+    (prefilter_buckets=4) — the scale path for corpus-sized cells — which
+    is output-identical to the plain per-cell window the oracle runs."""
+    from .operators.similarity import coverage_sample
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return coverage_sample(emb, per_cell=10, nlist=16, seed=0, prefilter_buckets=4)
+
+
+@query(
+    "embedding_hard_negatives",
+    oracle=f"""
+    WITH units AS (
+      SELECT vec_id, label, {_UNIT_SQL.format(v='embedding')} AS unit
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, label AS qlabel, unit AS qvec
+          FROM units WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS corpus_id, c.label AS neg_label,
+             round({_DOT_SQL.format(a='c.unit', b='q.qvec')}, 6) AS cosine
+      FROM units c, q
+      WHERE c.vec_id != q.query_id AND c.label != q.qlabel
+    )
+    SELECT query_id, corpus_id, neg_label, cosine, rank FROM (
+      SELECT query_id, corpus_id, neg_label, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, corpus_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard negatives (similarity.hard_negatives): per query,
+    the 10 most-similar vectors with a DIFFERENT label — label filter
+    before the top-k cut, one broadcast-queries matmul scan over the
+    corpus, no shuffle beyond the rank window."""
+    from .operators.similarity import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return hard_negatives(emb, queries_df, k=10)
+
+
+@query(
+    "embedding_knn_label_vote",
+    oracle=f"""
+    WITH units AS (
+      SELECT vec_id, label, {_UNIT_SQL.format(v='embedding')} AS unit
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, unit AS qvec FROM units WHERE vec_id < 20),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS corpus_id, c.label AS nbr_label,
+             round({_DOT_SQL.format(a='c.unit', b='q.qvec')}, 6) AS cosine
+      FROM units c, q
+      WHERE c.vec_id != q.query_id
+    ),
+    nbrs AS (
+      SELECT query_id, corpus_id, nbr_label FROM (
+        SELECT query_id, corpus_id, nbr_label,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, corpus_id ASC) AS rank
+        FROM scored
+      ) WHERE rank <= 10
+    ),
+    votes AS (
+      SELECT query_id, nbr_label, COUNT(*) AS votes
+      FROM nbrs GROUP BY 1, 2
+    )
+    SELECT query_id, predicted_label, votes FROM (
+      SELECT query_id, nbr_label AS predicted_label, votes,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY votes DESC, nbr_label ASC) AS rn
+      FROM votes
+    ) WHERE rn = 1
+    """,
+)
+def embedding_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority label (similarity.knn_label_vote) over 20 query
+    vectors: the label-propagation stage that bootstraps a quality
+    classifier from a small hand-labeled seed set. Modal label of the 10
+    nearest neighbors, ties to the smaller label."""
+    from .operators.similarity import knn_label_vote
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return knn_label_vote(emb, queries_df, k=10)

@@ -593,3 +593,102 @@ class TestDistributedKmeans:
         # sample trainer restricted to a small sample to expose the gap
         samp = kmeans_centroids(emb, nlist=8, sample_size=32, iters=6)
         assert fit(dist) >= fit(samp) - 1e-9
+
+
+class TestEmbeddingSelection:
+    def _clustered(self, spark, n=200, dim=16, n_clusters=5, seed=11):
+        import random
+
+        rng = random.Random(seed)
+        centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_clusters)]
+        rows = []
+        for i in range(n):
+            c = centers[i % n_clusters]
+            rows.append(
+                (i, [v + rng.gauss(0, 0.05) for v in c], i % n_clusters)
+            )
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label long"
+        )
+
+    def test_coverage_sample_prefilter_is_output_identical(self, spark):
+        from database_replicator_spark.operators.similarity import coverage_sample
+
+        emb = self._clustered(spark)
+        plain = {
+            (r["vec_id"], r["cid"], r["cell_rank"])
+            for r in coverage_sample(emb, per_cell=7, nlist=8).collect()
+        }
+        pre = {
+            (r["vec_id"], r["cid"], r["cell_rank"])
+            for r in coverage_sample(
+                emb.repartition(9), per_cell=7, nlist=8, prefilter_buckets=3
+            ).collect()
+        }
+        assert plain == pre and len(plain) > 0
+
+    def test_coverage_sample_bounds_and_seed_sensitivity(self, spark):
+        from database_replicator_spark.operators.similarity import coverage_sample
+
+        emb = self._clustered(spark)
+        out = coverage_sample(emb, per_cell=5, nlist=8).collect()
+        per_cell = {}
+        for r in out:
+            per_cell.setdefault(r["cid"], []).append(r["cell_rank"])
+        assert all(len(v) <= 5 for v in per_cell.values())
+        assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_cell.values())
+        # hash-order selection: a different seed picks a different subset
+        other = coverage_sample(emb, per_cell=5, nlist=8, seed=1).collect()
+        assert {r["vec_id"] for r in out} != {r["vec_id"] for r in other}
+
+    def test_coverage_sample_covers_sparse_cluster(self, spark):
+        """A cluster holding 5% of the corpus still contributes per_cell
+        rows — the property Bernoulli sampling lacks."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from database_replicator_spark.operators.similarity import (
+            coverage_sample,
+            kmeans_centroids,
+        )
+
+        rng = random.Random(3)
+        a = [1.0] + [0.0] * 15
+        b = [0.0] * 15 + [1.0]
+        rows = [(i, [v + rng.gauss(0, 0.03) for v in a]) for i in range(190)]
+        rows += [(200 + i, [v + rng.gauss(0, 0.03) for v in b]) for i in range(10)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        cent = kmeans_centroids(emb, nlist=2, sample_size=200)
+        out = coverage_sample(emb, per_cell=8, centroids=cent).collect()
+        sparse_kept = [r for r in out if r["vec_id"] >= 200]
+        assert len(sparse_kept) == 8
+
+    def test_hard_negatives_label_filter_before_cut(self, spark):
+        from pyspark.sql import functions as F
+
+        from database_replicator_spark.operators.similarity import hard_negatives
+
+        emb = self._clustered(spark)
+        queries = emb.filter(F.col("vec_id") < 5)
+        out = hard_negatives(emb, queries, k=10).collect()
+        qlab = {r["vec_id"]: r["label"] for r in queries.collect()}
+        by_q = {}
+        for r in out:
+            assert r["neg_label"] != qlab[r["query_id"]]
+            by_q.setdefault(r["query_id"], []).append(r)
+        # plenty of other-label vectors exist -> full k delivered per query
+        assert all(len(v) == 10 for v in by_q.values())
+
+    def test_knn_label_vote_recovers_cluster_labels(self, spark):
+        from pyspark.sql import functions as F
+
+        from database_replicator_spark.operators.similarity import knn_label_vote
+
+        emb = self._clustered(spark)
+        queries = emb.filter(F.col("vec_id") < 15)
+        out = knn_label_vote(emb, queries, k=10).collect()
+        assert len(out) == 15
+        for r in out:
+            assert r["predicted_label"] == r["query_id"] % 5
+            assert r["votes"] == 10
