@@ -229,6 +229,20 @@ def main(argv: list[str] | None = None) -> int:
         choices=["simple", "extended", "formatted", "cost", "codegen"],
     )
 
+    sql_p = sub.add_parser(
+        "sql",
+        help="run ad-hoc SQL over a source directory (every table "
+        "registered as a view; SELECT-only unless --out writes parquet)",
+    )
+    sql_p.add_argument("--source", required=True)
+    sql_p.add_argument("--query", required=True, metavar="SQL")
+    sql_p.add_argument("--out", default=None,
+                       help="write the full result as parquet here instead "
+                       "of printing rows")
+    sql_p.add_argument("--limit", type=int, default=100,
+                       help="max rows printed in the JSON output (ignored "
+                       "with --out)")
+
     diff_p = sub.add_parser(
         "diff",
         help="row-level divergence report between source and target tables "
@@ -351,6 +365,31 @@ def main(argv: list[str] | None = None) -> int:
                 for t, df in tables.items()
             }
             print(json.dumps({"ok": True, "profiles": out}, default=str))
+            return 0
+        except Exception as e:
+            print(json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"}))
+            return 2
+        finally:
+            if owns:
+                spark.stop()
+
+    if args.command == "sql":
+        spark, owns = _get_session()
+        try:
+            for name, df in _load_sources(spark, args.source).items():
+                df.createOrReplaceTempView(name)
+            result = spark.sql(args.query)
+            if args.out:
+                from .util import staged_overwrite
+
+                staged_overwrite(spark, result, args.out)
+                print(json.dumps({"ok": True, "out": args.out,
+                                  "columns": result.columns}))
+                return 0
+            rows = [r.asDict(recursive=True) for r in result.limit(args.limit).collect()]
+            print(json.dumps({"ok": True, "columns": result.columns,
+                              "n_printed": len(rows), "rows": rows},
+                             default=str))
             return 0
         except Exception as e:
             print(json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"}))

@@ -876,3 +876,54 @@ class TestAuditCli:
                    "--fail-on-violation"])
         out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rc == 1 and out["ok"] and out["total_violations"] > 0
+
+
+class TestSqlVerb:
+    def test_sql_select_rows(self, spark, capsys):
+        import json
+
+        from database_replicator_spark import cli
+
+        rc = cli.main(
+            ["sql", "--source", "/root/testdata/sf0.001",
+             "--query",
+             "SELECT n_name, COUNT(*) AS n FROM nation GROUP BY 1 ORDER BY 1",
+             "--limit", "3"]
+        )
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["ok"] and out["columns"] == ["n_name", "n"]
+        assert out["n_printed"] == 3
+
+    def test_sql_joins_views_and_writes_out(self, spark, capsys, tmp_path):
+        import json
+
+        from database_replicator_spark import cli
+
+        dest = str(tmp_path / "rev")
+        rc = cli.main(
+            ["sql", "--source", "/root/testdata/sf0.001",
+             "--query",
+             "SELECT o_orderpriority, SUM(o_totalprice) AS total "
+             "FROM orders JOIN customer ON o_custkey = c_custkey "
+             "GROUP BY 1",
+             "--out", dest]
+        )
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["ok"] and out["out"] == dest
+        back = spark.read.parquet(dest)
+        assert back.count() == 5 and set(back.columns) == {"o_orderpriority", "total"}
+
+    def test_sql_error_is_clean_json(self, spark, capsys):
+        import json
+
+        from database_replicator_spark import cli
+
+        rc = cli.main(
+            ["sql", "--source", "/root/testdata/sf0.001",
+             "--query", "SELECT * FROM no_such_table"]
+        )
+        assert rc == 2
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert not out["ok"] and "error" in out
