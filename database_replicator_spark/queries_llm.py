@@ -1302,3 +1302,79 @@ def embedding_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 20)
     return knn_label_vote(emb, queries_df, k=10)
+
+
+@query(
+    "similarity_ivfpq_topk",
+    oracle=f"""
+    WITH units AS (
+      SELECT vec_id, {_UNIT_SQL.format(v='embedding')} AS unit FROM embeddings
+    ),
+    coarse AS (SELECT vec_id AS cid, unit AS cvec FROM units WHERE vec_id < 16),
+    cells AS (
+      SELECT u.vec_id, u.unit, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY u.vec_id
+               ORDER BY round({_DOT_SQL.format(a='u.unit', b='c.cvec')}, 6) DESC,
+                        c.cid ASC) AS rn
+      FROM units u CROSS JOIN coarse c
+    ),
+    assign AS (SELECT vec_id AS corpus_id, cid FROM cells WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, cid FROM cells
+               WHERE rn <= 2 AND vec_id < 5),
+    subs AS (
+      SELECT vec_id, t.j, list_slice(unit, t.j * 8 + 1, t.j * 8 + 8) AS sub
+      FROM units, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS t(j)
+    ),
+    pcents AS (
+      SELECT vec_id AS code, j, sub AS pcvec FROM subs WHERE vec_id < 16
+    ),
+    pqassign AS (
+      SELECT vec_id, j, code FROM (
+        SELECT s.vec_id, s.j, c.code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.vec_id, s.j
+                 ORDER BY round({_PQ_D2_SQL.format(a='s.sub', b='c.pcvec')}, 6) ASC,
+                          c.code ASC) AS prn
+        FROM subs s JOIN pcents c ON c.j = s.j
+      ) WHERE prn = 1
+    ),
+    luts AS (
+      SELECT q.vec_id AS query_id, c.j, c.code,
+             CAST(round({_DOT_SQL.format(a='q.sub', b='c.pcvec')}, 6) * 1000000
+                  AS BIGINT) AS dot_micros
+      FROM subs q JOIN pcents c ON c.j = q.j
+      WHERE q.vec_id < 5
+    ),
+    scored AS (
+      SELECT p.query_id, a.corpus_id, SUM(l.dot_micros) AS score_micros
+      FROM assign a
+      JOIN probes p ON p.cid = a.cid AND a.corpus_id != p.query_id
+      JOIN pqassign pa ON pa.vec_id = a.corpus_id
+      JOIN luts l ON l.query_id = p.query_id AND l.j = pa.j AND l.code = pa.code
+      GROUP BY 1, 2
+    )
+    SELECT query_id, corpus_id, score, rank FROM (
+      SELECT query_id, corpus_id,
+             CAST(score_micros AS DOUBLE) / 1000000 AS score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score_micros DESC, corpus_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ — the production ANN composition (similarity.ivf_pq_topk):
+    one fused corpus pass builds the (cid, codes) index; queries probe 2
+    of 16 coarse cells and ADC-score only those cells' codes in exact
+    BIGINT micros. Both quantizers are the deterministic lowest-id
+    sample here so every stage reproduces in SQL; the trained twin
+    (kmeans centroids + Lloyd codebooks + exact rerank) is the
+    recall-tested production path."""
+    from .operators.similarity import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return ivf_pq_topk(
+        emb, queries_df, k=10, nlist=16, nprobe=2, m=8, ksub=16, quantizer="sample"
+    )

@@ -24,8 +24,20 @@ key is the LSH bucket; at 100 TB the bucket index is the natural
 bucketed/partitioned table and the exact-cosine verify touches only
 band-colliding pairs. The assignment index stores (vec_id, bucket,
 embedding) — vectors ride along so verification never re-reads the
-vector table; at scale swap the embedding column for PQ codes
-(similarity.pq_encode) and verify on ADC scores + a rerank read.
+vector table.
+
+``pq=True`` swaps that trade for the at-scale one: the bucket index
+stores PQ CODES (similarity.pq_encode — m bytes/vector instead of a
+raw float array, a 32-64× cut on the only index that grows without
+bound), candidates are pre-scored with ADC against the batch vector,
+and only candidates within ``adc_margin`` of the threshold get the
+exact-cosine rerank — a bounded semi-join re-read of just those
+accepted vectors. Precision stays exact (the rerank decides); recall
+is bounded by LSH ∧ ADC-prefilter, with the margin as the knob.
+Codebooks are trained once on the first batch and persisted under
+``_pq/`` (save_index_artifact), so codes stay comparable across the
+index's whole lifetime — retraining mid-stream would silently corrupt
+every earlier epoch's codes.
 """
 
 from __future__ import annotations
@@ -56,9 +68,39 @@ class EmbeddingIngestor:
     num_planes: int = 6
     num_tables: int = 2
     seed: int = 0
+    pq: bool = False
+    pq_m: int = 8
+    pq_ksub: int = 16
+    adc_margin: float = 0.05
 
     def _path(self, name: str) -> str:
         return os.path.join(self.target_dir, name)
+
+    def _codebooks(self, batch: DataFrame):
+        """Load the persisted PQ codebooks, or train them on this (first)
+        batch and persist — train-once/serve-forever, because stored
+        codes are only comparable under the codebooks that produced
+        them."""
+        from ..operators.similarity import (
+            load_index_artifact,
+            pq_train,
+            save_index_artifact,
+        )
+
+        path = self._path("_pq")
+        if os.path.isdir(path):
+            arrays, _meta = load_index_artifact(path)
+            return arrays["codebooks"]
+        books = pq_train(
+            batch, m=self.pq_m, ksub=self.pq_ksub, id_col="vec_id",
+            vec_col="embedding",
+        )
+        save_index_artifact(
+            path,
+            {"codebooks": books},
+            {"m": self.pq_m, "ksub": self.pq_ksub, "trained_on_first_batch": True},
+        )
+        return books
 
     def _epoch_index(self, spark, name: str, epoch_id: int):
         path = self._path(name)
@@ -67,8 +109,72 @@ class EmbeddingIngestor:
         df = spark.read.option("basePath", path).parquet(path)
         return df.filter(F.col("epoch") != epoch_id)
 
+    def _adc_rejects(
+        self, spark, assign: DataFrame, prev_idx: DataFrame, books, epoch_id: int
+    ) -> DataFrame:
+        """PQ-mode near-dup detection: ADC-score the bucket-colliding
+        (batch vector, index codes) pairs, then exact-rerank only pairs
+        within ``adc_margin`` of the threshold by re-reading just those
+        accepted vectors. Returns batch vec_ids to reject."""
+        import numpy as np
+
+        from ..operators.similarity import dot_expr, unit_expr
+
+        cand = assign.select("vec_id", "bucket", "nvec").join(
+            prev_idx.select(
+                "bucket",
+                F.col("vec_id").alias("index_id"),
+                F.col("codes").alias("icodes"),
+            ),
+            on="bucket",
+        ).select("vec_id", "nvec", "index_id", "icodes")
+        bc = spark.sparkContext.broadcast(np.asarray(books, dtype=np.float64))
+
+        def adc(batches):
+            import pandas as pd
+
+            bks = bc.value
+            m, _ksub, dsub = bks.shape
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                nvecs = np.array(pdf["nvec"].tolist(), dtype=np.float64)
+                codes = np.array(pdf["icodes"].tolist(), dtype=np.int64)
+                scores = np.zeros(len(pdf))
+                for j in range(m):
+                    sub = nvecs[:, j * dsub : (j + 1) * dsub]
+                    scores += np.einsum("bd,bd->b", sub, bks[j][codes[:, j]])
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(),
+                        "index_id": pdf["index_id"].to_numpy(),
+                        "adc": scores,
+                    }
+                )
+
+        survivors = cand.mapInPandas(
+            adc, schema="vec_id long, index_id long, adc double"
+        ).filter(F.col("adc") >= self.threshold - self.adc_margin)
+        prev_vecs = self._epoch_index(spark, "vectors", epoch_id)
+        if prev_vecs is None:
+            return survivors.select("vec_id").filter(F.lit(False))
+        # bounded exact rerank: re-read ONLY the surviving index vectors
+        ivecs = prev_vecs.select(
+            F.col("vec_id").alias("index_id"),
+            unit_expr(F.col("embedding")).alias("ivec"),
+        ).join(survivors.select("index_id").distinct(), on="index_id", how="left_semi")
+        batch_side = assign.select("vec_id", "nvec").dropDuplicates(["vec_id"])
+        return (
+            survivors.join(batch_side, on="vec_id")
+            .join(ivecs, on="index_id")
+            .withColumn("cosine", dot_expr(F.col("nvec"), F.col("ivec")))
+            .filter(F.col("cosine") >= self.threshold)
+            .select("vec_id")
+            .distinct()
+        )
+
     def ingest_batch(self, batch: DataFrame, epoch_id: int) -> None:
-        from ..operators.similarity import dot_expr, lsh_assign_scan
+        from ..operators.similarity import dot_expr, lsh_assign_scan, pq_encode
 
         spark = batch.sparkSession
         if batch.isEmpty():
@@ -92,26 +198,41 @@ class EmbeddingIngestor:
             ).select(
                 F.col("vid").alias("vec_id"), "bucket", F.col("vec").alias("nvec")
             )
+            books = None
+            if self.pq:
+                books = self._codebooks(accepted)
+                codes = pq_encode(accepted, books, id_col="vec_id")
+                assign = assign.join(
+                    codes.withColumnRenamed("vid", "vec_id"), on="vec_id"
+                )
             prev_idx = self._epoch_index(spark, "buckets", epoch_id)
             if prev_idx is not None:
-                cand = assign.join(
-                    prev_idx.select(
-                        "bucket",
-                        F.col("vec_id").alias("index_id"),
-                        F.col("nvec").alias("ivec"),
-                    ),
-                    on="bucket",
-                )
-                rejects = (
-                    cand.withColumn(
-                        "cosine", dot_expr(F.col("nvec"), F.col("ivec"))
+                if self.pq:
+                    rejects = self._adc_rejects(
+                        spark, assign, prev_idx, books, epoch_id
                     )
-                    .filter(F.col("cosine") >= self.threshold)
-                    .select("vec_id")
-                    .distinct()
-                )
+                else:
+                    cand = assign.join(
+                        prev_idx.select(
+                            "bucket",
+                            F.col("vec_id").alias("index_id"),
+                            F.col("nvec").alias("ivec"),
+                        ),
+                        on="bucket",
+                    )
+                    rejects = (
+                        cand.withColumn(
+                            "cosine", dot_expr(F.col("nvec"), F.col("ivec"))
+                        )
+                        .filter(F.col("cosine") >= self.threshold)
+                        .select("vec_id")
+                        .distinct()
+                    )
                 accepted = accepted.join(rejects, on="vec_id", how="left_anti")
                 assign = assign.join(rejects, on="vec_id", how="left_anti")
+            if self.pq:
+                # the persistent index carries codes, never raw vectors
+                assign = assign.drop("nvec")
             accepted.write.mode("overwrite").parquet(
                 os.path.join(self._path("vectors"), f"epoch={epoch_id}")
             )
@@ -130,10 +251,13 @@ def start_embedding_ingest(
     dim: int,
     threshold: float = 0.92,
     once: bool = True,
+    pq: bool = False,
 ):
     """File-source stream → EmbeddingIngestor. ``once=True`` maps to
     Trigger.AvailableNow (drain-and-stop); otherwise micro-batch polling."""
-    ingestor = EmbeddingIngestor(target_dir=target_dir, dim=dim, threshold=threshold)
+    ingestor = EmbeddingIngestor(
+        target_dir=target_dir, dim=dim, threshold=threshold, pq=pq
+    )
     stream = spark.readStream.schema(EMB_SCHEMA).parquet(source_dir)
     writer = stream.writeStream.foreachBatch(ingestor.ingest_batch).option(
         "checkpointLocation", checkpoint_dir

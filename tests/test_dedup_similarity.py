@@ -692,3 +692,88 @@ class TestEmbeddingSelection:
         for r in out:
             assert r["predicted_label"] == r["query_id"] % 5
             assert r["votes"] == 10
+
+
+class TestIvfPq:
+    def _clustered(self, spark, n=240, dim=16, n_clusters=6, seed=7):
+        import random
+
+        rng = random.Random(seed)
+        centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_clusters)]
+        rows = []
+        for i in range(n):
+            c = centers[i % n_clusters]
+            rows.append((i, [v + rng.gauss(0, 0.05) for v in c]))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_served_from_persisted_index_identical(self, spark):
+        from pyspark.sql import functions as F
+
+        from database_replicator_spark.operators.similarity import (
+            ivf_pq_topk,
+            ivfpq_index,
+            kmeans_centroids,
+            pq_train,
+        )
+
+        emb = self._clustered(spark)
+        queries = emb.filter(F.col("vec_id") < 6)
+        cent = kmeans_centroids(emb, nlist=6, sample_size=240)
+        books = pq_train(emb, m=4, ksub=16, sample_size=240)
+        idx = ivfpq_index(emb, cent, books)
+        direct = ivf_pq_topk(
+            emb, queries, k=10, nprobe=2, centroids=cent, codebooks=books
+        ).collect()
+        served = ivf_pq_topk(
+            emb, queries, k=10, nprobe=2, centroids=cent, codebooks=books, index=idx
+        ).collect()
+        key = lambda r: (r["query_id"], r["rank"], r["corpus_id"], r["score"])
+        assert sorted(map(key, direct)) == sorted(map(key, served))
+        assert len(direct) == 60
+
+    def test_probed_cells_prune_candidates(self, spark):
+        """Every returned neighbor must come from one of the query's
+        nprobe probed cells — the IO bound that makes IVF+PQ the scale
+        path."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from database_replicator_spark.operators.similarity import (
+            cell_assign,
+            collect_unit_matrix,
+            ivf_pq_topk,
+            kmeans_centroids,
+            pq_train,
+        )
+
+        emb = self._clustered(spark)
+        queries = emb.filter(F.col("vec_id") < 6)
+        cent = kmeans_centroids(emb, nlist=6, sample_size=240)
+        books = pq_train(emb, m=4, ksub=16, sample_size=240)
+        out = ivf_pq_topk(
+            emb, queries, k=10, nprobe=2, centroids=cent, codebooks=books
+        ).collect()
+        cells = {r["vec_id"]: r["cid"] for r in cell_assign(emb, cent).collect()}
+        qids, qmat = collect_unit_matrix(queries, "vec_id", "embedding")
+        sims = np.round(qmat @ np.asarray(cent).T, 6)
+        probed = {
+            int(q): set(
+                sorted(range(len(cent)), key=lambda c: (-sims[i, c], c))[:2]
+            )
+            for i, q in enumerate(qids)
+        }
+        for r in out:
+            assert cells[r["corpus_id"]] in probed[r["query_id"]]
+
+    def test_trained_path_stays_in_cluster(self, spark):
+        from pyspark.sql import functions as F
+
+        from database_replicator_spark.operators.similarity import ivf_pq_topk
+
+        emb = self._clustered(spark)
+        queries = emb.filter(F.col("vec_id") < 12)
+        out = ivf_pq_topk(
+            emb, queries, k=5, nlist=6, nprobe=1, m=4, ksub=16, quantizer="kmeans"
+        ).collect()
+        for r in out:
+            assert r["corpus_id"] % 6 == r["query_id"] % 6

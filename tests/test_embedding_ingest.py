@@ -112,3 +112,57 @@ class TestForgetVectors:
         # a re-embed of the forgotten id is admissible again (erasure)
         ing.ingest_batch(_df(spark, [(1, _vec(1))]), 2)
         assert {r["vec_id"] for r in read_embedding_index(spark, dirs["tgt"]).collect()} == {1, 2, 3}
+
+
+class TestEmbeddingIngestPq:
+    def _first_batch(self, spark):
+        return _df(spark, [(i, _vec(i)) for i in range(1, 7)])
+
+    def _pq_ing(self, dirs, **kw):
+        kw.setdefault("threshold", 0.95)
+        kw.setdefault("pq_m", 4)
+        kw.setdefault("pq_ksub", 4)
+        kw.setdefault("adc_margin", 0.3)
+        return EmbeddingIngestor(target_dir=dirs["tgt"], dim=DIM, pq=True, **kw)
+
+    def test_pq_mode_rejects_neardup_accepts_distinct(self, spark, dirs):
+        ing = self._pq_ing(dirs)
+        ing.ingest_batch(self._first_batch(spark), 0)
+        ing.ingest_batch(
+            _df(spark, [(10, _vec(1)), (11, _vec(2, flip=0.01)), (12, _vec(20))]),
+            1,
+        )
+        ids = {r["vec_id"] for r in read_embedding_index(spark, dirs["tgt"]).collect()}
+        assert 10 not in ids and 11 not in ids  # ADC prefilter + exact rerank
+        assert 12 in ids
+
+    def test_pq_bucket_index_stores_codes_not_vectors(self, spark, dirs):
+        ing = self._pq_ing(dirs)
+        ing.ingest_batch(self._first_batch(spark), 0)
+        buckets = spark.read.option(
+            "basePath", os.path.join(dirs["tgt"], "buckets")
+        ).parquet(os.path.join(dirs["tgt"], "buckets"))
+        assert "codes" in buckets.columns and "nvec" not in buckets.columns
+        assert all(len(r["codes"]) == 4 for r in buckets.collect())
+
+    def test_pq_codebooks_train_once_and_persist(self, spark, dirs):
+        import numpy as np
+
+        from database_replicator_spark.operators.similarity import (
+            load_index_artifact,
+        )
+
+        ing = self._pq_ing(dirs)
+        ing.ingest_batch(self._first_batch(spark), 0)
+        books0, meta0 = load_index_artifact(os.path.join(dirs["tgt"], "_pq"))
+        ing.ingest_batch(_df(spark, [(30, _vec(30)), (31, _vec(31))]), 1)
+        books1, _ = load_index_artifact(os.path.join(dirs["tgt"], "_pq"))
+        assert np.array_equal(books0["codebooks"], books1["codebooks"])
+        assert meta0["m"] == 4 and meta0["ksub"] == 4
+
+    def test_pq_replay_is_idempotent(self, spark, dirs):
+        ing = self._pq_ing(dirs)
+        batch = self._first_batch(spark)
+        ing.ingest_batch(batch, 0)
+        ing.ingest_batch(batch, 0)
+        assert read_embedding_index(spark, dirs["tgt"]).count() == 6

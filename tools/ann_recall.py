@@ -24,6 +24,7 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     from database_replicator_spark.operators.similarity import (
+        ivf_pq_topk,
         ivf_topk,
         lsh_topk_bucketed,
         neardup_pairs_blocked,
@@ -72,6 +73,10 @@ def main() -> int:
         "pq_topk(m=8, ksub=32)": pq_topk(emb, queries, k=k, m=8, ksub=32),
         "pq_topk(m=8, ksub=32, rerank=50)": pq_topk(
             emb, queries, k=k, m=8, ksub=32, rerank=50
+        ),
+        "ivf_pq_topk(kmeans, nprobe=4, m=8, ksub=32)": ivf_pq_topk(
+            emb, queries, k=k, nlist=16, nprobe=4, m=8, ksub=32,
+            quantizer="kmeans",
         ),
     }
     import time
