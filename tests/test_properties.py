@@ -1094,3 +1094,122 @@ class TestTemperatureProperties:
             want = (n_min / n) ** (1 - alpha)
             assert abs(out[s]["rate"] - want) <= 1e-6, (s, out[s]["rate"], want)
         assert abs(sum(r["p_temp"] for r in out.values()) - 1.0) < 1e-4
+
+
+class TestPqProperties:
+    """Algebraic contracts of the PQ/ADC tier against pure-numpy
+    references — the encode argmin law, the integer-micros ADC sum, and
+    the coverage-sample selection rule."""
+
+    vecs_strategy = st.lists(
+        st.lists(
+            st.floats(min_value=-2.0, max_value=2.0,
+                      allow_nan=False, allow_infinity=False),
+            min_size=8, max_size=8,
+        ).filter(lambda v: sum(x * x for x in v) > 1e-6),
+        min_size=6, max_size=20, unique_by=lambda v: tuple(v),
+    )
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                     HealthCheck.too_slow])
+    @given(vecs=vecs_strategy)
+    def test_encode_matches_numpy_reference(self, spark, vecs):
+        import numpy as np
+
+        from database_replicator_spark.operators.similarity import (
+            pq_encode,
+            pq_sample_codebooks,
+        )
+
+        rows = [(i, v) for i, v in enumerate(vecs)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        ksub = min(4, len(vecs))
+        books = pq_sample_codebooks(emb, m=4, ksub=ksub)
+        got = {
+            r["vid"]: list(r["codes"])
+            for r in pq_encode(emb, books, round_digits=6).collect()
+        }
+        mat = np.array(vecs, dtype=np.float64)
+        mat /= np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+        for i, u in enumerate(mat):
+            for j in range(4):
+                sub = u[j * 2 : (j + 1) * 2]
+                d2 = np.round(((sub[None, :] - books[j]) ** 2).sum(axis=1), 6)
+                assert got[i][j] == int(d2.argmin())
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                     HealthCheck.too_slow])
+    @given(vecs=vecs_strategy)
+    def test_adc_micros_score_is_exact_lut_sum(self, spark, vecs):
+        import numpy as np
+
+        from database_replicator_spark.operators.similarity import (
+            pq_encode,
+            pq_sample_codebooks,
+            pq_topk,
+        )
+
+        rows = [(i, v) for i, v in enumerate(vecs)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        ksub = min(4, len(vecs))
+        books = pq_sample_codebooks(emb, m=4, ksub=ksub)
+        out = pq_topk(
+            emb, emb.filter(F.col("vec_id") < 2), k=len(vecs), m=4, ksub=ksub,
+            codebooks=books, exact_micros=True,
+        ).collect()
+        codes = {
+            r["vid"]: list(r["codes"])
+            for r in pq_encode(emb, books, round_digits=6).collect()
+        }
+        mat = np.array(vecs, dtype=np.float64)
+        mat /= np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+        for r in out:
+            q = mat[r["query_id"]]
+            total = 0
+            for j in range(4):
+                dot = float(q[j * 2 : (j + 1) * 2] @ books[j][codes[r["corpus_id"]][j]])
+                total += int(np.rint(np.round(dot, 6) * 1_000_000))
+            assert r["score"] == total / 1_000_000
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                     HealthCheck.too_slow])
+    @given(vecs=vecs_strategy, per_cell=st.integers(min_value=1, max_value=4),
+           seed=st.integers(min_value=0, max_value=3))
+    def test_coverage_sample_matches_reference_selection(
+        self, spark, vecs, per_cell, seed
+    ):
+        import hashlib
+
+        import numpy as np
+
+        from database_replicator_spark.operators.similarity import coverage_sample
+
+        rows = [(i, v) for i, v in enumerate(vecs)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        nlist = min(4, len(vecs))
+        got = {
+            (r["vec_id"], r["cid"], r["cell_rank"])
+            for r in coverage_sample(
+                emb, per_cell=per_cell, nlist=nlist, seed=seed,
+                prefilter_buckets=2,
+            ).collect()
+        }
+        # reference: argmax rounded cosine vs lowest-nlist-id units, then
+        # per-cell (hash60(f"{seed}:{id}"), id) order
+        mat = np.array(vecs, dtype=np.float64)
+        mat /= np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+        cents = mat[:nlist]
+        cells = {}
+        for i, u in enumerate(mat):
+            sims = np.round(cents @ u, 6)
+            cid = int(sims.argmax())
+            h = int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:15], 16)
+            cells.setdefault(cid, []).append((h, i))
+        want = set()
+        for cid, members in cells.items():
+            for rank, (_h, i) in enumerate(sorted(members)[:per_cell], start=1):
+                want.add((i, cid, rank))
+        assert got == want
