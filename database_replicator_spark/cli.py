@@ -229,6 +229,41 @@ def main(argv: list[str] | None = None) -> int:
         choices=["simple", "extended", "formatted", "cost", "codegen"],
     )
 
+    cingest_p = sub.add_parser(
+        "corpus-ingest",
+        help="streaming corpus ingestion: drain a JSONL document queue "
+        "through the acceptance gauntlet (quality → exact dedup → "
+        "optional LSH near-dup) into idempotent epoch partitions",
+    )
+    cingest_p.add_argument("--source", required=True, metavar="QUEUE_DIR")
+    cingest_p.add_argument("--target", required=True)
+    cingest_p.add_argument("--checkpoint", required=True)
+    cingest_p.add_argument("--near-dup", action="store_true")
+    cingest_p.add_argument(
+        "--verify-jaccard", type=float, default=None,
+        help="upgrade near-dup rejection to verified Jaccard >= this",
+    )
+    cingest_p.add_argument(
+        "--follow", action="store_true",
+        help="keep polling (default: drain available input and stop)",
+    )
+
+    eingest_p = sub.add_parser(
+        "embed-ingest",
+        help="streaming embedding-index ingestion: id dedup + LSH/exact "
+        "near-dup rejection into idempotent epoch partitions",
+    )
+    eingest_p.add_argument("--source", required=True, metavar="PARQUET_QUEUE_DIR")
+    eingest_p.add_argument("--target", required=True)
+    eingest_p.add_argument("--checkpoint", required=True)
+    eingest_p.add_argument("--dim", type=int, required=True)
+    eingest_p.add_argument("--threshold", type=float, default=0.92)
+    eingest_p.add_argument(
+        "--pq", action="store_true",
+        help="store PQ codes in the bucket index (ADC prescreen + exact rerank)",
+    )
+    eingest_p.add_argument("--follow", action="store_true")
+
     sql_p = sub.add_parser(
         "sql",
         help="run ad-hoc SQL over a source directory (every table "
@@ -365,6 +400,54 @@ def main(argv: list[str] | None = None) -> int:
                 for t, df in tables.items()
             }
             print(json.dumps({"ok": True, "profiles": out}, default=str))
+            return 0
+        except Exception as e:
+            print(json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"}))
+            return 2
+        finally:
+            if owns:
+                spark.stop()
+
+    if args.command == "corpus-ingest":
+        from .streaming.corpus_ingest import read_corpus, start_corpus_ingest
+
+        spark, owns = _get_session()
+        try:
+            query, ingestor = start_corpus_ingest(
+                spark, args.source, args.target, args.checkpoint,
+                once=not args.follow, near_dup=args.near_dup,
+                verify_jaccard=args.verify_jaccard,
+            )
+            query.awaitTermination()
+            n = read_corpus(spark, args.target).count()
+            print(json.dumps({"ok": True, "target": args.target,
+                              "epochs": ingestor.applied_batches,
+                              "corpus_rows": n}))
+            return 0
+        except Exception as e:
+            print(json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"}))
+            return 2
+        finally:
+            if owns:
+                spark.stop()
+
+    if args.command == "embed-ingest":
+        from .streaming.embedding_ingest import (
+            read_embedding_index,
+            start_embedding_ingest,
+        )
+
+        spark, owns = _get_session()
+        try:
+            query = start_embedding_ingest(
+                spark, args.source, args.target, args.checkpoint,
+                dim=args.dim, threshold=args.threshold,
+                once=not args.follow, pq=args.pq,
+            )
+            query.awaitTermination()
+            n = read_embedding_index(spark, args.target).count()
+            print(json.dumps({"ok": True, "target": args.target,
+                              "index_rows": n}))
             return 0
         except Exception as e:
             print(json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"}))

@@ -927,3 +927,62 @@ class TestSqlVerb:
         assert rc == 2
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert not out["ok"] and "error" in out
+
+
+class TestIngestVerbs:
+    GOOD = (
+        "a reasonably long and perfectly ordinary document about data "
+        "replication systems and the analytics people run on them daily"
+    )
+    GOOD2 = (
+        "a different document about the state of databases and the many "
+        "ways in which they replicate data for analytical workloads"
+    )
+
+    def test_corpus_ingest_verb_drains_queue(self, spark, capsys, tmp_path):
+        import json as _json
+        import os as _os
+
+        from database_replicator_spark import cli
+
+        src = str(tmp_path / "queue")
+        _os.makedirs(src)
+        with open(_os.path.join(src, "b1.json"), "w") as fh:
+            for i, text in [(1, self.GOOD), (2, self.GOOD), (3, "tiny"),
+                            (4, self.GOOD2)]:
+                fh.write(_json.dumps(
+                    {"doc_id": i, "text": text, "lang": "en", "source": "cc"}
+                ) + "\n")
+        rc = cli.main(
+            ["corpus-ingest", "--source", src,
+             "--target", str(tmp_path / "tgt"),
+             "--checkpoint", str(tmp_path / "chk")]
+        )
+        assert rc == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        # doc 2 is a within-batch dup, doc 3 fails quality -> 2 accepted
+        assert out["ok"] and out["corpus_rows"] == 2
+
+    def test_embed_ingest_verb_pq_mode(self, spark, capsys, tmp_path):
+        import json as _json
+        import math
+
+        from database_replicator_spark import cli
+
+        src = str(tmp_path / "equeue")
+        rows = [
+            (i, [float(math.sin(i * 1.7 + d)) for d in range(8)])
+            for i in range(1, 7)
+        ]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ).write.parquet(src)
+        rc = cli.main(
+            ["embed-ingest", "--source", src,
+             "--target", str(tmp_path / "etgt"),
+             "--checkpoint", str(tmp_path / "echk"),
+             "--dim", "8", "--pq"]
+        )
+        assert rc == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["ok"] and out["index_rows"] == 6
