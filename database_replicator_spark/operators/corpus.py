@@ -1428,3 +1428,59 @@ def dedup_repeated_chunks(
             ).alias("clean_text"),
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    round_digits: int = 6,
+    prefilter_buckets: int = 0,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, inclusion probability ∝
+    weight — the exponential-race scheme of Efraimidis & Spirakis
+    ("Weighted random sampling with a reservoir", IPL 2006): every row
+    draws u ∈ (0, 1] and the n largest u^(1/w) win, which this ranks by
+    the monotone-equivalent ln(u)/w (descending). A quality- or
+    length-weighted corpus draw is this with the score column as the
+    weight.
+
+    Deterministic and engine-portable: u derives from
+    hash60(seed:id) — no RNG state, reproducible across runs,
+    partitionings, and engines — and the race score is rounded to
+    ``round_digits`` with the id as tiebreak (libm vs JVM ``ln`` can
+    differ in the last ulp; the rounding absorbs it, the same contract
+    as the 6-dp cosine gates). Weights must be strictly positive.
+
+    Scale: a global top-n needs a global order; ``prefilter_buckets=B``
+    bounds it the usual way — per-(hash-bucket) local top-n first, so no
+    task sorts more than ~rows/B, and the final global window sees
+    ≤ B·n rows. Output-identical (every bucket forwards its full
+    top-n). Returns (id, weight, race_score, rank).
+    """
+    u = (hash60(seeded(F.col(id_col).cast("string"), seed)) + 1) / F.lit(
+        float(HASH60_SPAN)
+    )
+    scored = df.select(
+        F.col(id_col),
+        F.col(weight_col).cast("double").alias("weight"),
+        F.round(F.log(u) / F.col(weight_col).cast("double"), round_digits).alias(
+            "race_score"
+        ),
+        hash60(seeded(F.col(id_col).cast("string"), seed)).alias("_h"),
+    )
+    if prefilter_buckets > 0:
+        wb = Window.partitionBy(F.pmod(F.col("_h"), F.lit(prefilter_buckets))).orderBy(
+            F.col("race_score").desc(), F.col(id_col).asc()
+        )
+        scored = scored.withColumn("brn", F.row_number().over(wb)).filter(
+            F.col("brn") <= n
+        )
+    w_all = Window.orderBy(F.col("race_score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w_all))
+        .filter(F.col("rank") <= n)
+        .select(id_col, "weight", "race_score", "rank")
+    )

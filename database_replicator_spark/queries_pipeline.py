@@ -1035,3 +1035,36 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bigram_logprob(docs)
+
+
+@query(
+    "sample_weighted",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+             round(
+               ln((CAST('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) + 1) / 1152921504606846976.0)
+               / CAST(n_chars AS DOUBLE), 6) AS race_score
+      FROM documents
+    )
+    SELECT doc_id, weight, race_score, rank FROM (
+      SELECT doc_id, weight, race_score,
+             ROW_NUMBER() OVER (ORDER BY race_score DESC, doc_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 100
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted corpus draw (corpus.weighted_sample): 100 docs
+    without replacement, inclusion probability ∝ n_chars, via the
+    deterministic Efraimidis-Spirakis exponential race (u from
+    hash60(seed:id), rank on round(ln(u)/w, 6) with id tiebreak). Gated
+    with the bucket prefilter ON (B=16) — the bounded-window scale path
+    the oracle's plain global rank must match exactly."""
+    from .operators.corpus import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(
+        docs, n=100, weight_col="n_chars", seed=0, prefilter_buckets=16
+    )

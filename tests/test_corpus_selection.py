@@ -115,3 +115,45 @@ def test_mask_fully_covered_doc_yields_empty_text(spark):
 def test_select_token_budget_empty_input(spark):
     t = spark.createDataFrame([], "doc_id long, score double, n_tokens long")
     assert select_token_budget(t, budget=100).count() == 0
+
+
+class TestWeightedSample:
+    def _df(self, spark):
+        # ids 0..39: even ids weight 100, odd ids weight 1
+        rows = [(i, 100.0 if i % 2 == 0 else 1.0) for i in range(40)]
+        return spark.createDataFrame(rows, "doc_id long, w double")
+
+    def test_without_replacement_and_exact_n(self, spark):
+        from database_replicator_spark.operators.corpus import weighted_sample
+
+        out = weighted_sample(self._df(spark), n=10, weight_col="w").collect()
+        ids = [r["doc_id"] for r in out]
+        assert len(ids) == 10 and len(set(ids)) == 10
+        assert sorted(r["rank"] for r in out) == list(range(1, 11))
+
+    def test_prefilter_is_output_identical(self, spark):
+        from database_replicator_spark.operators.corpus import weighted_sample
+
+        df = self._df(spark)
+        plain = [(r["doc_id"], r["rank"]) for r in
+                 weighted_sample(df, n=7, weight_col="w").collect()]
+        pre = [(r["doc_id"], r["rank"]) for r in
+               weighted_sample(df.repartition(5), n=7, weight_col="w",
+                               prefilter_buckets=3).collect()]
+        assert plain == pre
+
+    def test_heavy_weights_dominate_inclusion(self, spark):
+        """Across seeds, weight-100 rows must win far more slots than
+        weight-1 rows (inclusion probability ∝ weight)."""
+        from database_replicator_spark.operators.corpus import weighted_sample
+
+        df = self._df(spark).cache()
+        heavy = light = 0
+        for seed in range(12):
+            for r in weighted_sample(df, n=8, weight_col="w", seed=seed).collect():
+                if r["doc_id"] % 2 == 0:
+                    heavy += 1
+                else:
+                    light += 1
+        df.unpersist()
+        assert heavy > 4 * light
