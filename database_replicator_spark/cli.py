@@ -229,6 +229,33 @@ def main(argv: list[str] | None = None) -> int:
         choices=["simple", "extended", "formatted", "cost", "codegen"],
     )
 
+    ann_p = sub.add_parser(
+        "ann",
+        help="ANN top-k over an embeddings table: exact, lsh, ivf, pq, "
+        "or ivfpq; query rows picked by --query-ids",
+    )
+    ann_p.add_argument("--source", required=True)
+    ann_p.add_argument("--table", default="embeddings")
+    ann_p.add_argument("--query-ids", required=True,
+                       help="comma-separated vec_ids to use as queries")
+    ann_p.add_argument("--k", type=int, default=10)
+    ann_p.add_argument(
+        "--method", default="exact",
+        choices=["exact", "lsh", "ivf", "pq", "ivfpq"],
+    )
+    ann_p.add_argument("--nlist", type=int, default=16)
+    ann_p.add_argument("--nprobe", type=int, default=2)
+    ann_p.add_argument("--m", type=int, default=8)
+    ann_p.add_argument("--ksub", type=int, default=32)
+    ann_p.add_argument("--rerank", type=int, default=0)
+    ann_p.add_argument("--planes", type=int, default=6)
+    ann_p.add_argument("--tables", type=int, default=1)
+    ann_p.add_argument("--multiprobe", type=int, default=0)
+    ann_p.add_argument(
+        "--quantizer", default="kmeans", choices=["kmeans", "sample"],
+        help="trained (kmeans) or deterministic lowest-id sample quantizer",
+    )
+
     cingest_p = sub.add_parser(
         "corpus-ingest",
         help="streaming corpus ingestion: drain a JSONL document queue "
@@ -400,6 +427,62 @@ def main(argv: list[str] | None = None) -> int:
                 for t, df in tables.items()
             }
             print(json.dumps({"ok": True, "profiles": out}, default=str))
+            return 0
+        except Exception as e:
+            print(json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"}))
+            return 2
+        finally:
+            if owns:
+                spark.stop()
+
+    if args.command == "ann":
+        from pyspark.sql import functions as _F
+
+        from .sources.catalog import load_table
+
+        spark, owns = _get_session()
+        try:
+            emb = load_table(spark, args.source, args.table)
+            ids = [int(x) for x in args.query_ids.split(",")]
+            queries = emb.filter(_F.col("vec_id").isin(ids))
+            dim = len(queries.first()["embedding"])
+            if args.method == "exact":
+                from .operators.similarity import topk_blas
+
+                res = topk_blas(emb, queries, k=args.k)
+            elif args.method == "lsh":
+                from .operators.similarity import lsh_topk_bucketed
+
+                res = lsh_topk_bucketed(
+                    emb, queries, dim=dim, k=args.k, num_planes=args.planes,
+                    num_tables=args.tables, multiprobe=args.multiprobe,
+                )
+            elif args.method == "ivf":
+                from .operators.similarity import ivf_topk
+
+                res = ivf_topk(
+                    emb, queries, k=args.k, nlist=args.nlist,
+                    nprobe=args.nprobe, quantizer=args.quantizer,
+                )
+            elif args.method == "pq":
+                from .operators.similarity import pq_topk
+
+                res = pq_topk(
+                    emb, queries, k=args.k, m=args.m, ksub=args.ksub,
+                    rerank=args.rerank, quantizer=args.quantizer,
+                )
+            else:  # ivfpq
+                from .operators.similarity import ivf_pq_topk
+
+                res = ivf_pq_topk(
+                    emb, queries, k=args.k, nlist=args.nlist,
+                    nprobe=args.nprobe, m=args.m, ksub=args.ksub,
+                    quantizer=args.quantizer,
+                )
+            rows = [r.asDict() for r in res.collect()]
+            print(json.dumps({"ok": True, "method": args.method,
+                              "n_queries": len(ids), "k": args.k,
+                              "rows": rows}, default=str))
             return 0
         except Exception as e:
             print(json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"}))

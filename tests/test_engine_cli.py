@@ -986,3 +986,23 @@ class TestIngestVerbs:
         assert rc == 0
         out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out["ok"] and out["index_rows"] == 6
+
+
+class TestAnnVerb:
+    def test_ann_exact_and_ivfpq(self, spark, capsys):
+        import json as _json
+
+        from database_replicator_spark import cli
+
+        for method in ("exact", "ivfpq"):
+            rc = cli.main(
+                ["ann", "--source", "/root/testdata/sf0.001",
+                 "--query-ids", "0,1", "--k", "5", "--method", method,
+                 "--quantizer", "sample", "--ksub", "16"]
+            )
+            assert rc == 0
+            out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+            assert out["ok"] and out["method"] == method
+            assert len(out["rows"]) == 10  # 2 queries x k=5
+            ranks = {r["rank"] for r in out["rows"]}
+            assert ranks == {1, 2, 3, 4, 5}

@@ -143,6 +143,102 @@ def probe_ops(spark, path: str) -> dict[str, float]:
     return out
 
 
+def synthesize_embeddings(spark, sf_dir: str, out_root: str):
+    """x{k} embedding corpora: k id-offset copies with a per-copy
+    deterministic rotation of the coordinates (roll by copy index) so
+    copies neither collide in LSH buckets systematically nor change the
+    per-row work — vector count grows exactly linearly."""
+    from pyspark.sql import functions as F
+
+    from database_replicator_spark.sources.catalog import load_table
+
+    base = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = base.count()
+    dim = len(base.first()["embedding"])
+    paths = {}
+    for k in MULTIPLES:
+        path = os.path.join(out_root, f"emb_x{k}")
+        copies = []
+        for c in range(k):
+            roll = c % dim
+            rolled = F.concat(
+                F.slice(F.col("embedding"), roll + 1, dim - roll),
+                F.slice(F.col("embedding"), 1, roll),
+            )
+            copies.append(
+                base.select(
+                    (F.col("vec_id") + F.lit(c * n)).alias("vec_id"),
+                    rolled.alias("embedding"),
+                )
+            )
+        df = copies[0]
+        for c in copies[1:]:
+            df = df.unionByName(c)
+        df.write.mode("overwrite").parquet(path)
+        paths[k] = path
+    return paths
+
+
+def probe_embedding_ops(spark, path: str, dim: int = 64) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(path)
+    queries = emb.filter(F.col("vec_id") < 20)
+
+    def mat(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    def timed(fn):
+        t0 = time.perf_counter()
+        fn()
+        spark.catalog.clearCache()
+        return time.perf_counter() - t0
+
+    def pq_encode_scan():
+        from database_replicator_spark.operators.similarity import (
+            pq_encode,
+            pq_sample_codebooks,
+        )
+
+        books = pq_sample_codebooks(emb, m=8, ksub=16)
+        mat(pq_encode(emb, books))
+
+    def pq_adc_topk():
+        from database_replicator_spark.operators.similarity import pq_topk
+
+        mat(pq_topk(emb, queries, k=10, m=8, ksub=16, quantizer="sample"))
+
+    def ivfpq_probe():
+        from database_replicator_spark.operators.similarity import ivf_pq_topk
+
+        mat(
+            ivf_pq_topk(
+                emb, queries, k=10, nlist=16, nprobe=2, m=8, ksub=16,
+                quantizer="sample",
+            )
+        )
+
+    def coverage():
+        from database_replicator_spark.operators.similarity import coverage_sample
+
+        mat(
+            coverage_sample(
+                emb, per_cell=50, nlist=16, prefilter_buckets=8
+            )
+        )
+
+    out = {}
+    for name, fn in [
+        ("pq_encode", pq_encode_scan),
+        ("pq_adc_topk", pq_adc_topk),
+        ("ivf_pq_topk", ivfpq_probe),
+        ("coverage_sample", coverage),
+    ]:
+        fn()
+        out[name] = round(min(timed(fn), timed(fn)), 3)
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
@@ -156,6 +252,9 @@ def main() -> int:
 
     paths = synthesize(spark, args.sf_dir, args.out)
     results = {k: probe_ops(spark, p) for k, p in paths.items()}
+    epaths = synthesize_embeddings(spark, args.sf_dir, args.out)
+    for k, p in epaths.items():
+        results[k].update(probe_embedding_ops(spark, p))
 
     ops = list(results[MULTIPLES[0]])
     print("| operator | " + " | ".join(f"{k}x" for k in MULTIPLES) + " | exponent |")
