@@ -68,9 +68,16 @@ def _build_engine(args):
     from .plans.rules import ReplicationFilter
 
     spark, owns = _get_session()
-    filt = ReplicationFilter(
-        exclude_tables=[t for t in (args.exclude_table or [])],
-    )
+    if getattr(args, "config", None):
+        # reference-format TOML config (src/config.rs); flags stack on top
+        from .plans.rules import load_rules_config
+
+        filt = load_rules_config(args.config)
+        filt.exclude_tables.extend(args.exclude_table or [])
+    else:
+        filt = ReplicationFilter(
+            exclude_tables=[t for t in (args.exclude_table or [])],
+        )
     for spec in args.table_filter or []:
         table, _, pred = spec.partition(":")
         filt.rules.add_predicate(table, pred)
@@ -96,6 +103,10 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument("--table-filter", action="append", metavar="TABLE:PRED")
         sp.add_argument("--exclude-table", action="append", metavar="DB.TABLE")
         sp.add_argument("--schema-only", action="append", metavar="TABLE")
+        sp.add_argument("--config", default=None, metavar="TOML",
+                        help="reference-format TOML replication config "
+                        "(databases.<db>.schema_only/table_filters/"
+                        "time_filters); flags stack on top")
 
     common(sub.add_parser("validate", help="preflight checks"))
     init_p = sub.add_parser("init", help="snapshot copy")

@@ -318,3 +318,60 @@ class ReplicationFilter:
         }
         blob = json.dumps(payload, sort_keys=True, separators=(",", ":"))
         return hashlib.sha256(blob.encode()).hexdigest()
+
+
+def load_rules_config(path: str) -> ReplicationFilter:
+    """Load a reference-format TOML replication config (src/config.rs):
+
+    .. code-block:: toml
+
+        [databases.appdb]
+        schema_only = ["public.audit_log"]
+
+        [[databases.appdb.table_filters]]
+        table = "public.orders"
+        where = "o_totalprice > 100"
+
+        [[databases.appdb.time_filters]]
+        table = "events"
+        column = "ts"
+        last = "30d"
+
+    Every table spec may be ``table`` or ``schema.table`` (an explicit
+    ``schema`` field overrides, like the reference), and each section maps
+    onto the same TableRules calls the CLI flags use — a reference user's
+    existing config file drives this engine unchanged. Parsed with the
+    stdlib ``tomllib``; raises ``RuleConflictError`` on the same conflicts
+    the flag path rejects."""
+    import tomllib
+
+    with open(path, "rb") as fh:
+        parsed = tomllib.load(fh)
+
+    rules = TableRules()
+    for db_name, db in (parsed.get("databases") or {}).items():
+        def _spec(entry_table: str, entry_schema: str | None) -> str:
+            if entry_schema:
+                return f"{db_name}.{entry_schema}.{entry_table}"
+            if "." in entry_table:
+                return f"{db_name}.{entry_table}"
+            return f"{db_name}.{entry_table}"
+
+        for table in db.get("schema_only", []):
+            rules.add_schema_only(_spec(table, None))
+        for filt in db.get("table_filters", []):
+            if "table" not in filt or "where" not in filt:
+                raise RuleConflictError(
+                    f"table_filters entries need 'table' and 'where': {filt!r}"
+                )
+            rules.add_predicate(_spec(filt["table"], filt.get("schema")), filt["where"])
+        for filt in db.get("time_filters", []):
+            for req in ("table", "column", "last"):
+                if req not in filt:
+                    raise RuleConflictError(
+                        f"time_filters entries need 'table', 'column', 'last': {filt!r}"
+                    )
+            rules.add_time_filter(
+                _spec(filt["table"], filt.get("schema")), filt["column"], filt["last"]
+            )
+    return ReplicationFilter(rules=rules)

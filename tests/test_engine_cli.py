@@ -1006,3 +1006,72 @@ class TestAnnVerb:
             assert len(out["rows"]) == 10  # 2 queries x k=5
             ranks = {r["rank"] for r in out["rows"]}
             assert ranks == {1, 2, 3, 4, 5}
+
+
+class TestConfigFile:
+    def test_toml_config_drives_init(self, spark, capsys, tmp_path):
+        import json as _json
+
+        from database_replicator_spark import cli
+
+        cfg = tmp_path / "replication.toml"
+        cfg.write_text(
+            """
+[databases.default]
+schema_only = ["nation"]
+
+[[databases.default.table_filters]]
+table = "lineitem"
+where = "l_quantity > 45"
+"""
+        )
+        tgt = str(tmp_path / "tgt")
+        rc = cli.main(
+            ["init", "--source", "/root/testdata/sf0.001", "--target", tgt,
+             "--config", str(cfg)]
+        )
+        assert rc == 0
+        _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        li = spark.read.parquet(f"{tgt}/lineitem")
+        assert li.count() > 0
+        assert li.filter("l_quantity <= 45").count() == 0
+        assert spark.read.parquet(f"{tgt}/nation").count() == 0  # schema-only
+
+    def test_toml_config_rejects_conflicts(self, tmp_path):
+        import pytest as _pytest
+
+        from database_replicator_spark.plans.rules import (
+            RuleConflictError,
+            load_rules_config,
+        )
+
+        cfg = tmp_path / "bad.toml"
+        cfg.write_text(
+            """
+[databases.default]
+schema_only = ["lineitem"]
+
+[[databases.default.table_filters]]
+table = "lineitem"
+where = "l_quantity > 45"
+"""
+        )
+        with _pytest.raises(RuleConflictError):
+            load_rules_config(str(cfg))
+
+    def test_time_filter_config_parses(self, tmp_path):
+        from database_replicator_spark.plans.rules import load_rules_config
+
+        cfg = tmp_path / "tw.toml"
+        cfg.write_text(
+            """
+[[databases.default.time_filters]]
+table = "events"
+column = "ts"
+last = "30d"
+"""
+        )
+        filt = load_rules_config(str(cfg))
+        rule = filt.rules.rule_for_table("default", "public", "events")
+        assert rule is not None and rule.time_column == "ts"
+        assert rule.time_amount == 30 and rule.time_unit == "day"
