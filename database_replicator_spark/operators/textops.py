@@ -399,3 +399,50 @@ def hashed_linear_score(
     return base.withColumn("score", score).withColumn(
         "accept", F.coalesce(F.col("score") >= 0, F.lit(False))
     )
+
+
+def hashed_embedding(
+    df: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Feature-hashed document embeddings — the hashing trick (Weinberger
+    et al., "Feature Hashing for Large Scale Multitask Learning", ICML
+    2009): ``v[h(t) mod dim] += sign(t)`` over the document's tokens,
+    with the sign drawn from an independent hash bit so collisions cancel
+    in expectation. Model-free and deterministic, which closes the
+    text→vector loop INSIDE the engine: the whole semantic tier (ANN
+    top-k, embedding near-dup, cluster dedup, coverage sampling) runs on
+    any document table without precomputed embeddings or an external
+    encoder — the production swap is a learned encoder writing the same
+    (id, array<double>) shape.
+
+    Components are signed integer counts (exact in both engines); the
+    vector assembles from a (doc, bucket) sum — one shuffle on the doc id
+    — via a map lookup over the bucket sequence, so empty buckets are
+    exact zeros. Cosine/ANN over these vectors inherits the usual
+    rounded-double contract."""
+    from ..functions.hashing import hash60, hash60_tail
+
+    toks = tokens_expr(F.col(text_col))
+    exploded = df.select(
+        F.col(id_col), F.explode(toks).alias("tok")
+    ).select(
+        id_col,
+        F.pmod(hash60(F.col("tok")), F.lit(dim)).alias("bucket"),
+        (F.pmod(hash60_tail(F.col("tok")), F.lit(2)) * 2 - 1).alias("sign"),
+    )
+    sums = exploded.groupBy(id_col, "bucket").agg(F.sum("sign").alias("w"))
+    entries = sums.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("bucket").cast("int"), F.col("w")))
+        ).alias("_m")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda b: F.coalesce(F.element_at(F.col("_m"), b.cast("int")), F.lit(0)).cast(
+            "double"
+        ),
+    )
+    return entries.select(F.col(id_col), vec.alias("embedding"))

@@ -30,6 +30,10 @@ def _hash60_sql(expr: str) -> str:
     return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
 
 
+def _tail60_sql(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 17, 15) AS BIGINT)"
+
+
 _SHINGLES_CTE = f"""
   norm AS (
     SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
@@ -1378,3 +1382,45 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_topk(
         emb, queries_df, k=10, nlist=16, nprobe=2, m=8, ksub=16, quantizer="sample"
     )
+
+
+@query(
+    "doc_hashed_embedding",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    sums AS (
+      SELECT doc_id,
+             {_hash60_sql('tok')} % 64 AS bucket,
+             SUM({_tail60_sql('tok')} % 2 * 2 - 1) AS w
+      FROM toks GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT d.doc_id, g.bucket
+      FROM (SELECT DISTINCT doc_id FROM documents) d,
+           UNNEST(generate_series(0, 63)) AS g(bucket)
+    )
+    SELECT grid.doc_id, CAST(grid.bucket AS BIGINT) AS bucket,
+           CAST(COALESCE(s.w, 0) AS DOUBLE) AS weight
+    FROM grid LEFT JOIN sums s
+      ON s.doc_id = grid.doc_id AND s.bucket = grid.bucket
+    """,
+)
+def doc_hashed_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed document embeddings (textops.hashed_embedding,
+    dim=64): signed-count components are exact integers, assembled into
+    dense vectors via a map lookup over the bucket sequence; the gate
+    posexplodes the vectors back to (doc_id, bucket, weight) rows so the
+    oracle verifies every component including exact zeros. This is the
+    in-engine text→vector bridge that lets the semantic tier run without
+    precomputed embeddings."""
+    from .operators.textops import hashed_embedding
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = hashed_embedding(docs, dim=64)
+    return emb.select(
+        "doc_id",
+        F.posexplode("embedding").alias("bucket", "weight"),
+    ).select("doc_id", F.col("bucket").cast("bigint").alias("bucket"), "weight")

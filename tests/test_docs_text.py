@@ -403,3 +403,49 @@ class TestHashedLinearClassifier:
             .toString()
         )
         assert "Exchange" not in plan
+
+
+class TestHashedEmbedding:
+    def test_components_are_signed_token_counts(self, spark):
+        from pyspark.sql import functions as F
+
+        from database_replicator_spark.operators.textops import hashed_embedding
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta alpha"), (2, "alpha")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["embedding"] for r in hashed_embedding(docs, dim=16).collect()}
+        assert len(out[1]) == 16
+        # doc1 = 2*alpha + beta; doc2 = alpha → doc1 - doc2 - doc2 leaves beta's bucket
+        import numpy as np
+
+        v1, v2 = np.array(out[1]), np.array(out[2])
+        diff = v1 - 2 * v2
+        assert np.abs(diff).sum() == 1.0  # exactly beta's ±1 remains
+        assert float(np.abs(v2).sum()) == 1.0
+
+    def test_identical_text_identical_vector_e2e_neardup(self, spark):
+        """The in-engine text→vector→near-dup loop: a duplicated document
+        text yields cosine 1.0 through the semantic tier with no external
+        embeddings."""
+        from pyspark.sql import functions as F
+
+        from database_replicator_spark.operators.similarity import topk_blas
+        from database_replicator_spark.operators.textops import hashed_embedding
+
+        base = (
+            "the quick brown fox jumps over the lazy dog and keeps on "
+            "running through the wide open field all day"
+        )
+        other = (
+            "completely different material concerning database systems "
+            "replication checkpoints and distributed execution engines"
+        )
+        docs = spark.createDataFrame(
+            [(1, base), (2, base), (3, other)], "doc_id long, text string"
+        )
+        emb = hashed_embedding(docs, dim=32).withColumnRenamed("doc_id", "vec_id")
+        top = topk_blas(emb, emb.filter(F.col("vec_id") == 1), k=1).collect()
+        assert len(top) == 1
+        assert top[0]["corpus_id"] == 2 and top[0]["cosine"] == 1.0
