@@ -188,6 +188,15 @@ def main(argv: list[str] | None = None) -> int:
         "boilerplate), after cross-document span masking",
     )
     corpus_p.add_argument(
+        "--semantic-dedup", action="store_true",
+        help="cluster-dedup paraphrase-level duplicates via feature-hashed "
+        "embeddings + LSH (no external encoder needed)",
+    )
+    corpus_p.add_argument(
+        "--semantic-threshold", type=float, default=0.85,
+        help="cosine threshold for the semantic dedup tier",
+    )
+    corpus_p.add_argument(
         "--token-budget", type=int, default=None,
         help="best-first selection to this total token target before splitting",
     )
@@ -843,6 +852,8 @@ def main(argv: list[str] | None = None) -> int:
                 seed=args.seed,
                 min_tokens=args.min_tokens,
                 near_dup=args.near_dup,
+                semantic_dedup=args.semantic_dedup,
+                semantic_threshold=args.semantic_threshold,
                 span_mask=args.span_mask,
                 chunk_dedup=args.chunk_dedup,
                 token_budget=args.token_budget,

@@ -39,6 +39,8 @@ def build_corpus(
     min_tokens: int = 10,
     near_dup: bool = False,
     jaccard_threshold: float = 0.2,
+    semantic_dedup: bool = False,
+    semantic_threshold: float = 0.85,
     span_mask: bool = False,
     chunk_dedup: bool = False,
     token_budget: int | None = None,
@@ -177,6 +179,40 @@ def build_corpus(
         _mark("near_dup")
     else:
         report["n_neardup_removed"] = 0
+
+    if semantic_dedup:
+        # SEMANTIC cluster dedup with no external embeddings: the
+        # feature-hashed vectors (textops.hashed_embedding) feed the same
+        # LSH-pair → connected-components machinery the embedding tier
+        # uses; paraphrase-level duplicates that share few exact shingles
+        # still land in one cluster. Swap a learned encoder in by
+        # materializing (doc_id, embedding) yourself — the stage shape is
+        # identical.
+        from .operators.corpus import connected_components
+        from .operators.similarity import neardup_pairs_lsh
+        from .operators.textops import hashed_embedding
+
+        emb = hashed_embedding(docs, text_col=text_field).withColumnRenamed(
+            "doc_id", "vec_id"
+        )
+        pairs = neardup_pairs_lsh(
+            emb, dim=64, threshold=semantic_threshold, num_planes=6, num_tables=4
+        )
+        labels = connected_components(
+            docs.select("doc_id"),
+            pairs.select(F.col("id1").alias("doc1"), F.col("id2").alias("doc2")),
+            id_col="doc_id",
+        )
+        keepers = labels.filter(F.col("node") == F.col("cluster_id")).select(
+            F.col("node").alias("doc_id")
+        )
+        docs = docs.join(keepers, on="doc_id").localCheckpoint(eager=False)
+        kept = docs.count()
+        report["n_semantic_removed"] = after_dedup - kept
+        after_dedup = kept
+        _mark("semantic_dedup")
+    else:
+        report["n_semantic_removed"] = 0
 
     if span_mask:
         # span-level dedup: drop word positions covered by cross-document

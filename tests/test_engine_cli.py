@@ -1075,3 +1075,35 @@ last = "30d"
         rule = filt.rules.rule_for_table("default", "public", "events")
         assert rule is not None and rule.time_column == "ts"
         assert rule.time_amount == 30 and rule.time_unit == "day"
+
+
+class TestSemanticDedupStage:
+    def test_semantic_dedup_removes_paraphrase(self, capsys, tmp_path):
+        import json as _json
+        import os as _os
+
+        from database_replicator_spark.cli import main
+
+        src = _os.path.join(str(tmp_path), "docs.jsonl")
+        stops = ["the", "and", "of", "in", "to"]  # pass the stopword rule
+        base_words = stops + [f"word{i}" for i in range(19)]
+        base = " ".join(base_words)
+        # paraphrase: two words swapped for variants — the shingle overlap
+        # drops a lot lexically, but the hashed embedding keeps cosine high
+        para_words = list(base_words)
+        para_words[8] = "variantx"
+        para_words[20] = "varianty"
+        para = " ".join(para_words)
+        other = " ".join(stops + [f"zed{i}" for i in range(19)])
+        with open(src, "w") as f:
+            for text in (base, para, other):
+                f.write(_json.dumps(
+                    {"text": text, "lang": "en", "source": "s"}) + "\n")
+        out_dir = _os.path.join(str(tmp_path), "built")
+        rc = main(["corpus-build", "--source", src, "--out", out_dir,
+                   "--budget", "64", "--shards", "2",
+                   "--semantic-dedup", "--semantic-threshold", "0.8"])
+        rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and rep["ok"]
+        assert rep["n_semantic_removed"] == 1   # the paraphrase
+        assert rep["n_written"] == 2
