@@ -785,3 +785,39 @@ def constraint_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         checks={"positive_total": F.col("o_totalprice") > 0},
         fks={"orders_customer": (customer, "o_custkey", "c_custkey")},
     )
+
+
+@query(
+    "orders_price_histogram",
+    oracle="""
+    SELECT
+      CAST(LEAST(FLOOR(o_totalprice / 50000.0), 11) AS BIGINT) AS bucket,
+      COUNT(*) AS n_orders,
+      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+        AS total_value
+    FROM orders
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals (12 buckets of 50k, top bucket
+    open-ended): the profiling shape behind data-distribution dashboards.
+    Bucketing is a single map-side floor-divide on the same IEEE doubles
+    in both engines; the per-bucket value sum carries decimal and
+    round-trips through a string. One shuffle on the bucket id."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000.0), F.lit(11)).cast(
+        "bigint"
+    )
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("string")
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("bucket")
+    )
