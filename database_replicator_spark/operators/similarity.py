@@ -1718,3 +1718,64 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "score", "rank")
     )
+
+
+def embedding_outliers(
+    corpus: DataFrame,
+    threshold: float,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    quantizer: str = "sample",
+    centroids=None,
+) -> DataFrame:
+    """Out-of-distribution detection for corpus curation: a vector whose
+    best cosine against EVERY quantizer centroid is below ``threshold``
+    sits far from all the corpus's dense regions — mislabeled content,
+    encoder failures, or genuine novelty, either way the rows a curation
+    pass wants flagged for review before training. Returns
+    (id, best_cid, best_cosine, is_outlier) for every vector — map-only
+    (one matmul per Arrow batch against the broadcast centroids), no
+    shuffle at all; downstream decides to drop, review, or upweight.
+    The sample quantizer keeps the gate SQL-reproducible; kmeans
+    centroids are the production fit."""
+    import numpy as np
+
+    spark = corpus.sparkSession
+    if centroids is not None:
+        cent = np.asarray(centroids, dtype=np.float64)
+    elif quantizer == "kmeans":
+        cent = kmeans_centroids(corpus, nlist, id_col, vec_col)
+    elif quantizer == "sample":
+        ids, mat = collect_unit_matrix(
+            corpus.filter(F.col(id_col) < nlist), id_col, vec_col
+        )
+        cent = mat[np.argsort(ids)]
+    else:
+        raise ValueError(f"unknown quantizer {quantizer!r}")
+    bc = spark.sparkContext.broadcast(cent)
+
+    def scan(batches):
+        import pandas as pd
+
+        c_mat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids_ = pdf[id_col].to_numpy()
+            block = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            block /= np.sqrt((block * block).sum(axis=1, keepdims=True))
+            sims = np.round(block @ c_mat.T, round_digits)
+            yield pd.DataFrame(
+                {
+                    id_col: ids_,
+                    "best_cid": sims.argmax(axis=1),
+                    "best_cosine": sims.max(axis=1),
+                }
+            )
+
+    out = corpus.mapInPandas(
+        scan, schema=f"{id_col} long, best_cid long, best_cosine double"
+    )
+    return out.withColumn("is_outlier", F.col("best_cosine") < threshold)

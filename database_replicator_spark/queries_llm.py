@@ -1424,3 +1424,37 @@ def doc_hashed_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode("embedding").alias("bucket", "weight"),
     ).select("doc_id", F.col("bucket").cast("bigint").alias("bucket"), "weight")
+
+
+@query(
+    "embedding_outliers",
+    oracle=f"""
+    WITH units AS (
+      SELECT vec_id, {_UNIT_SQL.format(v='embedding')} AS unit FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cid, unit AS cvec FROM units WHERE vec_id < 16),
+    scored AS (
+      SELECT u.vec_id, c.cid,
+             round({_DOT_SQL.format(a='u.unit', b='c.cvec')}, 6) AS cosine
+      FROM units u CROSS JOIN cents c
+    )
+    SELECT vec_id, best_cid, best_cosine, best_cosine < 0.35 AS is_outlier
+    FROM (
+      SELECT vec_id, cid AS best_cid, cosine AS best_cosine,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cosine DESC, cid ASC) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OOD flagging (similarity.embedding_outliers): every vector's best
+    cosine against the 16 sample centroids, flagged when below 0.35 —
+    map-only, zero shuffles; the curation pass that catches encoder
+    failures and off-manifold content before training. Ties in the
+    best-centroid choice break to the lower cid like every quantizer
+    assignment in the suite."""
+    from .operators.similarity import embedding_outliers as _outliers
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _outliers(emb, threshold=0.35, nlist=16, quantizer="sample")

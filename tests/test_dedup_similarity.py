@@ -777,3 +777,28 @@ class TestIvfPq:
         ).collect()
         for r in out:
             assert r["corpus_id"] % 6 == r["query_id"] % 6
+
+
+class TestEmbeddingOutliers:
+    def test_planted_outlier_flagged(self, spark):
+        import random
+
+        from pyspark.sql import functions as F
+
+        from database_replicator_spark.operators.similarity import (
+            embedding_outliers,
+            kmeans_centroids,
+        )
+
+        rng = random.Random(13)
+        a = [1.0] + [0.0] * 15
+        rows = [(i, [v + rng.gauss(0, 0.02) for v in a]) for i in range(60)]
+        rows.append((99, [0.0] * 15 + [1.0]))  # orthogonal outlier
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        cent = kmeans_centroids(emb, nlist=4, sample_size=61)
+        out = {r["vec_id"]: r for r in
+               embedding_outliers(emb, threshold=0.5, centroids=cent).collect()}
+        assert out[99]["is_outlier"] is True
+        inliers = [r for i, r in out.items() if i != 99]
+        assert all(not r["is_outlier"] for r in inliers)
+        assert len(out) == 61
