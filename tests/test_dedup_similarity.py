@@ -792,10 +792,16 @@ class TestEmbeddingOutliers:
 
         rng = random.Random(13)
         a = [1.0] + [0.0] * 15
-        rows = [(i, [v + rng.gauss(0, 0.02) for v in a]) for i in range(60)]
-        rows.append((99, [0.0] * 15 + [1.0]))  # orthogonal outlier
+        b = [0.0] * 8 + [1.0] + [0.0] * 7
+        rows = [(i, [v + rng.gauss(0, 0.02) for v in (a if i % 2 else b)])
+                for i in range(60)]
+        rows.append((99, [0.0] * 15 + [1.0]))  # orthogonal to both modes
         emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-        cent = kmeans_centroids(emb, nlist=4, sample_size=61)
+        # fit on the inliers only — the curation scenario: the quantizer
+        # describes the known corpus, new arrivals are scored against it
+        cent = kmeans_centroids(
+            emb.filter("vec_id < 60"), nlist=2, sample_size=60
+        )
         out = {r["vec_id"]: r for r in
                embedding_outliers(emb, threshold=0.5, centroids=cent).collect()}
         assert out[99]["is_outlier"] is True
