@@ -59,16 +59,38 @@ def main() -> int:
     from database_replicator_spark.session import build_session
 
     args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2 :]
     if args and args[0] == "--scales":
         # three-scale sweep in ONE session: the idiom for validating new
         # gates (scale-dependent tie/rounding bugs only show at some SFs)
         rc = 0
         spark = build_session("check_oracle")
+        sweep: dict = {}
         for sf in ("0.001", "0.01", "0.1"):
             print(f"--- sf{sf}")
+            results: dict = {}
             rc |= _run(spark, f"/root/testdata/sf{sf}", set(args[1:]),
-                       entry_mod, duckdb)
+                       entry_mod, duckdb, results=results)
+            sweep[f"sf{sf}"] = results
         spark.stop()
+        if json_out:
+            import json
+
+            n_gates = len(entry_mod.queries())
+            n_ok = sum(
+                1 for per_sf in sweep.values()
+                for st in per_sf.values() if st.startswith("ok")
+            )
+            with open(json_out, "w") as fh:
+                json.dump(
+                    {"n_gates": n_gates, "n_checks": sum(len(v) for v in sweep.values()),
+                     "n_ok": n_ok, "exit": rc, "per_scale": sweep},
+                    fh, indent=1, sort_keys=True,
+                )
         return rc
 
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
@@ -80,7 +102,7 @@ def main() -> int:
     return rc
 
 
-def _run(spark, sf_dir: str, only: set, entry_mod, duckdb) -> int:
+def _run(spark, sf_dir: str, only: set, entry_mod, duckdb, results: dict | None = None) -> int:
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
@@ -103,9 +125,13 @@ def _run(spark, sf_dir: str, only: set, entry_mod, duckdb) -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             failures += 1
+            if results is not None:
+                results[name] = f"FAIL: spark error: {e}"[:200]
             continue
         if sql is None:
             print(f"weak  {name}: rows-only check, {len(s_rows)} rows")
+            if results is not None:
+                results[name] = f"weak ({len(s_rows)} rows)"
             continue
         try:
             res = con.execute(sql)
@@ -114,6 +140,8 @@ def _run(spark, sf_dir: str, only: set, entry_mod, duckdb) -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             failures += 1
+            if results is not None:
+                results[name] = f"FAIL: duckdb error: {e}"[:200]
             continue
         problems = []
         if sorted(s_cols) != sorted(d_cols):
@@ -129,8 +157,12 @@ def _run(spark, sf_dir: str, only: set, entry_mod, duckdb) -> int:
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
             failures += 1
+            if results is not None:
+                results[name] = "FAIL: " + "; ".join(problems)[:200]
         else:
             print(f"ok    {name}: {len(s_rows)} rows")
+            if results is not None:
+                results[name] = f"ok ({len(s_rows)} rows)"
     con.close()
     return 1 if failures else 0
 
