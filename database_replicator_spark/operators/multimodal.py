@@ -63,15 +63,20 @@ def media_table(
 
 def fake_decode(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic decode stand-in: md5-derived pseudo-features.
-    Replace with a real decoder (Pillow/ffmpeg) outside this container."""
+    Replace with a real decoder (Pillow/ffmpeg) outside this container.
+
+    Feature ``i`` is an independent draw from the payload digest:
+    ``md5(hex(md5(payload)) + ':' + i)`` — a hex-string chain rather than
+    raw digest bytes, so an engine without blob hashing (DuckDB's md5 is
+    VARCHAR-only) can reproduce every feature for the oracle gates."""
     import hashlib
 
-    out: list[float] = []
-    h = payload
-    for i in range(dim):
-        h = hashlib.md5(h + bytes([i])).digest()
-        out.append(int.from_bytes(h[:4], "big") / float(2**32))
-    return out
+    base = hashlib.md5(payload).hexdigest()
+    return [
+        int(hashlib.md5(f"{base}:{i}".encode()).hexdigest()[:8], 16)
+        / float(2**32)
+        for i in range(dim)
+    ]
 
 
 def extract_features(
@@ -258,4 +263,108 @@ def chunk_audio(
             "chunk",
             F.length("chunk").cast("long").alias("n_bytes"),
         )
+    )
+
+
+def media_phash(
+    media: DataFrame,
+    decoder: Callable[[bytes], list[float]] | None = None,
+    dim: int = 48,
+) -> DataFrame:
+    """Perceptual average-hash over decoded media features: bit ``i`` of
+    the hash is set when feature ``i`` exceeds the per-item feature mean —
+    with a real decoder emitting downscaled grayscale pixels this IS
+    classic aHash; with :func:`fake_decode` it is the deterministic stand-
+    in the container contract prescribes. ``dim ≤ 62`` keeps the packed
+    hash inside a signed BIGINT.
+
+    The decoder must emit exactly ``dim`` features per item (bind the
+    dimension, e.g. ``partial(fake_decode, dim=48)`` — a short vector
+    would silently zero the high bits through the zip). The decode runs
+    through the Arrow-batched :func:`extract_features` scan; the thresholding and bit packing are pure codegen HOF folds
+    over the feature array (zero additional shuffles), so the whole op is
+    map-only. Near-dup media then rides the SAME machinery as text
+    simhash: see :func:`phash_pairs`."""
+    if dim > 62:
+        raise ValueError("dim must be <= 62 to fit a signed BIGINT")
+    feats = extract_features(
+        media, decoder=decoder, feature_dim=dim
+    ).select("id", "feature")
+    mean = F.aggregate(
+        F.col("feature"), F.lit(0.0), lambda a, x: a + x
+    ) / F.size("feature")
+    packed = F.aggregate(
+        F.zip_with(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            F.col("feature"),
+            # 2^i via pow: F.shiftleft needs a literal shift amount, and
+            # doubles are exact powers of two up to 2^52 (dim ≤ 62 < 53
+            # would overflow — hence the dim guard above uses 48 default)
+            lambda i, v: F.when(
+                v > F.col("_mean"), F.pow(F.lit(2.0), i).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    return (
+        feats.withColumn("_mean", mean)
+        .select("id", packed.alias("phash"))
+    )
+
+
+def phash_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 6,
+    dim: int = 48,
+    n_bands: int = 4,
+    id_col: str = "id",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """Near-duplicate media pairs by hamming distance over the perceptual
+    hashes: split each hash into ``n_bands`` bit-bands and join on band
+    equality (pigeonhole: hamming ≤ n_bands−1 GUARANTEES a shared band;
+    higher ``max_hamming`` keeps recall high but not certain — the same
+    trade as text simhash banding, dedup.py), then verify the exact
+    ``bit_count(xor)`` distance. The band id is the only shuffle key.
+    Returns (id1, id2, hamming), id1 < id2."""
+    width = dim // n_bands
+    mask = (1 << width) - 1
+    bands = hashes.select(
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).alias("_h"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    (
+                        F.shiftrightunsigned(F.col(hash_col), b * width)
+                        .bitwiseAND(F.lit(mask))
+                    ).alias("bits"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bb"),
+    ).select("_id", "_h", F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits"))
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id1"),
+            F.col("b._id").alias("id2"),
+            F.col("a._h").alias("h1"),
+            F.col("b._h").alias("h2"),
+        )
+        .distinct()
+    )
+    ham = F.expr("bit_count(h1 ^ h2)")
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
     )

@@ -328,3 +328,55 @@ def fk_cascade_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         "child string, parent string",
     )
     return fk_dependents(edges, "nation").select(F.col("table").alias("table_name"))
+
+
+@query(
+    "multimodal_phash",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id, t.i,
+             CAST('0x' || substr(md5(md5(text) || ':' || t.i), 1, 8) AS BIGINT)
+               / 4294967296.0 AS feat
+      FROM documents,
+           UNNEST(list_transform(generate_series(0, 47), x -> x)) AS t(i)
+    ),
+    vecs AS (
+      SELECT doc_id, list(feat ORDER BY i) AS fv FROM feats GROUP BY doc_id
+    ),
+    packed AS (
+      SELECT doc_id,
+             list_reduce(fv, (a, b) -> a + b) / 48.0 AS mean,
+             fv
+      FROM vecs
+    )
+    SELECT doc_id AS id,
+           list_reduce(
+             list_transform(
+               list_zip(list_transform(generate_series(0, 47), x -> x), fv),
+               p -> CASE WHEN p[2] > mean
+                         THEN (CAST(1 AS BIGINT) << p[1])
+                         ELSE CAST(0 AS BIGINT) END),
+             (a, b) -> a + b) AS phash
+    FROM packed
+    """,
+)
+def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash of every media item
+    (multimodal.media_phash, 48 bits): decode runs the deterministic fake
+    codec (the documented container contract — a real decoder emits
+    downscaled pixels and the SAME thresholding becomes classic aHash),
+    thresholding/packing are codegen HOF folds, map-only. The oracle
+    replays the per-index md5 feature draws and the identical sequential
+    fold for the mean, so every packed hash is value-exact.
+    Near-dup pairing over these hashes (banded hamming join,
+    multimodal.phash_pairs) shares the simhash machinery and is
+    planted-dup tested."""
+    from functools import partial
+
+    from .operators.multimodal import fake_decode, media_phash, media_table
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    media = media_table(docs, "doc_id", "payload", "text/plain")
+    return media_phash(media, decoder=partial(fake_decode, dim=48), dim=48)

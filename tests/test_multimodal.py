@@ -132,3 +132,49 @@ class TestChunkAudio:
             (1, 2): (b"89", 2),
             (2, 0): (b"abc", 3),
         }
+
+
+class TestMediaPhash:
+    def test_identical_payloads_hamming_zero(self, spark):
+        from functools import partial
+
+        from database_replicator_spark.operators.multimodal import (
+            fake_decode,
+            media_phash,
+            media_table,
+            phash_pairs,
+        )
+
+        rows = [
+            (1, b"same bytes of media payload content"),
+            (2, b"same bytes of media payload content"),
+            (3, b"a completely different media payload"),
+        ]
+        df = spark.createDataFrame(rows, "id long, payload binary")
+        media = media_table(df, "id", "payload", "image/png")
+        hashes = media_phash(media, decoder=partial(fake_decode, dim=48), dim=48)
+        got = {r["id"]: r["phash"] for r in hashes.collect()}
+        assert got[1] == got[2] and got[1] != got[3]
+        pairs = phash_pairs(hashes, max_hamming=6).collect()
+        assert [(r["id1"], r["id2"], r["hamming"]) for r in pairs] == [(1, 2, 0)]
+
+    def test_banding_finds_low_hamming_neighbors(self, spark):
+        """Planted hash pairs within n_bands-1 bit flips are ALWAYS found
+        (pigeonhole guarantee); the verify step reports exact distance."""
+        rows = [
+            (1, 0b101010101010101010101010101010101010101010101010),
+            (2, 0b101010101010101010101010101010101010101010101011),  # 1 flip
+            (3, 0b101010101010101010101010101010101010101010100110),  # 2 flips
+            (4, 0b010101010101010101010101010101010101010101010101),  # far
+        ]
+        df = spark.createDataFrame(rows, "id long, phash long")
+        from database_replicator_spark.operators.multimodal import phash_pairs
+
+        got = {
+            (r["id1"], r["id2"]): r["hamming"]
+            for r in phash_pairs(df, max_hamming=4).collect()
+        }
+        assert got[(1, 2)] == 1
+        assert got[(1, 3)] == 2
+        assert got[(2, 3)] == 3
+        assert not any(4 in k for k in got)
