@@ -249,6 +249,23 @@ def main(argv: list[str] | None = None) -> int:
         choices=["simple", "extended", "formatted", "cost", "codegen"],
     )
 
+    restore_p = sub.add_parser(
+        "restore",
+        help="materialize a source directory into a LIVE database over a "
+        "DBAPI DSN (a .db/.sqlite file path in this sandbox; postgres:// "
+        "in prod): CREATE TABLE from the Spark schema, then distributed "
+        "idempotent ON CONFLICT upserts",
+    )
+    restore_p.add_argument("--source", required=True)
+    restore_p.add_argument("--dsn", required=True, metavar="/path/target.db")
+    restore_p.add_argument("--table", action="append",
+                           help="restrict to table(s); default: all")
+    restore_p.add_argument(
+        "--pk", action="append", default=[], metavar="TABLE=COL[,COL]",
+        help="declared primary key per table; tables without one upsert "
+        "on ALL columns (insert-if-absent, still idempotent)",
+    )
+
     ann_p = sub.add_parser(
         "ann",
         help="ANN top-k over an embeddings table: exact, lsh, ivf, pq, "
@@ -447,6 +464,61 @@ def main(argv: list[str] | None = None) -> int:
                 for t, df in tables.items()
             }
             print(json.dumps({"ok": True, "profiles": out}, default=str))
+            return 0
+        except Exception as e:
+            print(json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"}))
+            return 2
+        finally:
+            if owns:
+                spark.stop()
+
+    if args.command == "restore":
+        from pyspark.sql import functions as _F
+        from pyspark.sql import types as _T
+
+        from .operators.ddl import create_table_sql
+        from .sources.ddl_exec import execute_ddl
+        from .sources.jdbc import JdbcUpsertWriter, open_dbapi
+
+        spark, owns = _get_session()
+        try:
+            pks = {}
+            for spec in args.pk:
+                t, _, cols = spec.partition("=")
+                pks[t] = [c.strip() for c in cols.split(",") if c.strip()]
+            tables = _load_sources(spark, args.source)
+            if args.table:
+                tables = {t: df for t, df in tables.items() if t in set(args.table)}
+            report = {}
+            for t, df in tables.items():
+                # live-DB portability: arrays/structs/maps ship as JSON
+                # text, timestamps as canonical strings — DBAPI drivers
+                # bind scalars only
+                cols = []
+                for f in df.schema.fields:
+                    if isinstance(
+                        f.dataType, (_T.ArrayType, _T.StructType, _T.MapType)
+                    ):
+                        cols.append(_F.to_json(_F.col(f.name)).alias(f.name))
+                    elif isinstance(f.dataType, _T.TimestampType):
+                        cols.append(_F.col(f.name).cast("string").alias(f.name))
+                    else:
+                        cols.append(_F.col(f.name))
+                flat = df.select(*cols)
+                pk = pks.get(t, flat.columns)
+                ddl = create_table_sql(f'"{t}"', flat.schema, pk_cols=pk)
+                execute_ddl(args.dsn, ddl)
+                JdbcUpsertWriter(dsn=args.dsn, table=t, pk_cols=pk).upsert(flat)
+                conn, _x = open_dbapi(args.dsn)
+                try:
+                    n = conn.cursor().execute(
+                        f'SELECT COUNT(*) FROM "{t}"'
+                    ).fetchone()[0]
+                finally:
+                    conn.close()
+                report[t] = {"rows_in_db": int(n),
+                             "pk": pk if t in pks else "all-columns"}
+            print(json.dumps({"ok": True, "dsn": args.dsn, "tables": report}))
             return 0
         except Exception as e:
             print(json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"}))

@@ -1107,3 +1107,48 @@ class TestSemanticDedupStage:
         assert rc == 0 and rep["ok"]
         assert rep["n_semantic_removed"] == 1   # the paraphrase
         assert rep["n_written"] == 2
+
+
+class TestRestoreVerb:
+    def test_restore_into_live_sqlite_idempotent(self, spark, capsys, tmp_path):
+        import json as _json
+        import sqlite3
+
+        from database_replicator_spark import cli
+
+        dsn = str(tmp_path / "restored.db")
+        argv = ["restore", "--source", "/root/testdata/sf0.001", "--dsn", dsn,
+                "--table", "nation", "--table", "orders",
+                "--pk", "orders=o_orderkey"]
+        rc = cli.main(argv)
+        assert rc == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["ok"]
+        assert out["tables"]["orders"]["rows_in_db"] == 1500
+        assert out["tables"]["nation"]["rows_in_db"] == 25
+
+        # re-restore: idempotent (upsert + insert-if-absent), no dupes
+        rc = cli.main(argv)
+        assert rc == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["tables"]["orders"]["rows_in_db"] == 1500
+        assert out["tables"]["nation"]["rows_in_db"] == 25
+
+        conn = sqlite3.connect(dsn)
+        try:
+            n_cust = conn.execute(
+                "SELECT COUNT(DISTINCT o_custkey) FROM orders"
+            ).fetchone()[0]
+            total = conn.execute(
+                "SELECT ROUND(SUM(o_totalprice), 2) FROM orders"
+            ).fetchone()[0]
+        finally:
+            conn.close()
+        import duckdb
+
+        want_n, want_total = duckdb.sql(
+            "SELECT COUNT(DISTINCT o_custkey), ROUND(SUM(o_totalprice), 2) "
+            "FROM '/root/testdata/sf0.001/orders.parquet'"
+        ).fetchone()
+        assert n_cust == want_n
+        assert abs(total - want_total) < 0.05  # sqlite sums in float too
