@@ -265,6 +265,11 @@ def main(argv: list[str] | None = None) -> int:
         help="declared primary key per table; tables without one upsert "
         "on ALL columns (insert-if-absent, still idempotent)",
     )
+    restore_p.add_argument(
+        "--edge", action="append", default=[], metavar="CHILD=PARENT",
+        help="FK edge for restore ordering (repeatable): parents load in "
+        "earlier stages, like the reference's FK-ordered restore",
+    )
 
     ann_p = sub.add_parser(
         "ann",
@@ -489,8 +494,15 @@ def main(argv: list[str] | None = None) -> int:
             tables = _load_sources(spark, args.source)
             if args.table:
                 tables = {t: df for t, df in tables.items() if t in set(args.table)}
+            from .operators.fk import topo_stages
+
+            edges = [tuple(e.split("=", 1)) for e in args.edge]
+            ordered = [
+                t for stage in topo_stages(edges, list(tables)) for t in stage
+            ]
             report = {}
-            for t, df in tables.items():
+            for t in ordered:
+                df = tables[t]
                 # live-DB portability: arrays/structs/maps ship as JSON
                 # text, timestamps as canonical strings — DBAPI drivers
                 # bind scalars only
