@@ -30,6 +30,82 @@ def runs_for(elapsed: float, budget: float) -> int:
     return 3
 
 
+#: Tiered protocol by recorded baseline: at 134+ gates the uniform 3-run
+#: protocol no longer fits the driver's 420 s budget; for a sub-0.5 s
+#: gate the warmup+min ceremony measures JVM/scheduler noise, not the
+#: engine, so spending the budget there only forces the SLOW gates onto
+#: the degraded single-run path (r5: 9 gates degraded). Fast-single and
+#: mid-double are deliberate protocol tiers, not degradation; only slow
+#: gates (and gates with no recorded baseline) keep warmup + min-of-2.
+FAST_GATE_SECS = 0.5
+MID_GATE_SECS = 2.0
+
+
+def runs_for_gate(base: float | None) -> int:
+    """Protocol tier from the recorded baseline: unknown → full."""
+    if base is None:
+        return 3
+    if base < FAST_GATE_SECS:
+        return 1
+    if base < MID_GATE_SECS:
+        return 2
+    return 3
+
+
+#: top-level JSON keys that can appear inside a truncated ``tail`` capture
+#: but are not query names
+_NON_QUERY_KEYS = {
+    "metric", "value", "unit", "sf", "degraded_queries",
+    "fast_single_queries", "n", "rc", "cpus", "queries",
+}
+
+
+def baseline_timings() -> dict[str, float]:
+    """Per-query timings merged from every BENCH_r*.json in the repo root
+    (the driver's recorded runs), oldest→newest so the newest round wins
+    per query. The driver's capture keeps only the LAST 2000 chars of the
+    output line (``parsed: null``, head of the queries dict cut off), so
+    besides the full-dict formats this scrapes bare ``"name": float``
+    pairs out of the tail — a partial baseline still routes most fast
+    gates correctly, and gates with no row just take the full protocol."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    import glob
+
+    merged: dict[str, float] = {}
+    # BENCH_LOCAL.json (a committed full-registry isolated run) seeds the
+    # lowest-priority layer so every gate has a protocol-tier row even
+    # when the driver's truncated tails only cover part of the registry
+    paths = [os.path.join(repo, "BENCH_LOCAL.json")] + sorted(
+        glob.glob(os.path.join(repo, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
+    )
+    for path in paths:
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        q = None
+        if "queries" in data:
+            q = data["queries"]
+        elif isinstance(data.get("parsed"), dict) and "queries" in data["parsed"]:
+            q = data["parsed"]["queries"]
+        elif isinstance(data.get("tail"), str):
+            q = {
+                k: float(v)
+                for k, v in re.findall(
+                    r'"([A-Za-z_][A-Za-z0-9_]*)":\s*([0-9]+(?:\.[0-9]+)?)',
+                    data["tail"],
+                )
+                if k not in _NON_QUERY_KEYS
+            }
+        if isinstance(q, dict):
+            merged.update(
+                {k: float(v) for k, v in q.items() if isinstance(v, (int, float))}
+            )
+    return merged
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -63,13 +139,20 @@ def main() -> None:
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
     bench_t0 = time.perf_counter()
 
+    baseline = baseline_timings()
+
     timings: dict[str, float] = {}
     total = 0.0
     n_degraded = 0
+    n_fast_single = 0
     for name, fn in q.all_queries().items():
-        runs = runs_for(time.perf_counter() - bench_t0, budget)
-        if runs < 3:
+        tier = runs_for_gate(baseline.get(name))
+        budget_runs = runs_for(time.perf_counter() - bench_t0, budget)
+        runs = min(tier, budget_runs)
+        if runs < tier:
             n_degraded += 1
+        elif tier < 3:
+            n_fast_single += 1
         if runs == 1:
             dt = run_once(fn)
         else:
@@ -92,6 +175,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "degraded_queries": n_degraded,
+                "fast_single_queries": n_fast_single,
             }
         )
     )

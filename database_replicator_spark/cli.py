@@ -518,14 +518,40 @@ def main(argv: list[str] | None = None) -> int:
                         cols.append(_F.col(f.name))
                 flat = df.select(*cols)
                 pk = pks.get(t, flat.columns)
+                # NULLs in the conflict target break the insert-if-absent
+                # idempotency claim: SQLite treats NULL PK entries as
+                # distinct (re-running restore duplicates the rows) and
+                # Postgres rejects the insert outright (PK implies NOT
+                # NULL). Fail fast with the remedy instead.
+                null_counts = flat.select(
+                    *[
+                        _F.sum(_F.col(c).isNull().cast("long")).alias(c)
+                        for c in pk
+                    ]
+                ).first()
+                bad = [c for c in pk if (null_counts[c] or 0) > 0]
+                if bad:
+                    hint = (
+                        f"pass --pk {t}=<non-null cols>"
+                        if t not in pks
+                        else f"--pk columns for {t} contain NULLs"
+                    )
+                    raise ValueError(
+                        f"table {t}: NULLs in conflict-target column(s) "
+                        f"{bad}; {hint} (a PRIMARY KEY cannot carry NULLs "
+                        "idempotently: SQLite duplicates, Postgres rejects)"
+                    )
                 ddl = create_table_sql(f'"{t}"', flat.schema, pk_cols=pk)
                 execute_ddl(args.dsn, ddl)
                 JdbcUpsertWriter(dsn=args.dsn, table=t, pk_cols=pk).upsert(flat)
                 conn, _x = open_dbapi(args.dsn)
                 try:
-                    n = conn.cursor().execute(
-                        f'SELECT COUNT(*) FROM "{t}"'
-                    ).fetchone()[0]
+                    # two-step cursor use: sqlite3's execute() returns the
+                    # cursor but psycopg2's returns None, so chaining
+                    # .execute(...).fetchone() breaks on the postgres path
+                    cur = conn.cursor()
+                    cur.execute(f'SELECT COUNT(*) FROM "{t}"')
+                    n = cur.fetchone()[0]
                 finally:
                     conn.close()
                 report[t] = {"rows_in_db": int(n),

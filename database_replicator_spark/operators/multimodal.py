@@ -327,7 +327,19 @@ def phash_pairs(
     higher ``max_hamming`` keeps recall high but not certain — the same
     trade as text simhash banding, dedup.py), then verify the exact
     ``bit_count(xor)`` distance. The band id is the only shuffle key.
-    Returns (id1, id2, hamming), id1 < id2."""
+    Returns (id1, id2, hamming), id1 < id2.
+
+    ``dim`` must divide evenly into ``n_bands``: with ``width = dim //
+    n_bands`` the top ``dim % n_bands`` bits would fall outside every
+    band, so differences there could never weaken band agreement and
+    the pigeonhole recall guarantee would silently degrade (ADVICE r5 —
+    mirrors the explicit dim guard in media_phash)."""
+    if dim % n_bands != 0:
+        raise ValueError(
+            f"dim={dim} is not divisible by n_bands={n_bands}; the top "
+            f"{dim % n_bands} bits would be banded nowhere, silently "
+            "degrading the pigeonhole recall guarantee"
+        )
     width = dim // n_bands
     mask = (1 << width) - 1
     bands = hashes.select(

@@ -1462,10 +1462,19 @@ def hard_negatives(
     clusters). Same scan shape as topk_blas: queries (ids, labels, unit
     matrix) broadcast, corpus streamed through one matmul per Arrow
     batch; per-pair label comparison is a numpy broadcast against the
-    query label array, then the usual rounded-score window."""
+    query label array, then the usual rounded-score window.
+
+    NULL labels are dropped from both sides up front: numpy's ``!=``
+    would count NULL/NaN as "different" and deliver unlabeled vectors as
+    negatives, while the SQL form ``c.label != q.label`` NULL-propagates
+    and drops them — filtering explicitly makes both engines agree (an
+    unlabeled example is no evidence of a *differing* label, so it is
+    not a usable negative)."""
     import numpy as np
 
     spark = corpus.sparkSession
+    corpus = corpus.filter(F.col(label_col).isNotNull())
+    queries = queries.filter(F.col(label_col).isNotNull())
     q_pdf = queries.select(id_col, label_col).toPandas()
     qids, qmat = collect_unit_matrix(queries, id_col, vec_col)
     pos = {int(v): i for i, v in enumerate(q_pdf[id_col].to_numpy())}

@@ -418,8 +418,8 @@ def changes_net_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
            SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
                     THEN 1 ELSE 0 END) AS low_line_count
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-    WHERE CAST(l_shipdate AS TIMESTAMP)
-            > CAST(o_orderdate AS TIMESTAMP) + INTERVAL 90 DAY
+    WHERE epoch_us(CAST(l_shipdate AS TIMESTAMP))
+            > epoch_us(CAST(o_orderdate AS TIMESTAMP)) + 7776000000000
     GROUP BY l_returnflag
     """,
 )
@@ -427,13 +427,31 @@ def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q12 shape adapted to the synthetic schema (no l_shipmode
     column): conditional aggregation over a fact-fact join with a
     cross-table date-arithmetic predicate — lines shipped >90 days after
-    order placement, split by order priority class."""
+    order placement, split by order priority class.
+
+    The 90-day predicate is epoch-microsecond arithmetic on BOTH sides
+    (90 d = 7_776_000_000_000 us) — instant arithmetic, the idiom the
+    long-green ``events_funnel`` gate uses — instead of
+    ``timestamp + INTERVAL 90 DAYS``, whose wall-clock semantics on
+    TIMESTAMP_LTZ depend on session timezone/DST while DuckDB's naive
+    timestamp interval addition does not (r5 driver hash mismatch).
+    Columns are cast to the explicit LTZ type first (the load_table
+    events.ts pattern — value-identical under the UTC session tz
+    ensure_configured pins, and a no-op when the scan already yields
+    LTZ), because ``unix_micros`` rejects TIMESTAMP_NTZ input."""
+    from pyspark.sql.types import TimestampType
+
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ninety_days_us = 90 * 86400 * 1_000_000
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .filter(
+            F.unix_micros(F.col("l_shipdate").cast(TimestampType()))
+            > F.unix_micros(F.col("o_orderdate").cast(TimestampType()))
+            + F.lit(ninety_days_us)
+        )
         .groupBy("l_returnflag")
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),

@@ -28,6 +28,7 @@ rejection with the same shape.
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -133,6 +134,7 @@ class CorpusIngestor:
         spark = batch.sparkSession
         if batch.isEmpty():
             return
+        t0 = time.perf_counter()
         batch = batch.cache()
         try:
             n_in = batch.count()
@@ -203,10 +205,12 @@ class CorpusIngestor:
                         n_batch_unique - n_exact,
                         n_exact - n_accepted,
                         n_accepted,
+                        round(time.perf_counter() - t0, 3),
                     )
                 ],
                 "n_in long, n_quality_rejected long, n_dup_in_batch long, "
-                "n_dup_vs_corpus long, n_neardup_vs_corpus long, n_accepted long",
+                "n_dup_vs_corpus long, n_neardup_vs_corpus long, n_accepted long, "
+                "seconds double",
             )
             stats.write.mode("overwrite").parquet(
                 os.path.join(self._path("_ingest_stats"), f"epoch={epoch_id}")
@@ -250,6 +254,40 @@ def read_corpus(spark: SparkSession, target_dir: str) -> DataFrame:
     """The accepted corpus across all epochs."""
     path = os.path.join(target_dir, "corpus")
     return spark.read.option("basePath", path).parquet(path)
+
+
+def ingest_status(spark: SparkSession, target_dir: str) -> dict:
+    """ST7-style monitoring for the corpus-ingest path: the per-epoch
+    rows-in / rejected-per-tier / seconds counters each ``ingest_batch``
+    persisted under ``_ingest_stats``, rolled up the way
+    ``monitor.stream_status`` reports the CDC path — epochs processed,
+    lifetime totals per tier, and the last epoch's row (the live-lag
+    signal: a growing ``seconds`` or collapsing acceptance rate is the
+    backpressure indicator). One bounded aggregate collect; works on a
+    live or stopped target."""
+    path = os.path.join(target_dir, "_ingest_stats")
+    if not os.path.isdir(path):
+        return {"epochs": 0, "totals": {}, "last_epoch": None}
+    stats = spark.read.option("basePath", path).parquet(path)
+    counter_cols = [c for c in stats.columns if c != "epoch"]
+    totals_row = stats.select(
+        *[F.sum(c).alias(c) for c in counter_cols],
+        F.count("*").alias("_epochs"),
+        F.max("epoch").alias("_last"),
+    ).first()
+    last = (
+        stats.filter(F.col("epoch") == totals_row["_last"])
+        .first()
+        .asDict()
+    )
+    return {
+        "epochs": int(totals_row["_epochs"]),
+        "totals": {
+            c: (float(totals_row[c]) if c == "seconds" else int(totals_row[c]))
+            for c in counter_cols
+        },
+        "last_epoch": last,
+    }
 
 
 def compact_ingest_indexes(spark: SparkSession, target_dir: str) -> None:

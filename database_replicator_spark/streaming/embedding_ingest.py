@@ -43,6 +43,7 @@ every earlier epoch's codes.
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -75,6 +76,37 @@ class EmbeddingIngestor:
 
     def _path(self, name: str) -> str:
         return os.path.join(self.target_dir, name)
+
+    def _check_mode(self) -> None:
+        """Fail fast on a PQ-mode flip against an existing index.
+
+        The persisted buckets index has different columns per mode (PQ
+        stores ``codes``, raw mode stores ``nvec``), and PQ codes are only
+        comparable under one codebook lifetime — so running ``--pq``
+        against a target previously ingested without it (or vice versa,
+        or with different m/ksub) would fail mid-stream with an opaque
+        missing-column error, or worse, silently mis-score. The mode is
+        recorded beside the index on first use and validated every batch
+        (ADVICE r5)."""
+        import json
+
+        meta_path = os.path.join(self.target_dir, "_index_meta.json")
+        mode = {"pq": self.pq, "pq_m": self.pq_m, "pq_ksub": self.pq_ksub}
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                saved = json.load(fh)
+            if {k: saved.get(k) for k in mode} != mode:
+                raise ValueError(
+                    f"embedding index at {self.target_dir} was built with "
+                    f"mode {saved}, but this ingestor is configured "
+                    f"{mode}; PQ codes are only comparable under the "
+                    "codebooks that produced them — use a fresh "
+                    "target_dir or match the recorded mode"
+                )
+            return
+        os.makedirs(self.target_dir, exist_ok=True)
+        with open(meta_path, "w") as fh:
+            json.dump(mode, fh)
 
     def _codebooks(self, batch: DataFrame):
         """Load the persisted PQ codebooks, or train them on this (first)
@@ -179,14 +211,19 @@ class EmbeddingIngestor:
         spark = batch.sparkSession
         if batch.isEmpty():
             return
+        self._check_mode()
+        t0 = time.perf_counter()
+        n_in = batch.count()
         batch = batch.dropDuplicates(["vec_id"]).cache()
         try:
             accepted = batch
+            n_batch_unique = batch.count()
             prev_vecs = self._epoch_index(spark, "vectors", epoch_id)
             if prev_vecs is not None:
                 accepted = accepted.join(
                     prev_vecs.select("vec_id"), on="vec_id", how="left_anti"
                 )
+            n_new_id = accepted.count()
             assign = lsh_assign_scan(
                 accepted,
                 self.dim,
@@ -233,11 +270,30 @@ class EmbeddingIngestor:
             if self.pq:
                 # the persistent index carries codes, never raw vectors
                 assign = assign.drop("nvec")
+            n_accepted = accepted.count()
             accepted.write.mode("overwrite").parquet(
                 os.path.join(self._path("vectors"), f"epoch={epoch_id}")
             )
             assign.write.mode("overwrite").parquet(
                 os.path.join(self._path("buckets"), f"epoch={epoch_id}")
+            )
+            # per-epoch tier counters, same contract as corpus_ingest's
+            # _ingest_stats (ST7-style monitoring for the semantic path)
+            spark.createDataFrame(
+                [
+                    (
+                        n_in,
+                        n_in - n_batch_unique,
+                        n_batch_unique - n_new_id,
+                        n_new_id - n_accepted,
+                        n_accepted,
+                        round(time.perf_counter() - t0, 3),
+                    )
+                ],
+                "n_in long, n_dup_in_batch long, n_dup_vs_index long, "
+                "n_neardup_vs_index long, n_accepted long, seconds double",
+            ).write.mode("overwrite").parquet(
+                os.path.join(self._path("_ingest_stats"), f"epoch={epoch_id}")
             )
         finally:
             batch.unpersist()
@@ -273,6 +329,15 @@ def read_embedding_index(spark: SparkSession, target_dir: str) -> DataFrame:
     """The accumulated accepted-vector view (all epochs)."""
     path = os.path.join(target_dir, "vectors")
     return spark.read.option("basePath", path).parquet(path)
+
+
+def ingest_status(spark: SparkSession, target_dir: str) -> dict:
+    """Per-tier counters rolled up across epochs — the embedding-path
+    twin of corpus_ingest.ingest_status (one shared implementation; the
+    tier column names differ per gauntlet, the report shape does not)."""
+    from .corpus_ingest import ingest_status as _status
+
+    return _status(spark, target_dir)
 
 
 def forget_vectors(

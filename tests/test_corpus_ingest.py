@@ -260,3 +260,43 @@ class TestForgetCompactInteraction:
         ing2.ingest_batch(mk(11, GOOD2), 3)  # exact dup of doc 2 → rejected
         got = {r["doc_id"] for r in read_corpus(spark, dirs["tgt"]).collect()}
         assert got == {2, 10}
+
+
+class TestCorpusIngestMonitoring:
+    def test_per_tier_counters_over_three_epochs(self, spark, dirs):
+        """The lexical twin of the embedding monitoring test: per-epoch
+        _ingest_stats rows carry seconds and roll up via ingest_status
+        (VERDICT r5 #9 — ST7-style lag monitoring for the corpus path)."""
+        from database_replicator_spark.streaming.corpus_ingest import (
+            ingest_status,
+        )
+
+        # epoch 0: good + within-batch dup + low quality
+        _write(
+            os.path.join(dirs["src"], "b1.json"),
+            [_doc(1, GOOD), _doc(2, GOOD), _doc(3, LOW_QUALITY)],
+        )
+        _run_once(spark, dirs)
+        # epoch 1: cross-epoch dup + fresh
+        _write(
+            os.path.join(dirs["src"], "b2.json"),
+            [_doc(10, GOOD), _doc(11, GOOD2)],
+        )
+        _run_once(spark, dirs)
+        # epoch 2: fresh only
+        _write(
+            os.path.join(dirs["src"], "b3.json"),
+            [_doc(20, GOOD2 + " extended with some additional trailing words")],
+        )
+        _run_once(spark, dirs)
+
+        st = ingest_status(spark, dirs["tgt"])
+        assert st["epochs"] == 3
+        t = st["totals"]
+        assert t["n_in"] == 6
+        assert t["n_quality_rejected"] == 1
+        assert t["n_dup_in_batch"] == 1
+        assert t["n_dup_vs_corpus"] == 1
+        assert t["n_accepted"] == 3
+        assert t["seconds"] > 0
+        assert st["last_epoch"]["n_accepted"] == 1

@@ -166,3 +166,56 @@ class TestEmbeddingIngestPq:
         ing.ingest_batch(batch, 0)
         ing.ingest_batch(batch, 0)
         assert read_embedding_index(spark, dirs["tgt"]).count() == 6
+
+
+class TestEmbeddingIngestMonitoring:
+    def test_per_tier_counters_over_three_epochs(self, spark, dirs):
+        """ST7-style monitoring for the semantic ingest path: each epoch
+        persists its rows-in / rejected-per-tier / seconds counters, and
+        ingest_status rolls them up (VERDICT r5 #9)."""
+        from database_replicator_spark.streaming.embedding_ingest import (
+            ingest_status,
+        )
+
+        ing = EmbeddingIngestor(target_dir=dirs["tgt"], dim=DIM, threshold=0.95)
+        # epoch 0: 2 fresh + 1 within-batch id dup
+        ing.ingest_batch(
+            _df(spark, [(1, _vec(1)), (1, _vec(1)), (2, _vec(2))]), 0
+        )
+        # epoch 1: 1 replayed id + 1 near-dup of vec 2 + 1 fresh
+        ing.ingest_batch(
+            _df(spark, [(1, _vec(1)), (11, _vec(2, flip=0.01)), (12, _vec(9))]),
+            1,
+        )
+        # epoch 2: all fresh (seeds 21/29 verified <0.9 cosine against
+        # every indexed vector and each other — sin-derived vectors in 8
+        # dims collide easily, e.g. _vec(20)·_vec(9) = 0.985)
+        ing.ingest_batch(_df(spark, [(21, _vec(21)), (29, _vec(29))]), 2)
+
+        st = ingest_status(spark, dirs["tgt"])
+        assert st["epochs"] == 3
+        t = st["totals"]
+        assert t["n_in"] == 8
+        assert t["n_dup_in_batch"] == 1
+        assert t["n_dup_vs_index"] == 1
+        assert t["n_neardup_vs_index"] == 1
+        assert t["n_accepted"] == 5
+        assert t["seconds"] > 0
+        last = st["last_epoch"]
+        assert last["epoch"] == 2
+        assert (last["n_in"], last["n_accepted"]) == (2, 2)
+
+    def test_pq_mode_flip_fails_fast(self, spark, dirs):
+        """Running --pq against an index built without it (or vice versa)
+        must fail fast with a clear message, not mid-stream on a missing
+        codes column (ADVICE r5)."""
+        ing = EmbeddingIngestor(target_dir=dirs["tgt"], dim=DIM)
+        ing.ingest_batch(_df(spark, [(1, _vec(1))]), 0)
+        flipped = EmbeddingIngestor(target_dir=dirs["tgt"], dim=DIM, pq=True)
+        with pytest.raises(ValueError, match="mode"):
+            flipped.ingest_batch(_df(spark, [(2, _vec(2))]), 1)
+        # matching mode still ingests
+        same = EmbeddingIngestor(target_dir=dirs["tgt"], dim=DIM)
+        same.ingest_batch(_df(spark, [(3, _vec(3))]), 1)
+        idx = read_embedding_index(spark, dirs["tgt"])
+        assert {r["vec_id"] for r in idx.collect()} == {1, 3}

@@ -1152,3 +1152,101 @@ class TestRestoreVerb:
         ).fetchone()
         assert n_cust == want_n
         assert abs(total - want_total) < 0.05  # sqlite sums in float too
+
+    def test_restore_then_fk_sample_dev_copy(self, spark, capsys, tmp_path):
+        """The 'spin up a dev copy' workflow the two newest verbs compose
+        into: FK-ordered restore of a 4-table chain into live SQLite,
+        then an FK-consistent sample carved from the restored database —
+        parents restore in earlier stages, and the sample has zero
+        orphans at every FK edge."""
+        import json as _json
+
+        from database_replicator_spark import cli
+        from database_replicator_spark.operators.fk import fk_consistent_sample
+        from database_replicator_spark.sources.sqlite_source import (
+            read_table_relational,
+        )
+
+        dsn = str(tmp_path / "dev.db")
+        # --table order is deliberately child-first: staging must reorder
+        argv = [
+            "restore", "--source", "/root/testdata/sf0.001", "--dsn", dsn,
+            "--table", "orders", "--table", "customer",
+            "--table", "nation", "--table", "region",
+            "--edge", "nation=region", "--edge", "customer=nation",
+            "--edge", "orders=customer",
+            "--pk", "region=r_regionkey", "--pk", "nation=n_nationkey",
+            "--pk", "customer=c_custkey", "--pk", "orders=o_orderkey",
+        ]
+        rc = cli.main(argv)
+        assert rc == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["ok"]
+        order = list(out["tables"])
+        assert order.index("region") < order.index("nation")
+        assert order.index("nation") < order.index("customer")
+        assert order.index("customer") < order.index("orders")
+
+        names = ["region", "nation", "customer", "orders"]
+        tables = {t: read_table_relational(spark, dsn, t) for t in names}
+        full = {t: tables[t].count() for t in names}
+        assert full == {
+            "region": 5, "nation": 25, "customer": 150, "orders": 1500,
+        }
+
+        edges = [
+            ("nation", "n_regionkey", "region", "r_regionkey"),
+            ("customer", "c_nationkey", "nation", "n_nationkey"),
+            ("orders", "o_custkey", "customer", "c_custkey"),
+        ]
+        sampled = fk_consistent_sample(
+            tables, "region", "r_regionkey", edges, rate=0.5, seed=7
+        )
+        counts = {t: sampled[t].count() for t in names}
+        # a real sample: strictly between empty and full at the root,
+        # children bounded by full
+        assert 0 < counts["region"] < full["region"]
+        for t in names:
+            assert counts[t] <= full[t]
+        # zero orphans at every edge
+        for child, fk, parent, pk in edges:
+            orphans = (
+                sampled[child]
+                .join(
+                    sampled[parent].selectExpr(f"{pk} as {fk}"),
+                    on=fk,
+                    how="left_anti",
+                )
+                .count()
+            )
+            assert orphans == 0, f"{child}.{fk} -> {parent}.{pk}"
+
+    def test_restore_rejects_null_conflict_target(self, spark, capsys, tmp_path):
+        """Pk-less tables get PRIMARY KEY over all columns; a NULL there
+        breaks insert-if-absent idempotency (SQLite duplicates, Postgres
+        rejects) — restore must fail fast with the remedy instead
+        (ADVICE r5)."""
+        import json as _json
+
+        from database_replicator_spark import cli
+
+        src = tmp_path / "src"
+        src.mkdir()
+        spark.createDataFrame(
+            [(1, "a"), (2, None)], "id long, note string"
+        ).coalesce(1).write.parquet(str(src / "t.parquet"))
+
+        dsn = str(tmp_path / "t.db")
+        rc = cli.main(["restore", "--source", str(src), "--dsn", dsn])
+        assert rc == 2
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert not out["ok"]
+        assert "NULL" in out["error"] and "--pk" in out["error"]
+
+        # explicit non-null pk: same data restores fine
+        rc = cli.main(
+            ["restore", "--source", str(src), "--dsn", dsn, "--pk", "t=id"]
+        )
+        assert rc == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["ok"] and out["tables"]["t"]["rows_in_db"] == 2

@@ -43,6 +43,21 @@ def load_bench_json(path: str) -> dict[str, float]:
         m = re.search(r'"queries":\s*(\{[^{}]*\})', tail)
         if m:
             return json.loads(m.group(1))
+        # driver keeps only the LAST 2000 chars — the dict's opening
+        # brace is often cut off; scrape the surviving "name": float
+        # pairs instead (same fallback as bench.baseline_timings)
+        sys.path.insert(0, REPO)
+        from bench import _NON_QUERY_KEYS
+
+        pairs = {
+            k: float(v)
+            for k, v in re.findall(
+                r'"([A-Za-z_][A-Za-z0-9_]*)":\s*([0-9]+(?:\.[0-9]+)?)', tail
+            )
+            if k not in _NON_QUERY_KEYS
+        }
+        if pairs:
+            return pairs
     raise ValueError(f"no queries dict in {path}")
 
 
