@@ -1,0 +1,483 @@
+"""Round-6 query-surface additions: concentration analytics (Pareto,
+Herfindahl), discrete quantiles, last-touch attribution, asymmetric
+shingle containment, an inverted keyword index, cross-source duplication
+accounting, and matryoshka-truncated ANN.
+
+These extend the beyond-reference pipeline tiers (corpus curation,
+embedding serving, warehouse analytics); the replication surface itself
+is complete per SURVEY.md §2. Determinism follows the house rules in
+queries.py — integer/decimal-exact arithmetic until one final identical
+double op per side, identical aliases, deterministic tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .queries import query
+from .queries_llm import _DOT_SQL, _NORM_SQL, _SHINGLES_CTE, _UNIT_SQL
+from .sources.catalog import load_table
+
+
+@query(
+    "nation_customer_pareto",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+                           AS BIGINT)) AS BIGINT) AS units
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT n_name, units,
+             SUM(units) OVER (PARTITION BY n_name
+                              ORDER BY units DESC, c_custkey ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum,
+             SUM(units) OVER (PARTITION BY n_name) AS total
+      FROM spend
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey
+    )
+    SELECT n_name,
+           COUNT(*) AS n_customers,
+           SUM(CASE WHEN 5 * (cum - units) < 4 * total THEN 1 ELSE 0 END)
+             AS n_top80,
+           CAST(MAX(total) AS DOUBLE) / 10000 AS revenue
+    FROM ranked GROUP BY n_name
+    """,
+)
+def nation_customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration per market: how many customers carry 80% of
+    each nation's revenue. Spend is carried as integer ten-thousandths
+    (DECIMAL(18,4)·10⁴ → BIGINT) so the cumulative window sums and the
+    80% threshold (5·cum_before < 4·total) are pure integer arithmetic —
+    no cross-engine decimal precision/scale typing to align. A customer
+    row is in the top-80 set while the revenue BEFORE it is under 80%
+    (the crossing row is included).
+
+    Plan: one shuffle on o_custkey for the spend aggregate, broadcast
+    joins to the customer/nation dims, then one window partitioned by
+    nation — per-partition work bounded by customers-per-nation. At 100 TB
+    grain (billions of customers per partition), swap the ranked window
+    for the two-phase bucketed cumsum used by corpus_token_budget
+    (operators/corpus.py) — identical semantics, no single-task sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,4)") * 10000).cast("bigint")
+        ).alias("units")
+    )
+    ranked = (
+        spend.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            spend.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("n_name", "c_custkey", "units")
+    )
+    w_cum = (
+        Window.partitionBy("n_name")
+        .orderBy(F.col("units").desc(), F.col("c_custkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("n_name")
+    return (
+        ranked.withColumn("cum", F.sum("units").over(w_cum))
+        .withColumn("total", F.sum("units").over(w_tot))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(
+                F.when(
+                    5 * (F.col("cum") - F.col("units")) < 4 * F.col("total"), 1
+                ).otherwise(0)
+            ).alias("n_top80"),
+            (F.max("total").cast("double") / 10000).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "doc_shingle_containment",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    co AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc1, doc2, inter, s1.n AS n1, s2.n AS n2,
+           inter / LEAST(s1.n, s2.n) AS containment
+    FROM co
+    JOIN sizes s1 ON s1.doc_id = doc1
+    JOIN sizes s2 ON s2.doc_id = doc2
+    WHERE 2 * inter >= LEAST(s1.n, s2.n)
+    """,
+)
+def doc_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-duplication: the overlap coefficient
+    inter/min(|A|,|B|) catches a short document CONTAINED in a long one
+    (quote farms, boilerplate wrappers), which symmetric Jaccard dilutes
+    — the containment measure of Broder's resemblance/containment pair
+    (Broder 1997, "On the resemblance and containment of documents").
+    Threshold ≥ 0.5 applied as integer arithmetic (2·inter ≥ min), the
+    division to a double happens once, identically, per side.
+
+    Plan: reuses jaccard_pairs' df≥2-pruned co-occurrence join (the
+    deliberately-quadratic exact tier; the LSH-candidate variant is the
+    scale path, exactly as with dedup_lsh_verified)."""
+    from .operators.dedup import doc_shingles, jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(doc_shingles(docs), threshold=0.0)
+    least = F.least(F.col("n1"), F.col("n2"))
+    return (
+        pairs.filter(2 * F.col("inter") >= least)
+        .withColumn("containment", F.col("inter") / least)
+        .select("doc1", "doc2", "inter", "n1", "n2", "containment")
+    )
+
+
+@query(
+    "doc_keyword_postings",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, tok
+      FROM (SELECT doc_id, UNNEST(regexp_split_to_array({_NORM_SQL}, ' '))
+              AS tok
+            FROM documents)
+    )
+    SELECT tok AS term,
+           COUNT(*) AS df,
+           (list_sort(list(doc_id)))[1:20] AS postings_head
+    FROM toks
+    GROUP BY tok
+    HAVING COUNT(*) >= 10
+    """,
+)
+def doc_keyword_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted keyword index over the corpus: per term, document
+    frequency and the head of the sorted posting list — the build step
+    of full-text retrieval and of df-based quality/contamination rules.
+    df < 10 terms are dropped (the long tail that dominates distinct
+    terms but serves no retrieval purpose at this grain); the posting
+    HEAD (first 20 doc ids, sorted) keeps row width bounded — at 100 TB
+    the full lists shard by (term, doc_id bucket) instead.
+
+    Plan: explode → distinct (term-keyed) → one groupBy on term; the
+    shuffle key is the term hash (uniform), collect_list is bounded by
+    the distinct-doc count per term and the output slice."""
+    from .operators.textops import normalize_text_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(normalize_text_expr(F.coalesce(F.col("text"), F.lit(""))), " ")
+        ).alias("term"),
+    ).distinct()
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20).alias(
+                "postings_head"
+            ),
+        )
+        .filter(F.col("df") >= 10)
+    )
+
+
+@query(
+    "embedding_matryoshka_topk",
+    oracle=f"""
+    WITH sliced AS (
+      SELECT vec_id, (embedding)[1:16] AS emb FROM embeddings
+    ),
+    units AS (
+      SELECT vec_id, {_UNIT_SQL.format(v='emb')} AS unit FROM sliced
+    ),
+    q AS (SELECT vec_id AS query_id, unit AS qvec FROM units WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS corpus_id,
+             round({_DOT_SQL.format(a='c.unit', b='q.qvec')}, 6) AS cosine
+      FROM units c, q
+      WHERE c.vec_id != q.query_id
+    )
+    SELECT query_id, corpus_id, cosine, rank FROM (
+      SELECT query_id, corpus_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, corpus_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def embedding_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncated ANN (Kusupati et al. 2022, "Matryoshka
+    Representation Learning"): retrieval on the first 16 of 64 dims,
+    re-normalized — the cheap first pass of adaptive-dimension serving
+    (coarse candidate sweep on the prefix, exact rerank on full vectors;
+    the rerank composes with topk_blas exactly as PQ's ADC prescreen
+    does). Truncation is a zero-shuffle projection (F.slice), and the
+    prefix index is 4× smaller — the lever that matters when the vector
+    table IS the bottleneck at 100 TB."""
+    from .operators.similarity import topk_blas
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    return topk_blas(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@query(
+    "events_last_touch_attribution",
+    oracle="""
+    WITH ordered AS (
+      SELECT event_type, value,
+             last_value(CASE WHEN event_type != 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS channel
+      FROM events
+    )
+    SELECT COALESCE(channel, '(direct)') AS channel,
+           COUNT(*) AS conversions,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+             AS attributed_value
+    FROM ordered
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def events_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: every purchase is credited to
+    the user's most recent PRECEDING non-purchase event type; purchases
+    with no prior touch credit '(direct)'. The marketing-analytics
+    counterpart of the funnel/retention family (operators/funnel.py).
+
+    Plan: one user-keyed window (last-ignorenulls over an unbounded
+    preceding frame — Spark evaluates it streaming within the frame, no
+    per-user materialization) + one channel-keyed aggregate; both
+    shuffle keys uniform. Ties inside a user break on event_id, both
+    engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    channel = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("channel", channel)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("channel"), F.lit("(direct)")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("conversions"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("attributed_value"),
+        )
+    )
+
+
+@query(
+    "corpus_cross_source_dups",
+    oracle=f"""
+    WITH fp AS (
+      SELECT DISTINCT
+        md5(array_to_string(
+              (regexp_split_to_array({_NORM_SQL}, ' '))[1:16], ' '))
+          AS fingerprint,
+        source
+      FROM documents
+    )
+    SELECT a.source AS source1, b.source AS source2, COUNT(*) AS n_shared
+    FROM fp a JOIN fp b
+      ON a.fingerprint = b.fingerprint AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def corpus_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every source pair, how many
+    shared document OPENINGS (md5 of the first 16 normalized tokens)
+    they have — the accounting a crawl-dedup policy is built on (which
+    feeds re-crawl which; whose boilerplate template leaks into whom).
+    The prefix fingerprint is the standard boilerplate-detection key:
+    whole-text md5 only catches byte-identical re-crawls (zero pairs at
+    small scales in this corpus), while shared openings surface template
+    reuse at every scale. Per-source fingerprints are deduped BEFORE the
+    self-join, so the join is set-vs-set.
+
+    Plan: one distinct on (fingerprint, source), then a self-join keyed
+    on the fingerprint hash — uniform key, candidate-bounded output
+    (sources² at most), no document text ever shuffled."""
+    from .operators.textops import normalize_text_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalize_text_expr(F.coalesce(F.col("text"), F.lit("")))
+    fp = docs.select(
+        F.md5(F.array_join(F.slice(F.split(norm, " "), 1, 16), " ")).alias(
+            "fingerprint"
+        ),
+        "source",
+    ).distinct()
+    a = fp.alias("a")
+    b = fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source1"), F.col("b.source").alias("source2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+@query(
+    "shipping_delay_quantiles",
+    oracle="""
+    WITH delays AS (
+      SELECT o_orderpriority,
+             (epoch_us(CAST(l_shipdate AS TIMESTAMP))
+              - epoch_us(CAST(o_orderdate AS TIMESTAMP))) // 86400000000
+               AS delay_days
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    ranked AS (
+      SELECT o_orderpriority, delay_days,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY delay_days) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM delays
+    )
+    SELECT o_orderpriority,
+           MAX(n) AS n_lines,
+           MAX(CASE WHEN rn = (n + 1) // 2 THEN delay_days END) AS p50_days,
+           MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN delay_days END)
+             AS p90_days
+    FROM ranked GROUP BY o_orderpriority
+    """,
+)
+def shipping_delay_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete (type-1) p50/p90 of order→ship delay per order priority —
+    SLA reporting on the replication-verify surface. Quantiles are picked
+    by POSITION in the per-group sort (rn = ⌈p·n⌉ via pure integer
+    formulas), not interpolated: interpolation's fractional-weight
+    arithmetic is a cross-engine 1-ulp hazard, while the element at a
+    sorted position is integer-exact and tie-order-independent (equal
+    delays at the boundary yield the same value under any tie order).
+    Delay days use the same epoch-micros instant arithmetic as
+    late_shipment_priority (timezone-free on both engines).
+
+    Plan: one join shuffle + one window partitioned by priority (5
+    groups at this grain; at 100 TB swap for approx_percentile or the
+    mergeable KMV/quantile sketch tier, operators/sketch.py)."""
+    from pyspark.sql.types import TimestampType
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    delay = (
+        (
+            F.unix_micros(F.col("l_shipdate").cast(TimestampType()))
+            - F.unix_micros(F.col("o_orderdate").cast(TimestampType()))
+        )
+        / F.lit(86400000000)
+    ).cast("long")
+    delays = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority", delay.alias("delay_days")
+    )
+    w_rn = Window.partitionBy("o_orderpriority").orderBy("delay_days")
+    w_n = Window.partitionBy("o_orderpriority")
+    ranked = delays.withColumn("rn", F.row_number().over(w_rn)).withColumn(
+        "n", F.count(F.lit(1)).over(w_n)
+    )
+    return ranked.groupBy("o_orderpriority").agg(
+        F.max("n").alias("n_lines"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("delay_days"))
+        ).alias("p50_days"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("delay_days"))
+        ).alias("p90_days"),
+    )
+
+
+@query(
+    "part_brand_supplier_hhi",
+    oracle="""
+    WITH sup_rev AS (
+      SELECT p_brand, l_suppkey,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000
+                           AS BIGINT)) AS BIGINT) AS units
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2
+    )
+    SELECT p_brand,
+           COUNT(*) AS n_suppliers,
+           CAST(SUM(units) AS DOUBLE) / 10000 AS revenue,
+           CAST(CAST(SUM(CAST(units AS DECIMAL(19,0))
+                         * CAST(units AS DECIMAL(19,0))) AS VARCHAR)
+                AS DOUBLE)
+             / (CAST(SUM(units) AS DOUBLE) * CAST(SUM(units) AS DOUBLE))
+             AS hhi
+    FROM sup_rev GROUP BY p_brand
+    """,
+)
+def part_brand_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman supply concentration per part brand:
+    HHI = Σ share_i² = Σ units_i² / (Σ units_i)² — 1/n for perfectly
+    split supply, 1.0 for a single-supplier brand; the standard market-
+    concentration screen run against the replicated warehouse.
+
+    Numerics: revenue is carried as integer ten-thousandths (the
+    nation_customer_pareto trick). Squares go through DECIMAL(19,0)
+    (int128 storage in DuckDB — a bare DECIMAL(18) multiply overflows
+    int64 there; scale 0 means Spark's over-38-precision cap cannot
+    REDUCE any scale, so the product stays exact in both engines). The
+    squares' sum converts once via the string round-trip (> 2⁵³); the
+    totals (< 2⁵³ at gate scales) cast to double exactly; the final
+    division runs on identical doubles.
+
+    Plan: broadcast the part dim into the lineitem scan, one shuffle on
+    (brand, suppkey), then a brand-keyed reaggregate — two map-side-
+    combined aggregates, no window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    sup_rev = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(18,4)") * 10000).cast(
+                    "bigint"
+                )
+            ).alias("units")
+        )
+    )
+    u19 = F.col("units").cast("decimal(19,0)")
+    tot = F.sum("units").cast("double")
+    num = F.sum(u19 * u19).cast("string").cast("double")
+    return sup_rev.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        (tot / 10000).alias("revenue"),
+        (num / (tot * tot)).alias("hhi"),
+    )
