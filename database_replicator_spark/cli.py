@@ -333,6 +333,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     eingest_p.add_argument("--follow", action="store_true")
 
+    istatus_p = sub.add_parser(
+        "ingest-status",
+        help="per-tier ingest monitoring: roll up the per-epoch "
+        "rows-in / rejected-per-tier / seconds counters a corpus-ingest "
+        "or embed-ingest target has accumulated (the ST7 lag report for "
+        "the ingest paths)",
+    )
+    istatus_p.add_argument("--target", required=True)
+
     sql_p = sub.add_parser(
         "sql",
         help="run ad-hoc SQL over a source directory (every table "
@@ -661,6 +670,23 @@ def main(argv: list[str] | None = None) -> int:
             n = read_embedding_index(spark, args.target).count()
             print(json.dumps({"ok": True, "target": args.target,
                               "index_rows": n}))
+            return 0
+        except Exception as e:
+            print(json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"}))
+            return 2
+        finally:
+            if owns:
+                spark.stop()
+
+    if args.command == "ingest-status":
+        # corpus_ingest.ingest_status reads any _ingest_stats layout, so
+        # one verb serves both the lexical and the embedding target
+        from .streaming.corpus_ingest import ingest_status
+
+        spark, owns = _get_session()
+        try:
+            st = ingest_status(spark, args.target)
+            print(json.dumps({"ok": True, "target": args.target, **st}))
             return 0
         except Exception as e:
             print(json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"}))

@@ -963,6 +963,18 @@ class TestIngestVerbs:
         # doc 2 is a within-batch dup, doc 3 fails quality -> 2 accepted
         assert out["ok"] and out["corpus_rows"] == 2
 
+        # ingest-status verb: the ST7-style per-tier rollup over the
+        # _ingest_stats partitions the drain just wrote
+        rc = cli.main(["ingest-status", "--target", str(tmp_path / "tgt")])
+        assert rc == 0
+        st = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert st["ok"] and st["epochs"] == 1
+        assert st["totals"]["n_in"] == 4
+        assert st["totals"]["n_quality_rejected"] == 1
+        assert st["totals"]["n_dup_in_batch"] == 1
+        assert st["totals"]["n_accepted"] == 2
+        assert st["totals"]["seconds"] > 0
+
     def test_embed_ingest_verb_pq_mode(self, spark, capsys, tmp_path):
         import json as _json
         import math
