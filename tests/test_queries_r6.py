@@ -1,0 +1,154 @@
+"""Algebraic invariants for the round-6 query surface (queries_r6.py).
+
+Value-exactness vs DuckDB is covered by the oracle gate; these pin the
+internal contracts that a hash match alone would not localize when it
+breaks (bounds, conservation, monotonicity).
+"""
+
+import pytest
+
+from database_replicator_spark import queries_r6 as q6
+from database_replicator_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def rows(spark):
+    """One evaluation of every r6 gate at the smallest fixture scale."""
+    return {
+        name: [r.asDict() for r in fn(spark, SF).collect()]
+        for name, fn in [
+            ("pareto", q6.nation_customer_pareto),
+            ("hhi", q6.part_brand_supplier_hhi),
+            ("quant", q6.shipping_delay_quantiles),
+            ("attr", q6.events_last_touch_attribution),
+            ("contain", q6.doc_shingle_containment),
+            ("postings", q6.doc_keyword_postings),
+            ("xsource", q6.corpus_cross_source_dups),
+            ("mat", q6.embedding_matryoshka_topk),
+        ]
+    }
+
+
+class TestRound6Invariants:
+    def test_pareto_bounds_and_totals(self, spark, rows):
+        orders = load_table(spark, SF, "orders")
+        total = float(orders.selectExpr("sum(o_totalprice)").first()[0])
+        got = rows["pareto"]
+        assert len(got) == 25  # every nation has customers in the fixture
+        for r in got:
+            assert 1 <= r["n_top80"] <= r["n_customers"]
+        # revenue conserves: per-nation revenues sum to corpus revenue
+        assert abs(sum(r["revenue"] for r in got) - total) < 1.0
+
+    def test_hhi_bounds(self, rows):
+        for r in rows["hhi"]:
+            lower = 1.0 / r["n_suppliers"]
+            assert lower - 1e-12 <= r["hhi"] <= 1.0 + 1e-12
+            assert r["revenue"] > 0
+
+    def test_quantiles_ordered_and_realized(self, spark, rows):
+        # p50 <= p90, and both are realized delay values of their group
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import TimestampType
+
+        li = load_table(spark, SF, "lineitem")
+        orders = load_table(spark, SF, "orders")
+        delays = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .select(
+                "o_orderpriority",
+                (
+                    (
+                        F.unix_micros(F.col("l_shipdate").cast(TimestampType()))
+                        - F.unix_micros(
+                            F.col("o_orderdate").cast(TimestampType())
+                        )
+                    )
+                    / F.lit(86400000000)
+                )
+                .cast("long")
+                .alias("d"),
+            )
+            .collect()
+        )
+        by_prio = {}
+        for r in delays:
+            by_prio.setdefault(r["o_orderpriority"], set()).add(r["d"])
+        for r in rows["quant"]:
+            assert r["p50_days"] <= r["p90_days"]
+            assert r["p50_days"] in by_prio[r["o_orderpriority"]]
+            assert r["p90_days"] in by_prio[r["o_orderpriority"]]
+
+    def test_attribution_conserves_purchases(self, spark, rows):
+        ev = load_table(spark, SF, "events")
+        n_purchases = ev.filter("event_type = 'purchase'").count()
+        got = rows["attr"]
+        assert sum(r["conversions"] for r in got) == n_purchases
+        # purchase events never attribute to the purchase channel itself
+        assert all(r["channel"] != "purchase" for r in got)
+
+    def test_containment_dominates_jaccard(self, spark, rows):
+        """overlap coefficient >= jaccard for every pair (min <= union)."""
+        from database_replicator_spark.operators.dedup import (
+            doc_shingles,
+            jaccard_pairs,
+        )
+
+        docs = load_table(spark, SF, "documents")
+        jac = {
+            (r["doc1"], r["doc2"]): r["jaccard"]
+            for r in jaccard_pairs(doc_shingles(docs), threshold=0.0).collect()
+        }
+        for r in rows["contain"]:
+            assert 0.5 <= r["containment"] <= 1.0 + 1e-12
+            assert r["containment"] >= jac[(r["doc1"], r["doc2"])] - 1e-12
+
+    def test_postings_sorted_bounded(self, rows):
+        for r in rows["postings"]:
+            head = r["postings_head"]
+            assert head == sorted(head)
+            assert len(head) <= 20
+            assert len(head) <= r["df"]
+            assert r["df"] >= 10
+
+    def test_cross_source_pairs_canonical(self, rows):
+        seen = set()
+        for r in rows["xsource"]:
+            assert r["source1"] < r["source2"]
+            assert r["n_shared"] >= 1
+            key = (r["source1"], r["source2"])
+            assert key not in seen
+            seen.add(key)
+
+    def test_matryoshka_is_exact_topk_on_prefix(self, spark, rows):
+        """The gate must equal brute-force top-k on the truncated,
+        re-normalized vectors (it IS exact on the prefix — approximation
+        enters only vs the full-dim ranking)."""
+        import numpy as np
+
+        emb = load_table(spark, SF, "embeddings").collect()
+        vecs = {
+            r["vec_id"]: np.asarray(r["embedding"][:16], dtype=np.float64)
+            for r in emb
+        }
+        units = {k: v / np.linalg.norm(v) for k, v in vecs.items()}
+        for qid in range(5):
+            scored = sorted(
+                (
+                    (round(float(units[qid] @ u), 6), cid)
+                    for cid, u in units.items()
+                    if cid != qid
+                ),
+                key=lambda t: (-t[0], t[1]),
+            )[:10]
+            got = sorted(
+                (
+                    (r["cosine"], r["corpus_id"])
+                    for r in rows["mat"]
+                    if r["query_id"] == qid
+                ),
+                key=lambda t: (-t[0], t[1]),
+            )
+            assert [c for _, c in got] == [c for _, c in scored]

@@ -130,6 +130,57 @@ def probe_ops(spark, path: str) -> dict[str, float]:
 
         mat(hashed_linear_score(docs))
 
+    def keyword_postings():
+        from database_replicator_spark.operators.textops import (
+            normalize_text_expr,
+        )
+
+        toks = docs.select(
+            "doc_id",
+            F.explode(
+                F.split(
+                    normalize_text_expr(F.coalesce(F.col("text"), F.lit(""))),
+                    " ",
+                )
+            ).alias("term"),
+        ).distinct()
+        mat(
+            toks.groupBy("term")
+            .agg(
+                F.count(F.lit(1)).alias("df"),
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20).alias(
+                    "postings_head"
+                ),
+            )
+            .filter(F.col("df") >= 10)
+        )
+
+    def cross_source_fps():
+        from database_replicator_spark.operators.textops import (
+            normalize_text_expr,
+        )
+
+        norm = normalize_text_expr(F.coalesce(F.col("text"), F.lit("")))
+        fp = docs.select(
+            F.md5(F.array_join(F.slice(F.split(norm, " "), 1, 16), " ")).alias(
+                "fingerprint"
+            ),
+            "source",
+        ).distinct()
+        a, b = fp.alias("a"), fp.alias("b")
+        mat(
+            a.join(
+                b,
+                (F.col("a.fingerprint") == F.col("b.fingerprint"))
+                & (F.col("a.source") < F.col("b.source")),
+            )
+            .groupBy(
+                F.col("a.source").alias("source1"),
+                F.col("b.source").alias("source2"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+        )
+
     for name, fn in [
         ("exact_dedup", exact_dedup),
         ("minhash_lsh_pairs", minhash_lsh),
@@ -137,6 +188,8 @@ def probe_ops(spark, path: str) -> dict[str, float]:
         ("select_token_budget", token_budget),
         ("quality_filter", quality),
         ("hashed_linear_score", classifier),
+        ("keyword_postings", keyword_postings),
+        ("cross_source_fps", cross_source_fps),
     ]:
         fn()  # warm (codegen + python workers)
         out[name] = round(min(timed(fn), timed(fn)), 3)
