@@ -42,7 +42,12 @@ MID_GATE_SECS = 2.0
 
 
 def runs_for_gate(base: float | None) -> int:
-    """Protocol tier from the recorded baseline: unknown → full."""
+    """Protocol tier from the recorded baseline: unknown → full.
+    ``SPARK_GRAFT_BENCH_FULL=1`` forces warmup+min-of-2 for every gate —
+    the mode for RECORDING a baseline (BENCH_LOCAL.json) rather than
+    checking against one."""
+    if os.environ.get("SPARK_GRAFT_BENCH_FULL"):
+        return 3
     if base is None:
         return 3
     if base < FAST_GATE_SECS:

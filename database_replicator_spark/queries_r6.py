@@ -481,3 +481,312 @@ def part_brand_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         (tot / 10000).alias("revenue"),
         (num / (tot * tot)).alias("hhi"),
     )
+
+
+@query(
+    "orders_rfm_segments",
+    oracle="""
+    WITH maxd AS (
+      SELECT MAX(CAST(o_orderdate AS TIMESTAMP)) AS d FROM orders
+    ),
+    cust AS (
+      SELECT o_custkey,
+             (epoch_us((SELECT d FROM maxd))
+              - epoch_us(MAX(CAST(o_orderdate AS TIMESTAMP)))) // 86400000000
+               AS recency_days,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+                           AS BIGINT)) AS BIGINT) AS units
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey, units,
+             CAST(ntile(5) OVER (ORDER BY recency_days ASC, o_custkey)
+                  AS INT) AS r_q,
+             CAST(ntile(5) OVER (ORDER BY n_orders DESC, o_custkey)
+                  AS INT) AS f_q,
+             CAST(ntile(5) OVER (ORDER BY units DESC, o_custkey)
+                  AS INT) AS m_q
+      FROM cust
+    )
+    SELECT r_q, f_q, m_q,
+           COUNT(*) AS n_customers,
+           CAST(SUM(units) AS DOUBLE) / 10000 AS revenue
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary
+    quintiles), the standard warehouse micro-segmentation: each customer
+    scored 1-5 on days-since-last-order, order count, and lifetime spend
+    (integer ten-thousandths), then rolled up per (r,f,m) cell. Every
+    ntile carries a unique custkey tiebreak, recency is the same
+    epoch-micros instant arithmetic as late_shipment_priority, and the
+    reference date is the corpus max (a 1-row crossJoin-broadcast
+    scalar, never a correlated subquery per row).
+
+    Plan: one shuffle on custkey, scalar broadcast, three global ntile
+    windows over the aggregated (one-row-per-customer) relation — the
+    same global-window semantic as customer_value_deciles, with the
+    same range-partitioned-sort scale path at 100 TB grain."""
+    from pyspark.sql.types import TimestampType
+
+    orders = load_table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast(TimestampType())
+    maxd = orders.agg(F.max(od).alias("d"))
+    cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(od).alias("last_order"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,4)") * 10000).cast(
+                    "bigint"
+                )
+            ).alias("units"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "o_custkey",
+            "n_orders",
+            "units",
+            (
+                (F.unix_micros(F.col("d")) - F.unix_micros(F.col("last_order")))
+                / F.lit(86400000000)
+            )
+            .cast("long")
+            .alias("recency_days"),
+        )
+    )
+    scored = cust.select(
+        "o_custkey",
+        "units",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey")))
+        .cast("int")
+        .alias("r_q"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("n_orders").desc(), F.col("o_custkey")))
+        .cast("int")
+        .alias("f_q"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("units").desc(), F.col("o_custkey")))
+        .cast("int")
+        .alias("m_q"),
+    )
+    return scored.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (F.sum("units").cast("double") / 10000).alias("revenue"),
+    )
+
+
+@query(
+    "part_type_affinity",
+    oracle="""
+    WITH ot AS (
+      SELECT DISTINCT l_orderkey, p_type
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_all FROM ot),
+    tc AS (SELECT p_type, COUNT(*) AS n_orders FROM ot GROUP BY p_type),
+    pairs AS (
+      SELECT a.p_type AS type_a, b.p_type AS type_b, COUNT(*) AS n_both
+      FROM ot a JOIN ot b
+        ON a.l_orderkey = b.l_orderkey AND a.p_type < b.p_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_both,
+           ta.n_orders AS n_a, tb.n_orders AS n_b,
+           CAST(n_both * n_all AS DOUBLE)
+             / CAST(ta.n_orders * tb.n_orders AS DOUBLE) AS lift
+    FROM pairs
+    JOIN tc ta ON ta.p_type = type_a
+    JOIN tc tb ON tb.p_type = type_b
+    CROSS JOIN tot
+    WHERE n_both >= 5
+    """,
+)
+def part_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity between part types: for every type pair,
+    co-occurrence count within orders and the association LIFT
+    n_both·N / (n_a·n_b) (>1 = bought together more than independence
+    predicts) — association-rules mining over the replicated warehouse.
+    Counts stay integers through the products (all < 2⁵³, so the one
+    double division is exact-input-identical in both engines); n_both<5
+    pairs are pruned (support floor, the standard a-priori cut).
+
+    Plan: broadcast part dim, distinct on (order, type), pair self-join
+    keyed on l_orderkey — per-order pair fan-out bounded by types-per-
+    order (≤ lines-per-order, single digits), so the join output is
+    O(orders), not quadratic; type totals broadcast back."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ot = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .select("l_orderkey", "p_type")
+        .distinct()
+    )
+    tot = ot.agg(F.countDistinct("l_orderkey").alias("n_all"))
+    tc = ot.groupBy("p_type").agg(F.count(F.lit(1)).alias("n_orders"))
+    a = ot.alias("a")
+    b = ot.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_type") < F.col("b.p_type")),
+        )
+        .groupBy(
+            F.col("a.p_type").alias("type_a"), F.col("b.p_type").alias("type_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 5)
+    )
+    ta = F.broadcast(tc.select(F.col("p_type").alias("type_a"), F.col("n_orders").alias("n_a")))
+    tb = F.broadcast(tc.select(F.col("p_type").alias("type_b"), F.col("n_orders").alias("n_b")))
+    return (
+        pairs.join(ta, on="type_a")
+        .join(tb, on="type_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (
+                (F.col("n_both") * F.col("n_all")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "events_dau_stickiness",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             COUNT(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1
+    ),
+    weekly AS (
+      SELECT CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week,
+             COUNT(DISTINCT user_id) AS wau
+      FROM events GROUP BY 1
+    )
+    SELECT day, dau, wau, CAST(dau AS DOUBLE) / wau AS stickiness
+    FROM daily
+    JOIN weekly ON CAST(date_trunc('week', CAST(day AS TIMESTAMP)) AS DATE)
+                   = week
+    """,
+)
+def events_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day: daily distinct actives over the
+    Monday-anchored calendar week's distinct actives — the product-
+    analytics engagement ratio. Date extraction runs under the UTC
+    session tz the engine pins (ensure_configured), so day/week
+    boundaries agree with DuckDB's naive-timestamp truncation; the
+    ratio divides two exact integers, identically per side.
+
+    Plan: two distinct-aggregates (day-keyed, week-keyed) over one
+    events scan each + a broadcast-size join of day rows to week rows —
+    no window, no self-join; at 100 TB swap exact COUNT(DISTINCT) for
+    the KMV sketch tier (operators/sketch.py) per day/week."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    weekly = ev.groupBy(
+        F.to_date(F.date_trunc("week", F.col("ts"))).alias("week")
+    ).agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        daily.withColumn(
+            "week", F.to_date(F.date_trunc("week", F.col("day").cast("timestamp")))
+        )
+        .join(F.broadcast(weekly), on="week")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+        )
+    )
+
+
+@query(
+    "customer_order_gap_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT c_mktsegment,
+             (epoch_us(CAST(o_orderdate AS TIMESTAMP))
+              - epoch_us(lag(CAST(o_orderdate AS TIMESTAMP))
+                           OVER (PARTITION BY o_custkey
+                                 ORDER BY CAST(o_orderdate AS TIMESTAMP),
+                                          o_orderkey))) // 86400000000
+               AS gap_days
+      FROM orders JOIN customer ON c_custkey = o_custkey
+    ),
+    ranked AS (
+      SELECT c_mktsegment, gap_days,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY gap_days) AS rn,
+             COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+      FROM gaps WHERE gap_days IS NOT NULL
+    )
+    SELECT c_mktsegment,
+           MAX(n) AS n_gaps,
+           MAX(CASE WHEN rn = (n + 1) // 2 THEN gap_days END) AS p50_gap_days,
+           CAST(SUM(gap_days) AS DOUBLE) / MAX(n) AS avg_gap_days
+    FROM ranked GROUP BY c_mktsegment
+    """,
+)
+def customer_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap profile per market segment: the reorder-cadence
+    statistic behind churn/replenishment models. Per-customer
+    consecutive-order gaps (lag over a custkey-keyed window, first order
+    contributes nothing), then the positional median + exact-integer
+    mean per segment — the same interpolation-free quantile idiom as
+    shipping_delay_quantiles, the same epoch-micros day arithmetic as
+    late_shipment_priority.
+
+    Plan: one custkey-keyed window (uniform key), broadcast customer
+    dim, one segment-keyed window over 5 groups — at 100 TB grain the
+    per-segment sort swaps for the quantile sketch tier."""
+    from pyspark.sql.types import TimestampType
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    od = F.col("o_orderdate").cast(TimestampType())
+    w_cust = Window.partitionBy("o_custkey").orderBy(od, F.col("o_orderkey"))
+    gaps = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .select(
+            "c_mktsegment",
+            (
+                (F.unix_micros(od) - F.unix_micros(F.lag(od).over(w_cust)))
+                / F.lit(86400000000)
+            )
+            .cast("long")
+            .alias("gap_days"),
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+    w_rn = Window.partitionBy("c_mktsegment").orderBy("gap_days")
+    w_n = Window.partitionBy("c_mktsegment")
+    ranked = gaps.withColumn("rn", F.row_number().over(w_rn)).withColumn(
+        "n", F.count(F.lit(1)).over(w_n)
+    )
+    return ranked.groupBy("c_mktsegment").agg(
+        F.max("n").alias("n_gaps"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("gap_days"))
+        ).alias("p50_gap_days"),
+        (F.sum("gap_days").cast("double") / F.max("n")).alias("avg_gap_days"),
+    )

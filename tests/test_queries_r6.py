@@ -152,3 +152,47 @@ class TestRound6Invariants:
                 key=lambda t: (-t[0], t[1]),
             )
             assert [c for _, c in got] == [c for _, c in scored]
+
+
+class TestRound6Batch2Invariants:
+    @pytest.fixture(scope="class")
+    def rows2(self, spark):
+        return {
+            name: [r.asDict() for r in fn(spark, SF).collect()]
+            for name, fn in [
+                ("rfm", q6.orders_rfm_segments),
+                ("affinity", q6.part_type_affinity),
+                ("dau", q6.events_dau_stickiness),
+                ("gaps", q6.customer_order_gap_stats),
+            ]
+        }
+
+    def test_rfm_partitions_customers(self, spark, rows2):
+        orders = load_table(spark, SF, "orders")
+        n_cust = orders.select("o_custkey").distinct().count()
+        total = float(orders.selectExpr("sum(o_totalprice)").first()[0])
+        got = rows2["rfm"]
+        assert sum(r["n_customers"] for r in got) == n_cust
+        assert abs(sum(r["revenue"] for r in got) - total) < 1.0
+        for r in got:
+            assert 1 <= r["r_q"] <= 5 and 1 <= r["f_q"] <= 5 and 1 <= r["m_q"] <= 5
+
+    def test_affinity_counts_bounded(self, rows2):
+        for r in rows2["affinity"]:
+            assert r["type_a"] < r["type_b"]
+            assert 5 <= r["n_both"] <= min(r["n_a"], r["n_b"])
+            assert r["lift"] > 0
+
+    def test_dau_bounded_by_wau(self, rows2):
+        for r in rows2["dau"]:
+            assert 1 <= r["dau"] <= r["wau"]
+            assert 0 < r["stickiness"] <= 1.0
+
+    def test_gap_stats_consistent(self, rows2):
+        for r in rows2["gaps"]:
+            assert r["n_gaps"] > 0
+            assert r["p50_gap_days"] >= 0
+            # mean within the observed range around the median is not
+            # guaranteed, but both stay within [0, max-gap] and the mean
+            # of non-negative integers is non-negative
+            assert r["avg_gap_days"] >= 0
