@@ -124,6 +124,15 @@ def main() -> None:
     # Warm the JVM/codegen paths so per-query numbers measure the engine,
     # not first-job startup.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # Warm the Arrow Python workers too: with the tiered protocol the
+    # fast (<0.5 s) gates run ONCE un-warmed, and for mapInPandas-backed
+    # gates a cold first run pays ~1 s of worker spin-up that read as
+    # 3x regressions (workers are reused afterwards, so one tiny
+    # per-core batch inoculates every later Pandas stage).
+    warm = spark.range(64).repartition(32)
+    warm.mapInPandas(lambda it: it, warm.schema).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     def run_once(fn) -> float:
         t0 = time.perf_counter()
