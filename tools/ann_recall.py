@@ -109,6 +109,24 @@ def main() -> int:
         times[name] = round(time.perf_counter() - t0, 2)
         results[name] = round(len(got & truth) / len(truth), 4)
 
+    # Matryoshka prefix truncation: the TRAINING-FREE shrink lever (no
+    # fitted projection — just the first d dims, renormalized). On
+    # embeddings trained with MRL the prefix is information-ordered and
+    # this approaches PCA recall; on generic embeddings (this fixture)
+    # it is the floor PCA should beat — publishing both makes the trade
+    # auditable. Zero fit cost; 64/d× smaller scan.
+    for mk in (16, 32):
+        name = f"matryoshka({mk}) + exact scan"
+        t0 = time.perf_counter()
+        sliced = emb.select(
+            "vec_id", F.slice("embedding", 1, mk).alias("embedding")
+        )
+        got = pair_set(
+            topk_blas(sliced, sliced.filter(F.col("vec_id") < 50), k=k)
+        )
+        times[name] = round(time.perf_counter() - t0, 2)
+        results[name] = round(len(got & truth) / len(truth), 4)
+
     # Near-dup PAIR recall: neardup_pairs_lsh vs the exact blocked scan
     # (ground truth) at the gated threshold — the same audit for the
     # symmetric-pairs operator that recall@k is for top-k.
