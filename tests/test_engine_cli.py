@@ -1262,3 +1262,55 @@ class TestRestoreVerb:
         assert rc == 0
         out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out["ok"] and out["tables"]["t"]["rows_in_db"] == 2
+
+    def test_restore_count_path_psycopg2_cursor_semantics(
+        self, spark, capsys, tmp_path, monkeypatch
+    ):
+        """psycopg2's cursor.execute() returns None where sqlite3 returns
+        the cursor — the r5-flagged chaining bug made a fully successful
+        postgres restore report ok:false. Emulate the psycopg2 cursor
+        contract over the sqlite driver for the DRIVER-SIDE count
+        connection and run the verb end-to-end (the executor-side upsert
+        workers re-import the real module and are deliberately
+        unaffected)."""
+        import json as _json
+
+        from database_replicator_spark import cli
+        from database_replicator_spark.sources import jdbc as jdbc_mod
+
+        real_open = jdbc_mod.open_dbapi
+
+        class P2Cursor:
+            def __init__(self, cur):
+                self._cur = cur
+
+            def execute(self, *a, **k):
+                self._cur.execute(*a, **k)
+                return None  # the psycopg2 contract
+
+            def __getattr__(self, name):
+                return getattr(self._cur, name)
+
+        class P2Conn:
+            def __init__(self, conn):
+                self._conn = conn
+
+            def cursor(self):
+                return P2Cursor(self._conn.cursor())
+
+            def __getattr__(self, name):
+                return getattr(self._conn, name)
+
+        def p2_open(dsn):
+            conn, tr = real_open(dsn)
+            return P2Conn(conn), tr
+
+        monkeypatch.setattr(jdbc_mod, "open_dbapi", p2_open)
+        dsn = str(tmp_path / "p2.db")
+        rc = cli.main(
+            ["restore", "--source", "/root/testdata/sf0.001", "--dsn", dsn,
+             "--table", "nation", "--pk", "nation=n_nationkey"]
+        )
+        assert rc == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["ok"] and out["tables"]["nation"]["rows_in_db"] == 25
