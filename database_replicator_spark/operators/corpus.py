@@ -90,9 +90,15 @@ def connected_components(
     ``spark.sparkContext.setCheckpointDir`` at durable storage and swap
     in ``checkpoint()`` for fault-tolerant lineage cuts.
     """
+    # Materialize the edge list BEFORE the symmetric union: the union's
+    # two branches embed the caller's full pair pipeline as two separate
+    # subtrees, and ReuseExchange only dedupes up to the last exchange —
+    # the post-exchange stages (candidate joins, set intersections) ran
+    # twice. One O(edges) checkpoint collapses that to a single
+    # execution (measured ~12% off dedup_components at sf0.1).
     edges = pairs.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    )
+    ).localCheckpoint()
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().localCheckpoint()
