@@ -790,3 +790,261 @@ def customer_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p50_gap_days"),
         (F.sum("gap_days").cast("double") / F.max("n")).alias("avg_gap_days"),
     )
+
+
+@query(
+    "doc_ngram_novelty",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    first_seen AS (
+      SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+    )
+    SELECT sh.doc_id,
+           COUNT(*) AS n_shingles,
+           SUM(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END) AS n_novel,
+           SUM(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END)
+             / COUNT(*) AS novelty
+    FROM sh JOIN first_seen ON first_seen.shingle = sh.shingle
+    GROUP BY sh.doc_id
+    """,
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's shingles
+    whose corpus-wide FIRST occurrence (minimum doc_id — ingestion order
+    in this fixture) is this document. The redundancy-curve statistic
+    behind crawl-ordering decisions ("how much new text does each
+    successive batch contribute") — documents near 0 are re-hashes of
+    earlier material even when no single pair crosses a dedup threshold.
+    The ratio divides two exact integers, once, identically per side.
+
+    Plan: one shingle-keyed min-aggregate, a same-keyed join back (the
+    two sides share the shuffle key), then a doc-keyed aggregate — at
+    100 TB the first-seen table is the natural incremental index (merge
+    new batches with a running MIN, the corpus_ingest fingerprint
+    pattern at shingle grain)."""
+    from .operators.dedup import doc_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs)
+    first_seen = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        sh.join(first_seen, on="shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            novel.alias("n_novel"),
+            (novel / F.count(F.lit(1))).alias("novelty"),
+        )
+    )
+
+
+@query(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey,
+             year(CAST(o_orderdate AS TIMESTAMP)) * 12
+               + (month(CAST(o_orderdate AS TIMESTAMP)) - 1) AS midx,
+             CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+                       AS BIGINT) AS BIGINT) AS units
+      FROM orders
+    ),
+    cohort AS (SELECT o_custkey, MIN(midx) AS cmidx FROM o GROUP BY o_custkey)
+    SELECT printf('%04d-%02d', cmidx // 12, cmidx % 12 + 1) AS cohort_month,
+           o.midx - cmidx AS month_offset,
+           COUNT(DISTINCT o.o_custkey) AS n_active,
+           CAST(SUM(units) AS DOUBLE) / 10000 AS revenue
+    FROM o JOIN cohort ON cohort.o_custkey = o.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: customers grouped by first-order
+    month, revenue and active-customer count per months-since-first-order
+    — the retention-revenue triangle every subscription/commerce
+    warehouse reports. Months are integer indexes (year·12 + month-1)
+    extracted under the pinned UTC session, so offsets are pure integer
+    subtraction (no cross-engine date-interval semantics), and the
+    cohort label renders through the same printf format both sides.
+
+    Plan: one custkey-keyed aggregate for cohorts, a same-keyed join
+    back, one (cohort, offset)-keyed aggregate — the distinct-count per
+    cell swaps for the KMV sketch at 100 TB grain."""
+    from pyspark.sql.types import TimestampType
+
+    orders = load_table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast(TimestampType())
+    o = orders.select(
+        "o_custkey",
+        (F.year(od) * 12 + (F.month(od) - 1)).alias("midx"),
+        (F.col("o_totalprice").cast("decimal(18,4)") * 10000)
+        .cast("bigint")
+        .alias("units"),
+    )
+    cohort = o.groupBy("o_custkey").agg(F.min("midx").alias("cmidx"))
+    return (
+        o.join(cohort, on="o_custkey")
+        .groupBy(
+            F.format_string(
+                "%04d-%02d",
+                F.expr("cmidx div 12"),
+                F.pmod(F.col("cmidx"), F.lit(12)) + 1,
+            ).alias("cohort_month"),
+            (F.col("midx") - F.col("cmidx")).alias("month_offset"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("n_active"),
+            (F.sum("units").cast("double") / 10000).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "nation_top_supplier_share",
+    oracle="""
+    WITH sup AS (
+      SELECT s_nationkey, l_suppkey,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000
+                           AS BIGINT)) AS BIGINT) AS units
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT s_nationkey, l_suppkey, units,
+             ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                                ORDER BY units DESC, l_suppkey ASC) AS rn,
+             SUM(units) OVER (PARTITION BY s_nationkey) AS total
+      FROM sup
+    )
+    SELECT n_name,
+           l_suppkey AS top_suppkey,
+           CAST(units AS DOUBLE) / 10000 AS top_revenue,
+           CAST(units AS DOUBLE) / CAST(total AS DOUBLE) AS share
+    FROM ranked JOIN nation ON n_nationkey = s_nationkey
+    WHERE rn = 1
+    """,
+)
+def nation_top_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-supplier report per nation: the argmax supplier by
+    revenue and its market share — the single-row-per-group argmax shape
+    (deterministic ROW_NUMBER with suppkey tiebreak, not max_by whose
+    tie rules differ across engines). Revenue in integer ten-thousandths;
+    the share divides two exactly-converted doubles.
+
+    Plan: one (nation, supplier) aggregate, one nation-partitioned
+    window over supplier rows (bounded by suppliers-per-nation),
+    broadcast nation dim."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    sup = (
+        li.join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(18,4)") * 10000).cast(
+                    "bigint"
+                )
+            ).alias("units")
+        )
+    )
+    w_rn = Window.partitionBy("s_nationkey").orderBy(
+        F.col("units").desc(), F.col("l_suppkey").asc()
+    )
+    w_tot = Window.partitionBy("s_nationkey")
+    return (
+        sup.withColumn("rn", F.row_number().over(w_rn))
+        .withColumn("total", F.sum("units").over(w_tot))
+        .filter(F.col("rn") == 1)
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "n_name",
+            F.col("l_suppkey").alias("top_suppkey"),
+            (F.col("units").cast("double") / 10000).alias("top_revenue"),
+            (F.col("units").cast("double") / F.col("total").cast("double")).alias(
+                "share"
+            ),
+        )
+    )
+
+
+@query(
+    "part_size_price_corr",
+    oracle="""
+    WITH x AS (
+      SELECT p_brand,
+             CAST(p_size AS BIGINT) AS xi,
+             CAST(CAST(p_retailprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+               AS yi
+      FROM part
+    ),
+    s AS (
+      SELECT p_brand,
+             COUNT(*) AS n,
+             SUM(xi) AS sx,
+             SUM(yi) AS sy,
+             CAST(CAST(SUM(CAST(xi AS DECIMAL(19,0))
+                           * CAST(yi AS DECIMAL(19,0))) AS VARCHAR)
+                  AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(CAST(xi AS DECIMAL(19,0))
+                           * CAST(xi AS DECIMAL(19,0))) AS VARCHAR)
+                  AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(yi AS DECIMAL(19,0))
+                           * CAST(yi AS DECIMAL(19,0))) AS VARCHAR)
+                  AS DOUBLE) AS syy
+      FROM x GROUP BY p_brand
+    )
+    SELECT p_brand, n,
+           (n * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(n * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(n * syy - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS size_price_corr
+    FROM s
+    """,
+)
+def part_size_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of part size vs retail price per brand — the
+    data-profiling screen for "does this attribute carry pricing
+    signal". All five sufficient statistics are EXACT (bigint sums;
+    products via DECIMAL(19,0) so int64 cannot overflow in either engine
+    — the HHI idiom) and convert once (string round-trip for the
+    >2⁵³ product sums, exact casts for the rest); the closed-form
+    n·Σxy−ΣxΣy formula then runs the identical IEEE op sequence per
+    side, so even the sqrt is bit-reproducible. NOT F.corr/duckdb corr:
+    their internal accumulation orders differ and would hash-mismatch.
+
+    Plan: one map-side-combined aggregate per brand, zero joins, zero
+    windows — pure codegen."""
+    part = load_table(spark, sf_dir, "part")
+    x = part.select(
+        "p_brand",
+        F.col("p_size").cast("bigint").alias("xi"),
+        (F.col("p_retailprice").cast("decimal(18,4)") * 10000)
+        .cast("bigint")
+        .alias("yi"),
+    )
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    s = x.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xi").alias("sx"),
+        F.sum("yi").alias("sy"),
+        F.sum(d19("xi") * d19("yi")).cast("string").cast("double").alias("sxy"),
+        F.sum(d19("xi") * d19("xi")).cast("string").cast("double").alias("sxx"),
+        F.sum(d19("yi") * d19("yi")).cast("string").cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    corr = (n * F.col("sxy") - sx * sy) / (
+        F.sqrt(n * F.col("sxx") - sx * sx) * F.sqrt(n * F.col("syy") - sy * sy)
+    )
+    return s.select("p_brand", "n", corr.alias("size_price_corr"))

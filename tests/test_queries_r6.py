@@ -196,3 +196,54 @@ class TestRound6Batch2Invariants:
             # guaranteed, but both stay within [0, max-gap] and the mean
             # of non-negative integers is non-negative
             assert r["avg_gap_days"] >= 0
+
+
+class TestRound6Batch3Invariants:
+    @pytest.fixture(scope="class")
+    def rows3(self, spark):
+        return {
+            name: [r.asDict() for r in fn(spark, SF).collect()]
+            for name, fn in [
+                ("novelty", q6.doc_ngram_novelty),
+                ("ltv", q6.orders_cohort_ltv),
+                ("topsup", q6.nation_top_supplier_share),
+                ("corr", q6.part_size_price_corr),
+            ]
+        }
+
+    def test_novelty_partitions_shingles(self, spark, rows3):
+        """Every shingle is novel in exactly one document: the novel
+        counts sum to the number of DISTINCT shingles in the corpus."""
+        from database_replicator_spark.operators.dedup import doc_shingles
+        from pyspark.sql import functions as F
+
+        docs = load_table(spark, SF, "documents")
+        n_distinct = (
+            doc_shingles(docs).select("shingle").distinct().count()
+        )
+        got = rows3["novelty"]
+        assert sum(r["n_novel"] for r in got) == n_distinct
+        for r in got:
+            assert 0 <= r["n_novel"] <= r["n_shingles"]
+            assert 0.0 <= r["novelty"] <= 1.0
+
+    def test_ltv_offsets_and_conservation(self, spark, rows3):
+        orders = load_table(spark, SF, "orders")
+        total = float(orders.selectExpr("sum(o_totalprice)").first()[0])
+        got = rows3["ltv"]
+        assert abs(sum(r["revenue"] for r in got) - total) < 1.0
+        # offset 0 exists for every cohort (the first order defines it)
+        cohorts = {r["cohort_month"] for r in got}
+        zero = {r["cohort_month"] for r in got if r["month_offset"] == 0}
+        assert cohorts == zero
+        assert all(r["month_offset"] >= 0 for r in got)
+
+    def test_top_supplier_share_bounds(self, rows3):
+        for r in rows3["topsup"]:
+            assert 0 < r["share"] <= 1.0
+            assert r["top_revenue"] > 0
+
+    def test_corr_in_range(self, rows3):
+        for r in rows3["corr"]:
+            assert -1.0 - 1e-9 <= r["size_price_corr"] <= 1.0 + 1e-9
+            assert r["n"] > 1
