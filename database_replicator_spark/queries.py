@@ -47,9 +47,36 @@ _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
 
 
+def _tz_free_output(df: DataFrame) -> DataFrame:
+    """Cast top-level TIMESTAMP (LTZ) output columns to TIMESTAMP_NTZ.
+
+    Plain ``collect()`` renders TimestampType instants through the OS
+    default timezone of the collecting process, NOT the session tz — on
+    a non-UTC box every timestamp-returning gate would hash-mismatch its
+    naive-timestamp DuckDB oracle by the local UTC offset (found by
+    running the gate suite under ``TZ=America/New_York``: three gates
+    failed with exactly the -05:00 shift). The session tz is pinned UTC
+    (sources/catalog.ensure_configured, which every gate passes through
+    via load_table), so LTZ→NTZ here is the UTC wall clock — identical
+    bytes on a UTC box, correct bytes on any other. NTZ collects
+    tz-free by construction."""
+    from pyspark.sql.types import TimestampType
+
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp_ntz"))
+    return df
+
+
 def query(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
-        _QUERIES[name] = fn
+        import functools
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return _tz_free_output(fn(spark, sf_dir))
+
+        _QUERIES[name] = wrapped
         if oracle is not None:
             _ORACLES[name] = oracle
         return fn
