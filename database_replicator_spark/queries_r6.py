@@ -58,11 +58,15 @@ def nation_customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the crossing row is included).
 
     Plan: one shuffle on o_custkey for the spend aggregate, broadcast
-    joins to the customer/nation dims, then one window partitioned by
-    nation — per-partition work bounded by customers-per-nation. At 100 TB
-    grain (billions of customers per partition), swap the ranked window
-    for the two-phase bucketed cumsum used by corpus_token_budget
-    (operators/corpus.py) — identical semantics, no single-task sort."""
+    joins to the customer/nation dims, then the running total via
+    operators/cumsum.grouped_running_sum — the two-phase bucketed
+    cumulative sum (per-group coarse bins, distributed prefix offsets,
+    per-bucket windows), so no single task ever sorts a whole nation's
+    customer slice. Value-identical to the naive one-window plan
+    (tests/test_cumsum.py asserts equality), which is why this gate can
+    run the 100 TB-shaped plan even at fixture scale."""
+    from .operators.cumsum import grouped_running_sum
+
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
@@ -82,14 +86,9 @@ def nation_customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_name", "c_custkey", "units")
     )
-    w_cum = (
-        Window.partitionBy("n_name")
-        .orderBy(F.col("units").desc(), F.col("c_custkey").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     w_tot = Window.partitionBy("n_name")
     return (
-        ranked.withColumn("cum", F.sum("units").over(w_cum))
+        grouped_running_sum(ranked, ["n_name"], "units", "c_custkey")
         .withColumn("total", F.sum("units").over(w_tot))
         .groupBy("n_name")
         .agg(

@@ -1,0 +1,77 @@
+"""grouped_running_sum must be value-identical to the naive single-window
+plan — the bucketing partitions the sort, it never approximates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from database_replicator_spark.operators.cumsum import (
+    grouped_running_sum,
+    naive_running_sum,
+)
+from database_replicator_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def rows_of(df):
+    return sorted(
+        (tuple(r) for r in df.collect()), key=lambda t: tuple(map(str, t))
+    )
+
+
+class TestGroupedRunningSum:
+    def test_equals_naive_on_fixture_spend(self, spark):
+        orders = load_table(spark, SF, "orders")
+        customer = load_table(spark, SF, "customer")
+        spend = (
+            orders.groupBy("o_custkey")
+            .agg(
+                F.sum(
+                    (F.col("o_totalprice").cast("decimal(18,4)") * 10000)
+                    .cast("bigint")
+                ).alias("units")
+            )
+            .join(
+                customer.select("c_custkey", "c_nationkey"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .select("c_nationkey", "o_custkey", "units")
+        )
+        fast = grouped_running_sum(
+            spend, ["c_nationkey"], "units", "o_custkey"
+        ).select("c_nationkey", "o_custkey", "units", "cum")
+        slow = naive_running_sum(
+            spend, ["c_nationkey"], "units", "o_custkey"
+        ).select("c_nationkey", "o_custkey", "units", "cum")
+        assert rows_of(fast) == rows_of(slow)
+
+    @pytest.mark.parametrize("buckets", [1, 2, 7, 1000])
+    def test_equals_naive_under_ties_and_bucket_counts(self, spark, buckets):
+        # heavy ties + zeros + a single-row group + values spanning the
+        # bucket boundaries
+        rows = [
+            ("a", 1, 10), ("a", 2, 10), ("a", 3, 0), ("a", 4, 7),
+            ("a", 5, 10), ("a", 6, 3),
+            ("b", 1, 0), ("b", 2, 0),
+            ("c", 9, 42),
+        ]
+        df = spark.createDataFrame(rows, "g string, id long, v long")
+        fast = grouped_running_sum(df, ["g"], "v", "id", buckets=buckets)
+        slow = naive_running_sum(df, ["g"], "v", "id")
+        assert rows_of(fast.select("g", "id", "v", "cum")) == rows_of(
+            slow.select("g", "id", "v", "cum")
+        )
+
+    def test_running_total_is_monotone_and_ends_at_group_total(self, spark):
+        rows = [("g", i, (i * 37) % 11) for i in range(200)]
+        df = spark.createDataFrame(rows, "g string, id long, v long")
+        got = sorted(
+            grouped_running_sum(df, ["g"], "v", "id").collect(),
+            key=lambda r: (-r["v"], r["id"]),
+        )
+        total = sum(v for _, _, v in rows)
+        running = 0
+        for r in got:
+            running += r["v"]
+            assert r["cum"] == running
+        assert running == total
