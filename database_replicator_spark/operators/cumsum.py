@@ -39,27 +39,39 @@ def grouped_running_sum(
     id_col: str,
     out_col: str = "cum",
     buckets: int = 1000,
+    order_col: str | None = None,
+    ascending: bool = False,
 ) -> DataFrame:
-    """Exact per-group running total of ``value_col`` in (value DESC,
-    id ASC) order, without any single-task whole-group sort.
+    """Exact per-group running total of ``value_col`` in (order_col
+    DESC-or-ASC, id ASC) order, without any single-task whole-group sort.
 
-    Requires non-negative values (ranking semantics; the Pareto/top-N
-    use cases). Output = input columns + ``out_col``. Ties order by
-    ``id_col`` so the running total is deterministic row-by-row.
+    ``order_col`` defaults to ``value_col`` (the Pareto/top-N shape);
+    pass ``value_col`` as a constant-1 column and ``order_col`` as the
+    sort key to get scalable per-group RANKS (the positional-quantile
+    shape — operators/cumsum.positional_quantiles). Output = input
+    columns + ``out_col``. Ties order by ``id_col`` so the running total
+    is deterministic row-by-row.
     """
+    oc = order_col or value_col
     gcols = [F.col(c) for c in group_cols]
-    w_max = Window.partitionBy(*gcols)
-    # monotone coarse bin: floor(v / (max+1) * B) — descending order means
-    # HIGHER buckets come first; max+1 keeps the ratio strictly < 1
-    binned = df.withColumn(
-        "_gmax", F.max(value_col).over(w_max)
-    ).withColumn(
-        "_bkt",
-        F.floor(
-            F.col(value_col).cast("double")
-            / (F.col("_gmax").cast("double") + 1.0)
-            * buckets
-        ).cast("int"),
+    w_rng = Window.partitionBy(*gcols)
+    # monotone coarse bin over the ORDER column's per-group range (min
+    # shift handles negatives; +1 keeps the ratio strictly < 1)
+    binned = (
+        df.withColumn("_gmax", F.max(oc).over(w_rng))
+        .withColumn("_gmin", F.min(oc).over(w_rng))
+        .withColumn(
+            "_bkt",
+            F.floor(
+                (F.col(oc).cast("double") - F.col("_gmin").cast("double"))
+                / (
+                    F.col("_gmax").cast("double")
+                    - F.col("_gmin").cast("double")
+                    + 1.0
+                )
+                * buckets
+            ).cast("int"),
+        )
     )
 
     totals = binned.groupBy(*gcols, F.col("_bkt")).agg(
@@ -67,25 +79,71 @@ def grouped_running_sum(
     )
     # exclusive prefix over the tiny (groups x B) relation — distributed,
     # no driver collect
+    bkt_order = F.col("_bkt").asc() if ascending else F.col("_bkt").desc()
     w_off = (
         Window.partitionBy(*gcols)
-        .orderBy(F.col("_bkt").desc())
+        .orderBy(bkt_order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = totals.withColumn(
         "_offset", F.coalesce(F.sum("_bkt_total").over(w_off), F.lit(0))
     ).drop("_bkt_total")
 
+    row_order = F.col(oc).asc() if ascending else F.col(oc).desc()
     w_cum = (
         Window.partitionBy(*gcols, F.col("_bkt"))
-        .orderBy(F.col(value_col).desc(), F.col(id_col).asc())
+        .orderBy(row_order, F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
         binned.join(offsets, on=[*group_cols, "_bkt"])
         .withColumn(out_col, F.col("_offset") + F.sum(value_col).over(w_cum))
-        .drop("_gmax", "_bkt", "_offset")
+        .drop("_gmax", "_gmin", "_bkt", "_offset")
     )
+
+
+def positional_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    id_col: str,
+    fractions: list[tuple[int, int, str]] = (
+        (1, 2, "p50"),
+        (9, 10, "p90"),
+    ),
+) -> DataFrame:
+    """Discrete (type-1) per-group quantiles by sorted POSITION — the
+    value at rank ⌈p·n⌉ of the ascending sort — computed scalably:
+    ranks come from :func:`grouped_running_sum` over a constant-1
+    column (no single-task whole-group sort), group sizes from an
+    aggregate-and-join (not a partitionBy-only window, which would
+    collocate whole groups again). ⌈num·n/den⌉ is the pure-integer
+    ``(num·n + den − 1) div den``, so the picked position is
+    engine-exact; the element AT a position is tie-order-independent.
+
+    ``fractions``: (numerator, denominator, output_column) triples.
+    Output: one row per group with ``n`` and one column per fraction.
+    """
+    ranked = grouped_running_sum(
+        df.withColumn("_one", F.lit(1)),
+        group_cols,
+        value_col="_one",
+        id_col=id_col,
+        out_col="_rank",
+        order_col=value_col,
+        ascending=True,
+    ).drop("_one")
+    sizes = df.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    joined = ranked.join(sizes, on=list(group_cols))
+    aggs = [F.max("n").alias("n")]
+    for num, den, name in fractions:
+        pos = F.expr(f"({num} * n + {den - 1}) div {den}")
+        aggs.append(
+            F.max(F.when(F.col("_rank") == pos, F.col(value_col))).alias(name)
+        )
+    return joined.groupBy(*[F.col(c) for c in group_cols]).agg(*aggs)
 
 
 def naive_running_sum(

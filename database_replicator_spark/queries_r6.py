@@ -384,10 +384,17 @@ def shipping_delay_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Delay days use the same epoch-micros instant arithmetic as
     late_shipment_priority (timezone-free on both engines).
 
-    Plan: one join shuffle + one window partitioned by priority (5
-    groups at this grain; at 100 TB swap for approx_percentile or the
-    mergeable KMV/quantile sketch tier, operators/sketch.py)."""
+    Plan: one join shuffle, then ranks via the two-phase bucketed
+    cumsum (operators/cumsum.positional_quantiles — per-bucket windows
+    with distributed offsets, asserted equal to row_number ranking), so
+    no single task sorts a whole priority group's 600k-row slice even
+    though only 5 groups exist — the plan is already the 100 TB shape.
+    The rank tiebreak is l_linenumber-unique (orderkey, linenumber) via
+    a synthetic id; equal delays at the picked position yield the same
+    value under any tie order, so the output is tie-independent."""
     from pyspark.sql.types import TimestampType
+
+    from .operators.cumsum import positional_quantiles
 
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -399,21 +406,21 @@ def shipping_delay_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.lit(86400000000)
     ).cast("long")
     delays = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
-        "o_orderpriority", delay.alias("delay_days")
+        "o_orderpriority",
+        delay.alias("delay_days"),
+        (F.col("l_orderkey") * 16 + F.col("l_linenumber")).alias("_rid"),
     )
-    w_rn = Window.partitionBy("o_orderpriority").orderBy("delay_days")
-    w_n = Window.partitionBy("o_orderpriority")
-    ranked = delays.withColumn("rn", F.row_number().over(w_rn)).withColumn(
-        "n", F.count(F.lit(1)).over(w_n)
-    )
-    return ranked.groupBy("o_orderpriority").agg(
-        F.max("n").alias("n_lines"),
-        F.max(
-            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("delay_days"))
-        ).alias("p50_days"),
-        F.max(
-            F.when(F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("delay_days"))
-        ).alias("p90_days"),
+    return positional_quantiles(
+        delays,
+        ["o_orderpriority"],
+        "delay_days",
+        "_rid",
+        fractions=[(1, 2, "p50_days"), (9, 10, "p90_days")],
+    ).select(
+        "o_orderpriority",
+        F.col("n").alias("n_lines"),
+        "p50_days",
+        "p90_days",
     )
 
 
@@ -753,9 +760,13 @@ def customer_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     late_shipment_priority.
 
     Plan: one custkey-keyed window (uniform key), broadcast customer
-    dim, one segment-keyed window over 5 groups — at 100 TB grain the
-    per-segment sort swaps for the quantile sketch tier."""
+    dim, then the per-segment median via the two-phase bucketed ranks
+    (operators/cumsum.positional_quantiles) — only 5 groups exist, but
+    the plan already avoids the whole-group single-task sort, so it IS
+    the 100 TB shape rather than promising it."""
     from pyspark.sql.types import TimestampType
+
+    from .operators.cumsum import positional_quantiles
 
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
@@ -768,6 +779,7 @@ def customer_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "c_mktsegment",
+            F.col("o_orderkey").alias("_rid"),
             (
                 (F.unix_micros(od) - F.unix_micros(F.lag(od).over(w_cust)))
                 / F.lit(86400000000)
@@ -777,17 +789,21 @@ def customer_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("gap_days").isNotNull())
     )
-    w_rn = Window.partitionBy("c_mktsegment").orderBy("gap_days")
-    w_n = Window.partitionBy("c_mktsegment")
-    ranked = gaps.withColumn("rn", F.row_number().over(w_rn)).withColumn(
-        "n", F.count(F.lit(1)).over(w_n)
+    medians = positional_quantiles(
+        gaps,
+        ["c_mktsegment"],
+        "gap_days",
+        "_rid",
+        fractions=[(1, 2, "p50_gap_days")],
     )
-    return ranked.groupBy("c_mktsegment").agg(
-        F.max("n").alias("n_gaps"),
-        F.max(
-            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("gap_days"))
-        ).alias("p50_gap_days"),
-        (F.sum("gap_days").cast("double") / F.max("n")).alias("avg_gap_days"),
+    stats = gaps.groupBy("c_mktsegment").agg(
+        F.sum("gap_days").alias("_sum_gaps")
+    )
+    return medians.join(stats, on="c_mktsegment").select(
+        "c_mktsegment",
+        F.col("n").alias("n_gaps"),
+        "p50_gap_days",
+        (F.col("_sum_gaps").cast("double") / F.col("n")).alias("avg_gap_days"),
     )
 
 

@@ -2,6 +2,7 @@
 plan — the bucketing partitions the sort, it never approximates."""
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from database_replicator_spark.operators.cumsum import (
@@ -75,3 +76,73 @@ class TestGroupedRunningSum:
             running += r["v"]
             assert r["cum"] == running
         assert running == total
+
+
+class TestPositionalQuantiles:
+    def test_matches_python_reference(self, spark):
+        import math
+        import random
+
+        rng = random.Random(7)
+        rows = [
+            (g, i, rng.randint(0, 50))
+            for g in ("a", "b", "c")
+            for i in range(rng.randint(1, 80))
+        ]
+        df = spark.createDataFrame(rows, "g string, id long, v long")
+        from database_replicator_spark.operators.cumsum import (
+            positional_quantiles,
+        )
+
+        got = {
+            r["g"]: r.asDict()
+            for r in positional_quantiles(df, ["g"], "v", "id").collect()
+        }
+        by_g = {}
+        for g, _, v in rows:
+            by_g.setdefault(g, []).append(v)
+        for g, vs in by_g.items():
+            vs.sort()
+            n = len(vs)
+            assert got[g]["n"] == n
+            assert got[g]["p50"] == vs[math.ceil(n / 2) - 1]
+            assert got[g]["p90"] == vs[math.ceil(9 * n / 10) - 1]
+
+    def test_ascending_rank_mode_equals_row_number(self, spark):
+        from pyspark.sql import Window
+
+        rows = [("g", i, (i * 13) % 7) for i in range(60)]
+        df = spark.createDataFrame(rows, "g string, id long, v long")
+        ranked = grouped_running_sum(
+            df.withColumn("_one", F.lit(1)),
+            ["g"],
+            value_col="_one",
+            id_col="id",
+            out_col="rnk",
+            order_col="v",
+            ascending=True,
+            buckets=3,
+        )
+        w = Window.partitionBy("g").orderBy(F.col("v").asc(), F.col("id").asc())
+        naive = df.withColumn("rnk", F.row_number().over(w))
+        assert rows_of(ranked.select("g", "id", "v", "rnk")) == rows_of(
+            naive.select("g", "id", "v", "rnk")
+        )
+
+    def test_negative_values_supported(self, spark):
+        rows = [("g", 1, -5), ("g", 2, 0), ("g", 3, 7), ("g", 4, -5)]
+        df = spark.createDataFrame(rows, "g string, id long, v long")
+        fast = grouped_running_sum(
+            df, ["g"], "v", "id", order_col="v", ascending=True, buckets=2
+        )
+        slow_w = (
+            Window.partitionBy("g")
+            .orderBy(F.col("v").asc(), F.col("id").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        from pyspark.sql import Window as W  # noqa: F401
+
+        slow = df.withColumn("cum", F.sum("v").over(slow_w))
+        assert rows_of(fast.select("g", "id", "v", "cum")) == rows_of(
+            slow.select("g", "id", "v", "cum")
+        )
