@@ -54,24 +54,32 @@ def grouped_running_sum(
     """
     oc = order_col or value_col
     gcols = [F.col(c) for c in group_cols]
-    w_rng = Window.partitionBy(*gcols)
+    # per-group order-column range via AGGREGATE + JOIN, never a
+    # partitionBy-only window — such a window collocates each whole
+    # group in one task, which is exactly the bottleneck this operator
+    # exists to remove (the map-side-combined aggregate ships one
+    # (min,max) pair per group per task instead). Empty group_cols
+    # (global running sum) becomes a 1-row broadcast crossJoin.
+    ranges = df.groupBy(*gcols).agg(
+        F.max(oc).alias("_gmax"), F.min(oc).alias("_gmin")
+    )
+    if group_cols:
+        with_rng = df.join(ranges, on=list(group_cols))
+    else:
+        with_rng = df.crossJoin(F.broadcast(ranges))
     # monotone coarse bin over the ORDER column's per-group range (min
     # shift handles negatives; +1 keeps the ratio strictly < 1)
-    binned = (
-        df.withColumn("_gmax", F.max(oc).over(w_rng))
-        .withColumn("_gmin", F.min(oc).over(w_rng))
-        .withColumn(
-            "_bkt",
-            F.floor(
-                (F.col(oc).cast("double") - F.col("_gmin").cast("double"))
-                / (
-                    F.col("_gmax").cast("double")
-                    - F.col("_gmin").cast("double")
-                    + 1.0
-                )
-                * buckets
-            ).cast("int"),
-        )
+    binned = with_rng.withColumn(
+        "_bkt",
+        F.floor(
+            (F.col(oc).cast("double") - F.col("_gmin").cast("double"))
+            / (
+                F.col("_gmax").cast("double")
+                - F.col("_gmin").cast("double")
+                + 1.0
+            )
+            * buckets
+        ).cast("int"),
     )
 
     totals = binned.groupBy(*gcols, F.col("_bkt")).agg(

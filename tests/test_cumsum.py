@@ -146,3 +146,18 @@ class TestPositionalQuantiles:
         assert rows_of(fast.select("g", "id", "v", "cum")) == rows_of(
             slow.select("g", "id", "v", "cum")
         )
+
+
+class TestGlobalRunningSum:
+    def test_empty_group_cols_global_cumsum(self, spark):
+        rows = [("x", i, (i * 31) % 13) for i in range(150)]
+        df = spark.createDataFrame(rows, "g string, id long, v long")
+        fast = grouped_running_sum(df, [], "v", "id", buckets=5)
+        w = (
+            Window.orderBy(F.col("v").desc(), F.col("id").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        slow = df.withColumn("cum", F.sum("v").over(w))
+        assert rows_of(fast.select("id", "v", "cum")) == rows_of(
+            slow.select("id", "v", "cum")
+        )
