@@ -154,6 +154,50 @@ def positional_quantiles(
     return joined.groupBy(*[F.col(c) for c in group_cols]).agg(*aggs)
 
 
+def grouped_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    id_col: str,
+    out_col: str = "rank",
+    ascending: bool = False,
+    buckets: int = 1000,
+) -> DataFrame:
+    """Deterministic per-group ROW_NUMBER-style ranks (order_col
+    DESC-or-ASC, id ASC tiebreak) without any whole-group sort: a
+    constant-1 running sum through :func:`grouped_running_sum`. With a
+    unique tiebreak this equals rank()/row_number() (no peer groups), so
+    the full ranking-window family derives from (rank, n):
+    percent_rank = (rank−1)/(n−1), cume_dist = rank/n, and ntile via
+    :func:`ntile_expr` — all without the single-task global sort the
+    naive window plans."""
+    return grouped_running_sum(
+        df.withColumn("_one", F.lit(1)),
+        group_cols,
+        value_col="_one",
+        id_col=id_col,
+        out_col=out_col,
+        buckets=buckets,
+        order_col=order_col,
+        ascending=ascending,
+    ).drop("_one")
+
+
+def ntile_expr(rank_col: Column, n_col: Column, k: int) -> Column:
+    """Exact NTILE(k) bucket from a 1-based unique rank and the group
+    size: the first ``n mod k`` buckets get ``n div k + 1`` rows, the
+    rest ``n div k`` — SQL-standard remainder-to-first-buckets
+    semantics, as pure integer arithmetic (⌈a/b⌉ = (a+b−1) div b). The
+    q = 0 edge (n < k: every row its own bucket) stays in the WHEN
+    branch, so the else-branch division by q never evaluates."""
+    q = (n_col / k).cast("long")  # n div k
+    m = n_col - q * k  # n mod k
+    boundary = m * (q + 1)
+    first = ((rank_col + q) / (q + 1)).cast("long")  # ceil(r/(q+1))
+    rest = m + ((rank_col - boundary + q - 1) / q).cast("long")
+    return F.when(rank_col <= boundary, first).otherwise(rest)
+
+
 def naive_running_sum(
     df: DataFrame,
     group_cols: list[str],

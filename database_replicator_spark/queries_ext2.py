@@ -907,25 +907,37 @@ def order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-window family over customer lifetime spend: ntile decile
-    assignment, rank, percent_rank, cume_dist in one window. The ORDER BY
-    carries a unique custkey tiebreak so every rank function is
-    deterministic; percent_rank/cume_dist divide exact integer ranks, so
-    the doubles match bit-for-bit. The global window is the semantic;
-    at corpus scale the same result ships via range-partitioned sort
-    (operators/layout.sorted_export) + per-partition offsets."""
+    assignment, rank, percent_rank, cume_dist. The ORDER carries a
+    unique custkey tiebreak, so every member of the family derives from
+    the (row rank, group size) pair: rank() = the unique rank,
+    percent_rank = (r−1)/(n−1), cume_dist = r/n, ntile via the exact
+    remainder-to-first-buckets formula — and the rank itself comes from
+    operators/cumsum.grouped_rank (two-phase bucketed cumsum), so NO
+    single task sorts the whole customer relation; this plan, not a
+    promised swap, is what runs (equality with the window functions is
+    asserted in tests/test_cumsum.py). percent_rank/cume_dist divide
+    exact integer ranks, so the doubles match DuckDB bit-for-bit."""
+    from .operators.cumsum import grouped_rank, ntile_expr
+
     orders = load_table(spark, sf_dir, "orders")
     spend = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
         F.sum(_dec("o_totalprice")).alias("spend_dec")
     )
-    w = Window.orderBy(F.desc("spend_dec"), F.col("c_custkey"))
+    ranked = grouped_rank(
+        spend, [], "spend_dec", "c_custkey", out_col="_r", ascending=False
+    )
+    n_df = spend.agg(F.count(F.lit(1)).alias("_n"))
+    r = F.col("_r")
+    n = F.col("_n")
     return (
-        spend.select(
+        ranked.crossJoin(F.broadcast(n_df))
+        .select(
             "c_custkey",
             F.col("spend_dec").cast("string").cast("double").alias("spend"),
-            F.ntile(10).over(w).cast("int").alias("decile"),
-            F.rank().over(w).cast("bigint").alias("rnk"),
-            F.percent_rank().over(w).alias("pct_rank"),
-            F.cume_dist().over(w).alias("cume"),
+            ntile_expr(r, n, 10).cast("int").alias("decile"),
+            r.cast("bigint").alias("rnk"),
+            ((r - 1) / (n - 1)).alias("pct_rank"),
+            (r / n).alias("cume"),
         )
         .orderBy("rnk")
     )

@@ -531,11 +531,15 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference date is the corpus max (a 1-row crossJoin-broadcast
     scalar, never a correlated subquery per row).
 
-    Plan: one shuffle on custkey, scalar broadcast, three global ntile
-    windows over the aggregated (one-row-per-customer) relation — the
-    same global-window semantic as customer_value_deciles, with the
-    same range-partitioned-sort scale path at 100 TB grain."""
+    Plan: one shuffle on custkey, scalar broadcast, then the three
+    quintile assignments via operators/cumsum.grouped_rank + ntile_expr
+    (two-phase bucketed ranks; equality with NTILE asserted in
+    tests/test_cumsum.py) — no task sorts the whole customer relation,
+    so the 100 TB-shaped plan is what actually runs, three key-uniform
+    join-backs replacing three single-task global sorts."""
     from pyspark.sql.types import TimestampType
+
+    from .operators.cumsum import grouped_rank, ntile_expr
 
     orders = load_table(spark, sf_dir, "orders")
     od = F.col("o_orderdate").cast(TimestampType())
@@ -564,22 +568,22 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recency_days"),
         )
     )
-    scored = cust.select(
-        "o_custkey",
-        "units",
-        F.ntile(5)
-        .over(Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey")))
-        .cast("int")
-        .alias("r_q"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("n_orders").desc(), F.col("o_custkey")))
-        .cast("int")
-        .alias("f_q"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("units").desc(), F.col("o_custkey")))
-        .cast("int")
-        .alias("m_q"),
-    )
+    n_df = cust.agg(F.count(F.lit(1)).alias("_n"))
+
+    def quintile(order_col: str, ascending: bool, out: str, base: DataFrame):
+        ranked = grouped_rank(
+            base, [], order_col, "o_custkey", out_col="_r", ascending=ascending
+        )
+        return (
+            ranked.crossJoin(F.broadcast(n_df))
+            .withColumn(out, ntile_expr(F.col("_r"), F.col("_n"), 5).cast("int"))
+            .drop("_r", "_n")
+        )
+
+    scored = quintile(
+        "recency_days", True, "r_q",
+        quintile("n_orders", False, "f_q", quintile("units", False, "m_q", cust)),
+    ).select("o_custkey", "units", "r_q", "f_q", "m_q")
     return scored.groupBy("r_q", "f_q", "m_q").agg(
         F.count(F.lit(1)).alias("n_customers"),
         (F.sum("units").cast("double") / 10000).alias("revenue"),

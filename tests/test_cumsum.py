@@ -161,3 +161,52 @@ class TestGlobalRunningSum:
         assert rows_of(fast.select("id", "v", "cum")) == rows_of(
             slow.select("id", "v", "cum")
         )
+
+
+class TestNtileAndRank:
+    @pytest.mark.parametrize("n,k", [(4, 5), (7, 5), (10, 10), (23, 10), (100, 3)])
+    def test_ntile_matches_window_ntile(self, spark, n, k):
+        from database_replicator_spark.operators.cumsum import (
+            grouped_rank,
+            ntile_expr,
+        )
+
+        rows = [("g", i, (i * 17) % 29) for i in range(n)]
+        df = spark.createDataFrame(rows, "g string, id long, v long")
+        ranked = grouped_rank(df, ["g"], "v", "id", ascending=False, buckets=4)
+        sizes = df.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+        fast = (
+            ranked.join(sizes, on="g")
+            .withColumn("t", ntile_expr(F.col("rank"), F.col("n"), k))
+            .select("g", "id", "t")
+        )
+        w = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("id").asc())
+        slow = df.withColumn("t", F.ntile(k).over(w)).select("g", "id", "t")
+        assert rows_of(fast) == rows_of(slow)
+
+    def test_rank_family_derivation(self, spark):
+        """percent_rank and cume_dist derived from (rank, n) equal the
+        window functions under a unique tiebreak ordering."""
+        from database_replicator_spark.operators.cumsum import grouped_rank
+
+        rows = [("g", i, (i * 7) % 5) for i in range(40)]
+        df = spark.createDataFrame(rows, "g string, id long, v long")
+        ranked = grouped_rank(df, ["g"], "v", "id", ascending=False, buckets=3)
+        sizes = df.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+        fast = (
+            ranked.join(sizes, on="g")
+            .select(
+                "id",
+                ((F.col("rank") - 1) / (F.col("n") - 1)).alias("pr"),
+                (F.col("rank") / F.col("n")).alias("cd"),
+            )
+        )
+        w = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("id").asc())
+        slow = df.select(
+            "id",
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+        # note: with ties percent_rank/cume_dist use PEER groups; the
+        # unique (v, id) ordering here makes every row its own peer
+        assert rows_of(fast) == rows_of(slow)
