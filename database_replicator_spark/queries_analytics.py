@@ -38,7 +38,11 @@ def _dec(col: str, scale: int = 4):
 def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q3-shaped: selective dimension filter → fact join → top-k.
     customer is broadcast (small side); lineitem↔orders is the only real
-    shuffle; the top-k is a single window with a deterministic tiebreak."""
+    shuffle; the top-k is ``orderBy().limit()`` — Spark plans that as
+    TakeOrderedAndProject (per-partition partial top-10, merged on the
+    driver), NOT the single-task global sort a row_number window plans;
+    the deterministic o_orderkey tiebreak keeps the boundary row stable
+    (same rows as the oracle's rn <= 10)."""
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
     customer = load_table(spark, sf_dir, "customer").filter(
@@ -54,10 +58,9 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue")
         )
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
     return (
-        rev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
+        rev.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
         .select("o_orderkey", "o_orderdate", "o_orderpriority", "revenue")
     )
 

@@ -248,12 +248,17 @@ def events_window_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     hours = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
         F.count(F.lit(1)).alias("n")
     )
+    # limit-first (TakeOrdered, distributed partial top-k), then the
+    # ranking window runs over only the 20 surviving rows — the
+    # corpus_top_ngrams pattern; a bare global row_number here would
+    # single-task-sort the whole hours relation first
     wins = (
-        hours.withColumn(
+        hours.orderBy(F.col("n").desc(), F.col("h").asc())
+        .limit(20)
+        .withColumn(
             "window_id",
             F.row_number().over(Window.orderBy(F.col("n").desc(), F.col("h").asc())),
         )
-        .filter(F.col("window_id") <= 20)
         .select(
             "window_id",
             (F.col("h") - F.expr("INTERVAL 30 MINUTES")).alias("w_start"),
