@@ -86,10 +86,13 @@ def nation_customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_name", "c_custkey", "units")
     )
-    w_tot = Window.partitionBy("n_name")
+    # per-nation totals via aggregate + join, not a partitionBy-only
+    # window (which would collocate every nation's customer slice in one
+    # task — the same hazard grouped_running_sum exists to remove)
+    totals = ranked.groupBy("n_name").agg(F.sum("units").alias("total"))
     return (
         grouped_running_sum(ranked, ["n_name"], "units", "c_custkey")
-        .withColumn("total", F.sum("units").over(w_tot))
+        .join(totals, on="n_name")
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),

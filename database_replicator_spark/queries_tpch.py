@@ -439,8 +439,11 @@ def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.sum(_rev()).alias("total_dec"))
     )
-    w = Window.partitionBy()
-    best = rev.withColumn("max_dec", F.max("total_dec").over(w)).filter(
+    # scalar max via aggregate + 1-row broadcast crossJoin (the q11/q22
+    # scalar-subquery pattern) — an empty-partition window would pull
+    # every supplier row into ONE task to find the max
+    max_df = rev.agg(F.max("total_dec").alias("max_dec"))
+    best = rev.crossJoin(broadcast(max_df)).filter(
         F.col("total_dec") == F.col("max_dec")
     )
     return (
