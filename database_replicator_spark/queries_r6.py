@@ -408,10 +408,13 @@ def shipping_delay_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / F.lit(86400000000)
     ).cast("long")
-    delays = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
-        "o_orderpriority",
-        delay.alias("delay_days"),
-        (F.col("l_orderkey") * 16 + F.col("l_linenumber")).alias("_rid"),
+    delays = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "o_orderpriority",
+            delay.alias("delay_days"),
+            (F.col("l_orderkey") * 16 + F.col("l_linenumber")).alias("_rid"),
+        )
     )
     return positional_quantiles(
         delays,
@@ -571,11 +574,18 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recency_days"),
         )
     )
+    from .operators.cumsum import SMALL_THRESHOLD
+
+    # size ONCE and share the plan decision across the three quintile
+    # passes (auto mode would re-count the customer relation per pass)
+    n_customers = cust.count()
+    rank_mode = "single" if n_customers <= SMALL_THRESHOLD else "distributed"
     n_df = cust.agg(F.count(F.lit(1)).alias("_n"))
 
     def quintile(order_col: str, ascending: bool, out: str, base: DataFrame):
         ranked = grouped_rank(
-            base, [], order_col, "o_custkey", out_col="_r", ascending=ascending
+            base, [], order_col, "o_custkey", out_col="_r",
+            ascending=ascending, mode=rank_mode,
         )
         return (
             ranked.crossJoin(F.broadcast(n_df))

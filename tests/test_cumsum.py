@@ -39,7 +39,7 @@ class TestGroupedRunningSum:
             .select("c_nationkey", "o_custkey", "units")
         )
         fast = grouped_running_sum(
-            spend, ["c_nationkey"], "units", "o_custkey"
+            spend, ["c_nationkey"], "units", "o_custkey", mode="distributed"
         ).select("c_nationkey", "o_custkey", "units", "cum")
         slow = naive_running_sum(
             spend, ["c_nationkey"], "units", "o_custkey"
@@ -57,7 +57,7 @@ class TestGroupedRunningSum:
             ("c", 9, 42),
         ]
         df = spark.createDataFrame(rows, "g string, id long, v long")
-        fast = grouped_running_sum(df, ["g"], "v", "id", buckets=buckets)
+        fast = grouped_running_sum(df, ["g"], "v", "id", buckets=buckets, mode="distributed")
         slow = naive_running_sum(df, ["g"], "v", "id")
         assert rows_of(fast.select("g", "id", "v", "cum")) == rows_of(
             slow.select("g", "id", "v", "cum")
@@ -67,7 +67,7 @@ class TestGroupedRunningSum:
         rows = [("g", i, (i * 37) % 11) for i in range(200)]
         df = spark.createDataFrame(rows, "g string, id long, v long")
         got = sorted(
-            grouped_running_sum(df, ["g"], "v", "id").collect(),
+            grouped_running_sum(df, ["g"], "v", "id", mode="distributed").collect(),
             key=lambda r: (-r["v"], r["id"]),
         )
         total = sum(v for _, _, v in rows)
@@ -96,7 +96,7 @@ class TestPositionalQuantiles:
 
         got = {
             r["g"]: r.asDict()
-            for r in positional_quantiles(df, ["g"], "v", "id").collect()
+            for r in positional_quantiles(df, ["g"], "v", "id", mode="distributed").collect()
         }
         by_g = {}
         for g, _, v in rows:
@@ -122,6 +122,7 @@ class TestPositionalQuantiles:
             order_col="v",
             ascending=True,
             buckets=3,
+            mode="distributed",
         )
         w = Window.partitionBy("g").orderBy(F.col("v").asc(), F.col("id").asc())
         naive = df.withColumn("rnk", F.row_number().over(w))
@@ -133,7 +134,8 @@ class TestPositionalQuantiles:
         rows = [("g", 1, -5), ("g", 2, 0), ("g", 3, 7), ("g", 4, -5)]
         df = spark.createDataFrame(rows, "g string, id long, v long")
         fast = grouped_running_sum(
-            df, ["g"], "v", "id", order_col="v", ascending=True, buckets=2
+            df, ["g"], "v", "id", order_col="v", ascending=True, buckets=2,
+            mode="distributed",
         )
         slow_w = (
             Window.partitionBy("g")
@@ -152,7 +154,7 @@ class TestGlobalRunningSum:
     def test_empty_group_cols_global_cumsum(self, spark):
         rows = [("x", i, (i * 31) % 13) for i in range(150)]
         df = spark.createDataFrame(rows, "g string, id long, v long")
-        fast = grouped_running_sum(df, [], "v", "id", buckets=5)
+        fast = grouped_running_sum(df, [], "v", "id", buckets=5, mode="distributed")
         w = (
             Window.orderBy(F.col("v").desc(), F.col("id").asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -173,7 +175,7 @@ class TestNtileAndRank:
 
         rows = [("g", i, (i * 17) % 29) for i in range(n)]
         df = spark.createDataFrame(rows, "g string, id long, v long")
-        ranked = grouped_rank(df, ["g"], "v", "id", ascending=False, buckets=4)
+        ranked = grouped_rank(df, ["g"], "v", "id", ascending=False, buckets=4, mode="distributed")
         sizes = df.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
         fast = (
             ranked.join(sizes, on="g")
@@ -191,7 +193,7 @@ class TestNtileAndRank:
 
         rows = [("g", i, (i * 7) % 5) for i in range(40)]
         df = spark.createDataFrame(rows, "g string, id long, v long")
-        ranked = grouped_rank(df, ["g"], "v", "id", ascending=False, buckets=3)
+        ranked = grouped_rank(df, ["g"], "v", "id", ascending=False, buckets=3, mode="distributed")
         sizes = df.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
         fast = (
             ranked.join(sizes, on="g")
@@ -210,3 +212,30 @@ class TestNtileAndRank:
         # note: with ties percent_rank/cume_dist use PEER groups; the
         # unique (v, id) ordering here makes every row its own peer
         assert rows_of(fast) == rows_of(slow)
+
+
+class TestAdaptiveMode:
+    def test_auto_equals_forced_paths(self, spark):
+        rows = [("g", i, (i * 11) % 6) for i in range(100)]
+        df = spark.createDataFrame(rows, "g string, id long, v long")
+        auto = grouped_running_sum(df, ["g"], "v", "id")  # small -> window
+        dist = grouped_running_sum(df, ["g"], "v", "id", mode="distributed")
+        single = grouped_running_sum(df, ["g"], "v", "id", mode="single")
+        a = rows_of(auto.select("g", "id", "v", "cum"))
+        assert a == rows_of(dist.select("g", "id", "v", "cum"))
+        assert a == rows_of(single.select("g", "id", "v", "cum"))
+
+    def test_auto_routes_above_threshold(self, spark):
+        rows = [("g", i, i % 9) for i in range(50)]
+        df = spark.createDataFrame(rows, "g string, id long, v long")
+        # tiny threshold forces the distributed plan through auto
+        forced = grouped_running_sum(df, ["g"], "v", "id", small_threshold=10)
+        single = grouped_running_sum(df, ["g"], "v", "id", mode="single")
+        assert rows_of(forced.select("g", "id", "v", "cum")) == rows_of(
+            single.select("g", "id", "v", "cum")
+        )
+
+    def test_unknown_mode_raises(self, spark):
+        df = spark.createDataFrame([("g", 1, 1)], "g string, id long, v long")
+        with pytest.raises(ValueError, match="mode"):
+            grouped_running_sum(df, ["g"], "v", "id", mode="bogus")
