@@ -1213,3 +1213,53 @@ class TestPqProperties:
             for rank, (_h, i) in enumerate(sorted(members)[:per_cell], start=1):
                 want.add((i, cid, rank))
         assert got == want
+
+
+class TestCumsumProperties:
+    """The two-phase bucketed cumulative sum must equal the naive window
+    for ANY (groups, ids, values) multiset and any bucket count — the
+    bucketing partitions the sort, it never approximates."""
+
+    cumsum_rows = st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),                     # group
+            st.integers(min_value=0, max_value=40),               # id
+            st.integers(min_value=-100, max_value=100),           # value
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: (t[0], t[1]),  # unique (group, id) tiebreak
+    )
+
+    @settings(**SETTINGS)
+    @given(rows=cumsum_rows, buckets=st.sampled_from([1, 3, 17]),
+           ascending=st.booleans())
+    def test_distributed_equals_naive(self, spark, rows, buckets, ascending):
+        from pyspark.sql import Window
+
+        from database_replicator_spark.operators.cumsum import (
+            grouped_running_sum,
+        )
+
+        df = spark.createDataFrame(rows, "g string, id long, v long")
+        fast = grouped_running_sum(
+            df, ["g"], "v", "id", buckets=buckets, ascending=ascending,
+            mode="distributed",
+        )
+        w = (
+            Window.partitionBy("g")
+            .orderBy(
+                F.col("v").asc() if ascending else F.col("v").desc(),
+                F.col("id").asc(),
+            )
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        slow = df.withColumn("cum", F.sum("v").over(w))
+        key = lambda r: (r["g"], r["id"])  # noqa: E731
+        got = sorted(
+            ((r["g"], r["id"], r["cum"]) for r in fast.collect())
+        )
+        want = sorted(
+            ((r["g"], r["id"], r["cum"]) for r in slow.collect())
+        )
+        assert got == want
