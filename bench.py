@@ -82,7 +82,9 @@ def baseline_timings() -> dict[str, float]:
     # when the driver's truncated tails only cover part of the registry
     paths = [os.path.join(repo, "BENCH_LOCAL.json")] + sorted(
         glob.glob(os.path.join(repo, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
+        # match on the basename only: an absolute path containing
+        # 'r<digits>' elsewhere (e.g. /home/user1/r2/) must not win
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
     )
     for path in paths:
         try:

@@ -531,7 +531,8 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM activity a JOIN firsts f ON a.user_id = f.user_id
       GROUP BY 1, 2
     )
-    SELECT j.cohort_week, j.week_offset, j.n_active, s.cohort_size,
+    SELECT strftime(j.cohort_week, '%Y-%m-%d') AS cohort_week,
+           j.week_offset, j.n_active, s.cohort_size,
            round(CAST(j.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
     FROM joined j JOIN sizes s ON j.cohort_week = s.cohort_week
     """,
@@ -560,8 +561,9 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
     return joined.join(F.broadcast(sizes), on="cohort_week").select(
-        # DuckDB's date_trunc('week') yields DATE; match it
-        F.to_date("cohort_week").alias("cohort_week"),
+        # render as STRING: Spark DATE reaches pandas as object(date),
+        # DuckDB's week-trunc as datetime64 — same day, different dtype
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
         "week_offset",
         "n_active",
         "cohort_size",

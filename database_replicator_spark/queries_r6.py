@@ -42,8 +42,8 @@ from .sources.catalog import load_table
     )
     SELECT n_name,
            COUNT(*) AS n_customers,
-           SUM(CASE WHEN 5 * (cum - units) < 4 * total THEN 1 ELSE 0 END)
-             AS n_top80,
+           CAST(SUM(CASE WHEN 5 * (cum - units) < 4 * total THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_top80,
            CAST(MAX(total) AS DOUBLE) / 10000 AS revenue
     FROM ranked GROUP BY n_name
     """,
@@ -158,8 +158,9 @@ def doc_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents)
     )
     SELECT tok AS term,
-           COUNT(*) AS df,
-           (list_sort(list(doc_id)))[1:20] AS postings_head
+           CAST(COUNT(*) AS BIGINT) AS df,
+           array_to_string((list_sort(list(doc_id)))[1:20], ',')
+             AS postings_head
     FROM toks
     GROUP BY tok
     HAVING COUNT(*) >= 10
@@ -171,8 +172,10 @@ def doc_keyword_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     of full-text retrieval and of df-based quality/contamination rules.
     df < 10 terms are dropped (the long tail that dominates distinct
     terms but serves no retrieval purpose at this grain); the posting
-    HEAD (first 20 doc ids, sorted) keeps row width bounded — at 100 TB
-    the full lists shard by (term, doc_id bucket) instead.
+    HEAD (first 20 doc ids, sorted, rendered as one comma-joined STRING
+    so the gate output is hashable by a pandas canonicalizer — array
+    columns are not) keeps row width bounded — at 100 TB the full lists
+    shard by (term, doc_id bucket) instead.
 
     Plan: explode → distinct (term-keyed) → one groupBy on term; the
     shuffle key is the term hash (uniform), collect_list is bounded by
@@ -190,9 +193,12 @@ def doc_keyword_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.groupBy("term")
         .agg(
             F.count(F.lit(1)).alias("df"),
-            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20).alias(
-                "postings_head"
-            ),
+            F.array_join(
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20).cast(
+                    "array<string>"
+                ),
+                ",",
+            ).alias("postings_head"),
         )
         .filter(F.col("df") >= 10)
     )
@@ -701,7 +707,8 @@ def part_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(DISTINCT user_id) AS wau
       FROM events GROUP BY 1
     )
-    SELECT day, dau, wau, CAST(dau AS DOUBLE) / wau AS stickiness
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           dau, wau, CAST(dau AS DOUBLE) / wau AS stickiness
     FROM daily
     JOIN weekly ON CAST(date_trunc('week', CAST(day AS TIMESTAMP)) AS DATE)
                    = week
@@ -732,7 +739,10 @@ def events_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(weekly), on="week")
         .select(
-            "day",
+            # render the date as a STRING: Spark DATE reaches pandas as
+            # object(datetime.date) while DuckDB DATE arrives as
+            # datetime64 — same calendar day, different canonical dtype
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
             "dau",
             "wau",
             (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
@@ -833,7 +843,8 @@ def customer_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT sh.doc_id,
            COUNT(*) AS n_shingles,
-           SUM(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END) AS n_novel,
+           CAST(SUM(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
            SUM(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END)
              / COUNT(*) AS novelty
     FROM sh JOIN first_seen ON first_seen.shingle = sh.shingle

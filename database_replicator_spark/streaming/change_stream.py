@@ -376,9 +376,15 @@ def diff_epochs(
     compaction (`compact_changes`) over ONLY the log slice in that window
     — partition pruning on the ``epoch=`` keys confines the scan; the
     snapshots themselves are never materialized or joined. Each key's net
-    classification is refined against the as-of state at ``epoch_from``
-    via a pk semi-probe of the slice's insert-claims only (bounded by the
-    slice, not the table). Returns (pk, net_op, payload, change_id).
+    classification is refined against the as-of state at ``epoch_from``:
+    the pk keyset reclassifies op labels (a re-insert of a live key is an
+    update; an update materializing an absent key is an insert), and the
+    as-of PAYLOAD drops value-unchanged touches (a re-insert or update
+    that restores the as-of value is not a state difference). The probe
+    is keyed by the slice's pks, bounded by the slice, not the table.
+    Returns (pk, net_op, payload, change_id) — exactly the dict-diff of
+    the two replayed states (property-tested in
+    tests/test_cdc_compaction.py).
 
     This is the audit primitive "show me what a day of sync actually did"
     — at 100 TB the alternative (diffing two reconstructed snapshots) is
@@ -396,7 +402,9 @@ def diff_epochs(
     # a slice-local "insert" first-op only proves the key was born within
     # the slice if it did not ALSO exist at epoch_from (replays / resyncs
     # can re-insert); reclassify against the as-of keyset
-    existed = read_table_asof(spark, target_dir, table, epoch_from).select("pk")
+    existed = read_table_asof(spark, target_dir, table, epoch_from).select(
+        "pk", F.col("payload").alias("_asof_payload")
+    )
     net = (
         net.join(existed.withColumn("_existed", F.lit(True)), on="pk", how="left")
         .withColumn(
@@ -421,7 +429,17 @@ def diff_epochs(
         .filter(
             ~((F.col("net_op") == "delete") & F.col("_existed").isNull())
         )
-        .drop("_existed")
+        # a value-unchanged touch (re-insert / update restoring the as-of
+        # payload) also nets to nothing vs the as-of STATE — the op label
+        # alone can't see this; compare the surviving payload against the
+        # as-of payload (null-safe: payloads may legitimately be NULL)
+        .filter(
+            ~(
+                (F.col("net_op") == "update")
+                & F.col("payload").eqNullSafe(F.col("_asof_payload"))
+            )
+        )
+        .drop("_existed", "_asof_payload")
     )
     last_ids = log.groupBy("pk").agg(F.max("change_id").alias("change_id"))
     return net.drop("change_id").join(last_ids, on="pk").select(

@@ -5,6 +5,22 @@ Runs every ``queries()`` entry from ``__spark_entry__`` against the matching
 row count, column names, and (order-insensitively) values. Use while
 iterating so hash mismatches are caught before the driver runs.
 
+Driver-faithful canonicalization (the r6 lesson): BOTH result sets are
+materialized as pandas DataFrames — Spark via ``toPandas()``, DuckDB via
+``.df()`` — exactly like the driver, NOT via ``fetchall()``. DuckDB
+renders a bare integer ``SUM(CASE…)`` as HUGEINT, which pandas widens to
+float64 (``3791.0``) while Spark emits int64 (``3791``): value-identical
+under ``fetchall()`` (HUGEINT → Python int) yet hash-different in the
+driver. Hence two extra rejections beyond value equality:
+
+* **dtype-kind mismatch** — any output column whose pandas dtype *kind*
+  (int/float/object/datetime/bool) differs between the Spark and oracle
+  frames fails the gate even when every value renders identically;
+* **unhashable output** — any object column containing list/ndarray/
+  dict/tuple values fails (the driver's pandas sort raises
+  ``TypeError: unhashable type`` on them — CORRECTNESS_r06
+  ``doc_keyword_postings``). Arrays must be string-joined on both sides.
+
 Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
 """
 
@@ -50,6 +66,45 @@ def rows_to_multiset(cols, rows):
     return sorted(
         "\x1f".join(canon_value(r[i]) for i in order) for r in rows
     )
+
+
+def pdf_problems(s_pdf, d_pdf):
+    """Driver-faithfulness checks on the two pandas frames.
+
+    Returns a list of problem strings: dtype-KIND mismatches per column
+    (int64 vs float64 is the HUGEINT leak; exact-dtype equality is NOT
+    required — datetime64[ns] vs datetime64[us] both render the same) and
+    unhashable object-column payloads (lists/ndarrays crash the driver's
+    pandas ``sort_values`` canonicalizer).
+    """
+    import numpy as np
+
+    problems = []
+    shared = sorted(set(s_pdf.columns) & set(d_pdf.columns))
+    for c in shared:
+        sk, dk = s_pdf[c].dtype.kind, d_pdf[c].dtype.kind
+        # unify signed/unsigned int kinds; treat everything else strictly
+        norm = {"u": "i"}
+        if norm.get(sk, sk) != norm.get(dk, dk):
+            problems.append(
+                f"dtype kind mismatch on {c!r}: spark={s_pdf[c].dtype} "
+                f"oracle={d_pdf[c].dtype} (driver hashes pandas renderings "
+                f"— int64 3791 vs float64 3791.0 differ)"
+            )
+    for side, pdf in (("spark", s_pdf), ("oracle", d_pdf)):
+        for c in pdf.columns:
+            if pdf[c].dtype.kind != "O":
+                continue
+            bad = pdf[c].map(
+                lambda v: isinstance(v, (list, tuple, dict, set, np.ndarray))
+            )
+            if bad.any():
+                problems.append(
+                    f"unhashable {side} output column {c!r} "
+                    "(array/struct values crash the driver's pandas sort "
+                    "— string-join them on both sides)"
+                )
+    return problems
 
 
 def main() -> int:
@@ -120,8 +175,9 @@ def _run(spark, sf_dir: str, only: set, entry_mod, duckdb, results: dict | None 
         sql = oracles.get(name)
         try:
             sdf = fn(spark, sf_dir)
-            s_cols = sdf.columns
-            s_rows = [tuple(r) for r in sdf.collect()]
+            s_pdf = sdf.toPandas()  # driver path: pandas, NOT collect()
+            s_cols = list(s_pdf.columns)
+            s_rows = list(s_pdf.itertuples(index=False, name=None))
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             failures += 1
@@ -134,9 +190,9 @@ def _run(spark, sf_dir: str, only: set, entry_mod, duckdb, results: dict | None 
                 results[name] = f"weak ({len(s_rows)} rows)"
             continue
         try:
-            res = con.execute(sql)
-            d_cols = [c[0] for c in res.description]
-            d_rows = res.fetchall()
+            d_pdf = con.execute(sql).df()  # driver path: .df(), NOT fetchall()
+            d_cols = list(d_pdf.columns)
+            d_rows = list(d_pdf.itertuples(index=False, name=None))
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             failures += 1
@@ -148,6 +204,8 @@ def _run(spark, sf_dir: str, only: set, entry_mod, duckdb, results: dict | None 
             problems.append(f"columns spark={sorted(s_cols)} duck={sorted(d_cols)}")
         if len(s_rows) != len(d_rows):
             problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
+        if not problems:
+            problems.extend(pdf_problems(s_pdf, d_pdf))
         if not problems:
             sm = rows_to_multiset(s_cols, s_rows)
             dm = rows_to_multiset(d_cols, d_rows)
