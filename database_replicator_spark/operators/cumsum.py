@@ -46,6 +46,22 @@ from pyspark.sql import functions as F
 SMALL_THRESHOLD = 2_000_000
 
 
+def _nullsafe_join(left: DataFrame, right: DataFrame, keys: list[str]) -> DataFrame:
+    """Inner join on ``keys`` with NULL-safe equality (``<=>``), keeping
+    the left side's key columns. A plain ``on=keys`` equi-join silently
+    drops NULL-keyed rows — with grouped data a NULL group key is a
+    legitimate group (groupBy and Window.partitionBy both keep it), so
+    the bucketed plan must join it back like any other."""
+    renamed = right
+    for k in keys:
+        renamed = renamed.withColumnRenamed(k, f"_r_{k}")
+    cond = None
+    for k in keys:
+        c = left[k].eqNullSafe(renamed[f"_r_{k}"])
+        cond = c if cond is None else (cond & c)
+    return left.join(renamed, cond).drop(*[f"_r_{k}" for k in keys])
+
+
 def grouped_running_sum(
     df: DataFrame,
     group_cols: list[str],
@@ -75,6 +91,15 @@ def grouped_running_sum(
     plain-window plan; ``"distributed"`` / ``"single"`` force a path —
     a 100 TB caller that KNOWS its scale should pass ``"distributed"``
     and skip the sizing pass.
+
+    NULL semantics match the naive window exactly on every axis: a NULL
+    group key is one group (null-safe joins), NULL order values sort
+    where Spark's defaults put them (NULLS FIRST for ASC, NULLS LAST for
+    DESC — the sentinel bucket −1 lands there on both bucket orders),
+    and the running SUM is NULL precisely while every prefix value is
+    NULL (the offset is kept nullable and composed with the local sum).
+    ``id_col`` must be non-NULL and unique per group — it is the
+    deterministic tiebreak, same contract as the naive window.
     """
     oc = order_col or value_col
     if mode not in ("auto", "distributed", "single"):
@@ -102,22 +127,33 @@ def grouped_running_sum(
         F.max(oc).alias("_gmax"), F.min(oc).alias("_gmin")
     )
     if group_cols:
-        with_rng = df.join(ranges, on=list(group_cols))
+        # NULL-safe: a NULL group key is a real group in both groupBy
+        # and Window.partitionBy — the bucketed path must keep it too
+        with_rng = _nullsafe_join(df, ranges, list(group_cols))
     else:
         with_rng = df.crossJoin(F.broadcast(ranges))
     # monotone coarse bin over the ORDER column's per-group range (min
-    # shift handles negatives; +1 keeps the ratio strictly < 1)
+    # shift handles negatives; +1 keeps the ratio strictly < 1). NULL
+    # order values take the sentinel bucket -1, which the DESC bucket
+    # order places last and the ASC order first — exactly Spark's
+    # default NULL placement (NULLS LAST for DESC, NULLS FIRST for ASC),
+    # so both paths stay output-identical on NULL-keyed rows. This also
+    # covers the all-NULL group, whose (min, max) range is itself NULL.
     binned = with_rng.withColumn(
         "_bkt",
-        F.floor(
-            (F.col(oc).cast("double") - F.col("_gmin").cast("double"))
-            / (
-                F.col("_gmax").cast("double")
-                - F.col("_gmin").cast("double")
-                + 1.0
+        F.when(F.col(oc).isNull(), F.lit(-1))
+        .otherwise(
+            F.floor(
+                (F.col(oc).cast("double") - F.col("_gmin").cast("double"))
+                / (
+                    F.col("_gmax").cast("double")
+                    - F.col("_gmin").cast("double")
+                    + 1.0
+                )
+                * buckets
             )
-            * buckets
-        ).cast("int"),
+        )
+        .cast("int"),
     )
 
     totals = binned.groupBy(*gcols, F.col("_bkt")).agg(
@@ -131,8 +167,12 @@ def grouped_running_sum(
         .orderBy(bkt_order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # keep the offset NULLABLE (no coalesce): SQL's running SUM is NULL
+    # exactly while every prefix value is NULL, and the two pieces must
+    # compose to that — offset NULL ⟺ no non-NULL value in any earlier
+    # bucket, local NULL ⟺ none in this bucket's prefix
     offsets = totals.withColumn(
-        "_offset", F.coalesce(F.sum("_bkt_total").over(w_off), F.lit(0))
+        "_offset", F.sum("_bkt_total").over(w_off)
     ).drop("_bkt_total")
 
     row_order = F.col(oc).asc() if ascending else F.col(oc).desc()
@@ -141,9 +181,15 @@ def grouped_running_sum(
         .orderBy(row_order, F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    local = F.sum(value_col).over(w_cum)
+    cum = F.when(
+        F.col("_offset").isNull() & local.isNull(), F.lit(None)
+    ).otherwise(
+        F.coalesce(F.col("_offset"), F.lit(0)) + F.coalesce(local, F.lit(0))
+    )
     return (
-        binned.join(offsets, on=[*group_cols, "_bkt"])
-        .withColumn(out_col, F.col("_offset") + F.sum(value_col).over(w_cum))
+        _nullsafe_join(binned, offsets, [*group_cols, "_bkt"])
+        .withColumn(out_col, cum)
         .drop("_gmax", "_gmin", "_bkt", "_offset")
     )
 
@@ -184,7 +230,11 @@ def positional_quantiles(
     sizes = df.groupBy(*[F.col(c) for c in group_cols]).agg(
         F.count(F.lit(1)).alias("n")
     )
-    joined = ranked.join(sizes, on=list(group_cols))
+    joined = (
+        _nullsafe_join(ranked, sizes, list(group_cols))
+        if group_cols
+        else ranked.crossJoin(F.broadcast(sizes))
+    )
     aggs = [F.max("n").alias("n")]
     for num, den, name in fractions:
         pos = F.expr(f"({num} * n + {den - 1}) div {den}")
@@ -209,9 +259,10 @@ def grouped_rank(
     constant-1 running sum through :func:`grouped_running_sum`. With a
     unique tiebreak this equals rank()/row_number() (no peer groups), so
     the full ranking-window family derives from (rank, n):
-    percent_rank = (rank−1)/(n−1), cume_dist = rank/n, and ntile via
-    :func:`ntile_expr` — all without the single-task global sort the
-    naive window plans."""
+    percent_rank = (rank−1)/(n−1) — guard the n = 1 group, where 0/0 is
+    NULL in Spark but percent_rank() defines 0.0 —, cume_dist = rank/n,
+    and ntile via :func:`ntile_expr` — all without the single-task
+    global sort the naive window plans."""
     return grouped_running_sum(
         df.withColumn("_one", F.lit(1)),
         group_cols,
@@ -229,14 +280,17 @@ def ntile_expr(rank_col: Column, n_col: Column, k: int) -> Column:
     """Exact NTILE(k) bucket from a 1-based unique rank and the group
     size: the first ``n mod k`` buckets get ``n div k + 1`` rows, the
     rest ``n div k`` — SQL-standard remainder-to-first-buckets
-    semantics, as pure integer arithmetic (⌈a/b⌉ = (a+b−1) div b). The
-    q = 0 edge (n < k: every row its own bucket) stays in the WHEN
-    branch, so the else-branch division by q never evaluates."""
-    q = (n_col / k).cast("long")  # n div k
+    semantics, as pure integer arithmetic (⌈a/b⌉ = (a+b−1) div b) via
+    the JVM's integral ``div`` — no double round-trip, so exactness
+    holds across the full bigint range, not just below 2^53. The q = 0
+    edge (n < k: every row its own bucket) stays in the WHEN branch, so
+    the else-branch division by q never evaluates."""
+    idiv = lambda a, b: F.call_function("div", a, b)  # noqa: E731
+    q = idiv(n_col, F.lit(k))  # n div k
     m = n_col - q * k  # n mod k
     boundary = m * (q + 1)
-    first = ((rank_col + q) / (q + 1)).cast("long")  # ceil(r/(q+1))
-    rest = m + ((rank_col - boundary + q - 1) / q).cast("long")
+    first = idiv(rank_col + q, q + 1)  # ceil(r/(q+1))
+    rest = m + idiv(rank_col - boundary + q - 1, q)
     return F.when(rank_col <= boundary, first).otherwise(rest)
 
 

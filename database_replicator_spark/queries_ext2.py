@@ -936,7 +936,11 @@ def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("spend_dec").cast("string").cast("double").alias("spend"),
             ntile_expr(r, n, 10).cast("int").alias("decile"),
             r.cast("bigint").alias("rnk"),
-            ((r - 1) / (n - 1)).alias("pct_rank"),
+            # n = 1 edge: (r-1)/(n-1) is 0/0 → NULL in Spark, while
+            # percent_rank() (and the DuckDB oracle) define it as 0.0
+            F.when(n > 1, (r - 1) / (n - 1)).otherwise(F.lit(0.0)).alias(
+                "pct_rank"
+            ),
             (r / n).alias("cume"),
         )
         .orderBy("rnk")

@@ -90,8 +90,16 @@ def nation_customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window (which would collocate every nation's customer slice in one
     # task — the same hazard grouped_running_sum exists to remove)
     totals = ranked.groupBy("n_name").agg(F.sum("units").alias("total"))
+    # size ONCE on the cheap pre-aggregated side (one row per customer)
+    # instead of letting mode="auto" run its own sizing job per call —
+    # the RFM gate's rank_mode idiom (one fewer job in the plan)
+    from .operators.cumsum import SMALL_THRESHOLD
+
+    rank_mode = "single" if spend.count() <= SMALL_THRESHOLD else "distributed"
     return (
-        grouped_running_sum(ranked, ["n_name"], "units", "c_custkey")
+        grouped_running_sum(
+            ranked, ["n_name"], "units", "c_custkey", mode=rank_mode
+        )
         .join(totals, on="n_name")
         .groupBy("n_name")
         .agg(

@@ -60,6 +60,103 @@ def read_change_stream(
     return reader
 
 
+#: the Kafka wire shape — what ``spark.readStream.format("kafka")`` emits
+#: and what connect-style archive sinks persist per record
+KAFKA_WIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("topic", T.StringType()),
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("key", T.StringType()),
+        T.StructField("value", T.StringType()),
+    ]
+)
+
+
+def decode_kafka_changes(raw: DataFrame) -> DataFrame:
+    """Map a Kafka-wire frame — ``(topic, partition, offset, key,
+    value)`` — onto :data:`CHANGE_SCHEMA`, so a message-bus deployment
+    plugs into the same :class:`ChangeApplier` as the file queue. This is
+    the source seam the reference's gRPC queue occupies
+    (sqlite-watcher/src/queue.rs:132-158 — ListChanges/Ack): Kafka's
+    committed offsets play the Ack role exactly as the streaming
+    checkpoint does for the file source.
+
+    Envelope conventions (Debezium-style, all with graceful fallbacks):
+
+    * ``value`` is the JSON change envelope; both string and binary
+      values are accepted (binary is cast — Kafka's reader emits binary).
+    * ``table`` falls back to the TOPIC name (topic-per-table routing),
+      ``pk`` falls back to the record KEY (the standard keyed-compaction
+      layout), ``change_id`` falls back to ``(partition << 44) |
+      offset`` — offsets alone collide across partitions of one topic,
+      so the partition is folded into the high bits. The derived id is
+      unique per table and monotone per KEY (a key lives in one
+      partition, where Kafka guarantees order), which is exactly what
+      last-write-wins compaction needs; it is NOT monotone across a
+      whole multi-partition table, so a deployment that needs the
+      reference's per-table AUTOINCREMENT contract (e.g. exact
+      ``n_changes`` accounting) should carry an envelope ``change_id``.
+      Do not mix conventions within one table — envelope ids and
+      derived ids share the dedup keyspace.
+
+    Works identically on a live Kafka stream and on an archived feed
+    (the parquet/JSON layout connect sinks write), batch or streaming —
+    the decode is pure column expressions, no state."""
+    cols = set(raw.columns)
+    val = F.col("value").cast("string")
+    parsed = F.from_json(val, CHANGE_SCHEMA).alias("_c")
+    out = raw.withColumn("_c", parsed)
+    table = F.coalesce(F.col("_c.table"), F.col("topic")) if "topic" in cols \
+        else F.col("_c.table")
+    pk = (
+        F.coalesce(F.col("_c.pk"), F.col("key").cast("string"))
+        if "key" in cols
+        else F.col("_c.pk")
+    )
+    if "offset" in cols:
+        derived = F.col("offset")
+        if "partition" in cols:
+            derived = (
+                F.shiftleft(F.col("partition").cast("long"), 44)
+                + F.col("offset")
+            )
+        change_id = F.coalesce(F.col("_c.change_id"), derived)
+    else:
+        change_id = F.col("_c.change_id")
+    return out.select(
+        change_id.alias("change_id"),
+        table.alias("table"),
+        F.col("_c.op").alias("op"),
+        pk.alias("pk"),
+        F.col("_c.payload").alias("payload"),
+    )
+
+
+def read_change_stream_kafka_archive(
+    spark: SparkSession,
+    source_dir: str,
+    file_format: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming reader over a Kafka-archive directory — files of
+    ``(topic, partition, offset, key, value)`` records in ``parquet`` or
+    ``json`` — decoded to :data:`CHANGE_SCHEMA` via
+    :func:`decode_kafka_changes`. In a deployment with live brokers the
+    same decode applies to ``spark.readStream.format("kafka")`` output
+    verbatim; the archive layout keeps the seam testable without one."""
+    reader = spark.readStream.schema(KAFKA_WIRE_SCHEMA).option(
+        "maxFilesPerTrigger", max_files_per_trigger or 10
+    )
+    if file_format == "parquet":
+        raw = reader.parquet(source_dir)
+    elif file_format == "json":
+        raw = reader.json(source_dir)
+    else:
+        raise ValueError(f"unsupported kafka archive format {file_format!r}")
+    return decode_kafka_changes(raw)
+
+
 @dataclass
 class ChangeApplier:
     """foreachBatch sink applying change batches to per-table parquet

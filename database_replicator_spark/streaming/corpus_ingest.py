@@ -268,7 +268,23 @@ def ingest_status(spark: SparkSession, target_dir: str) -> dict:
     path = os.path.join(target_dir, "_ingest_stats")
     if not os.path.isdir(path):
         return {"epochs": 0, "totals": {}, "last_epoch": None}
-    stats = spark.read.option("basePath", path).parquet(path)
+    # mergeSchema: epochs written before a counter column existed (the
+    # 'seconds' column was added later) must not make the sums depend on
+    # which footer Spark happens to sample — missing columns read NULL.
+    # A stats dir can also exist with zero files/rows (crash between
+    # mkdir and write): schema inference raises, or totals_row would be
+    # all-NULL and the epoch==NULL probe .first()s into None — report
+    # the empty status instead of raising in both shapes.
+    from pyspark.errors import AnalysisException
+
+    try:
+        stats = spark.read.option("basePath", path).option(
+            "mergeSchema", "true"
+        ).parquet(path)
+        if not stats.head(1):
+            return {"epochs": 0, "totals": {}, "last_epoch": None}
+    except AnalysisException:
+        return {"epochs": 0, "totals": {}, "last_epoch": None}
     counter_cols = [c for c in stats.columns if c != "epoch"]
     totals_row = stats.select(
         *[F.sum(c).alias(c) for c in counter_cols],
@@ -283,7 +299,11 @@ def ingest_status(spark: SparkSession, target_dir: str) -> dict:
     return {
         "epochs": int(totals_row["_epochs"]),
         "totals": {
-            c: (float(totals_row[c]) if c == "seconds" else int(totals_row[c]))
+            c: (
+                float(totals_row[c] or 0.0)
+                if c == "seconds"
+                else int(totals_row[c] or 0)
+            )
             for c in counter_cols
         },
         "last_epoch": last,

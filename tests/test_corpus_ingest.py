@@ -300,3 +300,39 @@ class TestCorpusIngestMonitoring:
         assert t["n_accepted"] == 3
         assert t["seconds"] > 0
         assert st["last_epoch"]["n_accepted"] == 1
+
+    def test_status_on_empty_and_mixed_schema_stats(self, spark, dirs, tmp_path):
+        """ingest_status must survive two degenerate layouts (r6 advisor):
+        a stats dir that exists with zero rows (crash between mkdir and
+        write), and epochs written before the 'seconds' column existed
+        (schema-merged read, missing counters sum as 0)."""
+        from database_replicator_spark.streaming.corpus_ingest import (
+            ingest_status,
+        )
+
+        # empty dir → empty status, not AttributeError
+        tgt = str(tmp_path / "t1")
+        os.makedirs(os.path.join(tgt, "_ingest_stats"))
+        assert ingest_status(spark, tgt) == {
+            "epochs": 0, "totals": {}, "last_epoch": None,
+        }
+
+        # epoch 0 written WITHOUT seconds (old layout), epoch 1 with it
+        tgt2 = str(tmp_path / "t2")
+        stats = os.path.join(tgt2, "_ingest_stats")
+        spark.createDataFrame(
+            [(5, 1, 0, 0, 0, 4)],
+            "n_in long, n_quality_rejected long, n_dup_in_batch long, "
+            "n_dup_vs_corpus long, n_neardup_vs_corpus long, n_accepted long",
+        ).write.parquet(os.path.join(stats, "epoch=0"))
+        spark.createDataFrame(
+            [(3, 0, 0, 0, 0, 3, 0.25)],
+            "n_in long, n_quality_rejected long, n_dup_in_batch long, "
+            "n_dup_vs_corpus long, n_neardup_vs_corpus long, n_accepted long, "
+            "seconds double",
+        ).write.parquet(os.path.join(stats, "epoch=1"))
+        st = ingest_status(spark, tgt2)
+        assert st["epochs"] == 2
+        assert st["totals"]["n_in"] == 8
+        assert st["totals"]["seconds"] == 0.25  # old epoch contributes 0
+        assert st["last_epoch"]["n_accepted"] == 3

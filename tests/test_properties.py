@@ -1222,9 +1222,16 @@ class TestCumsumProperties:
 
     cumsum_rows = st.lists(
         st.tuples(
-            st.sampled_from(["a", "b", "c"]),                     # group
+            # NULL is a real group key (groupBy and partitionBy both
+            # keep it) — the distributed path must not drop it (r6
+            # advisor finding: plain equi-joins reject NULL keys)
+            st.sampled_from(["a", "b", "c", None]),               # group
             st.integers(min_value=0, max_value=40),               # id
-            st.integers(min_value=-100, max_value=100),           # value
+            # NULL values exercise both the sentinel order bucket and
+            # the SQL sum-NULL-while-all-prefix-NULL composition
+            st.one_of(
+                st.none(), st.integers(min_value=-100, max_value=100)
+            ),                                                    # value
         ),
         min_size=1,
         max_size=30,
@@ -1255,11 +1262,12 @@ class TestCumsumProperties:
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         slow = df.withColumn("cum", F.sum("v").over(w))
-        key = lambda r: (r["g"], r["id"])  # noqa: E731
+        # None-safe sort key (NULL groups/values are legitimate rows)
+        key = lambda t: (t[0] is None, t[0] or "", t[1])  # noqa: E731
         got = sorted(
-            ((r["g"], r["id"], r["cum"]) for r in fast.collect())
+            ((r["g"], r["id"], r["cum"]) for r in fast.collect()), key=key
         )
         want = sorted(
-            ((r["g"], r["id"], r["cum"]) for r in slow.collect())
+            ((r["g"], r["id"], r["cum"]) for r in slow.collect()), key=key
         )
         assert got == want
