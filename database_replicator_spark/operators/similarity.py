@@ -1484,6 +1484,89 @@ def coverage_sample(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    tau: float,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    quantizer: str = "sample",
+    centroids=None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication"): cluster the corpus with a coarse
+    quantizer, then inside each cluster drop every vector whose rounded
+    cosine to some LOWER-id cluster member reaches ``tau``. Clustering
+    bounds the quadratic — pairwise similarity only ever runs within a
+    cell, never across the corpus (the paper's reason for clustering
+    first). Returns ``(id, cid, dup_of, kept)`` where ``dup_of`` is the
+    smallest qualifying lower id (-1 when kept) — the deterministic
+    keep-lowest-id representative rule, so reruns and engines agree.
+
+    This greedy rule drops any non-minimal node of its threshold
+    neighborhood; a chain a–b, b–c (with a–c below ``tau``) therefore
+    drops BOTH b and c, like the paper's one-representative-per-cluster
+    ε-ball variant. For exact connected-component semantics compose the
+    kept pairs with dedup.connected_components instead.
+
+    Scale: assignment is map-only (:func:`cell_assign`, one
+    batch × nlist matmul per Arrow batch); the only shuffle is on
+    ``cid``; each cell is one (|cell| × dim) matmul. Size ``nlist`` so
+    cells fit a task (the paper runs 50k clusters over LAION) — per-cell
+    memory is |cell|² rounded doubles.
+
+    ``quantizer="sample"`` (lowest-``nlist``-id unit vectors, k-means at
+    zero Lloyd iterations) keeps every stage SQL-reproducible for the
+    oracle; production passes ``"kmeans"`` or pre-trained ``centroids``
+    (load_index_artifact) without changing the plan shape — same
+    contract as :func:`ivf_topk`."""
+    import numpy as np
+
+    cent = centroids
+    if cent is None:
+        if quantizer == "kmeans":
+            cent = kmeans_centroids(corpus, nlist, id_col, vec_col)
+        elif quantizer == "sample":
+            ids, mat = collect_unit_matrix(
+                corpus.filter(F.col(id_col) < nlist), id_col, vec_col
+            )
+            cent = mat[np.argsort(ids)]
+        else:
+            raise ValueError(f"unknown quantizer {quantizer!r}")
+
+    assigned = cell_assign(
+        corpus, cent, id_col, vec_col, round_digits, keep_vec=True
+    )
+
+    def dedup_cell(pdf):
+        import pandas as pd
+
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.array(pdf["unit"].tolist())[order]
+        sims = np.round(mat @ mat.T, round_digits)
+        dup_of = np.full(len(ids), -1, dtype=np.int64)
+        for i in range(1, len(ids)):
+            hits = np.nonzero(sims[i, :i] >= tau)[0]
+            if len(hits):
+                dup_of[i] = ids[hits[0]]  # ids sorted asc → first = min
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cid": pdf["cid"].iloc[0],
+                "dup_of": dup_of,
+                "kept": dup_of < 0,
+            }
+        )
+
+    return assigned.groupBy("cid").applyInPandas(
+        dedup_cell, schema=f"{id_col} long, cid long, dup_of long, kept boolean"
+    )
+
+
 def hard_negatives(
     corpus: DataFrame,
     queries: DataFrame,

@@ -352,11 +352,13 @@ from . import (  # noqa: E402,F401
     queries_tpch,
 )
 
-# queries_r6 registers LAST: its gates are new (zero driver evidence) and
-# the evidence rotation is stable within a tier, so registering them after
-# every pre-existing module keeps them BEHIND the older never-driver-
-# verified gates in the 50-gate driver window (VERDICT r5 #2).
+# queries_r6/queries_r7 register LAST: their gates are newest (least
+# driver evidence) and the evidence rotation is stable within a tier, so
+# registering them after every pre-existing module keeps them BEHIND the
+# older never-driver-verified gates in the 50-gate driver window
+# (VERDICT r5 #2).
 from . import queries_r6  # noqa: E402,F401
+from . import queries_r7  # noqa: E402,F401
 
 
 def _driver_evidence_rounds() -> dict[str, int]:

@@ -1,0 +1,369 @@
+"""Round-7 query-surface additions: SemDeDup-style semantic dedup over
+the embedding table, a quality-threshold calibration sweep, a per-source
+pipeline-attrition funnel, and the matryoshka prescreen → exact-rerank
+serving composition.
+
+These deepen the LLM-data-pipeline tier (corpus curation + embedding
+serving); the replication surface is complete per SURVEY.md §2.
+Determinism follows the house rules in queries.py — integer arithmetic
+until one final identical double op per side, 6-dp-rounded cosines with
+id tiebreaks, identical aliases.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import query
+from .queries_llm import _DOT_SQL, _NORM_SQL, _UNIT_SQL
+from .sources.catalog import load_table
+
+
+@query(
+    "embedding_semantic_dedup",
+    oracle=f"""
+    WITH units AS (
+      SELECT vec_id, {_UNIT_SQL.format(v='embedding')} AS unit FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cid, unit AS cvec FROM units WHERE vec_id < 16),
+    assign AS (
+      SELECT vec_id, unit, cid FROM (
+        SELECT u.vec_id, u.unit, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY u.vec_id
+                 ORDER BY round({_DOT_SQL.format(a='u.unit', b='c.cvec')}, 6)
+                            DESC,
+                          c.cid ASC) AS rn
+        FROM units u CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    dups AS (
+      SELECT a.vec_id, MIN(b.vec_id) AS dup_of
+      FROM assign a JOIN assign b
+        ON a.cid = b.cid AND b.vec_id < a.vec_id
+       AND round({_DOT_SQL.format(a='a.unit', b='b.unit')}, 6) >= 0.4
+      GROUP BY a.vec_id
+    )
+    SELECT a.vec_id, a.cid,
+           COALESCE(d.dup_of, -1) AS dup_of,
+           d.dup_of IS NOT NULL AS is_dup
+    FROM assign a LEFT JOIN dups d ON a.vec_id = d.vec_id
+    """,
+)
+def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): coarse-quantize
+    the embedding corpus into cells, then inside each cell drop every
+    vector whose 6-dp cosine to a lower-id cell member reaches τ = 0.4 —
+    semantic near-duplicates that no lexical tier can see (paraphrases,
+    translations, re-encodings). ``dup_of`` names the smallest qualifying
+    lower id (-1 for kept rows): the deterministic keep-lowest-id
+    representative rule, identical in both engines.
+
+    Plan (operators/similarity.semantic_dedup): map-only cell assignment
+    (one batch×nlist BLAS matmul per Arrow batch), ONE shuffle on the
+    cell id, one |cell|×dim matmul per cell — clustering bounds the
+    quadratic exactly as the paper prescribes (50k cells over LAION);
+    nothing is all-pairs across the corpus. The gate's sample quantizer
+    (lowest-16-id unit vectors) keeps every stage SQL-reproducible;
+    production swaps trained/persisted centroids without changing the
+    plan shape, same contract as similarity_ivf_topk."""
+    from .operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, tau=0.4, nlist=16)
+    return out.select(
+        "vec_id", "cid", "dup_of", (~F.col("kept")).alias("is_dup")
+    )
+
+
+@query(
+    "doc_quality_threshold_sweep",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             length(text) AS n_chars_m,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             len(regexp_extract_all(text, '[.!?,;:]')) AS n_punct,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                 x -> x IN ('the','a','of','and','to','in','is','it','for','on')))
+               AS n_stop
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n_tokens,
+             least((n_alpha / greatest(n_tokens, 1)) / 8.0, 1.0) * 0.4
+             + least((n_stop / greatest(n_tokens, 1)) * 5.0, 1.0) * 0.4
+             + least((n_punct / greatest(n_chars_m, 1)) * 20.0, 1.0) * 0.2 AS q
+      FROM c
+    ),
+    b AS (
+      SELECT CAST(floor(q * 10) AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS toks
+      FROM s GROUP BY 1
+    ),
+    grid AS (SELECT CAST(k AS BIGINT) AS k FROM range(0, 10) t(k)),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM s)
+    SELECT CAST(k AS DOUBLE) / 10 AS threshold,
+           CAST(COALESCE(SUM(CASE WHEN bin >= k THEN docs END), 0) AS BIGINT)
+             AS n_docs,
+           CAST(COALESCE(SUM(CASE WHEN bin >= k THEN toks END), 0) AS BIGINT)
+             AS n_tokens_retained,
+           CAST(COALESCE(SUM(CASE WHEN bin >= k THEN toks END), 0) AS DOUBLE)
+             / MAX(total) AS token_share
+    FROM grid CROSS JOIN tot LEFT JOIN b ON true
+    GROUP BY k
+    """,
+)
+def doc_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-calibration curve: documents and tokens retained at each
+    quality-score threshold 0.0, 0.1, …, 0.9 — the table a pipeline
+    operator reads to pick the threshold that meets a token budget
+    ("what does tightening quality from 0.5 to 0.6 cost in tokens?").
+
+    Plan: the scale-shaped sweep is NOT a 10× fanout of the corpus —
+    each document maps once into its score decile bin (one scan, one
+    tiny groupBy), and the per-threshold totals are descending
+    cumulative sums over the ≤10-row bin relation, joined to the 10-row
+    threshold grid (a broadcast nested loop over bounded literals).
+    Both engines compute the score with identical fixed-order double
+    arithmetic (the doc_quality contract), so binning agrees."""
+    from .operators.textops import quality_components, quality_score_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = quality_components(docs).select(
+        "doc_id", "n_tokens", quality_score_expr().alias("q")
+    )
+    b = s.groupBy(
+        F.floor(F.col("q") * 10).cast("bigint").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("docs"), F.sum("n_tokens").alias("toks")
+    )
+    grid = spark.range(0, 10).select(F.col("id").alias("k"))
+    tot = s.agg(F.sum("n_tokens").alias("total"))
+    return (
+        grid.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(b), F.lit(True), how="left")
+        .groupBy("k", "total")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("bin") >= F.col("k"), F.col("docs"))),
+                F.lit(0),
+            ).alias("n_docs"),
+            F.coalesce(
+                F.sum(F.when(F.col("bin") >= F.col("k"), F.col("toks"))),
+                F.lit(0),
+            ).alias("n_tokens_retained"),
+        )
+        .select(
+            (F.col("k").cast("double") / 10).alias("threshold"),
+            "n_docs",
+            "n_tokens_retained",
+            (
+                F.col("n_tokens_retained").cast("double") / F.col("total")
+            ).alias("token_share"),
+        )
+    )
+
+
+@query(
+    "corpus_attrition_funnel",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, source,
+             md5({_NORM_SQL}) AS fp,
+             length(text) AS n_chars_m,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             len(regexp_extract_all(text, '[.!?,;:]')) AS n_punct,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                 x -> x IN ('the','a','of','and','to','in','is','it','for','on')))
+               AS n_stop
+      FROM documents
+    ),
+    flagged AS (
+      SELECT doc_id, source, fp,
+             CASE WHEN n_tokens > 0 AND n_stop * 1000 >= n_tokens * 80
+                  THEN 1 ELSE 0 END AS lang_ok,
+             CASE WHEN least((n_alpha / greatest(n_tokens, 1)) / 8.0, 1.0) * 0.4
+                       + least((n_stop / greatest(n_tokens, 1)) * 5.0, 1.0) * 0.4
+                       + least((n_punct / greatest(n_chars_m, 1)) * 20.0, 1.0) * 0.2
+                       >= 0.5
+                  THEN 1 ELSE 0 END AS q_ok
+      FROM c
+    ),
+    keepers AS (
+      SELECT MIN(doc_id) AS keep_id FROM flagged
+      WHERE lang_ok = 1 AND q_ok = 1
+      GROUP BY fp
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_in,
+           CAST(SUM(lang_ok) AS BIGINT) AS n_lang,
+           CAST(SUM(lang_ok * q_ok) AS BIGINT) AS n_quality,
+           CAST(SUM(CASE WHEN keep_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           CAST(SUM(CASE WHEN keep_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS retention
+    FROM flagged LEFT JOIN keepers ON flagged.doc_id = keepers.keep_id
+    GROUP BY source
+    """,
+)
+def corpus_attrition_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source pipeline-attrition report: how many documents each
+    source contributes at every curation tier — ingested → language-ID
+    pass → quality pass (score ≥ 0.5) → exact-dedup survivor — plus the
+    end-to-end retention rate. The first table a corpus build prints,
+    and the one that catches a source whose crawl went bad (retention
+    collapses at one tier).
+
+    Tier semantics: dedup runs on the lang+quality survivors (pipeline
+    order), the survivor of each fingerprint group is the minimum
+    doc_id, and the surviving row is attributed to ITS source. All tier
+    predicates are the gated building blocks (lang_id_expr's integer
+    per-mille rule, the doc_quality fixed-order double score,
+    fingerprint_expr's md5-of-normalized-text).
+
+    Plan: one scan computes every per-doc flag map-side; the dedup tier
+    is one fingerprint-keyed aggregate of the filtered subset joined
+    back on doc_id (uniform keys); the report is one source-keyed
+    aggregate. No fanout, no window."""
+    from .operators.textops import (
+        fingerprint_expr,
+        lang_id_expr,
+        quality_components,
+        quality_score_expr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = quality_components(docs).select(
+        "doc_id",
+        "source",
+        fingerprint_expr(F.col("text")).alias("fp"),
+        (lang_id_expr(F.col("text")) == "en").cast("int").alias("lang_ok"),
+        (quality_score_expr() >= 0.5).cast("int").alias("q_ok"),
+    )
+    keepers = (
+        flagged.filter((F.col("lang_ok") == 1) & (F.col("q_ok") == 1))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"))
+        .select("keep_id")
+    )
+    survived = F.when(F.col("keep_id").isNotNull(), 1).otherwise(0)
+    return (
+        flagged.join(
+            keepers, flagged.doc_id == keepers.keep_id, how="left"
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_in"),
+            F.sum("lang_ok").alias("n_lang"),
+            F.sum(F.col("lang_ok") * F.col("q_ok")).alias("n_quality"),
+            F.sum(survived).alias("n_unique"),
+            (
+                F.sum(survived).cast("double") / F.count(F.lit(1))
+            ).alias("retention"),
+        )
+    )
+
+
+@query(
+    "embedding_matryoshka_rerank",
+    oracle=f"""
+    WITH sliced AS (
+      SELECT vec_id, (embedding)[1:16] AS emb FROM embeddings
+    ),
+    prefix_units AS (
+      SELECT vec_id, {_UNIT_SQL.format(v='emb')} AS unit FROM sliced
+    ),
+    full_units AS (
+      SELECT vec_id, {_UNIT_SQL.format(v='embedding')} AS unit
+      FROM embeddings
+    ),
+    pq AS (SELECT vec_id AS query_id, unit AS qvec FROM prefix_units
+           WHERE vec_id < 5),
+    prescreen AS (
+      SELECT query_id, corpus_id FROM (
+        SELECT pq.query_id, c.vec_id AS corpus_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY pq.query_id
+                 ORDER BY round({_DOT_SQL.format(a='c.unit', b='pq.qvec')}, 6)
+                            DESC,
+                          c.vec_id ASC) AS prank
+        FROM prefix_units c JOIN pq ON c.vec_id != pq.query_id
+      ) WHERE prank <= 25
+    ),
+    fq AS (SELECT vec_id AS query_id, unit AS qvec FROM full_units
+           WHERE vec_id < 5),
+    rescored AS (
+      SELECT p.query_id, p.corpus_id,
+             round({_DOT_SQL.format(a='c.unit', b='fq.qvec')}, 6) AS cosine
+      FROM prescreen p
+      JOIN full_units c ON c.vec_id = p.corpus_id
+      JOIN fq ON fq.query_id = p.query_id
+    )
+    SELECT query_id, corpus_id, cosine, rank FROM (
+      SELECT query_id, corpus_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, corpus_id ASC) AS rank
+      FROM rescored
+    ) WHERE rank <= 10
+    """,
+)
+def embedding_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full matryoshka SERVING composition (Kusupati et al. 2022):
+    coarse candidate sweep on the re-normalized 16-dim prefix (4× less
+    index to scan) → exact full-dimension rerank of the 25 survivors →
+    top-10. This is the adaptive-dimension pattern production retrieval
+    runs — embedding_matryoshka_topk gates the prefix pass alone; this
+    gate proves the prescreen + rerank composition end to end, exactly
+    the ADC-prescreen-then-exact-rerank shape of similarity_pq_topk.
+
+    Plan: two topk_blas passes — the prefix pass scans the corpus once
+    (per-batch local candidate cut, shuffle O(tasks×Q×25)); the rerank
+    joins the 25×Q survivor ids back to full vectors (uniform key) and
+    rescores that bounded set. The corpus is never scanned at full
+    dimension."""
+    from pyspark.sql import Window
+
+    from .operators.similarity import dot_expr, topk_blas, unit_expr
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    prefix = emb.select(
+        "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    prescreen = topk_blas(
+        prefix, prefix.filter(F.col("vec_id") < 5), k=25
+    ).select("query_id", "corpus_id")
+    # rerank: the bounded survivor set joined back to FULL vectors and
+    # rescored in place (join-local, JVM-side fold) — not a second
+    # corpus scan
+    cand = prescreen.join(
+        emb.select(F.col("vec_id").alias("corpus_id"), "embedding"),
+        on="corpus_id",
+    )
+    q_full = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        unit_expr(F.col("embedding")).alias("qvec"),
+    )
+    rescored = (
+        cand.withColumn("cunit", unit_expr(F.col("embedding")))
+        .join(F.broadcast(q_full), on="query_id")
+        .select(
+            "query_id",
+            "corpus_id",
+            F.round(dot_expr(F.col("cunit"), F.col("qvec")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )

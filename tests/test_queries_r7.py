@@ -1,0 +1,139 @@
+"""Round-7 gate invariants + numpy references (the oracle gate proves
+cross-engine equality; these prove the SEMANTICS are the intended ones)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from database_replicator_spark import queries_r7 as q7
+from database_replicator_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb_mat(spark):
+    rows = (
+        load_table(spark, SF, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    order = np.argsort(ids)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)[order]
+    mat /= np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+    return ids[order], mat
+
+
+class TestSemanticDedup:
+    def test_matches_numpy_reference(self, spark, emb_mat):
+        """Exact replay of the operator's contract: sample quantizer
+        (lowest-16-id units), rounded-cosine argmax assignment (ties to
+        the lower cid), greedy lowest-id-neighbor dup rule per cell."""
+        ids, mat = emb_mat
+        cents = mat[:16]  # ids are 0..n-1 after the sort
+        sims = np.round(mat @ cents.T, 6)
+        cid = sims.argmax(axis=1)
+        want = {}
+        for c in set(cid.tolist()):
+            sel = np.where(cid == c)[0]
+            sub = np.round(mat[sel] @ mat[sel].T, 6)
+            for i_pos, i in enumerate(sel):
+                hits = np.nonzero(sub[i_pos, :i_pos] >= 0.4)[0]
+                dup_of = int(ids[sel[hits[0]]]) if len(hits) else -1
+                want[int(ids[i])] = (int(c), dup_of)
+        got = {
+            r["vec_id"]: (r["cid"], r["dup_of"])
+            for r in q7.embedding_semantic_dedup(spark, SF).collect()
+        }
+        assert got == want
+        assert any(d != -1 for _, d in got.values())  # non-trivial fixture
+
+    def test_dup_pointers_are_lower_ids_same_cell(self, spark):
+        rows = q7.embedding_semantic_dedup(spark, SF).collect()
+        by_id = {r["vec_id"]: r for r in rows}
+        for r in rows:
+            if r["is_dup"]:
+                assert r["dup_of"] < r["vec_id"]
+                assert by_id[r["dup_of"]]["cid"] == r["cid"]
+            else:
+                assert r["dup_of"] == -1
+
+
+class TestQualityThresholdSweep:
+    def test_monotone_and_anchored(self, spark):
+        rows = sorted(
+            q7.doc_quality_threshold_sweep(spark, SF).collect(),
+            key=lambda r: r["threshold"],
+        )
+        n_total = load_table(spark, SF, "documents").count()
+        assert rows[0]["threshold"] == 0.0
+        assert rows[0]["n_docs"] == n_total  # score >= 0 always
+        assert rows[0]["token_share"] == 1.0
+        for a, b in zip(rows, rows[1:]):
+            assert b["n_docs"] <= a["n_docs"]
+            assert b["n_tokens_retained"] <= a["n_tokens_retained"]
+            assert b["token_share"] <= a["token_share"] + 1e-12
+
+
+class TestAttritionFunnel:
+    def test_tiers_nest_and_cover(self, spark):
+        rows = q7.corpus_attrition_funnel(spark, SF).collect()
+        docs = load_table(spark, SF, "documents")
+        assert sum(r["n_in"] for r in rows) == docs.count()
+        for r in rows:
+            assert r["n_in"] >= r["n_lang"] >= r["n_quality"] >= r["n_unique"]
+            assert 0.0 <= r["retention"] <= 1.0
+
+    def test_unique_tier_counts_survivors_once(self, spark):
+        """The dedup tier is corpus-global: total survivors equal the
+        number of distinct fingerprints among lang+quality passers."""
+        from database_replicator_spark.operators.textops import (
+            fingerprint_expr,
+            lang_id_expr,
+            quality_components,
+            quality_score_expr,
+        )
+
+        docs = load_table(spark, SF, "documents")
+        passers = quality_components(docs).filter(
+            (lang_id_expr(F.col("text")) == "en")
+            & (quality_score_expr() >= 0.5)
+        )
+        n_fp = (
+            passers.select(fingerprint_expr(F.col("text")).alias("fp"))
+            .distinct()
+            .count()
+        )
+        rows = q7.corpus_attrition_funnel(spark, SF).collect()
+        assert sum(r["n_unique"] for r in rows) == n_fp
+
+
+class TestMatryoshkaRerank:
+    def test_rerank_scores_are_full_dim_and_candidates_from_prefix(
+        self, spark, emb_mat
+    ):
+        ids, mat = emb_mat
+        got = q7.embedding_matryoshka_rerank(spark, SF).collect()
+        # exactly 10 ranked rows per query, ranks 1..10
+        per_q = {}
+        for r in got:
+            per_q.setdefault(r["query_id"], []).append(r)
+        assert set(per_q) == {0, 1, 2, 3, 4}
+        for qid, rows in per_q.items():
+            assert sorted(r["rank"] for r in rows) == list(range(1, 11))
+            # rerank cosine is the FULL-dimension cosine
+            for r in rows:
+                want = round(float(mat[qid] @ mat[r["corpus_id"]]), 6)
+                assert r["cosine"] == pytest.approx(want, abs=1e-9)
+        # every survivor is a prefix-pass candidate (top-25 on 16 dims)
+        pre = mat[:, :16].copy()
+        pre /= np.sqrt((pre * pre).sum(axis=1, keepdims=True))
+        for qid, rows in per_q.items():
+            sims = np.round(pre @ pre[qid], 6)
+            order = sorted(
+                (int(i) for i in ids if i != qid),
+                key=lambda i: (-sims[i], i),
+            )
+            cand = set(order[:25])
+            assert {r["corpus_id"] for r in rows} <= cand

@@ -36,9 +36,11 @@ def ledger() -> tuple[dict[str, int], dict[str, list[str]], list[str]]:
     reds: dict[str, list[str]] = {}
     for path in sorted(
         glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")),
-        key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
+        # basename only: a checkout path containing 'r<digits>' elsewhere
+        # must not reorder rounds (same fix as bench.baseline_timings)
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
     ):
-        rnd = re.search(r"r(\d+)", path).group(1)
+        rnd = re.search(r"r(\d+)", os.path.basename(path)).group(1)
         with open(path) as fh:
             data = json.load(fh)
         if not isinstance(data, dict):
