@@ -298,6 +298,31 @@ def main(argv: list[str] | None = None) -> int:
         help="trained (kmeans) or deterministic lowest-id sample quantizer",
     )
 
+    semdedup_p = sub.add_parser(
+        "semdedup",
+        help="SemDeDup semantic dedup over an embeddings table: "
+        "cluster-bounded within-cell cosine prune, keep-lowest-id "
+        "(Abbas 2023)",
+    )
+    semdedup_p.add_argument("--source", required=True)
+    semdedup_p.add_argument("--table", default="embeddings")
+    semdedup_p.add_argument(
+        "--tau", type=float, default=0.95,
+        help="rounded-cosine duplicate threshold within a cell",
+    )
+    semdedup_p.add_argument(
+        "--nlist", type=int, default=16,
+        help="quantizer cells — scale with corpus size so cells stay "
+        "task-sized (per-cell work is |cell|^2)",
+    )
+    semdedup_p.add_argument(
+        "--quantizer", default="kmeans", choices=["kmeans", "sample"],
+    )
+    semdedup_p.add_argument(
+        "--out", help="optional parquet path for the labeled table "
+        "(vec_id, cid, dup_of, kept)",
+    )
+
     cingest_p = sub.add_parser(
         "corpus-ingest",
         help="streaming corpus ingestion: drain a JSONL document queue "
@@ -622,6 +647,40 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"ok": True, "method": args.method,
                               "n_queries": len(ids), "k": args.k,
                               "rows": rows}, default=str))
+            return 0
+        except Exception as e:
+            print(json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"}))
+            return 2
+        finally:
+            if owns:
+                spark.stop()
+
+    if args.command == "semdedup":
+        from pyspark.sql import functions as _F
+
+        from .sources.catalog import load_table
+
+        spark, owns = _get_session()
+        try:
+            from .operators.similarity import semantic_dedup
+
+            emb = load_table(spark, args.source, args.table)
+            labeled = semantic_dedup(
+                emb, tau=args.tau, nlist=args.nlist, quantizer=args.quantizer
+            )
+            if args.out:
+                labeled.write.mode("overwrite").parquet(args.out)
+                labeled = spark.read.parquet(args.out)  # count what landed
+            agg = labeled.agg(
+                _F.count(_F.lit(1)).alias("n"),
+                _F.sum(_F.col("kept").cast("long")).alias("n_kept"),
+            ).first()
+            print(json.dumps({
+                "ok": True, "tau": args.tau, "nlist": args.nlist,
+                "n": int(agg["n"]), "n_kept": int(agg["n_kept"]),
+                "n_dup": int(agg["n"] - agg["n_kept"]),
+                "out": args.out or None,
+            }))
             return 0
         except Exception as e:
             print(json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"}))

@@ -1493,6 +1493,7 @@ def semantic_dedup(
     round_digits: int = 6,
     quantizer: str = "sample",
     centroids=None,
+    subsplit: int = 1,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540 — "SemDeDup: Data-efficient learning at web-scale
@@ -1515,7 +1516,13 @@ def semantic_dedup(
     batch × nlist matmul per Arrow batch); the only shuffle is on
     ``cid``; each cell is one (|cell| × dim) matmul. Size ``nlist`` so
     cells fit a task (the paper runs 50k clusters over LAION) — per-cell
-    memory is |cell|² rounded doubles.
+    memory is |cell|² rounded doubles. ``subsplit > 1`` is the guard for
+    over-dense cells the quantizer can't break up (the LSH degenerate-
+    bucket analogue): the group key becomes (cid, hash-bucket of id), so
+    task memory is bounded by |cell|/subsplit in expectation at the cost
+    of missing cross-sub-cell duplicates — the marked-dup set with
+    ``subsplit = s`` is a SUBSET of the ``subsplit = 1`` set (same-sub
+    pairs are same-cell pairs), never a different answer class; tested.
 
     ``quantizer="sample"`` (lowest-``nlist``-id unit vectors, k-means at
     zero Lloyd iterations) keeps every stage SQL-reproducible for the
@@ -1539,6 +1546,15 @@ def semantic_dedup(
     assigned = cell_assign(
         corpus, cent, id_col, vec_col, round_digits, keep_vec=True
     )
+    if subsplit > 1:
+        from ..functions.hashing import hash60
+
+        assigned = assigned.withColumn(
+            "_sub", F.pmod(hash60(F.col(id_col).cast("string")), F.lit(subsplit))
+        )
+        group_keys = ["cid", "_sub"]
+    else:
+        group_keys = ["cid"]
 
     def dedup_cell(pdf):
         import pandas as pd
@@ -1562,7 +1578,7 @@ def semantic_dedup(
             }
         )
 
-    return assigned.groupBy("cid").applyInPandas(
+    return assigned.groupBy(*group_keys).applyInPandas(
         dedup_cell, schema=f"{id_col} long, cid long, dup_of long, kept boolean"
     )
 

@@ -1,7 +1,7 @@
 """Round-7 query-surface additions: SemDeDup-style semantic dedup over
 the embedding table, a quality-threshold calibration sweep, a per-source
-pipeline-attrition funnel, and the matryoshka prescreen → exact-rerank
-serving composition.
+pipeline-attrition funnel, the matryoshka prescreen → exact-rerank
+serving composition, and CCNet perplexity terciles.
 
 These deepen the LLM-data-pipeline tier (corpus curation + embedding
 serving); the replication surface is complete per SURVEY.md §2.
@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .queries import query
-from .queries_llm import _DOT_SQL, _NORM_SQL, _UNIT_SQL
+from .queries_llm import _DOT_SQL, _NORM_SQL, _TOKS_SQL, _UNIT_SQL
 from .sources.catalog import load_table
 
 
@@ -366,4 +366,83 @@ def embedding_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         rescored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 10)
         .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
+@query(
+    "corpus_perplexity_terciles",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents
+    ),
+    vocab AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+    totals AS (SELECT SUM(c) AS n_total, COUNT(*) AS v_size FROM vocab),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(round(ln((v.c + 1) / (tt.n_total + tt.v_size)), 6)
+                  AS DECIMAL(28,12)) AS lp
+      FROM toks t JOIN vocab v ON t.token = v.token CROSS JOIN totals tt
+    ),
+    doc AS (
+      SELECT doc_id, COUNT(*) AS n_toks,
+             CAST(CAST(SUM(lp) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_lp
+      FROM scored GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT d.doc_id, d.n_toks, d.avg_lp, s.source,
+             NTILE(3) OVER (ORDER BY d.avg_lp DESC, d.doc_id ASC) AS tercile
+      FROM doc d JOIN documents s ON s.doc_id = d.doc_id
+    )
+    SELECT source, tercile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           MIN(avg_lp) AS min_logprob,
+           MAX(avg_lp) AS max_logprob
+    FROM ranked GROUP BY source, tercile
+    """,
+)
+def corpus_perplexity_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail quality bucketing (Wenzek et al. 2020):
+    rank every document by its corpus-trained LM score (higher avg
+    logprob = less perplexing = head) and cut the ranking into NTILE(3)
+    terciles; report each source's composition per tercile — the table
+    CCNet uses to decide which bucket of each domain to keep. Boundaries
+    are MIN/MAX per cell (order-independent), never cross-doc double
+    means.
+
+    Plan: the LM score is the gated doc_unigram_logprob computation
+    (decimal-exact per-token logprobs); the GLOBAL ranking runs through
+    operators/cumsum.grouped_rank — the two-phase bucketed rank, no
+    single-task whole-corpus sort — with the tercile derived by the
+    exact integer ntile_expr, so this composition IS the 100 TB shape
+    (the naive NTILE window would collocate the corpus in one task).
+    The plan decision is sized once on the docs relation (the RFM
+    rank_mode idiom)."""
+    from .operators.corpus import unigram_logprob
+    from .operators.cumsum import SMALL_THRESHOLD, grouped_rank, ntile_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = unigram_logprob(docs).select(
+        "doc_id",
+        F.col("n_tokens").alias("n_toks"),
+        F.col("avg_logprob").alias("avg_lp"),
+    ).join(docs.select("doc_id", "source"), on="doc_id")
+    n_docs = docs.count()
+    rank_mode = "single" if n_docs <= SMALL_THRESHOLD else "distributed"
+    ranked = grouped_rank(
+        scored, [], "avg_lp", "doc_id", out_col="_r",
+        ascending=False, mode=rank_mode,
+    )
+    return (
+        ranked.crossJoin(
+            F.broadcast(scored.agg(F.count(F.lit(1)).alias("_n")))
+        )
+        .withColumn("tercile", ntile_expr(F.col("_r"), F.col("_n"), 3))
+        .groupBy("source", "tercile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.min("avg_lp").alias("min_logprob"),
+            F.max("avg_lp").alias("max_logprob"),
+        )
     )

@@ -1020,6 +1020,29 @@ class TestAnnVerb:
             assert ranks == {1, 2, 3, 4, 5}
 
 
+class TestSemdedupVerb:
+    def test_semdedup_labels_and_writes(self, spark, capsys, tmp_path):
+        import json as _json
+
+        from database_replicator_spark import cli
+
+        out_path = str(tmp_path / "labeled")
+        rc = cli.main(
+            ["semdedup", "--source", "/root/testdata/sf0.001",
+             "--tau", "0.4", "--nlist", "16", "--quantizer", "sample",
+             "--out", out_path]
+        )
+        assert rc == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["ok"]
+        assert out["n"] == 500
+        assert out["n_kept"] + out["n_dup"] == out["n"]
+        assert out["n_dup"] > 0  # tau=0.4 is non-trivial on this fixture
+        labeled = spark.read.parquet(out_path)
+        assert labeled.count() == 500
+        assert set(labeled.columns) == {"vec_id", "cid", "dup_of", "kept"}
+
+
 class TestConfigFile:
     def test_toml_config_drives_init(self, spark, capsys, tmp_path):
         import json as _json

@@ -137,3 +137,52 @@ class TestMatryoshkaRerank:
             )
             cand = set(order[:25])
             assert {r["corpus_id"] for r in rows} <= cand
+
+
+class TestPerplexityTerciles:
+    def test_terciles_partition_the_corpus_evenly(self, spark):
+        rows = q7.corpus_perplexity_terciles(spark, SF).collect()
+        n_total = load_table(spark, SF, "documents").count()
+        by_t = {}
+        for r in rows:
+            assert r["tercile"] in (1, 2, 3)
+            assert r["min_logprob"] <= r["max_logprob"]
+            by_t[r["tercile"]] = by_t.get(r["tercile"], 0) + r["n_docs"]
+        assert sum(by_t.values()) == n_total
+        # NTILE(3): cell sizes differ by at most 1
+        assert max(by_t.values()) - min(by_t.values()) <= 1
+        # head tercile holds the HIGHEST logprobs: its floor must be at
+        # or above the tail tercile's ceiling
+        head_min = min(
+            r["min_logprob"] for r in rows if r["tercile"] == 1
+        )
+        tail_max = max(
+            r["max_logprob"] for r in rows if r["tercile"] == 3
+        )
+        assert head_min >= tail_max
+
+
+class TestSemanticDedupSubsplit:
+    def test_subsplit_dups_are_a_subset(self, spark):
+        """The over-dense-cell guard weakens recall monotonically: every
+        duplicate marked under subsplit=4 must also be marked under the
+        exact subsplit=1 run (same-sub pairs are same-cell pairs)."""
+        from database_replicator_spark.operators.similarity import (
+            semantic_dedup,
+        )
+
+        emb = load_table(spark, SF, "embeddings")
+        exact = {
+            r["vec_id"]
+            for r in semantic_dedup(emb, tau=0.4, nlist=16).collect()
+            if not r["kept"]
+        }
+        split = {
+            r["vec_id"]
+            for r in semantic_dedup(
+                emb, tau=0.4, nlist=16, subsplit=4
+            ).collect()
+            if not r["kept"]
+        }
+        assert split <= exact
+        assert len(split) < len(exact)  # the guard does narrow the scan

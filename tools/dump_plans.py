@@ -69,6 +69,10 @@ REPRESENTATIVE = [
     "doc_ngram_novelty",           # shingle-keyed min + same-keyed join back
     "orders_cohort_ltv",           # custkey agg + join + cohort-cell agg
     "part_size_price_corr",        # exact sufficient stats, pure codegen agg
+    "embedding_semantic_dedup",    # map-only assign, ONE cid shuffle, per-cell BLAS
+    "doc_quality_threshold_sweep", # bin once + cumulate over ≤10 bins, no fanout
+    "corpus_attrition_funnel",     # map-side tier flags, fp-keyed dedup join
+    "embedding_matryoshka_rerank", # prefix candidate-cut scan + join-local rescore
 ]
 
 

@@ -280,12 +280,26 @@ def probe_embedding_ops(spark, path: str, dim: int = 64) -> dict[str, float]:
             )
         )
 
+    def semdedup():
+        from database_replicator_spark.operators.similarity import (
+            semantic_dedup,
+        )
+
+        # nlist ∝ n is THE SemDeDup scale lever: per-cell pairwise work
+        # is |cell|², so fixed nlist would probe at exponent ~2 while
+        # cells held at ~125 vectors keep the total linear (the paper
+        # runs 50k clusters over LAION for the same reason)
+        n = emb.count()
+        nlist = max(16, int(n) // 125)
+        mat(semantic_dedup(emb, tau=0.4, nlist=nlist, quantizer="sample"))
+
     out = {}
     for name, fn in [
         ("pq_encode", pq_encode_scan),
         ("pq_adc_topk", pq_adc_topk),
         ("ivf_pq_topk", ivfpq_probe),
         ("coverage_sample", coverage),
+        ("semantic_dedup_nlist_scaled", semdedup),
     ]:
         fn()
         out[name] = round(min(timed(fn), timed(fn)), 3)
