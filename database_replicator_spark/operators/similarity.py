@@ -1484,6 +1484,63 @@ def coverage_sample(
     )
 
 
+def prefix_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    prefix_dim: int,
+    candidates: int = 25,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Matryoshka serving composition (Kusupati et al. 2022): candidate
+    sweep on the re-normalized first ``prefix_dim`` dims via the
+    candidate-cut BLAS top-``candidates`` (the corpus's ONLY full scan,
+    at prefix width), then an exact full-dimension rescore of the
+    bounded survivor set (join-local JVM fold — never a second corpus
+    scan) and the final top-``k``. Recall@k is governed by whether the
+    true top-k survives the prefix cut; ``candidates`` is the knob
+    (audited per round in RECALL.md). Returns
+    (query_id, corpus_id, cosine, rank) with full-dim cosines."""
+    prefix = corpus.select(
+        F.col(id_col), F.slice(vec_col, 1, prefix_dim).alias(vec_col)
+    )
+    q_prefix = queries.select(
+        F.col(id_col), F.slice(vec_col, 1, prefix_dim).alias(vec_col)
+    )
+    prescreen = topk_blas(
+        prefix, q_prefix, k=candidates, id_col=id_col, vec_col=vec_col,
+        round_digits=round_digits,
+    ).select("query_id", "corpus_id")
+    cand = prescreen.join(
+        corpus.select(F.col(id_col).alias("corpus_id"), vec_col),
+        on="corpus_id",
+    )
+    q_full = queries.select(
+        F.col(id_col).alias("query_id"),
+        unit_expr(F.col(vec_col)).alias("_qvec"),
+    )
+    rescored = (
+        cand.withColumn("_cunit", unit_expr(F.col(vec_col)))
+        .join(F.broadcast(q_full), on="query_id")
+        .select(
+            "query_id",
+            "corpus_id",
+            F.round(dot_expr(F.col("_cunit"), F.col("_qvec")), round_digits)
+            .alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     tau: float,

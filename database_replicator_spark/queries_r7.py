@@ -1,7 +1,8 @@
 """Round-7 query-surface additions: SemDeDup-style semantic dedup over
 the embedding table, a quality-threshold calibration sweep, a per-source
 pipeline-attrition funnel, the matryoshka prescreen → exact-rerank
-serving composition, and CCNet perplexity terciles.
+serving composition, CCNet perplexity terciles, and the leakage-safe
+cluster-keyed train/val/test split.
 
 These deepen the LLM-data-pipeline tier (corpus curation + embedding
 serving); the replication surface is complete per SURVEY.md §2.
@@ -326,46 +327,12 @@ def embedding_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins the 25×Q survivor ids back to full vectors (uniform key) and
     rescores that bounded set. The corpus is never scanned at full
     dimension."""
-    from pyspark.sql import Window
-
-    from .operators.similarity import dot_expr, topk_blas, unit_expr
+    from .operators.similarity import prefix_rerank_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    prefix = emb.select(
-        "vec_id", F.slice("embedding", 1, 16).alias("embedding")
-    )
-    prescreen = topk_blas(
-        prefix, prefix.filter(F.col("vec_id") < 5), k=25
-    ).select("query_id", "corpus_id")
-    # rerank: the bounded survivor set joined back to FULL vectors and
-    # rescored in place (join-local, JVM-side fold) — not a second
-    # corpus scan
-    cand = prescreen.join(
-        emb.select(F.col("vec_id").alias("corpus_id"), "embedding"),
-        on="corpus_id",
-    )
-    q_full = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"),
-        unit_expr(F.col("embedding")).alias("qvec"),
-    )
-    rescored = (
-        cand.withColumn("cunit", unit_expr(F.col("embedding")))
-        .join(F.broadcast(q_full), on="query_id")
-        .select(
-            "query_id",
-            "corpus_id",
-            F.round(dot_expr(F.col("cunit"), F.col("qvec")), 6).alias(
-                "cosine"
-            ),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("corpus_id").asc()
-    )
-    return (
-        rescored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("query_id", "corpus_id", "cosine", "rank")
+    return prefix_rerank_topk(
+        emb, emb.filter(F.col("vec_id") < 5), prefix_dim=16,
+        candidates=25, k=10,
     )
 
 
@@ -446,3 +413,75 @@ def corpus_perplexity_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("avg_lp").alias("max_logprob"),
         )
     )
+
+
+def _leakage_split_oracle() -> str:
+    from .queries_pipeline import (
+        _H60,
+        _SPLIT_SEED,
+        _VERIFIED_PAIRS_SQL,
+        _split_case_sql,
+    )
+
+    key = _H60.format(
+        expr=f"'{_SPLIT_SEED}:' || CAST(cluster_id AS VARCHAR)"
+    )
+    return f"""
+    WITH RECURSIVE pairs AS ({_VERIFIED_PAIRS_SQL}),
+    edges AS (
+      SELECT doc1 AS src, doc2 AS dst FROM pairs
+      UNION ALL
+      SELECT doc2, doc1 FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS m FROM documents
+      UNION
+      SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.m
+    ),
+    comp AS (
+      SELECT node AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY node
+    ),
+    keyed AS (
+      SELECT doc_id, cluster_id, {key} AS split_key FROM comp
+    )
+    SELECT doc_id, cluster_id, {_split_case_sql()} AS split FROM keyed
+    """
+
+
+@query("corpus_leakage_safe_split", oracle=_leakage_split_oracle())
+def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split key is the
+    near-dup CLUSTER id, not the document id, so two near-duplicates can
+    never land on opposite sides of the split — the evaluation-leakage
+    failure mode a per-doc split invites the moment dedup is less than
+    perfect (and any sub-threshold near-dup survives dedup by design).
+    Composition of two gated stages: the verified-Jaccard near-dup
+    clusters (dedup_components' construction) feed dataset_split keyed
+    on cluster_id with the standard 90/5/5 fractions and seed — a doc's
+    split stays stable under corpus appends unless its cluster merges,
+    which is exactly when it MUST be allowed to move.
+
+    Plan: the cluster stage is the dedup_components pipeline (LSH
+    candidates → verified pairs → iterative hash-min CC); the split
+    itself adds one map-side hash and zero shuffles."""
+    from .operators.corpus import connected_components, dataset_split
+    from .operators.dedup import (
+        doc_shingles,
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from .queries_pipeline import _SPLIT_FRACTIONS, _SPLIT_SEED
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs)
+    sig = minhash_signatures(sh, num_hashes=12).cache()
+    cand = lsh_candidate_pairs(sig)
+    pairs = jaccard_pairs(sh, candidates=cand, threshold=0.2)
+    comp = connected_components(
+        docs.select("doc_id"), pairs,
+        id_col="doc_id", src_col="doc1", dst_col="doc2",
+    ).select(F.col("node").alias("doc_id"), "cluster_id")
+    return dataset_split(
+        comp, _SPLIT_FRACTIONS, id_col="cluster_id", seed=_SPLIT_SEED
+    ).select("doc_id", "cluster_id", "split")

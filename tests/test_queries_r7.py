@@ -186,3 +186,45 @@ class TestSemanticDedupSubsplit:
         }
         assert split <= exact
         assert len(split) < len(exact)  # the guard does narrow the scan
+
+
+class TestLeakageSafeSplit:
+    def test_clusters_never_straddle_the_split(self, spark):
+        rows = q7.corpus_leakage_safe_split(spark, SF).collect()
+        n_total = load_table(spark, SF, "documents").count()
+        assert len(rows) == n_total
+        by_cluster = {}
+        for r in rows:
+            by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+        # the invariant the gate exists for
+        assert all(len(s) == 1 for s in by_cluster.values())
+        # non-degenerate: at least one multi-doc cluster, >1 split in use
+        sizes = {}
+        for r in rows:
+            sizes[r["cluster_id"]] = sizes.get(r["cluster_id"], 0) + 1
+        assert max(sizes.values()) > 1
+        assert len({r["split"] for r in rows}) > 1
+
+    def test_split_matches_per_cluster_dataset_split(self, spark):
+        """A doc's split equals dataset_split of its CLUSTER id — i.e.
+        the composition really keys on cluster, not doc."""
+        from database_replicator_spark.operators.corpus import dataset_split
+        from database_replicator_spark.queries_pipeline import (
+            _SPLIT_FRACTIONS,
+            _SPLIT_SEED,
+        )
+
+        rows = q7.corpus_leakage_safe_split(spark, SF).collect()
+        clusters = spark.createDataFrame(
+            [(c,) for c in {r["cluster_id"] for r in rows}],
+            "cluster_id long",
+        )
+        want = {
+            r["cluster_id"]: r["split"]
+            for r in dataset_split(
+                clusters, _SPLIT_FRACTIONS, id_col="cluster_id",
+                seed=_SPLIT_SEED,
+            ).collect()
+        }
+        for r in rows:
+            assert r["split"] == want[r["cluster_id"]]
