@@ -448,6 +448,30 @@ def _leakage_split_oracle() -> str:
     """
 
 
+def _neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id) near-dup clusters — the dedup_components
+    construction (LSH candidates → verified Jaccard ≥ 0.2 pairs →
+    iterative hash-min CC), shared by the leakage-safe split and the
+    cluster-size histogram gates."""
+    from .operators.corpus import connected_components
+    from .operators.dedup import (
+        doc_shingles,
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs)
+    sig = minhash_signatures(sh, num_hashes=12).cache()
+    cand = lsh_candidate_pairs(sig)
+    pairs = jaccard_pairs(sh, candidates=cand, threshold=0.2)
+    return connected_components(
+        docs.select("doc_id"), pairs,
+        id_col="doc_id", src_col="doc1", dst_col="doc2",
+    ).select(F.col("node").alias("doc_id"), "cluster_id")
+
+
 @query("corpus_leakage_safe_split", oracle=_leakage_split_oracle())
 def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test assignment: the split key is the
@@ -464,24 +488,231 @@ def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: the cluster stage is the dedup_components pipeline (LSH
     candidates → verified pairs → iterative hash-min CC); the split
     itself adds one map-side hash and zero shuffles."""
-    from .operators.corpus import connected_components, dataset_split
-    from .operators.dedup import (
-        doc_shingles,
-        jaccard_pairs,
-        lsh_candidate_pairs,
-        minhash_signatures,
-    )
+    from .operators.corpus import dataset_split
     from .queries_pipeline import _SPLIT_FRACTIONS, _SPLIT_SEED
 
-    docs = load_table(spark, sf_dir, "documents")
-    sh = doc_shingles(docs)
-    sig = minhash_signatures(sh, num_hashes=12).cache()
-    cand = lsh_candidate_pairs(sig)
-    pairs = jaccard_pairs(sh, candidates=cand, threshold=0.2)
-    comp = connected_components(
-        docs.select("doc_id"), pairs,
-        id_col="doc_id", src_col="doc1", dst_col="doc2",
-    ).select(F.col("node").alias("doc_id"), "cluster_id")
+    comp = _neardup_clusters(spark, sf_dir)
     return dataset_split(
         comp, _SPLIT_FRACTIONS, id_col="cluster_id", seed=_SPLIT_SEED
     ).select("doc_id", "cluster_id", "split")
+
+
+def _cluster_hist_oracle() -> str:
+    from .queries_pipeline import _VERIFIED_PAIRS_SQL
+
+    return f"""
+    WITH RECURSIVE pairs AS ({_VERIFIED_PAIRS_SQL}),
+    edges AS (
+      SELECT doc1 AS src, doc2 AS dst FROM pairs
+      UNION ALL
+      SELECT doc2, doc1 FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS m FROM documents
+      UNION
+      SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.m
+    ),
+    comp AS (
+      SELECT node AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY node
+    ),
+    sizes AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM comp GROUP BY cluster_id
+    )
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+    """
+
+
+@query("corpus_dedup_cluster_hist", oracle=_cluster_hist_oracle())
+def corpus_dedup_cluster_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram — the standard corpus-dedup
+    diagnostic (duplicate-cluster size distributions are heavy-tailed in
+    web corpora; Lee et al. 2022 "Deduplicating Training Data Makes
+    Language Models Better" reports exactly this shape). One row per
+    cluster size with the cluster count and total docs at that size;
+    singletons (size 1) measure the never-duplicated mass, the tail
+    rows are the boilerplate/mirror clusters a curation pass should
+    inspect before choosing keep-one vs drop-all.
+
+    Plan: the cluster stage is the shared dedup_components pipeline;
+    the histogram adds two key-uniform aggregations (cluster_id, then
+    size) — both with map-side partial combine, no new hazards."""
+    comp = _neardup_clusters(spark, sf_dir)
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+    )
+
+
+def _source_overlap_oracle() -> str:
+    from .queries_llm import _MINHASH_BASE, _MINHASH_MINS, _SHINGLES_CTE
+
+    src_mins = ",\n       ".join(
+        f"MIN(h{s}) AS h{s}" for s in range(12)
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN a.h{s} = b.h{s} THEN 1 ELSE 0 END" for s in range(12)
+    )
+    return f"""
+    WITH {_SHINGLES_CTE},
+    base AS ({_MINHASH_BASE}),
+    sig AS (
+      SELECT doc_id,
+       {_MINHASH_MINS}
+      FROM base GROUP BY doc_id
+    ),
+    ssig AS (
+      SELECT d.source,
+       {src_mins}
+      FROM sig JOIN documents d USING (doc_id)
+      GROUP BY d.source
+    )
+    SELECT a.source AS source1, b.source AS source2,
+           CAST(({match_sum}) AS BIGINT) AS matching_slots,
+           ROUND(({match_sum}) / 12.0, 6) AS jaccard_est
+    FROM ssig a JOIN ssig b ON a.source < b.source
+    """
+
+
+@query("corpus_source_overlap", oracle=_source_overlap_oracle())
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-level content overlap, estimated from MinHash
+    signatures of each source's shingle UNION — the "how much does crawl
+    A duplicate crawl B" question a mixture designer asks BEFORE paying
+    for a doc-level cross-source dedup. The union signature is free
+    given the per-doc signatures (min is associative: the source min of
+    per-doc mins IS the union min), so the estimate costs one tiny
+    aggregation over a table that dedup_minhash_lsh already builds, and
+    the matching-slot fraction is an unbiased Jaccard estimator (Broder
+    1997) between full source contents.
+
+    Plan: per-doc signatures (one shuffle over shingles, the dedup
+    substrate), a doc_id-keyed join to the source map, a groupBy over
+    ~S sources (map-side combine makes the shuffle S rows per task),
+    then an S×S broadcast self-join — no all-pairs anything at doc
+    granularity. At 100 TB the per-source state is 12 int64s regardless
+    of corpus size."""
+    from .operators.dedup import doc_shingles, minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs)
+    sig = minhash_signatures(sh, num_hashes=12)
+    ssig = (
+        sig.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(*[
+            F.min(F.col("sig")[s]).alias(f"h{s}") for s in range(12)
+        ])
+    )
+    a, b = ssig.alias("a"), ssig.alias("b")
+    matching = sum(
+        (F.col(f"a.h{s}") == F.col(f"b.h{s}")).cast("int")
+        for s in range(12)
+    )
+    return (
+        a.join(F.broadcast(b), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source1"),
+            F.col("b.source").alias("source2"),
+            matching.cast("bigint").alias("matching_slots"),
+            F.round(matching.cast("double") / F.lit(12.0), 6).alias(
+                "jaccard_est"
+            ),
+        )
+    )
+
+
+@query(
+    "supplier_balance_outliers",
+    oracle="""
+    WITH ranked AS (
+      SELECT s_nationkey, s_suppkey, s_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                                ORDER BY s_acctbal) AS rn,
+             COUNT(*) OVER (PARTITION BY s_nationkey) AS n
+      FROM supplier
+    ),
+    med AS (
+      SELECT s_nationkey, MAX(n) AS n,
+             MAX(CASE WHEN rn = (n + 1) // 2 THEN s_acctbal END) AS med
+      FROM ranked GROUP BY s_nationkey
+    ),
+    dev AS (
+      SELECT s.s_nationkey, s.s_suppkey,
+             ABS(s.s_acctbal - m.med) AS abs_dev, m.med, m.n
+      FROM supplier s JOIN med m USING (s_nationkey)
+    ),
+    dranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                                   ORDER BY abs_dev) AS drn
+      FROM dev
+    ),
+    mad AS (
+      SELECT s_nationkey,
+             MAX(CASE WHEN drn = (n + 1) // 2 THEN abs_dev END) AS mad
+      FROM dranked GROUP BY s_nationkey
+    )
+    SELECT d.s_nationkey,
+           MAX(d.n) AS n_suppliers,
+           MAX(d.med) AS med_acctbal,
+           MAX(x.mad) AS mad_acctbal,
+           CAST(SUM(CASE WHEN x.mad > 0 AND d.abs_dev / x.mad >= 1.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           ROUND(MAX(CASE WHEN x.mad > 0 THEN d.abs_dev / x.mad END), 6)
+             AS max_robust_z
+    FROM dev d JOIN mad x USING (s_nationkey)
+    GROUP BY d.s_nationkey
+    """,
+)
+def supplier_balance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-nation account-balance outlier report: median/MAD
+    (median absolute deviation) instead of mean/stddev, so a single
+    corrupted balance cannot mask itself by inflating the spread — the
+    data-quality screen a replication verify pass runs on a dimension
+    table before trusting it. Flags |x − med| / MAD ≥ 1.5 (uniform
+    balances top out near 2, so the report stays informative without a
+    distributional assumption) and reports the per-nation max.
+
+    Both quantiles are discrete rank-⌈n/2⌉ picks via
+    operators/cumsum.positional_quantiles — the two-phase bucketed
+    ranking, no single-task whole-nation sorts — chained: median first,
+    then the median OF absolute deviations from it. All arithmetic
+    after the picks is one identical double op per side + round(…, 6)
+    per the cross-engine rules in queries.py."""
+    from .operators.cumsum import positional_quantiles
+
+    sup = load_table(spark, sf_dir, "supplier")
+    med = positional_quantiles(
+        sup, ["s_nationkey"], "s_acctbal", "s_suppkey",
+        fractions=[(1, 2, "med")],
+    )
+    dev = sup.join(
+        F.broadcast(med.select("s_nationkey", "med", "n")), "s_nationkey"
+    ).withColumn("abs_dev", F.abs(F.col("s_acctbal") - F.col("med")))
+    mad = positional_quantiles(
+        dev.select("s_nationkey", "s_suppkey", "abs_dev"),
+        ["s_nationkey"], "abs_dev", "s_suppkey",
+        fractions=[(1, 2, "mad")],
+    ).select("s_nationkey", "mad")
+    z = F.when(
+        F.col("mad") > 0, F.col("abs_dev") / F.col("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "s_nationkey")
+        .groupBy("s_nationkey")
+        .agg(
+            F.max("n").alias("n_suppliers"),
+            F.max("med").alias("med_acctbal"),
+            F.max("mad").alias("mad_acctbal"),
+            F.sum(
+                F.when(z >= 1.5, 1).otherwise(0)
+            ).alias("n_flagged"),
+            F.round(F.max(z), 6).alias("max_robust_z"),
+        )
+    )

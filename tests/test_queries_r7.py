@@ -228,3 +228,92 @@ class TestLeakageSafeSplit:
         }
         for r in rows:
             assert r["split"] == want[r["cluster_id"]]
+
+
+class TestSourceOverlap:
+    def test_pairs_and_bounds(self, spark):
+        rows = q7.corpus_source_overlap(spark, SF).collect()
+        n_src = (
+            load_table(spark, SF, "documents")
+            .select("source").distinct().count()
+        )
+        assert len(rows) == n_src * (n_src - 1) // 2
+        for r in rows:
+            assert r["source1"] < r["source2"]
+            assert 0 <= r["matching_slots"] <= 12
+            assert abs(r["jaccard_est"] - r["matching_slots"] / 12.0) < 1e-6
+
+    def test_union_signature_matches_per_doc_min(self, spark):
+        """The per-source signature really is the elementwise min of the
+        per-doc signatures of that source (min-associativity contract)."""
+        from database_replicator_spark.operators.dedup import (
+            doc_shingles,
+            minhash_signatures,
+        )
+
+        docs = load_table(spark, SF, "documents")
+        sig = (
+            minhash_signatures(doc_shingles(docs), num_hashes=12)
+            .join(docs.select("doc_id", "source"), "doc_id")
+            .collect()
+        )
+        want = {}
+        for r in sig:
+            cur = want.get(r["source"])
+            want[r["source"]] = (
+                list(r["sig"]) if cur is None
+                else [min(a, b) for a, b in zip(cur, r["sig"])]
+            )
+        # replay the gate's pairwise match count on the numpy side
+        rows = q7.corpus_source_overlap(spark, SF).collect()
+        for r in rows:
+            m = sum(
+                1 for a, b in zip(want[r["source1"]], want[r["source2"]])
+                if a == b
+            )
+            assert r["matching_slots"] == m
+
+
+class TestSupplierBalanceOutliers:
+    def test_matches_numpy_mad(self, spark):
+        rows = {
+            r["s_nationkey"]: r
+            for r in q7.supplier_balance_outliers(spark, SF).collect()
+        }
+        sup = load_table(spark, SF, "supplier").collect()
+        by_nation = {}
+        for s in sup:
+            by_nation.setdefault(s["s_nationkey"], []).append(s["s_acctbal"])
+        assert set(rows) == set(by_nation)
+        for nk, vals in by_nation.items():
+            v = np.sort(np.array(vals, dtype=np.float64))
+            n = len(v)
+            med = v[(n + 1) // 2 - 1]  # rank ceil(n/2), 1-indexed
+            dev = np.sort(np.abs(np.array(vals) - med))
+            mad = dev[(n + 1) // 2 - 1]
+            r = rows[nk]
+            assert r["n_suppliers"] == n
+            assert r["med_acctbal"] == med
+            assert r["mad_acctbal"] == mad
+            if mad > 0:
+                z = np.abs(np.array(vals) - med) / mad
+                assert r["n_flagged"] == int((z >= 1.5).sum())
+                assert abs(r["max_robust_z"] - round(z.max(), 6)) < 1e-9
+
+
+class TestClusterHist:
+    def test_totals_and_consistency(self, spark):
+        rows = q7.corpus_dedup_cluster_hist(spark, SF).collect()
+        n_total = load_table(spark, SF, "documents").count()
+        assert sum(r["n_docs"] for r in rows) == n_total
+        for r in rows:
+            assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+        # matches the cluster assignment the split gate uses
+        comp = q7._neardup_clusters(spark, SF).collect()
+        sizes = {}
+        for c in comp:
+            sizes[c["cluster_id"]] = sizes.get(c["cluster_id"], 0) + 1
+        want = {}
+        for sz in sizes.values():
+            want[sz] = want.get(sz, 0) + 1
+        assert {r["cluster_size"]: r["n_clusters"] for r in rows} == want
