@@ -716,3 +716,156 @@ def supplier_balance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(z), 6).alias("max_robust_z"),
         )
     )
+
+
+@query(
+    "events_activity_gini",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, COUNT(*) AS x FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT user_id, x,
+             ROW_NUMBER() OVER (ORDER BY x, user_id) AS r
+      FROM counts
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(r * x) AS BIGINT) AS w
+      FROM ranked
+    ),
+    tops AS (
+      SELECT
+        CAST(SUM(CASE WHEN r > (SELECT n FROM s) - 1 THEN x ELSE 0 END)
+             AS BIGINT) AS t1,
+        CAST(SUM(CASE WHEN r > (SELECT n FROM s) - 10 THEN x ELSE 0 END)
+             AS BIGINT) AS t10
+      FROM ranked
+    )
+    SELECT n AS n_users, sx AS total_events,
+           ROUND(CAST(2 * w - (n + 1) * sx AS DOUBLE)
+                 / CAST(n * sx AS DOUBLE), 6) AS gini,
+           ROUND(CAST(t1 AS DOUBLE) / CAST(sx AS DOUBLE), 6) AS top1_share,
+           ROUND(CAST(t10 AS DOUBLE) / CAST(sx AS DOUBLE), 6) AS top10_share
+    FROM s, tops
+    """,
+)
+def events_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic over the event stream: the Gini coefficient
+    of per-user activity plus top-1/top-10 heavy-hitter shares — the
+    numbers that tell you whether a user-keyed shuffle (sessionize,
+    per-user windows, stateful streaming) will hot-spot BEFORE you run
+    it, and whether salting is worth wiring in. Gini uses the exact
+    rank formula G = (2·Σ r·xᵣ − (n+1)·Σx) / (n·Σx) over ascending
+    ranks — tie-order-invariant (equal x within a tie group contribute
+    x·Σr however ranks fall), integer arithmetic until one final double
+    division per side.
+
+    Plan: one map-side-combined count per user, then GLOBAL ranks via
+    grouped_running_sum with empty group_cols — the two-phase bucketed
+    path, so even a billion-user rank never single-task-sorts — and two
+    scalar aggregates. Σ r·x stays inside int64 while n·Σx < 2^63
+    (~1e9 users × ~1e9 events); beyond that move the two sums to
+    decimal(38,0), same plan."""
+    from .operators.cumsum import grouped_running_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
+    ranked = grouped_running_sum(
+        counts.withColumn("_one", F.lit(1)), [], "_one", "user_id",
+        out_col="r", order_col="x", ascending=True,
+    )
+    n_df = counts.agg(F.count(F.lit(1)).alias("n"))
+    j = ranked.crossJoin(F.broadcast(n_df))
+    agg = j.agg(
+        F.max("n").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("r") * F.col("x")).alias("w"),
+        F.sum(F.when(F.col("r") > F.col("n") - 1, F.col("x")).otherwise(0))
+        .alias("t1"),
+        F.sum(F.when(F.col("r") > F.col("n") - 10, F.col("x")).otherwise(0))
+        .alias("t10"),
+    )
+    return agg.select(
+        F.col("n").alias("n_users"),
+        F.col("sx").alias("total_events"),
+        F.round(
+            (2 * F.col("w") - (F.col("n") + 1) * F.col("sx")).cast("double")
+            / (F.col("n") * F.col("sx")).cast("double"),
+            6,
+        ).alias("gini"),
+        F.round(F.col("t1").cast("double") / F.col("sx").cast("double"), 6)
+        .alias("top1_share"),
+        F.round(F.col("t10").cast("double") / F.col("sx").cast("double"), 6)
+        .alias("top10_share"),
+    )
+
+
+@query(
+    "embedding_cell_balance",
+    oracle=f"""
+    WITH units AS (
+      SELECT vec_id, {_UNIT_SQL.format(v='embedding')} AS unit FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cid, unit AS cvec FROM units WHERE vec_id < 16),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT u.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY u.vec_id
+                 ORDER BY round({_DOT_SQL.format(a='u.unit', b='c.cvec')}, 6)
+                            DESC,
+                          c.cid ASC) AS rn
+        FROM units u CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    cells AS (
+      SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM assign GROUP BY cid
+    ),
+    tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS total FROM cells)
+    SELECT cid, n_vecs,
+           ROUND(CAST(n_vecs AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+           ROUND(CAST(n_vecs * 16 AS DOUBLE) / CAST(total AS DOUBLE), 6)
+             AS hot_factor
+    FROM cells, tot
+    """,
+)
+def embedding_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-occupancy balance report: per-cell vector counts, corpus
+    share, and hot factor (count ÷ uniform expectation) under the gated
+    sample quantizer — the index-operations diagnostic behind every
+    cell-keyed stage in this engine (ivf_topk's probe cost, SemDeDup's
+    per-cell matmul memory, coverage sampling's strata). A hot_factor-k
+    cell makes nprobe-hit queries k× slower and its dedup matmul k²×
+    bigger, so this table is what decides a re-train / subsplit BEFORE a
+    skewed cell becomes a straggler task at 100 TB.
+
+    Plan: map-only cell assignment (one batch × nlist BLAS matmul per
+    Arrow batch, operators/similarity.cell_assign), one ~nlist-row
+    aggregate, and a 1-row broadcast for the total — no per-vector
+    shuffle at all (the count agg is map-side-combined on cid)."""
+    import numpy as np
+
+    from .operators.similarity import cell_assign, collect_unit_matrix
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ids, mat = collect_unit_matrix(
+        emb.filter(F.col("vec_id") < 16), "vec_id", "embedding"
+    )
+    cent = mat[np.argsort(ids)]
+    assigned = cell_assign(emb, cent)
+    cells = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vecs"))
+    tot = cells.agg(F.sum("n_vecs").alias("total"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "cid",
+        "n_vecs",
+        F.round(
+            F.col("n_vecs").cast("double") / F.col("total").cast("double"), 6
+        ).alias("share"),
+        F.round(
+            (F.col("n_vecs") * 16).cast("double")
+            / F.col("total").cast("double"),
+            6,
+        ).alias("hot_factor"),
+    )

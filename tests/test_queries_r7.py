@@ -317,3 +317,64 @@ class TestClusterHist:
         for sz in sizes.values():
             want[sz] = want.get(sz, 0) + 1
         assert {r["cluster_size"]: r["n_clusters"] for r in rows} == want
+
+
+class TestActivityGini:
+    def test_matches_numpy_reference(self, spark):
+        r = q7.events_activity_gini(spark, SF).collect()[0]
+        ev = load_table(spark, SF, "events").select("user_id").collect()
+        counts = {}
+        for e in ev:
+            counts[e["user_id"]] = counts.get(e["user_id"], 0) + 1
+        x = np.sort(np.array(list(counts.values()), dtype=np.int64))
+        n, sx = len(x), int(x.sum())
+        w = int((np.arange(1, n + 1) * x).sum())
+        assert r["n_users"] == n
+        assert r["total_events"] == sx
+        assert abs(r["gini"] - round((2 * w - (n + 1) * sx) / (n * sx), 6)) < 1e-9
+        assert abs(r["top1_share"] - round(int(x[-1]) / sx, 6)) < 1e-9
+        assert abs(r["top10_share"] - round(int(x[-10:].sum()) / sx, 6)) < 1e-9
+        assert 0.0 <= r["gini"] < 1.0
+
+    def test_distributed_rank_path_same_answer(self, spark):
+        """Force the bucketed distributed ranking (the 100 TB path) and
+        assert the Gini summary is identical to mode-auto."""
+        from database_replicator_spark.operators.cumsum import (
+            grouped_running_sum,
+        )
+
+        ev = load_table(spark, SF, "events")
+        counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
+        auto = grouped_running_sum(
+            counts.withColumn("_one", F.lit(1)), [], "_one", "user_id",
+            out_col="r", order_col="x", ascending=True,
+        )
+        dist = grouped_running_sum(
+            counts.withColumn("_one", F.lit(1)), [], "_one", "user_id",
+            out_col="r", order_col="x", ascending=True, mode="distributed",
+        )
+        a = {(r["user_id"], r["r"]) for r in auto.collect()}
+        d = {(r["user_id"], r["r"]) for r in dist.collect()}
+        assert a == d
+
+
+class TestCellBalance:
+    def test_matches_cell_assign_and_sums(self, spark, emb_mat):
+        rows = q7.embedding_cell_balance(spark, SF).collect()
+        ids, mat = emb_mat
+        cents = mat[:16]
+        sims = np.round(mat @ cents.T, 6)
+        cid = sims.argmax(axis=1)
+        want = {}
+        for c in cid.tolist():
+            want[c] = want.get(c, 0) + 1
+        got = {r["cid"]: r["n_vecs"] for r in rows}
+        assert got == want
+        total = sum(want.values())
+        assert total == len(ids)
+        for r in rows:
+            assert abs(r["share"] - round(r["n_vecs"] / total, 6)) < 1e-9
+            assert (
+                abs(r["hot_factor"] - round(r["n_vecs"] * 16 / total, 6))
+                < 1e-9
+            )
