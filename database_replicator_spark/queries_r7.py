@@ -685,12 +685,17 @@ def supplier_balance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     then the median OF absolute deviations from it. All arithmetic
     after the picks is one identical double op per side + round(…, 6)
     per the cross-engine rules in queries.py."""
-    from .operators.cumsum import positional_quantiles
+    from .operators.cumsum import SMALL_THRESHOLD, positional_quantiles
 
     sup = load_table(spark, sf_dir, "supplier")
+    # rank_mode idiom: size the input ONCE and pass the mode to both
+    # quantile passes (mode="auto" would re-count per call)
+    rank_mode = (
+        "single" if sup.count() <= SMALL_THRESHOLD else "distributed"
+    )
     med = positional_quantiles(
         sup, ["s_nationkey"], "s_acctbal", "s_suppkey",
-        fractions=[(1, 2, "med")],
+        fractions=[(1, 2, "med")], mode=rank_mode,
     )
     dev = sup.join(
         F.broadcast(med.select("s_nationkey", "med", "n")), "s_nationkey"
@@ -698,7 +703,7 @@ def supplier_balance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     mad = positional_quantiles(
         dev.select("s_nationkey", "s_suppkey", "abs_dev"),
         ["s_nationkey"], "abs_dev", "s_suppkey",
-        fractions=[(1, 2, "mad")],
+        fractions=[(1, 2, "mad")], mode=rank_mode,
     ).select("s_nationkey", "mad")
     z = F.when(
         F.col("mad") > 0, F.col("abs_dev") / F.col("mad")
