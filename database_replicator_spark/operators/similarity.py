@@ -1541,6 +1541,131 @@ def prefix_rerank_topk(
     )
 
 
+def sq8_train(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+):
+    """SQ8 codebook: per-dimension (min, max) of the UNIT-normalized
+    corpus — 2·dim doubles of total state, from ONE map-side-combined
+    aggregate regardless of corpus size (the FAISS ScalarQuantizer
+    QT_8bit train step). Returns (mn, mx) numpy arrays."""
+    import numpy as np
+
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    units = corpus.select(unit_expr(F.col(vec_col)).alias("_u"))
+    row = units.agg(
+        *[F.min(F.col("_u")[i]).alias(f"mn{i}") for i in range(dim)],
+        *[F.max(F.col("_u")[i]).alias(f"mx{i}") for i in range(dim)],
+    ).first()
+    mn = np.array([row[f"mn{i}"] for i in range(dim)], dtype=np.float64)
+    mx = np.array([row[f"mx{i}"] for i in range(dim)], dtype=np.float64)
+    return mn, mx
+
+
+def sq8_encode(
+    corpus: DataFrame,
+    mn,
+    mx,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-only scalar quantization to 1 byte/dimension: bin
+    ``min(floor((u_d − mn_d)/(mx_d − mn_d)·256), 255)`` stored shifted
+    by −128 as ``array<tinyint>`` — an 8× memory cut vs float64 that
+    Tungsten keeps byte-packed in the row format. floor (not
+    round-half) keeps the bin rule free of cross-engine half-rounding
+    divergence; a constant dimension (mx == mn) codes to 0 and decodes
+    to mn. All JVM expressions — no Python in the encode path."""
+    u = unit_expr(F.col(vec_col))
+    exprs = []
+    for i, (lo, hi) in enumerate(zip(mn, mx)):
+        if hi > lo:
+            c = F.least(
+                F.floor(
+                    (u[i] - F.lit(float(lo)))
+                    / F.lit(float(hi - lo))
+                    * F.lit(256.0)
+                ),
+                F.lit(255),
+            )
+        else:
+            c = F.lit(0)
+        exprs.append((c - F.lit(128)).cast("tinyint"))
+    return corpus.select(F.col(id_col), F.array(*exprs).alias("code"))
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Scalar-quantized (SQ8 / FAISS QT_8bit) top-k: the corpus is
+    served from its 1-byte-per-dim code table; each Arrow batch
+    reconstructs bin centers ``mn + (code + 0.5)·(mx − mn)/256`` and
+    scores Q queries with one BLAS matmul, keeping only the per-batch
+    top-k candidates (boundary ties kept — the same dominance argument
+    as :func:`_topk_candidates`), then one exact per-query window over
+    the bounded candidate set. Query-time IO is dim bytes/vector — the
+    memory-bound-scan lever between matryoshka prefixes (fewer dims)
+    and PQ (sub-byte codes). Scores are dots against reconstructed
+    vectors, so ranking quality is governed by quantization error only;
+    recall is audited in RECALL.md."""
+    import numpy as np
+
+    spark = corpus.sparkSession
+    mn, mx = sq8_train(corpus, id_col, vec_col)
+    codes = sq8_encode(corpus, mn, mx, id_col, vec_col)
+    qids, qmat = collect_unit_matrix(queries, id_col, vec_col)
+    scale = (mx - mn) / 256.0
+    bc = spark.sparkContext.broadcast((qids, qmat, mn, scale))
+
+    def scan(batches):
+        import pandas as pd
+
+        q_ids, q_mat, mn_a, scale_a = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            block_ids = pdf[id_col].to_numpy()
+            stored = np.array(pdf["code"].tolist(), dtype=np.float64)
+            # decode mirrors the oracle composition exactly:
+            # mn + (code + 0.5) * ((mx - mn) / 256)
+            recon = mn_a + ((stored + 128.0) + 0.5) * scale_a
+            sims = np.round(q_mat @ recon.T, round_digits)
+            sims[q_ids[:, None] == block_ids[None, :]] = -np.inf
+            n = sims.shape[1]
+            kth = min(k - 1, n - 1)
+            thresh = np.partition(sims, n - 1 - kth, axis=1)[:, n - 1 - kth]
+            qi, ci = np.nonzero(
+                (sims >= thresh[:, None]) & np.isfinite(sims)
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": q_ids[qi],
+                    "corpus_id": block_ids[ci],
+                    "score": sims[qi, ci],
+                }
+            )
+
+    scored = codes.mapInPandas(
+        scan, schema="query_id long, corpus_id long, score double"
+    ).filter(F.col("query_id") != F.col("corpus_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "score", "rank")
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     tau: float,

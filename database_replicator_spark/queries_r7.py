@@ -874,3 +874,58 @@ def embedding_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hot_factor"),
     )
+
+
+@query(
+    "similarity_sq8_topk",
+    oracle=f"""
+    WITH units AS (
+      SELECT vec_id, {_UNIT_SQL.format(v='embedding')} AS unit FROM embeddings
+    ),
+    dims AS (
+      SELECT t.i, MIN(unit[t.i]) AS mn, MAX(unit[t.i]) AS mx
+      FROM units, UNNEST(generate_series(1, 64)) AS t(i)
+      GROUP BY t.i
+    ),
+    recon AS (
+      SELECT u.vec_id, d.i,
+             d.mn + (CASE WHEN d.mx > d.mn
+                          THEN LEAST(FLOOR((u.unit[d.i] - d.mn)
+                                           / (d.mx - d.mn) * 256), 255)
+                          ELSE 0 END + 0.5) * ((d.mx - d.mn) / 256) AS xr
+      FROM units u CROSS JOIN dims d
+    ),
+    rvecs AS (
+      SELECT vec_id, list(xr ORDER BY i) AS runit FROM recon GROUP BY vec_id
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, r.vec_id AS corpus_id,
+             round({_DOT_SQL.format(a='q.unit', b='r.runit')}, 6) AS score
+      FROM units q CROSS JOIN rvecs r
+      WHERE q.vec_id < 5 AND r.vec_id != q.vec_id
+    )
+    SELECT query_id, corpus_id, score, rank FROM (
+      SELECT query_id, corpus_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, corpus_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def similarity_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized ANN (FAISS ScalarQuantizer QT_8bit shape): the
+    corpus is served from a 1-byte-per-dimension code table — the
+    memory-bandwidth lever between matryoshka prefixes (fewer dims) and
+    PQ (sub-byte codes): 8× less scan IO than float64 with near-exact
+    ranking at 64 dims. Train is one per-dim min/max aggregate (2·dim
+    doubles of state at any corpus size), encode is map-only JVM
+    arithmetic with the half-rounding-free floor-bin rule, and the scan
+    reconstructs bin centers per Arrow batch, cuts to per-batch top-k
+    candidates, and finishes with the exact bounded window
+    (operators/similarity.sq8_train/sq8_encode/sq8_topk). The oracle
+    replays train/encode/decode in SQL with the identical composition
+    mn + (code + 0.5)·(mx − mn)/256 and the shared fold-order dot."""
+    from .operators.similarity import sq8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sq8_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)

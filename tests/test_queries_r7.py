@@ -378,3 +378,52 @@ class TestCellBalance:
                 abs(r["hot_factor"] - round(r["n_vecs"] * 16 / total, 6))
                 < 1e-9
             )
+
+
+class TestSQ8:
+    def test_matches_numpy_reference(self, spark, emb_mat):
+        ids, mat = emb_mat  # unit rows, ids 0..n-1 after sort
+        mn = mat.min(axis=0)
+        mx = mat.max(axis=0)
+        span = mx - mn
+        codes = np.minimum(np.floor((mat - mn) / span * 256), 255)
+        recon = mn + (codes + 0.5) * (span / 256.0)
+        sims = np.round(mat[:5] @ recon.T, 6)
+        rows = q7.similarity_sq8_topk(spark, SF).collect()
+        got = {}
+        for r in rows:
+            got.setdefault(r["query_id"], []).append(
+                (r["rank"], r["corpus_id"], r["score"])
+            )
+        assert set(got) == set(range(5))
+        for q in range(5):
+            order = sorted(
+                ((-sims[q, c], c) for c in range(len(ids)) if c != q)
+            )[:10]
+            want = [
+                (rk + 1, c, -negs) for rk, (negs, c) in enumerate(order)
+            ]
+            assert sorted(got[q]) == want
+
+    def test_codes_are_bytes_and_recall_is_high(self, spark):
+        from database_replicator_spark.operators.similarity import (
+            sq8_encode,
+            sq8_train,
+            topk_blas,
+        )
+
+        emb = load_table(spark, SF, "embeddings")
+        mn, mx = sq8_train(emb)
+        codes = sq8_encode(emb, mn, mx)
+        assert dict(codes.dtypes)["code"] == "array<tinyint>"
+        # quantization-only error → recall@10 should be near-exact
+        queries = emb.filter(F.col("vec_id") < 5)
+        truth = {
+            (r["query_id"], r["corpus_id"])
+            for r in topk_blas(emb, queries, k=10).collect()
+        }
+        got = {
+            (r["query_id"], r["corpus_id"])
+            for r in q7.similarity_sq8_topk(spark, SF).collect()
+        }
+        assert len(got & truth) / len(truth) >= 0.8

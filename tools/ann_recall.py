@@ -145,6 +145,18 @@ def main() -> int:
         times[name] = round(time.perf_counter() - t0, 2)
         results[name] = round(len(got & truth) / len(truth), 4)
 
+    # SQ8 scalar quantization (gated as similarity_sq8_topk): full-dim
+    # code scan at 1 byte/dim — ranking error comes only from per-dim
+    # quantization, so recall@k is near-exact and the win is the 8×
+    # scan-IO cut, not candidate pruning.
+    from database_replicator_spark.operators.similarity import sq8_topk
+
+    name = "sq8(256 bins) code scan"
+    t0 = time.perf_counter()
+    got = pair_set(sq8_topk(emb, queries, k=k))
+    times[name] = round(time.perf_counter() - t0, 2)
+    results[name] = round(len(got & truth) / len(truth), 4)
+
     # Near-dup PAIR recall: neardup_pairs_lsh vs the exact blocked scan
     # (ground truth) at the gated threshold — the same audit for the
     # symmetric-pairs operator that recall@k is for top-k.
