@@ -1666,6 +1666,99 @@ def sq8_topk(
     )
 
 
+def ivf_sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    quantizer: str = "sample",
+    centroids=None,
+) -> DataFrame:
+    """IVF + SQ8 (the FAISS ``IVF<n>,SQ8`` composition): the coarse
+    quantizer prunes the scan to ``nprobe`` of ``nlist`` inverted lists,
+    and the survivors are scored from their 1-byte-per-dim SQ8 codes —
+    probed-fraction bounds IO like IVF+PQ, but the per-dim scalar codes
+    reconstruct with plain arithmetic (no codebook LUT), keeping the
+    whole query side in JVM expressions. The index build (codes ⋈ cell
+    ids on the vector id) is the offline step; query-time shuffle is ONE
+    equi-join on cid with the probes broadcast, same as :func:`ivf_topk`.
+
+    ``quantizer="sample"`` (the gated config) keeps centroid choice,
+    codes, and reconstruction all SQL-reproducible; ``"kmeans"`` trains
+    the coarse quantizer (recall-tested, not gated)."""
+    import numpy as np
+
+    spark = corpus.sparkSession
+    if centroids is not None:
+        cent = np.asarray(centroids, dtype=np.float64)
+    elif quantizer == "kmeans":
+        cent = kmeans_centroids(corpus, nlist, id_col, vec_col)
+    elif quantizer == "sample":
+        ids, mat = collect_unit_matrix(
+            corpus.filter(F.col(id_col) < nlist), id_col, vec_col
+        )
+        cent = mat[np.argsort(ids)]
+    else:
+        raise ValueError(f"unknown quantizer {quantizer!r}")
+
+    mn, mx = sq8_train(corpus, id_col, vec_col)
+    scale = (mx - mn) / 256.0
+    assigned = cell_assign(corpus, cent, id_col, vec_col, round_digits)
+    codes = sq8_encode(corpus, mn, mx, id_col, vec_col)
+    index = codes.join(assigned, id_col)
+
+    # probe selection: driver-side numpy over the bounded query set —
+    # same rounded sims and (score DESC, cid ASC) preference as ivf_topk
+    q_ids, q_mat = collect_unit_matrix(queries, id_col, vec_col)
+    q_sims = np.round(q_mat @ cent.T, round_digits)
+    probe_rows = []
+    for qi in range(len(q_ids)):
+        by_pref = sorted(
+            range(len(cent)), key=lambda c: (-q_sims[qi, c], c)
+        )
+        for c in by_pref[:nprobe]:
+            probe_rows.append(
+                (int(q_ids[qi]), int(c), [float(x) for x in q_mat[qi]])
+            )
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, cid long, qvec_u array<double>"
+    )
+
+    # in-place JVM reconstruction of bin centers: the same composition
+    # the oracle replays — mn + (code + 0.5) * ((mx - mn) / 256)
+    mn_arr = F.array(*[F.lit(float(v)) for v in mn])
+    sc_arr = F.array(*[F.lit(float(v)) for v in scale])
+    recon = F.transform(
+        F.col("code"),
+        lambda x, i: F.element_at(mn_arr, i + F.lit(1))
+        + ((x.cast("int") + F.lit(128)).cast("double") + F.lit(0.5))
+        * F.element_at(sc_arr, i + F.lit(1)),
+    )
+    scored = (
+        index.join(F.broadcast(probes), on="cid")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("corpus_id"),
+            F.round(dot_expr(F.col("qvec_u"), recon), round_digits).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "score", "rank")
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     tau: float,

@@ -929,3 +929,71 @@ def similarity_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return sq8_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@query(
+    "similarity_ivfsq_topk",
+    oracle=f"""
+    WITH units AS (
+      SELECT vec_id, {_UNIT_SQL.format(v='embedding')} AS unit FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cid, unit AS cvec FROM units WHERE vec_id < 16),
+    cells AS (
+      SELECT u.vec_id, u.unit, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY u.vec_id
+               ORDER BY round({_DOT_SQL.format(a='u.unit', b='c.cvec')}, 6)
+                          DESC,
+                        c.cid ASC) AS rn
+      FROM units u CROSS JOIN cents c
+    ),
+    assign AS (SELECT vec_id, cid FROM cells WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, unit AS qvec_u, cid
+               FROM cells WHERE rn <= 2 AND vec_id < 5),
+    dims AS (
+      SELECT t.i, MIN(unit[t.i]) AS mn, MAX(unit[t.i]) AS mx
+      FROM units, UNNEST(generate_series(1, 64)) AS t(i)
+      GROUP BY t.i
+    ),
+    recon AS (
+      SELECT u.vec_id, d.i,
+             d.mn + (CASE WHEN d.mx > d.mn
+                          THEN LEAST(FLOOR((u.unit[d.i] - d.mn)
+                                           / (d.mx - d.mn) * 256), 255)
+                          ELSE 0 END + 0.5) * ((d.mx - d.mn) / 256) AS xr
+      FROM units u CROSS JOIN dims d
+    ),
+    rvecs AS (
+      SELECT vec_id, list(xr ORDER BY i) AS runit FROM recon GROUP BY vec_id
+    ),
+    scored AS (
+      SELECT p.query_id, r.vec_id AS corpus_id,
+             round({_DOT_SQL.format(a='p.qvec_u', b='r.runit')}, 6) AS score
+      FROM probes p
+      JOIN assign a ON a.cid = p.cid
+      JOIN rvecs r ON r.vec_id = a.vec_id
+      WHERE r.vec_id != p.query_id
+    )
+    SELECT query_id, corpus_id, score, rank FROM (
+      SELECT query_id, corpus_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, corpus_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def similarity_ivfsq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+SQ8 ANN (the FAISS IVF16,SQ8 composition): coarse cells
+    bound IO to nprobe/nlist of the code table, scalar 1-byte codes
+    bound what a probed row costs — reconstruction is plain per-dim
+    arithmetic in JVM expressions (no codebook gather), so unlike
+    IVF+PQ the query side has zero Python stages after the index build.
+    Gated at the SQL-reproducible settings (sample quantizer, floor-bin
+    codes, shared fold-order dot); the trained-centroid path is
+    recall-audited instead (RECALL.md)."""
+    from .operators.similarity import ivf_sq8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_sq8_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, nlist=16, nprobe=2
+    )

@@ -427,3 +427,39 @@ class TestSQ8:
             for r in q7.similarity_sq8_topk(spark, SF).collect()
         }
         assert len(got & truth) / len(truth) >= 0.8
+
+
+class TestIVFSQ8:
+    def test_matches_numpy_reference(self, spark, emb_mat):
+        ids, mat = emb_mat
+        cents = mat[:16]
+        # corpus cell assignment: rounded-cosine argmax, ties to lower cid
+        a_sims = np.round(mat @ cents.T, 6)
+        cid = a_sims.argmax(axis=1)
+        # SQ8 reconstruction
+        mn = mat.min(axis=0)
+        mx = mat.max(axis=0)
+        span = mx - mn
+        codes = np.minimum(np.floor((mat - mn) / span * 256), 255)
+        recon = mn + (codes + 0.5) * (span / 256.0)
+        rows = q7.similarity_ivfsq_topk(spark, SF).collect()
+        got = {}
+        for r in rows:
+            got.setdefault(r["query_id"], []).append(
+                (r["rank"], r["corpus_id"], r["score"])
+            )
+        for q in range(5):
+            # probes: top-2 cells by rounded cosine, ties to lower cid
+            pref = sorted(range(16), key=lambda c: (-a_sims[q, c], c))[:2]
+            cand = [
+                c for c in range(len(ids))
+                if cid[c] in pref and c != q
+            ]
+            sims = np.round(recon[cand] @ mat[q], 6)
+            order = sorted(
+                ((-sims[i], cand[i]) for i in range(len(cand)))
+            )[:10]
+            want = [
+                (rk + 1, c, -negs) for rk, (negs, c) in enumerate(order)
+            ]
+            assert sorted(got[q]) == want

@@ -157,6 +157,23 @@ def main() -> int:
     times[name] = round(time.perf_counter() - t0, 2)
     results[name] = round(len(got & truth) / len(truth), 4)
 
+    # IVF+SQ8 (gated as similarity_ivfsq_topk): probed-fraction recall
+    # loss compounds with (near-zero) quantization loss — compare to
+    # the ivf_topk rows to see the SQ8 cut costs essentially nothing.
+    from database_replicator_spark.operators.similarity import ivf_sq8_topk
+
+    for nprobe in (2, 4):
+        name = f"ivf_sq8_topk(kmeans, nprobe={nprobe})"
+        t0 = time.perf_counter()
+        got = pair_set(
+            ivf_sq8_topk(
+                emb, queries, k=k, nlist=16, nprobe=nprobe,
+                quantizer="kmeans",
+            )
+        )
+        times[name] = round(time.perf_counter() - t0, 2)
+        results[name] = round(len(got & truth) / len(truth), 4)
+
     # Near-dup PAIR recall: neardup_pairs_lsh vs the exact blocked scan
     # (ground truth) at the gated threshold — the same audit for the
     # symmetric-pairs operator that recall@k is for top-k.

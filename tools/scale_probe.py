@@ -181,6 +181,54 @@ def probe_ops(spark, path: str) -> dict[str, float]:
             .agg(F.count(F.lit(1)).alias("n_shared"))
         )
 
+    def source_overlap():
+        from database_replicator_spark.operators.dedup import (
+            doc_shingles,
+            minhash_signatures,
+        )
+
+        sh = doc_shingles(docs)
+        sig = minhash_signatures(sh, num_hashes=12)
+        ssig = (
+            sig.join(docs.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(*[F.min(F.col("sig")[s]).alias(f"h{s}") for s in range(12)])
+        )
+        a, b = ssig.alias("a"), ssig.alias("b")
+        matching = sum(
+            (F.col(f"a.h{s}") == F.col(f"b.h{s}")).cast("int")
+            for s in range(12)
+        )
+        mat(
+            a.join(F.broadcast(b), F.col("a.source") < F.col("b.source"))
+            .select(
+                F.col("a.source").alias("source1"),
+                F.col("b.source").alias("source2"),
+                matching.cast("bigint").alias("matching_slots"),
+            )
+        )
+
+    def global_rank_gini():
+        # the scale-sensitive half of events_activity_gini: a GLOBAL
+        # rank of every row via the bucketed two-phase path (forced
+        # distributed), then the scalar Gini aggregate
+        from database_replicator_spark.operators.cumsum import (
+            grouped_running_sum,
+        )
+
+        vals = docs.select("doc_id", F.col("n_chars").alias("x"))
+        ranked = grouped_running_sum(
+            vals.withColumn("_one", F.lit(1)), [], "_one", "doc_id",
+            out_col="r", order_col="x", ascending=True, mode="distributed",
+        )
+        mat(
+            ranked.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("x").alias("sx"),
+                F.sum(F.col("r") * F.col("x")).alias("w"),
+            )
+        )
+
     for name, fn in [
         ("exact_dedup", exact_dedup),
         ("minhash_lsh_pairs", minhash_lsh),
@@ -190,6 +238,8 @@ def probe_ops(spark, path: str) -> dict[str, float]:
         ("hashed_linear_score", classifier),
         ("keyword_postings", keyword_postings),
         ("cross_source_fps", cross_source_fps),
+        ("source_overlap_minhash", source_overlap),
+        ("global_rank_gini_distributed", global_rank_gini),
     ]:
         fn()  # warm (codegen + python workers)
         out[name] = round(min(timed(fn), timed(fn)), 3)
@@ -293,6 +343,11 @@ def probe_embedding_ops(spark, path: str, dim: int = 64) -> dict[str, float]:
         nlist = max(16, int(n) // 125)
         mat(semantic_dedup(emb, tau=0.4, nlist=nlist, quantizer="sample"))
 
+    def sq8():
+        from database_replicator_spark.operators.similarity import sq8_topk
+
+        mat(sq8_topk(emb, queries, k=10))
+
     out = {}
     for name, fn in [
         ("pq_encode", pq_encode_scan),
@@ -300,6 +355,7 @@ def probe_embedding_ops(spark, path: str, dim: int = 64) -> dict[str, float]:
         ("ivf_pq_topk", ivfpq_probe),
         ("coverage_sample", coverage),
         ("semantic_dedup_nlist_scaled", semdedup),
+        ("sq8_topk", sq8),
     ]:
         fn()
         out[name] = round(min(timed(fn), timed(fn)), 3)
