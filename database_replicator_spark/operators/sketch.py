@@ -123,3 +123,109 @@ def bernoulli_sample(
     percentile queries from it with error O(1/√(n·rate))."""
     thr = int(rate * HASH60_SPAN)
     return df.filter(hash60(seeded(F.col(id_col).cast("string"), seed)) < F.lit(thr))
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005): mergeable frequency
+# sketch — d hash rows × w counters of fixed state per group/epoch,
+# point-queryable with one-sided error (estimate ≥ true count, over by
+# at most ~N/w with probability 1 − (1/2)^d). Like KMV above, the hash
+# family is deterministic (Carter-Wegman over one md5 digest), so
+# sketch(A ∪ B) == elementwise-sum(sketch(A), sketch(B)) EXACTLY and the
+# tests assert equality. Reference parity: the reference keeps exact
+# per-table change counts (verify.rs); the sketch is the storable,
+# mergeable generalization for per-KEY frequencies at unbounded key
+# cardinality.
+# ---------------------------------------------------------------------------
+
+#: Carter-Wegman modulus shared with the minhash family (dedup.py).
+CMS_PRIME = 576460752303423433
+
+
+def cms_counters(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build the (j, col, c) counter relation: ``depth × width`` cells,
+    where key k adds its weight to cell (j, (h1 + j·h2) mod P mod w)
+    for every hash row j.
+
+    Plan shape: keys are pre-aggregated FIRST (one map-side-combined
+    groupBy), so the depth-way fanout explodes the distinct-key
+    relation, never the raw rows; the final groupBy lands on ≤ d·w
+    cells. Total sketch state is d·w longs regardless of input size —
+    THE property that makes it storable per group/epoch and mergeable
+    across pipeline runs (elementwise sum)."""
+    from ..functions.hashing import hash60, hash60_tail
+
+    w_expr = (
+        F.sum(F.col(weight_col)) if weight_col else F.count(F.lit(1))
+    )
+    keys = df.groupBy(F.col(key_col).cast("string").alias("_k")).agg(
+        w_expr.alias("_x")
+    )
+    h1 = hash60(F.col("_k"))
+    h2m = hash60_tail(F.col("_k")) % F.lit(CMS_PRIME)
+    rows = keys.select(
+        "_k",
+        "_x",
+        F.explode(
+            F.array(*[F.lit(j) for j in range(depth)])
+        ).alias("j"),
+        h1.alias("_h1"),
+        h2m.alias("_h2m"),
+    ).select(
+        "j",
+        (
+            ((F.col("_h1") + F.col("j") * F.col("_h2m")) % F.lit(CMS_PRIME))
+            % F.lit(width)
+        ).alias("col"),
+        "_x",
+    )
+    return rows.groupBy("j", "col").agg(F.sum("_x").alias("c"))
+
+
+def cms_merge(sketches: Sequence[DataFrame]) -> DataFrame:
+    """Union of inputs = elementwise counter sum (CMS linearity)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("j", "col").agg(F.sum("c").alias("c"))
+
+
+def cms_estimate(
+    counters: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Point-query the sketch for each key: min over the d counters the
+    key hashes into. Returns (key_col, cms_estimate). The candidate-key
+    relation is the caller's (top-k candidates, a dimension, a sample) —
+    the sketch itself cannot enumerate keys, by construction."""
+    from ..functions.hashing import hash60, hash60_tail
+
+    h1 = hash60(F.col(key_col).cast("string"))
+    h2m = hash60_tail(F.col(key_col).cast("string")) % F.lit(CMS_PRIME)
+    coords = keys.select(
+        F.col(key_col),
+        F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("j"),
+        h1.alias("_h1"),
+        h2m.alias("_h2m"),
+    ).select(
+        key_col,
+        "j",
+        (
+            ((F.col("_h1") + F.col("j") * F.col("_h2m")) % F.lit(CMS_PRIME))
+            % F.lit(width)
+        ).alias("col"),
+    )
+    return (
+        coords.join(F.broadcast(counters), on=["j", "col"])
+        .groupBy(key_col)
+        .agg(F.min("c").alias("cms_estimate"))
+    )

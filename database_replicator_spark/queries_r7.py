@@ -997,3 +997,73 @@ def similarity_ivfsq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_sq8_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=10, nlist=16, nprobe=2
     )
+
+
+def _cms_oracle() -> str:
+    from .functions.hashing import hash60_sql, hash60_tail_sql
+    from .operators.sketch import CMS_PRIME
+
+    return f"""
+    WITH keys AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY event_type
+    ),
+    hashed AS (
+      SELECT event_type, x,
+             {hash60_sql('event_type')} AS h1,
+             {hash60_tail_sql('event_type')} % {CMS_PRIME} AS h2m
+      FROM keys
+    ),
+    coords AS (
+      SELECT event_type, x, t.j,
+             ((h1 + t.j * h2m) % {CMS_PRIME}) % 64 AS col
+      FROM hashed, UNNEST([0, 1, 2, 3]) AS t(j)
+    ),
+    counters AS (
+      SELECT j, col, CAST(SUM(x) AS BIGINT) AS c
+      FROM coords GROUP BY j, col
+    ),
+    est AS (
+      SELECT co.event_type, MIN(ct.c) AS cms_estimate
+      FROM coords co JOIN counters ct ON ct.j = co.j AND ct.col = co.col
+      GROUP BY co.event_type
+    )
+    SELECT k.event_type, k.x AS exact_count, e.cms_estimate,
+           CAST(e.cms_estimate - k.x AS BIGINT) AS overestimate
+    FROM keys k JOIN est e USING (event_type)
+    """
+
+
+@query("events_heavy_hitters_cms", oracle=_cms_oracle())
+def events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates for the event-type keys,
+    compared against exact counts (Cormode & Muthukrishnan 2005). The
+    sketch is d·w = 4×64 longs of state at ANY input size, merges across
+    partitions/epochs by elementwise sum (EXACT linearity — asserted in
+    tests, not approximate), and answers point queries with one-sided
+    error: estimate ≥ truth always, over by ~N/w with probability
+    1 − 2⁻ᵈ. This is what per-key change-frequency monitoring stores at
+    unbounded key cardinality, where the exact per-key count relation
+    (the reference's verify counters) would itself be the big table.
+
+    Plan: keys pre-aggregate FIRST (map-side combine), the 4-way hash
+    fanout explodes distinct keys only, and the counter relation is ≤256
+    cells — broadcast back for the query join. The oracle replays the
+    identical Carter-Wegman family over one md5 digest per key."""
+    from .operators.sketch import cms_counters, cms_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    keys = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    counters = cms_counters(ev, "event_type", depth=4, width=64)
+    est = cms_estimate(
+        counters, keys.select("event_type"), "event_type",
+        depth=4, width=64,
+    )
+    return keys.join(est, "event_type").select(
+        "event_type",
+        "exact_count",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_count")).alias("overestimate"),
+    )

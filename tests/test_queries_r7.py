@@ -463,3 +463,51 @@ class TestIVFSQ8:
                 (rk + 1, c, -negs) for rk, (negs, c) in enumerate(order)
             ]
             assert sorted(got[q]) == want
+
+
+class TestCMS:
+    def test_one_sided_error_and_exact_merge(self, spark):
+        from database_replicator_spark.operators.sketch import (
+            cms_counters,
+            cms_estimate,
+            cms_merge,
+        )
+
+        rows = q7.events_heavy_hitters_cms(spark, SF).collect()
+        assert rows  # non-degenerate
+        for r in rows:
+            # CMS error is one-sided: never an underestimate
+            assert r["overestimate"] >= 0
+            assert r["cms_estimate"] == r["exact_count"] + r["overestimate"]
+
+        # EXACT linearity: sketch(A ∪ B) == merge(sketch(A), sketch(B))
+        ev = load_table(spark, SF, "events")
+        full = cms_counters(ev, "event_type")
+        a = cms_counters(ev.filter(F.col("event_id") % 2 == 0), "event_type")
+        b = cms_counters(ev.filter(F.col("event_id") % 2 == 1), "event_type")
+        merged = cms_merge([a, b])
+        got_full = {(r["j"], r["col"]): r["c"] for r in full.collect()}
+        got_merged = {(r["j"], r["col"]): r["c"] for r in merged.collect()}
+        assert got_full == got_merged
+
+        # weighted build: weight_col sums instead of counting
+        wtd = cms_counters(
+            ev.withColumn("_w", F.lit(2)), "event_type", weight_col="_w"
+        )
+        got_wtd = {(r["j"], r["col"]): r["c"] for r in wtd.collect()}
+        assert got_wtd == {k: 2 * v for k, v in got_full.items()}
+
+        # estimates for keys present in the build are >= their truth
+        est = {
+            r["event_type"]: r["cms_estimate"]
+            for r in cms_estimate(
+                full, ev.select("event_type").distinct(), "event_type"
+            ).collect()
+        }
+        truth = {
+            r["event_type"]: r["n"]
+            for r in ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert all(est[k] >= truth[k] for k in truth)
