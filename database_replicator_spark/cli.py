@@ -373,13 +373,20 @@ def main(argv: list[str] | None = None) -> int:
         "registered as a view; SELECT-only unless --out writes parquet)",
     )
     sql_p.add_argument("--source", required=True)
-    sql_p.add_argument("--query", required=True, metavar="SQL")
+    sql_p.add_argument("--query", default=None, metavar="SQL",
+                       help="statement to run (required unless "
+                       "--interactive)")
     sql_p.add_argument("--out", default=None,
                        help="write the full result as parquet here instead "
                        "of printing rows")
     sql_p.add_argument("--limit", type=int, default=100,
                        help="max rows printed in the JSON output (ignored "
                        "with --out)")
+    sql_p.add_argument("--interactive", action="store_true",
+                       help="REPL mode: read ';'-terminated statements "
+                       "from stdin, print one JSON result line each "
+                       "(the reference's interactive console surface — "
+                       "src/interactive.rs — as a pipe-friendly loop)")
 
     diff_p = sub.add_parser(
         "diff",
@@ -759,6 +766,42 @@ def main(argv: list[str] | None = None) -> int:
         try:
             for name, df in _load_sources(spark, args.source).items():
                 df.createOrReplaceTempView(name)
+            if getattr(args, "interactive", False):
+                import sys as _sys
+
+                # one JSON line per ';'-terminated statement; errors are
+                # reported per-statement and the loop continues — the
+                # console survives a bad query, like the reference's
+                buf: list[str] = []
+                for line in _sys.stdin:
+                    buf.append(line)
+                    if not line.rstrip().endswith(";"):
+                        continue
+                    stmt = "".join(buf).strip().rstrip(";").strip()
+                    buf = []
+                    if not stmt:
+                        continue
+                    try:
+                        res = spark.sql(stmt)
+                        rows = [
+                            r.asDict(recursive=True)
+                            for r in res.limit(args.limit).collect()
+                        ]
+                        print(json.dumps(
+                            {"ok": True, "columns": res.columns,
+                             "n_printed": len(rows), "rows": rows},
+                            default=str), flush=True)
+                    except Exception as e:  # noqa: BLE001
+                        print(json.dumps(
+                            {"ok": False,
+                             "error": f"{type(e).__name__}: {e}"},
+                            default=str), flush=True)
+                return 0
+            if not args.query:
+                print(json.dumps({"ok": False,
+                                  "error": "one of --query/--interactive "
+                                  "is required"}))
+                return 2
             result = spark.sql(args.query)
             if args.out:
                 from .util import staged_overwrite

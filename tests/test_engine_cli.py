@@ -1337,3 +1337,43 @@ class TestRestoreVerb:
         assert rc == 0
         out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out["ok"] and out["tables"]["nation"]["rows_in_db"] == 25
+
+
+class TestInteractiveSql:
+    def test_repl_loop_survives_errors(self, spark, capsys, monkeypatch):
+        import io
+        import json as _json
+        import sys
+
+        from database_replicator_spark.cli import main
+
+        feed = (
+            "SELECT COUNT(*) AS n FROM orders;\n"
+            "SELECT bogus FROM nope;\n"
+            "SELECT o_orderstatus, COUNT(*) AS n FROM orders\n"
+            "GROUP BY 1 ORDER BY 1;\n"
+        )
+        monkeypatch.setattr(sys, "stdin", io.StringIO(feed))
+        rc = main(
+            ["sql", "--source", "/root/testdata/sf0.001", "--interactive"]
+        )
+        out = [
+            _json.loads(line)
+            for line in capsys.readouterr().out.strip().splitlines()
+            if line.startswith("{")
+        ]
+        assert rc == 0
+        assert len(out) == 3
+        assert out[0]["ok"] and out[0]["rows"][0]["n"] == 1500
+        assert not out[1]["ok"] and "nope" in out[1]["error"]
+        # multi-line statement parsed across lines; loop survived the error
+        assert out[2]["ok"] and len(out[2]["rows"]) == 3
+
+    def test_one_shot_requires_query(self, capsys):
+        import json as _json
+
+        from database_replicator_spark.cli import main
+
+        rc = main(["sql", "--source", "/root/testdata/sf0.001"])
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 2 and not out["ok"]
