@@ -229,3 +229,58 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min("c").alias("cms_estimate"))
     )
+
+
+def kmv_set_ops(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    k: int = 256,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Set-operation estimates from two stored KMV sketches (Beyer et
+    al. SIGMOD'07, the multiset-operations half of the KMV paper): pool
+    the two bottom-k hash sets, re-take the k smallest as the unified
+    threshold sample K with θ = max(K); then
+
+      * ``jaccard_est``       = |K ∩ A ∩ B| / |K|
+      * ``union_est``         = (k−1)·2^60 / θ  (exact |pool| when the
+        pool holds fewer than k hashes — every distinct value is there)
+      * ``intersection_est``  = jaccard_est · union_est
+
+    Everything is integer set arithmetic on the stored hashes until the
+    two final double divisions, so both engines agree exactly — the
+    same determinism contract as the sketches themselves. This answers
+    "how many keys do these two epochs/tables/partitions SHARE" from
+    d·k longs of stored state, no re-scan of either input."""
+    a = sketch_a.select(F.col("kmv").alias("_a"))
+    b = sketch_b.select(F.col("kmv").alias("_b"))
+    staged = (
+        a.crossJoin(b)
+        .withColumn(
+            "_pool", F.array_sort(F.array_distinct(F.concat("_a", "_b")))
+        )
+        .withColumn("_K", F.slice("_pool", 1, k))
+        .withColumn("_kk", F.least(F.lit(k), F.size("_pool")))
+        .withColumn(
+            "_m",
+            F.size(
+                F.array_intersect(
+                    F.array_intersect(F.col("_K"), F.col("_a")), F.col("_b")
+                )
+            ),
+        )
+        .withColumn("_theta", F.expr("element_at(_K, _kk)").cast("double"))
+    )
+    jac = F.col("_m").cast("double") / F.col("_kk").cast("double")
+    union_est = F.when(
+        F.size("_pool") < k, F.size("_pool").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(HASH60_SPAN)) / F.col("_theta")
+    )
+    return staged.select(
+        F.col("_kk").cast("bigint").alias("k_used"),
+        F.col("_m").cast("bigint").alias("matching"),
+        F.round(jac, round_digits).alias("jaccard_est"),
+        F.round(union_est, round_digits).alias("union_est"),
+        F.round(jac * union_est, round_digits).alias("intersection_est"),
+    )

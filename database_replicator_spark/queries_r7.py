@@ -1067,3 +1067,81 @@ def events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_estimate",
         (F.col("cms_estimate") - F.col("exact_count")).alias("overestimate"),
     )
+
+
+def _kmv_overlap_oracle() -> str:
+    from .functions.hashing import hash60_sql
+    from .operators.sketch import HASH60_SPAN
+
+    h = hash60_sql("CAST(o_custkey AS VARCHAR)")
+    union_raw = (
+        f"CASE WHEN np < 256 THEN CAST(np AS DOUBLE) "
+        f"ELSE 255.0 * CAST({HASH60_SPAN} AS DOUBLE) / theta END"
+    )
+    return f"""
+    WITH a_h AS (
+      SELECT DISTINCT {h} AS h FROM orders WHERE year(o_orderdate) = 1995
+    ),
+    a_k AS (SELECT list(h ORDER BY h) AS l
+            FROM (SELECT h FROM a_h ORDER BY h LIMIT 256)),
+    b_h AS (
+      SELECT DISTINCT {h} AS h FROM orders WHERE year(o_orderdate) = 1996
+    ),
+    b_k AS (SELECT list(h ORDER BY h) AS l
+            FROM (SELECT h FROM b_h ORDER BY h LIMIT 256)),
+    pooled AS (
+      SELECT list_sort(list_distinct(a.l || b.l)) AS pool,
+             a.l AS al, b.l AS bl
+      FROM a_k a, b_k b
+    ),
+    staged AS (
+      SELECT list_slice(pool, 1, 256) AS K,
+             LEAST(256, len(pool)) AS kk,
+             len(pool) AS np, al, bl
+      FROM pooled
+    ),
+    calc AS (
+      SELECT kk, np,
+             len(list_intersect(list_intersect(K, al), bl)) AS m,
+             CAST(K[kk] AS DOUBLE) AS theta
+      FROM staged
+    )
+    SELECT CAST(kk AS BIGINT) AS k_used,
+           CAST(m AS BIGINT) AS matching,
+           ROUND(CAST(m AS DOUBLE) / CAST(kk AS DOUBLE), 6) AS jaccard_est,
+           ROUND({union_raw}, 6) AS union_est,
+           ROUND((CAST(m AS DOUBLE) / CAST(kk AS DOUBLE)) * ({union_raw}),
+                 6) AS intersection_est
+    FROM calc
+    """
+
+
+@query("orders_year_overlap_kmv", oracle=_kmv_overlap_oracle())
+def orders_year_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-retention overlap between two order years estimated
+    from STORED KMV sketches alone (Beyer et al. SIGMOD'07 multiset
+    ops): Jaccard, union, and intersection distinct-count estimates
+    from 2×256 longs of state — the "how many customers did these two
+    periods share" answer that an exact COUNT(DISTINCT) would re-shuffle
+    both periods' keys for. The estimator is exact below k (every hash
+    is in the pool — the fixture's small scales take that branch; the
+    bigger scales exercise the θ-threshold branch, so the gate covers
+    both) and deterministic above it.
+
+    Plan: each sketch is one mapInPandas partial + one k-bounded merge
+    (operators/sketch.kmv_sketch); the set ops are array arithmetic on
+    two 1-row relations (operators/sketch.kmv_set_ops) — nothing
+    rescans orders."""
+    from .operators.sketch import kmv_set_ops, kmv_sketch
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_custkey", F.year("o_orderdate").alias("_y")
+    ).withColumn("_g", F.lit(1))
+    a = kmv_sketch(
+        base.filter(F.col("_y") == 1995), ["_g"], "o_custkey", k=256
+    )
+    b = kmv_sketch(
+        base.filter(F.col("_y") == 1996), ["_g"], "o_custkey", k=256
+    )
+    return kmv_set_ops(a, b, k=256)

@@ -511,3 +511,61 @@ class TestCMS:
             .collect()
         }
         assert all(est[k] >= truth[k] for k in truth)
+
+
+class TestKMVSetOps:
+    def test_estimates_against_exact_truth(self, spark):
+        from pyspark.sql import Row
+
+        rows = q7.orders_year_overlap_kmv(spark, SF).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        orders = load_table(spark, SF, "orders")
+        a = {
+            x["o_custkey"]
+            for x in orders.filter(F.year("o_orderdate") == 1995)
+            .select("o_custkey").distinct().collect()
+        }
+        b = {
+            x["o_custkey"]
+            for x in orders.filter(F.year("o_orderdate") == 1996)
+            .select("o_custkey").distinct().collect()
+        }
+        # sf0.001 is below k on both sides → the exact branch: estimates
+        # ARE the truth
+        assert len(a | b) < 256
+        assert r["k_used"] == len(a | b)
+        assert r["matching"] == len(a & b)
+        assert abs(r["union_est"] - len(a | b)) < 1e-9
+        assert abs(r["intersection_est"] - len(a & b)) < 1e-6
+        assert (
+            abs(r["jaccard_est"] - round(len(a & b) / len(a | b), 6)) < 1e-9
+        )
+
+    def test_threshold_branch_is_sane(self, spark):
+        """Force the estimator branch with a tiny k: estimates land
+        within 35% of truth (k=64 → ~1/8 relative error at 1σ)."""
+        from database_replicator_spark.operators.sketch import (
+            kmv_set_ops,
+            kmv_sketch,
+        )
+
+        orders = load_table(spark, SF, "orders")
+        base = orders.select("o_custkey").withColumn("_g", F.lit(1))
+        a = kmv_sketch(
+            base.filter(F.col("o_custkey") % 3 != 0), ["_g"],
+            "o_custkey", k=64,
+        )
+        b = kmv_sketch(
+            base.filter(F.col("o_custkey") % 3 != 1), ["_g"],
+            "o_custkey", k=64,
+        )
+        r = kmv_set_ops(a, b, k=64).collect()[0]
+        keys = {x["o_custkey"] for x in base.select("o_custkey").distinct().collect()}
+        ta = {c for c in keys if c % 3 != 0}
+        tb = {c for c in keys if c % 3 != 1}
+        assert r["k_used"] == 64  # the θ branch really ran
+        assert abs(r["union_est"] - len(ta | tb)) / len(ta | tb) < 0.35
+        assert (
+            abs(r["intersection_est"] - len(ta & tb)) / len(ta & tb) < 0.5
+        )
