@@ -284,3 +284,66 @@ def kmv_set_ops(
         F.round(union_est, round_digits).alias("union_est"),
         F.round(jac * union_est, round_digits).alias("intersection_est"),
     )
+
+
+def bloom_bits(
+    df: DataFrame,
+    key_col: str,
+    m: int = 1024,
+    d: int = 3,
+) -> DataFrame:
+    """Deterministic Bloom filter over the key column, stored SPARSE:
+    one row holding the sorted array of set bit positions (≤ m longs;
+    production packs to an m-bit binary — the representation changes,
+    the set arithmetic does not). Positions come from the repo's
+    Carter-Wegman family, so build and probe agree across engines and
+    epochs, and two filters over disjoint slices merge by array union —
+    the storable, shippable form of the runtime semi-join pre-filter:
+    at 100 TB you broadcast a KB of bits to skip a key shuffle, the
+    same trick Spark's own runtime bloom join plays, but as a COLUMN
+    the pipeline can persist per table/epoch."""
+    from ..functions.hashing import hash60, hash60_tail
+
+    keys = df.select(F.col(key_col).cast("string").alias("_k")).distinct()
+    hashed = keys.select(
+        hash60(F.col("_k")).alias("_h1"),
+        (hash60_tail(F.col("_k")) % F.lit(CMS_PRIME)).alias("_h2m"),
+    )
+    pos = (
+        hashed.select(
+            F.explode(F.array(*[F.lit(j) for j in range(d)])).alias("j"),
+            "_h1",
+            "_h2m",
+        )
+        .select(
+            (
+                ((F.col("_h1") + F.col("j") * F.col("_h2m"))
+                 % F.lit(CMS_PRIME))
+                % F.lit(m)
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    return pos.agg(F.sort_array(F.collect_list("pos")).alias("bits"))
+
+
+def bloom_might_contain(
+    bits: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    m: int = 1024,
+    d: int = 3,
+) -> DataFrame:
+    """Probe: key passes iff all its d bit positions are set. No false
+    negatives ever (members always pass); false-positive rate is the
+    standard (1 − e^(−d·n/m))^d. Adds a ``might_contain`` boolean."""
+    from ..functions.hashing import hash60, hash60_tail
+
+    h1 = hash60(F.col(key_col).cast("string"))
+    h2m = hash60_tail(F.col(key_col).cast("string")) % F.lit(CMS_PRIME)
+    probed = keys.crossJoin(F.broadcast(bits))
+    cond = F.lit(True)
+    for j in range(d):
+        pos_j = ((h1 + F.lit(j) * h2m) % F.lit(CMS_PRIME)) % F.lit(m)
+        cond = cond & F.array_contains(F.col("bits"), pos_j)
+    return probed.withColumn("might_contain", cond).drop("bits")

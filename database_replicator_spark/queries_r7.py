@@ -1145,3 +1145,94 @@ def orders_year_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.filter(F.col("_y") == 1996), ["_g"], "o_custkey", k=256
     )
     return kmv_set_ops(a, b, k=256)
+
+
+def _bloom_oracle() -> str:
+    from .functions.hashing import hash60_sql, hash60_tail_sql
+    from .operators.sketch import CMS_PRIME
+
+    h1 = hash60_sql("CAST(o_custkey AS VARCHAR)")
+    h2m = f"{hash60_tail_sql('CAST(o_custkey AS VARCHAR)')} % {CMS_PRIME}"
+    return f"""
+    WITH a_keys AS (
+      SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    ),
+    a_pos AS (
+      SELECT DISTINCT ((h1 + t.j * h2m) % {CMS_PRIME}) % 1024 AS pos
+      FROM (SELECT {h1} AS h1, {h2m} AS h2m FROM a_keys),
+           UNNEST([0, 1, 2]) AS t(j)
+    ),
+    b_keys AS (
+      SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    ),
+    b_pos AS (
+      SELECT o_custkey, ((h1 + t.j * h2m) % {CMS_PRIME}) % 1024 AS pos
+      FROM (SELECT o_custkey, {h1} AS h1, {h2m} AS h2m FROM b_keys),
+           UNNEST([0, 1, 2]) AS t(j)
+    ),
+    checks AS (
+      SELECT b.o_custkey,
+             CASE WHEN a.pos IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM b_pos b LEFT JOIN a_pos a USING (pos)
+    ),
+    passed AS (
+      SELECT o_custkey FROM checks GROUP BY o_custkey HAVING MIN(hit) = 1
+    ),
+    members AS (
+      SELECT o_custkey FROM b_keys
+      WHERE o_custkey IN (SELECT o_custkey FROM a_keys)
+    ),
+    s AS (
+      SELECT CAST((SELECT COUNT(*) FROM b_keys) AS BIGINT) AS n_probed,
+             CAST((SELECT COUNT(*) FROM passed) AS BIGINT) AS n_pass,
+             CAST((SELECT COUNT(*) FROM members) AS BIGINT) AS n_member
+    )
+    SELECT n_probed, n_pass, n_member,
+           CAST(n_pass - n_member AS BIGINT) AS n_false_pos,
+           ROUND(CAST(n_pass - n_member AS DOUBLE)
+                 / CAST(n_probed - n_member AS DOUBLE), 6) AS fp_rate
+    FROM s
+    """
+
+
+@query("orders_bloom_prefilter", oracle=_bloom_oracle())
+def orders_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storable Bloom-filter pre-filter audit: build an m=1024, d=3
+    filter over one year's customer keys, probe the next year's keys,
+    and report pass/member/false-positive counts plus the measured FP
+    rate — the decision table for "ship a KB of bits instead of
+    shuffling keys" in incremental replication (probe the target's
+    filter before shipping changes; only might-contain keys need the
+    real anti-join). No false negatives by construction — n_pass ≥
+    n_member always, asserted in tests alongside exact build/probe
+    replay.
+
+    Plan: build = distinct keys → d map-side hash positions → ≤m-row
+    collect (the filter IS broadcast-sized by definition); probe =
+    map-only boolean against the broadcast bit array
+    (operators/sketch.bloom_bits / bloom_might_contain)."""
+    from .operators.sketch import bloom_bits, bloom_might_contain
+
+    orders = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    a = orders.filter(yr == 1995).select("o_custkey")
+    b_keys = orders.filter(yr == 1996).select("o_custkey").distinct()
+    bits = bloom_bits(a, "o_custkey", m=1024, d=3)
+    probed = bloom_might_contain(bits, b_keys, "o_custkey", m=1024, d=3)
+    members = b_keys.join(a.distinct(), "o_custkey", "left_semi")
+    stats = probed.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum(F.col("might_contain").cast("int")).alias("n_pass"),
+    )
+    m_cnt = members.agg(F.count(F.lit(1)).alias("n_member"))
+    return stats.crossJoin(F.broadcast(m_cnt)).select(
+        "n_probed",
+        "n_pass",
+        "n_member",
+        (F.col("n_pass") - F.col("n_member")).alias("n_false_pos"),
+        F.round(
+            (F.col("n_pass") - F.col("n_member")).cast("double")
+            / (F.col("n_probed") - F.col("n_member")).cast("double"),
+            6,
+        ).alias("fp_rate"),
+    )

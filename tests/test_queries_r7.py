@@ -569,3 +569,44 @@ class TestKMVSetOps:
         assert (
             abs(r["intersection_est"] - len(ta & tb)) / len(ta & tb) < 0.5
         )
+
+
+class TestBloom:
+    def test_no_false_negatives_and_python_replay(self, spark):
+        import hashlib
+
+        from database_replicator_spark.operators.sketch import (
+            CMS_PRIME,
+            bloom_bits,
+            bloom_might_contain,
+        )
+
+        r = q7.orders_bloom_prefilter(spark, SF).collect()[0]
+        # bloom invariant: members always pass
+        assert r["n_pass"] >= r["n_member"]
+        assert r["n_false_pos"] == r["n_pass"] - r["n_member"]
+        assert r["n_probed"] >= r["n_pass"]
+
+        # exact python replay of build + probe on a small key set
+        def positions(key, m=1024, d=3):
+            dig = hashlib.md5(str(key).encode()).hexdigest()
+            h1 = int(dig[:15], 16)
+            h2m = int(dig[16:31], 16) % CMS_PRIME
+            return [((h1 + j * h2m) % CMS_PRIME) % m for j in range(d)]
+
+        build = spark.createDataFrame([(k,) for k in range(50)], "k long")
+        probe = spark.createDataFrame(
+            [(k,) for k in range(40, 90)], "k long"
+        )
+        bits = bloom_bits(build, "k")
+        got = {
+            row["k"]: row["might_contain"]
+            for row in bloom_might_contain(bits, probe, "k").collect()
+        }
+        bitset = set()
+        for k in range(50):
+            bitset.update(positions(k))
+        for k in range(40, 90):
+            assert got[k] == all(p in bitset for p in positions(k))
+        # all true members pass
+        assert all(got[k] for k in range(40, 50))
