@@ -31,6 +31,44 @@ def find_orphans(target: DataFrame, source: DataFrame, pk_cols: list[str]) -> Da
     )
 
 
+def find_orphans_bloom(
+    target: DataFrame,
+    source: DataFrame,
+    pk_col: str,
+    m: int = 1 << 20,
+    d: int = 3,
+) -> DataFrame:
+    """Bloom-accelerated :func:`find_orphans`, OUTPUT-IDENTICAL by the
+    filter's no-false-negative guarantee (asserted in tests): build a
+    Bloom filter over the source PKs, probe every target PK map-side,
+    and split —
+
+      * probe MISS ⇒ the key is definitely absent from source ⇒ it is
+        an orphan with no join at all;
+      * probe PASS (member or false positive) ⇒ the exact ``left_anti``
+        join decides, over the pass set only.
+
+    At 100 TB the win is the anti-join's shuffle shrinking from |target|
+    keys to |matches| + FP·|target| — with the default m=2^20, d=3 the
+    FP rate stays ~1% up to ~10^5 distinct source keys and the filter
+    ships as ~KBs-to-MBs of broadcast instead of a key shuffle (size m
+    to the source cardinality: FP ≈ (1 − e^(−d·n/m))^d). This is the
+    sketch-tier integration of the reference's reconciler
+    (src/xmin/reconciler.rs): same answer, one less full exchange."""
+    from .sketch import bloom_bits, bloom_might_contain
+
+    bits = bloom_bits(source.select(pk_col), pk_col, m=m, d=d)
+    probed = bloom_might_contain(
+        bits, target.select(pk_col), pk_col, m=m, d=d
+    )
+    definite = probed.filter(~F.col("might_contain")).select(pk_col)
+    candidates = probed.filter(F.col("might_contain")).select(pk_col)
+    checked = candidates.join(
+        source.select(pk_col), on=[pk_col], how="left_anti"
+    )
+    return definite.unionByName(checked)
+
+
 def apply_deletes(target: DataFrame, orphans: DataFrame, pk_cols: list[str]) -> DataFrame:
     """Delete-by-PK as a DataFrame transform (S19): keep target rows whose PK
     is NOT in the orphan set. For JDBC/Delta targets the same orphan set

@@ -610,3 +610,30 @@ class TestBloom:
             assert got[k] == all(p in bitset for p in positions(k))
         # all true members pass
         assert all(got[k] for k in range(40, 50))
+
+
+class TestBloomReconcile:
+    def test_output_identical_to_exact_anti_join(self, spark):
+        from database_replicator_spark.operators.reconcile import (
+            find_orphans,
+            find_orphans_bloom,
+        )
+
+        orders = load_table(spark, SF, "orders")
+        # synthetic divergence: source loses every 7th order
+        source = orders.filter(F.col("o_orderkey") % 7 != 0)
+        target = orders
+        exact = {
+            r["o_orderkey"]
+            for r in find_orphans(target, source, ["o_orderkey"]).collect()
+        }
+        # small m forces a meaningful false-positive rate, so the
+        # equality actually exercises the pass-set anti-join
+        got = {
+            r["o_orderkey"]
+            for r in find_orphans_bloom(
+                target, source, "o_orderkey", m=512, d=3
+            ).collect()
+        }
+        assert got == exact
+        assert exact  # non-degenerate
