@@ -68,6 +68,13 @@ REPRESENTATIVE = [
     "embedding_matryoshka_topk",   # prefix-slice projection into BLAS top-k
     "doc_ngram_novelty",           # shingle-keyed min + same-keyed join back
     "orders_cohort_ltv",           # custkey agg + join + cohort-cell agg
+    "similarity_sq8_topk",         # byte-code scan + candidate-cut window
+    "similarity_ivfsq_topk",       # probed cells, pure-JVM reconstruct dot
+    "events_activity_gini",        # global bucketed ranks + scalar agg
+    "corpus_source_overlap",       # per-source union minhash + S×S broadcast
+    "events_heavy_hitters_cms",    # key pre-agg → d-way fanout → ≤256 cells
+    "orders_bloom_prefilter",      # KB bit-array broadcast, map-only probe
+    "supplier_balance_outliers",   # chained positional medians, one sizing
     "part_size_price_corr",        # exact sufficient stats, pure codegen agg
     "embedding_semantic_dedup",    # map-only assign, ONE cid shuffle, per-cell BLAS
     "doc_quality_threshold_sweep", # bin once + cumulate over ≤10 bins, no fanout
