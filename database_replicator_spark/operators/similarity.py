@@ -1391,16 +1391,23 @@ def cell_assign(
     vec_col: str = "embedding",
     round_digits: int = 6,
     keep_vec: bool = False,
+    passthrough: tuple = (),
 ) -> DataFrame:
     """Label every vector with its nearest-centroid cell id (max rounded
     cosine, ties to the lower cid) — the shared front half of IVF,
     coverage sampling, and cluster dedup. One (batch × nlist) matmul per
-    Arrow batch; map-only, no shuffle."""
+    Arrow batch; map-only, no shuffle.
+
+    ``passthrough``: (name, spark_type) pairs of extra input columns to
+    carry through the scan untouched — lets a caller fuse a JVM-computed
+    projection (e.g. SQ8 codes) with the assignment in ONE pass instead
+    of an id-keyed join afterwards (the ivf_sq8_topk index build)."""
     import numpy as np
 
     spark = corpus.sparkSession
     cent = np.asarray(centroids, dtype=np.float64)
     bc = spark.sparkContext.broadcast(cent)
+    extra = list(passthrough)
 
     def scan(batches):
         import pandas as pd
@@ -1416,9 +1423,15 @@ def cell_assign(
             out = {id_col: ids, "cid": sims.argmax(axis=1)}
             if keep_vec:
                 out["unit"] = list(block)
+            for name, _ in extra:
+                out[name] = pdf[name]
             yield pd.DataFrame(out)
 
-    schema = f"{id_col} long, cid long" + (", unit array<double>" if keep_vec else "")
+    schema = (
+        f"{id_col} long, cid long"
+        + (", unit array<double>" if keep_vec else "")
+        + "".join(f", {name} {typ}" for name, typ in extra)
+    )
     return corpus.mapInPandas(scan, schema=schema)
 
 
@@ -1582,6 +1595,7 @@ def sq8_encode(
     mx,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Map-only scalar quantization to 1 byte/dimension: bin
     ``min(floor((u_d − mn_d)/(mx_d − mn_d)·256), 255)`` stored shifted
@@ -1605,7 +1619,8 @@ def sq8_encode(
         else:
             c = F.lit(0)
         exprs.append((c - F.lit(128)).cast("tinyint"))
-    return corpus.select(F.col(id_col), F.array(*exprs).alias("code"))
+    keep = [F.col(c) for c in keep_cols]
+    return corpus.select(F.col(id_col), *keep, F.array(*exprs).alias("code"))
 
 
 def sq8_topk(
@@ -1718,9 +1733,14 @@ def ivf_sq8_topk(
 
     mn, mx = sq8_train(corpus, id_col, vec_col)
     scale = (mx - mn) / 256.0
-    assigned = cell_assign(corpus, cent, id_col, vec_col, round_digits)
-    codes = sq8_encode(corpus, mn, mx, id_col, vec_col)
-    index = codes.join(assigned, id_col)
+    # fused index build: the JVM encode projects (id, vec, code) and the
+    # assignment scan carries the code column through — one pass, no
+    # id-keyed join (the join form measured ~2x the index-build cost)
+    coded = sq8_encode(corpus, mn, mx, id_col, vec_col, keep_cols=(vec_col,))
+    index = cell_assign(
+        coded, cent, id_col, vec_col, round_digits,
+        passthrough=(("code", "array<tinyint>"),),
+    )
 
     # probe selection: driver-side numpy over the bounded query set —
     # same rounded sims and (score DESC, cid ASC) preference as ivf_topk
