@@ -347,3 +347,54 @@ def bloom_might_contain(
         pos_j = ((h1 + F.lit(j) * h2m) % F.lit(CMS_PRIME)) % F.lit(m)
         cond = cond & F.array_contains(F.col("bits"), pos_j)
     return probed.withColumn("might_contain", cond).drop("bits")
+
+
+def mg_summary(
+    df: DataFrame,
+    key_col: str,
+    k: int = 16,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Misra-Gries heavy-hitter summary (Misra & Gries 1982): at most
+    ``k`` (key, lower-bound count) pairs such that every key with true
+    frequency > N/(k+1) is PRESENT, and each reported count satisfies
+    ``true − N/(k+1) ≤ reported ≤ true``. Complements the CMS point
+    query: CMS needs candidate keys; MG *produces* the candidates from
+    k counters of state.
+
+    The classic streaming MG's surviving set depends on arrival order;
+    this implementation instead pre-aggregates exact per-key counts
+    map-side (one shuffle of distinct keys — the same shuffle an exact
+    top-k pays) and applies the MG decrement once over the aggregated
+    relation: subtract the (k+1)-th largest count from everyone and
+    keep the strictly-positive remainder — the MG fixed point for
+    weighted input, at most k survivors, and fully DETERMINISTIC (the
+    threshold is a value, not an order), so it oracle-gates like any
+    exact query. Returns (key, mg_count, n_total).
+
+    100 TB shape: the only shuffle is the key-count aggregate the exact
+    top-k would also pay; the decrement is a broadcast of ONE scalar
+    (the k+1-th count via TakeOrdered over counts) — no global sort."""
+    w_expr = (
+        F.sum(F.col(weight_col)) if weight_col else F.count(F.lit(1))
+    )
+    counts = df.groupBy(F.col(key_col)).agg(w_expr.alias("_x"))
+    # (k+1)-th largest count: bounded TakeOrdered, no whole-relation sort
+    top = [r["_x"] for r in counts.orderBy(F.col("_x").desc()).take(k + 1)]
+    n_total = df.count() if weight_col is None else None
+    if n_total is None:
+        n_total = counts.agg(F.sum("_x")).first()[0]
+    if len(top) <= k:
+        thresh = 0  # fewer than k+1 keys: summary is exact
+    else:
+        thresh = top[k]
+    out = (
+        counts.withColumn("mg_count", F.col("_x") - F.lit(thresh))
+        .filter(F.col("mg_count") > 0)
+        .select(
+            key_col,
+            "mg_count",
+            F.lit(n_total).alias("n_total"),
+        )
+    )
+    return out

@@ -1236,3 +1236,42 @@ def orders_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fp_rate"),
     )
+
+
+@query(
+    "events_heavy_users_mg",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY user_id
+    ),
+    th AS (
+      SELECT COALESCE(
+        (SELECT x FROM counts ORDER BY x DESC LIMIT 1 OFFSET 8), 0
+      ) AS thresh
+    ),
+    n AS (SELECT CAST(SUM(x) AS BIGINT) AS total FROM counts)
+    SELECT c.user_id,
+           CAST(c.x - th.thresh AS BIGINT) AS mg_count,
+           n.total AS n_total
+    FROM counts c, th, n
+    WHERE c.x - th.thresh > 0
+    """,
+)
+def events_heavy_users_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy-user summary at k=8: the ≤8 keys that could
+    have frequency above N/9, with lower-bound counts — heavy-hitter
+    DISCOVERY from bounded state, where the CMS gate answers point
+    queries about keys you already suspect. The decrement threshold
+    (the 9th-largest count) is a value, not an order, so the summary is
+    deterministic and oracle-exact; the MG guarantee (every key with
+    true freq > N/(k+1) is present; reported ≤ true ≤ reported +
+    threshold) is property-tested against exact counts.
+
+    Plan: one map-side-combined key aggregate (the shuffle an exact
+    top-k would also pay), a k+1-row TakeOrdered for the threshold (no
+    whole-relation sort), one broadcast scalar filter."""
+    from .operators.sketch import mg_summary
+
+    ev = load_table(spark, sf_dir, "events")
+    return mg_summary(ev, "user_id", k=8)

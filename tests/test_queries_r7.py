@@ -637,3 +637,43 @@ class TestBloomReconcile:
         }
         assert got == exact
         assert exact  # non-degenerate
+
+
+class TestMisraGries:
+    def test_guarantee_and_bounds(self, spark):
+        from database_replicator_spark.operators.sketch import mg_summary
+
+        ev = load_table(spark, SF, "events")
+        truth = {
+            r["user_id"]: r["n"]
+            for r in ev.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n = sum(truth.values())
+        k = 8
+        rows = {r["user_id"]: r for r in mg_summary(ev, "user_id", k=k).collect()}
+        assert len(rows) <= k
+        # every key above N/(k+1) is present
+        for key, f in truth.items():
+            if f > n / (k + 1):
+                assert key in rows, f"heavy key {key} ({f}) missing"
+        # bounds: reported <= true <= reported + N/(k+1)
+        for key, r in rows.items():
+            assert r["n_total"] == n
+            assert 0 < r["mg_count"] <= truth[key]
+            assert truth[key] <= r["mg_count"] + n / (k + 1)
+
+    def test_exact_when_fewer_keys_than_k(self, spark):
+        from database_replicator_spark.operators.sketch import mg_summary
+
+        ev = load_table(spark, SF, "events")
+        rows = mg_summary(ev, "event_type", k=16).collect()
+        truth = {
+            r["event_type"]: r["n"]
+            for r in ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert len(truth) <= 16
+        assert {r["event_type"]: r["mg_count"] for r in rows} == truth
