@@ -1275,3 +1275,221 @@ def events_heavy_users_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return mg_summary(ev, "user_id", k=8)
+
+
+#: top-k vocabulary cut for the Zipf fit; ln(rank) is precomputed in
+#: PYTHON (round 6) and embedded as the SAME literal table in both
+#: engines, so the x axis carries zero cross-engine libm risk.
+_ZIPF_TOP = 100
+
+
+def _zipf_lnrank_rows() -> list:
+    import math
+
+    return [(r, round(math.log(r), 6)) for r in range(1, _ZIPF_TOP + 1)]
+
+
+def _zipf_oracle() -> str:
+    from .queries_llm import _TOKS_SQL
+
+    values = ", ".join(f"({r}, {x!r})" for r, x in _zipf_lnrank_rows())
+    slope = (
+        "(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (n * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    return f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS_SQL}) AS token FROM documents
+    ),
+    vocab AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+    ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, token ASC) AS r
+      FROM vocab
+    ),
+    sel AS (SELECT * FROM ranked WHERE r <= {_ZIPF_TOP}),
+    lnr(r, x) AS (VALUES {values}),
+    pts AS (
+      SELECT CAST(l.x AS DECIMAL(18,6)) AS xd,
+             CAST(round(ln(s.c), 6) AS DECIMAL(18,6)) AS yd
+      FROM sel s JOIN lnr l ON l.r = s.r
+    ),
+    s AS (
+      SELECT COUNT(*) AS n, SUM(xd) AS sx, SUM(yd) AS sy,
+             SUM(xd * yd) AS sxy, SUM(xd * xd) AS sxx
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           {slope} AS zipf_slope,
+           (CAST(sy AS DOUBLE) - ({slope}) * CAST(sx AS DOUBLE)) / n
+             AS intercept
+    FROM s
+    """
+
+
+@query("doc_zipf_exponent", oracle=_zipf_oracle())
+def doc_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus vocabulary: OLS slope of ln(frequency)
+    on ln(rank) over the top-100 terms — the vocabulary-health
+    diagnostic (natural text sits near slope −1; templated/synthetic
+    corpora flatten, OCR noise steepens the tail). x = ln(rank) is a
+    Python-precomputed literal table shared verbatim by both engines;
+    y = ln(count) is rounded to 6 dp and summed as exact decimals (the
+    doc_unigram_logprob contract), so the five sufficient statistics
+    are exact and the closed-form slope runs one identical IEEE
+    sequence per side.
+
+    Plan: one token explode + one vocab aggregate (the shuffles every
+    vocab op pays), a bounded top-100 TakeOrdered, a 100-row broadcast
+    join to the literal ranks, one scalar aggregate."""
+    from pyspark.sql import Window
+
+    from .operators.textops import normalize_text_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.split(
+                normalize_text_expr(F.coalesce(F.col("text"), F.lit(""))),
+                " ",
+            )
+        ).alias("token")
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    top = vocab.orderBy(F.col("c").desc(), F.col("token").asc()).limit(
+        _ZIPF_TOP
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("token").asc())
+    ranked = top.withColumn("r", F.row_number().over(w))
+    lnr = spark.createDataFrame(_zipf_lnrank_rows(), "r int, x double")
+    pts = ranked.join(F.broadcast(lnr), "r").select(
+        F.col("x").cast("decimal(18,6)").alias("xd"),
+        F.round(F.log(F.col("c")), 6).cast("decimal(18,6)").alias("yd"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xd").alias("sx"),
+        F.sum("yd").alias("sy"),
+        F.sum(F.col("xd") * F.col("yd")).alias("sxy"),
+        F.sum(F.col("xd") * F.col("xd")).alias("sxx"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    slope = (n * F.col("sxy").cast("double") - sx * sy) / (
+        n * F.col("sxx").cast("double") - sx * sx
+    )
+    return s.select(
+        n.cast("bigint").alias("n_terms"),
+        slope.alias("zipf_slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+    )
+
+
+@query(
+    "nation_revenue_trend_ols",
+    oracle="""
+    WITH o AS (
+      SELECT c.c_nationkey,
+             year(CAST(o.o_orderdate AS TIMESTAMP)) * 12
+               + (month(CAST(o.o_orderdate AS TIMESTAMP)) - 1) AS midx,
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+               AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    monthly AS (
+      SELECT c_nationkey, midx, CAST(SUM(cents) AS BIGINT) AS rev
+      FROM o GROUP BY c_nationkey, midx
+    ),
+    base AS (SELECT MIN(midx) AS m0 FROM monthly),
+    pts AS (
+      SELECT n.n_name, CAST(m.midx - b.m0 AS BIGINT) AS xi, m.rev AS yi
+      FROM monthly m CROSS JOIN base b
+      JOIN nation n ON m.c_nationkey = n.n_nationkey
+    ),
+    s AS (
+      SELECT n_name,
+             COUNT(*) AS n,
+             SUM(xi) AS sx,
+             SUM(yi) AS sy,
+             CAST(CAST(SUM(CAST(xi AS DECIMAL(19,0))
+                           * CAST(yi AS DECIMAL(19,0))) AS VARCHAR)
+                  AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(CAST(xi AS DECIMAL(19,0))
+                           * CAST(xi AS DECIMAL(19,0))) AS VARCHAR)
+                  AS DOUBLE) AS sxx
+      FROM pts GROUP BY n_name
+    )
+    SELECT n_name, CAST(n AS BIGINT) AS n_months,
+           (n * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (n * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             AS trend_cents_per_month
+    FROM s
+    """,
+)
+def nation_revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue trend: the OLS slope of monthly revenue
+    (integer cents) over the month index — the replication-verify
+    surface's "is this market growing or shrinking, and how fast"
+    screen, as a closed-form regression from exact sufficient
+    statistics (the part_size_price_corr idiom: bigint sums, products
+    through DECIMAL(19,0) so int64 cannot overflow in either engine,
+    one string-roundtrip conversion for the >2^53 product sums, then
+    one identical IEEE sequence per side). Month indices are rebased to
+    the corpus minimum so the x values are small integers — no
+    catastrophic cancellation in the normal equations at any scale.
+
+    Plan: one fact-dim join, one (nation, month)-keyed aggregate, a
+    1-row broadcast for the rebase, one map-side-combined aggregate per
+    nation. No windows, no Python."""
+    from pyspark.sql.types import TimestampType
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    od = F.col("o_orderdate").cast(TimestampType())
+    o = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_nationkey")),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select(
+        "c_nationkey",
+        (F.year(od) * 12 + (F.month(od) - 1)).alias("midx"),
+        (F.col("o_totalprice").cast("decimal(18,4)") * 10000)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    monthly = o.groupBy("c_nationkey", "midx").agg(
+        F.sum("cents").alias("rev")
+    )
+    base = monthly.agg(F.min("midx").alias("m0"))
+    pts = (
+        monthly.crossJoin(F.broadcast(base))
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "n_name",
+            (F.col("midx") - F.col("m0")).cast("bigint").alias("xi"),
+            F.col("rev").alias("yi"),
+        )
+    )
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    s = pts.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xi").alias("sx"),
+        F.sum("yi").alias("sy"),
+        F.sum(d19("xi") * d19("yi")).cast("string").cast("double")
+        .alias("sxy"),
+        F.sum(d19("xi") * d19("xi")).cast("string").cast("double")
+        .alias("sxx"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    return s.select(
+        "n_name",
+        n.cast("bigint").alias("n_months"),
+        ((n * F.col("sxy") - sx * sy) / (n * F.col("sxx") - sx * sx))
+        .alias("trend_cents_per_month"),
+    )

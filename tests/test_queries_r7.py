@@ -677,3 +677,62 @@ class TestMisraGries:
         }
         assert len(truth) <= 16
         assert {r["event_type"]: r["mg_count"] for r in rows} == truth
+
+
+class TestZipfAndTrend:
+    def test_zipf_matches_numpy_ols(self, spark):
+        import math
+
+        r = q7.doc_zipf_exponent(spark, SF).collect()[0]
+        docs = load_table(spark, SF, "documents").collect()
+        counts = {}
+        for d in docs:
+            text = (d["text"] or "").lower()
+            toks = " ".join(text.split()).split(" ") if text.strip() else [""]
+            # mirror normalize: lower, collapse whitespace, trim
+            for t in toks:
+                counts[t] = counts.get(t, 0) + 1
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+        xs = np.array([round(math.log(i + 1), 6) for i in range(len(top))])
+        ys = np.array([round(math.log(c), 6) for _, c in top])
+        n = len(top)
+        sx, sy = xs.sum(), ys.sum()
+        sxy, sxx = (xs * ys).sum(), (xs * xs).sum()
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        assert r["n_terms"] == n
+        assert abs(r["zipf_slope"] - slope) < 1e-6
+        # a natural-ish corpus has a decreasing rank-frequency curve
+        assert r["zipf_slope"] < 0
+
+    def test_trend_matches_numpy_ols(self, spark):
+        rows = {
+            r["n_name"]: r
+            for r in q7.nation_revenue_trend_ols(spark, SF).collect()
+        }
+        orders = load_table(spark, SF, "orders")
+        customer = load_table(spark, SF, "customer")
+        nation = load_table(spark, SF, "nation")
+        j = (
+            orders.join(customer, orders.o_custkey == customer.c_custkey)
+            .join(nation, customer.c_nationkey == nation.n_nationkey)
+            .select("n_name", "o_orderdate", "o_totalprice")
+            .collect()
+        )
+        pts = {}
+        for x in j:
+            d = x["o_orderdate"]
+            midx = d.year * 12 + (d.month - 1)
+            cents = int(round(x["o_totalprice"] * 10000))
+            pts.setdefault(x["n_name"], {}).setdefault(midx, 0)
+            pts[x["n_name"]][midx] += cents
+        m0 = min(m for per in pts.values() for m in per)
+        for name, per in pts.items():
+            xs = np.array([m - m0 for m in per], dtype=np.float64)
+            ys = np.array([per[m] for m in per], dtype=np.float64)
+            n = len(xs)
+            slope = (n * (xs * ys).sum() - xs.sum() * ys.sum()) / (
+                n * (xs * xs).sum() - xs.sum() ** 2
+            )
+            got = rows[name]
+            assert got["n_months"] == n
+            assert abs(got["trend_cents_per_month"] - slope) < abs(slope) * 1e-9 + 1e-6
