@@ -772,15 +772,7 @@ def main(argv: list[str] | None = None) -> int:
                 # one JSON line per ';'-terminated statement; errors are
                 # reported per-statement and the loop continues — the
                 # console survives a bad query, like the reference's
-                buf: list[str] = []
-                for line in _sys.stdin:
-                    buf.append(line)
-                    if not line.rstrip().endswith(";"):
-                        continue
-                    stmt = "".join(buf).strip().rstrip(";").strip()
-                    buf = []
-                    if not stmt:
-                        continue
+                def _run_stmt(stmt: str) -> None:
                     try:
                         res = spark.sql(stmt)
                         rows = [
@@ -796,6 +788,21 @@ def main(argv: list[str] | None = None) -> int:
                             {"ok": False,
                              "error": f"{type(e).__name__}: {e}"},
                             default=str), flush=True)
+
+                buf: list[str] = []
+                for line in _sys.stdin:
+                    buf.append(line)
+                    if not line.rstrip().endswith(";"):
+                        continue
+                    stmt = "".join(buf).strip().rstrip(";").strip()
+                    buf = []
+                    if stmt:
+                        _run_stmt(stmt)
+                # EOF with a pending un-';'-terminated statement: run it
+                # rather than silently discarding the user's last query
+                tail_stmt = "".join(buf).strip().rstrip(";").strip()
+                if tail_stmt:
+                    _run_stmt(tail_stmt)
                 return 0
             if not args.query:
                 print(json.dumps({"ok": False,

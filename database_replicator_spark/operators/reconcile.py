@@ -61,8 +61,16 @@ def find_orphans_bloom(
     probed = bloom_might_contain(
         bits, target.select(pk_col), pk_col, m=m, d=d
     )
-    definite = probed.filter(~F.col("might_contain")).select(pk_col)
-    candidates = probed.filter(F.col("might_contain")).select(pk_col)
+    # a NULL pk hashes to NULL → might_contain is NULL, and a bare
+    # boolean filter would drop the row from BOTH branches; a NULL key
+    # never equi-matches source, so find_orphans always reports it —
+    # route it to the definite side to keep the outputs identical
+    definite = probed.filter(
+        F.col(pk_col).isNull() | ~F.col("might_contain")
+    ).select(pk_col)
+    candidates = probed.filter(
+        F.col(pk_col).isNotNull() & F.col("might_contain")
+    ).select(pk_col)
     checked = candidates.join(
         source.select(pk_col), on=[pk_col], how="left_anti"
     )

@@ -718,6 +718,23 @@ def neardup_pairs_blocked(
     )
 
 
+def _batch_topk_cut(sims, q_ids, block_ids, k):
+    """Shared per-batch candidate cut for the BLAS scans: mask
+    self-pairs, neutralize NaN scores (a zero-norm or NaN vector's row —
+    np.partition sorts NaN LARGEST, so an unmasked NaN would poison the
+    k-th-value threshold and silently drop every valid candidate in the
+    batch), take the per-query k-th value as the keep threshold with all
+    boundary ties kept. Returns (qi, ci) index arrays into sims."""
+    import numpy as np
+
+    sims[q_ids[:, None] == block_ids[None, :]] = -np.inf
+    sims[np.isnan(sims)] = -np.inf
+    n = sims.shape[1]
+    kth = min(k - 1, n - 1)
+    thresh = np.partition(sims, n - 1 - kth, axis=1)[:, n - 1 - kth]
+    return np.nonzero((sims >= thresh[:, None]) & np.isfinite(sims))
+
+
 def _topk_candidates(
     corpus: DataFrame,
     queries: DataFrame,
@@ -758,13 +775,7 @@ def _topk_candidates(
             sims = np.round(q_mat @ block.T, round_digits)  # (Q, batch)
             # a query's own vector must not occupy a candidate slot
             # (the caller filters self-pairs AFTER the window input)
-            sims[q_ids[:, None] == block_ids[None, :]] = -np.inf
-            n = sims.shape[1]
-            kth = min(k - 1, n - 1)
-            thresh = np.partition(sims, n - 1 - kth, axis=1)[:, n - 1 - kth]
-            qi, ci = np.nonzero(
-                (sims >= thresh[:, None]) & np.isfinite(sims)
-            )
+            qi, ci = _batch_topk_cut(sims, q_ids, block_ids, k)
             yield pd.DataFrame(
                 {
                     "query_id": q_ids[qi],
@@ -1664,13 +1675,7 @@ def sq8_topk(
             # mn + (code + 0.5) * ((mx - mn) / 256)
             recon = mn_a + ((stored + 128.0) + 0.5) * scale_a
             sims = np.round(q_mat @ recon.T, round_digits)
-            sims[q_ids[:, None] == block_ids[None, :]] = -np.inf
-            n = sims.shape[1]
-            kth = min(k - 1, n - 1)
-            thresh = np.partition(sims, n - 1 - kth, axis=1)[:, n - 1 - kth]
-            qi, ci = np.nonzero(
-                (sims >= thresh[:, None]) & np.isfinite(sims)
-            )
+            qi, ci = _batch_topk_cut(sims, q_ids, block_ids, k)
             yield pd.DataFrame(
                 {
                     "query_id": q_ids[qi],

@@ -224,10 +224,15 @@ def cms_estimate(
             % F.lit(width)
         ).alias("col"),
     )
+    # LEFT join + zero-fill: a cell no build key hashed into is a ZERO
+    # counter, not an absent one — an inner join would take the min over
+    # only the populated cells, inflating (or dropping) estimates for
+    # keys outside the build set, which the candidate-key contract
+    # explicitly allows
     return (
-        coords.join(F.broadcast(counters), on=["j", "col"])
+        coords.join(F.broadcast(counters), on=["j", "col"], how="left")
         .groupBy(key_col)
-        .agg(F.min("c").alias("cms_estimate"))
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_estimate"))
     )
 
 
@@ -381,9 +386,9 @@ def mg_summary(
     counts = df.groupBy(F.col(key_col)).agg(w_expr.alias("_x"))
     # (k+1)-th largest count: bounded TakeOrdered, no whole-relation sort
     top = [r["_x"] for r in counts.orderBy(F.col("_x").desc()).take(k + 1)]
-    n_total = df.count() if weight_col is None else None
-    if n_total is None:
-        n_total = counts.agg(F.sum("_x")).first()[0]
+    # N from the (distinct-key-sized) counts relation — never a second
+    # scan of the raw input
+    n_total = counts.agg(F.sum("_x")).first()[0]
     if len(top) <= k:
         thresh = 0  # fewer than k+1 keys: summary is exact
     else:

@@ -88,17 +88,21 @@ def decode_kafka_changes(raw: DataFrame) -> DataFrame:
       values are accepted (binary is cast — Kafka's reader emits binary).
     * ``table`` falls back to the TOPIC name (topic-per-table routing),
       ``pk`` falls back to the record KEY (the standard keyed-compaction
-      layout), ``change_id`` falls back to ``(partition << 44) |
+      layout), ``change_id`` falls back to ``(partition << 48) |
       offset`` — offsets alone collide across partitions of one topic,
-      so the partition is folded into the high bits. The derived id is
-      unique per table and monotone per KEY (a key lives in one
-      partition, where Kafka guarantees order), which is exactly what
-      last-write-wins compaction needs; it is NOT monotone across a
-      whole multi-partition table, so a deployment that needs the
-      reference's per-table AUTOINCREMENT contract (e.g. exact
-      ``n_changes`` accounting) should carry an envelope ``change_id``.
-      Do not mix conventions within one table — envelope ids and
-      derived ids share the dedup keyspace.
+      so the partition is folded into the high bits. The packing is
+      GUARDED, not assumed: offsets ≥ 2^48 (~2.8e14 messages in one
+      partition) or partitions ≥ 2^15 raise at decode time
+      (``raise_error``) rather than silently colliding into a
+      neighboring partition's id space. The derived id is unique per
+      table and monotone per KEY (a key lives in one partition, where
+      Kafka guarantees order), which is exactly what last-write-wins
+      compaction needs; it is NOT monotone across a whole
+      multi-partition table, so a deployment that needs the reference's
+      per-table AUTOINCREMENT contract (e.g. exact ``n_changes``
+      accounting) should carry an envelope ``change_id``. Do not mix
+      conventions within one table — envelope ids and derived ids share
+      the dedup keyspace.
 
     Works identically on a live Kafka stream and on an archived feed
     (the parquet/JSON layout connect sinks write), batch or streaming —
@@ -117,10 +121,26 @@ def decode_kafka_changes(raw: DataFrame) -> DataFrame:
     if "offset" in cols:
         derived = F.col("offset")
         if "partition" in cols:
-            derived = (
-                F.shiftleft(F.col("partition").cast("long"), 44)
+            packed = (
+                F.shiftleft(F.col("partition").cast("long"), 48)
                 + F.col("offset")
             )
+            derived = F.when(
+                (F.col("offset") >= F.lit(1 << 48))
+                | (F.col("partition").cast("long") >= F.lit(1 << 15)),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "derived change_id overflow: partition/offset "
+                            "outside the 15/48-bit packing ("
+                        ),
+                        F.col("partition").cast("string"),
+                        F.lit("/"),
+                        F.col("offset").cast("string"),
+                        F.lit(") — carry an envelope change_id"),
+                    )
+                ).cast("long"),
+            ).otherwise(packed)
         change_id = F.coalesce(F.col("_c.change_id"), derived)
     else:
         change_id = F.col("_c.change_id")

@@ -1352,6 +1352,7 @@ class TestInteractiveSql:
             "SELECT bogus FROM nope;\n"
             "SELECT o_orderstatus, COUNT(*) AS n FROM orders\n"
             "GROUP BY 1 ORDER BY 1;\n"
+            "SELECT COUNT(*) AS n FROM nation\n"  # EOF without ';'
         )
         monkeypatch.setattr(sys, "stdin", io.StringIO(feed))
         rc = main(
@@ -1363,11 +1364,13 @@ class TestInteractiveSql:
             if line.startswith("{")
         ]
         assert rc == 0
-        assert len(out) == 3
+        assert len(out) == 4
         assert out[0]["ok"] and out[0]["rows"][0]["n"] == 1500
         assert not out[1]["ok"] and "nope" in out[1]["error"]
         # multi-line statement parsed across lines; loop survived the error
         assert out[2]["ok"] and len(out[2]["rows"]) == 3
+        # the final un-';'-terminated statement still runs at EOF
+        assert out[3]["ok"] and out[3]["rows"][0]["n"] == 25
 
     def test_one_shot_requires_query(self, capsys):
         import json as _json

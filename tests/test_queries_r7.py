@@ -736,3 +736,70 @@ class TestZipfAndTrend:
             got = rows[name]
             assert got["n_months"] == n
             assert abs(got["trend_cents_per_month"] - slope) < abs(slope) * 1e-9 + 1e-6
+
+
+class TestReviewFixes:
+    def test_bloom_reconcile_keeps_null_pk_orphans(self, spark):
+        from database_replicator_spark.operators.reconcile import (
+            find_orphans,
+            find_orphans_bloom,
+        )
+
+        target = spark.createDataFrame(
+            [(1,), (2,), (None,)], "pk long"
+        )
+        source = spark.createDataFrame([(1,)], "pk long")
+        exact = sorted(
+            (r["pk"] for r in find_orphans(target, source, ["pk"]).collect()),
+            key=lambda v: (v is None, v),
+        )
+        got = sorted(
+            (
+                r["pk"]
+                for r in find_orphans_bloom(
+                    target, source, "pk", m=64
+                ).collect()
+            ),
+            key=lambda v: (v is None, v),
+        )
+        assert got == exact
+        assert None in got  # the NULL orphan is reported, not dropped
+
+    def test_topk_cut_survives_zero_norm_vector(self, spark):
+        from database_replicator_spark.operators.similarity import topk_blas
+
+        rows = [(i, [float(i + 1), 1.0, 0.5, 0.25]) for i in range(6)]
+        rows.append((99, [0.0, 0.0, 0.0, 0.0]))  # NaN after normalize
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        got = topk_blas(emb, emb.filter(F.col("vec_id") == 0), k=2).collect()
+        # the zero vector must not poison the threshold: exactly k real
+        # candidates survive and none of them is the NaN row
+        assert len(got) == 2
+        assert all(r["corpus_id"] != 99 for r in got)
+        assert {r["rank"] for r in got} == {1, 2}
+
+    def test_cms_estimate_absent_key_is_zero_or_bounded(self, spark):
+        from database_replicator_spark.operators.sketch import (
+            cms_counters,
+            cms_estimate,
+        )
+
+        build = spark.createDataFrame(
+            [("a",), ("a",), ("b",)], "k string"
+        )
+        counters = cms_counters(build, "k", depth=4, width=64)
+        probe = spark.createDataFrame(
+            [("a",), ("zz-not-in-build",)], "k string"
+        )
+        est = {
+            r["k"]: r["cms_estimate"]
+            for r in cms_estimate(counters, probe, "k", depth=4, width=64)
+            .collect()
+        }
+        assert est["a"] >= 2  # member lower-bounded by truth
+        # absent key present in output, bounded by total mass (3); with
+        # w=64 and 2 build keys a zero estimate is overwhelmingly likely
+        assert "zz-not-in-build" in est
+        assert 0 <= est["zz-not-in-build"] <= 3

@@ -576,7 +576,7 @@ class TestKafkaArchiveSource:
             ("users", "1", 0): "insert",
             ("users", "2", 1): "insert",
             ("users", "1", 2): "update",
-            ("posts", "p1", 1 << 44): "insert",
+            ("posts", "p1", 1 << 48): "insert",
         }
 
         # streaming: archive files -> decode -> ChangeApplier, end to end
@@ -598,3 +598,19 @@ class TestKafkaArchiveSource:
         latest = spark.read.parquet(os.path.join(dirs["tgt"], "users_latest"))
         got = {r["pk"]: json.loads(r["payload"]) for r in latest.collect()}
         assert got == {"1": {"name": "a2"}, "2": {"name": "b"}}
+
+
+class TestKafkaIdOverflowGuard:
+    def test_out_of_range_offset_raises_not_collides(self, spark):
+        from database_replicator_spark.streaming.change_stream import (
+            decode_kafka_changes,
+        )
+
+        wire = ("topic string, partition int, offset long, "
+                "key string, value string")
+        rows = [("t", 1, 1 << 48, "k", '{"op":"insert","payload":"{}"}')]
+        df = decode_kafka_changes(spark.createDataFrame(rows, wire))
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="change_id overflow"):
+            df.collect()
