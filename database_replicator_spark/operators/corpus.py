@@ -1490,3 +1490,68 @@ def weighted_sample(
         .filter(F.col("rank") <= n)
         .select(id_col, "weight", "race_score", "rank")
     )
+
+
+def ngram_overlap_bloom(
+    shingled: DataFrame,
+    bench_pred,
+    min_overlap: int = 1,
+    m: int = 1 << 20,
+    d: int = 3,
+) -> DataFrame:
+    """Bloom-accelerated :func:`ngram_overlap`, OUTPUT-IDENTICAL by the
+    filter's no-false-negative guarantee: build a Bloom filter over the
+    benchmark shingles, drop every training shingle the filter rules out
+    MAP-SIDE, and run the exact collision join over the survivors only.
+    A training shingle that misses the filter is definitely not a
+    benchmark shingle, so no (train_doc, bench_doc) hit can be lost;
+    false positives merely ride into the exact join, which discards
+    them. Per-doc shingle totals still come from the UNFILTERED train
+    side, so overlap_frac denominators are untouched.
+
+    This is the deployment shape for decontaminating a 100 TB corpus
+    against a large eval suite: when the benchmark n-gram set outgrows
+    the broadcast budget, its Bloom filter (KBs–MBs at any suite size)
+    still broadcasts, and the join's shuffle carries only the
+    might-contain survivors — typically a vanishing fraction of the
+    corpus's shingles. NULL shingles cannot occur (doc_shingles
+    lower-bounds every doc with one '' shingle), so the NULL-probe
+    routing question of find_orphans_bloom does not arise; guarded
+    anyway by keeping null-probe rows for the exact join."""
+    from .sketch import bloom_bits, bloom_might_contain
+
+    bench = shingled.filter(bench_pred).select(
+        F.col("doc_id").alias("bench_doc"), "shingle"
+    )
+    train = shingled.filter(~bench_pred)
+    sizes = train.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_train_shingles")
+    )
+    bits = bloom_bits(bench.select("shingle"), "shingle", m=m, d=d)
+    survivors = (
+        bloom_might_contain(bits, train, "shingle", m=m, d=d)
+        .filter(
+            F.col("might_contain") | F.col("shingle").isNull()
+        )
+        .drop("might_contain")
+    )
+    hits = (
+        survivors.join(F.broadcast(bench), on="shingle")
+        .groupBy(F.col("doc_id").alias("train_doc"), "bench_doc")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+    return (
+        hits.join(
+            sizes.withColumnRenamed("doc_id", "train_doc"), on="train_doc"
+        )
+        .select(
+            "train_doc",
+            "bench_doc",
+            "n_overlap",
+            "n_train_shingles",
+            F.round(
+                F.col("n_overlap") / F.col("n_train_shingles"), 6
+            ).alias("overlap_frac"),
+        )
+    )

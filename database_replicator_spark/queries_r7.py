@@ -1493,3 +1493,45 @@ def nation_revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((n * F.col("sxy") - sx * sy) / (n * F.col("sxx") - sx * sx))
         .alias("trend_cents_per_month"),
     )
+
+
+def _decon_bloom_oracle() -> str:
+    # output-identical to decontaminate_overlap by the no-false-negative
+    # argument, so the oracle IS decontaminate_overlap's oracle
+    from .queries_pipeline import _SHINGLES_CTE
+
+    return f"""
+    WITH {_SHINGLES_CTE},
+    bench AS (SELECT doc_id AS bench_doc, shingle FROM sh WHERE doc_id % 50 = 0),
+    train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 != 0),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_train_shingles FROM train GROUP BY doc_id),
+    hits AS (
+      SELECT t.doc_id AS train_doc, b.bench_doc, COUNT(*) AS n_overlap
+      FROM train t JOIN bench b ON t.shingle = b.shingle
+      GROUP BY 1, 2
+    )
+    SELECT train_doc, bench_doc, n_overlap, s.n_train_shingles,
+           round(n_overlap / s.n_train_shingles, 6) AS overlap_frac
+    FROM hits JOIN sizes s ON s.doc_id = train_doc
+    WHERE n_overlap >= 1
+    """
+
+
+@query("decontaminate_overlap_bloom", oracle=_decon_bloom_oracle())
+def decontaminate_overlap_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-accelerated benchmark decontamination — the same flagged
+    set as decontaminate_overlap (the oracle IS that gate's oracle; the
+    filter has no false negatives, and the exact join discards its
+    false positives), but the train side is pruned MAP-SIDE by a
+    broadcast Bloom filter of the benchmark shingles before any
+    shuffle. At a 100 TB corpus this is the difference between
+    shuffling every training shingle into the collision join and
+    shuffling only the might-contain survivors; and when the eval
+    suite outgrows the broadcast budget, its KB-scale filter still
+    broadcasts (operators/corpus.ngram_overlap_bloom)."""
+    from .operators.corpus import ngram_overlap_bloom
+    from .operators.dedup import doc_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs)
+    return ngram_overlap_bloom(sh, F.col("doc_id") % 50 == 0, min_overlap=1)

@@ -803,3 +803,30 @@ class TestReviewFixes:
         # w=64 and 2 build keys a zero estimate is overwhelmingly likely
         assert "zz-not-in-build" in est
         assert 0 <= est["zz-not-in-build"] <= 3
+
+
+class TestDecontaminateBloom:
+    def test_output_identical_to_exact(self, spark):
+        from database_replicator_spark.operators.corpus import (
+            ngram_overlap,
+            ngram_overlap_bloom,
+        )
+        from database_replicator_spark.operators.dedup import doc_shingles
+
+        docs = load_table(spark, SF, "documents")
+        sh = doc_shingles(docs)
+        pred = F.col("doc_id") % 50 == 0
+        exact = {
+            (r["train_doc"], r["bench_doc"], r["n_overlap"])
+            for r in ngram_overlap(sh, pred, min_overlap=1).collect()
+        }
+        # tiny filter (m=4096) forces real false positives through the
+        # prefilter, so equality exercises the exact-join discard
+        got = {
+            (r["train_doc"], r["bench_doc"], r["n_overlap"])
+            for r in ngram_overlap_bloom(
+                sh, pred, min_overlap=1, m=4096
+            ).collect()
+        }
+        assert got == exact
+        assert exact  # non-degenerate
