@@ -789,10 +789,32 @@ def main(argv: list[str] | None = None) -> int:
                              "error": f"{type(e).__name__}: {e}"},
                             default=str), flush=True)
 
+                # a ';' at end-of-line only terminates the statement when
+                # it sits OUTSIDE any string literal / quoted identifier,
+                # so e.g. WHERE col = 'a;'\n stays one statement; SQL
+                # doubling ('' / "") is the escape form
+                def _quotes_closed(text: str) -> bool:
+                    q = None
+                    i = 0
+                    while i < len(text):
+                        ch = text[i]
+                        if q is None:
+                            if ch in ("'", '"'):
+                                q = ch
+                        elif ch == q:
+                            if i + 1 < len(text) and text[i + 1] == q:
+                                i += 1  # doubled quote: still inside
+                            else:
+                                q = None
+                        i += 1
+                    return q is None
+
                 buf: list[str] = []
                 for line in _sys.stdin:
                     buf.append(line)
-                    if not line.rstrip().endswith(";"):
+                    if not line.rstrip().endswith(";") or not _quotes_closed(
+                        "".join(buf)
+                    ):
                         continue
                     stmt = "".join(buf).strip().rstrip(";").strip()
                     buf = []

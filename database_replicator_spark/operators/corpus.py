@@ -299,6 +299,7 @@ def ngram_overlap(
     shingled: DataFrame,
     bench_pred,
     min_overlap: int = 1,
+    broadcast_bench: bool = True,
 ) -> DataFrame:
     """Decontamination: training docs sharing ≥ ``min_overlap`` shingles
     with any benchmark doc.
@@ -309,13 +310,18 @@ def ngram_overlap(
     n_train_shingles, overlap_frac).
 
     Plan: the benchmark shingle set is small by construction — broadcast
-    it; the corpus side is never self-joined and NEVER cached. The train
-    side is deliberately re-derived from the scan for its two consumers
-    (per-doc sizes, collision hits): shingling is a map-only codegen
-    explode, so the cost is two columnar scans with pushdown — cheap at
-    any scale — whereas MEMORY_AND_DISK-caching an exploded (doc_id,
-    shingle) table (~10× the corpus text at 100 TB) is an eviction storm.
-    Only the tiny benchmark side is materialized (broadcast).
+    it (``broadcast_bench=True``, the default); the corpus side is never
+    self-joined and NEVER cached. When the benchmark shingle table itself
+    outgrows the broadcast budget, pass ``broadcast_bench=False`` to drop
+    the hint and let the collision join run as a shuffle join (or use
+    :func:`ngram_overlap_bloom`, which prunes the train side map-side
+    first). The train side is deliberately re-derived from the scan for
+    its two consumers (per-doc sizes, collision hits): shingling is a
+    map-only codegen explode, so the cost is two columnar scans with
+    pushdown — cheap at any scale — whereas MEMORY_AND_DISK-caching an
+    exploded (doc_id, shingle) table (~10× the corpus text at 100 TB) is
+    an eviction storm. Only the benchmark side is ever materialized, and
+    only when broadcast.
     """
     bench = shingled.filter(bench_pred).select(
         F.col("doc_id").alias("bench_doc"), "shingle"
@@ -323,7 +329,7 @@ def ngram_overlap(
     train = shingled.filter(~bench_pred)
     sizes = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_train_shingles"))
     hits = (
-        train.join(F.broadcast(bench), on="shingle")
+        train.join(F.broadcast(bench) if broadcast_bench else bench, on="shingle")
         .groupBy(F.col("doc_id").alias("train_doc"), "bench_doc")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
         .filter(F.col("n_overlap") >= min_overlap)
@@ -1498,6 +1504,7 @@ def ngram_overlap_bloom(
     min_overlap: int = 1,
     m: int = 1 << 20,
     d: int = 3,
+    broadcast_bench: bool = True,
 ) -> DataFrame:
     """Bloom-accelerated :func:`ngram_overlap`, OUTPUT-IDENTICAL by the
     filter's no-false-negative guarantee: build a Bloom filter over the
@@ -1514,10 +1521,14 @@ def ngram_overlap_bloom(
     the broadcast budget, its Bloom filter (KBs–MBs at any suite size)
     still broadcasts, and the join's shuffle carries only the
     might-contain survivors — typically a vanishing fraction of the
-    corpus's shingles. NULL shingles cannot occur (doc_shingles
-    lower-bounds every doc with one '' shingle), so the NULL-probe
-    routing question of find_orphans_bloom does not arise; guarded
-    anyway by keeping null-probe rows for the exact join."""
+    corpus's shingles. In exactly that scenario pass
+    ``broadcast_bench=False`` so the residual survivors⋈bench exact
+    join runs as a shuffle join of two already-pruned sides instead of
+    forcing an over-budget broadcast build; output is identical either
+    way. NULL shingles cannot occur (doc_shingles lower-bounds every
+    doc with one '' shingle), so the NULL-probe routing question of
+    find_orphans_bloom does not arise; guarded anyway by keeping
+    null-probe rows for the exact join."""
     from .sketch import bloom_bits, bloom_might_contain
 
     bench = shingled.filter(bench_pred).select(
@@ -1536,7 +1547,7 @@ def ngram_overlap_bloom(
         .drop("might_contain")
     )
     hits = (
-        survivors.join(F.broadcast(bench), on="shingle")
+        survivors.join(F.broadcast(bench) if broadcast_bench else bench, on="shingle")
         .groupBy(F.col("doc_id").alias("train_doc"), "bench_doc")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
         .filter(F.col("n_overlap") >= min_overlap)

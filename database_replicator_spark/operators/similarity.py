@@ -1609,8 +1609,8 @@ def sq8_encode(
     keep_cols: tuple = (),
 ) -> DataFrame:
     """Map-only scalar quantization to 1 byte/dimension: bin
-    ``min(floor((u_d − mn_d)/(mx_d − mn_d)·256), 255)`` stored shifted
-    by −128 as ``array<tinyint>`` — an 8× memory cut vs float64 that
+    ``clamp(floor((u_d − mn_d)/(mx_d − mn_d)·256), 0, 255)`` stored
+    shifted by −128 as ``array<tinyint>`` — an 8× memory cut vs float64 that
     Tungsten keeps byte-packed in the row format. floor (not
     round-half) keeps the bin rule free of cross-engine half-rounding
     divergence; a constant dimension (mx == mn) codes to 0 and decodes
@@ -1619,11 +1619,18 @@ def sq8_encode(
     exprs = []
     for i, (lo, hi) in enumerate(zip(mn, mx)):
         if hi > lo:
+            # two-sided clamp: a dimension outside the trained [mn, mx]
+            # range saturates to bin 0 / 255 instead of wrapping through
+            # the tinyint cast (out-of-train inputs would otherwise
+            # corrupt the code silently)
             c = F.least(
-                F.floor(
-                    (u[i] - F.lit(float(lo)))
-                    / F.lit(float(hi - lo))
-                    * F.lit(256.0)
+                F.greatest(
+                    F.floor(
+                        (u[i] - F.lit(float(lo)))
+                        / F.lit(float(hi - lo))
+                        * F.lit(256.0)
+                    ),
+                    F.lit(0),
                 ),
                 F.lit(255),
             )

@@ -274,9 +274,21 @@ def kmv_set_ops(
                 )
             ),
         )
-        .withColumn("_theta", F.expr("element_at(_K, _kk)").cast("double"))
+        # lazily guarded: when both stored sketches are empty the pool is
+        # empty and _kk = 0 — element_at(_K, 0) would raise, so gate it
+        # behind the CASE (Spark evaluates branches lazily) and emit a
+        # well-defined zero-overlap row instead
+        .withColumn(
+            "_theta",
+            F.when(
+                F.col("_kk") > 0, F.expr("element_at(_K, _kk)").cast("double")
+            ),
+        )
     )
-    jac = F.col("_m").cast("double") / F.col("_kk").cast("double")
+    jac = F.when(
+        F.col("_kk") > 0,
+        F.col("_m").cast("double") / F.col("_kk").cast("double"),
+    ).otherwise(F.lit(0.0))
     union_est = F.when(
         F.size("_pool") < k, F.size("_pool").cast("double")
     ).otherwise(

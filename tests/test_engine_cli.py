@@ -1372,6 +1372,40 @@ class TestInteractiveSql:
         # the final un-';'-terminated statement still runs at EOF
         assert out[3]["ok"] and out[3]["rows"][0]["n"] == 25
 
+    def test_literal_semicolon_at_eol_does_not_split(
+        self, spark, capsys, monkeypatch
+    ):
+        """A string literal ending in ';' at end-of-line must NOT
+        terminate the statement (ADVICE r7): the terminator scan tracks
+        quote state, including '' doubling."""
+        import io
+        import json as _json
+        import sys
+
+        from database_replicator_spark.cli import main
+
+        feed = (
+            # literal 'O;' split so the first line ends mid-literal in ';'
+            "SELECT COUNT(*) AS n FROM orders WHERE o_orderstatus = 'O;\n"
+            "' OR o_orderstatus = 'O';\n"
+            # doubled-quote escape containing ';' at EOL
+            "SELECT 'a'';\n"
+            "b' AS s;\n"
+        )
+        monkeypatch.setattr(sys, "stdin", io.StringIO(feed))
+        rc = main(
+            ["sql", "--source", "/root/testdata/sf0.001", "--interactive"]
+        )
+        out = [
+            _json.loads(line)
+            for line in capsys.readouterr().out.strip().splitlines()
+            if line.startswith("{")
+        ]
+        assert rc == 0
+        assert len(out) == 2
+        assert out[0]["ok"] and out[0]["rows"][0]["n"] > 0
+        assert out[1]["ok"] and out[1]["rows"][0]["s"] == "a';\nb"
+
     def test_one_shot_requires_query(self, capsys):
         import json as _json
 

@@ -428,6 +428,39 @@ class TestSQ8:
         }
         assert len(got & truth) / len(truth) >= 0.8
 
+    def test_out_of_train_vectors_saturate_not_wrap(self, spark):
+        """Encoding a vector whose unit components land outside the
+        trained [mn, mx] box must saturate to bins 0/255, never wrap
+        through the tinyint cast (ADVICE r7)."""
+        import numpy as np
+
+        from database_replicator_spark.operators.similarity import (
+            sq8_encode,
+        )
+
+        dim = 4
+        # trained on a box strictly inside the unit sphere's coordinate
+        # range so unit vectors along the axes fall OUTSIDE it
+        mn = np.full(dim, -0.1)
+        mx = np.full(dim, 0.1)
+        probe = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0, 0.0, 0.0]),   # dim0 above mx
+                (1, [-1.0, 0.0, 0.0, 0.0]),  # dim0 below mn
+            ],
+            "vec_id bigint, embedding array<double>",
+        )
+        codes = {
+            r["vec_id"]: r["code"]
+            for r in sq8_encode(probe, mn, mx).collect()
+        }
+        # stored shifted by −128: bin 255 → 127, bin 0 → −128
+        assert codes[0][0] == 127
+        assert codes[1][0] == -128
+        for c in codes.values():
+            for b in c:
+                assert -128 <= b <= 127
+
 
 class TestIVFSQ8:
     def test_matches_numpy_reference(self, spark, emb_mat):
@@ -569,6 +602,33 @@ class TestKMVSetOps:
         assert (
             abs(r["intersection_est"] - len(ta & tb)) / len(ta & tb) < 0.5
         )
+
+    def test_empty_sketches_yield_zero_overlap_row(self, spark):
+        """Two empty KMV sketches (empty hash arrays) must produce a
+        well-defined zero row, not INVALID_INDEX_OF_ZERO from
+        element_at(_K, 0) or a 0/0 NaN jaccard."""
+        from database_replicator_spark.operators.sketch import (
+            kmv_set_ops,
+            kmv_sketch,
+        )
+
+        orders = load_table(spark, SF, "orders")
+        base = orders.select("o_custkey").withColumn("_g", F.lit(1))
+        empty = kmv_sketch(
+            base.filter(F.lit(False)), ["_g"], "o_custkey", k=64
+        )
+        # kmv_sketch over zero rows: materialize the stored-array shape
+        # even if the groupBy emits no row
+        if empty.count() == 0:
+            empty = spark.createDataFrame(
+                [([],)], "kmv array<bigint>"
+            )
+        r = kmv_set_ops(empty, empty, k=64).collect()[0]
+        assert r["k_used"] == 0
+        assert r["matching"] == 0
+        assert r["jaccard_est"] == 0.0
+        assert r["union_est"] == 0.0
+        assert r["intersection_est"] == 0.0
 
 
 class TestBloom:
@@ -830,3 +890,46 @@ class TestDecontaminateBloom:
         }
         assert got == exact
         assert exact  # non-degenerate
+
+    def test_no_broadcast_path_identical_and_unhinted(self, spark):
+        """broadcast_bench=False (the forced-large-bench deployment path)
+        must produce identical rows AND a logical plan that carries no
+        user broadcast hint on the survivors⋈bench exact join — the
+        Bloom tier exists for exactly the case where the bench side
+        can't broadcast."""
+        from database_replicator_spark.operators.corpus import (
+            ngram_overlap,
+            ngram_overlap_bloom,
+        )
+        from database_replicator_spark.operators.dedup import doc_shingles
+
+        docs = load_table(spark, SF, "documents")
+        sh = doc_shingles(docs)
+        pred = F.col("doc_id") % 50 == 0
+        exact = {
+            (r["train_doc"], r["bench_doc"], r["n_overlap"])
+            for r in ngram_overlap(
+                sh, pred, min_overlap=1, broadcast_bench=False
+            ).collect()
+        }
+        nobc = ngram_overlap_bloom(
+            sh, pred, min_overlap=1, m=4096, broadcast_bench=False
+        )
+        got = {
+            (r["train_doc"], r["bench_doc"], r["n_overlap"])
+            for r in nobc.collect()
+        }
+        assert got == exact
+        assert exact
+        # AQE may still pick a broadcast at runtime for this tiny test
+        # input; what matters is that no USER hint forces the bench-table
+        # build when the bench side is declared over-budget. The Bloom
+        # BITS broadcast (KB-MB at any suite size) is legitimate and
+        # stays in both plans, so compare hint COUNTS: hint-off must
+        # carry exactly one fewer broadcast hint than the default.
+        def n_hints(df):
+            plan = df._jdf.queryExecution().analyzed().toString()
+            return plan.count("ResolvedHint (strategy=broadcast)")
+
+        hinted = ngram_overlap_bloom(sh, pred, min_overlap=1, m=4096)
+        assert n_hints(nobc) == n_hints(hinted) - 1
