@@ -62,6 +62,7 @@ def runs_for_gate(base: float | None) -> int:
 _NON_QUERY_KEYS = {
     "metric", "value", "unit", "sf", "degraded_queries",
     "fast_single_queries", "n", "rc", "cpus", "queries",
+    "degraded", "budget_used",
 }
 
 
@@ -159,14 +160,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     total = 0.0
-    n_degraded = 0
+    degraded: list[str] = []
     n_fast_single = 0
     for name, fn in q.all_queries().items():
         tier = runs_for_gate(baseline.get(name))
         budget_runs = runs_for(time.perf_counter() - bench_t0, budget)
         runs = min(tier, budget_runs)
         if runs < tier:
-            n_degraded += 1
+            degraded.append(name)
         elif tier < 3:
             n_fast_single += 1
         if runs == 1:
@@ -182,16 +183,26 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
 
+    # Key order matters for forensics: the driver's artifact capture keeps
+    # only the LAST 2000 chars of this line, so anything that must survive
+    # truncation — the degraded-gate NAMES, the budget-consumption ratio —
+    # goes AFTER the (large) queries map, at the very end. (r7 lesson: the
+    # bare degraded_queries count survived truncation but the tail could
+    # not say WHICH gate was degraded.)
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_time",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
-                "degraded_queries": n_degraded,
+                "queries": timings,
+                "degraded_queries": len(degraded),
                 "fast_single_queries": n_fast_single,
+                "degraded": degraded,
+                "budget_used": round(
+                    (time.perf_counter() - bench_t0) / budget, 3
+                ),
             }
         )
     )
