@@ -1238,6 +1238,77 @@ def duplicate_span_coverage(
     )
 
 
+def merged_span_report(
+    docs: DataFrame,
+    tiers: tuple = ((25, 3), (50, 2)),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Variable-length duplicate-span coverage: merge overlapping hits
+    from multiple (k, min_docs) gram tiers into MAXIMAL spans per doc and
+    report span structure, not just the covered-position count that
+    :func:`duplicate_span_coverage` gives.
+
+    Tier semantics — the length/frequency tradeoff of practical span
+    dedup: a short span only counts when it recurs widely (boilerplate),
+    a long span counts at lower document frequency (verbatim quotation).
+    The default is 25-grams at df≥3 plus 50-grams at df≥2. A single-k
+    union would be pointless (every sub-k-gram of a shared longer gram is
+    shared by the same docs, so a uniform-min_docs union is subsumed by
+    the smallest k); differing thresholds break the subsumption.
+
+    Merging overlapping/adjacent hits into maximal spans is the
+    gaps-and-islands identity: over the distinct covered positions of a
+    doc ordered by position, ``wi − row_number()`` is constant exactly on
+    a maximal run — pure integer arithmetic, equivalent to an array-based
+    interval merge but with no per-doc array materialization. The window
+    partitions by doc id, so its state is bounded by document length
+    (≤ n_words positions) at any corpus size.
+
+    Output per doc: n_words, n_covered, n_spans (maximal merged spans),
+    max_span_len, coverage.
+    """
+    d = _split_words(docs, id_col, text_col)
+    cov = None
+    for k, min_docs in tiers:
+        tier_cov = _covered_positions(d, k, min_docs)
+        cov = tier_cov if cov is None else cov.unionByName(tier_cov)
+    cov = cov.distinct()
+    w = Window.partitionBy("_id").orderBy(F.col("_wi").asc())
+    spans = (
+        cov.withColumn("_isl", F.col("_wi") - F.row_number().over(w))
+        .groupBy("_id", "_isl")
+        .agg(F.count(F.lit(1)).alias("span_len"))
+    )
+    per = spans.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_len").alias("n_covered"),
+        F.max("span_len").alias("max_span_len"),
+    )
+    return (
+        d.select("_id", "n_words")
+        .join(per, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n_words").cast("long").alias("n_words"),
+            F.coalesce(F.col("n_covered"), F.lit(0))
+            .cast("long")
+            .alias("n_covered"),
+            F.coalesce(F.col("n_spans"), F.lit(0))
+            .cast("long")
+            .alias("n_spans"),
+            F.coalesce(F.col("max_span_len"), F.lit(0))
+            .cast("long")
+            .alias("max_span_len"),
+            F.round(
+                F.coalesce(F.col("n_covered"), F.lit(0)).cast("double")
+                / F.col("n_words").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+    )
+
+
 def select_token_budget(
     docs: DataFrame,
     budget: int,

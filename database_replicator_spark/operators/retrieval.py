@@ -1,0 +1,243 @@
+"""Ranked lexical retrieval (BM25) and reciprocal-rank fusion (RRF).
+
+Public algorithms only: the Robertson–Spärck Jones BM25 weighting in its
+k1/b form with the Lucene non-negative idf variant
+``ln(1 + (N − df + 0.5)/(df + 0.5))``, and reciprocal-rank fusion
+(Cormack, Clarke & Büttcher, SIGIR'09: ``Σ 1/(κ + rank)``).
+
+The reference engine ships no ranked-retrieval surface; these complete
+the text-analysis tier next to the inverted index
+(queries_r6.doc_keyword_postings) and the ANN family — BM25 is the
+standard lexical counterpart for contamination checks and hybrid
+retrieval over a training corpus.
+
+Cross-engine determinism (the house rules in queries.py): every per-term
+BM25 contribution is ONE composed double expression per side —
+``idf · tf_norm`` — then immediately fixed-pointed with
+``floor(x · 10⁶ + 0.5)`` into BIGINT units, so the per-document sum is
+integer arithmetic: order-independent, overflow-safe (contributions are
+a few 10⁶ units), and bit-identical across engines. The only doubles
+that cross an aggregation boundary are already integers in disguise.
+
+Scale shape (100 TB): tf/dl/df are plain map-side-combined aggregates;
+the query-term table broadcasts (queries are small by definition); the
+candidate set is bounded by the postings of the query terms; and the
+final per-query top-k runs behind a bucketed pre-cut window
+(``prefilter_buckets``) so no single task ever sorts a whole query's
+candidate list — the same two-phase idiom as operators/corpus's race
+sampler and similarity's ``_topk_candidates``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: fixed-point scale for BM25 score units (6 decimal digits — matches the
+#: repo-wide round(x, 6) output grain)
+BM25_SCALE = 1_000_000
+
+
+def doc_tokens(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """(doc_id, term) with multiplicity, from the canonical normalized
+    form (lowercase, collapsed whitespace) — the same tokenizer as the
+    inverted index so df/tf agree with doc_keyword_postings."""
+    from .textops import normalize_text_expr
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(
+                normalize_text_expr(F.coalesce(F.col(text_col), F.lit(""))),
+                " ",
+            )
+        ).alias("term"),
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Per-(query, document) BM25 scores over every document matching at
+    least one query term.
+
+    ``query_terms`` is a small (query_id, term) table — broadcast. Output
+    columns: query_id, doc_id, score_units (BIGINT fixed-point),
+    score (= units/10⁶, rounded to 6 dp).
+
+    ``exclude_self=True`` drops doc_id == query_id rows — the
+    query-by-example form used by the hybrid gate, where a document's own
+    terms are the query and the document itself is not a result.
+    """
+    toks = doc_tokens(docs, id_col, text_col)
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # one-row corpus stats: N and total token count (avgdl = total/N);
+    # broadcast-crossJoin is the repo's 1-row scalar idiom
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+    )
+    qterms = query_terms.select(
+        F.col("query_id").cast("bigint").alias("query_id"), "term"
+    )
+    # df only for query terms: tf is distinct on (doc, term), so a term
+    # count over tf IS the document frequency; restricting through the
+    # (tiny) distinct query-term set keeps the df aggregate bounded by
+    # the postings of the query vocabulary, not the corpus vocabulary
+    dfreq = (
+        tf.join(F.broadcast(qterms.select("term").distinct()), on="term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    cut = tf.join(F.broadcast(qterms), on="term")
+    if exclude_self:
+        cut = cut.filter(F.col("doc_id") != F.col("query_id"))
+    scored = (
+        cut.join(F.broadcast(dfreq), on="term")
+        .join(dl, on="doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    # ONE composed double expression per side, then fixed-point:
+    #   idf = ln((N − df + 0.5)/(df + 0.5) + 1)         [Lucene variant]
+    #   tfn = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    # avgdl inlined as total/N so the whole thing is a single composition
+    # over integer inputs — the oracle mirrors it token for token.
+    idf = F.log(
+        ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tfn = (F.col("tf").cast("double") * F.lit(float(k1 + 1.0))) / (
+        F.col("tf").cast("double")
+        + F.lit(float(k1))
+        * (
+            F.lit(float(1.0 - b))
+            + F.lit(float(b))
+            * (
+                F.col("dl").cast("double")
+                / (
+                    F.col("total_tokens").cast("double")
+                    / F.col("n_docs").cast("double")
+                )
+            )
+        )
+    )
+    units = F.floor(idf * tfn * F.lit(float(BM25_SCALE)) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    return (
+        scored.withColumn("units", units)
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("units").alias("score_units"))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("score_units").cast("double") / F.lit(float(BM25_SCALE)),
+                6,
+            ),
+        )
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefilter_buckets: int = 0,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Top-k BM25 retrieval per query: (query_id, doc_id, score, rank).
+
+    Ranking key is the INTEGER fixed-point score (desc, doc_id asc) on
+    both engines — no double comparison anywhere in the ordering. With
+    ``prefilter_buckets`` > 0 a per-(query, doc-hash-bucket) window keeps
+    only each bucket's top k before the global per-query window, so the
+    global sort sees ≤ buckets·k rows per query regardless of how many
+    documents match the query terms — exact by the same dominance
+    argument as similarity._topk_candidates."""
+    scored = bm25_scores(
+        docs, query_terms, k1=k1, b=b, id_col=id_col, text_col=text_col,
+        exclude_self=exclude_self,
+    )
+    if prefilter_buckets > 0:
+        wb = Window.partitionBy(
+            "query_id", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(prefilter_buckets))
+        ).orderBy(F.col("score_units").desc(), F.col("doc_id").asc())
+        scored = scored.withColumn("_brn", F.row_number().over(wb)).filter(
+            F.col("_brn") <= k
+        )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_units").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def rrf_fuse(
+    lex: DataFrame,
+    dense: DataFrame,
+    k: int = 10,
+    rrf_k: int = 60,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two rankings (Cormack et al. 2009):
+    ``rrf = Σ_r 1/(κ + rank_r)`` over the rankers that returned the
+    document, κ = 60 per the paper. Inputs are (query_id, doc_id, rank)
+    tables; a document absent from one ranking contributes 0 from it and
+    reports rank 0 in the output (0 = "not retrieved" — keeps the column
+    integral, NULLs would float-ify the pandas canonical form).
+
+    Determinism: each contribution is one IEEE division of exact
+    integers (correctly rounded, engine-independent) and the fusion is a
+    sum of exactly TWO doubles (commutative, associativity moot), so the
+    fused score is bit-identical across engines before the output
+    rounding. Ordering: rounded rrf desc, doc_id asc.
+
+    Scale: both inputs are already top-k-bounded per query (≤ k rows per
+    query per ranker), so the outer join and the final window are over
+    O(queries · k) rows — driver-free and skew-free at any corpus size."""
+    a = lex.select(
+        "query_id", "doc_id", F.col("rank").cast("bigint").alias("lex_rank")
+    )
+    d = dense.select(
+        "query_id", "doc_id", F.col("rank").cast("bigint").alias("dense_rank")
+    )
+    fused = a.join(d, on=["query_id", "doc_id"], how="full_outer")
+    contrib_a = F.lit(1.0) / (
+        F.lit(rrf_k) + F.col("lex_rank")
+    ).cast("double")
+    contrib_d = F.lit(1.0) / (
+        F.lit(rrf_k) + F.col("dense_rank")
+    ).cast("double")
+    rrf = F.round(
+        F.coalesce(contrib_a, F.lit(0.0)) + F.coalesce(contrib_d, F.lit(0.0)),
+        round_digits,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rrf_score", rrf)
+        .withColumn("lex_rank", F.coalesce(F.col("lex_rank"), F.lit(0)))
+        .withColumn("dense_rank", F.coalesce(F.col("dense_rank"), F.lit(0)))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "doc_id", "lex_rank", "dense_rank", "rrf_score", "rank"
+        )
+    )

@@ -1,0 +1,284 @@
+"""Round-8 query-surface additions: BM25 ranked lexical retrieval over
+the corpus, reciprocal-rank hybrid fusion of the lexical and dense
+(ANN) rankers, and variable-length duplicate-span coverage.
+
+These complete the text-analysis tier (VERDICT r7 Next-round #4/#5):
+the repo had postings, TF-IDF and ANN but no lexical *ranking*
+function. Determinism follows the house rules in queries.py — each
+BM25 per-term contribution is one composed double expression per side,
+immediately fixed-pointed to BIGINT units (floor(x·10⁶ + 0.5)) so every
+cross-row sum is integer-exact; ranking keys are integers or
+bit-identical doubles with id tiebreaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import query
+from .queries_llm import _DOT_SQL, _NORM_SQL, _UNIT_SQL
+from .sources.catalog import load_table
+
+#: fixed query workload for the BM25 gate: three queries mixing the one
+#: rare discriminative term in the synthetic vocabulary ("dup", df≈5%)
+#: with common terms, so idf spread is actually exercised
+_BM25_QUERIES = [
+    (0, "dup"), (0, "merge"), (0, "batch"),
+    (1, "spark"), (1, "window"), (1, "join"),
+    (2, "vector"), (2, "stream"), (2, "key"),
+]
+
+#: shared SQL: tokenized corpus + tf/dl/corpus stats (the BM25 build);
+#: contribution expression mirrors operators/retrieval.bm25_scores token
+#: for token (literals 2.2/1.2/0.25/0.75 are the exact doubles of
+#: k1+1, k1, 1−b, b at k1=1.2, b=0.75 — verified float identities)
+_BM25_BUILD_CTE = f"""
+    toks AS (
+      SELECT doc_id, UNNEST(regexp_split_to_array({_NORM_SQL}, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+           FROM toks GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dl) AS BIGINT) AS total_tokens FROM dl),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+              WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term),
+    contrib AS (
+      SELECT q.query_id, tf.doc_id,
+             CAST(FLOOR(
+               LN((CAST(s.n_docs - d.df AS DOUBLE) + 0.5)
+                  / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+               * ((CAST(tf.tf AS DOUBLE) * 2.2)
+                  / (CAST(tf.tf AS DOUBLE)
+                     + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                         / (CAST(s.total_tokens AS DOUBLE)
+                            / CAST(s.n_docs AS DOUBLE))))))
+               * 1000000.0 + 0.5) AS BIGINT) AS units
+      FROM tf
+      JOIN q ON tf.term = q.term AND tf.doc_id != q.self_excl
+      JOIN dfreq d ON d.term = tf.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+    ),
+    scores AS (
+      SELECT query_id, doc_id, CAST(SUM(units) AS BIGINT) AS score_units
+      FROM contrib GROUP BY query_id, doc_id
+    )
+"""
+
+
+@query(
+    "doc_bm25_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT CAST(query_id AS BIGINT) AS query_id, term,
+             CAST(-1 AS BIGINT) AS self_excl
+      FROM (VALUES {", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)})
+           AS v(query_id, term)
+    ),
+    {_BM25_BUILD_CTE}
+    SELECT query_id, doc_id,
+           ROUND(CAST(score_units AS DOUBLE) / 1000000.0, 6) AS score, rank
+    FROM (
+      SELECT query_id, doc_id, score_units,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score_units DESC, doc_id ASC) AS rank
+      FROM scores
+    ) WHERE rank <= 10
+    """,
+)
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson–Spärck Jones k1/b form, Lucene
+    non-negative idf) over the corpus for a fixed three-query workload —
+    the lexical ranking counterpart to the ANN tiers and the standard
+    contamination-check scorer.
+
+    Plan (operators/retrieval.bm25_topk): tf/dl/df are map-side-combined
+    aggregates; the query-term table broadcasts; candidates are bounded
+    by the query terms' postings; the per-query top-k runs behind an
+    8-bucket pre-cut window, so no task sorts a whole candidate list —
+    the 100 TB-shaped plan even at fixture scale. Ranking compares the
+    INTEGER fixed-point score, never a float."""
+    from .operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    qterms = spark.createDataFrame(_BM25_QUERIES, "query_id bigint, term string")
+    return bm25_topk(docs, qterms, k=10, prefilter_buckets=8)
+
+
+@query(
+    "hybrid_rrf_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT DISTINCT doc_id AS query_id, term,
+             CAST(doc_id AS BIGINT) AS self_excl
+      FROM (SELECT doc_id,
+                   UNNEST(regexp_split_to_array({_NORM_SQL}, ' ')) AS term
+            FROM documents WHERE doc_id < 5)
+    ),
+    {_BM25_BUILD_CTE},
+    lex AS (
+      SELECT query_id, doc_id, lex_rank FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score_units DESC, doc_id ASC)
+                 AS lex_rank
+        FROM scores
+      ) WHERE lex_rank <= 50
+    ),
+    units AS (
+      SELECT vec_id, {_UNIT_SQL.format(v='embedding')} AS unit FROM embeddings
+    ),
+    qv AS (SELECT vec_id AS query_id, unit AS qvec FROM units
+           WHERE vec_id < 5),
+    den AS (
+      SELECT query_id, doc_id, dense_rank FROM (
+        SELECT qv.query_id, c.vec_id AS doc_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qv.query_id
+                 ORDER BY round({_DOT_SQL.format(a='c.unit', b='qv.qvec')}, 6)
+                            DESC,
+                          c.vec_id ASC) AS dense_rank
+        FROM units c, qv
+        WHERE c.vec_id != qv.query_id
+      ) WHERE dense_rank <= 50
+    ),
+    fused AS (
+      SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+             COALESCE(l.doc_id, d.doc_id) AS doc_id,
+             CAST(COALESCE(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+             CAST(COALESCE(d.dense_rank, 0) AS BIGINT) AS dense_rank,
+             ROUND(COALESCE(1.0 / CAST(60 + l.lex_rank AS DOUBLE), 0.0)
+                 + COALESCE(1.0 / CAST(60 + d.dense_rank AS DOUBLE), 0.0),
+                   9) AS rrf_score
+      FROM lex l FULL OUTER JOIN den d
+        ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+    )
+    SELECT query_id, doc_id, lex_rank, dense_rank, rrf_score, rank
+    FROM (
+      SELECT query_id, doc_id, lex_rank, dense_rank, rrf_score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY rrf_score DESC, doc_id ASC) AS rank
+      FROM fused
+    ) WHERE rank <= 10
+    """,
+)
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009,
+    κ=60) of the BM25 lexical ranker and the exact-cosine dense ranker
+    over the shared doc/vec id space, query-by-example with docs 0–4 as
+    the queries (a document's own terms / its embedding are the query;
+    the document itself is excluded from both rankings).
+
+    Each ranker contributes its top-50; fusion, ranking and the output
+    are all over O(queries·k) rows. Each RRF contribution is one IEEE
+    division of exact integers and the fusion sums exactly two doubles,
+    so the fused score is bit-identical across engines (operators/
+    retrieval.rrf_fuse). Absent-from-one-ranker documents report rank 0
+    (keeps the rank columns integral for the pandas canonicalizer)."""
+    from .operators.retrieval import bm25_topk, doc_tokens, rrf_fuse
+    from .operators.similarity import topk_blas
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qterms = (
+        doc_tokens(docs.filter(F.col("doc_id") < 5))
+        .select(F.col("doc_id").alias("query_id"), "term")
+        .distinct()
+    )
+    lex = bm25_topk(
+        docs, qterms, k=50, prefilter_buckets=8, exclude_self=True
+    )
+    dense = topk_blas(emb, emb.filter(F.col("vec_id") < 5), k=50).select(
+        "query_id", F.col("corpus_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse(lex, dense, k=10, rrf_k=60)
+
+
+def _span_tier_sql(k: int, min_docs: int) -> str:
+    """Covered word positions (doc_id, wi) for one (k, min_docs) gram
+    tier — the parameterized form of queries_ext2._SPAN_COV_CTES."""
+    return f"""
+      SELECT g.doc_id, unnest(range(g.pos, g.pos + {k})) AS wi
+      FROM (
+        SELECT doc_id, generate_subscripts(grams, 1) - 1 AS pos,
+               unnest(grams) AS gram
+        FROM (
+          SELECT doc_id,
+                 [array_to_string(words[i:i+{k - 1}], ' ')
+                  FOR i IN range(1, n_words - {k - 2})] AS grams
+          FROM spl WHERE n_words >= {k}
+        )
+      ) g
+      JOIN (
+        SELECT gram FROM (
+          SELECT doc_id, unnest(grams) AS gram
+          FROM (
+            SELECT doc_id,
+                   [array_to_string(words[i:i+{k - 1}], ' ')
+                    FOR i IN range(1, n_words - {k - 2})] AS grams
+            FROM spl WHERE n_words >= {k}
+          )
+        ) GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= {min_docs}
+      ) dup USING (gram)
+    """
+
+
+@query(
+    "doc_duplicate_span_merge",
+    oracle=f"""
+    WITH spl AS (
+      SELECT doc_id, string_split(text, ' ') AS words,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+      FROM documents
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, wi FROM (
+        {_span_tier_sql(25, 3)}
+        UNION ALL
+        {_span_tier_sql(50, 2)}
+      )
+    ),
+    isl AS (
+      SELECT doc_id,
+             wi - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY wi) AS isl
+      FROM cov
+    ),
+    spans AS (
+      SELECT doc_id, isl, CAST(COUNT(*) AS BIGINT) AS span_len
+      FROM isl GROUP BY doc_id, isl
+    ),
+    per AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(SUM(span_len) AS BIGINT) AS n_covered,
+             CAST(MAX(span_len) AS BIGINT) AS max_span_len
+      FROM spans GROUP BY doc_id
+    )
+    SELECT spl.doc_id, spl.n_words,
+           COALESCE(per.n_covered, 0) AS n_covered,
+           COALESCE(per.n_spans, 0) AS n_spans,
+           COALESCE(per.max_span_len, 0) AS max_span_len,
+           ROUND(CAST(COALESCE(per.n_covered, 0) AS DOUBLE)
+                 / CAST(spl.n_words AS DOUBLE), 6) AS coverage
+    FROM spl LEFT JOIN per USING (doc_id)
+    """,
+)
+def doc_duplicate_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length duplicate-span coverage (VERDICT r7 #5): overlap
+    hits from two (k, min_docs) gram tiers — 25-grams at df≥3 and
+    50-grams at df≥2, the length/frequency tradeoff of practical span
+    dedup — merged into MAXIMAL per-doc spans via the gaps-and-islands
+    identity (wi − row_number constant on a maximal run; equivalent to
+    an array interval merge, zero per-doc arrays). Reports span count,
+    total covered positions, longest span and coverage fraction per doc.
+
+    Every shuffle key is a uniform hash (gram text, doc id); the only
+    window partitions by doc id with state bounded by document length —
+    scale-safe at any corpus size (operators/corpus.merged_span_report)."""
+    from .operators.corpus import merged_span_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return merged_span_report(docs, tiers=((25, 3), (50, 2)))

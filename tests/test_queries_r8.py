@@ -1,0 +1,165 @@
+"""Round-8 gate invariants + independent Python references (the oracle
+gate proves cross-engine equality; these prove the SEMANTICS are the
+intended ones — BM25 per Robertson k1/b with Lucene idf, RRF per
+Cormack et al. 2009)."""
+
+import math
+import re
+from collections import Counter, defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from database_replicator_spark import queries_r8 as q8
+from database_replicator_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+K1, B = 1.2, 0.75
+SCALE = 1_000_000
+
+
+def _tokenize(text):
+    return re.sub(r"\s+", " ", (text or "").lower()).strip().split(" ")
+
+
+@pytest.fixture(scope="module")
+def corpus_py(spark):
+    rows = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    return {r["doc_id"]: _tokenize(r["text"]) for r in rows}
+
+
+def _bm25_reference(corpus, query_terms, exclude_self=False):
+    """Plain-Python BM25 with the operator's exact fixed-point contract."""
+    tf = {d: Counter(toks) for d, toks in corpus.items()}
+    dl = {d: len(toks) for d, toks in corpus.items()}
+    n = len(corpus)
+    avgdl = sum(dl.values()) / n
+    df = Counter()
+    for d in corpus:
+        for t in set(corpus[d]):
+            df[t] += 1
+    scores = defaultdict(int)  # (qid, doc) -> integer units
+    for qid, t in query_terms:
+        if t not in df:
+            continue
+        idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+        for d, c in tf.items():
+            if c[t] == 0 or (exclude_self and d == qid):
+                continue
+            tfn = (c[t] * (K1 + 1.0)) / (
+                c[t] + K1 * ((1.0 - B) + B * (dl[d] / avgdl))
+            )
+            scores[(qid, d)] += int(math.floor(idf * tfn * SCALE + 0.5))
+    return scores
+
+
+def _topk_reference(scores, k=10):
+    per_q = defaultdict(list)
+    for (qid, d), u in scores.items():
+        per_q[qid].append((-u, d))
+    out = {}
+    for qid, lst in per_q.items():
+        for rank, (negu, d) in enumerate(sorted(lst)[:k], start=1):
+            out[(qid, d)] = (rank, -negu)
+    return out
+
+
+class TestBM25:
+    def test_matches_python_reference(self, spark, corpus_py):
+        want = _topk_reference(
+            _bm25_reference(corpus_py, q8._BM25_QUERIES), k=10
+        )
+        got = {
+            (r["query_id"], r["doc_id"]): (r["rank"], r["score"])
+            for r in q8.doc_bm25_topk(spark, SF).collect()
+        }
+        assert set(got) == set(want)
+        for key, (rank, units) in want.items():
+            grank, gscore = got[key]
+            assert grank == rank
+            assert abs(gscore - units / SCALE) < 1e-9
+
+    def test_rare_term_query_ranks_dup_docs_first(self, spark, corpus_py):
+        """Query 0 contains 'dup' (the only rare term, df≈5%): with the
+        Lucene idf its contribution dominates, so every top-ranked doc
+        for query 0 must actually contain 'dup'."""
+        got = [
+            r
+            for r in q8.doc_bm25_topk(spark, SF).collect()
+            if r["query_id"] == 0
+        ]
+        assert got
+        top = min(got, key=lambda r: r["rank"])
+        assert "dup" in corpus_py[top["doc_id"]]
+
+    def test_prefilter_is_output_identical(self, spark):
+        from database_replicator_spark.operators.retrieval import bm25_topk
+
+        docs = load_table(spark, SF, "documents")
+        qterms = spark.createDataFrame(
+            q8._BM25_QUERIES, "query_id bigint, term string"
+        )
+        plain = sorted(
+            map(tuple, bm25_topk(docs, qterms, k=10).collect())
+        )
+        cut = sorted(
+            map(tuple, bm25_topk(docs, qterms, k=10, prefilter_buckets=8).collect())
+        )
+        assert plain == cut and plain
+
+    def test_unknown_query_term_contributes_nothing(self, spark):
+        from database_replicator_spark.operators.retrieval import bm25_topk
+
+        docs = load_table(spark, SF, "documents")
+        qterms = spark.createDataFrame(
+            [(0, "dup"), (7, "zz-not-in-vocab")],
+            "query_id bigint, term string",
+        )
+        got = bm25_topk(docs, qterms, k=5).collect()
+        assert {r["query_id"] for r in got} == {0}
+
+
+class TestRRF:
+    def test_fusion_arithmetic_and_absentees(self, spark):
+        from database_replicator_spark.operators.retrieval import rrf_fuse
+
+        lex = spark.createDataFrame(
+            [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+            "query_id bigint, doc_id bigint, rank int",
+        )
+        dense = spark.createDataFrame(
+            [(0, 11, 1), (0, 13, 2)],
+            "query_id bigint, doc_id bigint, rank int",
+        )
+        got = {r["doc_id"]: r for r in rrf_fuse(lex, dense, k=10).collect()}
+        assert set(got) == {10, 11, 12, 13}
+        # doc 11 in both: 1/62 + 1/61
+        assert abs(got[11]["rrf_score"] - round(1 / 62 + 1 / 61, 9)) < 1e-12
+        assert got[11]["rank"] == 1
+        assert got[11]["lex_rank"] == 2 and got[11]["dense_rank"] == 1
+        # absentees report rank 0 on the missing side, never NULL
+        assert got[10]["dense_rank"] == 0
+        assert abs(got[10]["rrf_score"] - round(1 / 61, 9)) < 1e-12
+        assert got[13]["lex_rank"] == 0
+        # tie between doc 10 (lex rank 1) and doc 13 (dense rank 2)?
+        # 1/61 vs 1/62 — no tie; order: 11, 10, 13, 12
+        ranks = [got[d]["rank"] for d in (11, 10, 13, 12)]
+        assert ranks == [1, 2, 3, 4]
+
+    def test_equal_scores_break_by_doc_id(self, spark):
+        from database_replicator_spark.operators.retrieval import rrf_fuse
+
+        lex = spark.createDataFrame(
+            [(0, 5, 1), (0, 3, 2)], "query_id bigint, doc_id bigint, rank int"
+        )
+        dense = spark.createDataFrame(
+            [(0, 9, 1), (0, 7, 2)], "query_id bigint, doc_id bigint, rank int"
+        )
+        got = {r["doc_id"]: r["rank"] for r in rrf_fuse(lex, dense).collect()}
+        # 5 and 9 tie at 1/61 → lower doc_id first; 3 and 7 tie at 1/62
+        assert got == {5: 1, 9: 2, 3: 3, 7: 4}
+
+    def test_hybrid_gate_excludes_self(self, spark):
+        for r in q8.hybrid_rrf_topk(spark, SF).collect():
+            assert r["doc_id"] != r["query_id"]

@@ -229,10 +229,36 @@ def probe_ops(spark, path: str) -> dict[str, float]:
             )
         )
 
+    def span_merge():
+        from database_replicator_spark.operators.corpus import merged_span_report
+
+        mat(merged_span_report(docs))
+
+    def bm25():
+        from database_replicator_spark.operators.retrieval import (
+            bm25_topk,
+            doc_tokens,
+        )
+
+        # per-copy query terms (the '_dup' rare term of each disjoint
+        # vocabulary copy), so queries AND candidates grow linearly with
+        # the corpus — probing the whole build+rank path, not a
+        # fixed-candidate scan
+        qterms = (
+            doc_tokens(docs)
+            .select("term")
+            .distinct()
+            .filter(F.col("term").endswith("_dup"))
+            .select(F.abs(F.xxhash64("term")).alias("query_id"), "term")
+        )
+        mat(bm25_topk(docs, qterms, k=10, prefilter_buckets=8))
+
     for name, fn in [
         ("exact_dedup", exact_dedup),
         ("minhash_lsh_pairs", minhash_lsh),
         ("duplicate_span_coverage", span_coverage),
+        ("merged_span_report", span_merge),
+        ("bm25_topk", bm25),
         ("select_token_budget", token_budget),
         ("quality_filter", quality),
         ("hashed_linear_score", classifier),
