@@ -1614,31 +1614,49 @@ def sq8_encode(
     Tungsten keeps byte-packed in the row format. floor (not
     round-half) keeps the bin rule free of cross-engine half-rounding
     divergence; a constant dimension (mx == mn) codes to 0 and decodes
-    to mn. All JVM expressions — no Python in the encode path."""
-    u = unit_expr(F.col(vec_col))
-    exprs = []
+    to mn. All JVM expressions — no Python in the encode path.
+
+    Construction note (r8): the per-dim expressions are assembled as ONE
+    ``F.expr`` SQL string instead of ~10·dim py4j Column calls — at
+    dim 64 the py4j round trips dominated the whole gate's wall time
+    (driver-side DAG build ≈ 2 s, execution ≈ 0.5 s). The norm is a
+    TOP-LEVEL unrolled column referenced 64×, which (a) keeps
+    CollapseProject from inlining it (non-cheap, many refs) so it is
+    evaluated once per row, and (b) avoids the interpreted
+    HOF-transform array the old ``unit_expr``-based form re-built per
+    output dimension. Value-identical: same literals (repr round-trip
+    through a correctly-rounded parse), same left-associated
+    compositions."""
+    dim = len(mn)
+    terms = []
     for i, (lo, hi) in enumerate(zip(mn, mx)):
         if hi > lo:
             # two-sided clamp: a dimension outside the trained [mn, mx]
             # range saturates to bin 0 / 255 instead of wrapping through
             # the tinyint cast (out-of-train inputs would otherwise
             # corrupt the code silently)
-            c = F.least(
-                F.greatest(
-                    F.floor(
-                        (u[i] - F.lit(float(lo)))
-                        / F.lit(float(hi - lo))
-                        * F.lit(256.0)
-                    ),
-                    F.lit(0),
-                ),
-                F.lit(255),
+            span = float(hi - lo)
+            terms.append(
+                f"CAST(LEAST(GREATEST(FLOOR((CAST({vec_col}[{i}] AS DOUBLE)"
+                f" / _sq8n - CAST('{float(lo)!r}' AS DOUBLE))"
+                f" / CAST('{span!r}' AS DOUBLE) * 256.0D), 0), 255)"
+                f" - 128 AS TINYINT)"
             )
         else:
-            c = F.lit(0)
-        exprs.append((c - F.lit(128)).cast("tinyint"))
+            terms.append("CAST(-128 AS TINYINT)")
+    code = F.expr("array(" + ", ".join(terms) + ")")
+    norm = F.expr(
+        "SQRT("
+        + " + ".join(
+            f"CAST({vec_col}[{i}] AS DOUBLE) * CAST({vec_col}[{i}] AS DOUBLE)"
+            for i in range(dim)
+        )
+        + ")"
+    )
     keep = [F.col(c) for c in keep_cols]
-    return corpus.select(F.col(id_col), *keep, F.array(*exprs).alias("code"))
+    return corpus.withColumn("_sq8n", norm).select(
+        F.col(id_col), *keep, code.alias("code")
+    )
 
 
 def sq8_topk(
@@ -1648,6 +1666,7 @@ def sq8_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    codebook=None,
 ) -> DataFrame:
     """Scalar-quantized (SQ8 / FAISS QT_8bit) top-k: the corpus is
     served from its 1-byte-per-dim code table; each Arrow batch
@@ -1659,13 +1678,23 @@ def sq8_topk(
     memory-bound-scan lever between matryoshka prefixes (fewer dims)
     and PQ (sub-byte codes). Scores are dots against reconstructed
     vectors, so ranking quality is governed by quantization error only;
-    recall is audited in RECALL.md."""
+    recall is audited in RECALL.md.
+
+    ``codebook=(mn, mx)`` serves the train-once deployment shape: the
+    per-dim min/max is a 2·dim-double artifact trained offline and
+    reused across query batches — passing it skips the train aggregate
+    entirely (output identical; tested). When training inline, the
+    query collect runs FIRST so its matrix supplies ``dim`` and the
+    train aggregate needs no separate first()-probe job."""
     import numpy as np
 
     spark = corpus.sparkSession
-    mn, mx = sq8_train(corpus, id_col, vec_col)
-    codes = sq8_encode(corpus, mn, mx, id_col, vec_col)
     qids, qmat = collect_unit_matrix(queries, id_col, vec_col)
+    if codebook is not None:
+        mn, mx = codebook
+    else:
+        mn, mx = sq8_train(corpus, id_col, vec_col, dim=qmat.shape[1])
+    codes = sq8_encode(corpus, mn, mx, id_col, vec_col)
     scale = (mx - mn) / 256.0
     bc = spark.sparkContext.broadcast((qids, qmat, mn, scale))
 
@@ -1715,6 +1744,8 @@ def ivf_sq8_topk(
     round_digits: int = 6,
     quantizer: str = "sample",
     centroids=None,
+    codebook=None,
+    query_matrix=None,
 ) -> DataFrame:
     """IVF + SQ8 (the FAISS ``IVF<n>,SQ8`` composition): the coarse
     quantizer prunes the scan to ``nprobe`` of ``nlist`` inverted lists,
@@ -1727,7 +1758,15 @@ def ivf_sq8_topk(
 
     ``quantizer="sample"`` (the gated config) keeps centroid choice,
     codes, and reconstruction all SQL-reproducible; ``"kmeans"`` trains
-    the coarse quantizer (recall-tested, not gated)."""
+    the coarse quantizer (recall-tested, not gated).
+
+    ``centroids`` / ``codebook=(mn, mx)`` accept pre-trained artifacts
+    (the offline index-build deployment shape — both are tiny
+    driver-side arrays); ``query_matrix=(q_ids, q_mat)`` accepts the
+    already-unit-normalized query vectors (the serving shape — queries
+    arrive as arrays, not a table scan). When training inline, the
+    centroid collect runs first and supplies ``dim``, so the SQ8 train
+    aggregate never pays a separate first()-probe job."""
     import numpy as np
 
     spark = corpus.sparkSession
@@ -1743,7 +1782,10 @@ def ivf_sq8_topk(
     else:
         raise ValueError(f"unknown quantizer {quantizer!r}")
 
-    mn, mx = sq8_train(corpus, id_col, vec_col)
+    if codebook is not None:
+        mn, mx = codebook
+    else:
+        mn, mx = sq8_train(corpus, id_col, vec_col, dim=cent.shape[1])
     scale = (mx - mn) / 256.0
     # fused index build: the JVM encode projects (id, vec, code) and the
     # assignment scan carries the code column through — one pass, no
@@ -1756,7 +1798,10 @@ def ivf_sq8_topk(
 
     # probe selection: driver-side numpy over the bounded query set —
     # same rounded sims and (score DESC, cid ASC) preference as ivf_topk
-    q_ids, q_mat = collect_unit_matrix(queries, id_col, vec_col)
+    if query_matrix is not None:
+        q_ids, q_mat = query_matrix
+    else:
+        q_ids, q_mat = collect_unit_matrix(queries, id_col, vec_col)
     q_sims = np.round(q_mat @ cent.T, round_digits)
     probe_rows = []
     for qi in range(len(q_ids)):
@@ -1772,14 +1817,16 @@ def ivf_sq8_topk(
     )
 
     # in-place JVM reconstruction of bin centers: the same composition
-    # the oracle replays — mn + (code + 0.5) * ((mx - mn) / 256)
-    mn_arr = F.array(*[F.lit(float(v)) for v in mn])
-    sc_arr = F.array(*[F.lit(float(v)) for v in scale])
-    recon = F.transform(
-        F.col("code"),
-        lambda x, i: F.element_at(mn_arr, i + F.lit(1))
-        + ((x.cast("int") + F.lit(128)).cast("double") + F.lit(0.5))
-        * F.element_at(sc_arr, i + F.lit(1)),
+    # the oracle replays — mn + (code + 0.5) * ((mx - mn) / 256).
+    # Assembled as ONE expr string (the 2·dim F.lit array-literal form
+    # cost ~130 py4j round trips per call — driver-side DAG build was
+    # the gate's dominant cost; value-identical, see sq8_encode)
+    mn_lits = ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in mn)
+    sc_lits = ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in scale)
+    recon = F.expr(
+        f"transform(code, (x, i) -> element_at(array({mn_lits}), i + 1)"
+        f" + (CAST(CAST(x AS INT) + 128 AS DOUBLE) + 0.5D)"
+        f" * element_at(array({sc_lits}), i + 1))"
     )
     scored = (
         index.join(F.broadcast(probes), on="cid")

@@ -990,12 +990,27 @@ def similarity_ivfsq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF+PQ the query side has zero Python stages after the index build.
     Gated at the SQL-reproducible settings (sample quantizer, floor-bin
     codes, shared fold-order dot); the trained-centroid path is
-    recall-audited instead (RECALL.md)."""
-    from .operators.similarity import ivf_sq8_topk
+    recall-audited instead (RECALL.md).
+
+    One driver-side amortization (r8): the sample-quantizer collect
+    (vec_id < 16) is a superset of the query set (vec_id < 5), so ONE
+    collect feeds both the centroid matrix and the query matrix — one
+    fewer job in the three-phase gate, output identical (tested against
+    the collect-twice path)."""
+    import numpy as np
+
+    from .operators.similarity import collect_unit_matrix, ivf_sq8_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
+    ids, mat = collect_unit_matrix(
+        emb.filter(F.col("vec_id") < 16), "vec_id", "embedding"
+    )
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    qsel = ids < 5
     return ivf_sq8_topk(
-        emb, emb.filter(F.col("vec_id") < 5), k=10, nlist=16, nprobe=2
+        emb, emb.filter(F.col("vec_id") < 5), k=10, nlist=16, nprobe=2,
+        centroids=mat, query_matrix=(ids[qsel], mat[qsel]),
     )
 
 

@@ -120,6 +120,50 @@ class TestBM25:
         assert {r["query_id"] for r in got} == {0}
 
 
+class TestSQ8Artifacts:
+    def test_pretrained_codebook_and_query_matrix_paths_identical(self, spark):
+        """The train-once deployment params (codebook=, centroids=,
+        query_matrix=) must be pure amortizations: byte-identical output
+        to the train-inline path."""
+        import numpy as np
+
+        from database_replicator_spark.operators.similarity import (
+            collect_unit_matrix,
+            ivf_sq8_topk,
+            sq8_topk,
+            sq8_train,
+        )
+
+        emb = load_table(spark, SF, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 5)
+        mn, mx = sq8_train(emb)
+        inline = sorted(map(tuple, sq8_topk(emb, queries, k=10).collect()))
+        pretrained = sorted(
+            map(tuple, sq8_topk(emb, queries, k=10, codebook=(mn, mx)).collect())
+        )
+        assert inline == pretrained and inline
+
+        ids, mat = collect_unit_matrix(
+            emb.filter(F.col("vec_id") < 16), "vec_id", "embedding"
+        )
+        order = np.argsort(ids)
+        ids, mat = ids[order], mat[order]
+        a = sorted(
+            map(tuple, ivf_sq8_topk(emb, queries, k=10).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                ivf_sq8_topk(
+                    emb, queries, k=10, centroids=mat,
+                    codebook=(mn, mx),
+                    query_matrix=(ids[ids < 5], mat[ids < 5]),
+                ).collect(),
+            )
+        )
+        assert a == b and a
+
+
 class TestRRF:
     def test_fusion_arithmetic_and_absentees(self, spark):
         from database_replicator_spark.operators.retrieval import rrf_fuse
