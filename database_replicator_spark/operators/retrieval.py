@@ -188,6 +188,126 @@ def bm25_topk(
     )
 
 
+def ql_dirichlet_topk(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    k: int = 10,
+    mu: float = 100.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefilter_buckets: int = 0,
+) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty, SIGIR'01) — the language-modeling counterpart to BM25:
+
+      score(q, d) = Σ_{t∈q} ln((tf_{t,d} + μ·p_c(t)) / (dl_d + μ))
+
+    with collection model p_c(t) = ctf_t / total_tokens. Decomposed so
+    every double crosses an aggregation boundary only as fixed-point
+    BIGINT units (each ln is ONE composed expression per engine,
+    floor(x·10⁶ + 0.5)-scaled immediately):
+
+      score = Σ_{t∈q∩d} ln((tf + μ·p_c)/(μ·p_c))     [match part]
+            + Σ_{t∈q}   ln(μ·p_c(t))                  [per-query const]
+            − |q| · ln(dl + μ)                        [per-doc length]
+
+    Query terms absent from the corpus are dropped (p_c = 0 has no
+    finite likelihood — the standard convention), and |q| counts the
+    surviving terms on both engines. Candidates are docs sharing ≥ 1
+    query term; ranking compares the integer unit sum (desc, doc_id
+    asc). Scale shape identical to :func:`bm25_topk`: map-side
+    aggregates, broadcast query vocabulary, postings-bounded candidates,
+    optional bucketed pre-cut."""
+    toks = doc_tokens(docs, id_col, text_col)
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.sum("dl").alias("total_tokens"))
+    qterms = query_terms.select(
+        F.col("query_id").cast("bigint").alias("query_id"), "term"
+    ).distinct()
+    # collection counts for the query vocabulary only
+    coll = (
+        tf.join(F.broadcast(qterms.select("term").distinct()), on="term")
+        .groupBy("term")
+        .agg(F.sum("tf").alias("ctf"))
+    )
+    mu_lit = F.lit(float(mu))
+    pc = F.col("ctf").cast("double") / F.col("total_tokens").cast("double")
+    # per-(query, known-term): ln(μ·p_c) units; aggregated per query
+    qconst = (
+        qterms.join(F.broadcast(coll), on="term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_a", F.floor(F.log(mu_lit * pc) * F.lit(float(BM25_SCALE)) + F.lit(0.5)).cast("bigint")
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("nq"),
+            F.sum("_a").alias("a_units"),
+        )
+    )
+    # per-doc length term: |q| multiplies an already-fixed-pointed unit
+    dl_units = dl.withColumn(
+        "_dlu",
+        F.floor(
+            F.log(F.col("dl").cast("double") + mu_lit)
+            * F.lit(float(BM25_SCALE))
+            + F.lit(0.5)
+        ).cast("bigint"),
+    )
+    # match part over candidate (query, doc, term) rows
+    match = (
+        tf.join(F.broadcast(qterms), on="term")
+        .join(F.broadcast(coll), on="term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_m",
+            F.floor(
+                F.log(
+                    (F.col("tf").cast("double") + mu_lit * pc) / (mu_lit * pc)
+                )
+                * F.lit(float(BM25_SCALE))
+                + F.lit(0.5)
+            ).cast("bigint"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("_m").alias("m_units"))
+    )
+    scored = (
+        match.join(F.broadcast(qconst), on="query_id")
+        .join(dl_units.select("doc_id", "_dlu"), on="doc_id")
+        .withColumn(
+            "score_units",
+            F.col("m_units")
+            + F.col("a_units")
+            - F.col("nq") * F.col("_dlu"),
+        )
+        .withColumn(
+            "score",
+            F.round(
+                F.col("score_units").cast("double") / F.lit(float(BM25_SCALE)),
+                6,
+            ),
+        )
+    )
+    if prefilter_buckets > 0:
+        wb = Window.partitionBy(
+            "query_id",
+            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(prefilter_buckets)),
+        ).orderBy(F.col("score_units").desc(), F.col("doc_id").asc())
+        scored = scored.withColumn("_brn", F.row_number().over(wb)).filter(
+            F.col("_brn") <= k
+        )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_units").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
 def rrf_fuse(
     lex: DataFrame,
     dense: DataFrame,

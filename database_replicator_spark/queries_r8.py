@@ -33,10 +33,19 @@ _BM25_QUERIES = [
 #: contribution expression mirrors operators/retrieval.bm25_scores token
 #: for token (literals 2.2/1.2/0.25/0.75 are the exact doubles of
 #: k1+1, k1, 1−b, b at k1=1.2, b=0.75 — verified float identities)
-_BM25_BUILD_CTE = f"""
+
+
+def _bm25_build_cte(doc_where: str = "TRUE") -> str:
+    """BM25 build CTEs over ``documents WHERE doc_where`` — corpus stats
+    (tf/dl/df/N/avgdl) come from the FILTERED corpus, mirroring a Spark
+    side that passes the filtered DataFrame to bm25_topk."""
+    return _BM25_BUILD_TEMPLATE.format(doc_where=doc_where)
+
+
+_BM25_BUILD_TEMPLATE = f"""
     toks AS (
       SELECT doc_id, UNNEST(regexp_split_to_array({_NORM_SQL}, ' ')) AS term
-      FROM documents
+      FROM documents WHERE {{doc_where}}
     ),
     tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
            FROM toks GROUP BY doc_id, term),
@@ -79,7 +88,7 @@ _BM25_BUILD_CTE = f"""
       FROM (VALUES {", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)})
            AS v(query_id, term)
     ),
-    {_BM25_BUILD_CTE}
+    {_bm25_build_cte()}
     SELECT query_id, doc_id,
            ROUND(CAST(score_units AS DOUBLE) / 1000000.0, 6) AS score, rank
     FROM (
@@ -119,7 +128,7 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    UNNEST(regexp_split_to_array({_NORM_SQL}, ' ')) AS term
             FROM documents WHERE doc_id < 5)
     ),
-    {_BM25_BUILD_CTE},
+    {_bm25_build_cte()},
     lex AS (
       SELECT query_id, doc_id, lex_rank FROM (
         SELECT query_id, doc_id,
@@ -196,6 +205,143 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.col("corpus_id").alias("doc_id"), "rank"
     )
     return rrf_fuse(lex, dense, k=10, rrf_k=60)
+
+
+@query(
+    "doc_bm25_contamination",
+    oracle=f"""
+    WITH q AS (
+      SELECT DISTINCT doc_id AS query_id, term,
+             CAST(-1 AS BIGINT) AS self_excl
+      FROM (SELECT doc_id,
+                   UNNEST(regexp_split_to_array({_NORM_SQL}, ' ')) AS term
+            FROM documents WHERE doc_id % 50 = 0)
+    ),
+    {_bm25_build_cte("doc_id % 50 != 0")}
+    SELECT query_id AS bench_doc, doc_id AS train_doc,
+           ROUND(CAST(score_units AS DOUBLE) / 1000000.0, 6) AS score, rank
+    FROM (
+      SELECT query_id, doc_id, score_units,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score_units DESC, doc_id ASC) AS rank
+      FROM scores
+    ) WHERE rank <= 5
+    """,
+)
+def doc_bm25_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked contamination check: for every benchmark document
+    (doc_id % 50 = 0, the decontamination gates' split), the top-5
+    TRAINING documents by BM25 over the benchmark doc's terms — the
+    ranked complement of the binary n-gram-overlap report
+    (`decontaminate_overlap*`): overlap says WHETHER a train doc shares
+    content, BM25 says WHICH train docs a reviewer should read first.
+    Corpus statistics (tf/dl/df/N/avgdl) come from the TRAIN side only,
+    so adding benchmark docs never shifts training-corpus scores.
+
+    Same scale shape as doc_bm25_topk — the query-term table is the
+    benchmark vocabulary (small by definition), candidates are bounded
+    by its postings, and the per-query top-k runs behind the bucketed
+    pre-cut."""
+    from .operators.retrieval import bm25_topk, doc_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench_pred = F.col("doc_id") % 50 == 0
+    qterms = (
+        doc_tokens(docs.filter(bench_pred))
+        .select(F.col("doc_id").alias("query_id"), "term")
+        .distinct()
+    )
+    return bm25_topk(
+        docs.filter(~bench_pred), qterms, k=5, prefilter_buckets=8
+    ).select(
+        F.col("query_id").alias("bench_doc"),
+        F.col("doc_id").alias("train_doc"),
+        "score",
+        "rank",
+    )
+
+
+@query(
+    "doc_ql_dirichlet_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT CAST(query_id AS BIGINT) AS query_id, term
+      FROM (VALUES {", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)})
+           AS v(query_id, term)
+    ),
+    toks AS (
+      SELECT doc_id, UNNEST(regexp_split_to_array({_NORM_SQL}, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+           FROM toks GROUP BY doc_id),
+    stats AS (SELECT CAST(SUM(dl) AS BIGINT) AS total_tokens FROM dl),
+    coll AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS ctf FROM tf
+             WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term),
+    qconst AS (
+      SELECT query_id, CAST(COUNT(*) AS BIGINT) AS nq,
+             CAST(SUM(CAST(FLOOR(
+               LN(100.0 * (CAST(c.ctf AS DOUBLE)
+                           / CAST(s.total_tokens AS DOUBLE)))
+               * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS a_units
+      FROM q JOIN coll c USING (term) CROSS JOIN stats s
+      GROUP BY query_id
+    ),
+    dlu AS (
+      SELECT doc_id,
+             CAST(FLOOR(LN(CAST(dl AS DOUBLE) + 100.0)
+                        * 1000000.0 + 0.5) AS BIGINT) AS dlu
+      FROM dl
+    ),
+    mtch AS (
+      SELECT q.query_id, tf.doc_id,
+             CAST(SUM(CAST(FLOOR(
+               LN((CAST(tf.tf AS DOUBLE)
+                   + 100.0 * (CAST(c.ctf AS DOUBLE)
+                              / CAST(s.total_tokens AS DOUBLE)))
+                  / (100.0 * (CAST(c.ctf AS DOUBLE)
+                              / CAST(s.total_tokens AS DOUBLE))))
+               * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS m_units
+      FROM tf JOIN q USING (term) JOIN coll c USING (term)
+      CROSS JOIN stats s
+      GROUP BY q.query_id, tf.doc_id
+    ),
+    sc AS (
+      SELECT m.query_id, m.doc_id,
+             m.m_units + qc.a_units - qc.nq * d.dlu AS score_units
+      FROM mtch m JOIN qconst qc USING (query_id) JOIN dlu d USING (doc_id)
+    )
+    SELECT query_id, doc_id,
+           ROUND(CAST(score_units AS DOUBLE) / 1000000.0, 6) AS score, rank
+    FROM (
+      SELECT query_id, doc_id, score_units,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score_units DESC, doc_id ASC) AS rank
+      FROM sc
+    ) WHERE rank <= 10
+    """,
+)
+def doc_ql_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty, SIGIR'01) — the language-modeling ranker next to BM25,
+    the second member of a real lexical-retrieval stack (their rank
+    disagreements are exactly what RRF fusion exploits). μ=100, sized
+    to the corpus's ~55-token documents.
+
+    Every ln is one composed double expression per engine, immediately
+    fixed-pointed to BIGINT units, so the three-part decomposition
+    (match + per-query constant − |q|·length) sums exactly
+    (operators/retrieval.ql_dirichlet_topk); ranking compares the
+    integer unit sum. Scale shape identical to doc_bm25_topk."""
+    from .operators.retrieval import ql_dirichlet_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    qterms = spark.createDataFrame(
+        _BM25_QUERIES, "query_id bigint, term string"
+    )
+    return ql_dirichlet_topk(docs, qterms, k=10, mu=100.0, prefilter_buckets=8)
 
 
 def _span_tier_sql(k: int, min_docs: int) -> str:

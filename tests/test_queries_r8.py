@@ -120,6 +120,71 @@ class TestBM25:
         assert {r["query_id"] for r in got} == {0}
 
 
+class TestQLDirichlet:
+    def test_matches_python_reference(self, spark, corpus_py):
+        """Replay the fixed-point three-part decomposition in plain
+        Python (Zhai-Lafferty Dirichlet QL) and compare ranks+scores."""
+        mu = 100.0
+        tf = {d: Counter(toks) for d, toks in corpus_py.items()}
+        dl = {d: len(toks) for d, toks in corpus_py.items()}
+        total = sum(dl.values())
+        qterms = sorted(set(q8._BM25_QUERIES))
+        ctf = Counter()
+        for d, c in tf.items():
+            for _, t in qterms:
+                ctf[t] += c[t]
+        units = defaultdict(int)
+        per_q = defaultdict(list)
+        for qid, t in qterms:
+            if ctf[t] > 0:
+                per_q[qid].append(t)
+        for qid, terms in per_q.items():
+            a_units = sum(
+                int(math.floor(math.log(mu * (ctf[t] / total)) * SCALE + 0.5))
+                for t in terms
+            )
+            nq = len(terms)
+            for d in corpus_py:
+                m_units = 0
+                hit = False
+                for t in terms:
+                    if tf[d][t] > 0:
+                        hit = True
+                        pc = ctf[t] / total
+                        m_units += int(
+                            math.floor(
+                                math.log((tf[d][t] + mu * pc) / (mu * pc))
+                                * SCALE
+                                + 0.5
+                            )
+                        )
+                if hit:
+                    dlu = int(
+                        math.floor(math.log(dl[d] + mu) * SCALE + 0.5)
+                    )
+                    units[(qid, d)] = m_units + a_units - nq * dlu
+        want = _topk_reference(units, k=10)
+        got = {
+            (r["query_id"], r["doc_id"]): (r["rank"], r["score"])
+            for r in q8.doc_ql_dirichlet_topk(spark, SF).collect()
+        }
+        assert set(got) == set(want)
+        for key, (rank, u) in want.items():
+            grank, gscore = got[key]
+            assert grank == rank
+            assert abs(gscore - u / SCALE) < 1e-9
+
+
+class TestBM25Contamination:
+    def test_train_only_candidates_and_bench_queries(self, spark):
+        rows = q8.doc_bm25_contamination(spark, SF).collect()
+        assert rows
+        for r in rows:
+            assert r["bench_doc"] % 50 == 0       # queries are bench docs
+            assert r["train_doc"] % 50 != 0       # candidates train-only
+            assert 1 <= r["rank"] <= 5
+
+
 class TestSQ8Artifacts:
     def test_pretrained_codebook_and_query_matrix_paths_identical(self, spark):
         """The train-once deployment params (codebook=, centroids=,
