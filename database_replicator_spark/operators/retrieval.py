@@ -85,9 +85,12 @@ def bm25_scores(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_tokens"),
     )
+    # dedupe defensively: a repeated (query_id, term) row would otherwise
+    # count the term's contribution twice (BM25 query-side tf is a
+    # deliberate non-feature at these query lengths, matching the oracle)
     qterms = query_terms.select(
         F.col("query_id").cast("bigint").alias("query_id"), "term"
-    )
+    ).distinct()
     # df only for query terms: tf is distinct on (doc, term), so a term
     # count over tf IS the document frequency; restricting through the
     # (tiny) distinct query-term set keeps the df aggregate bounded by
