@@ -199,6 +199,7 @@ def ql_dirichlet_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     prefilter_buckets: int = 0,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
     Lafferty, SIGIR'01) — the language-modeling counterpart to BM25:
@@ -258,10 +259,14 @@ def ql_dirichlet_topk(
             + F.lit(0.5)
         ).cast("bigint"),
     )
-    # match part over candidate (query, doc, term) rows
+    # match part over candidate (query, doc, term) rows; exclude_self
+    # drops the query-by-example document itself (collection statistics
+    # stay global, mirroring bm25_scores)
+    cut = tf.join(F.broadcast(qterms), on="term")
+    if exclude_self:
+        cut = cut.filter(F.col("doc_id") != F.col("query_id"))
     match = (
-        tf.join(F.broadcast(qterms), on="term")
-        .join(F.broadcast(coll), on="term")
+        cut.join(F.broadcast(coll), on="term")
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "_m",
@@ -308,6 +313,71 @@ def ql_dirichlet_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def rrf_fuse_n(
+    rankings,
+    k: int = 10,
+    rrf_k: int = 60,
+    unit_scale: int = 10**12,
+) -> DataFrame:
+    """n-way reciprocal-rank fusion with INTEGER fixed-point
+    contributions: each ranker contributes ``unit_scale div (κ + rank)``
+    units (floor division of exact integers), so the fused sum is
+    integer arithmetic — order-independent and engine-exact for ANY
+    number of rankers, where the two-ranker :func:`rrf_fuse` could lean
+    on IEEE pairwise-add commutativity. At ``unit_scale`` = 10¹² the
+    quantization of 1/(κ+r) is ~10⁻¹²·κ² relative — far below any rank
+    decision — and a 16-ranker fusion still sums to < 2⁶⁰.
+
+    ``rankings`` is a sequence of (name, df) pairs, each df a
+    (query_id, doc_id, rank) table already top-k-bounded per query.
+    Output: query_id, doc_id, one ``<name>_rank`` column per ranker
+    (0 = not retrieved by it), rrf_score (units/unit_scale, 9 dp), rank.
+    """
+    fused = None
+    rank_cols = []
+    for name, df in rankings:
+        col = f"{name}_rank"
+        rank_cols.append(col)
+        d = df.select(
+            "query_id", "doc_id", F.col("rank").cast("bigint").alias(col)
+        )
+        fused = (
+            d
+            if fused is None
+            else fused.join(d, on=["query_id", "doc_id"], how="full_outer")
+        )
+    units = None
+    for col in rank_cols:
+        c = F.coalesce(
+            F.expr(
+                f"CAST({unit_scale} AS BIGINT)"
+                f" div CAST({rrf_k} + {col} AS BIGINT)"
+            ),
+            F.lit(0),
+        )
+        units = c if units is None else units + c
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_units").desc(), F.col("doc_id").asc()
+    )
+    out = fused.withColumn("rrf_units", units)
+    for col in rank_cols:
+        out = out.withColumn(col, F.coalesce(F.col(col), F.lit(0)))
+    return (
+        out.withColumn(
+            "rrf_score",
+            F.round(
+                F.col("rrf_units").cast("double") / F.lit(float(unit_scale)),
+                9,
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "doc_id", *rank_cols, "rrf_score", "rank"
+        )
     )
 
 

@@ -344,6 +344,162 @@ def doc_ql_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ql_dirichlet_topk(docs, qterms, k=10, mu=100.0, prefilter_buckets=8)
 
 
+@query(
+    "hybrid_rrf3_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT DISTINCT doc_id AS query_id, term,
+             CAST(doc_id AS BIGINT) AS self_excl
+      FROM (SELECT doc_id,
+                   UNNEST(regexp_split_to_array({_NORM_SQL}, ' ')) AS term
+            FROM documents WHERE doc_id < 5)
+    ),
+    {_bm25_build_cte()},
+    lex AS (
+      SELECT query_id, doc_id, bm25_rank FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score_units DESC, doc_id ASC)
+                 AS bm25_rank
+        FROM scores
+      ) WHERE bm25_rank <= 50
+    ),
+    coll AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS ctf FROM tf
+             WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term),
+    qconst AS (
+      SELECT query_id, CAST(COUNT(*) AS BIGINT) AS nq,
+             CAST(SUM(CAST(FLOOR(
+               LN(100.0 * (CAST(c.ctf AS DOUBLE)
+                           / CAST(s.total_tokens AS DOUBLE)))
+               * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS a_units
+      FROM q JOIN coll c USING (term) CROSS JOIN stats s
+      GROUP BY query_id
+    ),
+    dlu AS (
+      SELECT doc_id,
+             CAST(FLOOR(LN(CAST(dl AS DOUBLE) + 100.0)
+                        * 1000000.0 + 0.5) AS BIGINT) AS dlu
+      FROM dl
+    ),
+    mtch AS (
+      SELECT q.query_id, tf.doc_id,
+             CAST(SUM(CAST(FLOOR(
+               LN((CAST(tf.tf AS DOUBLE)
+                   + 100.0 * (CAST(c.ctf AS DOUBLE)
+                              / CAST(s.total_tokens AS DOUBLE)))
+                  / (100.0 * (CAST(c.ctf AS DOUBLE)
+                              / CAST(s.total_tokens AS DOUBLE))))
+               * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS m_units
+      FROM tf JOIN q USING (term) JOIN coll c USING (term)
+      CROSS JOIN stats s
+      WHERE tf.doc_id != q.self_excl
+      GROUP BY q.query_id, tf.doc_id
+    ),
+    qsc AS (
+      SELECT m.query_id, m.doc_id,
+             m.m_units + qc.a_units - qc.nq * d.dlu AS ql_units
+      FROM mtch m JOIN qconst qc USING (query_id) JOIN dlu d USING (doc_id)
+    ),
+    qlr AS (
+      SELECT query_id, doc_id, ql_rank FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY ql_units DESC, doc_id ASC)
+                 AS ql_rank
+        FROM qsc
+      ) WHERE ql_rank <= 50
+    ),
+    units AS (
+      SELECT vec_id, {_UNIT_SQL.format(v='embedding')} AS unit FROM embeddings
+    ),
+    qv AS (SELECT vec_id AS query_id, unit AS qvec FROM units
+           WHERE vec_id < 5),
+    den AS (
+      SELECT query_id, doc_id, dense_rank FROM (
+        SELECT qv.query_id, c.vec_id AS doc_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qv.query_id
+                 ORDER BY round({_DOT_SQL.format(a='c.unit', b='qv.qvec')}, 6)
+                            DESC,
+                          c.vec_id ASC) AS dense_rank
+        FROM units c, qv
+        WHERE c.vec_id != qv.query_id
+      ) WHERE dense_rank <= 50
+    ),
+    p2 AS (
+      SELECT COALESCE(l.query_id, m.query_id) AS query_id,
+             COALESCE(l.doc_id, m.doc_id) AS doc_id,
+             l.bm25_rank, m.ql_rank
+      FROM lex l FULL OUTER JOIN qlr m
+        ON l.query_id = m.query_id AND l.doc_id = m.doc_id
+    ),
+    f3 AS (
+      SELECT COALESCE(p.query_id, d.query_id) AS query_id,
+             COALESCE(p.doc_id, d.doc_id) AS doc_id,
+             CAST(COALESCE(p.bm25_rank, 0) AS BIGINT) AS bm25_rank,
+             CAST(COALESCE(p.ql_rank, 0) AS BIGINT) AS ql_rank,
+             CAST(COALESCE(d.dense_rank, 0) AS BIGINT) AS dense_rank,
+             COALESCE(CAST(1000000000000 AS BIGINT)
+                      // CAST(60 + p.bm25_rank AS BIGINT), 0)
+             + COALESCE(CAST(1000000000000 AS BIGINT)
+                        // CAST(60 + p.ql_rank AS BIGINT), 0)
+             + COALESCE(CAST(1000000000000 AS BIGINT)
+                        // CAST(60 + d.dense_rank AS BIGINT), 0)
+               AS rrf_units
+      FROM p2 p FULL OUTER JOIN den d
+        ON p.query_id = d.query_id AND p.doc_id = d.doc_id
+    )
+    SELECT query_id, doc_id, bm25_rank, ql_rank, dense_rank,
+           ROUND(CAST(rrf_units AS DOUBLE) / 1000000000000.0, 9)
+             AS rrf_score,
+           rank
+    FROM (
+      SELECT query_id, doc_id, bm25_rank, ql_rank, dense_rank, rrf_units,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY rrf_units DESC, doc_id ASC) AS rank
+      FROM f3
+    ) WHERE rank <= 10
+    """,
+)
+def hybrid_rrf3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-ranker hybrid retrieval: BM25, query-likelihood (Dirichlet)
+    and exact dense cosine fused with integer fixed-point RRF
+    (operators/retrieval.rrf_fuse_n) — beyond two rankers the pairwise
+    IEEE-commutativity argument of rrf_fuse no longer covers the sum, so
+    each contribution is ``10¹² div (60 + rank)`` and the fusion is pure
+    integer arithmetic, exact on both engines at any ranker count.
+
+    Query-by-example with docs 0–4, each ranker contributing its top-50;
+    everything after the rankers is O(queries·k)."""
+    from .operators.retrieval import (
+        bm25_topk,
+        doc_tokens,
+        ql_dirichlet_topk,
+        rrf_fuse_n,
+    )
+    from .operators.similarity import topk_blas
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qterms = (
+        doc_tokens(docs.filter(F.col("doc_id") < 5))
+        .select(F.col("doc_id").alias("query_id"), "term")
+        .distinct()
+    )
+    lex = bm25_topk(
+        docs, qterms, k=50, prefilter_buckets=8, exclude_self=True
+    ).select("query_id", "doc_id", "rank")
+    qlr = ql_dirichlet_topk(
+        docs, qterms, k=50, mu=100.0, prefilter_buckets=8, exclude_self=True
+    ).select("query_id", "doc_id", "rank")
+    den = topk_blas(emb, emb.filter(F.col("vec_id") < 5), k=50).select(
+        "query_id", F.col("corpus_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse_n(
+        [("bm25", lex), ("ql", qlr), ("dense", den)], k=10, rrf_k=60
+    )
+
+
 def _span_tier_sql(k: int, min_docs: int) -> str:
     """Covered word positions (doc_id, wi) for one (k, min_docs) gram
     tier — the parameterized form of queries_ext2._SPAN_COV_CTES."""

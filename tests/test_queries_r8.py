@@ -272,3 +272,41 @@ class TestRRF:
     def test_hybrid_gate_excludes_self(self, spark):
         for r in q8.hybrid_rrf_topk(spark, SF).collect():
             assert r["doc_id"] != r["query_id"]
+
+    def test_fuse_n_integer_units_and_absentees(self, spark):
+        from database_replicator_spark.operators.retrieval import rrf_fuse_n
+
+        a = spark.createDataFrame(
+            [(0, 10, 1), (0, 11, 2)], "query_id bigint, doc_id bigint, rank int"
+        )
+        b = spark.createDataFrame(
+            [(0, 11, 1), (0, 12, 2)], "query_id bigint, doc_id bigint, rank int"
+        )
+        c = spark.createDataFrame(
+            [(0, 12, 1), (0, 10, 2)], "query_id bigint, doc_id bigint, rank int"
+        )
+        got = {
+            r["doc_id"]: r
+            for r in rrf_fuse_n(
+                [("a", a), ("b", b), ("c", c)], k=10
+            ).collect()
+        }
+        U = 10**12
+        # doc 10: a@1 + c@2 -> U//61 + U//62; doc 11: U//61 + U//62;
+        # doc 12: U//62 + U//61 — three-way tie, broken by doc_id
+        want_units = U // 61 + U // 62
+        for d in (10, 11, 12):
+            assert abs(
+                got[d]["rrf_score"] - round(want_units / U, 9)
+            ) < 1e-12
+        assert [got[d]["rank"] for d in (10, 11, 12)] == [1, 2, 3]
+        # absent-ranker columns report 0
+        assert got[10]["b_rank"] == 0
+        assert got[11]["c_rank"] == 0
+        assert got[12]["a_rank"] == 0
+
+    def test_hybrid3_gate_excludes_self(self, spark):
+        rows = q8.hybrid_rrf3_topk(spark, SF).collect()
+        assert rows
+        for r in rows:
+            assert r["doc_id"] != r["query_id"]
