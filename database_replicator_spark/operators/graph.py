@@ -1,0 +1,85 @@
+"""Iterative graph algorithms over edge-list DataFrames.
+
+The MapReduce connected-components operator lives in operators/corpus
+(large-star/small-star); this module adds the value-propagation family —
+PageRank (Brin & Page 1998) in an integer fixed-point form, so a fixed
+iteration count is EXACTLY reproducible across engines (the DuckDB
+oracle unrolls the same iterations as CTEs).
+
+Arithmetic contract: ranks are BIGINT units (``unit`` = 10¹² per node at
+init). One iteration is
+
+    r'(v) = T + (num · Σ_{u→v} (r(u) div out_deg(u))) div den
+
+with teleport ``T = ((den − num) · unit) div den`` — every operation is
+integer floor division or integer add/multiply, so no floating point
+crosses an aggregation boundary, ever. The div-based mass splitting
+loses ≤ out_deg(u) units per node per iteration (quantization), orders
+of magnitude below rank decisions at 10¹² scale; dangling-node mass is
+dropped (the common simplification; noted so the oracle matches).
+
+Scale shape: one iteration = one join of the edge list against the
+(node, rank) relation plus one aggregate on dst — the Pregel-style
+plan. The rank relation is node-sized, the edge join shuffles on the
+edge key, no driver-side state beyond the loop counter. A fixed small
+iteration count (3–10) is the production norm for ranking signals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_UNIT = 10**12
+
+
+def pagerank_units(
+    edges: DataFrame,
+    iters: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    unit: int = PR_UNIT,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Integer fixed-point PageRank over a directed edge list.
+
+    Returns (node, pr_units) for every node appearing as src or dst.
+    Uniform init at ``unit`` per node (the unnormalized form — ranking
+    and ratios are what downstream consumes; divide by node count for
+    the probability form)."""
+    e = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    )
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    teleport = ((damping_den - damping_num) * unit) // damping_den
+    r = nodes.withColumn("pr_units", F.lit(unit).cast("bigint"))
+    for _ in range(iters):
+        contrib = (
+            e.join(r.withColumnRenamed("node", "_s"), on="_s")
+            .join(deg, on="_s")
+            .select(
+                F.col("_d").alias("node"),
+                F.expr("pr_units div _deg").alias("_c"),
+            )
+        )
+        incoming = contrib.groupBy("node").agg(F.sum("_c").alias("_in"))
+        r = (
+            nodes.join(incoming, on="node", how="left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport).cast("bigint")
+                    + F.expr(
+                        f"({damping_num} * coalesce(_in, 0))"
+                        f" div {damping_den}"
+                    )
+                ).alias("pr_units"),
+            )
+        )
+    return r

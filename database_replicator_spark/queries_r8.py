@@ -13,7 +13,7 @@ bit-identical doubles with id tiebreaks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .queries import query
@@ -497,6 +497,103 @@ def hybrid_rrf3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return rrf_fuse_n(
         [("bm25", lex), ("ql", qlr), ("dense", den)], k=10, rrf_k=60
+    )
+
+
+def _pr_iter_sql(prev: str, name: str) -> str:
+    """One unrolled integer-PageRank iteration as a CTE (teleport
+    150000000000 = (100−85)·10¹² // 100; all arithmetic integer)."""
+    return f"""
+    {name} AS (
+      SELECT n.node,
+             CAST(CAST(150000000000 AS BIGINT)
+                  + (85 * COALESCE(CAST(SUM(r.pr_units // dg.deg) AS BIGINT),
+                                   0)) // 100
+                  AS BIGINT) AS pr_units
+      FROM nodes n
+      LEFT JOIN e ON e.d = n.node
+      LEFT JOIN {prev} r ON r.node = e.s
+      LEFT JOIN deg dg ON dg.s = e.s
+      GROUP BY n.node
+    )"""
+
+
+@query(
+    "part_copurchase_pagerank",
+    oracle=f"""
+    WITH ps AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+          FROM ps a JOIN ps b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey != b.l_partkey),
+    nodes AS (SELECT DISTINCT s AS node FROM e
+              UNION SELECT DISTINCT d FROM e),
+    deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY s),
+    r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS pr_units
+           FROM nodes),
+    {_pr_iter_sql('r0', 'it1')},
+    {_pr_iter_sql('it1', 'it2')},
+    {_pr_iter_sql('it2', 'it3')}
+    SELECT node AS part_key, pr_units,
+           ROUND(CAST(pr_units AS DOUBLE) / 1000000000000.0, 6) AS pr,
+           rank
+    FROM (
+      SELECT node, pr_units,
+             ROW_NUMBER() OVER (ORDER BY pr_units DESC, node ASC) AS rank
+      FROM it3
+    ) WHERE rank <= 100
+    """,
+)
+def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the part co-purchase graph (parts
+    co-occurring in an order, both directions) — the iterative
+    value-propagation family next to the MapReduce connected components:
+    'frequently bought together' popularity as a ranking signal, the
+    same shape a data pipeline uses for domain/link authority.
+
+    Integer fixed-point form (operators/graph.pagerank_units): three
+    unrolled iterations of r' = T + (85·Σ r div deg) div 100 over
+    BIGINT units — no float crosses an aggregation boundary, so the
+    DuckDB oracle replays the exact same integers. Edge build self-joins
+    lineitem's distinct (order, part) pairs on the order key — fanout
+    bounded by order size (~4 items), scale-safe. The top-100 head runs
+    behind an 8-bucket pre-cut, so the global window sees ≤ 800 rows."""
+    from .operators.graph import pagerank_units
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = ps.alias("a"), ps.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    pr = pagerank_units(edges, iters=3)
+    wb = Window.partitionBy(
+        F.pmod(F.xxhash64(F.col("node")), F.lit(8))
+    ).orderBy(F.col("pr_units").desc(), F.col("node").asc())
+    pre = pr.withColumn("_brn", F.row_number().over(wb)).filter(
+        F.col("_brn") <= 100
+    )
+    w = Window.orderBy(F.col("pr_units").desc(), F.col("node").asc())
+    return (
+        pre.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 100)
+        .select(
+            F.col("node").alias("part_key"),
+            "pr_units",
+            F.round(
+                F.col("pr_units").cast("double") / F.lit(1e12), 6
+            ).alias("pr"),
+            "rank",
+        )
     )
 
 

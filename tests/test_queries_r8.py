@@ -185,6 +185,54 @@ class TestBM25Contamination:
             assert 1 <= r["rank"] <= 5
 
 
+class TestPageRank:
+    def test_matches_python_reference_exactly(self, spark):
+        """Integer fixed-point PageRank must replay EXACTLY in plain
+        Python — same div-based mass splitting, same teleport."""
+        from database_replicator_spark.operators.graph import (
+            PR_UNIT,
+            pagerank_units,
+        )
+
+        edges = [
+            (1, 2), (2, 1), (2, 3), (3, 1), (4, 1),  # 4 is upstream-only
+            (1, 3), (5, 2),                           # 5 dangling source
+        ]
+        df = spark.createDataFrame(edges, "src bigint, dst bigint")
+        got = {
+            r["node"]: r["pr_units"]
+            for r in pagerank_units(df, iters=3).collect()
+        }
+        out = {}
+        nodes = {n for e in edges for n in e}
+        deg = {}
+        for s, _ in edges:
+            deg[s] = deg.get(s, 0) + 1
+        r = {n: PR_UNIT for n in nodes}
+        tele = (15 * PR_UNIT) // 100
+        for _ in range(3):
+            inc = {n: 0 for n in nodes}
+            for s, d in edges:
+                inc[d] += r[s] // deg[s]
+            r = {n: tele + (85 * inc[n]) // 100 for n in nodes}
+        assert got == r
+        # node 1 has the most in-links → highest rank; dangling-source 5
+        # ends at pure teleport
+        assert max(got, key=got.get) == 1
+        assert got[5] == tele
+
+    def test_gate_head_is_ranked_and_bounded(self, spark):
+        rows = q8.part_copurchase_pagerank(spark, SF).collect()
+        assert 1 <= len(rows) <= 100
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        by_rank = sorted(rows, key=lambda r: r["rank"])
+        for prev, cur in zip(by_rank, by_rank[1:]):
+            assert (prev["pr_units"], -prev["part_key"]) >= (
+                cur["pr_units"], -cur["part_key"]
+            )
+
+
 class TestSQ8Artifacts:
     def test_pretrained_codebook_and_query_matrix_paths_identical(self, spark):
         """The train-once deployment params (codebook=, centroids=,
