@@ -63,12 +63,26 @@ def main() -> int:
             mix["dense_only"] += 1
     n_fused = sum(mix.values())
 
+    h3 = q8.hybrid_rrf3_topk(spark, sf_dir).collect()
+    mix3 = {"bm25": 0, "ql": 0, "dense": 0, "all_three": 0}
+    for r in h3:
+        present = [
+            r["bm25_rank"] > 0, r["ql_rank"] > 0, r["dense_rank"] > 0
+        ]
+        if all(present):
+            mix3["all_three"] += 1
+        for name, p in zip(("bm25", "ql", "dense"), present):
+            if p:
+                mix3[name] += 1
+
     payload = {
         "sf_dir": sf_dir,
         "bm25_ql_jaccard_at10": {str(k): round(v, 4) for k, v in overlaps.items()},
         "bm25_ql_jaccard_mean": round(mean_overlap, 4),
         "hybrid_mix": mix,
         "hybrid_rows": n_fused,
+        "hybrid3_presence": mix3,
+        "hybrid3_rows": len(h3),
     }
 
     lines = [
@@ -110,11 +124,23 @@ def main() -> int:
         "documents found by both are rewarded with summed reciprocal "
         "ranks, the RRF design intent.",
         "",
-        "Values on both tiers are exact and oracle-gated "
-        "(`doc_bm25_topk`, `doc_ql_dirichlet_topk`, `hybrid_rrf_topk` "
-        "in CORRECTNESS) — unlike the ANN tiers there is no recall "
-        "approximation anywhere in lexical retrieval; this audit is "
-        "about ranking BEHAVIOR, not fidelity.",
+        "## Three-ranker fusion (hybrid_rrf3_topk) source presence",
+        "",
+        f"Of {len(h3)} fused top-10 rows, how many were retrieved by "
+        "each ranker's top-50 (a row can count for several):",
+        "",
+        "| ranker | rows present |",
+        "|---|---|",
+        f"| BM25 | {mix3['bm25']} |",
+        f"| query-likelihood | {mix3['ql']} |",
+        f"| dense cosine | {mix3['dense']} |",
+        f"| **all three** | **{mix3['all_three']}** |",
+        "",
+        "Values on all tiers are exact and oracle-gated "
+        "(`doc_bm25_topk`, `doc_ql_dirichlet_topk`, `hybrid_rrf_topk`, "
+        "`hybrid_rrf3_topk` in CORRECTNESS) — unlike the ANN tiers "
+        "there is no recall approximation anywhere in lexical "
+        "retrieval; this audit is about ranking BEHAVIOR, not fidelity.",
     ]
     with open(os.path.join(REPO, "RETRIEVAL.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
