@@ -48,9 +48,15 @@ def pagerank_units(
     Uniform init at ``unit`` per node (the unnormalized form — ranking
     and ratios are what downstream consumes; divide by node count for
     the probability form)."""
+    # One eager lineage cut on the edge list: it is scanned ~(iters + 3)
+    # times (node set ×2, degrees, one join per iteration) and usually
+    # arrives as a non-trivial pipeline (self-join + distinct in the
+    # co-purchase gate). localCheckpoint, not cache — the house rule for
+    # iterative graph loops (see connected_components: self-referential
+    # lineage defeats cache plan-matching and blows up analysis time).
     e = edges.select(
         F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
-    )
+    ).localCheckpoint()
     nodes = (
         e.select(F.col("_s").alias("node"))
         .unionByName(e.select(F.col("_d").alias("node")))
