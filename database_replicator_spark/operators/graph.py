@@ -41,29 +41,56 @@ def pagerank_units(
     unit: int = PR_UNIT,
     src_col: str = "src",
     dst_col: str = "dst",
+    checkpoint_edges: bool = True,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Integer fixed-point PageRank over a directed edge list.
 
     Returns (node, pr_units) for every node appearing as src or dst.
     Uniform init at ``unit`` per node (the unnormalized form — ranking
     and ratios are what downstream consumes; divide by node count for
-    the probability form)."""
+    the probability form).
+
+    ``symmetric=True`` declares that every edge has its mirror (the
+    co-occurrence/undirected case): then the node set IS the degree
+    table's key set (no union-distinct over the edge list) and every
+    node receives incoming mass each iteration, so the per-iteration
+    left join that re-attaches zero-in-degree nodes is dropped — one
+    shuffle less per iteration, value-identical on such graphs."""
     # One eager lineage cut on the edge list: it is scanned ~(iters + 3)
     # times (node set ×2, degrees, one join per iteration) and usually
     # arrives as a non-trivial pipeline (self-join + distinct in the
     # co-purchase gate). localCheckpoint, not cache — the house rule for
     # iterative graph loops (see connected_components: self-referential
     # lineage defeats cache plan-matching and blows up analysis time).
+    # Callers that ALREADY checkpointed their edge pipeline (e.g. a
+    # symmetric mirror of a checkpointed half) pass
+    # ``checkpoint_edges=False`` to skip the redundant materialization.
     e = edges.select(
         F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
-    ).localCheckpoint()
-    nodes = (
-        e.select(F.col("_s").alias("node"))
-        .unionByName(e.select(F.col("_d").alias("node")))
-        .distinct()
     )
-    deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    if checkpoint_edges:
+        e = e.localCheckpoint()
+    # deg is referenced once per iteration — cut it once (node-sized).
+    # nodes: for a symmetric graph the degree keys ARE the node set; the
+    # general case needs the union-distinct over both endpoints.
+    deg = e.groupBy("_s").agg(
+        F.count(F.lit(1)).alias("_deg")
+    ).localCheckpoint()
+    if symmetric:
+        nodes = deg.select(F.col("_s").alias("node"))
+    else:
+        nodes = (
+            e.select(F.col("_s").alias("node"))
+            .unionByName(e.select(F.col("_d").alias("node")))
+            .distinct()
+            .localCheckpoint()
+        )
     teleport = ((damping_den - damping_num) * unit) // damping_den
+    new_rank = (
+        F.lit(teleport).cast("bigint")
+        + F.expr(f"({damping_num} * coalesce(_in, 0)) div {damping_den}")
+    ).alias("pr_units")
     r = nodes.withColumn("pr_units", F.lit(unit).cast("bigint"))
     for _ in range(iters):
         contrib = (
@@ -75,17 +102,12 @@ def pagerank_units(
             )
         )
         incoming = contrib.groupBy("node").agg(F.sum("_c").alias("_in"))
-        r = (
-            nodes.join(incoming, on="node", how="left")
-            .select(
-                "node",
-                (
-                    F.lit(teleport).cast("bigint")
-                    + F.expr(
-                        f"({damping_num} * coalesce(_in, 0))"
-                        f" div {damping_den}"
-                    )
-                ).alias("pr_units"),
+        if symmetric:
+            # every node has incoming mass (mirrored edges) — no
+            # re-attach join needed
+            r = incoming.select("node", new_rank)
+        else:
+            r = nodes.join(incoming, on="node", how="left").select(
+                "node", new_rank
             )
-        )
     return r

@@ -56,6 +56,21 @@ def doc_tokens(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def term_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+):
+    """(tf, dl) term-statistics pair for the ranking functions — the
+    shared 'index build' half of BM25 and query-likelihood. Callers
+    running SEVERAL rankers over one corpus should build this once
+    (optionally `.localCheckpoint()` each side) and pass it via the
+    rankers' ``stats=`` parameter, so the tokenize+aggregate scans are
+    paid once instead of per ranker."""
+    toks = doc_tokens(docs, id_col, text_col)
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    return tf, dl
+
+
 def bm25_scores(
     docs: DataFrame,
     query_terms: DataFrame,
@@ -64,6 +79,7 @@ def bm25_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     exclude_self: bool = False,
+    stats: tuple | None = None,
 ) -> DataFrame:
     """Per-(query, document) BM25 scores over every document matching at
     least one query term.
@@ -76,12 +92,10 @@ def bm25_scores(
     query-by-example form used by the hybrid gate, where a document's own
     terms are the query and the document itself is not a result.
     """
-    toks = doc_tokens(docs, id_col, text_col)
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf, dl = stats if stats is not None else term_stats(docs, id_col, text_col)
     # one-row corpus stats: N and total token count (avgdl = total/N);
     # broadcast-crossJoin is the repo's 1-row scalar idiom
-    stats = dl.agg(
+    corpus_stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_tokens"),
     )
@@ -106,7 +120,7 @@ def bm25_scores(
     scored = (
         cut.join(F.broadcast(dfreq), on="term")
         .join(dl, on="doc_id")
-        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(corpus_stats))
     )
     # ONE composed double expression per side, then fixed-point:
     #   idf = ln((N − df + 0.5)/(df + 0.5) + 1)         [Lucene variant]
@@ -160,6 +174,7 @@ def bm25_topk(
     text_col: str = "text",
     prefilter_buckets: int = 0,
     exclude_self: bool = False,
+    stats: tuple | None = None,
 ) -> DataFrame:
     """Top-k BM25 retrieval per query: (query_id, doc_id, score, rank).
 
@@ -172,7 +187,7 @@ def bm25_topk(
     argument as similarity._topk_candidates."""
     scored = bm25_scores(
         docs, query_terms, k1=k1, b=b, id_col=id_col, text_col=text_col,
-        exclude_self=exclude_self,
+        exclude_self=exclude_self, stats=stats,
     )
     if prefilter_buckets > 0:
         wb = Window.partitionBy(
@@ -200,6 +215,7 @@ def ql_dirichlet_topk(
     text_col: str = "text",
     prefilter_buckets: int = 0,
     exclude_self: bool = False,
+    stats: tuple | None = None,
 ) -> DataFrame:
     """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
     Lafferty, SIGIR'01) — the language-modeling counterpart to BM25:
@@ -222,10 +238,8 @@ def ql_dirichlet_topk(
     asc). Scale shape identical to :func:`bm25_topk`: map-side
     aggregates, broadcast query vocabulary, postings-bounded candidates,
     optional bucketed pre-cut."""
-    toks = doc_tokens(docs, id_col, text_col)
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(F.sum("dl").alias("total_tokens"))
+    tf, dl = stats if stats is not None else term_stats(docs, id_col, text_col)
+    corpus_stats = dl.agg(F.sum("dl").alias("total_tokens"))
     qterms = query_terms.select(
         F.col("query_id").cast("bigint").alias("query_id"), "term"
     ).distinct()
@@ -240,7 +254,7 @@ def ql_dirichlet_topk(
     # per-(query, known-term): ln(μ·p_c) units; aggregated per query
     qconst = (
         qterms.join(F.broadcast(coll), on="term")
-        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(corpus_stats))
         .withColumn(
             "_a", F.floor(F.log(mu_lit * pc) * F.lit(float(BM25_SCALE)) + F.lit(0.5)).cast("bigint")
         )
@@ -267,7 +281,7 @@ def ql_dirichlet_topk(
         cut = cut.filter(F.col("doc_id") != F.col("query_id"))
     match = (
         cut.join(F.broadcast(coll), on="term")
-        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(corpus_stats))
         .withColumn(
             "_m",
             F.floor(

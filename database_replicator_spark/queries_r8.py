@@ -215,9 +215,9 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(-1 AS BIGINT) AS self_excl
       FROM (SELECT doc_id,
                    UNNEST(regexp_split_to_array({_NORM_SQL}, ' ')) AS term
-            FROM documents WHERE doc_id % 50 = 0)
+            FROM documents WHERE doc_id % 200 = 0)
     ),
-    {_bm25_build_cte("doc_id % 50 != 0")}
+    {_bm25_build_cte("doc_id % 200 != 0")}
     SELECT query_id AS bench_doc, doc_id AS train_doc,
            ROUND(CAST(score_units AS DOUBLE) / 1000000.0, 6) AS score, rank
     FROM (
@@ -230,7 +230,10 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_bm25_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranked contamination check: for every benchmark document
-    (doc_id % 50 = 0, the decontamination gates' split), the top-5
+    (doc_id % 200 = 0 — a thinner split than the overlap gates' % 50:
+    this corpus's 31-term vocabulary makes EVERY doc a candidate for
+    every query, so the per-benchmark-doc cost is a full-corpus score
+    and the gate sizes the benchmark set accordingly), the top-5
     TRAINING documents by BM25 over the benchmark doc's terms — the
     ranked complement of the binary n-gram-overlap report
     (`decontaminate_overlap*`): overlap says WHETHER a train doc shares
@@ -245,7 +248,7 @@ def doc_bm25_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.retrieval import bm25_topk, doc_tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    bench_pred = F.col("doc_id") % 50 == 0
+    bench_pred = F.col("doc_id") % 200 == 0
     qterms = (
         doc_tokens(docs.filter(bench_pred))
         .select(F.col("doc_id").alias("query_id"), "term")
@@ -470,12 +473,17 @@ def hybrid_rrf3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic, exact on both engines at any ranker count.
 
     Query-by-example with docs 0–4, each ranker contributing its top-50;
-    everything after the rankers is O(queries·k)."""
+    everything after the rankers is O(queries·k). The tf/dl term
+    statistics — the shared index-build half of both lexical rankers —
+    are computed ONCE and localCheckpointed, so the tokenize+aggregate
+    corpus scans are paid once, not per ranker (values identical; the
+    oracle's CTEs are shared the same way)."""
     from .operators.retrieval import (
         bm25_topk,
         doc_tokens,
         ql_dirichlet_topk,
         rrf_fuse_n,
+        term_stats,
     )
     from .operators.similarity import topk_blas
 
@@ -486,11 +494,15 @@ def hybrid_rrf3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("query_id"), "term")
         .distinct()
     )
+    tf, dl = term_stats(docs)
+    shared = (tf.localCheckpoint(), dl.localCheckpoint())
     lex = bm25_topk(
-        docs, qterms, k=50, prefilter_buckets=8, exclude_self=True
+        docs, qterms, k=50, prefilter_buckets=8, exclude_self=True,
+        stats=shared,
     ).select("query_id", "doc_id", "rank")
     qlr = ql_dirichlet_topk(
-        docs, qterms, k=50, mu=100.0, prefilter_buckets=8, exclude_self=True
+        docs, qterms, k=50, mu=100.0, prefilter_buckets=8, exclude_self=True,
+        stats=shared,
     ).select("query_id", "doc_id", "rank")
     den = topk_blas(emb, emb.filter(F.col("vec_id") < 5), k=50).select(
         "query_id", F.col("corpus_id").alias("doc_id"), "rank"
@@ -522,10 +534,11 @@ def _pr_iter_sql(prev: str, name: str) -> str:
     "part_copurchase_pagerank",
     oracle=f"""
     WITH ps AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    e AS (SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
-          FROM ps a JOIN ps b
-            ON a.l_orderkey = b.l_orderkey
-           AND a.l_partkey != b.l_partkey),
+    half AS (SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+             FROM ps a JOIN ps b
+               ON a.l_orderkey = b.l_orderkey
+              AND a.l_partkey < b.l_partkey),
+    e AS (SELECT s, d FROM half UNION ALL SELECT d AS s, s AS d FROM half),
     nodes AS (SELECT DISTINCT s AS node FROM e
               UNION SELECT DISTINCT d FROM e),
     deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY s),
@@ -563,19 +576,30 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     ps = li.select("l_orderkey", "l_partkey").distinct()
     a, b = ps.alias("a"), ps.alias("b")
-    edges = (
+    # the co-purchase relation is symmetric: build only the a<b half
+    # (halves the join output and the distinct shuffle) and mirror it —
+    # the two direction sets are disjoint, so no second dedup is needed
+    half = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
         .select(
             F.col("a.l_partkey").alias("src"),
             F.col("b.l_partkey").alias("dst"),
         )
         .distinct()
+        # cut lineage before the symmetric union — its two branches would
+        # otherwise each re-run the dedup aggregate (the CC edge-list rule)
+        .localCheckpoint()
     )
-    pr = pagerank_units(edges, iters=3)
+    edges = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = pagerank_units(
+        edges, iters=3, checkpoint_edges=False, symmetric=True
+    )
     wb = Window.partitionBy(
         F.pmod(F.xxhash64(F.col("node")), F.lit(8))
     ).orderBy(F.col("pr_units").desc(), F.col("node").asc())

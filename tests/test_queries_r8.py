@@ -221,6 +221,21 @@ class TestPageRank:
         assert max(got, key=got.get) == 1
         assert got[5] == tele
 
+    def test_symmetric_fast_path_identical_on_mirrored_graph(self, spark):
+        """symmetric=True (skip union-distinct node set + per-iteration
+        re-attach join) must be value-identical to the general path on a
+        graph that really is mirrored."""
+        from database_replicator_spark.operators.graph import pagerank_units
+
+        half = [(1, 2), (2, 3), (3, 1), (1, 4)]
+        edges = half + [(b, a) for a, b in half]
+        df = spark.createDataFrame(edges, "src bigint, dst bigint")
+        gen = sorted(map(tuple, pagerank_units(df, iters=3).collect()))
+        sym = sorted(
+            map(tuple, pagerank_units(df, iters=3, symmetric=True).collect())
+        )
+        assert gen == sym and gen
+
     def test_gate_head_is_ranked_and_bounded(self, spark):
         rows = q8.part_copurchase_pagerank(spark, SF).collect()
         assert 1 <= len(rows) <= 100
