@@ -80,6 +80,11 @@ REPRESENTATIVE = [
     "doc_quality_threshold_sweep", # bin once + cumulate over ≤10 bins, no fanout
     "corpus_attrition_funnel",     # map-side tier flags, fp-keyed dedup join
     "embedding_matryoshka_rerank", # prefix candidate-cut scan + join-local rescore
+    "doc_bm25_topk",               # broadcast query vocab, integer-units rank, pre-cut
+    "doc_ql_dirichlet_topk",       # three-part fixed-point QL, broadcast scalars
+    "hybrid_rrf3_topk",            # shared tf/dl checkpoint, 3-way outer fuse
+    "doc_duplicate_span_merge",    # two gram tiers ∪, per-doc islands window
+    "part_copurchase_pagerank",    # checkpointed half-edges, 3 Pregel rounds
 ]
 
 
