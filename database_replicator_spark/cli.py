@@ -271,6 +271,52 @@ def main(argv: list[str] | None = None) -> int:
         "earlier stages, like the reference's FK-ordered restore",
     )
 
+    ret_p = sub.add_parser(
+        "retrieve",
+        help="Ranked lexical/hybrid retrieval over a documents table: "
+        "bm25, ql (query-likelihood, Dirichlet), or hybrid (integer RRF "
+        "of both, plus dense cosine for query-by-example with "
+        "--with-dense)",
+    )
+    ret_p.add_argument("--source", required=True)
+    ret_p.add_argument("--table", default="documents")
+    ret_p.add_argument(
+        "--query", action="append", default=[],
+        help="free-text query (repeatable; query_id = position)",
+    )
+    ret_p.add_argument(
+        "--query-doc-ids", default=None,
+        help="comma-separated doc_ids for query-by-example (the doc's "
+        "own terms are the query; the doc itself is excluded)",
+    )
+    ret_p.add_argument("--k", type=int, default=10)
+    ret_p.add_argument(
+        "--method", default="bm25", choices=["bm25", "ql", "hybrid"]
+    )
+    ret_p.add_argument("--k1", type=float, default=1.2)
+    ret_p.add_argument("--b", type=float, default=0.75)
+    ret_p.add_argument("--mu", type=float, default=100.0)
+    ret_p.add_argument(
+        "--with-dense", action="store_true",
+        help="hybrid only, query-by-example only: add the exact dense "
+        "cosine ranker over the embeddings table (shared id space)",
+    )
+    ret_p.add_argument("--embeddings-table", default="embeddings")
+
+    pr_p = sub.add_parser(
+        "pagerank",
+        help="Integer fixed-point PageRank centrality over the part "
+        "co-purchase graph (parts co-occurring in an order); --seeds "
+        "switches to personalized PageRank ('more parts like these')",
+    )
+    pr_p.add_argument("--source", required=True)
+    pr_p.add_argument("--iters", type=int, default=3)
+    pr_p.add_argument("--top", type=int, default=20)
+    pr_p.add_argument(
+        "--seeds", default=None,
+        help="comma-separated part keys for personalized teleport",
+    )
+
     ann_p = sub.add_parser(
         "ann",
         help="ANN top-k over an embeddings table: exact, lsh, ivf, pq, "
@@ -598,6 +644,171 @@ def main(argv: list[str] | None = None) -> int:
                 report[t] = {"rows_in_db": int(n),
                              "pk": pk if t in pks else "all-columns"}
             print(json.dumps({"ok": True, "dsn": args.dsn, "tables": report}))
+            return 0
+        except Exception as e:
+            print(json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"}))
+            return 2
+        finally:
+            if owns:
+                spark.stop()
+
+    if args.command == "pagerank":
+        from pyspark.sql import Window as _W
+        from pyspark.sql import functions as _F
+
+        from .operators.graph import pagerank_units
+        from .sources.catalog import load_table
+
+        spark, owns = _get_session()
+        try:
+            li = load_table(spark, args.source, "lineitem")
+            ps = li.select("l_orderkey", "l_partkey").distinct()
+            a, b = ps.alias("a"), ps.alias("b")
+            half = (
+                a.join(
+                    b,
+                    (_F.col("a.l_orderkey") == _F.col("b.l_orderkey"))
+                    & (_F.col("a.l_partkey") < _F.col("b.l_partkey")),
+                )
+                .select(
+                    _F.col("a.l_partkey").alias("src"),
+                    _F.col("b.l_partkey").alias("dst"),
+                )
+                .distinct()
+                .localCheckpoint()
+            )
+            edges = half.unionByName(
+                half.select(
+                    _F.col("dst").alias("src"), _F.col("src").alias("dst")
+                )
+            )
+            seeds = (
+                [int(x) for x in args.seeds.split(",")]
+                if args.seeds else None
+            )
+            pr = pagerank_units(
+                edges, iters=args.iters, checkpoint_edges=False,
+                symmetric=True, seeds=seeds,
+            )
+            w = _W.orderBy(
+                _F.col("pr_units").desc(), _F.col("node").asc()
+            )
+            head = (
+                pr.withColumn("rank", _F.row_number().over(w))
+                .filter(_F.col("rank") <= args.top)
+                .collect()
+            )
+            print(json.dumps({
+                "ok": True, "iters": args.iters,
+                "personalized": seeds is not None,
+                "rows": [r.asDict() for r in head],
+            }, default=str))
+            return 0
+        except Exception as e:
+            print(json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"}))
+            return 2
+        finally:
+            if owns:
+                spark.stop()
+
+    if args.command == "retrieve":
+        import re as _re
+
+        from pyspark.sql import functions as _F
+
+        from .operators.retrieval import (
+            bm25_topk,
+            doc_tokens,
+            ql_dirichlet_topk,
+            rrf_fuse_n,
+            term_stats,
+        )
+        from .sources.catalog import load_table
+
+        spark, owns = _get_session()
+        try:
+            docs = load_table(spark, args.source, args.table)
+            qbe = bool(args.query_doc_ids)
+            if qbe == bool(args.query):
+                print(json.dumps({
+                    "ok": False,
+                    "error": "exactly one of --query/--query-doc-ids "
+                    "is required",
+                }))
+                return 2
+            if qbe:
+                ids = [int(x) for x in args.query_doc_ids.split(",")]
+                qterms = (
+                    doc_tokens(docs.filter(_F.col("doc_id").isin(ids)))
+                    .select(_F.col("doc_id").alias("query_id"), "term")
+                    .distinct()
+                )
+            else:
+                # same normalization as doc_tokens: lowercase, collapse
+                # whitespace — applied driver-side to the tiny query list
+                rows = [
+                    (qi, tok)
+                    for qi, qtext in enumerate(args.query)
+                    for tok in _re.sub(r"\s+", " ", qtext.lower()).strip().split(" ")
+                    if tok
+                ]
+                qterms = spark.createDataFrame(
+                    rows, "query_id bigint, term string"
+                )
+            kw = dict(
+                k=args.k, prefilter_buckets=8, exclude_self=qbe
+            )
+            if args.method in ("bm25", "hybrid"):
+                lex = bm25_topk(docs, qterms, k1=args.k1, b=args.b, **kw)
+            if args.method in ("ql", "hybrid"):
+                qlr = ql_dirichlet_topk(docs, qterms, mu=args.mu, **kw)
+            if args.method == "bm25":
+                res = lex
+            elif args.method == "ql":
+                res = qlr
+            else:
+                shared = term_stats(docs)
+                shared = (
+                    shared[0].localCheckpoint(), shared[1].localCheckpoint()
+                )
+                fuse_k = max(args.k * 5, 50)
+                rankers = [
+                    ("bm25", bm25_topk(
+                        docs, qterms, k=fuse_k, k1=args.k1, b=args.b,
+                        prefilter_buckets=8, exclude_self=qbe, stats=shared,
+                    ).select("query_id", "doc_id", "rank")),
+                    ("ql", ql_dirichlet_topk(
+                        docs, qterms, k=fuse_k, mu=args.mu,
+                        prefilter_buckets=8, exclude_self=qbe, stats=shared,
+                    ).select("query_id", "doc_id", "rank")),
+                ]
+                if args.with_dense:
+                    if not qbe:
+                        print(json.dumps({
+                            "ok": False,
+                            "error": "--with-dense needs --query-doc-ids "
+                            "(the dense query is the doc's embedding)",
+                        }))
+                        return 2
+                    from .operators.similarity import topk_blas
+
+                    emb = load_table(
+                        spark, args.source, args.embeddings_table
+                    )
+                    dense = topk_blas(
+                        emb, emb.filter(_F.col("vec_id").isin(ids)), k=fuse_k
+                    ).select(
+                        "query_id",
+                        _F.col("corpus_id").alias("doc_id"),
+                        "rank",
+                    )
+                    rankers.append(("dense", dense))
+                res = rrf_fuse_n(rankers, k=args.k)
+            rows_out = [r.asDict() for r in res.collect()]
+            print(json.dumps({
+                "ok": True, "method": args.method, "k": args.k,
+                "n_rows": len(rows_out), "rows": rows_out,
+            }, default=str))
             return 0
         except Exception as e:
             print(json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"}))

@@ -43,6 +43,7 @@ def pagerank_units(
     dst_col: str = "dst",
     checkpoint_edges: bool = True,
     symmetric: bool = False,
+    seeds=None,
 ) -> DataFrame:
     """Integer fixed-point PageRank over a directed edge list.
 
@@ -56,7 +57,14 @@ def pagerank_units(
     table's key set (no union-distinct over the edge list) and every
     node receives incoming mass each iteration, so the per-iteration
     left join that re-attaches zero-in-degree nodes is dropped — one
-    shuffle less per iteration, value-identical on such graphs."""
+    shuffle less per iteration, value-identical on such graphs.
+
+    ``seeds`` (an iterable of node ids) switches to PERSONALIZED
+    PageRank (Haveliwala 2002): init mass and the teleport term go to
+    the seed set only, so rank measures proximity to the seeds — the
+    'more items like these' serving form. All arithmetic stays integer
+    (the seed membership is a literal isin over a small driver-side
+    list)."""
     # One eager lineage cut on the edge list: it is scanned ~(iters + 3)
     # times (node set ×2, degrees, one join per iteration) and usually
     # arrives as a non-trivial pipeline (self-join + distinct in the
@@ -87,11 +95,19 @@ def pagerank_units(
             .localCheckpoint()
         )
     teleport = ((damping_den - damping_num) * unit) // damping_den
+    if seeds is not None:
+        seed_list = [int(s) for s in seeds]
+        is_seed = F.col("node").isin(seed_list)
+        tele_expr = F.when(is_seed, F.lit(teleport)).otherwise(F.lit(0))
+        init_expr = F.when(is_seed, F.lit(unit)).otherwise(F.lit(0))
+    else:
+        tele_expr = F.lit(teleport)
+        init_expr = F.lit(unit)
     new_rank = (
-        F.lit(teleport).cast("bigint")
+        tele_expr.cast("bigint")
         + F.expr(f"({damping_num} * coalesce(_in, 0)) div {damping_den}")
     ).alias("pr_units")
-    r = nodes.withColumn("pr_units", F.lit(unit).cast("bigint"))
+    r = nodes.withColumn("pr_units", init_expr.cast("bigint"))
     for _ in range(iters):
         contrib = (
             e.join(r.withColumnRenamed("node", "_s"), on="_s")

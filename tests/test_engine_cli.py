@@ -1020,6 +1020,76 @@ class TestAnnVerb:
             assert ranks == {1, 2, 3, 4, 5}
 
 
+class TestRetrieveVerb:
+    def test_bm25_free_text_and_hybrid_qbe(self, spark, capsys):
+        import json as _json
+
+        from database_replicator_spark import cli
+
+        rc = cli.main(
+            ["retrieve", "--source", "/root/testdata/sf0.001",
+             "--query", "dup merge batch", "--query", "spark window",
+             "--k", "5", "--method", "bm25"]
+        )
+        assert rc == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["ok"] and out["method"] == "bm25"
+        assert out["n_rows"] == 10  # 2 queries x k=5
+        assert {r["rank"] for r in out["rows"]} == {1, 2, 3, 4, 5}
+
+        rc = cli.main(
+            ["retrieve", "--source", "/root/testdata/sf0.001",
+             "--query-doc-ids", "0,1", "--k", "5", "--method", "hybrid",
+             "--with-dense"]
+        )
+        assert rc == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["ok"] and out["n_rows"] == 10
+        for r in out["rows"]:
+            assert r["doc_id"] != r["query_id"]          # self excluded
+            assert {"bm25_rank", "ql_rank", "dense_rank"} <= set(r)
+
+    def test_query_mode_exclusivity(self, capsys):
+        import json as _json
+
+        from database_replicator_spark import cli
+
+        rc = cli.main(
+            ["retrieve", "--source", "/root/testdata/sf0.001"]
+        )
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 2 and not out["ok"]
+
+
+class TestPagerankVerb:
+    def test_global_and_personalized(self, spark, capsys):
+        import json as _json
+
+        from database_replicator_spark import cli
+
+        rc = cli.main(
+            ["pagerank", "--source", "/root/testdata/sf0.001",
+             "--top", "5"]
+        )
+        assert rc == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["ok"] and not out["personalized"]
+        assert len(out["rows"]) == 5
+        assert [r["rank"] for r in out["rows"]] == [1, 2, 3, 4, 5]
+        seed = out["rows"][0]["node"]
+
+        rc = cli.main(
+            ["pagerank", "--source", "/root/testdata/sf0.001",
+             "--top", "5", "--seeds", str(seed)]
+        )
+        assert rc == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["ok"] and out["personalized"]
+        # teleport mass is anchored at the seed's neighborhood: the seed
+        # itself must surface in the personalized head
+        assert any(r["node"] == seed for r in out["rows"])
+
+
 class TestSemdedupVerb:
     def test_semdedup_labels_and_writes(self, spark, capsys, tmp_path):
         import json as _json

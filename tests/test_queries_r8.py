@@ -221,6 +221,45 @@ class TestPageRank:
         assert max(got, key=got.get) == 1
         assert got[5] == tele
 
+    def test_personalized_teleport_concentrates_near_seeds(self, spark):
+        """Seeded PPR on a path graph 1—2—3—4—5 (mirrored): mass stays
+        near the seed end (at 3 iterations the pulse sits on the seed's
+        NEIGHBOR, not the seed — odd-step dynamics of a path — so the
+        contract asserted is the exact integer replay plus far-end
+        starvation, not naive monotonicity)."""
+        from database_replicator_spark.operators.graph import (
+            PR_UNIT,
+            pagerank_units,
+        )
+
+        half = [(1, 2), (2, 3), (3, 4), (4, 5)]
+        edges = half + [(b, a) for a, b in half]
+        df = spark.createDataFrame(edges, "src bigint, dst bigint")
+        got = {
+            r["node"]: r["pr_units"]
+            for r in pagerank_units(df, iters=3, seeds=[1]).collect()
+        }
+        # the far end of the path has received (nearly) nothing; the
+        # seed half holds the mass
+        assert got[5] == min(got.values())
+        assert got[1] + got[2] > got[4] + got[5]
+        # exact python replay of the seeded integer iteration
+        nodes = {1, 2, 3, 4, 5}
+        deg = {}
+        for s, _ in edges:
+            deg[s] = deg.get(s, 0) + 1
+        tele = (15 * PR_UNIT) // 100
+        r = {n: (PR_UNIT if n == 1 else 0) for n in nodes}
+        for _ in range(3):
+            inc = {n: 0 for n in nodes}
+            for s, d in edges:
+                inc[d] += r[s] // deg[s]
+            r = {
+                n: (tele if n == 1 else 0) + (85 * inc[n]) // 100
+                for n in nodes
+            }
+        assert got == r
+
     def test_symmetric_fast_path_identical_on_mirrored_graph(self, spark):
         """symmetric=True (skip union-distinct node set + per-iteration
         re-attach join) must be value-identical to the general path on a
