@@ -758,14 +758,10 @@ def main(argv: list[str] | None = None) -> int:
             kw = dict(
                 k=args.k, prefilter_buckets=8, exclude_self=qbe
             )
-            if args.method in ("bm25", "hybrid"):
-                lex = bm25_topk(docs, qterms, k1=args.k1, b=args.b, **kw)
-            if args.method in ("ql", "hybrid"):
-                qlr = ql_dirichlet_topk(docs, qterms, mu=args.mu, **kw)
             if args.method == "bm25":
-                res = lex
+                res = bm25_topk(docs, qterms, k1=args.k1, b=args.b, **kw)
             elif args.method == "ql":
-                res = qlr
+                res = ql_dirichlet_topk(docs, qterms, mu=args.mu, **kw)
             else:
                 shared = term_stats(docs)
                 shared = (
@@ -1002,8 +998,10 @@ def main(argv: list[str] | None = None) -> int:
 
                 # a ';' at end-of-line only terminates the statement when
                 # it sits OUTSIDE any string literal / quoted identifier,
-                # so e.g. WHERE col = 'a;'\n stays one statement; SQL
-                # doubling ('' / "") is the escape form
+                # so e.g. WHERE col = 'a;'\n stays one statement. Escape
+                # forms tracked to match Spark's default lexing
+                # (escapedStringLiterals=false): SQL doubling ('' / "")
+                # AND backslash escapes ('don\'t' is one literal)
                 def _quotes_closed(text: str) -> bool:
                     q = None
                     i = 0
@@ -1012,6 +1010,8 @@ def main(argv: list[str] | None = None) -> int:
                         if q is None:
                             if ch in ("'", '"'):
                                 q = ch
+                        elif ch == "\\":
+                            i += 1  # escaped char (incl. \' \" \\)
                         elif ch == q:
                             if i + 1 < len(text) and text[i + 1] == q:
                                 i += 1  # doubled quote: still inside

@@ -44,6 +44,8 @@ def pagerank_units(
     checkpoint_edges: bool = True,
     symmetric: bool = False,
     seeds=None,
+    checkpoint_every: int = 5,
+    check_overflow: bool = True,
 ) -> DataFrame:
     """Integer fixed-point PageRank over a directed edge list.
 
@@ -59,12 +61,36 @@ def pagerank_units(
     left join that re-attaches zero-in-degree nodes is dropped — one
     shuffle less per iteration, value-identical on such graphs.
 
-    ``seeds`` (an iterable of node ids) switches to PERSONALIZED
-    PageRank (Haveliwala 2002): init mass and the teleport term go to
-    the seed set only, so rank measures proximity to the seeds — the
-    'more items like these' serving form. All arithmetic stays integer
-    (the seed membership is a literal isin over a small driver-side
-    list)."""
+    ``seeds`` switches to PERSONALIZED PageRank (Haveliwala 2002): init
+    mass and the teleport term go to the seed set only, so rank measures
+    proximity to the seeds — the 'more items like these' serving form.
+    Two forms, value-identical (pinned by tests/test_queries_r9.py):
+
+    - an iterable of node ids — a literal ``isin``; right for
+      CLI/driver-sized seed sets (stays in the plan, no extra join);
+    - a DataFrame (first column = node id) — a distinct+left-join flag;
+      right when the seed set IS a query result (e.g. "rank parts near
+      everything customer X bought") and may be arbitrarily large. Costs
+      one node-sized flag join per iteration on symmetric graphs (the
+      general path folds the flag into the existing re-attach join).
+
+    Overflow contract: total mass is ≤ n_nodes·unit at every iteration
+    (init Σ = n·unit; each step is a contraction toward it), so the
+    per-node multiply ``damping_num · Σ_in`` is bounded by
+    ``damping_num · n_nodes · unit`` — on hub-concentrated graphs all of
+    that can genuinely land on ONE node, and int64 wraps silently in
+    Spark (non-ANSI) while DuckDB raises: an undiagnosed cross-engine
+    divergence. ``check_overflow=True`` (default) counts the node-sized
+    relation (one cheap job on an already-checkpointed input) and raises
+    with the safe ``unit`` to use instead; at unit = 10¹² the bound is
+    ~1.08·10⁵ nodes, and lowering unit to 10⁹ buys ~10⁸ nodes with
+    quantization still far below rank decisions.
+
+    ``checkpoint_every`` cuts the rank relation's lineage every N
+    iterations (localCheckpoint): each iteration stacks a join+aggregate
+    layer, and past ~10 layers Catalyst analysis time dominates — the cut
+    makes high-``iters`` calls (power-iteration-to-convergence uses
+    30–100) linear-time instead of superlinear. 0 disables."""
     # One eager lineage cut on the edge list: it is scanned ~(iters + 3)
     # times (node set ×2, degrees, one join per iteration) and usually
     # arrives as a non-trivial pipeline (self-join + distinct in the
@@ -94,8 +120,40 @@ def pagerank_units(
             .distinct()
             .localCheckpoint()
         )
+    if check_overflow:
+        n_nodes = nodes.count()
+        if damping_num * n_nodes * unit >= 2**63:
+            safe_unit = 2**63 // (damping_num * n_nodes * 4)
+            raise ValueError(
+                f"pagerank_units: damping_num*n_nodes*unit = "
+                f"{damping_num}*{n_nodes}*{unit} exceeds int64 — Spark "
+                f"would wrap silently while the oracle raises. Pass "
+                f"unit<={safe_unit} (quantization at that scale is still "
+                f"orders of magnitude below rank decisions), or "
+                f"check_overflow=False if total mass is known smaller "
+                f"(e.g. a sparse personalized seed set)."
+            )
     teleport = ((damping_den - damping_num) * unit) // damping_den
-    if seeds is not None:
+    seed_df = None
+    if seeds is not None and isinstance(seeds, DataFrame):
+        node_type = dict(nodes.dtypes)["node"]
+        seed_df = (
+            seeds.select(
+                F.col(seeds.columns[0]).cast(node_type).alias("node")
+            )
+            .distinct()
+            .withColumn("_isseed", F.lit(1))
+            .localCheckpoint()
+        )
+        is_seed = F.col("_isseed").isNotNull()
+        tele_expr = F.when(is_seed, F.lit(teleport)).otherwise(F.lit(0))
+        init_expr = F.when(is_seed, F.lit(unit)).otherwise(F.lit(0))
+        # fold the flag into the node relation once — the general path's
+        # per-iteration re-attach join then carries it for free
+        nodes = nodes.join(seed_df, on="node", how="left")
+        if not symmetric:
+            nodes = nodes.localCheckpoint()
+    elif seeds is not None:
         seed_list = [int(s) for s in seeds]
         is_seed = F.col("node").isin(seed_list)
         tele_expr = F.when(is_seed, F.lit(teleport)).otherwise(F.lit(0))
@@ -107,8 +165,10 @@ def pagerank_units(
         tele_expr.cast("bigint")
         + F.expr(f"({damping_num} * coalesce(_in, 0)) div {damping_den}")
     ).alias("pr_units")
-    r = nodes.withColumn("pr_units", init_expr.cast("bigint"))
-    for _ in range(iters):
+    r = nodes.withColumn("pr_units", init_expr.cast("bigint")).select(
+        "node", "pr_units"
+    )
+    for i in range(iters):
         contrib = (
             e.join(r.withColumnRenamed("node", "_s"), on="_s")
             .join(deg, on="_s")
@@ -120,10 +180,17 @@ def pagerank_units(
         incoming = contrib.groupBy("node").agg(F.sum("_c").alias("_in"))
         if symmetric:
             # every node has incoming mass (mirrored edges) — no
-            # re-attach join needed
+            # re-attach join needed; the DataFrame-seed form still needs
+            # the node-sized flag join to evaluate the teleport term
+            if seed_df is not None:
+                incoming = incoming.join(seed_df, on="node", how="left")
             r = incoming.select("node", new_rank)
         else:
             r = nodes.join(incoming, on="node", how="left").select(
                 "node", new_rank
             )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and (
+            i + 1
+        ) < iters:
+            r = r.localCheckpoint()
     return r

@@ -20,7 +20,11 @@ a few 10⁶ units), and bit-identical across engines. The only doubles
 that cross an aggregation boundary are already integers in disguise.
 
 Scale shape (100 TB): tf/dl/df are plain map-side-combined aggregates;
-the query-term table broadcasts (queries are small by definition); the
+the query-term table broadcasts by default (true queries are small) but
+every query-scaled broadcast is gated on ``broadcast_queries`` for
+corpus-derived query tables — a benchmark-suite decontamination run with
+10⁵–10⁶ benchmark docs makes (query_id, term) far too large for a driver
+broadcast, and the knob lets those joins shuffle instead; the
 candidate set is bounded by the postings of the query terms; and the
 final per-query top-k runs behind a bucketed pre-cut window
 (``prefilter_buckets``) so no single task ever sorts a whole query's
@@ -36,6 +40,21 @@ from pyspark.sql import functions as F
 #: fixed-point scale for BM25 score units (6 decimal digits — matches the
 #: repo-wide round(x, 6) output grain)
 BM25_SCALE = 1_000_000
+
+
+def _maybe_bcast(df: DataFrame, flag: bool) -> DataFrame:
+    """Broadcast hint gated on the caller's knowledge of the query side.
+
+    For true user queries the (query_id, term) table is tiny and the hint
+    is right. But compositions that derive the 'queries' from a corpus
+    slice (decontamination against a benchmark *suite*, query-by-example
+    over a sample) can make it hundreds of millions of rows at the 100 TB
+    story — there the hard hint forces an over-budget driver broadcast,
+    and callers pass ``broadcast_queries=False`` so the tf⋈qterms / df /
+    per-query-constant joins fall back to shuffle joins on uniformly
+    hashed keys. Same knob pattern as corpus.ngram_overlap's
+    ``broadcast_bench``."""
+    return F.broadcast(df) if flag else df
 
 
 def doc_tokens(docs: DataFrame, id_col: str = "doc_id",
@@ -80,11 +99,15 @@ def bm25_scores(
     text_col: str = "text",
     exclude_self: bool = False,
     stats: tuple | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Per-(query, document) BM25 scores over every document matching at
     least one query term.
 
-    ``query_terms`` is a small (query_id, term) table — broadcast. Output
+    ``query_terms`` is a (query_id, term) table — broadcast by default
+    (true queries are small); pass ``broadcast_queries=False`` when it is
+    corpus-derived (benchmark-suite decontamination) so the query-scaled
+    joins run as shuffle joins instead. Output
     columns: query_id, doc_id, score_units (BIGINT fixed-point),
     score (= units/10⁶, rounded to 6 dp).
 
@@ -110,15 +133,18 @@ def bm25_scores(
     # (tiny) distinct query-term set keeps the df aggregate bounded by
     # the postings of the query vocabulary, not the corpus vocabulary
     dfreq = (
-        tf.join(F.broadcast(qterms.select("term").distinct()), on="term")
+        tf.join(
+            _maybe_bcast(qterms.select("term").distinct(), broadcast_queries),
+            on="term",
+        )
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
     )
-    cut = tf.join(F.broadcast(qterms), on="term")
+    cut = tf.join(_maybe_bcast(qterms, broadcast_queries), on="term")
     if exclude_self:
         cut = cut.filter(F.col("doc_id") != F.col("query_id"))
     scored = (
-        cut.join(F.broadcast(dfreq), on="term")
+        cut.join(_maybe_bcast(dfreq, broadcast_queries), on="term")
         .join(dl, on="doc_id")
         .crossJoin(F.broadcast(corpus_stats))
     )
@@ -175,6 +201,7 @@ def bm25_topk(
     prefilter_buckets: int = 0,
     exclude_self: bool = False,
     stats: tuple | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Top-k BM25 retrieval per query: (query_id, doc_id, score, rank).
 
@@ -188,6 +215,7 @@ def bm25_topk(
     scored = bm25_scores(
         docs, query_terms, k1=k1, b=b, id_col=id_col, text_col=text_col,
         exclude_self=exclude_self, stats=stats,
+        broadcast_queries=broadcast_queries,
     )
     if prefilter_buckets > 0:
         wb = Window.partitionBy(
@@ -216,6 +244,7 @@ def ql_dirichlet_topk(
     prefilter_buckets: int = 0,
     exclude_self: bool = False,
     stats: tuple | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
     Lafferty, SIGIR'01) — the language-modeling counterpart to BM25:
@@ -245,7 +274,10 @@ def ql_dirichlet_topk(
     ).distinct()
     # collection counts for the query vocabulary only
     coll = (
-        tf.join(F.broadcast(qterms.select("term").distinct()), on="term")
+        tf.join(
+            _maybe_bcast(qterms.select("term").distinct(), broadcast_queries),
+            on="term",
+        )
         .groupBy("term")
         .agg(F.sum("tf").alias("ctf"))
     )
@@ -253,7 +285,7 @@ def ql_dirichlet_topk(
     pc = F.col("ctf").cast("double") / F.col("total_tokens").cast("double")
     # per-(query, known-term): ln(μ·p_c) units; aggregated per query
     qconst = (
-        qterms.join(F.broadcast(coll), on="term")
+        qterms.join(_maybe_bcast(coll, broadcast_queries), on="term")
         .crossJoin(F.broadcast(corpus_stats))
         .withColumn(
             "_a", F.floor(F.log(mu_lit * pc) * F.lit(float(BM25_SCALE)) + F.lit(0.5)).cast("bigint")
@@ -276,11 +308,11 @@ def ql_dirichlet_topk(
     # match part over candidate (query, doc, term) rows; exclude_self
     # drops the query-by-example document itself (collection statistics
     # stay global, mirroring bm25_scores)
-    cut = tf.join(F.broadcast(qterms), on="term")
+    cut = tf.join(_maybe_bcast(qterms, broadcast_queries), on="term")
     if exclude_self:
         cut = cut.filter(F.col("doc_id") != F.col("query_id"))
     match = (
-        cut.join(F.broadcast(coll), on="term")
+        cut.join(_maybe_bcast(coll, broadcast_queries), on="term")
         .crossJoin(F.broadcast(corpus_stats))
         .withColumn(
             "_m",
@@ -296,7 +328,7 @@ def ql_dirichlet_topk(
         .agg(F.sum("_m").alias("m_units"))
     )
     scored = (
-        match.join(F.broadcast(qconst), on="query_id")
+        match.join(_maybe_bcast(qconst, broadcast_queries), on="query_id")
         .join(dl_units.select("doc_id", "_dlu"), on="doc_id")
         .withColumn(
             "score_units",

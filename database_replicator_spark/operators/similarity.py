@@ -1628,6 +1628,14 @@ def sq8_encode(
     through a correctly-rounded parse), same left-associated
     compositions."""
     dim = len(mn)
+    # identifiers are interpolated into generated SQL: backtick-quote
+    # them (internal backticks doubled) so names with spaces/dots work,
+    # and pick a norm column name that cannot collide with an input
+    # column (an existing `_sq8n` would silently shadow/corrupt)
+    vq = "`" + vec_col.replace("`", "``") + "`"
+    norm_col = "_sq8n"
+    while norm_col in corpus.columns:
+        norm_col = "_" + norm_col
     terms = []
     for i, (lo, hi) in enumerate(zip(mn, mx)):
         if hi > lo:
@@ -1637,8 +1645,8 @@ def sq8_encode(
             # corrupt the code silently)
             span = float(hi - lo)
             terms.append(
-                f"CAST(LEAST(GREATEST(FLOOR((CAST({vec_col}[{i}] AS DOUBLE)"
-                f" / _sq8n - CAST('{float(lo)!r}' AS DOUBLE))"
+                f"CAST(LEAST(GREATEST(FLOOR((CAST({vq}[{i}] AS DOUBLE)"
+                f" / `{norm_col}` - CAST('{float(lo)!r}' AS DOUBLE))"
                 f" / CAST('{span!r}' AS DOUBLE) * 256.0D), 0), 255)"
                 f" - 128 AS TINYINT)"
             )
@@ -1648,13 +1656,13 @@ def sq8_encode(
     norm = F.expr(
         "SQRT("
         + " + ".join(
-            f"CAST({vec_col}[{i}] AS DOUBLE) * CAST({vec_col}[{i}] AS DOUBLE)"
+            f"CAST({vq}[{i}] AS DOUBLE) * CAST({vq}[{i}] AS DOUBLE)"
             for i in range(dim)
         )
         + ")"
     )
     keep = [F.col(c) for c in keep_cols]
-    return corpus.withColumn("_sq8n", norm).select(
+    return corpus.withColumn(norm_col, norm).select(
         F.col(id_col), *keep, code.alias("code")
     )
 

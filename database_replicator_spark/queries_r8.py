@@ -241,10 +241,15 @@ def doc_bm25_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     Corpus statistics (tf/dl/df/N/avgdl) come from the TRAIN side only,
     so adding benchmark docs never shifts training-corpus scores.
 
-    Same scale shape as doc_bm25_topk — the query-term table is the
-    benchmark vocabulary (small by definition), candidates are bounded
-    by its postings, and the per-query top-k runs behind the bucketed
-    pre-cut."""
+    Same scale shape as doc_bm25_topk, with one caveat the ranker now
+    carries a knob for: the query-term table here is corpus-DERIVED
+    (the benchmark slice's vocabulary), not a handful of user queries —
+    at a real benchmark-suite scale (10⁵–10⁶ bench docs) it outgrows the
+    driver broadcast budget, and a deployment passes
+    ``broadcast_queries=False`` so the tf⋈qterms / df joins shuffle on
+    uniformly hashed term keys instead (output-identity pinned by
+    tests/test_queries_r9.py). At this gate's bench-suite size the
+    default broadcast is the right plan."""
     from .operators.retrieval import bm25_topk, doc_tokens
 
     docs = load_table(spark, sf_dir, "documents")

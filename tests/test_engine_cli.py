@@ -1476,6 +1476,39 @@ class TestInteractiveSql:
         assert out[0]["ok"] and out[0]["rows"][0]["n"] > 0
         assert out[1]["ok"] and out[1]["rows"][0]["s"] == "a';\nb"
 
+    def test_backslash_escaped_quote_terminates(
+        self, spark, capsys, monkeypatch
+    ):
+        """Spark's default lexing (escapedStringLiterals=false) accepts
+        backslash-escaped quotes; the terminator scan must not treat
+        ``\\'`` as the closing quote (ADVICE r8) — otherwise the first
+        statement silently glues onto the next one."""
+        import io
+        import json as _json
+        import sys
+
+        from database_replicator_spark.cli import main
+
+        feed = (
+            "SELECT 'don\\'t;' AS s;\n"
+            "SELECT COUNT(*) AS n FROM nation;\n"
+        )
+        monkeypatch.setattr(sys, "stdin", io.StringIO(feed))
+        rc = main(
+            ["sql", "--source", "/root/testdata/sf0.001", "--interactive"]
+        )
+        out = [
+            _json.loads(line)
+            for line in capsys.readouterr().out.strip().splitlines()
+            if line.startswith("{")
+        ]
+        assert rc == 0
+        # two separate statements, both ok — the buggy tracker ran ONE
+        # glued statement (a parse error) at EOF
+        assert len(out) == 2
+        assert out[0]["ok"] and out[0]["rows"][0]["s"] == "don't;"
+        assert out[1]["ok"] and out[1]["rows"][0]["n"] == 25
+
     def test_one_shot_requires_query(self, capsys):
         import json as _json
 
