@@ -61,6 +61,29 @@ def load_bench_json(path: str) -> dict[str, float]:
     raise ValueError(f"no queries dict in {path}")
 
 
+def load_calib(path: str) -> float | None:
+    """Calibration micro-gate time from a bench artifact (min of the
+    start/end measurements), scraped from raw JSON, the driver's parsed
+    wrapper, or its truncated tail — the calib block sits at the very
+    end of the line precisely so it survives the 2000-char cut."""
+    with open(path) as fh:
+        data = json.load(fh)
+    for d in (data, data.get("parsed") or {}):
+        if isinstance(d, dict) and "calib_start_s" in d:
+            return min(
+                float(d["calib_start_s"]),
+                float(d.get("calib_end_s", d["calib_start_s"])),
+            )
+    tail = data.get("tail")
+    if isinstance(tail, str):
+        vals = re.findall(
+            r'"calib_(?:start|end)_s":\s*([0-9]+(?:\.[0-9]+)?)', tail
+        )
+        if vals:
+            return min(float(v) for v in vals)
+    return None
+
+
 def latest_baseline() -> str:
     paths = glob.glob(os.path.join(REPO, "BENCH_r*.json"))
     if not paths:
@@ -87,14 +110,32 @@ def main() -> int:
     base_path = sys.argv[2] if len(sys.argv) > 2 else latest_baseline()
     base = load_bench_json(base_path)
 
+    # Self-calibration normalization (README "bench normalization rule"):
+    # both artifacts carry a fixed CPU-bound micro-gate time; the ratio
+    # cancels box drift (neighbor load / frequency scaling) before the
+    # 2x regression test. Only applied when BOTH sides recorded it, and
+    # only in the slowdown direction (scale < 1 would hide real
+    # regressions behind a faster box).
+    scale = 1.0
+    if len(sys.argv) > 1:
+        cf, cb = load_calib(sys.argv[1]), load_calib(base_path)
+        if cf and cb and cf > cb:
+            scale = cb / cf
+            print(
+                f"CALIB    fresh {cf:.3f}s vs baseline {cb:.3f}s — box is "
+                f"{cf / cb:.2f}x slower; normalizing fresh times by "
+                f"{scale:.3f}"
+            )
+
     regressions, new = [], []
     for q, t in sorted(fresh.items()):
         b = base.get(q)
         if b is None:
             new.append((q, t))
             continue
-        if t > 2 * b and t - b > 0.5:
-            regressions.append((q, b, t))
+        tn = t * scale
+        if tn > 2 * b and tn - b > 0.5:
+            regressions.append((q, b, tn))
 
     for q, t in new:
         print(f"NEW      {q}: {t:.2f}s (no baseline row)")
