@@ -388,22 +388,140 @@ def probe_embedding_ops(spark, path: str, dim: int = 64) -> dict[str, float]:
     return out
 
 
+def synthesize_graph(spark, sf_dir: str, out_root: str):
+    """x{k} co-purchase inputs: the distinct (order, part) pairs of the
+    base lineitem, replicated as k id-offset disjoint copies — k
+    disconnected copies of the same graph, so edges AND nodes grow
+    exactly linearly and cross-copy joins are empty by construction."""
+    from pyspark.sql import functions as F
+
+    from database_replicator_spark.sources.catalog import load_table
+
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    row = ps.agg(
+        F.max("l_orderkey").alias("mo"), F.max("l_partkey").alias("mp")
+    ).collect()[0]
+    mo, mp = int(row["mo"]) + 1, int(row["mp"]) + 1
+    paths = {}
+    for k in MULTIPLES:
+        path = os.path.join(out_root, f"graph_x{k}")
+        copies = [
+            ps.select(
+                (F.col("l_orderkey") + F.lit(c * mo)).alias("l_orderkey"),
+                (F.col("l_partkey") + F.lit(c * mp)).alias("l_partkey"),
+            )
+            for c in range(k)
+        ]
+        df = copies[0]
+        for c in copies[1:]:
+            df = df.unionByName(c)
+        df.write.mode("overwrite").parquet(path)
+        paths[k] = path
+    return paths
+
+
+def probe_graph_ops(spark, path: str) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
+    ps = spark.read.parquet(path)
+
+    def mat(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    def timed(fn):
+        t0 = time.perf_counter()
+        fn()
+        spark.catalog.clearCache()
+        return time.perf_counter() - t0
+
+    a, b = ps.alias("a"), ps.alias("b")
+    half_plan = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+
+    def edge_build():
+        # the gate's edge phase: per-order self-join (fan-out = basket
+        # size) + pair dedup + symmetric mirror
+        half = half_plan
+        mat(
+            half.unionByName(
+                half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+        )
+
+    # PR probe isolates the iterations: edges pre-checkpointed OUTSIDE
+    # the timed body (the gate does the same via checkpoint_edges=False
+    # over a checkpointed half). unit=10⁹: the 16x graph has ~5·10⁵
+    # nodes, past the unit=10¹² guard bound (85·n·unit < 2⁶³) — exactly
+    # the knob the guard's error message prescribes.
+    half_c = half_plan.localCheckpoint()
+    edges_c = half_c.unionByName(
+        half_c.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+    def pagerank_3iter():
+        from database_replicator_spark.operators.graph import pagerank_units
+
+        mat(
+            pagerank_units(
+                edges_c, iters=3, checkpoint_edges=False, symmetric=True,
+                unit=10**9,
+            )
+        )
+
+    out = {}
+    for name, fn in [
+        ("copurchase_edge_build", edge_build),
+        ("pagerank_3iter_symmetric", pagerank_3iter),
+    ]:
+        fn()
+        out[name] = round(min(timed(fn), timed(fn)), 3)
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/scale_probe")
+    ap.add_argument(
+        "--only",
+        default="docs,emb,graph",
+        help="comma list of probe families to run: docs, emb, graph",
+    )
     args = ap.parse_args()
+    fams = {f.strip() for f in args.only.split(",") if f.strip()}
 
     from database_replicator_spark.session import build_session
 
     spark = build_session("scale_probe")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    paths = synthesize(spark, args.sf_dir, args.out)
-    results = {k: probe_ops(spark, p) for k, p in paths.items()}
-    epaths = synthesize_embeddings(spark, args.sf_dir, args.out)
-    for k, p in epaths.items():
-        results[k].update(probe_embedding_ops(spark, p))
+    results = {k: {} for k in MULTIPLES}
+    if "docs" in fams:
+        paths = synthesize(spark, args.sf_dir, args.out)
+        for k, p in paths.items():
+            results[k].update(probe_ops(spark, p))
+    if "emb" in fams:
+        epaths = synthesize_embeddings(spark, args.sf_dir, args.out)
+        for k, p in epaths.items():
+            results[k].update(probe_embedding_ops(spark, p))
+    if "graph" in fams:
+        gpaths = synthesize_graph(spark, args.sf_dir, args.out)
+        for k, p in gpaths.items():
+            results[k].update(probe_graph_ops(spark, p))
 
     ops = list(results[MULTIPLES[0]])
     print("| operator | " + " | ".join(f"{k}x" for k in MULTIPLES) + " | exponent |")
