@@ -201,3 +201,38 @@ class TestSq8EncodeIdentifiers:
         }
         assert got2 == want
         assert isinstance(mn, np.ndarray) or len(mn) == 3
+
+
+class TestSq8CodebookMemo:
+    def test_memoized_gates_identical_to_fresh_train(self, spark):
+        """The per-sf_dir codebook memo must be output-neutral: a warm
+        call (memo hit) returns byte-identical rows to a cold call AND
+        to the operator's own train-inline path."""
+        from database_replicator_spark import queries_r7 as q7
+        from database_replicator_spark.operators.similarity import sq8_topk
+        from database_replicator_spark.sources.catalog import load_table
+
+        q7._SQ8_CODEBOOK_MEMO.clear()
+        cold = sorted(
+            map(tuple, q7.similarity_sq8_topk(spark, SF).collect())
+        )
+        assert SF in q7._SQ8_CODEBOOK_MEMO
+        warm = sorted(
+            map(tuple, q7.similarity_sq8_topk(spark, SF).collect())
+        )
+        assert warm == cold
+        emb = load_table(spark, SF, "embeddings")
+        inline = sorted(
+            map(
+                tuple,
+                sq8_topk(emb, emb.filter(F.col("vec_id") < 5), k=10).collect(),
+            )
+        )
+        assert inline == cold
+        # and the ivfsq gate shares the same memo entry (same corpus)
+        ivf_cold_memo = dict(q7._SQ8_CODEBOOK_MEMO)
+        ivf = sorted(
+            map(tuple, q7.similarity_ivfsq_topk(spark, SF).collect())
+        )
+        assert ivf  # non-degenerate
+        assert list(q7._SQ8_CODEBOOK_MEMO) == list(ivf_cold_memo)
