@@ -58,6 +58,19 @@ class CorpusIngestor:
     degenerate collisions — the documented trade for an O(delta)
     streaming tier.
 
+    ``maintain_term_stats=True`` adds tier 4b: the accepted docs'
+    retrieval index halves — (doc_id, term, tf) and (doc_id, dl), the
+    exact pair operators/retrieval.term_stats builds from a batch corpus
+    — are appended as their own epoch partitions. The corpus is
+    append-only past the gauntlet, so maintenance is PURE INSERTION:
+    per-epoch work is O(batch tokens), a replayed epoch overwrites its
+    own partitions (same idempotency as the corpus itself), and
+    ``read_term_stats`` feeds the rankers' ``stats=`` parameter so
+    freshly ingested documents are retrievable without re-tokenizing the
+    accumulated corpus. Collection statistics (df, total tokens, N) are
+    computed by the rankers FROM these tables at query time — they are
+    one map-side aggregate over the index, never over the raw text.
+
     ``verify_jaccard=<threshold>`` upgrades tier 3b to verified
     precision: band collision only NOMINATES; the colliding accepted
     docs' text is re-read from the corpus (only those docs — a semi-join
@@ -70,6 +83,7 @@ class CorpusIngestor:
     target_dir: str
     near_dup: bool = False
     verify_jaccard: float | None = None
+    maintain_term_stats: bool = False
     applied_batches: list[int] = field(default_factory=list)
 
     def _path(self, name: str) -> str:
@@ -196,6 +210,16 @@ class CorpusIngestor:
                 accepted.select("doc_id").join(batch_sigs, on="doc_id").write.mode(
                     "overwrite"
                 ).parquet(os.path.join(self._path("_signatures"), f"epoch={epoch_id}"))
+            if self.maintain_term_stats:
+                from ..operators.retrieval import term_stats
+
+                tf, dl = term_stats(accepted)
+                tf.write.mode("overwrite").parquet(
+                    os.path.join(self._path("_term_tf"), f"epoch={epoch_id}")
+                )
+                dl.write.mode("overwrite").parquet(
+                    os.path.join(self._path("_doc_len"), f"epoch={epoch_id}")
+                )
             stats = spark.createDataFrame(
                 [
                     (
@@ -231,11 +255,13 @@ def start_corpus_ingest(
     once: bool = True,
     near_dup: bool = False,
     verify_jaccard: float | None = None,
+    maintain_term_stats: bool = False,
 ):
     """Wire a JSON-lines document queue → CorpusIngestor → streaming
     query (Trigger.AvailableNow for --once parity, like change_stream)."""
     ingestor = CorpusIngestor(
-        target_dir=target_dir, near_dup=near_dup, verify_jaccard=verify_jaccard
+        target_dir=target_dir, near_dup=near_dup, verify_jaccard=verify_jaccard,
+        maintain_term_stats=maintain_term_stats,
     )
     stream = (
         spark.readStream.schema(DOC_SCHEMA).option("maxFilesPerTrigger", 10).json(source_dir)
@@ -254,6 +280,36 @@ def read_corpus(spark: SparkSession, target_dir: str) -> DataFrame:
     """The accepted corpus across all epochs."""
     path = os.path.join(target_dir, "corpus")
     return spark.read.option("basePath", path).parquet(path)
+
+
+def read_term_stats(spark: SparkSession, target_dir: str):
+    """The incrementally maintained (tf, dl) pair across all epochs — the
+    drop-in value for the rankers' ``stats=`` parameter:
+
+        tf, dl = read_term_stats(spark, tgt)
+        bm25_topk(read_corpus(spark, tgt), qterms, stats=(tf, dl))
+
+    Equal by construction to ``term_stats(read_corpus(...))`` (pinned by
+    tests/test_corpus_ingest.py): accepted docs are never mutated and a
+    doc's (term, tf)/(dl) rows depend on that doc alone, so the
+    per-epoch union IS the batch build. Raises FileNotFoundError when the
+    ingest ran without ``maintain_term_stats`` — the caller should fall
+    back to the batch build rather than silently retrieve over nothing."""
+    tf_path = os.path.join(target_dir, "_term_tf")
+    dl_path = os.path.join(target_dir, "_doc_len")
+    if not (os.path.isdir(tf_path) and os.path.isdir(dl_path)):
+        raise FileNotFoundError(
+            f"no maintained term stats under {target_dir} — ingest ran "
+            f"without maintain_term_stats=True; build them batch-side via "
+            f"operators.retrieval.term_stats(read_corpus(...))"
+        )
+    tf = spark.read.option("basePath", tf_path).parquet(tf_path).select(
+        "doc_id", "term", "tf"
+    )
+    dl = spark.read.option("basePath", dl_path).parquet(dl_path).select(
+        "doc_id", "dl"
+    )
+    return tf, dl
 
 
 def ingest_status(spark: SparkSession, target_dir: str) -> dict:
@@ -325,7 +381,11 @@ def compact_ingest_indexes(spark: SparkSession, target_dir: str) -> None:
 
     from ..util import staged_overwrite
 
-    for name in ("_fingerprints", "_signatures"):
+    # _term_tf/_doc_len join the list: they are never read by the ingest
+    # gauntlet (no own-rows replay concern), their rows are unique per
+    # doc, and a long-running queue otherwise accumulates one partition
+    # per epoch on the retrieval hot path
+    for name in ("_fingerprints", "_signatures", "_term_tf", "_doc_len"):
         path = os.path.join(target_dir, name)
         if not os.path.isdir(path):
             continue
@@ -403,6 +463,16 @@ def forget_documents(
         )
         report["_signatures"] = _rewrite(
             "_signatures", lambda df: df.join(ids_df, on="doc_id", how="left_anti")
+        )
+        # the maintained retrieval index is doc_id-keyed like signatures:
+        # erasing the doc's tf/dl rows removes it from future rankings
+        # (collection stats are derived at query time, so they shift
+        # automatically)
+        report["_term_tf"] = _rewrite(
+            "_term_tf", lambda df: df.join(ids_df, on="doc_id", how="left_anti")
+        )
+        report["_doc_len"] = _rewrite(
+            "_doc_len", lambda df: df.join(ids_df, on="doc_id", how="left_anti")
         )
         return report
     finally:
