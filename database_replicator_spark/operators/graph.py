@@ -46,6 +46,7 @@ def pagerank_units(
     seeds=None,
     checkpoint_every: int = 5,
     check_overflow: bool = True,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Integer fixed-point PageRank over a directed edge list.
 
@@ -90,7 +91,14 @@ def pagerank_units(
     iterations (localCheckpoint): each iteration stacks a join+aggregate
     layer, and past ~10 layers Catalyst analysis time dominates — the cut
     makes high-``iters`` calls (power-iteration-to-convergence uses
-    30–100) linear-time instead of superlinear. 0 disables."""
+    30–100) linear-time instead of superlinear. 0 disables.
+
+    ``weight_col`` names an integer edge-weight column: mass splits
+    proportionally, ``(r(u) · w_e) div W_u`` with ``W_u = Σ w`` over u's
+    out-edges — still pure integer arithmetic (the per-edge multiply
+    adds a factor ≤ w_max to the int64 headroom: weighted callers on
+    heavy-weight graphs should lower ``unit`` by ~w_max; the co-purchase
+    weights here are shared-order counts, single digits)."""
     # One eager lineage cut on the edge list: it is scanned ~(iters + 3)
     # times (node set ×2, degrees, one join per iteration) and usually
     # arrives as a non-trivial pipeline (self-join + distinct in the
@@ -100,16 +108,19 @@ def pagerank_units(
     # Callers that ALREADY checkpointed their edge pipeline (e.g. a
     # symmetric mirror of a checkpointed half) pass
     # ``checkpoint_edges=False`` to skip the redundant materialization.
-    e = edges.select(
-        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
-    )
+    cols = [F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("bigint").alias("_w"))
+    e = edges.select(*cols)
     if checkpoint_edges:
         e = e.localCheckpoint()
     # deg is referenced once per iteration — cut it once (node-sized).
     # nodes: for a symmetric graph the degree keys ARE the node set; the
     # general case needs the union-distinct over both endpoints.
     deg = e.groupBy("_s").agg(
-        F.count(F.lit(1)).alias("_deg")
+        (
+            F.sum("_w") if weight_col is not None else F.count(F.lit(1))
+        ).alias("_deg")
     ).localCheckpoint()
     if symmetric:
         nodes = deg.select(F.col("_s").alias("node"))
@@ -169,12 +180,17 @@ def pagerank_units(
         "node", "pr_units"
     )
     for i in range(iters):
+        contrib_expr = (
+            "(pr_units * _w) div _deg"
+            if weight_col is not None
+            else "pr_units div _deg"
+        )
         contrib = (
             e.join(r.withColumnRenamed("node", "_s"), on="_s")
             .join(deg, on="_s")
             .select(
                 F.col("_d").alias("node"),
-                F.expr("pr_units div _deg").alias("_c"),
+                F.expr(contrib_expr).alias("_c"),
             )
         )
         incoming = contrib.groupBy("node").agg(F.sum("_c").alias("_in"))
@@ -194,3 +210,63 @@ def pagerank_units(
         ) < iters:
             r = r.localCheckpoint()
     return r
+
+
+def hits_units(
+    edges: DataFrame,
+    iters: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_edges: bool = True,
+    checkpoint_every: int = 5,
+):
+    """Integer HITS (Kleinberg 1999, "Authoritative sources in a
+    hyperlinked environment") over a directed edge list — hubs on the
+    src side, authorities on the dst side. Returns ``(hubs, auths)``:
+    (node, hub_units) / (node, auth_units) BIGINT DataFrames.
+
+    The UNNORMALIZED power iteration: ``a ← Aᵀh; h ← A·a`` from
+    all-ones init. Per-iteration L2 normalization only rescales — the
+    RANKING after any fixed iteration count is identical — so dropping
+    it keeps every update a pure integer aggregate (sum over in-/out-
+    neighbors), exactly replayable as SQL joins. The price is
+    geometric growth: values gain a factor ≤ (max_deg²) per iteration,
+    so int64 bounds iters to ~3–4 on high-degree graphs — the
+    convergence regime for RANKING on real graphs anyway (the gate uses
+    2); past that, normalize offline from the returned units.
+
+    One iteration = two edge⋈value joins + two keyed aggregates — the
+    same Pregel shape as :func:`pagerank_units`, state bounded by the
+    node sets, no driver loops. ``checkpoint_every`` cuts both value
+    relations' lineage like the PageRank loop."""
+    e = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    )
+    if checkpoint_edges:
+        e = e.localCheckpoint()
+    hubs = e.select(F.col("_s").alias("node")).distinct().withColumn(
+        "hub_units", F.lit(1).cast("bigint")
+    ).localCheckpoint()
+    auths = None
+    for i in range(iters):
+        auths = (
+            e.join(hubs.withColumnRenamed("node", "_s"), on="_s")
+            .groupBy(F.col("_d").alias("node"))
+            .agg(F.sum("hub_units").alias("auth_units"))
+        )
+        hubs = (
+            e.join(
+                auths.withColumnRenamed("node", "_d").select(
+                    "_d", "auth_units"
+                ),
+                on="_d",
+            )
+            .groupBy(F.col("_s").alias("node"))
+            .agg(F.sum("auth_units").alias("hub_units"))
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and (
+            i + 1
+        ) < iters:
+            hubs = hubs.localCheckpoint()
+            auths = auths.localCheckpoint()
+    return hubs, auths

@@ -362,11 +362,246 @@ def ql_dirichlet_topk(
     )
 
 
+#: fixed-point scale for TF-IDF weight units: coarser than BM25_SCALE
+#: because the cosine denominator SQUARES the units — at 10³ a per-term
+#: weight of ~10³ (tf·idf ≲ 10·e.g. 12 → units ≲ 10⁷... see bound note)
+#: keeps Σ units² far inside int64 while the scale cancels exactly in
+#: the cosine ratio (numerator and denominator carry the same factor).
+TFIDF_W_SCALE = 1_000
+
+
+def tfidf_cosine_topk(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefilter_buckets: int = 0,
+    exclude_self: bool = False,
+    stats: tuple | None = None,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Classic vector-space-model retrieval (Salton's SMART tf·idf with
+    cosine normalization): w(t,d) = tf·ln(N/df), query weights idf with
+    unit query tf, score = cos(q, d) over the FULL document vector (the
+    norm includes every doc term, not just matches — real cosine, not a
+    truncated one).
+
+    Determinism: each weight is ONE composed double per engine,
+    immediately fixed-pointed to BIGINT at :data:`TFIDF_W_SCALE`; the
+    match numerator Σ wd·wq and both norms Σ w² are then integer sums
+    (the scale factor cancels in the ratio). The final score is one
+    identical double composition of three exact integers —
+    ``round(match / (sqrt(dn2)·sqrt(qn2)), 6)`` — and ranking orders by
+    (score desc, doc_id asc) on the rounded value both sides.
+
+    Int64 bound: units ≤ tf_max·ln(N)·10³; Σ units² per doc ≤
+    dl·(tf_max·ln N·10³)² — at tf_max 10², N 10⁹, dl 10⁴ that is
+    ~4·10¹⁷ < 2⁶³. Scale shape mirrors :func:`bm25_topk` with one
+    addition: the document-norm aggregate needs df for EVERY corpus
+    term (the classic full-vocabulary index build) — a vocab-bounded
+    map-side aggregate, paid once and reusable across query batches."""
+    tf, dl = stats if stats is not None else term_stats(docs, id_col, text_col)
+    n_docs_df = dl.agg(F.count(F.lit(1)).alias("n_docs"))
+    # full-vocabulary document frequency (needed for every doc's norm)
+    dfreq_all = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w_units = F.floor(
+        F.col("tf").cast("double")
+        * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double"))
+        * F.lit(float(TFIDF_W_SCALE))
+        + F.lit(0.5)
+    ).cast("bigint")
+    weighted = (
+        tf.join(dfreq_all, on="term")
+        .crossJoin(F.broadcast(n_docs_df))
+        .withColumn("_wu", w_units)
+    )
+    dnorm2 = weighted.groupBy("doc_id").agg(
+        F.sum(F.col("_wu") * F.col("_wu")).alias("dn2")
+    )
+    qterms = query_terms.select(
+        F.col("query_id").cast("bigint").alias("query_id"), "term"
+    ).distinct()
+    # query weights: unit tf → w(t,q) = idf, same fixed-point rule
+    q_w = (
+        qterms.join(_maybe_bcast(dfreq_all, broadcast_queries), on="term")
+        .crossJoin(F.broadcast(n_docs_df))
+        .withColumn(
+            "_qu",
+            F.floor(
+                F.log(
+                    F.col("n_docs").cast("double")
+                    / F.col("df").cast("double")
+                )
+                * F.lit(float(TFIDF_W_SCALE))
+                + F.lit(0.5)
+            ).cast("bigint"),
+        )
+        .select("query_id", "term", "_qu")
+    )
+    qnorm2 = q_w.groupBy("query_id").agg(
+        F.sum(F.col("_qu") * F.col("_qu")).alias("qn2")
+    )
+    cut = weighted.join(_maybe_bcast(q_w, broadcast_queries), on="term")
+    if exclude_self:
+        cut = cut.filter(F.col("doc_id") != F.col("query_id"))
+    match = cut.groupBy("query_id", "doc_id").agg(
+        F.sum(F.col("_wu") * F.col("_qu")).alias("match_units")
+    )
+    scored = (
+        match.join(_maybe_bcast(qnorm2, broadcast_queries), on="query_id")
+        .join(dnorm2, on="doc_id")
+        .withColumn(
+            "score",
+            F.round(
+                F.col("match_units").cast("double")
+                / (
+                    F.sqrt(F.col("dn2").cast("double"))
+                    * F.sqrt(F.col("qn2").cast("double"))
+                ),
+                6,
+            ),
+        )
+    )
+    if prefilter_buckets > 0:
+        wb = Window.partitionBy(
+            "query_id",
+            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(prefilter_buckets)),
+        ).orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        scored = scored.withColumn("_brn", F.row_number().over(wb)).filter(
+            F.col("_brn") <= k
+        )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def ql_jm_topk(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    k: int = 10,
+    lam: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefilter_buckets: int = 0,
+    exclude_self: bool = False,
+    stats: tuple | None = None,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Query-likelihood retrieval with Jelinek-Mercer smoothing (the
+    other classic from Zhai & Lafferty, SIGIR'01):
+
+      score(q, d) = Σ_{t∈q} ln(λ·tf/dl + (1−λ)·p_c(t))
+
+    Decomposed so only integers cross aggregation boundaries:
+
+      score = Σ_{t∈q∩d} ln((λ·tf/dl + (1−λ)·p_c) / ((1−λ)·p_c))
+            + Σ_{t∈q}   ln((1−λ)·p_c(t))
+
+    — the match part is one composed double per row (fixed-pointed to
+    units immediately), the per-query constant aggregates once, and
+    unlike Dirichlet there is NO per-doc length term (JM's smoothing
+    mass is length-independent; dl appears only inside the match
+    composition). Out-of-corpus query terms are dropped, same
+    convention as :func:`ql_dirichlet_topk`. Scale shape identical:
+    map-side aggregates, postings-bounded candidates, the
+    ``broadcast_queries`` knob on every query-scaled join."""
+    tf, dl = stats if stats is not None else term_stats(docs, id_col, text_col)
+    corpus_stats = dl.agg(F.sum("dl").alias("total_tokens"))
+    qterms = query_terms.select(
+        F.col("query_id").cast("bigint").alias("query_id"), "term"
+    ).distinct()
+    coll = (
+        tf.join(
+            _maybe_bcast(qterms.select("term").distinct(), broadcast_queries),
+            on="term",
+        )
+        .groupBy("term")
+        .agg(F.sum("tf").alias("ctf"))
+    )
+    lam_l = F.lit(float(lam))
+    one_m = F.lit(float(1.0 - lam))
+    pc = F.col("ctf").cast("double") / F.col("total_tokens").cast("double")
+    qconst = (
+        qterms.join(_maybe_bcast(coll, broadcast_queries), on="term")
+        .crossJoin(F.broadcast(corpus_stats))
+        .withColumn(
+            "_a",
+            F.floor(
+                F.log(one_m * pc) * F.lit(float(BM25_SCALE)) + F.lit(0.5)
+            ).cast("bigint"),
+        )
+        .groupBy("query_id")
+        .agg(F.sum("_a").alias("a_units"))
+    )
+    cut = tf.join(_maybe_bcast(qterms, broadcast_queries), on="term")
+    if exclude_self:
+        cut = cut.filter(F.col("doc_id") != F.col("query_id"))
+    match = (
+        cut.join(_maybe_bcast(coll, broadcast_queries), on="term")
+        .join(dl, on="doc_id")
+        .crossJoin(F.broadcast(corpus_stats))
+        .withColumn(
+            "_m",
+            F.floor(
+                F.log(
+                    (
+                        lam_l
+                        * (
+                            F.col("tf").cast("double")
+                            / F.col("dl").cast("double")
+                        )
+                        + one_m * pc
+                    )
+                    / (one_m * pc)
+                )
+                * F.lit(float(BM25_SCALE))
+                + F.lit(0.5)
+            ).cast("bigint"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("_m").alias("m_units"))
+    )
+    scored = (
+        match.join(_maybe_bcast(qconst, broadcast_queries), on="query_id")
+        .withColumn("score_units", F.col("m_units") + F.col("a_units"))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("score_units").cast("double") / F.lit(float(BM25_SCALE)),
+                6,
+            ),
+        )
+    )
+    if prefilter_buckets > 0:
+        wb = Window.partitionBy(
+            "query_id",
+            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(prefilter_buckets)),
+        ).orderBy(F.col("score_units").desc(), F.col("doc_id").asc())
+        scored = scored.withColumn("_brn", F.row_number().over(wb)).filter(
+            F.col("_brn") <= k
+        )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_units").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
 def rrf_fuse_n(
     rankings,
     k: int = 10,
     rrf_k: int = 60,
     unit_scale: int = 10**12,
+    weights=None,
 ) -> DataFrame:
     """n-way reciprocal-rank fusion with INTEGER fixed-point
     contributions: each ranker contributes ``unit_scale div (κ + rank)``
@@ -381,9 +616,20 @@ def rrf_fuse_n(
     (query_id, doc_id, rank) table already top-k-bounded per query.
     Output: query_id, doc_id, one ``<name>_rank`` column per ranker
     (0 = not retrieved by it), rrf_score (units/unit_scale, 9 dp), rank.
+
+    ``weights`` (optional, one INTEGER per ranker) scales each ranker's
+    contribution — ``w_r · (unit_scale div (κ + rank))``, the weighted
+    RRF variant used when one signal is trusted more (e.g. lexical 2 :
+    dense 1 for exact-phrase-heavy workloads). Integer weights keep the
+    fused sum exact; for fractional ratios scale all weights up (3:2,
+    not 1.5:1).
     """
     fused = None
     rank_cols = []
+    if weights is not None and len(weights) != len(rankings):
+        raise ValueError(
+            f"weights ({len(weights)}) must match rankings ({len(rankings)})"
+        )
     for name, df in rankings:
         col = f"{name}_rank"
         rank_cols.append(col)
@@ -396,11 +642,12 @@ def rrf_fuse_n(
             else fused.join(d, on=["query_id", "doc_id"], how="full_outer")
         )
     units = None
-    for col in rank_cols:
+    for i, col in enumerate(rank_cols):
+        w_i = 1 if weights is None else int(weights[i])
         c = F.coalesce(
             F.expr(
-                f"CAST({unit_scale} AS BIGINT)"
-                f" div CAST({rrf_k} + {col} AS BIGINT)"
+                f"CAST({w_i} AS BIGINT) * (CAST({unit_scale} AS BIGINT)"
+                f" div CAST({rrf_k} + {col} AS BIGINT))"
             ),
             F.lit(0),
         )

@@ -203,6 +203,257 @@ class TestSq8EncodeIdentifiers:
         assert isinstance(mn, np.ndarray) or len(mn) == 3
 
 
+class TestWeightedPagerank:
+    def test_weighted_matches_python_replay(self, spark):
+        """(r·w) div Σw integer recurrence, replayed in plain Python on a
+        small weighted digraph."""
+        from database_replicator_spark.operators.graph import (
+            PR_UNIT,
+            pagerank_units,
+        )
+
+        edges = [(1, 2, 3), (1, 3, 1), (2, 3, 2), (3, 1, 5), (2, 1, 2)]
+        df = spark.createDataFrame(edges, "src long, dst long, w long")
+        got = {
+            r["node"]: r["pr_units"]
+            for r in pagerank_units(df, iters=3, weight_col="w").collect()
+        }
+        wout = {}
+        for s, d, w in edges:
+            wout[s] = wout.get(s, 0) + w
+        nodes = {1, 2, 3}
+        rank = {n: PR_UNIT for n in nodes}
+        tele = (15 * PR_UNIT) // 100
+        for _ in range(3):
+            incoming = {n: 0 for n in nodes}
+            for s, d, w in edges:
+                incoming[d] += (rank[s] * w) // wout[s]
+            rank = {n: tele + (85 * incoming[n]) // 100 for n in nodes}
+        assert got == rank
+
+    def test_unit_weights_equal_unweighted(self, spark):
+        """weight_col with all-ones weights must reproduce the
+        unweighted result exactly (Σw = deg, (r·1) div deg = r div deg)."""
+        from database_replicator_spark.operators.graph import pagerank_units
+
+        edges = [(1, 2), (2, 3), (3, 1), (2, 1)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        dfw = df.withColumn("w", F.lit(1))
+        plain = sorted(map(tuple, pagerank_units(df, iters=3).collect()))
+        weighted = sorted(
+            map(tuple, pagerank_units(dfw, iters=3, weight_col="w").collect())
+        )
+        assert weighted == plain
+
+
+class TestHits:
+    def test_matches_python_replay(self, spark):
+        from database_replicator_spark.operators.graph import hits_units
+
+        edges = [(1, 10), (1, 11), (2, 10), (3, 11), (3, 12)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        hubs, auths = hits_units(df, iters=2)
+        got_h = {r["node"]: r["hub_units"] for r in hubs.collect()}
+        got_a = {r["node"]: r["auth_units"] for r in auths.collect()}
+        h = {1: 1, 2: 1, 3: 1}
+        a = {}
+        for _ in range(2):
+            a = {}
+            for s, d in edges:
+                a[d] = a.get(d, 0) + h[s]
+            h = {}
+            for s, d in edges:
+                h[s] = h.get(s, 0) + a[d]
+        assert got_a == a
+        assert got_h == h
+
+
+class TestWeightedRrf:
+    def test_unit_weights_are_identity(self, spark):
+        from database_replicator_spark.operators.retrieval import rrf_fuse_n
+
+        lex = spark.createDataFrame(
+            [(0, 1, 1), (0, 2, 2)], "query_id long, doc_id long, rank long"
+        )
+        den = spark.createDataFrame(
+            [(0, 2, 1), (0, 3, 2)], "query_id long, doc_id long, rank long"
+        )
+        plain = sorted(
+            map(tuple, rrf_fuse_n([("a", lex), ("b", den)], k=5).collect())
+        )
+        unit = sorted(
+            map(
+                tuple,
+                rrf_fuse_n(
+                    [("a", lex), ("b", den)], k=5, weights=[1, 1]
+                ).collect(),
+            )
+        )
+        assert unit == plain
+
+    def test_weights_skew_the_arbitration(self, spark):
+        """With 9:1 weights, a's rank-2 doc must beat b's rank-1-only
+        doc; the exact integer units are checked too."""
+        from database_replicator_spark.operators.retrieval import rrf_fuse_n
+
+        lex = spark.createDataFrame(
+            [(0, 1, 1), (0, 2, 2)], "query_id long, doc_id long, rank long"
+        )
+        den = spark.createDataFrame(
+            [(0, 3, 1), (0, 2, 2)], "query_id long, doc_id long, rank long"
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in rrf_fuse_n(
+                [("a", lex), ("b", den)], k=5, weights=[9, 1]
+            ).collect()
+        }
+        u = 10**12
+        # doc 2 (both rankers, rank 2 each): 10·(u//62) beats
+        # doc 1 (a-only, rank 1): 9·(u//61); doc 3 (b-only, rank 1): u//61
+        assert rows[2]["rank"] == 1
+        assert rows[1]["rank"] == 2 and rows[3]["rank"] == 3
+        exp2 = 9 * (u // 62) + (u // 62)
+        assert round(exp2 / u, 9) == rows[2]["rrf_score"]
+        assert round(9 * (u // 61) / u, 9) == rows[1]["rrf_score"]
+
+    def test_weight_length_mismatch_raises(self, spark):
+        from database_replicator_spark.operators.retrieval import rrf_fuse_n
+
+        lex = spark.createDataFrame(
+            [(0, 1, 1)], "query_id long, doc_id long, rank long"
+        )
+        with pytest.raises(ValueError, match="weights"):
+            rrf_fuse_n([("a", lex)], weights=[1, 2])
+
+
+def _tokenize(text):
+    import re
+
+    return re.sub(r"\s+", " ", (text or "").lower()).strip().split(" ")
+
+
+class TestClassicRankersReference:
+    @pytest.fixture(scope="class")
+    def corpus_py(self, spark):
+        rows = (
+            load_table(spark, SF, "documents")
+            .select("doc_id", "text")
+            .collect()
+        )
+        return {r["doc_id"]: _tokenize(r["text"]) for r in rows}
+
+    def test_tfidf_cosine_matches_python(self, spark, corpus_py):
+        """Full-vocabulary cosine with the operator's exact fixed-point
+        contract, replayed in plain Python."""
+        import math
+        from collections import Counter
+
+        from database_replicator_spark import queries_r9 as q9
+        from database_replicator_spark.queries_r8 import _BM25_QUERIES
+
+        tf = {d: Counter(t) for d, t in corpus_py.items()}
+        n = len(corpus_py)
+        df = Counter()
+        for d in corpus_py:
+            for t in set(corpus_py[d]):
+                df[t] += 1
+        S = 1000
+        wu = {
+            d: {
+                t: int(math.floor(c * math.log(n / df[t]) * S + 0.5))
+                for t, c in cnt.items()
+            }
+            for d, cnt in tf.items()
+        }
+        dn2 = {d: sum(v * v for v in ws.values()) for d, ws in wu.items()}
+        per_q = {}
+        for qid, t in _BM25_QUERIES:
+            if t in df:
+                per_q.setdefault(qid, {})[t] = int(
+                    math.floor(math.log(n / df[t]) * S + 0.5)
+                )
+        expected = {}
+        for qid, qws in per_q.items():
+            qn2 = sum(v * v for v in qws.values())
+            scored = []
+            for d, ws in wu.items():
+                m = sum(ws.get(t, 0) * qu for t, qu in qws.items())
+                if m:
+                    scored.append(
+                        (
+                            round(m / (math.sqrt(dn2[d]) * math.sqrt(qn2)), 6),
+                            d,
+                        )
+                    )
+            scored.sort(key=lambda x: (-x[0], x[1]))
+            for rank, (s, d) in enumerate(scored[:10], 1):
+                expected[(qid, d)] = (s, rank)
+        got = {
+            (r["query_id"], r["doc_id"]): (r["score"], r["rank"])
+            for r in q9.doc_tfidf_cosine_topk(spark, SF).collect()
+        }
+        assert got == expected
+
+    def test_jm_matches_python(self, spark, corpus_py):
+        import math
+        from collections import Counter
+
+        from database_replicator_spark import queries_r9 as q9
+        from database_replicator_spark.queries_r8 import _BM25_QUERIES
+
+        tf = {d: Counter(t) for d, t in corpus_py.items()}
+        dl = {d: len(t) for d, t in corpus_py.items()}
+        total = sum(dl.values())
+        ctf = Counter()
+        for toks in corpus_py.values():
+            ctf.update(toks)
+        SCALE = 1_000_000
+        per_q = {}
+        for qid, t in _BM25_QUERIES:
+            if ctf[t] > 0:
+                per_q.setdefault(qid, set()).add(t)
+        expected = {}
+        for qid, terms in per_q.items():
+            a_units = sum(
+                int(
+                    math.floor(
+                        math.log(0.5 * (ctf[t] / total)) * SCALE + 0.5
+                    )
+                )
+                for t in terms
+            )
+            scored = []
+            for d in corpus_py:
+                m = 0
+                hit = False
+                for t in terms:
+                    c = tf[d][t]
+                    if c:
+                        hit = True
+                        pc = ctf[t] / total
+                        m += int(
+                            math.floor(
+                                math.log(
+                                    (0.5 * (c / dl[d]) + 0.5 * pc)
+                                    / (0.5 * pc)
+                                )
+                                * SCALE
+                                + 0.5
+                            )
+                        )
+                if hit:
+                    scored.append((m + a_units, d))
+            scored.sort(key=lambda x: (-x[0], x[1]))
+            for rank, (u, d) in enumerate(scored[:10], 1):
+                expected[(qid, d)] = (round(u / SCALE, 6), rank)
+        got = {
+            (r["query_id"], r["doc_id"]): (r["score"], r["rank"])
+            for r in q9.doc_ql_jm_topk(spark, SF).collect()
+        }
+        assert got == expected
+
+
 class TestSq8CodebookMemo:
     def test_memoized_gates_identical_to_fresh_train(self, spark):
         """The per-sf_dir codebook memo must be output-neutral: a warm
