@@ -22,7 +22,10 @@ from .sources.catalog import load_table
 
 # shared SQL snippets -------------------------------------------------------
 
-_NORM_SQL = "trim(regexp_replace(lower(COALESCE(text, '')), '\\s+', ' ', 'g'))"
+# the canonical normalization lives in the leaf fragments module (shared
+# with the BM25-family oracles across queries_r8/r9 without import cycles)
+from .oracle_sql_fragments import _NORM_SQL  # noqa: E402
+
 _TOKS_SQL = f"regexp_split_to_array({_NORM_SQL}, ' ')"
 
 

@@ -20,63 +20,16 @@ from .queries import query
 from .queries_llm import _DOT_SQL, _NORM_SQL, _UNIT_SQL
 from .sources.catalog import load_table
 
-#: fixed query workload for the BM25 gate: three queries mixing the one
-#: rare discriminative term in the synthetic vocabulary ("dup", df≈5%)
-#: with common terms, so idf spread is actually exercised
-_BM25_QUERIES = [
-    (0, "dup"), (0, "merge"), (0, "batch"),
-    (1, "spark"), (1, "window"), (1, "join"),
-    (2, "vector"), (2, "stream"), (2, "key"),
-]
-
-#: shared SQL: tokenized corpus + tf/dl/corpus stats (the BM25 build);
-#: contribution expression mirrors operators/retrieval.bm25_scores token
-#: for token (literals 2.2/1.2/0.25/0.75 are the exact doubles of
-#: k1+1, k1, 1−b, b at k1=1.2, b=0.75 — verified float identities)
+# the query workload and BM25 build CTEs live in the leaf fragments
+# module (shared with queries_r9 without import cycles); re-exported
+# here because tests and queries_r9 historically import them from r8
+from .oracle_sql_fragments import (  # noqa: F401
+    _BM25_BUILD_TEMPLATE,
+    _BM25_QUERIES,
+    _bm25_build_cte,
+)
 
 
-def _bm25_build_cte(doc_where: str = "TRUE") -> str:
-    """BM25 build CTEs over ``documents WHERE doc_where`` — corpus stats
-    (tf/dl/df/N/avgdl) come from the FILTERED corpus, mirroring a Spark
-    side that passes the filtered DataFrame to bm25_topk."""
-    return _BM25_BUILD_TEMPLATE.format(doc_where=doc_where)
-
-
-_BM25_BUILD_TEMPLATE = f"""
-    toks AS (
-      SELECT doc_id, UNNEST(regexp_split_to_array({_NORM_SQL}, ' ')) AS term
-      FROM documents WHERE {{doc_where}}
-    ),
-    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-           FROM toks GROUP BY doc_id, term),
-    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
-           FROM toks GROUP BY doc_id),
-    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-                     CAST(SUM(dl) AS BIGINT) AS total_tokens FROM dl),
-    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf
-              WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term),
-    contrib AS (
-      SELECT q.query_id, tf.doc_id,
-             CAST(FLOOR(
-               LN((CAST(s.n_docs - d.df AS DOUBLE) + 0.5)
-                  / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
-               * ((CAST(tf.tf AS DOUBLE) * 2.2)
-                  / (CAST(tf.tf AS DOUBLE)
-                     + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
-                         / (CAST(s.total_tokens AS DOUBLE)
-                            / CAST(s.n_docs AS DOUBLE))))))
-               * 1000000.0 + 0.5) AS BIGINT) AS units
-      FROM tf
-      JOIN q ON tf.term = q.term AND tf.doc_id != q.self_excl
-      JOIN dfreq d ON d.term = tf.term
-      JOIN dl ON dl.doc_id = tf.doc_id
-      CROSS JOIN stats s
-    ),
-    scores AS (
-      SELECT query_id, doc_id, CAST(SUM(units) AS BIGINT) AS score_units
-      FROM contrib GROUP BY query_id, doc_id
-    )
-"""
 
 
 @query(

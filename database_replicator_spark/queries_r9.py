@@ -20,8 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .oracle_sql_fragments import _BM25_QUERIES, _bm25_build_cte
 from .queries import query
-from .queries_r8 import _BM25_QUERIES, _bm25_build_cte
 from .sources.catalog import load_table
 
 #: seed predicate for the personalized-PageRank gate: one part brand —
