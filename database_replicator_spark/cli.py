@@ -274,9 +274,10 @@ def main(argv: list[str] | None = None) -> int:
     ret_p = sub.add_parser(
         "retrieve",
         help="Ranked lexical/hybrid retrieval over a documents table: "
-        "bm25, ql (query-likelihood, Dirichlet), or hybrid (integer RRF "
-        "of both, plus dense cosine for query-by-example with "
-        "--with-dense)",
+        "bm25, ql (query-likelihood, Dirichlet), jm (query-likelihood, "
+        "Jelinek-Mercer), tfidf (cosine VSM), or hybrid (integer RRF "
+        "of bm25+ql, plus dense cosine for query-by-example with "
+        "--with-dense; --weights skews the fusion)",
     )
     ret_p.add_argument("--source", required=True)
     ret_p.add_argument("--table", default="documents")
@@ -291,11 +292,20 @@ def main(argv: list[str] | None = None) -> int:
     )
     ret_p.add_argument("--k", type=int, default=10)
     ret_p.add_argument(
-        "--method", default="bm25", choices=["bm25", "ql", "hybrid"]
+        "--method", default="bm25",
+        choices=["bm25", "ql", "jm", "tfidf", "hybrid"],
     )
     ret_p.add_argument("--k1", type=float, default=1.2)
     ret_p.add_argument("--b", type=float, default=0.75)
     ret_p.add_argument("--mu", type=float, default=100.0)
+    ret_p.add_argument("--lam", type=float, default=0.5,
+                       help="Jelinek-Mercer interpolation weight")
+    ret_p.add_argument(
+        "--weights", default=None,
+        help="hybrid only: comma-separated INTEGER weights, one per "
+        "fused ranker in order (bm25, ql[, dense]) — e.g. 2,1 trusts "
+        "the lexical ranker double",
+    )
     ret_p.add_argument(
         "--with-dense", action="store_true",
         help="hybrid only, query-by-example only: add the exact dense "
@@ -316,6 +326,21 @@ def main(argv: list[str] | None = None) -> int:
         "--seeds", default=None,
         help="comma-separated part keys for personalized teleport",
     )
+    pr_p.add_argument(
+        "--weighted", action="store_true",
+        help="weight edges by shared-order count (mass splits "
+        "proportionally to association strength)",
+    )
+
+    hits_p = sub.add_parser(
+        "hits",
+        help="Integer HITS hubs/authorities over the bipartite "
+        "customer->supplier purchase graph (Kleinberg): authoritative "
+        "suppliers vs hub customers",
+    )
+    hits_p.add_argument("--source", required=True)
+    hits_p.add_argument("--iters", type=int, default=2)
+    hits_p.add_argument("--top", type=int, default=20)
 
     ann_p = sub.add_parser(
         "ann",
@@ -664,24 +689,43 @@ def main(argv: list[str] | None = None) -> int:
             li = load_table(spark, args.source, "lineitem")
             ps = li.select("l_orderkey", "l_partkey").distinct()
             a, b = ps.alias("a"), ps.alias("b")
-            half = (
-                a.join(
-                    b,
-                    (_F.col("a.l_orderkey") == _F.col("b.l_orderkey"))
-                    & (_F.col("a.l_partkey") < _F.col("b.l_partkey")),
-                )
-                .select(
-                    _F.col("a.l_partkey").alias("src"),
-                    _F.col("b.l_partkey").alias("dst"),
-                )
-                .distinct()
-                .localCheckpoint()
+            joined = a.join(
+                b,
+                (_F.col("a.l_orderkey") == _F.col("b.l_orderkey"))
+                & (_F.col("a.l_partkey") < _F.col("b.l_partkey")),
             )
-            edges = half.unionByName(
-                half.select(
-                    _F.col("dst").alias("src"), _F.col("src").alias("dst")
+            if args.weighted:
+                # join rows are unique per (order, src, dst): the count
+                # per pair is the shared-order weight
+                half = (
+                    joined.groupBy(
+                        _F.col("a.l_partkey").alias("src"),
+                        _F.col("b.l_partkey").alias("dst"),
+                    )
+                    .agg(_F.count(_F.lit(1)).alias("w"))
+                    .localCheckpoint()
                 )
-            )
+                edges = half.unionByName(
+                    half.select(
+                        _F.col("dst").alias("src"),
+                        _F.col("src").alias("dst"),
+                        "w",
+                    )
+                )
+            else:
+                half = (
+                    joined.select(
+                        _F.col("a.l_partkey").alias("src"),
+                        _F.col("b.l_partkey").alias("dst"),
+                    )
+                    .distinct()
+                    .localCheckpoint()
+                )
+                edges = half.unionByName(
+                    half.select(
+                        _F.col("dst").alias("src"), _F.col("src").alias("dst")
+                    )
+                )
             seeds = (
                 [int(x) for x in args.seeds.split(",")]
                 if args.seeds else None
@@ -689,6 +733,7 @@ def main(argv: list[str] | None = None) -> int:
             pr = pagerank_units(
                 edges, iters=args.iters, checkpoint_edges=False,
                 symmetric=True, seeds=seeds,
+                weight_col="w" if args.weighted else None,
             )
             w = _W.orderBy(
                 _F.col("pr_units").desc(), _F.col("node").asc()
@@ -701,7 +746,53 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({
                 "ok": True, "iters": args.iters,
                 "personalized": seeds is not None,
+                "weighted": bool(args.weighted),
                 "rows": [r.asDict() for r in head],
+            }, default=str))
+            return 0
+        except Exception as e:
+            print(json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"}))
+            return 2
+        finally:
+            if owns:
+                spark.stop()
+
+    if args.command == "hits":
+        from pyspark.sql import Window as _W
+        from pyspark.sql import functions as _F
+
+        from .operators.graph import hits_units
+        from .sources.catalog import load_table
+
+        spark, owns = _get_session()
+        try:
+            orders = load_table(spark, args.source, "orders")
+            li = load_table(spark, args.source, "lineitem")
+            edges = (
+                orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+                .select(
+                    _F.col("o_custkey").alias("src"),
+                    _F.col("l_suppkey").alias("dst"),
+                )
+                .distinct()
+            )
+            hubs, auths = hits_units(edges, iters=args.iters)
+            wa = _W.orderBy(_F.col("auth_units").desc(), _F.col("node").asc())
+            wh = _W.orderBy(_F.col("hub_units").desc(), _F.col("node").asc())
+            top_a = (
+                auths.withColumn("rank", _F.row_number().over(wa))
+                .filter(_F.col("rank") <= args.top)
+                .collect()
+            )
+            top_h = (
+                hubs.withColumn("rank", _F.row_number().over(wh))
+                .filter(_F.col("rank") <= args.top)
+                .collect()
+            )
+            print(json.dumps({
+                "ok": True, "iters": args.iters,
+                "authorities": [r.asDict() for r in top_a],
+                "hubs": [r.asDict() for r in top_h],
             }, default=str))
             return 0
         except Exception as e:
@@ -762,6 +853,14 @@ def main(argv: list[str] | None = None) -> int:
                 res = bm25_topk(docs, qterms, k1=args.k1, b=args.b, **kw)
             elif args.method == "ql":
                 res = ql_dirichlet_topk(docs, qterms, mu=args.mu, **kw)
+            elif args.method == "jm":
+                from .operators.retrieval import ql_jm_topk
+
+                res = ql_jm_topk(docs, qterms, lam=args.lam, **kw)
+            elif args.method == "tfidf":
+                from .operators.retrieval import tfidf_cosine_topk
+
+                res = tfidf_cosine_topk(docs, qterms, **kw)
             else:
                 shared = term_stats(docs)
                 shared = (
@@ -799,7 +898,17 @@ def main(argv: list[str] | None = None) -> int:
                         "rank",
                     )
                     rankers.append(("dense", dense))
-                res = rrf_fuse_n(rankers, k=args.k)
+                weights = None
+                if args.weights:
+                    weights = [int(x) for x in args.weights.split(",")]
+                    if len(weights) != len(rankers):
+                        print(json.dumps({
+                            "ok": False,
+                            "error": f"--weights needs {len(rankers)} "
+                            f"integers for this fusion, got {len(weights)}",
+                        }))
+                        return 2
+                res = rrf_fuse_n(rankers, k=args.k, weights=weights)
             rows_out = [r.asDict() for r in res.collect()]
             print(json.dumps({
                 "ok": True, "method": args.method, "k": args.k,

@@ -1090,6 +1090,79 @@ class TestPagerankVerb:
         assert any(r["node"] == seed for r in out["rows"])
 
 
+class TestRetrieveVerbR9:
+    def test_tfidf_jm_and_weighted_hybrid(self, spark, capsys):
+        import json as _json
+
+        from database_replicator_spark import cli
+
+        for method in ("tfidf", "jm"):
+            rc = cli.main(
+                ["retrieve", "--source", "/root/testdata/sf0.001",
+                 "--query", "dup merge batch", "--k", "5",
+                 "--method", method]
+            )
+            assert rc == 0
+            out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+            assert out["ok"] and out["method"] == method
+            assert out["n_rows"] == 5
+            assert [r["rank"] for r in out["rows"]] == [1, 2, 3, 4, 5]
+
+        rc = cli.main(
+            ["retrieve", "--source", "/root/testdata/sf0.001",
+             "--query-doc-ids", "0,1", "--k", "5", "--method", "hybrid",
+             "--weights", "2,1"]
+        )
+        assert rc == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["ok"] and out["n_rows"] == 10
+
+    def test_weights_arity_error(self, spark, capsys):
+        import json as _json
+
+        from database_replicator_spark import cli
+
+        rc = cli.main(
+            ["retrieve", "--source", "/root/testdata/sf0.001",
+             "--query-doc-ids", "0", "--method", "hybrid",
+             "--weights", "1,2,3"]
+        )
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 2 and not out["ok"] and "--weights" in out["error"]
+
+
+class TestGraphVerbsR9:
+    def test_weighted_pagerank(self, spark, capsys):
+        import json as _json
+
+        from database_replicator_spark import cli
+
+        rc = cli.main(
+            ["pagerank", "--source", "/root/testdata/sf0.001",
+             "--top", "5", "--weighted"]
+        )
+        assert rc == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["ok"] and out["weighted"]
+        assert len(out["rows"]) == 5
+
+    def test_hits(self, spark, capsys):
+        import json as _json
+
+        from database_replicator_spark import cli
+
+        rc = cli.main(
+            ["hits", "--source", "/root/testdata/sf0.001", "--top", "5"]
+        )
+        assert rc == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["ok"]
+        assert len(out["authorities"]) == 5 and len(out["hubs"]) == 5
+        assert [r["rank"] for r in out["authorities"]] == [1, 2, 3, 4, 5]
+        # authorities are suppliers (<= 10 at sf0.001), hubs customers
+        assert all(r["auth_units"] > 0 for r in out["authorities"])
+
+
 class TestSemdedupVerb:
     def test_semdedup_labels_and_writes(self, spark, capsys, tmp_path):
         import json as _json
