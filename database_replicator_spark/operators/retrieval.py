@@ -596,6 +596,75 @@ def ql_jm_topk(
     )
 
 
+def bm25_prf_topk(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    k: int = 10,
+    fb_k: int = 5,
+    fb_terms: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefilter_buckets: int = 0,
+    stats: tuple | None = None,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """BM25 with pseudo-relevance feedback (Rocchio-style query
+    expansion, the classic two-pass PRF of Buckley et al. / TREC): pass
+    1 retrieves each query's top ``fb_k`` documents, the ``fb_terms``
+    most frequent terms of that feedback set (by summed tf, excluding
+    the original query terms) join the query, and pass 2 ranks with the
+    expanded query. The standard recall lever when queries are short and
+    vocabulary mismatch is the failure mode.
+
+    Fully deterministic across engines: pass-1 ranking is the integer
+    BM25 order; expansion terms are chosen by (Σtf desc, term asc) —
+    integer sums with a total order; pass-2 scoring is integer BM25 over
+    the expanded term set (expansion terms contribute with query-tf 1,
+    the same dedup convention as direct queries).
+
+    Scale: pass 1 is :func:`bm25_topk`; the feedback set is
+    O(queries · fb_k) rows (broadcast onto tf), term selection is one
+    bounded aggregate + window; pass 2 is another bm25_topk whose query
+    vocabulary grew by ≤ fb_terms per query. The corpus-side term stats
+    are built ONCE and shared by both passes (``stats=``)."""
+    tf, dl = stats if stats is not None else term_stats(docs, id_col, text_col)
+    tf = tf.localCheckpoint() if stats is None else tf
+    dl = dl.localCheckpoint() if stats is None else dl
+    both = (tf, dl)
+    qterms = query_terms.select(
+        F.col("query_id").cast("bigint").alias("query_id"), "term"
+    ).distinct()
+    first = bm25_topk(
+        docs, qterms, k=fb_k, k1=k1, b=b, id_col=id_col, text_col=text_col,
+        prefilter_buckets=prefilter_buckets, stats=both,
+        broadcast_queries=broadcast_queries,
+    )
+    fb = first.select("query_id", "doc_id")
+    fb_tf = (
+        tf.join(F.broadcast(fb) if broadcast_queries else fb, on="doc_id")
+        .groupBy("query_id", "term")
+        .agg(F.sum("tf").alias("fb_tf"))
+        # expansion candidates must be NEW terms
+        .join(qterms, on=["query_id", "term"], how="left_anti")
+    )
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("fb_tf").desc(), F.col("term").asc()
+    )
+    expansion = (
+        fb_tf.withColumn("_trn", F.row_number().over(wt))
+        .filter(F.col("_trn") <= fb_terms)
+        .select("query_id", "term")
+    )
+    expanded = qterms.unionByName(expansion)
+    return bm25_topk(
+        docs, expanded, k=k, k1=k1, b=b, id_col=id_col, text_col=text_col,
+        prefilter_buckets=prefilter_buckets, stats=both,
+        broadcast_queries=broadcast_queries,
+    )
+
+
 def rrf_fuse_n(
     rankings,
     k: int = 10,

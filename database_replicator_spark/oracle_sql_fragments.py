@@ -26,6 +26,40 @@ _BM25_QUERIES = [
     (2, "vector"), (2, "stream"), (2, "key"),
 ]
 
+def _bm25_score_ctes(qname: str = "q", suffix: str = "") -> str:
+    """The df/contribution/score CTE triple of the BM25 scorer over an
+    arbitrary (query_id, term, self_excl) CTE ``qname`` — reusable for
+    multi-pass oracles (pseudo-relevance feedback re-scores with the
+    expanded query set as ``qname='q2', suffix='2'``). Assumes tf/dl/
+    stats CTEs are already in scope (from :func:`_bm25_build_cte`)."""
+    return f"""
+    dfreq{suffix} AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+              WHERE term IN (SELECT DISTINCT term FROM {qname})
+              GROUP BY term),
+    contrib{suffix} AS (
+      SELECT {qname}.query_id, tf.doc_id,
+             CAST(FLOOR(
+               LN((CAST(s.n_docs - d.df AS DOUBLE) + 0.5)
+                  / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+               * ((CAST(tf.tf AS DOUBLE) * 2.2)
+                  / (CAST(tf.tf AS DOUBLE)
+                     + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                         / (CAST(s.total_tokens AS DOUBLE)
+                            / CAST(s.n_docs AS DOUBLE))))))
+               * 1000000.0 + 0.5) AS BIGINT) AS units
+      FROM tf
+      JOIN {qname} ON tf.term = {qname}.term
+                  AND tf.doc_id != {qname}.self_excl
+      JOIN dfreq{suffix} d ON d.term = tf.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+    ),
+    scores{suffix} AS (
+      SELECT query_id, doc_id, CAST(SUM(units) AS BIGINT) AS score_units
+      FROM contrib{suffix} GROUP BY query_id, doc_id
+    )"""
+
+
 _BM25_BUILD_TEMPLATE = f"""
     toks AS (
       SELECT doc_id, UNNEST(regexp_split_to_array({_NORM_SQL}, ' ')) AS term
@@ -37,29 +71,7 @@ _BM25_BUILD_TEMPLATE = f"""
            FROM toks GROUP BY doc_id),
     stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
                      CAST(SUM(dl) AS BIGINT) AS total_tokens FROM dl),
-    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf
-              WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term),
-    contrib AS (
-      SELECT q.query_id, tf.doc_id,
-             CAST(FLOOR(
-               LN((CAST(s.n_docs - d.df AS DOUBLE) + 0.5)
-                  / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
-               * ((CAST(tf.tf AS DOUBLE) * 2.2)
-                  / (CAST(tf.tf AS DOUBLE)
-                     + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
-                         / (CAST(s.total_tokens AS DOUBLE)
-                            / CAST(s.n_docs AS DOUBLE))))))
-               * 1000000.0 + 0.5) AS BIGINT) AS units
-      FROM tf
-      JOIN q ON tf.term = q.term AND tf.doc_id != q.self_excl
-      JOIN dfreq d ON d.term = tf.term
-      JOIN dl ON dl.doc_id = tf.doc_id
-      CROSS JOIN stats s
-    ),
-    scores AS (
-      SELECT query_id, doc_id, CAST(SUM(units) AS BIGINT) AS score_units
-      FROM contrib GROUP BY query_id, doc_id
-    )
+    {_bm25_score_ctes()}
 """
 
 

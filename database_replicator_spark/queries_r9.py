@@ -20,7 +20,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .oracle_sql_fragments import _BM25_QUERIES, _bm25_build_cte
+from .oracle_sql_fragments import (
+    _BM25_QUERIES,
+    _bm25_build_cte,
+    _bm25_score_ctes,
+)
 from .queries import query
 from .sources.catalog import load_table
 
@@ -593,4 +597,82 @@ def hybrid_rrf_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "doc_id", "rank")
     return rrf_fuse_n(
         [("bm25", lex), ("jm", jm)], k=10, rrf_k=60, weights=[2, 1]
+    )
+
+
+@query(
+    "doc_bm25_prf_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT CAST(query_id AS BIGINT) AS query_id, term,
+             CAST(-1 AS BIGINT) AS self_excl
+      FROM (VALUES {", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)})
+           AS v(query_id, term)
+    ),
+    {_bm25_build_cte()},
+    top5 AS (
+      SELECT query_id, doc_id FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score_units DESC, doc_id ASC)
+                 AS r
+        FROM scores
+      ) WHERE r <= 5
+    ),
+    fbsum AS (
+      SELECT f.query_id, tf.term, CAST(SUM(tf.tf) AS BIGINT) AS fb_tf
+      FROM tf JOIN top5 f ON f.doc_id = tf.doc_id
+      WHERE NOT EXISTS (SELECT 1 FROM q
+                        WHERE q.query_id = f.query_id
+                          AND q.term = tf.term)
+      GROUP BY f.query_id, tf.term
+    ),
+    fbt AS (
+      SELECT query_id, term FROM (
+        SELECT query_id, term,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY fb_tf DESC, term ASC) AS trn
+        FROM fbsum
+      ) WHERE trn <= 3
+    ),
+    q2 AS (
+      SELECT query_id, term, CAST(-1 AS BIGINT) AS self_excl FROM q
+      UNION
+      SELECT query_id, term, CAST(-1 AS BIGINT) AS self_excl FROM fbt
+    ),
+    {_bm25_score_ctes('q2', '2')}
+    SELECT query_id, doc_id,
+           ROUND(CAST(score_units AS DOUBLE) / 1000000.0, 6) AS score, rank
+    FROM (
+      SELECT query_id, doc_id, score_units,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score_units DESC, doc_id ASC)
+               AS rank
+      FROM scores2
+    ) WHERE rank <= 10
+    """,
+)
+def doc_bm25_prf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 with pseudo-relevance feedback (Rocchio-style two-pass
+    expansion): pass 1 retrieves top-5 per query, the 3 most frequent
+    NEW terms of that feedback set join the query, pass 2 ranks with the
+    expanded query — the classic recall lever for short queries under
+    vocabulary mismatch, and the repo's first MULTI-PASS retrieval gate:
+    its oracle replays retrieve → select → expand → re-retrieve end to
+    end, so the cross-engine contract covers query rewriting, not just
+    scoring.
+
+    Determinism: pass-1 order is the integer BM25 ranking; expansion
+    terms are picked by (Σtf desc, term asc) — integer totals under a
+    total order; pass-2 scores are integer BM25 over the UNION-deduped
+    expanded term set. Corpus stats are built once and shared by both
+    passes (operators/retrieval.bm25_prf_topk ``stats=`` reuse)."""
+    from .operators.retrieval import bm25_prf_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    qterms = spark.createDataFrame(
+        _BM25_QUERIES, "query_id long, term string"
+    )
+    return bm25_prf_topk(
+        docs, qterms, k=10, fb_k=5, fb_terms=3, prefilter_buckets=8
     )

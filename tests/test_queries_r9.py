@@ -454,6 +454,67 @@ class TestClassicRankersReference:
         assert got == expected
 
 
+class TestBm25Prf:
+    def test_two_pass_composition_and_effect(self, spark):
+        """bm25_prf_topk must equal bm25_topk over the manually expanded
+        query set (pass-1 top-5 → top-3 new terms by Σtf, term asc), and
+        the expansion must actually change at least one query's ranking
+        vs plain BM25."""
+        from database_replicator_spark.operators.retrieval import (
+            bm25_prf_topk,
+            bm25_topk,
+            term_stats,
+        )
+        from database_replicator_spark.oracle_sql_fragments import (
+            _BM25_QUERIES,
+        )
+
+        docs = load_table(spark, SF, "documents")
+        qterms = spark.createDataFrame(
+            _BM25_QUERIES, "query_id long, term string"
+        )
+        got = sorted(
+            map(
+                tuple,
+                bm25_prf_topk(
+                    docs, qterms, k=10, fb_k=5, fb_terms=3
+                ).collect(),
+            )
+        )
+        # manual replay of the expansion step
+        tf, _dl = term_stats(docs)
+        first = bm25_topk(docs, qterms, k=5)
+        fb_rows = first.select("query_id", "doc_id").collect()
+        tf_rows = tf.collect()
+        tf_by_doc: dict = {}
+        for r in tf_rows:
+            tf_by_doc.setdefault(r["doc_id"], {})[r["term"]] = r["tf"]
+        orig = {}
+        for qid, t in _BM25_QUERIES:
+            orig.setdefault(qid, set()).add(t)
+        sums: dict = {}
+        for r in fb_rows:
+            for t, c in tf_by_doc[r["doc_id"]].items():
+                if t not in orig[r["query_id"]]:
+                    key = (r["query_id"], t)
+                    sums[key] = sums.get(key, 0) + c
+        per_q: dict = {}
+        for (qid, t), c in sums.items():
+            per_q.setdefault(qid, []).append((-c, t))
+        expanded_rows = list(_BM25_QUERIES)
+        for qid, lst in per_q.items():
+            for negc, t in sorted(lst)[:3]:
+                expanded_rows.append((qid, t))
+        q2 = spark.createDataFrame(
+            expanded_rows, "query_id long, term string"
+        )
+        want = sorted(map(tuple, bm25_topk(docs, q2, k=10).collect()))
+        assert got == want
+        plain = sorted(map(tuple, bm25_topk(docs, qterms, k=10).collect()))
+        assert got != plain  # the expansion moved something
+        assert got  # non-degenerate
+
+
 class TestSq8CodebookMemo:
     def test_memoized_gates_identical_to_fresh_train(self, spark):
         """The per-sf_dir codebook memo must be output-neutral: a warm
