@@ -293,13 +293,17 @@ def main(argv: list[str] | None = None) -> int:
     ret_p.add_argument("--k", type=int, default=10)
     ret_p.add_argument(
         "--method", default="bm25",
-        choices=["bm25", "ql", "jm", "tfidf", "hybrid"],
+        choices=["bm25", "ql", "jm", "tfidf", "prf", "hybrid"],
     )
     ret_p.add_argument("--k1", type=float, default=1.2)
     ret_p.add_argument("--b", type=float, default=0.75)
     ret_p.add_argument("--mu", type=float, default=100.0)
     ret_p.add_argument("--lam", type=float, default=0.5,
                        help="Jelinek-Mercer interpolation weight")
+    ret_p.add_argument("--fb-k", type=int, default=5,
+                       help="prf: feedback depth (pass-1 top docs)")
+    ret_p.add_argument("--fb-terms", type=int, default=3,
+                       help="prf: expansion terms added per query")
     ret_p.add_argument(
         "--weights", default=None,
         help="hybrid only: comma-separated INTEGER weights, one per "
@@ -861,6 +865,21 @@ def main(argv: list[str] | None = None) -> int:
                 from .operators.retrieval import tfidf_cosine_topk
 
                 res = tfidf_cosine_topk(docs, qterms, **kw)
+            elif args.method == "prf":
+                from .operators.retrieval import bm25_prf_topk
+
+                if qbe:
+                    print(json.dumps({
+                        "ok": False,
+                        "error": "prf is a free-text method (pass-1 "
+                        "already IS query-by-example retrieval)",
+                    }))
+                    return 2
+                res = bm25_prf_topk(
+                    docs, qterms, k=args.k, fb_k=args.fb_k,
+                    fb_terms=args.fb_terms, k1=args.k1, b=args.b,
+                    prefilter_buckets=8,
+                )
             else:
                 shared = term_stats(docs)
                 shared = (

@@ -1117,6 +1117,26 @@ class TestRetrieveVerbR9:
         out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out["ok"] and out["n_rows"] == 10
 
+    def test_prf_free_text_and_qbe_rejection(self, spark, capsys):
+        import json as _json
+
+        from database_replicator_spark import cli
+
+        rc = cli.main(
+            ["retrieve", "--source", "/root/testdata/sf0.001",
+             "--query", "dup merge", "--k", "5", "--method", "prf"]
+        )
+        assert rc == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["ok"] and out["n_rows"] == 5
+
+        rc = cli.main(
+            ["retrieve", "--source", "/root/testdata/sf0.001",
+             "--query-doc-ids", "0", "--method", "prf"]
+        )
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 2 and not out["ok"]
+
     def test_weights_arity_error(self, spark, capsys):
         import json as _json
 
