@@ -416,6 +416,12 @@ def main(argv: list[str] | None = None) -> int:
         "--follow", action="store_true",
         help="keep polling (default: drain available input and stop)",
     )
+    cingest_p.add_argument(
+        "--maintain-term-stats", action="store_true",
+        help="also append each epoch's (doc,term,tf)/(doc,dl) retrieval "
+        "index partitions, so `retrieve` serves fresh docs without a "
+        "full re-index",
+    )
 
     eingest_p = sub.add_parser(
         "embed-ingest",
@@ -1040,6 +1046,7 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.source, args.target, args.checkpoint,
                 once=not args.follow, near_dup=args.near_dup,
                 verify_jaccard=args.verify_jaccard,
+                maintain_term_stats=args.maintain_term_stats,
             )
             query.awaitTermination()
             n = read_corpus(spark, args.target).count()
