@@ -85,6 +85,13 @@ REPRESENTATIVE = [
     "hybrid_rrf3_topk",            # shared tf/dl checkpoint, 3-way outer fuse
     "doc_duplicate_span_merge",    # two gram tiers ∪, per-doc islands window
     "part_copurchase_pagerank",    # checkpointed half-edges, 3 Pregel rounds
+    "part_copurchase_ppr",         # seed-flag left join, seed-only teleport
+    "part_copurchase_pagerank_weighted",  # (r·w) div Σw proportional split
+    "supplier_customer_hits",      # 2×(edge⋈value + keyed agg) per iteration
+    "doc_tfidf_cosine_topk",       # full-vocab df for norms, int match/norm sums
+    "doc_ql_jm_topk",              # two-part JM decomposition, no length join
+    "hybrid_rrf_weighted_topk",    # 2:1 integer-weighted fuse over shared stats
+    "doc_bm25_prf_topk",           # two-pass PRF: rank→expand→re-rank, one stats build
 ]
 
 
