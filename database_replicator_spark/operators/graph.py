@@ -75,17 +75,23 @@ def pagerank_units(
       one node-sized flag join per iteration on symmetric graphs (the
       general path folds the flag into the existing re-attach join).
 
-    Overflow contract: total mass is ≤ n_nodes·unit at every iteration
-    (init Σ = n·unit; each step is a contraction toward it), so the
-    per-node multiply ``damping_num · Σ_in`` is bounded by
-    ``damping_num · n_nodes · unit`` — on hub-concentrated graphs all of
-    that can genuinely land on ONE node, and int64 wraps silently in
-    Spark (non-ANSI) while DuckDB raises: an undiagnosed cross-engine
-    divergence. ``check_overflow=True`` (default) counts the node-sized
-    relation (one cheap job on an already-checkpointed input) and raises
-    with the safe ``unit`` to use instead; at unit = 10¹² the bound is
-    ~1.08·10⁵ nodes, and lowering unit to 10⁹ buys ~10⁸ nodes with
-    quantization still far below rank decisions.
+    Overflow contract: total mass is ≤ mass_nodes·unit at every
+    iteration, where mass_nodes is the INIT support — all nodes for
+    global PR, only the seed set for personalized PR — so the per-node
+    multiply ``damping_num · Σ_in`` (and, weighted, the per-edge
+    ``r(u)·w``) is bounded by ``max(damping_num, w_max) · mass_nodes ·
+    unit``. On hub-concentrated graphs all of that can genuinely land on
+    ONE node, and int64 wraps silently in Spark (non-ANSI) while DuckDB
+    raises: an undiagnosed cross-engine divergence.
+    ``check_overflow=True`` (default) counts the mass support (one cheap
+    job on an already-checkpointed input; plus a max(w) job when
+    weighted) and raises with the safe ``unit`` to use instead; at
+    unit = 10¹² the global bound is ~1.08·10⁵ nodes, lowering unit to
+    10⁹ buys ~10⁸ nodes with quantization still far below rank
+    decisions, and personalized runs scale with |seeds|, not the graph.
+    The bound is the worst-case TOPOLOGY (near-sink graphs) — callers
+    who know their graph spreads mass may pass ``check_overflow=False``,
+    accepting the silent-wrap risk the guard exists to name.
 
     ``checkpoint_every`` cuts the rank relation's lineage every N
     iterations (localCheckpoint): each iteration stacks a join+aggregate
@@ -132,17 +138,39 @@ def pagerank_units(
             .localCheckpoint()
         )
     if check_overflow:
-        n_nodes = nodes.count()
-        if damping_num * n_nodes * unit >= 2**63:
-            safe_unit = 2**63 // (damping_num * n_nodes * 4)
+        # total mass is bounded by mass_nodes·unit, where mass_nodes is
+        # the INIT support: all nodes for global PR, only the seed set
+        # for personalized PR (Σr' = |S|·T + 0.85·Σ_in ≤ fixpoint
+        # |S|·unit) — so a large graph with a small seed set is fine at
+        # the default unit, and the guard must not regress it. The
+        # worst-case topology (all mass converging on one node) is what
+        # the bound protects against; the message prescribes the safe
+        # unit rather than leaving Spark to wrap silently (non-ANSI)
+        # where the DuckDB oracle raises.
+        if seeds is not None and isinstance(seeds, DataFrame):
+            mass_nodes = (
+                seeds.select(seeds.columns[0]).distinct().count()
+            )
+        elif seeds is not None:
+            mass_nodes = len({int(s) for s in seeds})
+        else:
+            mass_nodes = nodes.count()
+        # the weighted path multiplies pr_units·w per edge BEFORE the
+        # div, adding a w_max factor the aggregate bound doesn't see
+        w_max = 1
+        if weight_col is not None:
+            w_max = int(e.agg(F.max("_w")).collect()[0][0] or 1)
+        bound = max(damping_num, w_max) * mass_nodes * unit
+        if bound >= 2**63:
+            safe_unit = 2**63 // (max(damping_num, w_max) * mass_nodes * 4)
             raise ValueError(
-                f"pagerank_units: damping_num*n_nodes*unit = "
-                f"{damping_num}*{n_nodes}*{unit} exceeds int64 — Spark "
-                f"would wrap silently while the oracle raises. Pass "
-                f"unit<={safe_unit} (quantization at that scale is still "
-                f"orders of magnitude below rank decisions), or "
-                f"check_overflow=False if total mass is known smaller "
-                f"(e.g. a sparse personalized seed set)."
+                f"pagerank_units: max(damping_num, w_max)*mass_nodes*unit"
+                f" = {max(damping_num, w_max)}*{mass_nodes}*{unit} exceeds"
+                f" int64 — Spark would wrap silently while the oracle "
+                f"raises. Pass unit<={safe_unit} (quantization at that "
+                f"scale is still orders of magnitude below rank "
+                f"decisions), or check_overflow=False if the worst-case "
+                f"mass concentration is known impossible for this graph."
             )
     teleport = ((damping_den - damping_num) * unit) // damping_den
     seed_df = None
@@ -219,6 +247,7 @@ def hits_units(
     dst_col: str = "dst",
     checkpoint_edges: bool = True,
     checkpoint_every: int = 5,
+    check_overflow: bool = True,
 ):
     """Integer HITS (Kleinberg 1999, "Authoritative sources in a
     hyperlinked environment") over a directed edge list — hubs on the
@@ -238,12 +267,44 @@ def hits_units(
     One iteration = two edge⋈value joins + two keyed aggregates — the
     same Pregel shape as :func:`pagerank_units`, state bounded by the
     node sets, no driver loops. ``checkpoint_every`` cuts both value
-    relations' lineage like the PageRank loop."""
+    relations' lineage like the PageRank loop.
+
+    ``check_overflow=True`` (default) enforces the growth bound instead
+    of hoping: after k iterations values reach up to
+    (din_max·dout_max)^k, and Spark wraps int64 silently (non-ANSI) —
+    the guard measures the two max degrees (two cheap aggregates on the
+    checkpointed edge list) and raises with the max safe ``iters``."""
+    if iters < 1:
+        raise ValueError(f"hits_units: iters must be >= 1, got {iters}")
     e = edges.select(
         F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
     )
     if checkpoint_edges:
         e = e.localCheckpoint()
+    if check_overflow:
+        row = e.groupBy("_s").count().agg(
+            F.max("count").alias("dout")
+        ).crossJoin(
+            e.groupBy("_d").count().agg(F.max("count").alias("din"))
+        ).collect()[0]
+        dout_max, din_max = int(row["dout"] or 1), int(row["din"] or 1)
+        growth = max(2, din_max * dout_max)
+        # h_k ≤ (din·dout)^k from the all-ones init
+        safe_iters = 0
+        v = 1
+        while v * growth < 2**63:
+            v *= growth
+            safe_iters += 1
+        if iters > safe_iters:
+            raise ValueError(
+                f"hits_units: {iters} iterations can overflow int64 "
+                f"(per-iteration growth ≤ din_max*dout_max = "
+                f"{din_max}*{dout_max}); max safe iters here is "
+                f"{safe_iters}. Rankings converge in 2-4 iterations — "
+                f"lower iters, or check_overflow=False if the degree "
+                f"distribution is known to keep values far below the "
+                f"worst case."
+            )
     hubs = e.select(F.col("_s").alias("node")).distinct().withColumn(
         "hub_units", F.lit(1).cast("bigint")
     ).localCheckpoint()

@@ -418,13 +418,16 @@ def tfidf_cosine_topk(
     )
     dnorm2 = weighted.groupBy("doc_id").agg(
         F.sum(F.col("_wu") * F.col("_wu")).alias("dn2")
-    )
+    ).filter(F.col("dn2") > 0)
     qterms = query_terms.select(
         F.col("query_id").cast("bigint").alias("query_id"), "term"
     ).distinct()
-    # query weights: unit tf → w(t,q) = idf, same fixed-point rule
+    # query weights: unit tf → w(t,q) = idf, same fixed-point rule.
+    # dfreq_all is CORPUS-vocabulary-sized — never broadcast it; the
+    # query side is the small one here, so the hint (gated on the same
+    # knob as everywhere else) goes on qterms.
     q_w = (
-        qterms.join(_maybe_bcast(dfreq_all, broadcast_queries), on="term")
+        dfreq_all.join(_maybe_bcast(qterms, broadcast_queries), on="term")
         .crossJoin(F.broadcast(n_docs_df))
         .withColumn(
             "_qu",
@@ -439,9 +442,15 @@ def tfidf_cosine_topk(
         )
         .select("query_id", "term", "_qu")
     )
+    # a query whose every term appears in every document has qn2 = 0 (all
+    # idf weights 0) — its cosine is 0/0 for every candidate, and NaN
+    # sorts FIRST under desc order, poisoning the top-k. Such queries
+    # return no rows instead (the OOV-convention analogue: a query with
+    # zero discriminative content has no meaningful ranking). Same guard
+    # on the doc side (dn2 = 0 docs can only score 0/0 too).
     qnorm2 = q_w.groupBy("query_id").agg(
         F.sum(F.col("_qu") * F.col("_qu")).alias("qn2")
-    )
+    ).filter(F.col("qn2") > 0)
     cut = weighted.join(_maybe_bcast(q_w, broadcast_queries), on="term")
     if exclude_self:
         cut = cut.filter(F.col("doc_id") != F.col("query_id"))

@@ -28,12 +28,14 @@ _SQ8_CODEBOOK_MEMO: dict = {}
 
 
 def _sq8_codebook(emb: DataFrame, sf_dir: str, dim: int = 64):
-    cb = _SQ8_CODEBOOK_MEMO.get(sf_dir)
+    # keyed by (sf_dir, dim): a caller training at a different
+    # dimensionality must never be served another dim's (mn, mx)
+    cb = _SQ8_CODEBOOK_MEMO.get((sf_dir, dim))
     if cb is None:
         from .operators.similarity import sq8_train
 
         cb = sq8_train(emb, "vec_id", "embedding", dim=dim)
-        _SQ8_CODEBOOK_MEMO[sf_dir] = cb
+        _SQ8_CODEBOOK_MEMO[(sf_dir, dim)] = cb
     return cb
 
 

@@ -442,7 +442,13 @@ def forget_documents(
             if not os.path.isdir(path):
                 return 0
             removed = 0
-            for ep in touched:
+            # epoch 0 is always considered in addition to the victims'
+            # corpus epochs: compact_ingest_indexes collapses every
+            # per-epoch index partition into epoch=0 while the corpus
+            # keeps its layout, so after a compaction the rows to erase
+            # live in a partition no victim's corpus epoch points at
+            # (the compact-then-forget hole — r9 review finding)
+            for ep in sorted({0, *touched}):
                 part = os.path.join(path, f"epoch={ep}")
                 if not os.path.isdir(part):
                     continue

@@ -443,6 +443,45 @@ class TestTermStatsMaintenance:
             map(tuple, dl_b.collect())
         )
 
+    def test_compact_then_forget_still_erases(self, spark, dirs):
+        """The reverse order of the erasure/compaction interaction test:
+        compaction collapses every index into epoch=0 while the corpus
+        keeps its layout, so forget must also sweep epoch=0 or the
+        'erased' doc keeps ranking (r9 review finding — applies to
+        fingerprints and signatures too, not just the new term stats)."""
+        from database_replicator_spark.operators.textops import (
+            fingerprint_expr,
+        )
+        from database_replicator_spark.streaming.corpus_ingest import (
+            compact_ingest_indexes,
+            forget_documents,
+            read_term_stats,
+        )
+        from pyspark.sql import functions as F
+
+        _write(
+            os.path.join(dirs["src"], "b1.json"),
+            [_doc(1, GOOD), _doc(11, GOOD2)],
+        )
+        self._run_once_ts(spark, dirs)
+        compact_ingest_indexes(spark, dirs["tgt"])
+        rep = forget_documents(spark, dirs["tgt"], [1])
+        assert rep["corpus"] == 1
+        assert rep["_term_tf"] > 0 and rep["_doc_len"] == 1
+        assert rep["_fingerprints"] == 1
+        tf_i, dl_i = read_term_stats(spark, dirs["tgt"])
+        assert {r["doc_id"] for r in dl_i.collect()} == {11}
+        assert tf_i.filter("doc_id = 1").count() == 0
+        # the forgotten doc's fingerprint is gone from the compacted
+        # index: re-ingesting the same text is ADMITTED again (erasure
+        # semantics), which only works if epoch=0 was actually rewritten
+        fp_path = os.path.join(dirs["tgt"], "_fingerprints")
+        fps = spark.read.option("basePath", fp_path).parquet(fp_path)
+        doomed = spark.createDataFrame(
+            [(GOOD,)], "text string"
+        ).select(fingerprint_expr(F.col("text")).alias("fingerprint"))
+        assert fps.join(doomed, on="fingerprint").count() == 0
+
     def test_read_term_stats_missing_raises(self, spark, dirs):
         import pytest as _pytest
 

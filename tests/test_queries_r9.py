@@ -125,6 +125,40 @@ class TestPagerankR9:
         except ValueError:  # pragma: no cover
             pytest.fail("suggested safe unit rejected by the guard")
 
+    def test_overflow_guard_is_seeds_aware(self, spark):
+        """Personalized mass is |seeds|·unit, not n·unit: a unit that
+        would trip the global bound on this 5-node graph must pass with
+        a single seed (review finding: the guard must not regress
+        working PPR calls on large graphs)."""
+        from database_replicator_spark.operators.graph import pagerank_units
+
+        e = self._graph(spark)
+        unit = 2**63 // (85 * 2)  # fails n=5, passes mass_nodes=1
+        with pytest.raises(ValueError):
+            pagerank_units(e, iters=1, unit=unit)
+        rows = pagerank_units(e, iters=1, unit=unit, seeds=[1]).collect()
+        assert rows  # ran, no guard trip
+        seeds_df = spark.createDataFrame([(1,)], "node long")
+        rows2 = pagerank_units(
+            e, iters=1, unit=unit, seeds=seeds_df
+        ).collect()
+        assert sorted(map(tuple, rows2)) == sorted(map(tuple, rows))
+
+    def test_overflow_guard_accounts_for_edge_weights(self, spark):
+        """The weighted path multiplies pr·w per edge: a unit safe for
+        the unweighted bound must be rejected when w_max pushes the
+        per-edge product past int64 (review finding)."""
+        from database_replicator_spark.operators.graph import pagerank_units
+
+        edges = [(1, 2, 1_000_000), (2, 1, 1)]
+        df = spark.createDataFrame(edges, "src long, dst long, w long")
+        unit = 2**63 // (85 * 2 * 2)  # passes the damping bound at n=2
+        pagerank_units(
+            df.select("src", "dst"), iters=1, unit=unit
+        ).collect()  # unweighted: fine
+        with pytest.raises(ValueError, match="w_max"):
+            pagerank_units(df, iters=1, unit=unit, weight_col="w")
+
     def test_high_iters_lineage_cut(self, spark):
         """iters=20 with the default checkpoint_every=5 must (a) finish
         without superlinear analysis blowup and (b) equal a plain-Python
@@ -266,6 +300,76 @@ class TestHits:
                 h[s] = h.get(s, 0) + a[d]
         assert got_a == a
         assert got_h == h
+
+
+class TestHitsGuards:
+    def test_iters_zero_rejected(self, spark):
+        from database_replicator_spark.operators.graph import hits_units
+
+        df = spark.createDataFrame([(1, 10)], "src long, dst long")
+        with pytest.raises(ValueError, match="iters"):
+            hits_units(df, iters=0)
+
+    def test_overflow_guard_bounds_iterations(self, spark):
+        """Growth is ≤ (din_max·dout_max)^k: a high-degree bipartite
+        graph must reject an iteration count whose worst case wraps
+        int64, and accept the stated safe count (review finding)."""
+        from database_replicator_spark.operators.graph import hits_units
+
+        # star: 1000 hubs → one authority → din_max=1000, dout_max=1
+        edges = [(i, 0) for i in range(1000)] + [(0, 1)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        with pytest.raises(ValueError, match="max safe iters"):
+            hits_units(df, iters=8)  # 1000^8 = 1e24 > 2^63
+        hubs, auths = hits_units(df, iters=2)
+        assert auths.count() > 0
+
+    def test_guard_off_preserves_behavior(self, spark):
+        from database_replicator_spark.operators.graph import hits_units
+
+        df = spark.createDataFrame(
+            [(1, 10), (2, 10), (2, 11)], "src long, dst long"
+        )
+        on = sorted(map(tuple, hits_units(df, iters=2)[1].collect()))
+        off = sorted(
+            map(tuple, hits_units(df, iters=2, check_overflow=False)[1].collect())
+        )
+        assert on == off
+
+
+class TestTfidfDegenerateQueries:
+    def test_zero_idf_query_returns_no_rows_not_nan(self, spark):
+        """A query made only of terms present in EVERY document has
+        qn2 = 0; before the guard its cosine was 0/0 = NaN, which sorts
+        first desc and poisoned the whole top-k (review finding). Such
+        queries now return zero rows; mixed queries are unaffected."""
+        from database_replicator_spark.operators.retrieval import (
+            tfidf_cosine_topk,
+        )
+
+        rows = [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta delta"),
+            (3, "alpha beta epsilon"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        # 'alpha' and 'beta' are in all docs → idf 0 → degenerate query
+        q = spark.createDataFrame(
+            [(0, "alpha"), (0, "beta"), (1, "delta"), (1, "alpha")],
+            "query_id long, term string",
+        )
+        got = tfidf_cosine_topk(docs, q, k=5).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], []).append(r)
+        assert 0 not in by_q  # degenerate query: no rows, no NaN
+        # mixed query ranks the discriminative match first; zero-scored
+        # docs trail with finite 0.0, never NaN
+        top1 = min(by_q[1], key=lambda r: r["rank"])
+        assert top1["doc_id"] == 2 and top1["score"] > 0
+        import math
+
+        assert all(not math.isnan(r["score"]) for r in got)
 
 
 class TestWeightedRrf:
@@ -528,7 +632,7 @@ class TestSq8CodebookMemo:
         cold = sorted(
             map(tuple, q7.similarity_sq8_topk(spark, SF).collect())
         )
-        assert SF in q7._SQ8_CODEBOOK_MEMO
+        assert (SF, 64) in q7._SQ8_CODEBOOK_MEMO
         warm = sorted(
             map(tuple, q7.similarity_sq8_topk(spark, SF).collect())
         )
