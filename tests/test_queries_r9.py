@@ -372,6 +372,88 @@ class TestTfidfDegenerateQueries:
         assert all(not math.isnan(r["score"]) for r in got)
 
 
+class TestRankerInvariants:
+    """Structural invariants every ranker must satisfy under the integer
+    total order — cheap falsifiers for tie-handling and pre-cut bugs."""
+
+    @pytest.fixture(scope="class")
+    def qterms(self, spark):
+        from database_replicator_spark.oracle_sql_fragments import (
+            _BM25_QUERIES,
+        )
+
+        return spark.createDataFrame(
+            _BM25_QUERIES, "query_id long, term string"
+        )
+
+    def _rankers(self):
+        from database_replicator_spark.operators import retrieval as R
+
+        return {
+            "bm25": R.bm25_topk,
+            "ql_dirichlet": R.ql_dirichlet_topk,
+            "ql_jm": R.ql_jm_topk,
+            "tfidf": R.tfidf_cosine_topk,
+            "prf": R.bm25_prf_topk,
+        }
+
+    def test_topk_prefix_property(self, spark, docs, qterms):
+        """top-5 must be exactly ranks 1..5 of top-10 for every query —
+        the total order (integer units / rounded score, doc_id asc) makes
+        k a pure cutoff, never a re-ranking."""
+        for name, fn in self._rankers().items():
+            ten = {
+                (r["query_id"], r["rank"]): r["doc_id"]
+                for r in fn(docs, qterms, k=10).collect()
+            }
+            five = {
+                (r["query_id"], r["rank"]): r["doc_id"]
+                for r in fn(docs, qterms, k=5).collect()
+            }
+            want = {k: v for k, v in ten.items() if k[1] <= 5}
+            assert five == want, name
+
+    def test_prefilter_buckets_output_identity(self, spark, docs, qterms):
+        """The bucketed pre-cut is an exact optimization: any buckets
+        value must be output-identical to the unbucketed window."""
+        for name, fn in self._rankers().items():
+            plain = sorted(map(tuple, fn(docs, qterms, k=10).collect()))
+            cut = sorted(
+                map(
+                    tuple,
+                    fn(docs, qterms, k=10, prefilter_buckets=8).collect(),
+                )
+            )
+            assert cut == plain, name
+
+    def test_stats_passthrough_identity(self, spark, docs, qterms):
+        """Passing a prebuilt (tf, dl) via stats= must be output-identical
+        to the train-inline path for every ranker — the index-reuse
+        deployment shape (and what read_term_stats feeds)."""
+        from database_replicator_spark.operators.retrieval import term_stats
+
+        tf, dl = term_stats(docs)
+        stats = (tf.localCheckpoint(), dl.localCheckpoint())
+        for name, fn in self._rankers().items():
+            inline = sorted(map(tuple, fn(docs, qterms, k=10).collect()))
+            reused = sorted(
+                map(tuple, fn(docs, qterms, k=10, stats=stats).collect())
+            )
+            assert reused == inline, name
+
+    def test_rrf_single_ranker_is_identity_order(self, spark):
+        from database_replicator_spark.operators.retrieval import rrf_fuse_n
+
+        lex = spark.createDataFrame(
+            [(0, 5, 1), (0, 9, 2), (0, 2, 3)],
+            "query_id long, doc_id long, rank long",
+        )
+        fused = rrf_fuse_n([("only", lex)], k=3).collect()
+        assert [(r["doc_id"], r["rank"]) for r in sorted(
+            fused, key=lambda r: r["rank"]
+        )] == [(5, 1), (9, 2), (2, 3)]
+
+
 class TestWeightedRrf:
     def test_unit_weights_are_identity(self, spark):
         from database_replicator_spark.operators.retrieval import rrf_fuse_n

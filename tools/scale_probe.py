@@ -234,24 +234,54 @@ def probe_ops(spark, path: str) -> dict[str, float]:
 
         mat(merged_span_report(docs))
 
-    def bm25():
-        from database_replicator_spark.operators.retrieval import (
-            bm25_topk,
-            doc_tokens,
-        )
+    def _probe_qterms():
+        from database_replicator_spark.operators.retrieval import doc_tokens
 
         # per-copy query terms (the '_dup' rare term of each disjoint
         # vocabulary copy), so queries AND candidates grow linearly with
         # the corpus — probing the whole build+rank path, not a
         # fixed-candidate scan
-        qterms = (
+        return (
             doc_tokens(docs)
             .select("term")
             .distinct()
             .filter(F.col("term").endswith("_dup"))
             .select(F.abs(F.xxhash64("term")).alias("query_id"), "term")
         )
-        mat(bm25_topk(docs, qterms, k=10, prefilter_buckets=8))
+
+    def bm25():
+        from database_replicator_spark.operators.retrieval import bm25_topk
+
+        mat(bm25_topk(docs, _probe_qterms(), k=10, prefilter_buckets=8))
+
+    def tfidf():
+        from database_replicator_spark.operators.retrieval import (
+            tfidf_cosine_topk,
+        )
+
+        # the family's one corpus-wide extra: full-vocabulary df for the
+        # document norms — the probe measures that build scaling with
+        # the corpus, not just the postings-bounded match
+        mat(tfidf_cosine_topk(docs, _probe_qterms(), k=10, prefilter_buckets=8))
+
+    def ql_jm():
+        from database_replicator_spark.operators.retrieval import ql_jm_topk
+
+        mat(ql_jm_topk(docs, _probe_qterms(), k=10, prefilter_buckets=8))
+
+    def bm25_prf():
+        from database_replicator_spark.operators.retrieval import (
+            bm25_prf_topk,
+        )
+
+        # two passes + expansion over one shared stats build; queries
+        # grow linearly with the corpus like the other retrieval probes
+        mat(
+            bm25_prf_topk(
+                docs, _probe_qterms(), k=10, fb_k=5, fb_terms=3,
+                prefilter_buckets=8,
+            )
+        )
 
     for name, fn in [
         ("exact_dedup", exact_dedup),
@@ -259,6 +289,9 @@ def probe_ops(spark, path: str) -> dict[str, float]:
         ("duplicate_span_coverage", span_coverage),
         ("merged_span_report", span_merge),
         ("bm25_topk", bm25),
+        ("tfidf_cosine_topk", tfidf),
+        ("ql_jm_topk", ql_jm),
+        ("bm25_prf_topk", bm25_prf),
         ("select_token_budget", token_budget),
         ("quality_filter", quality),
         ("hashed_linear_score", classifier),
@@ -482,10 +515,21 @@ def probe_graph_ops(spark, path: str) -> dict[str, float]:
             )
         )
 
+    def hits_2iter():
+        from database_replicator_spark.operators.graph import hits_units
+
+        # directed half-edges as the bipartite-ish input: two
+        # edge⋈value joins + two aggregates per iteration, values
+        # bounded by the measured-degree guard
+        hubs, auths = hits_units(half_c, iters=2)
+        mat(hubs)
+        mat(auths)
+
     out = {}
     for name, fn in [
         ("copurchase_edge_build", edge_build),
         ("pagerank_3iter_symmetric", pagerank_3iter),
+        ("hits_2iter", hits_2iter),
     ]:
         fn()
         out[name] = round(min(timed(fn), timed(fn)), 3)
