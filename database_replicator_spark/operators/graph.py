@@ -104,7 +104,13 @@ def pagerank_units(
     out-edges — still pure integer arithmetic (the per-edge multiply
     adds a factor ≤ w_max to the int64 headroom: weighted callers on
     heavy-weight graphs should lower ``unit`` by ~w_max; the co-purchase
-    weights here are shared-order counts, single digits)."""
+    weights here are shared-order counts, single digits). The
+    ``check_overflow`` scan also enforces w ≥ 1 when weighted: w ≤ 0
+    rows (or a Σw = 0 node) divide by zero in the integer split —
+    silent NULL mass loss on non-ANSI sessions, a bare mid-job
+    DIVIDE_BY_ZERO on ANSI ones, both diverging from what the SQL
+    oracle reports; the guard raises with a prescriptive message
+    instead of letting the engines silently diverge."""
     # One eager lineage cut on the edge list: it is scanned ~(iters + 3)
     # times (node set ×2, degrees, one join per iteration) and usually
     # arrives as a non-trivial pipeline (self-join + distinct in the
@@ -156,10 +162,33 @@ def pagerank_units(
         else:
             mass_nodes = nodes.count()
         # the weighted path multiplies pr_units·w per edge BEFORE the
-        # div, adding a w_max factor the aggregate bound doesn't see
+        # div, adding a w_max factor the aggregate bound doesn't see.
+        # The same (already-checkpointed) scan also validates w ≥ 1: a
+        # node whose Σw = 0 (or any w ≤ 0 row) hits integer div by
+        # zero, which a non-ANSI Spark session turns into NULL (mass
+        # silently vanishes from the sum) and an ANSI session turns
+        # into a bare mid-job DIVIDE_BY_ZERO — either way diverging
+        # from / obscuring what the DuckDB oracle reports: exactly the
+        # undiagnosed cross-engine divergence class this guard exists
+        # to name, so it is named here too.
         w_max = 1
         if weight_col is not None:
-            w_max = int(e.agg(F.max("_w")).collect()[0][0] or 1)
+            row = e.agg(
+                F.max("_w").alias("_mx"), F.min("_w").alias("_mn")
+            ).collect()[0]
+            w_max = int(row["_mx"] or 1)
+            if row["_mn"] is not None and int(row["_mn"]) < 1:
+                raise ValueError(
+                    f"pagerank_units: weight_col={weight_col!r} has "
+                    f"min weight {int(row['_mn'])} < 1 — non-positive "
+                    f"weights divide by zero in the integer split: "
+                    f"silent NULL mass loss (non-ANSI) or a bare "
+                    f"mid-job DIVIDE_BY_ZERO (ANSI), either way "
+                    f"diverging from the SQL oracle. Filter w >= 1 "
+                    f"rows or shift weights before ranking, or "
+                    f"check_overflow=False to skip both guards if the "
+                    f"weight domain is known positive."
+                )
         bound = max(damping_num, w_max) * mass_nodes * unit
         if bound >= 2**63:
             safe_unit = 2**63 // (max(damping_num, w_max) * mass_nodes * 4)

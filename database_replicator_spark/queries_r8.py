@@ -470,13 +470,66 @@ def hybrid_rrf3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pr_iter_sql(prev: str, name: str) -> str:
+#: per-(session, sf_dir) memo of the checkpointed weighted co-purchase
+#: half-edge list (src < dst, w = shared-order count). All co-purchase
+#: gates ride the SAME lineitem self-join; each gate deliberately stays
+#: self-contained for oracle independence, but the edge build is fully
+#: determined by the corpus, so materializing it once per process is
+#: the same offline-amortization shape as the SQ8 codebook memo
+#: (queries_r7._SQ8_CODEBOOK_MEMO) — VERDICT r9 "What's wrong #1".
+_COPURCHASE_MEMO: dict = {}
+
+#: integer-PageRank unit for the GLOBAL co-purchase gates: the overflow
+#: guard's worst-case bound is damping_num·n_nodes·unit < 2⁶³, which at
+#: the operator default 10¹² trips once the part graph passes ~1.08e5
+#: nodes (TPC-H sf ≈ 0.55) — 10⁹ keeps the guard green to ~10⁸ nodes
+#: (sf ≈ 500) with quantization still far below rank decisions
+#: (ADVICE r9, medium). The personalized gate keeps 10¹² because its
+#: mass support is the seed set, not the graph.
+_PR_GATE_UNIT = 10**9
+
+
+def _copurchase_halfw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The a<b half of the part co-purchase edge list with shared-order
+    weights, localCheckpointed once per (session, corpus). The join rows
+    are unique per (order, src, dst) since the (order, part) relation is
+    distinct first, so COUNT(*) IS the shared-order weight, and the
+    distinct pair set for the unweighted gates is a plain projection."""
+    key = (sf_dir, spark)
+    hw = _COPURCHASE_MEMO.get(key)
+    if hw is None:
+        li = load_table(spark, sf_dir, "lineitem")
+        ps = li.select("l_orderkey", "l_partkey").distinct()
+        a, b = ps.alias("a"), ps.alias("b")
+        hw = (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .groupBy(
+                F.col("a.l_partkey").alias("src"),
+                F.col("b.l_partkey").alias("dst"),
+            )
+            .agg(F.count(F.lit(1)).alias("w"))
+            # cut lineage before the symmetric union — its two branches
+            # would otherwise each re-run the self-join aggregate (the
+            # CC edge-list rule), and the memo hands every later gate
+            # the already-materialized blocks
+            .localCheckpoint()
+        )
+        _COPURCHASE_MEMO[key] = hw
+    return hw
+
+
+def _pr_iter_sql(prev: str, name: str, unit: int = _PR_GATE_UNIT) -> str:
     """One unrolled integer-PageRank iteration as a CTE (teleport
-    150000000000 = (100−85)·10¹² // 100; all arithmetic integer)."""
+    = (100−85)·unit // 100; all arithmetic integer)."""
+    teleport = (100 - 85) * unit // 100
     return f"""
     {name} AS (
       SELECT n.node,
-             CAST(CAST(150000000000 AS BIGINT)
+             CAST(CAST({teleport} AS BIGINT)
                   + (85 * COALESCE(CAST(SUM(r.pr_units // dg.deg) AS BIGINT),
                                    0)) // 100
                   AS BIGINT) AS pr_units
@@ -500,13 +553,13 @@ def _pr_iter_sql(prev: str, name: str) -> str:
     nodes AS (SELECT DISTINCT s AS node FROM e
               UNION SELECT DISTINCT d FROM e),
     deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY s),
-    r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS pr_units
+    r0 AS (SELECT node, CAST({_PR_GATE_UNIT} AS BIGINT) AS pr_units
            FROM nodes),
     {_pr_iter_sql('r0', 'it1')},
     {_pr_iter_sql('it1', 'it2')},
     {_pr_iter_sql('it2', 'it3')}
     SELECT node AS part_key, pr_units,
-           ROUND(CAST(pr_units AS DOUBLE) / 1000000000000.0, 6) AS pr,
+           ROUND(CAST(pr_units AS DOUBLE) / {_PR_GATE_UNIT}.0, 6) AS pr,
            rank
     FROM (
       SELECT node, pr_units,
@@ -527,36 +580,25 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT units — no float crosses an aggregation boundary, so the
     DuckDB oracle replays the exact same integers. Edge build self-joins
     lineitem's distinct (order, part) pairs on the order key — fanout
-    bounded by order size (~4 items), scale-safe. The top-100 head runs
-    behind an 8-bucket pre-cut, so the global window sees ≤ 800 rows."""
+    bounded by order size (~4 items), scale-safe — and is memoized per
+    (session, corpus) across the co-purchase gates
+    (:func:`_copurchase_halfw`). ``unit`` is sized to the graph
+    (_PR_GATE_UNIT = 10⁹) so the operator's default-on int64 overflow
+    guard holds to ~10⁸ nodes instead of tripping at TPC-H sf ≈ 0.55
+    (ADVICE r9). The top-100 head runs behind an 8-bucket pre-cut, so
+    the global window sees ≤ 800 rows."""
     from .operators.graph import pagerank_units
 
-    li = load_table(spark, sf_dir, "lineitem")
-    ps = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = ps.alias("a"), ps.alias("b")
     # the co-purchase relation is symmetric: build only the a<b half
     # (halves the join output and the distinct shuffle) and mirror it —
     # the two direction sets are disjoint, so no second dedup is needed
-    half = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .distinct()
-        # cut lineage before the symmetric union — its two branches would
-        # otherwise each re-run the dedup aggregate (the CC edge-list rule)
-        .localCheckpoint()
-    )
+    half = _copurchase_halfw(spark, sf_dir).select("src", "dst")
     edges = half.unionByName(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     pr = pagerank_units(
-        edges, iters=3, checkpoint_edges=False, symmetric=True
+        edges, iters=3, checkpoint_edges=False, symmetric=True,
+        unit=_PR_GATE_UNIT,
     )
     wb = Window.partitionBy(
         F.pmod(F.xxhash64(F.col("node")), F.lit(8))
@@ -572,7 +614,9 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("node").alias("part_key"),
             "pr_units",
             F.round(
-                F.col("pr_units").cast("double") / F.lit(1e12), 6
+                F.col("pr_units").cast("double")
+                / F.lit(float(_PR_GATE_UNIT)),
+                6,
             ).alias("pr"),
             "rank",
         )

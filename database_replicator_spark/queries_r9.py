@@ -71,15 +71,18 @@ def _ppr_iter_sql(prev: str, name: str) -> str:
     )"""
 
 
-def _wpr_iter_sql(prev: str, name: str) -> str:
+def _wpr_iter_sql(prev: str, name: str, unit: int = 10**9) -> str:
     """One unrolled WEIGHTED-PageRank iteration: mass splits
     proportionally to edge weight, (r·w) // Σw — integer multiply before
     the floor division, mirroring operators/graph.pagerank_units'
-    weight_col form."""
+    weight_col form. ``unit`` defaults to the global-gate unit
+    (queries_r8._PR_GATE_UNIT = 10⁹): global mass support means the
+    overflow bound scales with the whole node set (ADVICE r9)."""
+    teleport = (100 - 85) * unit // 100
     return f"""
     {name} AS (
       SELECT n.node,
-             CAST(CAST(150000000000 AS BIGINT)
+             CAST(CAST({teleport} AS BIGINT)
                   + (85 * COALESCE(
                         CAST(SUM((r.pr_units * e.w) // dg.wdeg) AS BIGINT),
                         0)) // 100
@@ -131,26 +134,16 @@ def part_copurchase_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact-table-sized and a driver-side isin list would not fit. Teleport
     AND init mass go to seeds only; all arithmetic stays the integer
     fixed-point recurrence the oracle unrolls (seed-conditional teleport
-    via an isseed flag on the node relation)."""
+    via an isseed flag on the node relation). The default unit 10¹²
+    stays: the overflow bound scales with the SEED-set mass support
+    (|brand parts| ≈ n_parts/25), not the graph, so the guard holds to
+    sf ≈ 25 here without the global gates' lowered unit. Edge build
+    shared via the per-session memo (queries_r8._copurchase_halfw)."""
     from .operators.graph import pagerank_units
+    from .queries_r8 import _copurchase_halfw
 
-    li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    ps = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = ps.alias("a"), ps.alias("b")
-    half = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .distinct()
-        .localCheckpoint()
-    )
+    half = _copurchase_halfw(spark, sf_dir).select("src", "dst")
     edges = half.unionByName(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -186,13 +179,13 @@ def part_copurchase_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_COPURCHASE_CTES},
     nodes AS (SELECT s AS node FROM deg),
-    r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS pr_units
+    r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr_units
            FROM nodes),
     {_wpr_iter_sql('r0', 'it1')},
     {_wpr_iter_sql('it1', 'it2')},
     {_wpr_iter_sql('it2', 'it3')}
     SELECT node AS part_key, pr_units,
-           ROUND(CAST(pr_units AS DOUBLE) / 1000000000000.0, 6) AS pr,
+           ROUND(CAST(pr_units AS DOUBLE) / 1000000000.0, 6) AS pr,
            rank
     FROM (
       SELECT node, pr_units,
@@ -213,31 +206,17 @@ def part_copurchase_pagerank_weighted(
     Integer contract extends cleanly: mass out of u splits as
     (r(u)·w_e) div Σw — multiply before the floor division (the oracle
     replays the identical expression). Weights are shared-order counts
-    (single digits here), leaving int64 headroom at the default unit;
-    the operator docstring states the w_max rule for heavier graphs.
-    Because the pair relation is already distinct per (order, pair), the
-    weight aggregate is a plain count on the existing edge build — no
-    extra shuffle vs the unweighted gate."""
+    (single digits here); ``unit`` is the global-gate 10⁹
+    (queries_r8._PR_GATE_UNIT) so the operator's worst-case overflow
+    bound max(85, w_max)·n·unit holds to ~10⁸ nodes instead of tripping
+    at sf ≈ 0.55 (ADVICE r9). Because the pair relation is already
+    distinct per (order, pair), the weight aggregate is a plain count
+    on the shared memoized edge build (queries_r8._copurchase_halfw) —
+    no extra shuffle vs the unweighted gate."""
     from .operators.graph import pagerank_units
+    from .queries_r8 import _PR_GATE_UNIT, _copurchase_halfw
 
-    li = load_table(spark, sf_dir, "lineitem")
-    ps = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = ps.alias("a"), ps.alias("b")
-    # join rows are unique per (order, src, dst) since ps is distinct —
-    # the count per (src, dst) IS the shared-order weight
-    halfw = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-        .localCheckpoint()
-    )
+    halfw = _copurchase_halfw(spark, sf_dir)
     edges = halfw.unionByName(
         halfw.select(
             F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
@@ -245,7 +224,7 @@ def part_copurchase_pagerank_weighted(
     )
     pr = pagerank_units(
         edges, iters=3, checkpoint_edges=False, symmetric=True,
-        weight_col="w",
+        weight_col="w", unit=_PR_GATE_UNIT,
     )
     wb = Window.partitionBy(
         F.pmod(F.xxhash64(F.col("node")), F.lit(8))
@@ -261,7 +240,7 @@ def part_copurchase_pagerank_weighted(
             F.col("node").alias("part_key"),
             "pr_units",
             F.round(
-                F.col("pr_units").cast("double") / F.lit(1e12), 6
+                F.col("pr_units").cast("double") / F.lit(1e9), 6
             ).alias("pr"),
             "rank",
         )
@@ -350,7 +329,11 @@ def supplier_customer_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: TF-IDF oracle CTEs: full-vocabulary df (every doc term feeds the
 #: norm), per-(doc, term) weight fixed-pointed at 10³ (the scale cancels
-#: in the cosine ratio), integer norms and match sums
+#: in the cosine ratio), integer norms and match sums. The HAVING > 0
+#: guards mirror the engine's zero-norm drops (retrieval.py dn2/qn2
+#: filters): an all-universal-term doc or query has norm 0, and without
+#: the guard the oracle would emit NaN-scored rows the engine never
+#: produces (ADVICE r9).
 _TFIDF_CTES = """
     dfall AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
               FROM tf GROUP BY term),
@@ -363,7 +346,8 @@ _TFIDF_CTES = """
       FROM tf JOIN dfall d ON d.term = tf.term CROSS JOIN stats s
     ),
     dnorm AS (SELECT doc_id, CAST(SUM(wu * wu) AS BIGINT) AS dn2
-              FROM wts GROUP BY doc_id),
+              FROM wts GROUP BY doc_id
+              HAVING CAST(SUM(wu * wu) AS BIGINT) > 0),
     qw AS (
       SELECT q.query_id, q.term,
              CAST(FLOOR(LN(CAST(s.n_docs AS DOUBLE)
@@ -372,7 +356,8 @@ _TFIDF_CTES = """
       FROM q JOIN dfall d ON d.term = q.term CROSS JOIN stats s
     ),
     qnorm AS (SELECT query_id, CAST(SUM(qu * qu) AS BIGINT) AS qn2
-              FROM qw GROUP BY query_id),
+              FROM qw GROUP BY query_id
+              HAVING CAST(SUM(qu * qu) AS BIGINT) > 0),
     matches AS (
       SELECT w.query_id, t.doc_id, CAST(SUM(t.wu * w.qu) AS BIGINT)
                AS match_units

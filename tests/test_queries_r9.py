@@ -159,6 +159,34 @@ class TestPagerankR9:
         with pytest.raises(ValueError, match="w_max"):
             pagerank_units(df, iters=1, unit=unit, weight_col="w")
 
+    def test_weight_guard_rejects_nonpositive_weights(self, spark):
+        """ADVICE r10: a w <= 0 edge (or a node whose Σw = 0) makes
+        Spark's non-ANSI integer div return NULL — mass silently
+        dropped — where the DuckDB oracle's // raises. The guard must
+        name the divergence instead of letting the engines split."""
+        from database_replicator_spark.operators.graph import pagerank_units
+
+        for bad_w in (0, -3):
+            df = spark.createDataFrame(
+                [(1, 2, bad_w), (2, 1, 4)], "src long, dst long, w long"
+            )
+            with pytest.raises(ValueError, match="min weight"):
+                pagerank_units(df, iters=1, weight_col="w")
+        # all-positive weights still pass the same scan
+        ok = spark.createDataFrame(
+            [(1, 2, 1), (2, 1, 4)], "src long, dst long, w long"
+        )
+        assert pagerank_units(ok, iters=1, weight_col="w").count() == 2
+        # check_overflow=False skips both guards at plan time (the
+        # documented escape hatch): the call returns a DataFrame, and
+        # the divide-by-zero then surfaces per session config at RUN
+        # time (ANSI: engine exception; non-ANSI: silent NULL mass) —
+        # exactly the undiagnosed split the default-on guard pre-empts
+        df0 = spark.createDataFrame(
+            [(1, 2, 0), (2, 1, 4)], "src long, dst long, w long"
+        )
+        pagerank_units(df0, iters=1, weight_col="w", check_overflow=False)
+
     def test_high_iters_lineage_cut(self, spark):
         """iters=20 with the default checkpoint_every=5 must (a) finish
         without superlinear analysis blowup and (b) equal a plain-Python
