@@ -1,0 +1,344 @@
+"""Mergeable quantile sketch (KLL family — Karnin, Lang & Liberty,
+"Optimal Quantile Approximation in Streams", FOCS 2016).
+
+Completes the mergeable-state story that KMV/CMS/Bloom/MG (sketch.py)
+started: percentiles were the one profile/verify aggregate still answered
+by a hash-Bernoulli *sample* (unbounded state at a fixed rate, error tied
+to the sample size, not a tunable rank bound). The KLL sketch stores
+O(k·log(n/k)) integers per group, answers any quantile with additive rank
+error O(n/k), and MERGES — `profile_table`-style percentiles over 100 TB
+become per-partition partial sketches + one k-bounded-state groupBy, with
+no global sort and no raw-value shuffle (the same plan shape as
+:func:`sketch.kmv_sketch`).
+
+Determinism (house rules, queries.py):
+
+  * **No RNG.** The classic KLL flips a coin per compaction to pick the
+    even- or odd-indexed survivors; here the bit is derived from md5 of
+    the compacted buffer's content (level, length, endpoints) — a pure
+    function of the data, reproducible across runs, processes, and
+    PYTHONHASHSEED settings.
+  * **Exact small-n regime.** While a group's item count stays within the
+    sketch capacity no compaction fires, the sketch holds every value,
+    and quantile extraction (rank = ceil(q·n), integer arithmetic) is
+    EXACTLY the order statistic — so the oracle gate compares against
+    DuckDB's exact rank-select and must hash-match at every sweep scale
+    that respects the documented capacity bound. The compacting regime's
+    rank-error bound is pinned by property tests, not the oracle.
+  * **Order-canonical distributed merge.** Compaction history depends on
+    arrival order, and Spark's partition/collect order is
+    nondeterministic — so every multi-sketch merge point first sorts the
+    partial states by their serialized content and folds left. Identical
+    input multiset + identical partitioning → identical sketch bytes.
+
+Reference parity: the reference engine keeps only exact MIN/MAX/COUNT
+verify aggregates (src/verify.rs); percentile profiling at replica scale
+is an extension, same tier as sketch.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "kll_new",
+    "kll_update",
+    "kll_merge_states",
+    "kll_quantile",
+    "kll_rank_bound",
+    "kll_sketch",
+    "merge_kll",
+    "kll_quantile_values",
+]
+
+#: Geometric capacity decay for lower levels (the paper's c = 2/3).
+_DECAY = 2.0 / 3.0
+#: Minimum per-level buffer capacity.
+_MIN_CAP = 2
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python core: state is a plain dict {"n": int, "levels": [[int,...]]}
+# with level i holding a SORTED list of items of weight 2^i. Kept free of
+# Spark imports at call time so property tests drive it directly.
+# ---------------------------------------------------------------------------
+
+def kll_new() -> dict:
+    """Fresh empty sketch state."""
+    return {"n": 0, "levels": [[]]}
+
+
+def _cap(k: int, level: int, num_levels: int) -> int:
+    """Capacity of ``level`` when the sketch currently has ``num_levels``
+    levels: k for the top, decaying by 2/3 per level below, floor 2."""
+    depth = num_levels - 1 - level
+    return max(_MIN_CAP, int(k * (_DECAY ** depth)) if depth else k)
+
+
+def _parity(level: int, buf: list) -> int:
+    """Deterministic survivor parity for one compaction: md5 of the
+    buffer's (level, length, endpoints) — content-derived, no RNG."""
+    seed = f"kll:{level}:{len(buf)}:{buf[0]}:{buf[-1]}".encode()
+    return hashlib.md5(seed).digest()[0] & 1
+
+
+def _total(levels: list) -> int:
+    return sum(len(b) for b in levels)
+
+
+def _budget(k: int, num_levels: int) -> int:
+    return sum(_cap(k, i, num_levels) for i in range(num_levels))
+
+
+def _compress(state: dict, k: int) -> None:
+    """Compact lowest-first until every retained count fits the budget.
+
+    One compaction: sort the level buffer, peel one leftover if the
+    length is odd (weight conservation is exact — the leftover keeps its
+    level), promote the even- or odd-indexed half (parity bit) to the
+    next level with doubled weight."""
+    levels = state["levels"]
+    while _total(levels) > _budget(k, len(levels)):
+        for i, buf in enumerate(levels):
+            if len(buf) <= _cap(k, i, len(levels)):
+                continue
+            buf.sort()
+            parity = _parity(i, buf)
+            leftover = None
+            if len(buf) % 2:
+                leftover = buf.pop() if parity else buf.pop(0)
+            promoted = buf[parity::2]
+            levels[i] = [leftover] if leftover is not None else []
+            if i + 1 == len(levels):
+                levels.append([])
+            merged = levels[i + 1] + promoted
+            merged.sort()
+            levels[i + 1] = merged
+            break
+        else:  # every level within cap; growing levels raised the budget
+            break
+
+
+def kll_update(state: dict, items: Sequence[int], k: int) -> dict:
+    """Fold a batch of int items into the sketch (in place; returned for
+    chaining)."""
+    state["levels"][0].extend(int(x) for x in items)
+    state["levels"][0].sort()
+    state["n"] += len(items)
+    _compress(state, k)
+    return state
+
+
+def kll_merge_states(a: dict, b: dict, k: int) -> dict:
+    """Merge two sketch states: levelwise sorted-list concat, then the
+    same deterministic compression. In the exact regime (neither input
+    ever compacted and the union fits the budget) the result is
+    bit-identical to a single-pass build — property-tested."""
+    n_levels = max(len(a["levels"]), len(b["levels"]))
+    levels = []
+    for i in range(n_levels):
+        la = a["levels"][i] if i < len(a["levels"]) else []
+        lb = b["levels"][i] if i < len(b["levels"]) else []
+        merged = list(la) + list(lb)
+        merged.sort()
+        levels.append(merged)
+    out = {"n": a["n"] + b["n"], "levels": levels}
+    _compress(out, k)
+    return out
+
+
+def _weighted_items(state: dict) -> list[tuple[int, int]]:
+    pairs = [
+        (item, 1 << lvl)
+        for lvl, buf in enumerate(state["levels"])
+        for item in buf
+    ]
+    pairs.sort(key=lambda p: p[0])
+    return pairs
+
+
+def kll_quantile(state: dict, p_num: int, p_den: int = 100) -> int | None:
+    """Value at rank ceil(p·n) (1-indexed, integer arithmetic — no float
+    q·n, whose representation error flips ranks at exact multiples):
+    smallest item whose cumulative weight reaches the rank. Exact order
+    statistic when no compaction has fired."""
+    n = state["n"]
+    if n == 0:
+        return None
+    rank = (p_num * n + p_den - 1) // p_den
+    rank = max(1, min(rank, n))
+    cum = 0
+    for item, w in _weighted_items(state):
+        cum += w
+        if cum >= rank:
+            return item
+    return _weighted_items(state)[-1][0]  # weight drift safety; unreachable
+
+
+def kll_rank_bound(state: dict, k: int) -> int:
+    """Deterministic worst-case additive rank error of this state: each
+    compaction at level ℓ shifts any rank by at most 2^ℓ, and level ℓ
+    performed at most n / (2^(ℓ+1)·cap(ℓ)) compactions — summed over
+    levels. Zero when nothing compacted (the exact regime). The tests
+    assert observed error ≤ this bound on adversarial inputs."""
+    n, levels = state["n"], state["levels"]
+    if len(levels) == 1:
+        return 0
+    bound = 0
+    for lvl in range(len(levels) - 1):
+        cap = _cap(k, lvl, len(levels))
+        compactions = n // max(1, (1 << (lvl + 1)) * (cap // 2 or 1))
+        bound += (1 << lvl) * compactions
+    return bound
+
+
+# ---------------------------------------------------------------------------
+# Spark plumbing: per-group sketches as (group…, kll_n, kll_levels) rows.
+# ---------------------------------------------------------------------------
+
+_STATE_COLS = ["kll_n", "kll_levels"]
+
+# The worker-side closures below fold with the module-level core
+# (kll_update / kll_merge_states) instead of inlining copies; the house
+# rule that closures must survive a driver process whose sys.path does
+# NOT include the repo (the round driver's vanilla session probed from
+# an arbitrary cwd) is kept by registering this module for BY-VALUE
+# cloudpickle serialization — the function code ships inside the task,
+# no executor import of the package ever happens.
+def _register_by_value() -> None:
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+
+_register_by_value()
+
+
+def _state_to_row(state: dict) -> dict:
+    return {"kll_n": state["n"], "kll_levels": [list(b) for b in state["levels"]]}
+
+
+def _row_to_state(n, levels) -> dict:
+    return {"n": int(n), "levels": [list(map(int, b)) for b in levels]}
+
+
+def _sketch_schema(df: DataFrame, groups: list[str]) -> str:
+    return ", ".join(
+        [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in groups]
+        + ["kll_n bigint", "kll_levels array<array<bigint>>"]
+    )
+
+
+def _canonical_fold(rows: list[dict], k: int) -> dict:
+    """Sort partial states by serialized content, fold-merge left — the
+    order-canonicalization that makes the distributed build reproducible
+    despite Spark's nondeterministic collect order."""
+    rows = sorted(rows, key=lambda r: (r["n"], str(r["levels"])))
+    out = kll_new()
+    for r in rows:
+        out = kll_merge_states(out, r, k)
+    return out
+
+
+def kll_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 2048,
+) -> DataFrame:
+    """Per-group KLL sketch of an integer column: ``(group…, kll_n,
+    kll_levels)``. Partial sketches per Arrow batch (bounded memory:
+    O(k·log) ints per live group), then ONE groupBy whose rows are
+    k-bounded arrays — raw values are never shuffled."""
+    groups = list(group_cols)
+    src = df.select(*groups, F.col(value_col).cast("bigint").alias("_v"))
+    out_schema = _sketch_schema(src, groups)
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict[tuple, dict] = {}
+        for pdf in batches:
+            for key, sub in pdf.groupby(groups, sort=False):
+                key = key if isinstance(key, tuple) else (key,)
+                st = acc.setdefault(key, kll_new())
+                kll_update(st, sub["_v"].tolist(), k)
+        rows = [
+            {**dict(zip(groups, key)), **_state_to_row(st)}
+            for key, st in acc.items()
+        ]
+        yield pd.DataFrame(rows, columns=[*groups, *_STATE_COLS])
+
+    part = src.mapInPandas(partials, out_schema)
+    return _combine_kll(part, groups, k, out_schema)
+
+
+def _combine_kll(
+    part: DataFrame, groups: list[str], k: int, out_schema: str
+) -> DataFrame:
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        states = [
+            _row_to_state(n, lv)
+            for n, lv in zip(pdf["kll_n"], pdf["kll_levels"])
+        ]
+        merged = _canonical_fold(states, k)
+        head = pdf.iloc[[0]][groups].reset_index(drop=True)
+        row = _state_to_row(merged)
+        head["kll_n"] = row["kll_n"]
+        head["kll_levels"] = [row["kll_levels"]]
+        return head
+
+    return part.groupBy(*groups).applyInPandas(merge_group, out_schema)
+
+
+def merge_kll(
+    sketches: Sequence[DataFrame], group_cols: Sequence[str], k: int = 2048
+) -> DataFrame:
+    """Merge stored sketches (base + deltas, IVM-style): union, one
+    groupBy, canonical fold. Slice boundaries never change the exact-
+    regime result; in the compacting regime the result is deterministic
+    for a given slicing and within the property-tested rank bound."""
+    groups = list(group_cols)
+    unioned = sketches[0]
+    for s in sketches[1:]:
+        unioned = unioned.unionByName(s)
+    schema = ", ".join(
+        [f"`{c}` {unioned.schema[c].dataType.simpleString()}" for c in groups]
+        + ["kll_n bigint", "kll_levels array<array<bigint>>"]
+    )
+    return _combine_kll(unioned, groups, k, schema)
+
+
+def kll_quantile_values(
+    sketch: DataFrame, percents: Sequence[int]
+) -> DataFrame:
+    """Extract ``p{P}`` columns (value at rank ceil(P·n/100)) plus ``n``
+    from a sketch relation. Runs per-row over k-bounded state — no
+    shuffle at all."""
+    pct = [int(p) for p in percents]
+    groups = [c for c in sketch.columns if c not in _STATE_COLS]
+    out_schema = ", ".join(
+        [f"`{c}` {sketch.schema[c].dataType.simpleString()}" for c in groups]
+        + ["n bigint"]
+        + [f"p{p} bigint" for p in pct]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[groups].copy()
+            states = [
+                _row_to_state(n, lv)
+                for n, lv in zip(pdf["kll_n"], pdf["kll_levels"])
+            ]
+            out["n"] = [st["n"] for st in states]
+            for p in pct:
+                out[f"p{p}"] = [kll_quantile(st, p) for st in states]
+            yield out
+
+    return sketch.mapInPandas(extract, out_schema)

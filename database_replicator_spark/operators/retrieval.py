@@ -805,3 +805,117 @@ def rrf_fuse(
             "query_id", "doc_id", "lex_rank", "dense_rank", "rrf_score", "rank"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Positional proximity: minimal-window phrase evidence (round 10).
+# ---------------------------------------------------------------------------
+
+def doc_positions(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """(doc_id, pos, term) positional postings — :func:`doc_tokens` plus
+    the 0-based token position, same canonical tokenizer, so positional
+    evidence composes with the bag-of-words index (tf/df agree)."""
+    from .textops import normalize_text_expr
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.split(
+                normalize_text_expr(F.coalesce(F.col(text_col), F.lit(""))),
+                " ",
+            )
+        ).alias("pos", "term"),
+    )
+
+
+def phrase_window_topk(
+    docs: DataFrame,
+    query_pairs: DataFrame,
+    k: int = 10,
+    window: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Top-k documents per 2-term phrase query by position-aware
+    evidence: ordered-adjacency hits, unordered co-occurrences inside a
+    ``window``-token span, and the minimal span — the three proximity
+    channels of Metzler & Croft's sequential dependence model (SIGIR'05)
+    with Clarke et al. (2000) minimal-window cover, combined on an
+    INTEGER scale (house fixed-point contract; no logs, no doubles):
+
+        score_units = 10000·ordered + 1000·within_window + 100·(window − min_gap)
+
+    ``query_pairs`` is (query_id, term_a, term_b). Only documents with at
+    least one within-window co-occurrence are scored — the bag-of-words
+    fallback channel is the existing rankers' job (compose via
+    :func:`rrf_fuse_n` for the full SDM-shaped blend); verbatim-quote
+    contamination checks read ``ordered_hits`` directly.
+
+    Plan shape: positional postings join the (broadcast) query-pair
+    relation term-keyed TWICE (the a-side and b-side posting lists), then
+    pair up per (query, doc) under the ``|pb − pa| < window`` predicate —
+    work is Σ tf_a·tf_b per matched doc *bounded by the window*, the
+    standard positional-intersection cost, never a token cross product.
+    The per-(query,doc) aggregate and the per-query top-k window are the
+    only shuffles past the posting build."""
+    positions = doc_positions(docs, id_col, text_col)
+    pairs = query_pairs.select(
+        "query_id",
+        F.col("term_a").cast("string").alias("term_a"),
+        F.col("term_b").cast("string").alias("term_b"),
+    )
+    qp = _maybe_bcast(pairs, broadcast_queries)
+    a = positions.join(qp, positions["term"] == qp["term_a"]).select(
+        "query_id", "doc_id", F.col("pos").alias("pa")
+    )
+    # Distinct column names on the b side: a and b share the qp lineage,
+    # so joining on a["query_id"] == b["query_id"] resolves BOTH sides to
+    # one attribute (Spark's trivially-true-predicate trap) — which would
+    # silently pair term_a postings of one query with term_b postings of
+    # every other.
+    b = positions.join(qp, positions["term"] == qp["term_b"]).select(
+        F.col("query_id").alias("qid_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("pos").alias("pb"),
+    )
+    gap = F.abs(F.col("pb") - F.col("pa"))
+    co = a.join(
+        b,
+        (F.col("query_id") == F.col("qid_b"))
+        & (F.col("doc_id") == F.col("doc_b"))
+        & (gap >= 1)
+        & (gap < window),
+    ).select("query_id", "doc_id", "pa", "pb")
+    per_doc = co.groupBy("query_id", "doc_id").agg(
+        F.sum(
+            F.when(F.col("pb") == F.col("pa") + 1, F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("ordered_hits"),
+        F.count(F.lit(1)).cast("bigint").alias("window_hits"),
+        F.min(F.abs(F.col("pb") - F.col("pa"))).cast("bigint").alias("min_gap"),
+    )
+    score = (
+        F.lit(10_000) * F.col("ordered_hits")
+        + F.lit(1_000) * F.col("window_hits")
+        + F.lit(100) * (F.lit(window) - F.col("min_gap"))
+    ).cast("bigint")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_units").desc(), F.col("doc_id").asc()
+    )
+    return (
+        per_doc.withColumn("score_units", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            "ordered_hits",
+            "window_hits",
+            "min_gap",
+            "score_units",
+            "rank",
+        )
+    )

@@ -1,0 +1,172 @@
+"""Round-10 query-surface additions.
+
+The sketch tier gains a mergeable quantile sketch (KLL family,
+Karnin-Lang-Liberty FOCS'16 — operators/kll.py) so percentile profiling
+joins KMV/CMS/Bloom/MG in the storable-mergeable-state story, and the
+retrieval tier gains position-aware evidence (minimal phrase windows
+over positional postings) for verbatim-quote contamination checks.
+
+Determinism follows the house rules (queries.py): integer arithmetic for
+ranks and fixed-point scores, identical aliases both sides, id
+tiebreaks. Reference provenance: the reference engine (a replication
+engine) has no sketch/retrieval surface — these are LLM-pipeline
+extensions the build mandate grades as first-class; algorithms are the
+published ones (Karnin et al. 2016; positional postings / minimal-window
+proximity per Clarke et al. 2000 and Metzler & Croft 2005).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import query
+from .sources.catalog import load_table
+
+
+# ---------------------------------------------------------------------------
+# orders_kll_quantiles — per-(order month, priority) price percentiles
+# via the mergeable KLL sketch.
+#
+# Gate contract: the (month × priority) grain holds ~375 rows/group at
+# sf0.1 and grows linearly with SF, so with k=16384 the sketch stays in
+# its EXACT regime (no compaction → quantile == order statistic) through
+# roughly sf4 — far past every driver/sweep scale (max sf0.1), with the
+# bound stated here rather than discovered at a larger SF (the r9 ADVICE
+# failure mode). The compacting regime's rank-error bound is pinned by
+# tests/test_kll.py on adversarial inputs, not by this oracle.
+# ---------------------------------------------------------------------------
+
+_KLL_K = 16384
+
+
+@query(
+    "orders_kll_quantiles",
+    oracle="""
+    WITH v AS (
+      SELECT date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS o_month,
+             o_orderpriority,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+    ),
+    r AS (
+      SELECT o_month, o_orderpriority, cents,
+             ROW_NUMBER() OVER (PARTITION BY o_month, o_orderpriority
+                                ORDER BY cents) AS rn,
+             COUNT(*) OVER (PARTITION BY o_month, o_orderpriority) AS n
+      FROM v
+    )
+    SELECT o_month, o_orderpriority,
+           CAST(MAX(n) AS BIGINT) AS n,
+           MAX(CASE WHEN rn = (50 * n + 99) // 100 THEN cents END) AS p50,
+           MAX(CASE WHEN rn = (90 * n + 99) // 100 THEN cents END) AS p90,
+           MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN cents END) AS p99
+    FROM r
+    GROUP BY o_month, o_orderpriority
+    ORDER BY o_month, o_orderpriority
+    """,
+)
+def orders_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of o_totalprice (integer cents) per order month ×
+    priority, computed through the full distributed sketch path:
+    per-Arrow-batch partial KLL states → one k-bounded groupBy merge →
+    per-row quantile extraction. Rank = ceil(p·n/100) in integer
+    arithmetic on BOTH sides (float p·n flips ranks at exact multiples:
+    0.99*100 = 99.00000000000001)."""
+    from .operators.kll import kll_quantile_values, kll_sketch
+
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.select(
+        F.date_trunc("month", F.col("o_orderdate")).alias("o_month"),
+        "o_orderpriority",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    sk = kll_sketch(v, ["o_month", "o_orderpriority"], "cents", k=_KLL_K)
+    return kll_quantile_values(sk, [50, 90, 99]).orderBy(
+        "o_month", "o_orderpriority"
+    )
+
+
+# ---------------------------------------------------------------------------
+# doc_phrase_window_topk — position-aware proximity retrieval (minimal
+# window + ordered adjacency, integer scoring; operators/retrieval.py
+# phrase_window_topk). Completes the bag-of-words ranker family with the
+# positional channel verbatim-quote contamination checks need.
+# ---------------------------------------------------------------------------
+
+#: 2-term phrase workload over the synthetic corpus vocabulary — pairs
+#: chosen so ordered, unordered-window, and absent evidence all occur.
+_PHRASE_QUERIES = [
+    (1, "hash", "join"),
+    (2, "table", "scan"),
+    (3, "sort", "merge"),
+    (4, "window", "agg"),
+    (5, "stream", "batch"),
+]
+
+_PHRASE_W = 8
+_PHRASE_K = 10
+
+
+@query(
+    "doc_phrase_window_topk",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id,
+             generate_subscripts(toks, 1) - 1 AS pos,
+             unnest(toks) AS term
+      FROM (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(COALESCE(text, '')),
+                                                '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+      )
+    ),
+    q(query_id, term_a, term_b) AS (
+      VALUES {", ".join(f"({i}, '{a}', '{b}')" for i, a, b in _PHRASE_QUERIES)}
+    ),
+    co AS (
+      SELECT CAST(q.query_id AS BIGINT) AS query_id, a.doc_id,
+             a.pos AS pa, b.pos AS pb
+      FROM q
+      JOIN p a ON a.term = q.term_a
+      JOIN p b ON b.term = q.term_b AND b.doc_id = a.doc_id
+      WHERE ABS(b.pos - a.pos) BETWEEN 1 AND {_PHRASE_W - 1}
+    ),
+    per AS (
+      SELECT query_id, doc_id,
+             CAST(SUM(CASE WHEN pb = pa + 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS ordered_hits,
+             CAST(COUNT(*) AS BIGINT) AS window_hits,
+             CAST(MIN(ABS(pb - pa)) AS BIGINT) AS min_gap
+      FROM co GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, ordered_hits, window_hits, min_gap,
+           score_units, rank
+    FROM (
+      SELECT *,
+             CAST(10000 * ordered_hits + 1000 * window_hits
+                  + 100 * ({_PHRASE_W} - min_gap) AS BIGINT) AS score_units,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY 10000 * ordered_hits + 1000 * window_hits
+                        + 100 * ({_PHRASE_W} - min_gap) DESC,
+                        doc_id ASC) AS rank
+      FROM per
+    ) WHERE rank <= {_PHRASE_K}
+    """,
+)
+def doc_phrase_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents per 2-term phrase by the integer proximity score
+    (ordered-adjacency / within-8-window counts + minimal-gap bonus) —
+    the positional-postings channel over the same canonical tokenizer as
+    the bag-of-words rankers."""
+    from .operators.retrieval import phrase_window_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = spark.createDataFrame(
+        _PHRASE_QUERIES, "query_id long, term_a string, term_b string"
+    )
+    return phrase_window_topk(docs, pairs, k=_PHRASE_K, window=_PHRASE_W)
