@@ -79,6 +79,17 @@ def fake_decode(payload: bytes, dim: int = 8) -> list[float]:
     ]
 
 
+def byte_decode(payload: bytes) -> list[float]:
+    """Structural decode stand-in: payload bytes ARE the pixel grid (one
+    grayscale byte per feature). Unlike :func:`fake_decode` (md5 chain —
+    any byte change rerolls every feature), this preserves LOCALITY:
+    payloads differing in one byte decode to features differing in one
+    position, so perceptual-hash near-dup behavior is actually exercised
+    — and an engine without a decoder can reproduce every feature from
+    the bytes (the multimodal_phash_dedup oracle does, via ord())."""
+    return [float(b) for b in payload]
+
+
 def extract_features(
     media: DataFrame,
     decoder: Callable[[bytes], list[float]] | None = None,
@@ -320,6 +331,7 @@ def phash_pairs(
     n_bands: int = 4,
     id_col: str = "id",
     hash_col: str = "phash",
+    max_bucket_size: int | None = 50,
 ) -> DataFrame:
     """Near-duplicate media pairs by hamming distance over the perceptual
     hashes: split each hash into ``n_bands`` bit-bands and join on band
@@ -327,7 +339,9 @@ def phash_pairs(
     higher ``max_hamming`` keeps recall high but not certain — the same
     trade as text simhash banding, dedup.py), then verify the exact
     ``bit_count(xor)`` distance. The band id is the only shuffle key.
-    Returns (id1, id2, hamming), id1 < id2.
+    Returns (id1, id2, hamming), id1 < id2. ``max_bucket_size`` bounds
+    degenerate buckets exactly like dedup.lsh_candidate_pairs (drop
+    buckets above the cap — see the inline comment); ``None`` disables.
 
     ``dim`` must divide evenly into ``n_bands``: with ``width = dim //
     n_bands`` the top ``dim % n_bands`` bits would fall outside every
@@ -358,6 +372,21 @@ def phash_pairs(
             ])
         ).alias("bb"),
     ).select("_id", "_h", F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits"))
+    if max_bucket_size is not None:
+        # Hot-bucket guard, same contract as dedup.lsh_candidate_pairs:
+        # a corpus of identical media (one phash) puts every item in one
+        # bucket per band → that bucket alone is O(n²). Buckets larger
+        # than the cap are dropped ENTIRELY — deterministic, mirrored by
+        # the gate oracle (HAVING COUNT(*) <= cap), and safe in a tiered
+        # pipeline because byte-identical media is what the cheaper
+        # exact-fingerprint tier already collapsed.
+        small = (
+            bands.groupBy("band", "bits")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .select("band", "bits")
+        )
+        bands = bands.join(small, on=["band", "bits"], how="left_semi")
     cand = (
         bands.alias("a")
         .join(

@@ -170,3 +170,118 @@ def doc_phrase_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PHRASE_QUERIES, "query_id long, term_a string, term_b string"
     )
     return phrase_window_topk(docs, pairs, k=_PHRASE_K, window=_PHRASE_W)
+
+
+# ---------------------------------------------------------------------------
+# multimodal_phash_dedup — image near-dup over the perceptual-hash tier
+# (operators/multimodal.py media_phash + phash_pairs with the hot-bucket
+# guard). Synthetic byte-pattern images: each document's normalized text
+# (48-byte window) is the pixel grid, plus a one-byte-perturbed variant,
+# so genuine near-duplicates exist by construction; the byte_decode
+# stand-in preserves locality, and the DuckDB oracle reproduces the SAME
+# integer pipeline (ord() pixels → mean threshold → bit pack → 12-bit
+# band join with the bucket cap → bit_count hamming).
+# ---------------------------------------------------------------------------
+
+_PHASH_DIM = 48
+_PHASH_BANDS = 4
+_PHASH_MAXHAM = 6
+_PHASH_CAP = 50
+
+
+@query(
+    "multimodal_phash_dedup",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             rpad(substr(trim(regexp_replace(lower(COALESCE(text, '')),
+                                             '\\s+', ' ', 'g')), 1, {_PHASH_DIM}),
+                  {_PHASH_DIM}, 'x') AS s
+      FROM documents
+    ),
+    items AS (
+      SELECT doc_id * 2 AS id, s FROM base
+      UNION ALL
+      SELECT doc_id * 2 + 1 AS id,
+             substr(s, 1, 5) || '#' || substr(s, 7) AS s
+      FROM base
+    ),
+    feats AS (
+      SELECT id, [ord(substr(s, i, 1)) FOR i IN range(1, {_PHASH_DIM + 1})] AS f
+      FROM items
+    ),
+    hashed AS (
+      SELECT id,
+             CAST(list_sum(
+               [CASE WHEN f[i] > list_avg(f)
+                     THEN CAST(POWER(2, i - 1) AS BIGINT)
+                     ELSE 0 END FOR i IN range(1, {_PHASH_DIM + 1})]
+             ) AS BIGINT) AS h
+      FROM feats
+    ),
+    bands AS (
+      SELECT id, h, b.band,
+             (h >> (b.band * {_PHASH_DIM // _PHASH_BANDS}))
+               & {(1 << (_PHASH_DIM // _PHASH_BANDS)) - 1} AS bits
+      FROM hashed, (VALUES (0), (1), (2), (3)) b(band)
+    ),
+    small AS (
+      SELECT band, bits FROM bands
+      GROUP BY band, bits HAVING COUNT(*) <= {_PHASH_CAP}
+    ),
+    kept AS (SELECT bands.* FROM bands JOIN small USING (band, bits)),
+    cand AS (
+      SELECT DISTINCT a.id AS id1, b.id AS id2, a.h AS h1, b.h AS h2
+      FROM kept a JOIN kept b
+        ON a.band = b.band AND a.bits = b.bits AND a.id < b.id
+    )
+    SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(h1, h2)) <= {_PHASH_MAXHAM}
+    """,
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate media pairs (id1 < id2, hamming ≤ 6) over the
+    perceptual-hash pipeline, bucket cap ON — the full dedup path the
+    image tier shares with text simhash, driven end-to-end through the
+    Arrow decode stage."""
+    from .operators.multimodal import (
+        byte_decode,
+        media_phash,
+        media_table,
+        phash_pairs,
+    )
+    from .operators.textops import normalize_text_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.rpad(
+            F.substring(normalize_text_expr(F.coalesce(F.col("text"), F.lit(""))), 1, _PHASH_DIM),
+            _PHASH_DIM,
+            "x",
+        ).alias("s"),
+    )
+    orig = base.select(
+        (F.col("doc_id") * 2).alias("id"), F.col("s")
+    )
+    pert = base.select(
+        (F.col("doc_id") * 2 + 1).alias("id"),
+        F.concat(
+            F.substring(F.col("s"), 1, 5),
+            F.lit("#"),
+            F.substring(F.col("s"), 7, _PHASH_DIM - 6),
+        ).alias("s"),
+    )
+    items = orig.unionByName(pert).withColumn(
+        "payload", F.encode(F.col("s"), "UTF-8")
+    )
+    media = media_table(items, "id", "payload", "image/x-gray8")
+    hashes = media_phash(media, decoder=byte_decode, dim=_PHASH_DIM)
+    return phash_pairs(
+        hashes,
+        max_hamming=_PHASH_MAXHAM,
+        dim=_PHASH_DIM,
+        n_bands=_PHASH_BANDS,
+        max_bucket_size=_PHASH_CAP,
+    )

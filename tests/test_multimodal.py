@@ -178,3 +178,87 @@ class TestMediaPhash:
         assert got[(1, 3)] == 2
         assert got[(2, 3)] == 3
         assert not any(4 in k for k in got)
+
+
+class TestPhashDedupTier:
+    """Round-10: the image near-dup tier — hot-bucket guard, locality of
+    byte_decode, and composition with the cluster/survivor machinery."""
+
+    def _hashes(self, spark, rows):
+        df = spark.createDataFrame(rows, "id long, phash long")
+        return df
+
+    def test_hot_bucket_guard_drops_degenerate_bucket(self, spark):
+        from database_replicator_spark.operators.multimodal import phash_pairs
+
+        # 30 identical hashes: every band bucket holds all 30 → with a
+        # cap of 10 ALL pairs vanish; two distinct near-dup ids outside
+        # the blob survive.
+        rows = [(i, 0xAAAAAAAAAAAA) for i in range(30)]
+        rows += [(100, 0x155555555555), (101, 0x155555555554)]  # hamming 1
+        df = self._hashes(spark, rows)
+        got = phash_pairs(df, max_hamming=6, max_bucket_size=10).collect()
+        assert [(r["id1"], r["id2"], r["hamming"]) for r in got] == [
+            (100, 101, 1)
+        ]
+        # cap off: the blob's 435 pairs come back
+        allp = phash_pairs(df, max_hamming=6, max_bucket_size=None).count()
+        assert allp == 30 * 29 // 2 + 1
+
+    def test_byte_decode_locality(self, spark):
+        """One perturbed byte moves the phash by a few bits, not ~dim/2 —
+        the property fake_decode (md5 chain) deliberately lacks."""
+        from database_replicator_spark.operators.multimodal import (
+            byte_decode,
+            fake_decode,
+            media_phash,
+            media_table,
+        )
+        from functools import partial
+
+        base = b"the quick brown fox jumps over the lazy dog pad!"  # 48B
+        pert = b"the q#ick brown fox jumps over the lazy dog pad!"
+        assert len(base) == len(pert) == 48
+        df = spark.createDataFrame(
+            [(1, base), (2, pert)], "id long, payload binary"
+        )
+        media = media_table(df, "id", "payload", "image/x-gray8")
+
+        def ham(decoder):
+            got = {
+                r["id"]: r["phash"]
+                for r in media_phash(media, decoder=decoder, dim=48).collect()
+            }
+            return bin(got[1] ^ got[2]).count("1")
+
+        assert ham(byte_decode) <= 6
+        assert ham(partial(fake_decode, dim=48)) > 10
+
+    def test_composes_with_cluster_survivor_machinery(self, spark):
+        """phash pairs → connected components → select_canonicals: the
+        image tier rides the same dedup backend as text."""
+        from database_replicator_spark.operators.corpus import (
+            connected_components,
+            select_canonicals,
+        )
+        from database_replicator_spark.operators.multimodal import phash_pairs
+
+        rows = [
+            (1, 0b1010101010101010),
+            (2, 0b1010101010101011),  # pairs with 1
+            (3, 0b1010101010101111),  # pairs with 2 (and 1 at ham 2)
+            (9, 0b0101010101010100),  # isolated
+        ]
+        df = self._hashes(spark, rows)
+        pairs = phash_pairs(df, max_hamming=2, dim=16, n_bands=4)
+        nodes = df.selectExpr("id as node")
+        labels = connected_components(
+            nodes, pairs, id_col="node", src_col="id1", dst_col="id2"
+        )
+        docs = df.selectExpr("id as doc_id")
+        canon = select_canonicals(labels, docs).collect()
+        assert {r["canonical_id"] for r in canon} == {1, 9}
+        assert {r["canonical_id"]: r["cluster_size"] for r in canon} == {
+            1: 3,
+            9: 1,
+        }
