@@ -204,6 +204,7 @@ class ChangeApplier:
     mode: str = "append_deduped"
     n_buckets: int = 64
     storage: str = "parquet"
+    expected_schemas: dict | None = None
     applied_batches: list[int] = field(default_factory=list)
 
     def _table_path(self, table: str, suffix: str = "") -> str:
@@ -249,6 +250,12 @@ class ChangeApplier:
             batch.write.mode("overwrite").parquet(
                 os.path.join(log_path, f"epoch={epoch_id}")
             )
+
+            # 1b. payload schema drift: unseen/vanished JSON keys are
+            # REPORTED per epoch with safe-ALTER proposals instead of
+            # silently surfacing as nulls in ``_latest`` (r9 verdict #7)
+            if self.expected_schemas:
+                self._report_payload_drift(spark, batch, epoch_id)
 
             # 2. _latest per touched table: batch ⊕ previous _latest,
             #    restricted to (and rewriting only) the pk-hash buckets
@@ -365,6 +372,121 @@ class ChangeApplier:
         finally:
             batch.unpersist()
 
+    def _report_payload_drift(
+        self, spark: SparkSession, batch: DataFrame, epoch_id: int
+    ) -> None:
+        """Flag payload-schema drift for every expected table this epoch
+        touches, writing ``_drift_report/epoch=<id>`` (idempotent like
+        every other epoch index).
+
+        ``expected_schemas`` maps table → the last-known payload
+        StructType (flat row images, the reference's jsonb shape). Per
+        table: observed keys come from ONE ``json_object_keys`` explode
+        + aggregate over the batch (O(batch), no extra scan of history);
+        keys absent from the expected schema are ADDED drift — their SQL
+        type is inferred from a sampled value (integer/double/boolean
+        literal patterns, TEXT otherwise, the writer.rs fallback
+        posture); expected keys present in NO payload of the batch are
+        REMOVED drift (payloads are full row images, so absence is a
+        schema statement, not a partial update). The proposals reuse the
+        batch-side machinery verbatim: ``schema_diff`` classifies,
+        ``drift_alter_sql`` splits safe-apply from review-only — so the
+        streaming report and the engine's ``check_drift`` CLI speak the
+        same ALTER dialect. Detection never blocks the apply: the epoch
+        still lands; the report is the routing channel (the corpus
+        tier's corrupt-line posture)."""
+        from ..operators.ddl import drift_alter_sql, schema_diff
+
+        report_rows = []
+        for tbl, expected in self.expected_schemas.items():
+            payloads = batch.filter(
+                (F.col("table") == tbl) & F.col("payload").isNotNull()
+            )
+            key_rows = (
+                payloads.select(
+                    F.explode(F.json_object_keys("payload")).alias("k")
+                )
+                .groupBy("k")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            if not key_rows:
+                continue  # table untouched this epoch
+            present = {r["k"] for r in key_rows}
+            expected_names = {f.name for f in expected.fields}
+            added = sorted(present - expected_names)
+            inferred: list[T.StructField] = []
+            if added:
+                kv = F.from_json(F.col("payload"), "map<string,string>")
+                sample = payloads.agg(
+                    *[
+                        F.first(F.element_at(kv, k), ignorenulls=True).alias(k)
+                        for k in added
+                    ]
+                ).first()
+                for k in added:
+                    inferred.append(
+                        T.StructField(k, _infer_json_type(sample[k]), True)
+                    )
+            observed = T.StructType(
+                [f for f in expected.fields if f.name in present] + inferred
+            )
+            drift = schema_diff(observed, expected)
+            if not drift.is_drifted:
+                report_rows.append((tbl, len(key_rows), False, "", "", "", ""))
+                continue
+            apply_sql, review_sql = drift_alter_sql(tbl, observed, drift)
+            report_rows.append(
+                (
+                    tbl,
+                    len(key_rows),
+                    True,
+                    ",".join(
+                        f"{f.name}:{f.dataType.simpleString()}" for f in inferred
+                    ),
+                    ",".join(drift.removed),
+                    "\n".join(apply_sql),
+                    "\n".join(review_sql),
+                )
+            )
+        if not report_rows:
+            return
+        report = spark.createDataFrame(
+            report_rows,
+            "table string, n_keys int, drifted boolean, added_cols string, "
+            "removed_cols string, apply_sql string, review_sql string",
+        )
+        report.write.mode("overwrite").parquet(
+            os.path.join(self._table_path("_drift_report"), f"epoch={epoch_id}")
+        )
+
+
+def _infer_json_type(value: str | None) -> "T.DataType":
+    """SQL type for an added payload key from one sampled JSON value
+    text: integer → LONG, decimal/scientific → DOUBLE, true/false →
+    BOOLEAN, anything else (or no non-null sample) → STRING — the
+    writer.rs unknown-type fallback posture, and always widenable later."""
+    import re
+
+    if value is None:
+        return T.StringType()
+    if re.fullmatch(r"-?\d+", value):
+        return T.LongType()
+    if re.fullmatch(r"-?\d+\.\d+([eE][+-]?\d+)?", value):
+        return T.DoubleType()
+    if value in ("true", "false"):
+        return T.BooleanType()
+    return T.StringType()
+
+
+def read_drift_report(spark: SparkSession, target_dir: str) -> DataFrame:
+    """All per-epoch drift reports (epoch column included). Raises
+    AnalysisException when no report was ever written — callers that
+    configured ``expected_schemas`` and see that know no expected table
+    ever appeared in a batch."""
+    path = os.path.join(target_dir, "_drift_report")
+    return spark.read.option("basePath", path).parquet(path)
+
 
 def read_change_log(spark: SparkSession, target_dir: str) -> DataFrame:
     """The deduplicated view of the append-mode raw log: partition
@@ -437,11 +559,16 @@ def start_change_apply(
     checkpoint_dir: str,
     mode: str = "append_deduped",
     once: bool = True,
+    expected_schemas: dict | None = None,
 ):
     """Wire source → applier → streaming query. ``once=True`` maps the
     reference's ``--once`` flag to Trigger.AvailableNow (ST3); otherwise a
-    processing-time trigger gives the polling daemon behavior."""
-    applier = ChangeApplier(target_dir=target_dir, mode=mode)
+    processing-time trigger gives the polling daemon behavior.
+    ``expected_schemas`` (table → payload StructType) turns on the
+    per-epoch drift report."""
+    applier = ChangeApplier(
+        target_dir=target_dir, mode=mode, expected_schemas=expected_schemas
+    )
     stream = read_change_stream(spark, source_dir)
     writer = (
         stream.writeStream.foreachBatch(applier.apply_batch)
