@@ -159,6 +159,11 @@ def main(argv: list[str] | None = None) -> int:
         help="HLL distinct counts (~2%% error) instead of exact — drops "
         "the Expand multiplier, the 100 TB mode",
     )
+    profile_p.add_argument(
+        "--percentiles", action="store_true",
+        help="add p50/p90/p99 per numeric column via the mergeable KLL "
+        "sketch (no global sort; exact below sketch capacity)",
+    )
 
     corpus_p = sub.add_parser(
         "corpus-build",
@@ -590,7 +595,21 @@ def main(argv: list[str] | None = None) -> int:
                 ]
                 for t, df in tables.items()
             }
-            print(json.dumps({"ok": True, "profiles": out}, default=str))
+            result = {"ok": True, "profiles": out}
+            if args.percentiles:
+                from .operators.estimation import profile_percentiles
+
+                pct = {}
+                for t, df in tables.items():
+                    try:
+                        pct[t] = [
+                            r.asDict()
+                            for r in profile_percentiles(df).collect()
+                        ]
+                    except ValueError:
+                        pct[t] = []  # no numeric columns
+                result["percentiles"] = pct
+            print(json.dumps(result, default=str))
             return 0
         except Exception as e:
             print(json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"}))

@@ -105,3 +105,58 @@ def profile_table(df, columns: list[str] | None = None, approximate: bool = Fals
             "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
         )
     )
+
+
+def profile_percentiles(
+    df,
+    columns: list[str] | None = None,
+    percents: list[int] = (50, 90, 99),
+    scale: int = 1_000_000,
+    k: int = 16384,
+):
+    """Per-column percentiles via the mergeable KLL sketch — the A6/A7
+    profile's missing aggregate, WITHOUT a global sort: numeric columns
+    are melted to (column_name, value) long form, fixed-pointed at
+    ``scale`` (exact for ≤6-dp quantities, the repo's canonical grain),
+    sketched per column in one pass, and the p-columns are scaled back
+    to doubles. Returns (column_name, n, p50, p90, …).
+
+    Exact while a column's non-null count stays within the sketch
+    capacity; beyond it the KLL rank-error contract applies
+    (operators/kll.py — O(n/k), property-tested). The sketch states are
+    storable: a caller that keeps them (kll_sketch directly) can merge
+    tomorrow's partition in without rescanning today's (the IVM
+    posture)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from .kll import kll_quantile_values, kll_sketch
+
+    numeric = (
+        T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+        T.DoubleType, T.FloatType, T.DecimalType,
+    )
+    cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, numeric)
+        and (columns is None or f.name in columns)
+    ]
+    if not cols:
+        raise ValueError("no numeric columns to profile")
+    melted = None
+    for c in cols:
+        part = df.select(
+            F.lit(c).alias("column_name"),
+            (F.col(c).cast("decimal(28,6)") * scale)
+            .cast("bigint")
+            .alias("_v"),
+        ).filter(F.col("_v").isNotNull())
+        melted = part if melted is None else melted.unionByName(part)
+    sk = kll_sketch(melted, ["column_name"], "_v", k=k)
+    out = kll_quantile_values(sk, list(percents))
+    back = [
+        (F.col(f"p{p}").cast("double") / scale).alias(f"p{p}")
+        for p in percents
+    ]
+    return out.select("column_name", "n", *back)

@@ -760,6 +760,21 @@ class TestProfileCli:
         assert region["r_regionkey"]["n_distinct"] == 5
         assert region["r_regionkey"]["n_nulls"] == 0
 
+    def test_profile_percentiles_flag(self, spark, capsys):
+        import json as _json
+
+        from database_replicator_spark.cli import main
+
+        rc = main(["profile", "--source", "/root/testdata/sf0.001",
+                   "--table", "nation", "--percentiles"])
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and out["ok"]
+        pct = {r["column_name"]: r for r in out["percentiles"]["nation"]}
+        # 25 nation keys 0..24: ceil-rank order statistics, exact regime
+        assert pct["n_nationkey"]["n"] == 25
+        assert pct["n_nationkey"]["p50"] == 12.0  # rank ceil(12.5)=13 → key 12
+        assert pct["n_nationkey"]["p99"] == 24.0
+
 
 class TestCorpusBuildNearDup:
     def test_near_dup_cluster_collapses_to_survivor(self, spark, tmp_path, capsys):

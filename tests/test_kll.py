@@ -198,3 +198,40 @@ class TestSparkPlumbing:
 
         assert snap(merged) == snap(whole)
         assert snap(kll_sketch(df, ["grp"], "v", k=4096)) == snap(whole)
+
+
+class TestProfilePercentiles:
+    def test_matches_exact_order_statistics(self, spark):
+        """Exact-regime contract: melted per-column sketches reproduce
+        the ceil-rank order statistic for every numeric column,
+        including the fixed-point round trip on 2-dp doubles."""
+        from database_replicator_spark.operators.estimation import (
+            profile_percentiles,
+        )
+
+        rows = [(i, float(i) + 0.25, "s%d" % i) for i in range(200)]
+        df = spark.createDataFrame(rows, "a long, b double, s string")
+        got = {
+            r["column_name"]: r
+            for r in profile_percentiles(df, percents=[50, 90, 100]).collect()
+        }
+        assert set(got) == {"a", "b"}  # string column excluded
+        # ranks: ceil(0.5*200)=100 → value 99 (0-based); ceil(0.9*200)=180 → 179
+        assert got["a"]["p50"] == 99.0 and got["a"]["p90"] == 179.0
+        assert got["a"]["p100"] == 199.0 and got["a"]["n"] == 200
+        assert got["b"]["p50"] == 99.25 and got["b"]["p100"] == 199.25
+
+    def test_nulls_excluded_and_no_numeric_raises(self, spark):
+        import pytest as _pytest
+
+        from database_replicator_spark.operators.estimation import (
+            profile_percentiles,
+        )
+
+        df = spark.createDataFrame(
+            [(1.0,), (None,), (3.0,)], "x double"
+        )
+        r = profile_percentiles(df, percents=[100]).first()
+        assert r["n"] == 2 and r["p100"] == 3.0
+        with _pytest.raises(ValueError, match="no numeric"):
+            profile_percentiles(spark.createDataFrame([("a",)], "s string"))
