@@ -324,6 +324,45 @@ def media_phash(
     )
 
 
+def media_dhash(
+    media: DataFrame,
+    decoder: Callable[[bytes], list[float]] | None = None,
+    dim: int = 49,
+) -> DataFrame:
+    """Difference hash over decoded media features: bit ``i`` is set when
+    feature ``i+1`` exceeds feature ``i`` — the classic dHash gradient
+    sign (public: Krawetz, "Kind of Like That"). Compared with the mean
+    threshold of :func:`media_phash`, the per-neighbor comparison has no
+    global statistic, so a single changed pixel flips AT MOST its two
+    adjacent bits (aHash's mean shift can flip any near-mean bit) and
+    uniform brightness changes cancel entirely.
+
+    ``dim`` features produce a ``dim−1``-bit hash (default 49 → 48 bits,
+    matching :func:`phash_pairs`' default banding). Same map-only plan
+    as media_phash: Arrow decode, then a codegen HOF fold — element_at
+    inside the lambda is O(1) per element, so the pack is O(dim)/row.
+    Output column is named ``phash`` so both hash families feed
+    :func:`phash_pairs` unchanged."""
+    if dim - 1 > 62:
+        raise ValueError("dim-1 must be <= 62 to fit a signed BIGINT")
+    feats = extract_features(
+        media, decoder=decoder, feature_dim=dim
+    ).select("id", "feature")
+    packed = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 2)),
+            lambda i: F.when(
+                F.element_at(F.col("feature"), (i + F.lit(2)).cast("int"))
+                > F.element_at(F.col("feature"), (i + F.lit(1)).cast("int")),
+                F.pow(F.lit(2.0), i).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    return feats.select("id", packed.alias("phash"))
+
+
 def phash_pairs(
     hashes: DataFrame,
     max_hamming: int = 6,

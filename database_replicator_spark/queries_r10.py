@@ -285,3 +285,113 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bands=_PHASH_BANDS,
         max_bucket_size=_PHASH_CAP,
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_dhash_dedup — the difference-hash sibling of the aHash gate
+# above: gradient-sign bits instead of a mean threshold, so a perturbed
+# pixel flips at most its two adjacent bits (no global-statistic
+# coupling) and the near-dup pairs are tighter. 49-byte grid → 48-bit
+# hash → the same 12-bit band join + cap + hamming verify.
+# ---------------------------------------------------------------------------
+
+_DHASH_DIM = 49  # features; hash is dim-1 = 48 bits
+
+
+@query(
+    "multimodal_dhash_dedup",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             rpad(substr(trim(regexp_replace(lower(COALESCE(text, '')),
+                                             '\\s+', ' ', 'g')), 1, {_DHASH_DIM}),
+                  {_DHASH_DIM}, 'x') AS s
+      FROM documents
+    ),
+    items AS (
+      SELECT doc_id * 2 AS id, s FROM base
+      UNION ALL
+      SELECT doc_id * 2 + 1 AS id,
+             substr(s, 1, 10) || '#' || substr(s, 12) AS s
+      FROM base
+    ),
+    feats AS (
+      SELECT id, [ord(substr(s, i, 1)) FOR i IN range(1, {_DHASH_DIM + 1})] AS f
+      FROM items
+    ),
+    hashed AS (
+      SELECT id,
+             CAST(list_sum(
+               [CASE WHEN f[i + 1] > f[i]
+                     THEN CAST(POWER(2, i - 1) AS BIGINT)
+                     ELSE 0 END FOR i IN range(1, {_DHASH_DIM})]
+             ) AS BIGINT) AS h
+      FROM feats
+    ),
+    bands AS (
+      SELECT id, h, b.band,
+             (h >> (b.band * 12)) & 4095 AS bits
+      FROM hashed, (VALUES (0), (1), (2), (3)) b(band)
+    ),
+    small AS (
+      SELECT band, bits FROM bands
+      GROUP BY band, bits HAVING COUNT(*) <= {_PHASH_CAP}
+    ),
+    kept AS (SELECT bands.* FROM bands JOIN small USING (band, bits)),
+    cand AS (
+      SELECT DISTINCT a.id AS id1, b.id AS id2, a.h AS h1, b.h AS h2
+      FROM kept a JOIN kept b
+        ON a.band = b.band AND a.bits = b.bits AND a.id < b.id
+    )
+    SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(h1, h2)) <= {_PHASH_MAXHAM}
+    """,
+)
+def multimodal_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate media pairs over the DIFFERENCE hash: one
+    perturbed byte flips ≤ 2 gradient bits, so the planted variants sit
+    at hamming ≤ 2 — inside the 4-band pigeonhole guarantee, unlike the
+    mean-threshold hash whose shifted mean can push pairs past it."""
+    from .operators.multimodal import (
+        byte_decode,
+        media_dhash,
+        media_table,
+        phash_pairs,
+    )
+    from .operators.textops import normalize_text_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.rpad(
+            F.substring(
+                normalize_text_expr(F.coalesce(F.col("text"), F.lit(""))),
+                1,
+                _DHASH_DIM,
+            ),
+            _DHASH_DIM,
+            "x",
+        ).alias("s"),
+    )
+    orig = base.select((F.col("doc_id") * 2).alias("id"), F.col("s"))
+    pert = base.select(
+        (F.col("doc_id") * 2 + 1).alias("id"),
+        F.concat(
+            F.substring(F.col("s"), 1, 10),
+            F.lit("#"),
+            F.substring(F.col("s"), 12, _DHASH_DIM - 11),
+        ).alias("s"),
+    )
+    items = orig.unionByName(pert).withColumn(
+        "payload", F.encode(F.col("s"), "UTF-8")
+    )
+    media = media_table(items, "id", "payload", "image/x-gray8")
+    hashes = media_dhash(media, decoder=byte_decode, dim=_DHASH_DIM)
+    return phash_pairs(
+        hashes,
+        max_hamming=_PHASH_MAXHAM,
+        dim=_DHASH_DIM - 1,
+        n_bands=_PHASH_BANDS,
+        max_bucket_size=_PHASH_CAP,
+    )

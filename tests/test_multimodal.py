@@ -262,3 +262,44 @@ class TestPhashDedupTier:
             1: 3,
             9: 1,
         }
+
+
+class TestMediaDhash:
+    def _hash_of(self, spark, payloads, dim):
+        from database_replicator_spark.operators.multimodal import (
+            byte_decode,
+            media_dhash,
+            media_table,
+        )
+
+        df = spark.createDataFrame(
+            list(enumerate(payloads)), "id long, payload binary"
+        )
+        media = media_table(df, "id", "payload", "image/x-gray8")
+        return {
+            r["id"]: r["phash"]
+            for r in media_dhash(media, decoder=byte_decode, dim=dim).collect()
+        }
+
+    def test_one_byte_flips_at_most_two_bits(self, spark):
+        base = bytes(range(40, 89))  # 49 strictly increasing pixels
+        for j in range(1, 48):
+            pert = bytearray(base)
+            pert[j] = 0  # crater one pixel
+            got = self._hash_of(spark, [base, bytes(pert)], dim=49)
+            flips = bin(got[0] ^ got[1]).count("1")
+            assert flips <= 2, (j, flips)
+
+    def test_brightness_shift_invariant_mean_hash_is_not(self, spark):
+        from functools import partial
+
+        base = bytes((i * 37) % 200 for i in range(49))
+        brighter = bytes(b + 55 for b in base)
+        got = self._hash_of(spark, [base, brighter], dim=49)
+        assert got[0] == got[1]  # gradient signs unchanged
+
+    def test_monotone_ramp_sets_all_bits(self, spark):
+        got = self._hash_of(spark, [bytes(range(49))], dim=49)
+        assert got[0] == (1 << 48) - 1
+        got = self._hash_of(spark, [bytes(range(48, -1, -1))], dim=49)
+        assert got[0] == 0
