@@ -444,6 +444,35 @@ def main(argv: list[str] | None = None) -> int:
     )
     eingest_p.add_argument("--follow", action="store_true")
 
+    gingest_p = sub.add_parser(
+        "graph-ingest",
+        help="streaming graph maintenance: drain a JSONL edge queue "
+        "(src,dst,w) into the per-epoch delta store; re-rank (PageRank) "
+        "when pending delta mass crosses the threshold",
+    )
+    gingest_p.add_argument("--source", required=True, metavar="QUEUE_DIR")
+    gingest_p.add_argument("--target", required=True)
+    gingest_p.add_argument("--checkpoint", required=True)
+    gingest_p.add_argument(
+        "--rerank-fraction", type=float, default=0.05,
+        help="refresh ranks when pending Σw / ranked Σw reaches this "
+        "(0 = every epoch)",
+    )
+    gingest_p.add_argument("--iters", type=int, default=3)
+    gingest_p.add_argument(
+        "--unit", type=int, default=10**9,
+        help="fixed-point unit for pagerank_units (the overflow guard "
+        "prescribes a lower unit for bigger graphs)",
+    )
+    gingest_p.add_argument("--follow", action="store_true")
+
+    gstatus_p = sub.add_parser(
+        "graph-status",
+        help="staleness report for a graph-ingest target: ranked "
+        "watermark, pending delta mass/fraction, epochs behind",
+    )
+    gstatus_p.add_argument("--target", required=True)
+
     istatus_p = sub.add_parser(
         "ingest-status",
         help="per-tier ingest monitoring: roll up the per-epoch "
@@ -1097,6 +1126,50 @@ def main(argv: list[str] | None = None) -> int:
             n = read_embedding_index(spark, args.target).count()
             print(json.dumps({"ok": True, "target": args.target,
                               "index_rows": n}))
+            return 0
+        except Exception as e:
+            print(json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"}))
+            return 2
+        finally:
+            if owns:
+                spark.stop()
+
+    if args.command == "graph-ingest":
+        from .streaming.graph_ingest import (
+            graph_status,
+            read_ranks,
+            start_graph_ingest,
+        )
+
+        spark, owns = _get_session()
+        try:
+            query, maintainer = start_graph_ingest(
+                spark, args.source, args.target, args.checkpoint,
+                once=not args.follow,
+                rerank_mass_fraction=args.rerank_fraction,
+                pagerank_kwargs={"iters": args.iters, "unit": args.unit},
+            )
+            query.awaitTermination()
+            st = graph_status(spark, args.target)
+            n = read_ranks(spark, args.target).count()
+            print(json.dumps({"ok": True, "target": args.target,
+                              "epochs": maintainer.applied_batches,
+                              "rerank_epochs": maintainer.rerank_epochs,
+                              "ranked_nodes": n, **st}))
+            return 0
+        except Exception as e:
+            print(json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"}))
+            return 2
+        finally:
+            if owns:
+                spark.stop()
+
+    if args.command == "graph-status":
+        from .streaming.graph_ingest import graph_status
+
+        spark, owns = _get_session()
+        try:
+            print(json.dumps({"ok": True, **graph_status(spark, args.target)}))
             return 0
         except Exception as e:
             print(json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"}))

@@ -168,3 +168,30 @@ class TestStreamWiring:
         assert _ranks_dict(read_ranks(spark, str(tmp_path / "tgt"))) == _ranks_dict(
             pagerank_units(batch_edges, weight_col="w", **PR_KW)
         )
+
+
+class TestGraphCli:
+    def test_graph_ingest_and_status_verbs(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from database_replicator_spark.cli import main
+
+        src = tmp_path / "q"
+        src.mkdir()
+        with open(src / "b0.json", "w") as f:
+            for s, d, w in EPOCHS[0] + EPOCHS[1]:
+                f.write(json.dumps({"src": s, "dst": d, "w": w}) + "\n")
+        rc = main([
+            "graph-ingest", "--source", str(src),
+            "--target", str(tmp_path / "tgt"),
+            "--checkpoint", str(tmp_path / "chk"),
+            "--rerank-fraction", "0",
+        ])
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and out["ok"]
+        assert out["ranked_nodes"] == 4 and out["pending_mass"] == 0
+        assert out["rerank_epochs"] == [0]
+
+        rc = main(["graph-status", "--target", str(tmp_path / "tgt")])
+        st = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and st["ok"] and st["epochs_behind"] == 0
