@@ -448,3 +448,63 @@ def phash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id1", "id2", "hamming")
     )
+
+
+def media_dct_phash(
+    media: DataFrame,
+    decoder: Callable[[bytes], list[float]] | None = None,
+    side: int = 8,
+    keep: int = 8,
+) -> DataFrame:
+    """Classic DCT perceptual hash (pHash proper): decode a ``side×side``
+    pixel grid, 2-D orthonormal DCT-II, keep the ``keep×keep``
+    low-frequency block, drop the DC term, set bit ``i`` when coefficient
+    ``i`` exceeds the block MEDIAN → a ``keep²−1``-bit hash. Median-of-AC
+    thresholding makes the hash invariant to brightness offsets (only DC
+    moves) AND to positive contrast scaling (all coefficients and their
+    median scale together) — the two robustness properties neither aHash
+    nor dHash fully has, pinned by tests.
+
+    The DCT runs as an Arrow-batched numpy scan (one (B, side²) @
+    (side², side²) matmul per batch — the BLAS-scan idiom of
+    similarity.py), so it is NOT SQL-expressible: this operator is
+    python-replay verified rather than oracle-gated; the downstream
+    banded pair join is the same oracle-gated machinery as aHash/dHash
+    (:func:`phash_pairs` — pick ``n_bands`` dividing ``keep²−1``, e.g.
+    63 bits → 3 bands of 21)."""
+    import numpy as np
+
+    n_px = side * side
+    bits = keep * keep - 1
+    if bits > 63:
+        # shifts 0..62 with every bit set sum to 2^63−1 — the exact
+        # signed-BIGINT max, and the numpy path shifts int64s (no
+        # double-exactness concern like media_phash's pow() pack)
+        raise ValueError("keep^2-1 must be <= 63 to fit a signed BIGINT")
+    feats = extract_features(media, decoder=decoder, feature_dim=n_px).select(
+        "id", "feature"
+    )
+    # orthonormal DCT-II basis, built once on the driver and captured by
+    # value in the closure (no package references worker-side)
+    j = np.arange(side)
+    basis = np.cos((2 * j[None, :] + 1) * j[:, None] * np.pi / (2 * side))
+    basis *= np.sqrt(2.0 / side)
+    basis[0, :] = np.sqrt(1.0 / side)
+
+    def scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            block = np.array(pdf["feature"].tolist(), dtype=np.float64)
+            imgs = block.reshape(-1, side, side)
+            coef = np.einsum("ij,bjk,lk->bil", basis, imgs, basis)
+            low = coef[:, :keep, :keep].reshape(len(imgs), -1)[:, 1:]  # drop DC
+            med = np.median(low, axis=1, keepdims=True)
+            packed = ((low > med).astype(np.int64) << np.arange(bits)).sum(
+                axis=1
+            )
+            yield pd.DataFrame({"id": pdf["id"], "phash": packed})
+
+    return feats.mapInPandas(scan, schema="id long, phash long")

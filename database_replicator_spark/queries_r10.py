@@ -1,18 +1,22 @@
 """Round-10 query-surface additions.
 
-The sketch tier gains a mergeable quantile sketch (KLL family,
-Karnin-Lang-Liberty FOCS'16 — operators/kll.py) so percentile profiling
-joins KMV/CMS/Bloom/MG in the storable-mergeable-state story, and the
-retrieval tier gains position-aware evidence (minimal phrase windows
-over positional postings) for verbatim-quote contamination checks.
+Four gates over three tiers: the sketch tier gains a mergeable quantile
+sketch (KLL family, Karnin-Lang-Liberty FOCS'16 — operators/kll.py) so
+percentile profiling joins KMV/CMS/Bloom/MG in the storable-mergeable-
+state story; the retrieval tier gains position-aware evidence (minimal
+phrase windows over positional postings) for verbatim-quote
+contamination checks; and the multimodal tier gains perceptual-hash
+image near-dup in both public flavors — mean-threshold aHash and
+gradient-sign dHash — riding the text tier's banded-hamming machinery.
 
 Determinism follows the house rules (queries.py): integer arithmetic for
-ranks and fixed-point scores, identical aliases both sides, id
-tiebreaks. Reference provenance: the reference engine (a replication
-engine) has no sketch/retrieval surface — these are LLM-pipeline
+ranks, fixed-point scores, and hash bits; identical aliases both sides;
+id tiebreaks. Reference provenance: the reference engine (a replication
+engine) has none of these surfaces — they are the LLM-pipeline
 extensions the build mandate grades as first-class; algorithms are the
-published ones (Karnin et al. 2016; positional postings / minimal-window
-proximity per Clarke et al. 2000 and Metzler & Croft 2005).
+published ones (Karnin et al. 2016; Clarke et al. 2000 and Metzler &
+Croft 2005 for proximity; Krawetz's aHash/dHash notes for the
+perceptual hashes).
 """
 
 from __future__ import annotations

@@ -303,3 +303,82 @@ class TestMediaDhash:
         assert got[0] == (1 << 48) - 1
         got = self._hash_of(spark, [bytes(range(48, -1, -1))], dim=49)
         assert got[0] == 0
+
+
+class TestMediaDctPhash:
+    def _hash_of(self, spark, payloads):
+        from database_replicator_spark.operators.multimodal import (
+            byte_decode,
+            media_dct_phash,
+            media_table,
+        )
+
+        df = spark.createDataFrame(
+            list(enumerate(payloads)), "id long, payload binary"
+        )
+        media = media_table(df, "id", "payload", "image/x-gray8")
+        return {
+            r["id"]: r["phash"]
+            for r in media_dct_phash(media, decoder=byte_decode).collect()
+        }
+
+    @staticmethod
+    def _reference(pixels):
+        """Driver-side numpy replay of the documented pHash pipeline."""
+        import numpy as np
+
+        side, keep = 8, 8
+        j = np.arange(side)
+        basis = np.cos((2 * j[None, :] + 1) * j[:, None] * np.pi / (2 * side))
+        basis *= np.sqrt(2.0 / side)
+        basis[0, :] = np.sqrt(1.0 / side)
+        img = np.array(pixels, dtype=np.float64).reshape(side, side)
+        coef = basis @ img @ basis.T
+        low = coef[:keep, :keep].reshape(-1)[1:]
+        med = np.median(low)
+        return int(((low > med).astype(np.int64) << np.arange(63)).sum())
+
+    def test_matches_python_replay(self, spark):
+        payloads = [
+            bytes((i * 37 + k * 11) % 251 for i in range(64)) for k in range(5)
+        ]
+        got = self._hash_of(spark, payloads)
+        for k, p in enumerate(payloads):
+            assert got[k] == self._reference(list(p)), k
+
+    def test_brightness_and_contrast_invariance(self, spark):
+        base = [((i * 53) % 100) + 40 for i in range(64)]  # pixels 40..139
+        brighter = [p + 60 for p in base]  # DC-only shift
+        doubled = [p * 1 for p in base]  # identity control
+        got = {
+            "base": self._reference(base),
+            "brighter": self._reference(brighter),
+            "scaled": self._reference([p * 3 for p in base]),
+        }
+        assert got["base"] == got["brighter"] == got["scaled"]
+        # and the distributed path agrees on the offset pair (bytes cap
+        # at 255, so scale is replay-only)
+        dist = self._hash_of(
+            spark, [bytes(base), bytes(brighter)]
+        )
+        assert dist[0] == dist[1] == got["base"]
+
+    def test_pairs_compose_with_3_band_split(self, spark):
+        from database_replicator_spark.operators.multimodal import phash_pairs
+
+        base = bytes((i * 29) % 240 for i in range(64))
+        pert = bytearray(base)
+        pert[13] ^= 0x48
+        got = self._hash_of(spark, [base, bytes(pert), bytes(reversed(base))])
+        import pyspark.sql.functions as F
+
+        df = spark.createDataFrame(
+            [(k, v) for k, v in got.items()], "id long, phash long"
+        )
+        pairs = {
+            (r["id1"], r["id2"]): r["hamming"]
+            for r in phash_pairs(
+                df, max_hamming=14, dim=63, n_bands=3
+            ).collect()
+        }
+        assert (0, 1) in pairs and pairs[(0, 1)] <= 14

@@ -32,6 +32,32 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 MULTIPLES = [1, 4, 16]
 
 
+def spill_snapshot(spark) -> tuple[int, int]:
+    """(memoryBytesSpilled, diskBytesSpilled) summed over every stage so
+    far, via the UI REST API — the stable public metrics surface (the
+    AppStatusStore py4j signature changed across Spark majors). Returns
+    (0, 0) when the UI is off or unreachable, so the probe still runs on
+    a UI-less session (spill column reads 0/n-a)."""
+    import json as _json
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return (0, 0)
+    app = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app}/stages", timeout=10
+        ) as r:
+            stages = _json.load(r)
+    except Exception:
+        return (0, 0)
+    return (
+        sum(s.get("memoryBytesSpilled", 0) for s in stages),
+        sum(s.get("diskBytesSpilled", 0) for s in stages),
+    )
+
+
 def synthesize(spark, sf_dir: str, out_root: str):
     """x{k} corpora: k disjoint-vocabulary copies of the base documents."""
     from pyspark.sql import functions as F
@@ -77,10 +103,17 @@ def probe_ops(spark, path: str) -> dict[str, float]:
         df.write.format("noop").mode("overwrite").save()
 
     def timed(fn):
+        # spill delta rides the same run: SCALING.md's sub-linear
+        # exponents are wall-time on a 128 GiB box — the spill column
+        # shows whether the 16x legs stayed memory-resident or started
+        # paying for disk (r9 verdict stretch #9)
+        m0, d0 = spill_snapshot(spark)
         t0 = time.perf_counter()
         fn()
         spark.catalog.clearCache()
-        return time.perf_counter() - t0
+        elapsed = time.perf_counter() - t0
+        m1, d1 = spill_snapshot(spark)
+        return {"s": elapsed, "spill_mb": ((m1 - m0) + (d1 - d0)) / 1048576.0}
 
     out = {}
 
@@ -301,7 +334,14 @@ def probe_ops(spark, path: str) -> dict[str, float]:
         ("global_rank_gini_distributed", global_rank_gini),
     ]:
         fn()  # warm (codegen + python workers)
-        out[name] = round(min(timed(fn), timed(fn)), 3)
+        r1, r2 = timed(fn), timed(fn)
+        best = r1 if r1["s"] <= r2["s"] else r2
+        out[name] = {
+            "s": round(best["s"], 3),
+            # spill from the FIRST (cold) run: the second may rescan
+            # cached shuffle files and under-report pressure
+            "spill_mb": round(r1["spill_mb"], 1),
+        }
     return out
 
 
@@ -351,10 +391,17 @@ def probe_embedding_ops(spark, path: str, dim: int = 64) -> dict[str, float]:
         df.write.format("noop").mode("overwrite").save()
 
     def timed(fn):
+        # spill delta rides the same run: SCALING.md's sub-linear
+        # exponents are wall-time on a 128 GiB box — the spill column
+        # shows whether the 16x legs stayed memory-resident or started
+        # paying for disk (r9 verdict stretch #9)
+        m0, d0 = spill_snapshot(spark)
         t0 = time.perf_counter()
         fn()
         spark.catalog.clearCache()
-        return time.perf_counter() - t0
+        elapsed = time.perf_counter() - t0
+        m1, d1 = spill_snapshot(spark)
+        return {"s": elapsed, "spill_mb": ((m1 - m0) + (d1 - d0)) / 1048576.0}
 
     def pq_encode_scan():
         from database_replicator_spark.operators.similarity import (
@@ -417,7 +464,14 @@ def probe_embedding_ops(spark, path: str, dim: int = 64) -> dict[str, float]:
         ("sq8_topk", sq8),
     ]:
         fn()
-        out[name] = round(min(timed(fn), timed(fn)), 3)
+        r1, r2 = timed(fn), timed(fn)
+        best = r1 if r1["s"] <= r2["s"] else r2
+        out[name] = {
+            "s": round(best["s"], 3),
+            # spill from the FIRST (cold) run: the second may rescan
+            # cached shuffle files and under-report pressure
+            "spill_mb": round(r1["spill_mb"], 1),
+        }
     return out
 
 
@@ -466,10 +520,17 @@ def probe_graph_ops(spark, path: str) -> dict[str, float]:
         df.write.format("noop").mode("overwrite").save()
 
     def timed(fn):
+        # spill delta rides the same run: SCALING.md's sub-linear
+        # exponents are wall-time on a 128 GiB box — the spill column
+        # shows whether the 16x legs stayed memory-resident or started
+        # paying for disk (r9 verdict stretch #9)
+        m0, d0 = spill_snapshot(spark)
         t0 = time.perf_counter()
         fn()
         spark.catalog.clearCache()
-        return time.perf_counter() - t0
+        elapsed = time.perf_counter() - t0
+        m1, d1 = spill_snapshot(spark)
+        return {"s": elapsed, "spill_mb": ((m1 - m0) + (d1 - d0)) / 1048576.0}
 
     a, b = ps.alias("a"), ps.alias("b")
     half_plan = (
@@ -532,7 +593,14 @@ def probe_graph_ops(spark, path: str) -> dict[str, float]:
         ("hits_2iter", hits_2iter),
     ]:
         fn()
-        out[name] = round(min(timed(fn), timed(fn)), 3)
+        r1, r2 = timed(fn), timed(fn)
+        best = r1 if r1["s"] <= r2["s"] else r2
+        out[name] = {
+            "s": round(best["s"], 3),
+            # spill from the FIRST (cold) run: the second may rescan
+            # cached shuffle files and under-report pressure
+            "spill_mb": round(r1["spill_mb"], 1),
+        }
     return out
 
 
@@ -550,7 +618,9 @@ def main() -> int:
 
     from database_replicator_spark.session import build_session
 
-    spark = build_session("scale_probe")
+    spark = build_session(
+        "scale_probe", extra_conf={"spark.ui.enabled": "true"}
+    )
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     results = {k: {} for k in MULTIPLES}
@@ -568,15 +638,19 @@ def main() -> int:
             results[k].update(probe_graph_ops(spark, p))
 
     ops = list(results[MULTIPLES[0]])
-    print("| operator | " + " | ".join(f"{k}x" for k in MULTIPLES) + " | exponent |")
-    print("|---|" + "---|" * (len(MULTIPLES) + 1))
+    print(
+        "| operator | "
+        + " | ".join(f"{k}x" for k in MULTIPLES)
+        + " | exponent | 16x spill (MiB) |"
+    )
+    print("|---|" + "---|" * (len(MULTIPLES) + 2))
     for op in ops:
-        times = [results[k][op] for k in MULTIPLES]
-        lo, hi = times[-2], times[-1]
+        rows = [results[k][op] for k in MULTIPLES]
+        lo, hi = rows[-2]["s"], rows[-1]["s"]
         ratio = MULTIPLES[-1] / MULTIPLES[-2]
         exp = math.log(hi / lo) / math.log(ratio) if lo > 0 else float("nan")
-        cells = " | ".join(f"{t:.2f}s" for t in times)
-        print(f"| {op} | {cells} | {exp:.2f} |")
+        cells = " | ".join(f"{r['s']:.2f}s" for r in rows)
+        print(f"| {op} | {cells} | {exp:.2f} | {rows[-1]['spill_mb']:.0f} |")
 
     shutil.rmtree(args.out, ignore_errors=True)
     return 0
