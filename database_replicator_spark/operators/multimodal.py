@@ -508,3 +508,74 @@ def media_dct_phash(
             yield pd.DataFrame({"id": pdf["id"], "phash": packed})
 
     return feats.mapInPandas(scan, schema="id long, phash long")
+
+
+def video_phash_signature(
+    media: DataFrame,
+    every_ms: int = 1000,
+    extractor: Callable[[bytes, int], bytes] | None = None,
+    frames: int = 4,
+) -> DataFrame:
+    """Video near-dup signature: sample frames on the ``every_ms`` grid
+    (:func:`explode_frames`), difference-hash each frame's bytes (the
+    :func:`media_dhash` gradient-sign rule over the 16-byte frame → 15
+    bits), and pack the first ``frames`` frame-hashes time-ordered into
+    ONE BIGINT — so :func:`phash_pairs` with ``width = 15`` bands makes
+    "some sampled frame hashes identical at the same timestamp" the
+    candidate rule, and the hamming verify counts drifted gradient bits
+    across the whole clip. The standard shape (frame signature + banded
+    index) of published video copy-detection systems, on this package's
+    deterministic stand-in extractor.
+
+    Requires ``frames·15 ≤ 62``: default 4 frames → 60 bits. Videos
+    with fewer than ``frames`` sampled frames are dropped (short-clip
+    policy stated here rather than padded silently). One Arrow scan for
+    the frame hash, one keyed aggregate for the pack — no other
+    shuffles."""
+    if frames * 15 > 62:
+        raise ValueError("frames*15 must be <= 62 to fit a signed BIGINT")
+    fr = explode_frames(media, every_ms, extractor)
+
+    def hash_frames(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for fb in pdf["frame"]:
+                b = np.frombuffer(bytes(fb), dtype=np.uint8).astype(np.int64)
+                gt = (b[1:] > b[:-1]).astype(np.int64)
+                out.append(int((gt << np.arange(len(gt))).sum()))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "frame_ts_ms": pdf["frame_ts_ms"],
+                    "fhash": out,
+                }
+            )
+
+    hashed = fr.mapInPandas(
+        hash_frames, schema="id long, frame_ts_ms long, fhash long"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy("frame_ts_ms")
+    packed = (
+        hashed.withColumn("_idx", F.row_number().over(w) - 1)
+        .filter(F.col("_idx") < frames)
+        .groupBy("id")
+        .agg(
+            F.sum(
+                F.col("fhash")
+                * F.pow(F.lit(2.0), F.col("_idx") * 15).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("phash"),
+            F.count(F.lit(1)).alias("_nf"),
+        )
+        .filter(F.col("_nf") >= frames)
+        .select("id", "phash")
+    )
+    return packed

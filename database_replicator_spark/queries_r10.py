@@ -399,3 +399,133 @@ def multimodal_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bands=_PHASH_BANDS,
         max_bucket_size=_PHASH_CAP,
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_video_neardup — the video tier's gated near-dup path:
+# frame-sample on a fixed grid → per-frame difference hash → pack the
+# time-ordered frame hashes into one 60-bit signature → 15-bit banded
+# join (a band IS a frame position, so the candidate rule is "some
+# sampled frame hashes identical at the same timestamp") → hamming
+# verify across the clip. The deterministic stand-in extractor
+# (fake_frame_extract: a (ts·7 mod len) byte window over the doubled
+# payload) is exactly reproducible in SQL, so unlike the DCT path this
+# one oracle-gates end to end.
+# ---------------------------------------------------------------------------
+
+_VID_EVERY_MS = 1000
+_VID_DURATION = 3000  # → frames at 0/1000/2000/3000 ms, 4 per clip
+_VID_MAXHAM = 8
+
+
+@query(
+    "multimodal_video_neardup",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(COALESCE(text, '')), '\\s+', ' ', 'g'))
+               || 'xxxxxxxxxxxxxxxx' AS s
+      FROM documents
+    ),
+    items AS (
+      SELECT doc_id * 2 AS id, s FROM base
+      UNION ALL
+      SELECT doc_id * 2 + 1 AS id,
+             substr(s, 1, 20) || '#' || substr(s, 22) AS s
+      FROM base
+    ),
+    frames AS (
+      SELECT id, t.ts,
+             substr(s || s, ((t.ts * 7) % length(s)) + 1, 16) AS fr
+      FROM items, (VALUES (0), (1000), (2000), (3000)) t(ts)
+    ),
+    fh AS (
+      SELECT id, ts,
+             CAST(list_sum(
+               [CASE WHEN ord(substr(fr, i + 1, 1)) > ord(substr(fr, i, 1))
+                     THEN CAST(POWER(2, i - 1) AS BIGINT)
+                     ELSE 0 END FOR i IN range(1, 16)]
+             ) AS BIGINT) AS fhash
+      FROM frames
+    ),
+    sig AS (
+      SELECT id,
+             CAST(SUM(fhash * CAST(POWER(2, 15 * (ts // 1000)) AS BIGINT))
+                  AS BIGINT) AS h
+      FROM fh GROUP BY id
+    ),
+    bands AS (
+      SELECT id, h, b.band, (h >> (b.band * 15)) & 32767 AS bits
+      FROM sig, (VALUES (0), (1), (2), (3)) b(band)
+    ),
+    small AS (
+      SELECT band, bits FROM bands
+      GROUP BY band, bits HAVING COUNT(*) <= {_PHASH_CAP}
+    ),
+    kept AS (SELECT bands.* FROM bands JOIN small USING (band, bits)),
+    cand AS (
+      SELECT DISTINCT a.id AS id1, b.id AS id2, a.h AS h1, b.h AS h2
+      FROM kept a JOIN kept b
+        ON a.band = b.band AND a.bits = b.bits AND a.id < b.id
+    )
+    SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(h1, h2)) <= {_VID_MAXHAM}
+    """,
+)
+def multimodal_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate video pairs (id1 < id2, hamming ≤ 8 over the
+    4-frame packed signature): the full video path — duration metadata →
+    frame sampling → Arrow frame hash → temporal signature → banded
+    join with the bucket cap — driven end to end. A one-byte payload
+    edit perturbs only the frames whose sampled window covers it, so
+    genuine partial-match behavior (some frames equal, some drifted) is
+    exercised, not just exact duplicates."""
+    from .operators.multimodal import (
+        fake_frame_extract,
+        media_table,
+        phash_pairs,
+        video_phash_signature,
+    )
+    from .operators.textops import normalize_text_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.concat(
+            normalize_text_expr(F.coalesce(F.col("text"), F.lit(""))),
+            F.lit("x" * 16),
+        ).alias("s"),
+    )
+    orig = base.select((F.col("doc_id") * 2).alias("id"), F.col("s"))
+    pert = base.select(
+        (F.col("doc_id") * 2 + 1).alias("id"),
+        F.concat(
+            F.substring(F.col("s"), 1, 20),
+            F.lit("#"),
+            F.expr("substring(s, 22)"),
+        ).alias("s"),
+    )
+    items = orig.unionByName(pert).withColumn(
+        "payload", F.encode(F.col("s"), "UTF-8")
+    )
+    media = media_table(items, "id", "payload", "video/x-fake").withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.mime"),
+            F.col("meta.n_bytes"),
+            F.col("meta.width"),
+            F.col("meta.height"),
+            F.lit(_VID_DURATION).cast("long").alias("duration_ms"),
+        ),
+    )
+    sigs = video_phash_signature(
+        media, every_ms=_VID_EVERY_MS, extractor=fake_frame_extract
+    )
+    return phash_pairs(
+        sigs,
+        max_hamming=_VID_MAXHAM,
+        dim=60,
+        n_bands=4,
+        max_bucket_size=_PHASH_CAP,
+    )

@@ -382,3 +382,89 @@ class TestMediaDctPhash:
             ).collect()
         }
         assert (0, 1) in pairs and pairs[(0, 1)] <= 14
+
+
+class TestVideoPhashSignature:
+    def _media(self, spark, payloads, duration=3000):
+        from database_replicator_spark.operators.multimodal import media_table
+
+        df = spark.createDataFrame(
+            list(enumerate(payloads)), "vid long, payload binary"
+        )
+        m = media_table(df, "vid", "payload", "video/x-fake")
+        return m.withColumn(
+            "meta",
+            F.struct(
+                F.col("meta.mime"),
+                F.col("meta.n_bytes"),
+                F.col("meta.width"),
+                F.col("meta.height"),
+                F.lit(duration).cast("long").alias("duration_ms"),
+            ),
+        )
+
+    @staticmethod
+    def _reference(payload, every=1000, duration=3000):
+        from database_replicator_spark.operators.multimodal import (
+            fake_frame_extract,
+        )
+
+        sig = 0
+        for idx, ts in enumerate(range(0, duration + 1, every)):
+            fr = fake_frame_extract(payload, ts)
+            fh = sum(
+                1 << i for i in range(15) if fr[i + 1] > fr[i]
+            )
+            sig |= fh << (15 * idx)
+        return sig
+
+    def test_matches_python_replay(self, spark):
+        from database_replicator_spark.operators.multimodal import (
+            fake_frame_extract,
+            video_phash_signature,
+        )
+
+        payloads = [
+            bytes((i * 31 + k * 7) % 251 for i in range(60 + k))
+            for k in range(4)
+        ]
+        got = {
+            r["id"]: r["phash"]
+            for r in video_phash_signature(
+                self._media(spark, payloads), extractor=fake_frame_extract
+            ).collect()
+        }
+        for k, p in enumerate(payloads):
+            assert got[k] == self._reference(p), k
+
+    def test_short_clips_dropped_not_padded(self, spark):
+        from database_replicator_spark.operators.multimodal import (
+            fake_frame_extract,
+            video_phash_signature,
+        )
+
+        m = self._media(spark, [bytes(range(64))], duration=1000)  # 2 frames
+        assert (
+            video_phash_signature(m, extractor=fake_frame_extract).count() == 0
+        )
+
+    def test_partial_match_shares_unperturbed_frame_bands(self, spark):
+        """A mid-payload edit perturbs only covering frame windows: the
+        pair still shares ≥1 frame band and verifies at low hamming."""
+        from database_replicator_spark.operators.multimodal import (
+            fake_frame_extract,
+            phash_pairs,
+            video_phash_signature,
+        )
+
+        base = bytes((i * 13) % 199 for i in range(120))
+        pert = bytearray(base)
+        pert[20] ^= 0x7F
+        sigs = video_phash_signature(
+            self._media(spark, [base, bytes(pert)]),
+            extractor=fake_frame_extract,
+        )
+        pairs = phash_pairs(
+            sigs, max_hamming=8, dim=60, n_bands=4
+        ).collect()
+        assert len(pairs) == 1 and pairs[0]["hamming"] <= 8
