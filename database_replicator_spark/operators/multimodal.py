@@ -579,3 +579,64 @@ def video_phash_signature(
         .select("id", "phash")
     )
     return packed
+
+
+def audio_fingerprint(
+    media: DataFrame,
+    chunk_bytes: int = 18,
+    bands: int = 6,
+    chunks: int = 12,
+) -> DataFrame:
+    """Audio near-dup fingerprint in the Haitsma-Kalker shape (Philips
+    robust hash, ISMIR 2002): per time chunk, per frequency band, the
+    bit is the SIGN of the energy difference along both axes —
+    ``(E[k][m] − E[k][m+1]) − (E[k−1][m] − E[k−1][m+1]) > 0`` — so the
+    fingerprint tracks the energy LANDSCAPE, not absolute levels (gain
+    changes cancel in both differences). On this container's stand-in
+    decode the payload bytes are the per-band energy proxy (band energy
+    = byte-range sum); a real deployment swaps the band-energy stage for
+    an FFT filter bank and keeps everything downstream.
+
+    ``chunks`` chunks × (bands−1) bits pack into one BIGINT
+    (time-ordered, like :func:`video_phash_signature`), feeding
+    :func:`phash_pairs` with ``width = bands−1`` multiples. Audio
+    shorter than ``(chunks+1)·chunk_bytes`` is the caller's policy —
+    pad or drop BEFORE this operator; it requires full frames and drops
+    incomplete tails. Map-only Arrow scan; the pack is the only keyed
+    aggregate."""
+    bits_per_chunk = bands - 1
+    total_bits = chunks * bits_per_chunk
+    if total_bits > 62:
+        raise ValueError("chunks*(bands-1) must be <= 62 to fit a BIGINT")
+    if chunk_bytes % bands != 0:
+        raise ValueError(f"chunk_bytes={chunk_bytes} must divide into {bands} bands")
+    need = (chunks + 1) * chunk_bytes
+
+    def scan(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, sigs = [], []
+            for vid, payload in zip(pdf["id"], pdf["payload"]):
+                b = bytes(payload)
+                if len(b) < need:
+                    continue  # incomplete frames: dropped by contract
+                arr = (
+                    np.frombuffer(b[:need], dtype=np.uint8)
+                    .astype(np.int64)
+                    .reshape(chunks + 1, bands, chunk_bytes // bands)
+                )
+                energy = arr.sum(axis=2)  # (chunks+1, bands)
+                horiz = energy[:, :-1] - energy[:, 1:]  # (chunks+1, bands-1)
+                double_diff = horiz[1:] - horiz[:-1]  # (chunks, bands-1)
+                bits = (double_diff > 0).astype(np.int64).reshape(-1)
+                sigs.append(int((bits << np.arange(total_bits)).sum()))
+                ids.append(vid)
+            yield pd.DataFrame({"id": ids, "phash": sigs})
+
+    return media.select("id", "payload").mapInPandas(
+        scan, schema="id long, phash long"
+    )

@@ -529,3 +529,174 @@ def multimodal_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bands=4,
         max_bucket_size=_PHASH_CAP,
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_audio_neardup — the audio tier's gated fingerprint path
+# (operators/multimodal.py audio_fingerprint, the Haitsma-Kalker
+# energy-landscape hash on the byte-PCM stand-in). Payloads are padded/
+# truncated to exactly 234 bytes (13 frames x 18), a one-byte edit
+# perturbs <= ~4 sign bits, and the oracle recomputes every band energy
+# and double-difference bit from the same bytes.
+# ---------------------------------------------------------------------------
+
+_AUDIO_NEED = 234
+_AUDIO_MAXHAM = 6
+
+
+@query(
+    "multimodal_audio_neardup",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             substr(trim(regexp_replace(lower(COALESCE(text, '')),
+                                        '\\s+', ' ', 'g'))
+                    || repeat('x', 234), 1, 234) AS s
+      FROM documents
+    ),
+    items AS (
+      SELECT doc_id * 2 AS id, s FROM base
+      UNION ALL
+      SELECT doc_id * 2 + 1 AS id,
+             substr(s, 1, 49) || '#' || substr(s, 51) AS s
+      FROM base
+    ),
+    feats AS (
+      SELECT id, [ord(substr(s, i, 1)) FOR i IN range(1, 235)] AS f
+      FROM items
+    ),
+    energies AS (
+      SELECT id, [f[1] + f[2] + f[3], f[4] + f[5] + f[6], f[7] + f[8] + f[9], f[10] + f[11] + f[12], f[13] + f[14] + f[15], f[16] + f[17] + f[18], f[19] + f[20] + f[21], f[22] + f[23] + f[24], f[25] + f[26] + f[27], f[28] + f[29] + f[30], f[31] + f[32] + f[33], f[34] + f[35] + f[36], f[37] + f[38] + f[39], f[40] + f[41] + f[42], f[43] + f[44] + f[45], f[46] + f[47] + f[48], f[49] + f[50] + f[51], f[52] + f[53] + f[54], f[55] + f[56] + f[57], f[58] + f[59] + f[60], f[61] + f[62] + f[63], f[64] + f[65] + f[66], f[67] + f[68] + f[69], f[70] + f[71] + f[72], f[73] + f[74] + f[75], f[76] + f[77] + f[78], f[79] + f[80] + f[81], f[82] + f[83] + f[84], f[85] + f[86] + f[87], f[88] + f[89] + f[90], f[91] + f[92] + f[93], f[94] + f[95] + f[96], f[97] + f[98] + f[99], f[100] + f[101] + f[102], f[103] + f[104] + f[105], f[106] + f[107] + f[108], f[109] + f[110] + f[111], f[112] + f[113] + f[114], f[115] + f[116] + f[117], f[118] + f[119] + f[120], f[121] + f[122] + f[123], f[124] + f[125] + f[126], f[127] + f[128] + f[129], f[130] + f[131] + f[132], f[133] + f[134] + f[135], f[136] + f[137] + f[138], f[139] + f[140] + f[141], f[142] + f[143] + f[144], f[145] + f[146] + f[147], f[148] + f[149] + f[150], f[151] + f[152] + f[153], f[154] + f[155] + f[156], f[157] + f[158] + f[159], f[160] + f[161] + f[162], f[163] + f[164] + f[165], f[166] + f[167] + f[168], f[169] + f[170] + f[171], f[172] + f[173] + f[174], f[175] + f[176] + f[177], f[178] + f[179] + f[180], f[181] + f[182] + f[183], f[184] + f[185] + f[186], f[187] + f[188] + f[189], f[190] + f[191] + f[192], f[193] + f[194] + f[195], f[196] + f[197] + f[198], f[199] + f[200] + f[201], f[202] + f[203] + f[204], f[205] + f[206] + f[207], f[208] + f[209] + f[210], f[211] + f[212] + f[213], f[214] + f[215] + f[216], f[217] + f[218] + f[219], f[220] + f[221] + f[222], f[223] + f[224] + f[225], f[226] + f[227] + f[228], f[229] + f[230] + f[231], f[232] + f[233] + f[234]] AS e
+      FROM feats
+    ),
+    sig AS (
+      SELECT id,
+             CAST(list_sum([
+               CASE WHEN (e[7] - e[8]) - (e[1] - e[2]) > 0 THEN CAST(POWER(2, 0) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[8] - e[9]) - (e[2] - e[3]) > 0 THEN CAST(POWER(2, 1) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[9] - e[10]) - (e[3] - e[4]) > 0 THEN CAST(POWER(2, 2) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[10] - e[11]) - (e[4] - e[5]) > 0 THEN CAST(POWER(2, 3) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[11] - e[12]) - (e[5] - e[6]) > 0 THEN CAST(POWER(2, 4) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[13] - e[14]) - (e[7] - e[8]) > 0 THEN CAST(POWER(2, 5) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[14] - e[15]) - (e[8] - e[9]) > 0 THEN CAST(POWER(2, 6) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[15] - e[16]) - (e[9] - e[10]) > 0 THEN CAST(POWER(2, 7) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[16] - e[17]) - (e[10] - e[11]) > 0 THEN CAST(POWER(2, 8) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[17] - e[18]) - (e[11] - e[12]) > 0 THEN CAST(POWER(2, 9) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[19] - e[20]) - (e[13] - e[14]) > 0 THEN CAST(POWER(2, 10) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[20] - e[21]) - (e[14] - e[15]) > 0 THEN CAST(POWER(2, 11) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[21] - e[22]) - (e[15] - e[16]) > 0 THEN CAST(POWER(2, 12) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[22] - e[23]) - (e[16] - e[17]) > 0 THEN CAST(POWER(2, 13) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[23] - e[24]) - (e[17] - e[18]) > 0 THEN CAST(POWER(2, 14) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[25] - e[26]) - (e[19] - e[20]) > 0 THEN CAST(POWER(2, 15) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[26] - e[27]) - (e[20] - e[21]) > 0 THEN CAST(POWER(2, 16) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[27] - e[28]) - (e[21] - e[22]) > 0 THEN CAST(POWER(2, 17) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[28] - e[29]) - (e[22] - e[23]) > 0 THEN CAST(POWER(2, 18) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[29] - e[30]) - (e[23] - e[24]) > 0 THEN CAST(POWER(2, 19) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[31] - e[32]) - (e[25] - e[26]) > 0 THEN CAST(POWER(2, 20) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[32] - e[33]) - (e[26] - e[27]) > 0 THEN CAST(POWER(2, 21) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[33] - e[34]) - (e[27] - e[28]) > 0 THEN CAST(POWER(2, 22) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[34] - e[35]) - (e[28] - e[29]) > 0 THEN CAST(POWER(2, 23) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[35] - e[36]) - (e[29] - e[30]) > 0 THEN CAST(POWER(2, 24) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[37] - e[38]) - (e[31] - e[32]) > 0 THEN CAST(POWER(2, 25) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[38] - e[39]) - (e[32] - e[33]) > 0 THEN CAST(POWER(2, 26) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[39] - e[40]) - (e[33] - e[34]) > 0 THEN CAST(POWER(2, 27) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[40] - e[41]) - (e[34] - e[35]) > 0 THEN CAST(POWER(2, 28) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[41] - e[42]) - (e[35] - e[36]) > 0 THEN CAST(POWER(2, 29) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[43] - e[44]) - (e[37] - e[38]) > 0 THEN CAST(POWER(2, 30) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[44] - e[45]) - (e[38] - e[39]) > 0 THEN CAST(POWER(2, 31) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[45] - e[46]) - (e[39] - e[40]) > 0 THEN CAST(POWER(2, 32) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[46] - e[47]) - (e[40] - e[41]) > 0 THEN CAST(POWER(2, 33) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[47] - e[48]) - (e[41] - e[42]) > 0 THEN CAST(POWER(2, 34) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[49] - e[50]) - (e[43] - e[44]) > 0 THEN CAST(POWER(2, 35) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[50] - e[51]) - (e[44] - e[45]) > 0 THEN CAST(POWER(2, 36) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[51] - e[52]) - (e[45] - e[46]) > 0 THEN CAST(POWER(2, 37) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[52] - e[53]) - (e[46] - e[47]) > 0 THEN CAST(POWER(2, 38) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[53] - e[54]) - (e[47] - e[48]) > 0 THEN CAST(POWER(2, 39) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[55] - e[56]) - (e[49] - e[50]) > 0 THEN CAST(POWER(2, 40) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[56] - e[57]) - (e[50] - e[51]) > 0 THEN CAST(POWER(2, 41) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[57] - e[58]) - (e[51] - e[52]) > 0 THEN CAST(POWER(2, 42) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[58] - e[59]) - (e[52] - e[53]) > 0 THEN CAST(POWER(2, 43) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[59] - e[60]) - (e[53] - e[54]) > 0 THEN CAST(POWER(2, 44) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[61] - e[62]) - (e[55] - e[56]) > 0 THEN CAST(POWER(2, 45) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[62] - e[63]) - (e[56] - e[57]) > 0 THEN CAST(POWER(2, 46) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[63] - e[64]) - (e[57] - e[58]) > 0 THEN CAST(POWER(2, 47) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[64] - e[65]) - (e[58] - e[59]) > 0 THEN CAST(POWER(2, 48) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[65] - e[66]) - (e[59] - e[60]) > 0 THEN CAST(POWER(2, 49) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[67] - e[68]) - (e[61] - e[62]) > 0 THEN CAST(POWER(2, 50) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[68] - e[69]) - (e[62] - e[63]) > 0 THEN CAST(POWER(2, 51) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[69] - e[70]) - (e[63] - e[64]) > 0 THEN CAST(POWER(2, 52) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[70] - e[71]) - (e[64] - e[65]) > 0 THEN CAST(POWER(2, 53) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[71] - e[72]) - (e[65] - e[66]) > 0 THEN CAST(POWER(2, 54) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[73] - e[74]) - (e[67] - e[68]) > 0 THEN CAST(POWER(2, 55) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[74] - e[75]) - (e[68] - e[69]) > 0 THEN CAST(POWER(2, 56) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[75] - e[76]) - (e[69] - e[70]) > 0 THEN CAST(POWER(2, 57) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[76] - e[77]) - (e[70] - e[71]) > 0 THEN CAST(POWER(2, 58) AS BIGINT) ELSE 0 END,
+               CASE WHEN (e[77] - e[78]) - (e[71] - e[72]) > 0 THEN CAST(POWER(2, 59) AS BIGINT) ELSE 0 END
+             ]) AS BIGINT) AS h
+      FROM energies
+    ),
+    bands AS (
+      SELECT id, h, b.band, (h >> (b.band * 15)) & 32767 AS bits
+      FROM sig, (VALUES (0), (1), (2), (3)) b(band)
+    ),
+    small AS (
+      SELECT band, bits FROM bands
+      GROUP BY band, bits HAVING COUNT(*) <= {_PHASH_CAP}
+    ),
+    kept AS (SELECT bands.* FROM bands JOIN small USING (band, bits)),
+    cand AS (
+      SELECT DISTINCT a.id AS id1, b.id AS id2, a.h AS h1, b.h AS h2
+      FROM kept a JOIN kept b
+        ON a.band = b.band AND a.bits = b.bits AND a.id < b.id
+    )
+    SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(h1, h2)) <= {_AUDIO_MAXHAM}
+    """,
+)
+def multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate audio pairs (id1 < id2, hamming <= 6 over the
+    60-bit energy-landscape fingerprint): byte-PCM stand-in decode, 13
+    frames x 6 bands, double-difference sign bits, 15-bit banded join
+    with the bucket cap — gain-invariant by construction (a constant
+    offset cancels in both differences, test-pinned)."""
+    from .operators.multimodal import (
+        audio_fingerprint,
+        media_table,
+        phash_pairs,
+    )
+    from .operators.textops import normalize_text_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.substring(
+            F.concat(
+                normalize_text_expr(F.coalesce(F.col("text"), F.lit(""))),
+                F.lit("x" * _AUDIO_NEED),
+            ),
+            1,
+            _AUDIO_NEED,
+        ).alias("s"),
+    )
+    orig = base.select((F.col("doc_id") * 2).alias("id"), F.col("s"))
+    pert = base.select(
+        (F.col("doc_id") * 2 + 1).alias("id"),
+        F.concat(
+            F.substring(F.col("s"), 1, 49),
+            F.lit("#"),
+            F.substring(F.col("s"), 51, _AUDIO_NEED - 50),
+        ).alias("s"),
+    )
+    items = orig.unionByName(pert).withColumn(
+        "payload", F.encode(F.col("s"), "UTF-8")
+    )
+    media = media_table(items, "id", "payload", "audio/x-pcm8")
+    sigs = audio_fingerprint(media)
+    return phash_pairs(
+        sigs,
+        max_hamming=_AUDIO_MAXHAM,
+        dim=60,
+        n_bands=4,
+        max_bucket_size=_PHASH_CAP,
+    )

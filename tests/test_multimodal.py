@@ -468,3 +468,68 @@ class TestVideoPhashSignature:
             sigs, max_hamming=8, dim=60, n_bands=4
         ).collect()
         assert len(pairs) == 1 and pairs[0]["hamming"] <= 8
+
+
+class TestAudioFingerprint:
+    NEED = 13 * 18
+
+    def _sig(self, spark, payloads):
+        from database_replicator_spark.operators.multimodal import (
+            audio_fingerprint,
+            media_table,
+        )
+
+        df = spark.createDataFrame(
+            list(enumerate(payloads)), "aid long, payload binary"
+        )
+        m = media_table(df, "aid", "payload", "audio/x-pcm8")
+        return {r["id"]: r["phash"] for r in audio_fingerprint(m).collect()}
+
+    @staticmethod
+    def _reference(payload):
+        e = [
+            sum(payload[k * 18 + m * 3 + j] for j in range(3))
+            for k in range(13)
+            for m in range(6)
+        ]
+
+        def E(k, m):
+            return e[k * 6 + m]
+
+        sig = 0
+        for i in range(60):
+            k, m = i // 5 + 1, i % 5
+            dd = (E(k, m) - E(k, m + 1)) - (E(k - 1, m) - E(k - 1, m + 1))
+            if dd > 0:
+                sig |= 1 << i
+        return sig
+
+    def test_matches_python_replay(self, spark):
+        payloads = [
+            bytes((i * 41 + k * 3) % 251 for i in range(self.NEED))
+            for k in range(4)
+        ]
+        got = self._sig(spark, payloads)
+        for k, p in enumerate(payloads):
+            assert got[k] == self._reference(p), k
+
+    def test_gain_invariance_and_short_drop(self, spark):
+        base = bytes((i * 23) % 180 for i in range(self.NEED))
+        louder = bytes(b + 70 for b in base)  # constant gain offset
+        short = bytes(range(100))
+        got = self._sig(spark, [base, louder, short])
+        assert got[0] == got[1]  # offsets cancel in both differences
+        assert 2 not in got  # incomplete frames dropped by contract
+
+    def test_one_byte_edit_is_local(self, spark):
+        base = bytes((i * 23) % 180 for i in range(self.NEED))
+        pert = bytearray(base)
+        pert[50] = 255  # max-amplitude spike: guaranteed sign crossings
+        got = self._sig(spark, [base, bytes(pert)])
+        flips = bin(got[0] ^ got[1]).count("1")
+        # one band energy moves → only its 4 adjacent double-difference
+        # bits can cross zero; the replay pins the exact count (2 here)
+        assert 1 <= flips <= 4
+        assert flips == bin(
+            self._reference(base) ^ self._reference(bytes(pert))
+        ).count("1")
