@@ -473,6 +473,17 @@ def main(argv: list[str] | None = None) -> int:
     )
     gstatus_p.add_argument("--target", required=True)
 
+    drift_p = sub.add_parser(
+        "drift-report",
+        help="per-epoch payload schema drift from a change-apply target "
+        "(requires the applier to have run with expected schemas)",
+    )
+    drift_p.add_argument("--target", required=True)
+    drift_p.add_argument(
+        "--drifted-only", action="store_true",
+        help="only epochs/tables that actually drifted",
+    )
+
     istatus_p = sub.add_parser(
         "ingest-status",
         help="per-tier ingest monitoring: roll up the per-epoch "
@@ -1170,6 +1181,24 @@ def main(argv: list[str] | None = None) -> int:
         spark, owns = _get_session()
         try:
             print(json.dumps({"ok": True, **graph_status(spark, args.target)}))
+            return 0
+        except Exception as e:
+            print(json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"}))
+            return 2
+        finally:
+            if owns:
+                spark.stop()
+
+    if args.command == "drift-report":
+        from .streaming.change_stream import read_drift_report
+
+        spark, owns = _get_session()
+        try:
+            rep = read_drift_report(spark, args.target)
+            if args.drifted_only:
+                rep = rep.filter("drifted")
+            rows = [r.asDict() for r in rep.orderBy("epoch", "table").collect()]
+            print(json.dumps({"ok": True, "reports": rows}, default=str))
             return 0
         except Exception as e:
             print(json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"}))

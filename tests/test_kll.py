@@ -235,3 +235,35 @@ class TestProfilePercentiles:
         assert r["n"] == 2 and r["p100"] == 3.0
         with _pytest.raises(ValueError, match="no numeric"):
             profile_percentiles(spark.createDataFrame([("a",)], "s string"))
+
+
+class TestStorableState:
+    def test_parquet_round_trip_then_delta_merge(self, spark, tmp_path):
+        """The IVM posture the docstrings claim: a sketch written today
+        merges tomorrow's delta without rescanning today's rows, and the
+        result is bit-identical to a fresh whole-corpus build."""
+        from database_replicator_spark.operators.kll import (
+            kll_sketch,
+            merge_kll,
+        )
+
+        rows = [("g%d" % (i % 2), i * 7 % 1000) for i in range(2000)]
+        df = spark.createDataFrame(rows, "grp string, v long")
+        day1 = df.filter("v % 3 != 0")
+        day2 = df.filter("v % 3 = 0")
+
+        path = str(tmp_path / "sketch")
+        kll_sketch(day1, ["grp"], "v", k=4096).write.parquet(path)
+        stored = spark.read.parquet(path)
+        merged = merge_kll(
+            [stored, kll_sketch(day2, ["grp"], "v", k=4096)], ["grp"], k=4096
+        )
+        whole = kll_sketch(df, ["grp"], "v", k=4096)
+
+        def snap(d):
+            return sorted(
+                (r["grp"], r["kll_n"], tuple(map(tuple, r["kll_levels"])))
+                for r in d.collect()
+            )
+
+        assert snap(merged) == snap(whole)

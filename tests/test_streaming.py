@@ -714,3 +714,33 @@ class TestPayloadDriftReport:
         rep = read_drift_report(spark, dirs["tgt"]).filter("epoch = 3")
         assert rep.count() == 1
         assert rep.first()["added_cols"] == "extra:bigint"
+
+    def test_drift_report_cli_verb(self, spark, dirs, capsys):
+        import json as _json
+
+        from database_replicator_spark.cli import main
+        from database_replicator_spark.streaming.change_stream import (
+            ChangeApplier,
+        )
+
+        applier = ChangeApplier(
+            target_dir=dirs["tgt"], expected_schemas=self._expected()
+        )
+        ok_batch = spark.createDataFrame(
+            [(1, "users", "insert", "1", '{"name":"n","email":"e"}')],
+            "change_id long, table string, op string, pk string, payload string",
+        )
+        bad_batch = spark.createDataFrame(
+            [(2, "users", "update", "1", '{"name":"n","email":"e","vip":true}')],
+            "change_id long, table string, op string, pk string, payload string",
+        )
+        applier.apply_batch(ok_batch, 0)
+        applier.apply_batch(bad_batch, 1)
+
+        rc = main(["drift-report", "--target", dirs["tgt"], "--drifted-only"])
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and out["ok"]
+        assert len(out["reports"]) == 1
+        rep = out["reports"][0]
+        assert rep["epoch"] == 1 and rep["added_cols"] == "vip:boolean"
+        assert 'ADD COLUMN IF NOT EXISTS "vip" BOOLEAN' in rep["apply_sql"]
