@@ -371,6 +371,7 @@ def phash_pairs(
     id_col: str = "id",
     hash_col: str = "phash",
     max_bucket_size: int | None = 50,
+    checkpoint_hashes: bool = True,
 ) -> DataFrame:
     """Near-duplicate media pairs by hamming distance over the perceptual
     hashes: split each hash into ``n_bands`` bit-bands and join on band
@@ -395,6 +396,15 @@ def phash_pairs(
         )
     width = dim // n_bands
     mask = (1 << width) - 1
+    if checkpoint_hashes:
+        # The hash relation is consumed by up to three exchanges (bucket
+        # guard, both self-join sides). The text-LSH path relies on
+        # AQE's ReuseExchange for the same shape, but here the lineage
+        # upstream is the media DECODE — the expensive stage with a real
+        # codec — so a (id, long)-sized localCheckpoint guarantees
+        # decode-once regardless of what the planner reuses. Pass False
+        # when the hashes are already materialized (stored index).
+        hashes = hashes.localCheckpoint()
     bands = hashes.select(
         F.col(id_col).alias("_id"),
         F.col(hash_col).alias("_h"),
