@@ -14,6 +14,15 @@ The actual codec work needs libraries this container does not ship
 injected, and ``fake_decode`` provides the deterministic stand-in used by
 tests and the oracle-checked query — the Spark-side plumbing (schemas,
 batch shapes, UDF signatures) is real.
+
+Analytics on decoded media (round 10): near-dup fingerprints for all
+three modalities, each feeding the shared banded-hamming pair join
+(:func:`phash_pairs`) and, from there, the text tier's cluster/survivor
+machinery — images via :func:`media_phash` (aHash), :func:`media_dhash`
+(gradient sign), and :func:`media_dct_phash` (DCT, the only
+non-SQL-expressible one); video via :func:`video_phash_signature`
+(frame-sampled temporal signature); audio via :func:`audio_fingerprint`
+(Haitsma-Kalker energy-landscape bits).
 """
 
 from __future__ import annotations
