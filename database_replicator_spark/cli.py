@@ -473,6 +473,22 @@ def main(argv: list[str] | None = None) -> int:
     )
     gstatus_p.add_argument("--target", required=True)
 
+    mdedup_p = sub.add_parser(
+        "media-dedup",
+        help="perceptual-hash media dedup over a (id, payload) parquet "
+        "table: hash → banded hamming candidates → connected components "
+        "→ canonical per cluster",
+    )
+    mdedup_p.add_argument("--source", required=True)
+    mdedup_p.add_argument("--table", required=True)
+    mdedup_p.add_argument("--id-col", default="id")
+    mdedup_p.add_argument("--payload-col", default="payload")
+    mdedup_p.add_argument(
+        "--hash", default="dhash", choices=["ahash", "dhash", "dct"],
+    )
+    mdedup_p.add_argument("--max-hamming", type=int, default=6)
+    mdedup_p.add_argument("--out", help="write labeled parquet here")
+
     drift_p = sub.add_parser(
         "drift-report",
         help="per-epoch payload schema drift from a change-apply target "
@@ -1181,6 +1197,45 @@ def main(argv: list[str] | None = None) -> int:
         spark, owns = _get_session()
         try:
             print(json.dumps({"ok": True, **graph_status(spark, args.target)}))
+            return 0
+        except Exception as e:
+            print(json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"}))
+            return 2
+        finally:
+            if owns:
+                spark.stop()
+
+    if args.command == "media-dedup":
+        from pyspark.sql import functions as _F
+
+        from .operators.multimodal import media_dedup
+        from .sources.catalog import load_table
+
+        spark, owns = _get_session()
+        try:
+            df = load_table(spark, args.source, args.table)
+            labeled = media_dedup(
+                df,
+                id_col=args.id_col,
+                payload_col=args.payload_col,
+                hash_family=args.hash,
+                max_hamming=args.max_hamming,
+            )
+            if args.out:
+                labeled.write.mode("overwrite").parquet(args.out)
+                labeled = spark.read.parquet(args.out)
+            agg = labeled.agg(
+                _F.count(_F.lit(1)).alias("n"),
+                _F.sum(_F.col("kept").cast("long")).alias("n_kept"),
+                _F.countDistinct("cluster_id").alias("n_clusters"),
+            ).first()
+            print(json.dumps({
+                "ok": True, "hash": args.hash,
+                "n": int(agg["n"]), "n_kept": int(agg["n_kept"]),
+                "n_dup": int(agg["n"] - agg["n_kept"]),
+                "n_clusters": int(agg["n_clusters"]),
+                "out": args.out or None,
+            }))
             return 0
         except Exception as e:
             print(json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"}))

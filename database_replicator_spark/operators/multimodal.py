@@ -659,3 +659,89 @@ def audio_fingerprint(
     return media.select("id", "payload").mapInPandas(
         scan, schema="id long, phash long"
     )
+
+
+def byte_decode_sized(dim: int) -> Callable[[bytes], list[float]]:
+    """:func:`byte_decode` normalized to exactly ``dim`` features
+    (truncate / zero-pad) — the arbitrary-length-payload adapter the
+    fixed-grid hash families need. Real decoders normalize by RESIZING
+    (the resize_media stage); this stand-in keeps the byte semantics."""
+
+    def decode(payload: bytes) -> list[float]:
+        b = payload[:dim]
+        return [float(x) for x in b] + [0.0] * (dim - len(b))
+
+    return decode
+
+
+#: hash family registry for media_dedup: name → (hasher kwargs-free
+#: callable, feature dim, hash bits, default bands)
+_HASH_FAMILIES = {
+    "ahash": (48, 48, 4),
+    "dhash": (49, 48, 4),
+    "dct": (64, 63, 3),
+}
+
+
+def media_dedup(
+    df: DataFrame,
+    id_col: str = "id",
+    payload_col: str = "payload",
+    mime: str = "application/octet-stream",
+    hash_family: str = "dhash",
+    decoder: Callable[[bytes], list[float]] | None = None,
+    max_hamming: int = 6,
+    max_bucket_size: int | None = 50,
+) -> DataFrame:
+    """End-to-end media dedup: decode → perceptual hash (``ahash`` /
+    ``dhash`` / ``dct``) → banded hamming candidates → connected
+    components → canonical-per-cluster. The media twin of the text
+    pipeline's near-dup stage, riding the same cluster/survivor backend.
+
+    ``decoder=None`` uses the sized byte-decode stand-in (truncate/pad
+    to the family's grid); inject a real decoder in deployment. Returns
+    one row per input item: ``(id, cluster_id, canonical_id,
+    cluster_size, kept)`` — ``kept`` is the lowest-id survivor rule
+    (:func:`corpus.select_canonicals`)."""
+    from .corpus import connected_components, select_canonicals
+
+    if hash_family not in _HASH_FAMILIES:
+        raise ValueError(
+            f"unknown hash_family {hash_family!r}; pick from "
+            f"{sorted(_HASH_FAMILIES)}"
+        )
+    dim, bits, bands = _HASH_FAMILIES[hash_family]
+    decoder = decoder or byte_decode_sized(dim)
+    media = media_table(df, id_col, payload_col, mime)
+    if hash_family == "ahash":
+        hashes = media_phash(media, decoder=decoder, dim=dim)
+    elif hash_family == "dhash":
+        hashes = media_dhash(media, decoder=decoder, dim=dim)
+    else:
+        hashes = media_dct_phash(media, decoder=decoder)
+    pairs = phash_pairs(
+        hashes,
+        max_hamming=max_hamming,
+        dim=bits,
+        n_bands=bands,
+        max_bucket_size=max_bucket_size,
+    )
+    nodes = hashes.select(F.col("id").alias("node"))
+    labels = connected_components(
+        nodes, pairs, id_col="node", src_col="id1", dst_col="id2"
+    )
+    canon = select_canonicals(labels, nodes.selectExpr("node as doc_id"))
+    # plain join, NOT a broadcast hint: the canonical relation is
+    # cluster-count-sized (≈ item-count in the no-dup worst case) — AQE
+    # broadcasts it when it is actually small
+    return (
+        labels.select(F.col("node").alias("id"), "cluster_id")
+        .join(canon, on="cluster_id", how="left")
+        .select(
+            "id",
+            "cluster_id",
+            "canonical_id",
+            "cluster_size",
+            (F.col("id") == F.col("canonical_id")).alias("kept"),
+        )
+    )

@@ -533,3 +533,59 @@ class TestAudioFingerprint:
         assert flips == bin(
             self._reference(base) ^ self._reference(bytes(pert))
         ).count("1")
+
+
+class TestMediaDedupPipeline:
+    PAYLOADS = [
+        (1, b"the quick brown fox jumps over the lazy dog pad!"),  # 48B
+        (2, b"the quick brown fox jumps over the lazy dog pad!"),  # exact dup
+        (3, b"the q#ick brown fox jumps over the lazy dog pad!"),  # near dup
+        (4, b"completely different content that shares nothing"),
+    ]
+
+    def test_clusters_and_survivors(self, spark):
+        from database_replicator_spark.operators.multimodal import media_dedup
+
+        df = spark.createDataFrame(self.PAYLOADS, "id long, payload binary")
+        got = {
+            r["id"]: r
+            for r in media_dedup(df, hash_family="dhash").collect()
+        }
+        assert len(got) == 4
+        # 1,2,3 cluster together; 1 is the survivor
+        assert got[1]["cluster_id"] == got[2]["cluster_id"] == got[3]["cluster_id"]
+        assert got[4]["cluster_id"] != got[1]["cluster_id"]
+        assert [got[i]["kept"] for i in (1, 2, 3, 4)] == [True, False, False, True]
+        assert got[1]["cluster_size"] == 3 and got[4]["cluster_size"] == 1
+
+    def test_all_three_families_run(self, spark):
+        from database_replicator_spark.operators.multimodal import media_dedup
+
+        df = spark.createDataFrame(self.PAYLOADS, "id long, payload binary")
+        for fam in ("ahash", "dhash", "dct"):
+            out = media_dedup(df, hash_family=fam).collect()
+            assert len(out) == 4, fam
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="unknown hash_family"):
+            media_dedup(df, hash_family="simhash")
+
+    def test_cli_verb_end_to_end(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from database_replicator_spark.cli import main
+
+        src = tmp_path / "media"
+        src.mkdir()
+        df = spark.createDataFrame(self.PAYLOADS, "id long, payload binary")
+        df.write.parquet(str(src / "blobs.parquet"))
+        rc = main([
+            "media-dedup", "--source", str(src), "--table", "blobs",
+            "--out", str(tmp_path / "labeled"),
+        ])
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and out["ok"]
+        assert out == {
+            "ok": True, "hash": "dhash", "n": 4, "n_kept": 2,
+            "n_dup": 2, "n_clusters": 2, "out": str(tmp_path / "labeled"),
+        }
