@@ -700,3 +700,74 @@ def multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bands=4,
         max_bucket_size=_PHASH_CAP,
     )
+
+
+# ---------------------------------------------------------------------------
+# events_ohlc_bars — the hypertable-rollup shape with FIRST/LAST-by-time
+# semantics (OHLC candles): open/close are selected row values under a
+# total (ts, event_id) order, high/low are plain extrema, volume/turnover
+# the usual exact aggregates. Determinism: first/last via ROW_NUMBER over
+# the identical total order on both engines (arg_min/arg_max tie rules
+# differ across engines; rank-1 selection does not), turnover via the
+# decimal-sum-then-double house rule. Plan: two windows + one groupBy,
+# all on the same (event_type, hour) key — a single shuffle.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_ohlc_bars",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar_start,
+             event_id, ts, value
+      FROM events
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY event_type, bar_start
+                                ORDER BY ts ASC, event_id ASC) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, bar_start
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM base
+    )
+    SELECT event_type, bar_start,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           COUNT(*) AS volume,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS turnover
+    FROM ranked
+    GROUP BY event_type, bar_start
+    """,
+)
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, hour) OHLC bars over the event stream."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bar_start"),
+        "event_id",
+        "ts",
+        "value",
+    )
+    w_a = Window.partitionBy("event_type", "bar_start").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    w_d = Window.partitionBy("event_type", "bar_start").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = base.withColumn("rn_a", F.row_number().over(w_a)).withColumn(
+        "rn_d", F.row_number().over(w_d)
+    )
+    return ranked.groupBy("event_type", "bar_start").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("volume"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("turnover"),
+    )
