@@ -66,8 +66,19 @@ class GraphMaintainer:
     rerank_mass_fraction: float = 0.05
     pagerank_kwargs: dict = field(default_factory=dict)
     weighted: bool = True
+    #: "pagerank" (default; weighted by the accumulated Σw) or "hits"
+    #: (unweighted by definition — the store's per-pair aggregation
+    #: still dedups re-observed edges; ranks relation carries
+    #: (node, hub_units, auth_units), zero-filled on one-sided nodes)
+    rank_fn: str = "pagerank"
     applied_batches: list = field(default_factory=list)
     rerank_epochs: list = field(default_factory=list)
+
+    def __post_init__(self) -> None:
+        if self.rank_fn not in ("pagerank", "hits"):
+            raise ValueError(
+                f"rank_fn must be 'pagerank' or 'hits', got {self.rank_fn!r}"
+            )
 
     def _path(self, name: str) -> str:
         return os.path.join(self.target_dir, name)
@@ -130,16 +141,30 @@ class GraphMaintainer:
         self._refresh(spark, store, epoch_id)
 
     def _refresh(self, spark: SparkSession, store: DataFrame, epoch_id: int) -> None:
-        from ..operators.graph import pagerank_units
         from ..util import staged_overwrite
 
         edges = (
             store.groupBy("src", "dst").agg(F.sum("w").alias("w"))
         )
         kwargs = dict(self.pagerank_kwargs)
-        if self.weighted:
-            kwargs.setdefault("weight_col", "w")
-        ranks = pagerank_units(edges, **kwargs)
+        if self.rank_fn == "hits":
+            from ..operators.graph import hits_units
+
+            hubs, auths = hits_units(edges, **kwargs)
+            ranks = (
+                hubs.join(auths, on="node", how="full")
+                .select(
+                    "node",
+                    F.coalesce("hub_units", F.lit(0)).alias("hub_units"),
+                    F.coalesce("auth_units", F.lit(0)).alias("auth_units"),
+                )
+            )
+        else:
+            from ..operators.graph import pagerank_units
+
+            if self.weighted:
+                kwargs.setdefault("weight_col", "w")
+            ranks = pagerank_units(edges, **kwargs)
         staged_overwrite(spark, ranks, self._path("ranks"))
         total = edges.agg(F.sum("w")).first()[0] or 0
         self._write_meta(

@@ -195,3 +195,39 @@ class TestGraphCli:
         rc = main(["graph-status", "--target", str(tmp_path / "tgt")])
         st = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rc == 0 and st["ok"] and st["epochs_behind"] == 0
+
+
+class TestHitsMaintainer:
+    def test_incremental_hits_equals_batch(self, spark, tmp_path):
+        from database_replicator_spark.operators.graph import hits_units
+
+        tgt = str(tmp_path / "g")
+        ing = GraphMaintainer(
+            target_dir=tgt,
+            rerank_mass_fraction=0.0,
+            pagerank_kwargs=dict(iters=2),
+            rank_fn="hits",
+        )
+        for e, rows in enumerate(EPOCHS):
+            ing.ingest_batch(_mk(spark, rows), e)
+        got = {
+            r["node"]: (r["hub_units"], r["auth_units"])
+            for r in read_ranks(spark, tgt).collect()
+        }
+        allrows = [r for rows in EPOCHS for r in rows]
+        edges = _mk(spark, allrows).groupBy("src", "dst").agg(
+            F.sum("w").alias("w")
+        )
+        hubs, auths = hits_units(edges, iters=2)
+        expect = {}
+        for r in hubs.collect():
+            expect[r["node"]] = [r["hub_units"], 0]
+        for r in auths.collect():
+            expect.setdefault(r["node"], [0, 0])[1] = r["auth_units"]
+        assert got == {k: tuple(v) for k, v in expect.items()}
+
+    def test_unknown_rank_fn_rejected(self, tmp_path):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="rank_fn"):
+            GraphMaintainer(target_dir=str(tmp_path), rank_fn="simrank")
