@@ -415,3 +415,64 @@ def simhash_signatures(
 def hamming_distance(a: Column, b: Column) -> Column:
     """Popcount of XOR via bit_count (JVM intrinsic)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def blocking_edit_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_len: int = 8,
+    max_distance: int = 2,
+    max_block_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Record-linkage pairs by BLOCKING + edit-distance verify — the
+    classic entity-resolution shape (Fellegi-Sunter era blocking;
+    Christen, "Data Matching" 2012): candidate pairs share a cheap
+    deterministic block key (the first ``block_len`` chars of the
+    canonical text form), and only candidates pay the O(len²) Levenshtein
+    — never the corpus cross product. Complements the n-gram tiers:
+    shingle Jaccard misses single-character typos in SHORT strings
+    (names, addresses, SKUs) that edit distance is built for.
+
+    Same hot-block contract as the LSH buckets: blocks above
+    ``max_block_size`` are dropped deterministically (a corpus of
+    identical prefixes is what the exact tier collapses first). Returns
+    (id1, id2, distance), id1 < id2, distance ≤ ``max_distance``.
+
+    Plan: block key is the only shuffle key; the verify runs INSIDE the
+    join as Spark's thresholded ``levenshtein(l, r, k)`` (early-exits
+    the DP past k, returns the true distance within it — wall-clock
+    O(k·len) per pair instead of O(len²))."""
+    norm = normalize_text_expr(F.coalesce(F.col(text_col), F.lit("")))
+    rel = df.select(
+        F.col(id_col).alias("_id"),
+        norm.alias("_t"),
+        F.substring(norm, 1, block_len).alias("_blk"),
+    )
+    if max_block_size is not None:
+        small = (
+            rel.groupBy("_blk")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_block_size)
+            .select("_blk")
+        )
+        rel = rel.join(small, on="_blk", how="left_semi")
+    a = rel.select(
+        F.col("_blk"), F.col("_id").alias("id1"), F.col("_t").alias("_t1")
+    )
+    b = rel.select(
+        F.col("_blk").alias("_blk_b"),
+        F.col("_id").alias("id2"),
+        F.col("_t").alias("_t2"),
+    )
+    dist = F.levenshtein(F.col("_t1"), F.col("_t2"), max_distance)
+    return (
+        a.join(
+            b,
+            (F.col("_blk") == F.col("_blk_b")) & (F.col("id1") < F.col("id2")),
+        )
+        .withColumn("distance", dist)
+        .filter((F.col("distance") >= 0) & (F.col("distance") <= max_distance))
+        .select("id1", "id2", F.col("distance").cast("int").alias("distance"))
+        .distinct()
+    )

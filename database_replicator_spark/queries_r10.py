@@ -1,13 +1,16 @@
-"""Round-10 query-surface additions.
+"""Round-10 query-surface additions (eight gates over five tiers).
 
-Four gates over three tiers: the sketch tier gains a mergeable quantile
-sketch (KLL family, Karnin-Lang-Liberty FOCS'16 — operators/kll.py) so
-percentile profiling joins KMV/CMS/Bloom/MG in the storable-mergeable-
-state story; the retrieval tier gains position-aware evidence (minimal
-phrase windows over positional postings) for verbatim-quote
-contamination checks; and the multimodal tier gains perceptual-hash
-image near-dup in both public flavors — mean-threshold aHash and
-gradient-sign dHash — riding the text tier's banded-hamming machinery.
+Sketch: a mergeable quantile sketch (KLL family, Karnin-Lang-Liberty
+FOCS'16 — operators/kll.py) so percentile profiling joins
+KMV/CMS/Bloom/MG in the storable-mergeable-state story. Retrieval:
+position-aware evidence (minimal phrase windows over positional
+postings) for verbatim-quote contamination checks. Multimodal:
+perceptual-hash near-dup for ALL THREE modalities — image aHash + dHash
+(the DCT flavor is python-replay-only; a DCT is not SQL-expressible),
+video frame-signature, audio energy-landscape — riding the text tier's
+banded-hamming machinery. Dedup: record linkage by blocking +
+thresholded edit distance. Analytics: OHLC time-bucket bars
+(rank-1 open/close under a total order).
 
 Determinism follows the house rules (queries.py): integer arithmetic for
 ranks, fixed-point scores, and hash bits; identical aliases both sides;
@@ -15,8 +18,9 @@ id tiebreaks. Reference provenance: the reference engine (a replication
 engine) has none of these surfaces — they are the LLM-pipeline
 extensions the build mandate grades as first-class; algorithms are the
 published ones (Karnin et al. 2016; Clarke et al. 2000 and Metzler &
-Croft 2005 for proximity; Krawetz's aHash/dHash notes for the
-perceptual hashes).
+Croft 2005 for proximity; Krawetz's aHash/dHash notes and
+Haitsma-Kalker ISMIR'02 for the perceptual hashes; Christen 2012 for
+blocking-based record linkage).
 """
 
 from __future__ import annotations
@@ -772,4 +776,88 @@ def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
         F.count(F.lit(1)).alias("volume"),
         F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("turnover"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# doc_entity_linkage — record linkage by blocking + edit-distance verify
+# (operators/dedup.py blocking_edit_pairs). Entities are fixed 40-char
+# document prefixes plus a one-character-perturbed variant each (the
+# typo'd-duplicate-record scenario), block key = first 8 chars (the
+# perturbation at position 20 never touches it), Levenshtein ≤ 2.
+# ---------------------------------------------------------------------------
+
+_ENT_LEN = 40
+_ENT_BLOCK = 8
+_ENT_MAXD = 2
+
+
+@query(
+    "doc_entity_linkage",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             substr(trim(regexp_replace(lower(COALESCE(text, '')),
+                                        '\\s+', ' ', 'g'))
+                    || repeat('x', {_ENT_LEN}), 1, {_ENT_LEN}) AS s
+      FROM documents
+    ),
+    items AS (
+      SELECT doc_id * 2 AS id, s FROM base
+      UNION ALL
+      SELECT doc_id * 2 + 1 AS id,
+             substr(s, 1, 19) || '#' || substr(s, 21) AS s
+      FROM base
+    ),
+    blocked AS (SELECT id, s, substr(s, 1, {_ENT_BLOCK}) AS blk FROM items),
+    small AS (
+      SELECT blk FROM blocked GROUP BY blk HAVING COUNT(*) <= 50
+    ),
+    kept AS (SELECT blocked.* FROM blocked JOIN small USING (blk)),
+    pairs AS (
+      SELECT DISTINCT a.id AS id1, b.id AS id2,
+             CAST(levenshtein(a.s, b.s) AS INTEGER) AS distance
+      FROM kept a JOIN kept b
+        ON a.blk = b.blk AND a.id < b.id
+      WHERE levenshtein(a.s, b.s) <= {_ENT_MAXD}
+    )
+    SELECT id1, id2, distance FROM pairs
+    """,
+)
+def doc_entity_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-record pairs (id1 < id2, edit distance ≤ 2) over the
+    synthetic entity strings — the blocking + thresholded-Levenshtein
+    path the n-gram dedup tiers cannot express for short typo'd fields."""
+    from .operators.dedup import blocking_edit_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    from .operators.textops import normalize_text_expr
+
+    base = docs.select(
+        "doc_id",
+        F.substring(
+            F.concat(
+                normalize_text_expr(F.coalesce(F.col("text"), F.lit(""))),
+                F.lit("x" * _ENT_LEN),
+            ),
+            1,
+            _ENT_LEN,
+        ).alias("s"),
+    )
+    orig = base.select((F.col("doc_id") * 2).alias("id"), F.col("s"))
+    pert = base.select(
+        (F.col("doc_id") * 2 + 1).alias("id"),
+        F.concat(
+            F.substring(F.col("s"), 1, 19),
+            F.lit("#"),
+            F.substring(F.col("s"), 21, _ENT_LEN - 20),
+        ).alias("s"),
+    )
+    items = orig.unionByName(pert)
+    return blocking_edit_pairs(
+        items,
+        id_col="id",
+        text_col="s",
+        block_len=_ENT_BLOCK,
+        max_distance=_ENT_MAXD,
     )

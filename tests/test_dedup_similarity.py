@@ -808,3 +808,49 @@ class TestEmbeddingOutliers:
         inliers = [r for i, r in out.items() if i != 99]
         assert all(not r["is_outlier"] for r in inliers)
         assert len(out) == 61
+
+
+class TestBlockingEditPairs:
+    """Record linkage (round 10): blocking + thresholded Levenshtein."""
+
+    def _pairs(self, spark, rows, **kw):
+        from database_replicator_spark.operators.dedup import (
+            blocking_edit_pairs,
+        )
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return sorted(
+            tuple(r) for r in blocking_edit_pairs(df, **kw).collect()
+        )
+
+    def test_typo_pairs_found_with_exact_distance(self, spark):
+        rows = [
+            (1, "acme corporation ltd"),
+            (2, "acme corporatian ltd"),   # 1 substitution
+            (3, "acme corporation ltd."),  # 1 insertion
+            (4, "acme corp holdings intl"),  # same block, distance > 2
+            (5, "zenith corporation ltd"),   # different block
+        ]
+        got = self._pairs(spark, rows, max_distance=2)
+        assert got == [(1, 2, 1), (1, 3, 1), (2, 3, 2)]
+
+    def test_block_miss_is_the_documented_trade(self, spark):
+        # a typo INSIDE the 8-char block key lands the records in
+        # different blocks — blocking recall is bounded by key choice,
+        # exactly like LSH band recall
+        rows = [(1, "acme corporation"), (2, "acmi corporation")]
+        assert self._pairs(spark, rows) == []
+        # widening the block away from the typo recovers the pair
+        assert self._pairs(spark, rows, block_len=2) == [(1, 2, 1)]
+
+    def test_hot_block_cap(self, spark):
+        rows = [(i, f"samepref variant {i}") for i in range(30)]
+        rows += [(100, "uniq-blk one"), (101, "uniq-blk oni")]
+        capped = self._pairs(spark, rows, max_block_size=10, max_distance=2)
+        assert capped == [(100, 101, 1)]
+        uncapped = self._pairs(spark, rows, max_block_size=None, max_distance=2)
+        assert len(uncapped) > 1
+
+    def test_normalization_shared_with_text_tiers(self, spark):
+        rows = [(1, "  Acme   CORP  "), (2, "acme corp")]
+        assert self._pairs(spark, rows) == [(1, 2, 0)]
