@@ -231,3 +231,23 @@ class TestHitsMaintainer:
 
         with _pytest.raises(ValueError, match="rank_fn"):
             GraphMaintainer(target_dir=str(tmp_path), rank_fn="simrank")
+
+
+class TestUnweightedMaintainer:
+    def test_weighted_false_matches_unweighted_batch(self, spark, tmp_path):
+        tgt = str(tmp_path / "g")
+        ing = GraphMaintainer(
+            target_dir=tgt,
+            rerank_mass_fraction=0.0,
+            pagerank_kwargs=PR_KW,
+            weighted=False,
+        )
+        for e, rows in enumerate(EPOCHS):
+            ing.ingest_batch(_mk(spark, rows), e)
+        allrows = [r for rows in EPOCHS for r in rows]
+        # unweighted: the accumulated per-pair relation, weights ignored
+        edges = (
+            _mk(spark, allrows).groupBy("src", "dst").agg(F.sum("w").alias("w"))
+        )
+        expect = _ranks_dict(pagerank_units(edges, **PR_KW))
+        assert _ranks_dict(read_ranks(spark, tgt)) == expect

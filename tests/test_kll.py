@@ -292,3 +292,42 @@ class TestFusedGroupQuantiles:
             ).collect()
         )
         assert fused == unfused
+
+
+class TestAdversarialOrders:
+    """Sorted arrival orders are the classic compaction adversary (every
+    promotion carries maximal rank bias in one direction)."""
+
+    K = 256
+    N = 40_000
+
+    @pytest.mark.parametrize("direction", ["asc", "desc"])
+    def test_sorted_input_stays_within_bounds(self, direction):
+        vals = list(range(self.N))
+        if direction == "desc":
+            vals.reverse()
+        st_ = kll_new()
+        for i in range(0, self.N, 2048):
+            kll_update(st_, vals[i : i + 2048], self.K)
+        assert _weight(st_) == self.N
+        kept = sum(len(b) for b in st_["levels"])
+        assert kept <= 4 * self.K
+        s = sorted(vals)
+        bound = kll_rank_bound(st_, self.K)
+        worst = max(_true_rank_err(st_, s, p) for p in range(1, 101))
+        assert worst <= bound
+        assert worst <= 6 * self.N // self.K  # looser pin: sorted order
+        # IS the bias-maximizing adversary, hash-shuffled gets 4n/k
+
+    def test_many_tiny_sketch_fold(self):
+        """The distributed shape taken to its extreme: 500 single-item
+        states folded through the canonical merge — n conserved, exact
+        regime preserved (nothing ever exceeds capacity)."""
+        from database_replicator_spark.operators.kll import _canonical_fold
+
+        states = [kll_update(kll_new(), [v * 7 % 501], 1024) for v in range(500)]
+        rows = [{"n": s["n"], "levels": s["levels"]} for s in states]
+        merged = _canonical_fold(rows, 1024)
+        assert merged["n"] == 500 and len(merged["levels"]) == 1
+        whole = kll_update(kll_new(), [v * 7 % 501 for v in range(500)], 1024)
+        assert merged == whole

@@ -589,3 +589,20 @@ class TestMediaDedupPipeline:
             "ok": True, "hash": "dhash", "n": 4, "n_kept": 2,
             "n_dup": 2, "n_clusters": 2, "out": str(tmp_path / "labeled"),
         }
+
+
+class TestPhashPairsCheckpointKnob:
+    def test_checkpoint_off_output_identical(self, spark):
+        from database_replicator_spark.operators.multimodal import phash_pairs
+
+        rows = [(i, (i * 37) % (1 << 48)) for i in range(60)]
+        rows += [(100, 0x155555555555), (101, 0x155555555554)]
+        df = spark.createDataFrame(rows, "id long, phash long")
+        on = sorted(map(tuple, phash_pairs(df, max_hamming=6).collect()))
+        off = sorted(
+            map(
+                tuple,
+                phash_pairs(df, max_hamming=6, checkpoint_hashes=False).collect(),
+            )
+        )
+        assert on == off and (100, 101, 1) in on
