@@ -20,12 +20,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def runs_for(elapsed: float, budget: float) -> int:
-    """Per-query measurement protocol under the wall budget: 3 (warmup +
-    min-of-2) while under 65% consumed, 2 (warmup + 1) to 90%, then 1
-    (single cold run) — complete-but-noisier beats an absent JSON line."""
-    if elapsed > budget * 0.9:
+    """Reactive BACKSTOP under the wall budget — since the upfront plan
+    (plan_runs) already fits PLAN_FRACTION·budget, this only fires when
+    the box is badly loaded: 3 while under 85% consumed, 2 to 95%, then
+    1 (single cold run) — complete-but-noisier beats an absent JSON
+    line. (The r5-r10 protocol degraded reactively from 65%, which at
+    190+ gates put the same slow tail on the single-run path every
+    round; the deterministic rotation replaced that job.)"""
+    if elapsed > budget * 0.95:
         return 1
-    if elapsed > budget * 0.65:
+    if elapsed > budget * 0.85:
         return 2
     return 3
 
@@ -57,13 +61,105 @@ def runs_for_gate(base: float | None) -> int:
     return 3
 
 
+def current_round() -> int:
+    """The round this run belongs to: one past the newest recorded
+    BENCH_r*.json — identical for every bench invocation within a round,
+    so the rotation slice below is deterministic round-wide."""
+    import glob
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+        for p in glob.glob(os.path.join(repo, "BENCH_r*.json"))
+    ]
+    return (max(rounds) + 1) if rounds else 0
+
+
+#: fraction of the wall budget the PLAN may commit to measured runs —
+#: the rest absorbs session/warmup/calibration overhead and load noise
+PLAN_FRACTION = 0.75
+#: planned-cost estimate for a gate with no recorded baseline (it always
+#: takes the full 3-run protocol; this is only for budget projection) —
+#: deliberately pessimistic: a NEW gate is exactly the one whose cost
+#: nobody has measured (r11: cdc_replay_latest landed at 8.3 s against
+#: the old 1.5 s estimate and blew the plan)
+UNKNOWN_GATE_EST = 3.0
+#: per-RUN fixed overhead outside the gate itself (clearCache, noop sink
+#: setup, scheduler) — ~0.1-0.2 s measured; 195 gates × runs adds up
+RUN_OVERHEAD_EST = 0.15
+
+
+def plan_runs(
+    names: list[str], baseline: dict[str, float], budget: float
+) -> tuple[dict[str, int], list[str]]:
+    """Deterministic per-gate run plan fitting the budget UPFRONT (r10
+    verdict ask #4): the old protocol degraded reactively — whichever
+    gates happened to execute after the 65%/90% budget marks lost runs,
+    so as the registry grew the same slow tail gates were degraded every
+    round and their numbers got noisier each time. Here the slow (3-run)
+    tier is put on an explicit ROTATION instead: when the projected full
+    protocol exceeds PLAN_FRACTION·budget, only a 1-in-N slice of the
+    slow gates (by sorted index, slice advancing with the round number)
+    keeps warmup+min-of-2 this round and the rest take one single run —
+    every slow gate gets a clean 3-run measurement every N rounds, N
+    chosen as the smallest divisor that fits the plan. Gates with no
+    recorded baseline always get the full protocol (first recording).
+    Returns (plan, rotation_singles)."""
+    tiers = {n: runs_for_gate(baseline.get(n)) for n in names}
+    if os.environ.get("SPARK_GRAFT_BENCH_FULL"):
+        return tiers, []
+
+    def cost(n: str, runs: int) -> float:
+        return runs * (baseline.get(n, UNKNOWN_GATE_EST) + RUN_OVERHEAD_EST)
+
+    cap = PLAN_FRACTION * budget
+    slow = sorted(
+        (n for n in names if tiers[n] == 3 and n in baseline),
+        key=lambda n: (-baseline[n], n),
+    )
+    mid = sorted(
+        (n for n in names if tiers[n] == 2), key=lambda n: (-baseline[n], n)
+    )
+    r = current_round()
+
+    def build(n_slow: int, n_mid: int) -> tuple[dict[str, int], list[str]]:
+        plan = dict(tiers)
+        rotation = [
+            n
+            for i, n in enumerate(slow)
+            if n_slow > 1 and i % n_slow != r % n_slow
+        ] + [
+            n
+            for i, n in enumerate(mid)
+            if n_mid > 1 and i % n_mid != r % n_mid
+        ]
+        for n in rotation:
+            plan[n] = 1
+        return plan, rotation
+
+    # BOTH tiers rotate: (n_slow, n_mid) = full measurement every n-th
+    # round per tier. Candidates ordered by total demotion fraction so
+    # the first fit is the gentlest; tie-break prefers keeping the SLOW
+    # tier's full cadence (slow gates are where regressions hide and
+    # where a single cold run is noisiest).
+    pairs = sorted(
+        [(s, m) for s in (1, 2, 3, 4, 6, 8, 12) for m in (1, 2, 3, 4, 6)],
+        key=lambda sm: ((1 - 1 / sm[0]) + (1 - 1 / sm[1]), sm[0], sm[1]),
+    )
+    for s, m in pairs:
+        plan, rotation = build(s, m)
+        if sum(cost(n, plan[n]) for n in names) <= cap:
+            return plan, rotation
+    return build(12, 6)
+
+
 #: top-level JSON keys that can appear inside a truncated ``tail`` capture
 #: but are not query names
 _NON_QUERY_KEYS = {
     "metric", "value", "unit", "sf", "degraded_queries",
     "fast_single_queries", "n", "rc", "cpus", "queries",
     "degraded", "budget_used", "calib_start_s", "calib_end_s",
-    "loadavg_start", "loadavg_end",
+    "loadavg_start", "loadavg_end", "rotation_queries", "rotation_round",
 }
 
 
@@ -176,18 +272,20 @@ def main() -> None:
     bench_t0 = time.perf_counter()
 
     baseline = baseline_timings()
+    queries = q.all_queries()
+    plan, rotation = plan_runs(list(queries), baseline, budget)
 
     timings: dict[str, float] = {}
     total = 0.0
     degraded: list[str] = []
     n_fast_single = 0
-    for name, fn in q.all_queries().items():
-        tier = runs_for_gate(baseline.get(name))
+    for name, fn in queries.items():
+        tier = plan[name]
         budget_runs = runs_for(time.perf_counter() - bench_t0, budget)
         runs = min(tier, budget_runs)
         if runs < tier:
             degraded.append(name)
-        elif tier < 3:
+        elif tier < 3 and name not in rotation:
             n_fast_single += 1
         if runs == 1:
             dt = run_once(fn)
@@ -218,6 +316,8 @@ def main() -> None:
                 "queries": timings,
                 "degraded_queries": len(degraded),
                 "fast_single_queries": n_fast_single,
+                "rotation_queries": len(rotation),
+                "rotation_round": current_round(),
                 "degraded": degraded,
                 "budget_used": round(
                     (time.perf_counter() - bench_t0) / budget, 3

@@ -164,6 +164,13 @@ def main(argv: list[str] | None = None) -> int:
         help="add p50/p90/p99 per numeric column via the mergeable KLL "
         "sketch (no global sort; exact below sketch capacity)",
     )
+    profile_p.add_argument(
+        "--from-maintained", metavar="DIR",
+        help="serve the profile from a streaming-maintained store "
+        "(streaming/profile_ingest.py) instead of scanning --source: "
+        "per-epoch KLL/KMV/summary partials merged on read — no rescan "
+        "of history; --source is ignored",
+    )
 
     corpus_p = sub.add_parser(
         "corpus-build",
@@ -639,6 +646,19 @@ def main(argv: list[str] | None = None) -> int:
 
         spark, owns = _get_session()
         try:
+            if args.from_maintained:
+                from .streaming.profile_ingest import read_profile
+
+                rows = [
+                    r.asDict()
+                    for r in read_profile(spark, args.from_maintained).collect()
+                ]
+                print(json.dumps(
+                    {"ok": True, "maintained": args.from_maintained,
+                     "profile": rows},
+                    default=str,
+                ))
+                return 0
             tables = _load_sources(spark, args.source)
             if args.table:
                 tables = {t: df for t, df in tables.items() if t in set(args.table)}

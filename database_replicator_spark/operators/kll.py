@@ -127,10 +127,21 @@ def _compress(state: dict, k: int) -> None:
 
 def kll_update(state: dict, items: Sequence[int], k: int) -> dict:
     """Fold a batch of int items into the sketch (in place; returned for
-    chaining)."""
-    state["levels"][0].extend(int(x) for x in items)
-    state["levels"][0].sort()
-    state["n"] += len(items)
+    chaining). Accepts a numpy array directly — ``ndarray.tolist()`` is a
+    single C call yielding Python ints, vs a per-value ``int()`` loop for
+    generic sequences (the r10 verdict's constant-factor nit on the
+    partial-build path); the resulting state is identical either way."""
+    buf = state["levels"][0]
+    if hasattr(items, "dtype"):  # numpy fast path (Arrow batch values)
+        import numpy as np
+
+        arr = items if items.dtype.kind == "i" else items.astype(np.int64)
+        buf.extend(arr.tolist())
+        state["n"] += len(arr)
+    else:
+        buf.extend(int(x) for x in items)
+        state["n"] += len(items)
+    buf.sort()
     _compress(state, k)
     return state
 
@@ -273,21 +284,34 @@ def kll_sketch(
     src = df.select(*groups, F.col(value_col).cast("bigint").alias("_v"))
     out_schema = _sketch_schema(src, groups)
 
+    part = src.mapInPandas(_partials_fn(groups, k), out_schema)
+    return _combine_kll(part, groups, k, out_schema)
+
+
+def _partials_fn(groups: list[str], k: int):
+    """Per-Arrow-batch partial-build closure shared by the sketch and the
+    fused quantile paths. Grouping uses ``groupby(...).indices`` (integer
+    row positions) + one numpy value array instead of iterating sliced
+    sub-DataFrames — the r10 profile showed the DataFrame chop, not the
+    KLL math, dominating the partial stage. Per-group value ORDER is the
+    batch's row order either way, so partial states are bit-identical to
+    the iterator form."""
+
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: dict[tuple, dict] = {}
         for pdf in batches:
-            for key, sub in pdf.groupby(groups, sort=False):
+            vals = pdf["_v"].to_numpy()
+            for key, idx in pdf.groupby(groups, sort=False).indices.items():
                 key = key if isinstance(key, tuple) else (key,)
                 st = acc.setdefault(key, kll_new())
-                kll_update(st, sub["_v"].tolist(), k)
+                kll_update(st, vals[idx], k)
         rows = [
             {**dict(zip(groups, key)), **_state_to_row(st)}
             for key, st in acc.items()
         ]
         yield pd.DataFrame(rows, columns=[*groups, *_STATE_COLS])
 
-    part = src.mapInPandas(partials, out_schema)
-    return _combine_kll(part, groups, k, out_schema)
+    return partials
 
 
 def _combine_kll(
@@ -361,13 +385,24 @@ def kll_group_quantiles(
     value_col: str,
     percents: Sequence[int],
     k: int = 2048,
+    merge_partitions: int | None = None,
 ) -> DataFrame:
     """Fused build→merge→extract: :func:`kll_sketch` then
     :func:`kll_quantile_values` in ONE groupBy stage — the per-group
     merge emits the quantile columns directly instead of materializing
     the nested level arrays through a second Arrow round-trip (measured
     ~30% off the gate's wall time at sf0.1). Use the unfused pair when
-    the sketch STATE is the product (stored, merged later)."""
+    the sketch STATE is the product (stored, merged later).
+
+    ``merge_partitions``: when the group cardinality is BOUNDED (a fixed
+    grain like month × priority — the count does not grow with data
+    size), pass a small number to run the merge as a keyed repartition +
+    one mapInPandas scan over that many tasks instead of the default
+    shuffle-partition-count applyInPandas: at sf0.1 the 32-task grouped
+    merge spends ~1.2 s of per-task Python round-trip overhead on 400
+    k-bounded rows that one task folds in ~0.1 s. Leave ``None`` when
+    groups scale with the data (the default keeps full merge
+    parallelism). Results are identical either way (canonical fold)."""
     pct = [int(p) for p in percents]
     groups = list(group_cols)
     src = df.select(*groups, F.col(value_col).cast("bigint").alias("_v"))
@@ -378,18 +413,41 @@ def kll_group_quantiles(
         + [f"p{p} bigint" for p in pct]
     )
 
-    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        acc: dict[tuple, dict] = {}
-        for pdf in batches:
-            for key, sub in pdf.groupby(groups, sort=False):
-                key = key if isinstance(key, tuple) else (key,)
-                st = acc.setdefault(key, kll_new())
-                kll_update(st, sub["_v"].tolist(), k)
-        rows = [
-            {**dict(zip(groups, key)), **_state_to_row(st)}
-            for key, st in acc.items()
-        ]
-        yield pd.DataFrame(rows, columns=[*groups, *_STATE_COLS])
+    part = src.mapInPandas(_partials_fn(groups, k), part_schema)
+
+    if merge_partitions is not None:
+        def merge_scan(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            by_key: dict[tuple, list[dict]] = {}
+            for pdf in batches:
+                for i in range(len(pdf)):
+                    key = tuple(pdf[c].iloc[i] for c in groups)
+                    by_key.setdefault(key, []).append(
+                        _row_to_state(
+                            pdf["kll_n"].iloc[i], pdf["kll_levels"].iloc[i]
+                        )
+                    )
+            rows = []
+            for key, states in by_key.items():
+                merged = _canonical_fold(states, k)
+                row = dict(zip(groups, key))
+                row["n"] = merged["n"]
+                for p in pct:
+                    row[f"p{p}"] = kll_quantile(merged, p)
+                rows.append(row)
+            out = pd.DataFrame(
+                rows, columns=[*groups, "n", *[f"p{p}" for p in pct]]
+            )
+            # deterministic within-task order (total order when 1 task)
+            if len(out):
+                out = out.sort_values(groups).reset_index(drop=True)
+            yield out
+
+        # keyed repartition: all of a group's partials land in one task
+        return part.repartition(merge_partitions, *groups).mapInPandas(
+            merge_scan, out_schema
+        )
 
     def merge_extract(pdf: pd.DataFrame) -> pd.DataFrame:
         states = [
@@ -403,5 +461,4 @@ def kll_group_quantiles(
             out[f"p{p}"] = kll_quantile(merged, p)
         return out
 
-    part = src.mapInPandas(partials, part_schema)
     return part.groupBy(*groups).applyInPandas(merge_extract, out_schema)

@@ -33,6 +33,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# The Arrow-scan closures below capture module-level functions (the
+# decoders, fake_* stand-ins): ship them BY VALUE inside the task so a
+# driver whose workers cannot import this package (vanilla session from
+# an arbitrary cwd — the kll.py lesson) still runs every media stage.
+def _register_by_value() -> None:
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+
+_register_by_value()
+
+
 #: canonical media metadata struct
 MEDIA_META_SCHEMA = T.StructType(
     [
@@ -86,6 +101,145 @@ def fake_decode(payload: bytes, dim: int = 8) -> list[float]:
         / float(2**32)
         for i in range(dim)
     ]
+
+
+def decode_bmp(payload: bytes) -> list[float]:
+    """REAL image decoder for uncompressed BMP (BI_RGB, 8-bit paletted or
+    24-bit BGR) — pure stdlib/numpy, no external codec, so the container's
+    no-Pillow constraint no longer forces synthetic pixels: real BMP bytes
+    decode to the actual pixel grid end-to-end in the sandbox.
+
+    Layout parsed per the public BITMAPFILEHEADER/BITMAPINFOHEADER spec:
+    pixel-array offset at byte 10, width/height/bpp/compression from the
+    40-byte DIB at offset 14, rows padded to 4-byte boundaries and stored
+    bottom-up (top-down when height is negative). 8-bit pixels map
+    through the palette (grayscale = blue channel — identical to R/G for
+    gray palettes); 24-bit BGR maps to the exact channel mean. Returns
+    row-major top-down grayscale floats, the contract every hash family
+    expects from :func:`extract_features` decoders."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    (pix_off,) = struct.unpack_from("<I", payload, 10)
+    dib_size, width, height = struct.unpack_from("<Iii", payload, 14)
+    if dib_size < 40:
+        raise ValueError(f"unsupported BMP DIB header size {dib_size}")
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if compression != 0:
+        raise ValueError(f"unsupported BMP compression {compression}")
+    if bpp not in (8, 24):
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    top_down = height < 0
+    height = abs(height)
+    row_size = ((bpp * width + 31) // 32) * 4
+    rows = []
+    for r in range(height):
+        src_r = r if top_down else height - 1 - r
+        start = pix_off + src_r * row_size
+        row = payload[start : start + row_size]
+        if bpp == 8:
+            palette = payload[14 + dib_size : pix_off]
+            rows.extend(float(palette[4 * b]) for b in row[:width])
+        else:
+            px = row[: 3 * width]
+            rows.extend(
+                (px[i] + px[i + 1] + px[i + 2]) / 3.0
+                for i in range(0, 3 * width, 3)
+            )
+    return rows
+
+
+def bmp_prefix(width: int, height: int) -> bytes:
+    """The constant header+DIB+palette prefix of an 8-bit grayscale BMP
+    of the given dimensions (identity palette, bottom-up rows): fixture
+    builders concat this literal with the padded pixel rows to mint REAL
+    BMP files plan-side — the byte layout :func:`decode_bmp` parses."""
+    import struct
+
+    row_size = ((8 * width + 31) // 32) * 4
+    pix_off = 14 + 40 + 256 * 4
+    total = pix_off + row_size * height
+    header = b"BM" + struct.pack("<IHHI", total, 0, 0, pix_off)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 8, 0,
+                      row_size * height, 2835, 2835, 256, 0)
+    palette = b"".join(bytes((i, i, i, 0)) for i in range(256))
+    return header + dib + palette
+
+
+def decode_wav(payload: bytes) -> list[float]:
+    """REAL audio decoder for PCM WAV (RIFF/WAVE, 8-bit unsigned or
+    16-bit signed LE, any channel count) — pure stdlib, the audio twin of
+    :func:`decode_bmp`. Walks the RIFF chunk list (not fixed offsets —
+    real encoders emit LIST/fact chunks before data), reads the sample
+    format from ``fmt ``, and returns mono float samples (multi-channel
+    downmixed by exact per-frame mean)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload (missing RIFF/WAVE magic)")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (csz,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + csz]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + csz + (csz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV payload missing fmt/data chunk")
+    audio_format, channels, _rate, _brate, _align, bits = fmt
+    if audio_format != 1:
+        raise ValueError(f"unsupported WAV format {audio_format} (PCM only)")
+    if bits == 8:
+        samples = [float(b) for b in data]
+    elif bits == 16:
+        n = len(data) // 2
+        samples = [float(v) for v in struct.unpack(f"<{n}h", data[: 2 * n])]
+    else:
+        raise ValueError(f"unsupported WAV bit depth {bits}")
+    if channels > 1:
+        frames = len(samples) // channels
+        samples = [
+            sum(samples[i * channels : (i + 1) * channels]) / channels
+            for i in range(frames)
+        ]
+    return samples
+
+
+def wav_prefix(n_samples: int, rate: int = 8000) -> bytes:
+    """The constant RIFF/fmt/data prefix of an 8-bit mono PCM WAV with
+    ``n_samples`` samples — fixture builders concat this with raw sample
+    bytes to mint real WAV files plan-side."""
+    import struct
+
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + n_samples)
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate, 1, 8)
+        + b"data"
+        + struct.pack("<I", n_samples)
+    )
+
+
+def default_decoder(payload: bytes) -> list[float]:
+    """Magic-byte dispatch over the REAL container decoders: BMP and WAV
+    parse natively (no external codec needed); any other container still
+    raises the declared NotImplementedError seam (JPEG/PNG/MP4 need
+    libraries this sandbox does not ship — inject Pillow/ffmpeg in
+    deployment)."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
+    raise NotImplementedError(
+        "no native decoder for this container (BMP/WAV parse in-sandbox; "
+        "inject Pillow/ffmpeg for JPEG/PNG/MP4)"
+    )
 
 
 def byte_decode(payload: bytes) -> list[float]:
@@ -605,6 +759,7 @@ def audio_fingerprint(
     chunk_bytes: int = 18,
     bands: int = 6,
     chunks: int = 12,
+    decoder: Callable[[bytes], list[float]] | None = None,
 ) -> DataFrame:
     """Audio near-dup fingerprint in the Haitsma-Kalker shape (Philips
     robust hash, ISMIR 2002): per time chunk, per frequency band, the
@@ -622,7 +777,13 @@ def audio_fingerprint(
     shorter than ``(chunks+1)·chunk_bytes`` is the caller's policy —
     pad or drop BEFORE this operator; it requires full frames and drops
     incomplete tails. Map-only Arrow scan; the pack is the only keyed
-    aggregate."""
+    aggregate.
+
+    ``decoder``: optional container decode (e.g. :func:`decode_wav`) run
+    per payload BEFORE framing — the sample stream replaces raw payload
+    bytes as the per-band energy proxy; ``None`` keeps the byte-PCM
+    stand-in (payload bytes ARE the samples). Decoded samples are
+    truncated toward int64 so 8-bit PCM round-trips bit-exactly."""
     bits_per_chunk = bands - 1
     total_bits = chunks * bits_per_chunk
     if total_bits > 62:
@@ -641,13 +802,21 @@ def audio_fingerprint(
             ids, sigs = [], []
             for vid, payload in zip(pdf["id"], pdf["payload"]):
                 b = bytes(payload)
-                if len(b) < need:
+                if decoder is not None:
+                    samples = np.asarray(decoder(b), dtype=np.float64)
+                    if len(samples) < need:
+                        continue  # incomplete frames: dropped by contract
+                    arr = samples[:need].astype(np.int64).reshape(
+                        chunks + 1, bands, chunk_bytes // bands
+                    )
+                elif len(b) < need:
                     continue  # incomplete frames: dropped by contract
-                arr = (
-                    np.frombuffer(b[:need], dtype=np.uint8)
-                    .astype(np.int64)
-                    .reshape(chunks + 1, bands, chunk_bytes // bands)
-                )
+                else:
+                    arr = (
+                        np.frombuffer(b[:need], dtype=np.uint8)
+                        .astype(np.int64)
+                        .reshape(chunks + 1, bands, chunk_bytes // bands)
+                    )
                 energy = arr.sum(axis=2)  # (chunks+1, bands)
                 horiz = energy[:, :-1] - energy[:, 1:]  # (chunks+1, bands-1)
                 double_diff = horiz[1:] - horiz[:-1]  # (chunks, bands-1)

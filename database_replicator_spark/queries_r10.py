@@ -83,7 +83,15 @@ def orders_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.99*100 = 99.00000000000001). Runs the FUSED build→merge→extract
     (kll_group_quantiles) — one fewer Arrow round-trip of nested level
     arrays than the storable kll_sketch/kll_quantile_values pair, which
-    tests pin value-identical."""
+    tests pin value-identical.
+
+    merge_partitions=1: the (month × priority) grain is BOUNDED (~400
+    groups at any SF — it grows with the calendar, not the data), so the
+    k-bounded partial states merge in one task; the heavy partial build
+    keeps full scan parallelism. No trailing orderBy: a global sort's
+    range-sampling pass re-executes the whole Python pipeline (measured
+    +2 s at sf0.1), the single merge task already emits a total order,
+    and the driver's value-hash is order-insensitive."""
     from .operators.kll import kll_group_quantiles
 
     orders = load_table(spark, sf_dir, "orders")
@@ -95,8 +103,13 @@ def orders_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"),
     )
     return kll_group_quantiles(
-        v, ["o_month", "o_orderpriority"], "cents", [50, 90, 99], k=_KLL_K
-    ).orderBy("o_month", "o_orderpriority")
+        v,
+        ["o_month", "o_orderpriority"],
+        "cents",
+        [50, 90, 99],
+        k=_KLL_K,
+        merge_partitions=1,
+    )
 
 
 # ---------------------------------------------------------------------------

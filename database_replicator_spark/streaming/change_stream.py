@@ -276,18 +276,28 @@ class ChangeApplier:
                 from ..operators.latest import latest_by_key
 
                 bucket = F.pmod(F.hash(F.col("pk")), F.lit(self.n_buckets))
-                for row in batch.select("table").distinct().collect():
-                    tbl = row["table"]
+                # ONE metadata collect per epoch: (table, touched bucket)
+                # pairs together, instead of a tables job plus a
+                # buckets-per-table job — per-epoch fixed job count is
+                # what bounds consumer throughput on small batches
+                pairs = (
+                    batch.select("table", bucket.alias("bucket"))
+                    .distinct()
+                    .collect()
+                )
+                touched_by_table: dict[str, list[int]] = {}
+                for r in pairs:
+                    touched_by_table.setdefault(r["table"], []).append(
+                        r["bucket"]
+                    )
+                for tbl in sorted(touched_by_table):
                     tbl_changes = (
                         batch.filter(F.col("table") == tbl)
                         .select("pk", "payload", "change_id", "op")
                         .withColumn("bucket", bucket)
                     )
                     latest_path = self._table_path(tbl, "_latest")
-                    touched = sorted(
-                        r["bucket"]
-                        for r in tbl_changes.select("bucket").distinct().collect()
-                    )
+                    touched = sorted(touched_by_table[tbl])
                     if parquet_exists(latest_path):
                         # legacy flat layout: fold the whole table in once;
                         # every bucket of the merged result gets written and
@@ -579,6 +589,85 @@ def start_change_apply(
     else:
         writer = writer.trigger(processingTime="60 seconds")
     return writer.start(), applier
+
+
+def replay_change_log(
+    spark: SparkSession,
+    changes: DataFrame,
+    work_dir: str,
+    epochs: int = 4,
+    n_buckets: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic bounded replay of a batch change log through the
+    REAL streaming apply path — the oracle-gateable form of the CDC
+    consumer (r10 verdict ask #3): ``changes`` (CHANGE_SCHEMA columns) is
+    split into ``epochs`` change-id-ordered chunk files, streamed with
+    ``maxFilesPerTrigger=1`` (one file per micro-batch, Trigger.
+    AvailableNow) through :class:`ChangeApplier`, and the applied
+    ``_latest`` + ``_sync_state`` tables are read back as DataFrames.
+
+    Determinism: chunk boundaries are change_id ranges
+    (repartitionByRange), chunk files are renamed to zero-padded names
+    with strictly increasing mtimes so the file source's (mtime, path)
+    ordering replays epochs in change-id order — which makes the
+    ``n_changes`` high-water-mark accounting exact, not just the
+    order-independent ``_latest`` merge. ``work_dir`` is recreated from
+    scratch each call (a re-run replays from genesis, not from a stale
+    checkpoint).
+
+    Scale shape: this is a REPLAY HARNESS for bounded logs (gates,
+    backfills, disaster drills) — the chunk write is one range-partition
+    job and per-epoch apply cost is the applier's O(batch + touched
+    buckets); a live deployment runs :func:`start_change_apply` on the
+    durable queue instead, with no rename step.
+    """
+    import shutil
+
+    shutil.rmtree(work_dir, ignore_errors=True)
+    source = os.path.join(work_dir, "source")
+    target = os.path.join(work_dir, "target")
+    checkpoint = os.path.join(work_dir, "checkpoint")
+    staging = os.path.join(work_dir, "staging")
+    os.makedirs(source)
+
+    (
+        changes.select("change_id", "table", "op", "pk", "payload")
+        .repartitionByRange(epochs, "change_id")
+        .write.mode("overwrite")
+        .json(staging)
+    )
+    parts = sorted(
+        f for f in os.listdir(staging) if f.startswith("part-")
+    )
+    for i, name in enumerate(parts):
+        dst = os.path.join(source, f"chunk-{i:05d}.json")
+        os.rename(os.path.join(staging, name), dst)
+        os.utime(dst, (1_000_000_000 + 10 * i, 1_000_000_000 + 10 * i))
+
+    applier = ChangeApplier(target_dir=target, n_buckets=n_buckets)
+    stream = (
+        read_change_stream(spark, source, max_files_per_trigger=1)
+        .writeStream.foreachBatch(applier.apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream.awaitTermination()
+
+    tables = [r["table"] for r in changes.select("table").distinct().collect()]
+    latest = None
+    for tbl in sorted(tables):
+        path = os.path.join(target, f"{tbl}_latest")
+        part = (
+            spark.read.option("basePath", path)
+            .parquet(path)
+            .select(F.lit(tbl).alias("table"), "pk", "payload", "change_id")
+        )
+        latest = part if latest is None else latest.unionByName(part)
+    state = spark.read.parquet(os.path.join(target, "_sync_state")).select(
+        "table", "last_change_id", "n_changes"
+    )
+    return latest, state
 
 
 def write_change_file(path: str, changes: list[dict]) -> None:

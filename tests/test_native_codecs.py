@@ -1,0 +1,216 @@
+"""Native container decoders (operators/multimodal.py decode_bmp /
+decode_wav / default_decoder): the pure-stdlib codecs that close the
+r10 "real plumbing, synthetic pixels" seam — real BMP/WAV bytes decode
+in-sandbox, no Pillow/ffmpeg needed (r10 verdict ask #2).
+
+Pinned contracts:
+- encode→decode is the IDENTITY on the pixel/sample grid (this is what
+  lets the multimodal_bmp_phash_dedup / multimodal_wav_audio_neardup
+  oracles recompute features from the source text);
+- layout corners: 4-byte row padding, bottom-up vs negative-height
+  top-down rows, palette indirection, RIFF chunk walking past
+  non-data chunks, 16-bit signed samples, multi-channel downmix;
+- dHash brightness invariance on REAL pixels (the classic perceptual
+  robustness property, previously only pinned on byte stand-ins);
+- the NotImplementedError seam still guards containers without a
+  native parser (JPEG/PNG dispatch refuses rather than mis-decodes).
+"""
+
+import struct
+
+import pytest
+
+from database_replicator_spark.operators.multimodal import (
+    bmp_prefix,
+    decode_bmp,
+    decode_wav,
+    default_decoder,
+    wav_prefix,
+)
+
+
+def make_bmp(pixels: list[int], width: int, height: int) -> bytes:
+    """A real 8-bit grayscale BMP from row-major top-down pixels."""
+    row_size = ((8 * width + 31) // 32) * 4
+    rows = [
+        bytes(pixels[r * width : (r + 1) * width]).ljust(row_size, b"\x00")
+        for r in range(height)
+    ]
+    return bmp_prefix(width, height) + b"".join(reversed(rows))
+
+
+class TestBmpDecode:
+    def test_round_trip_identity_with_padding(self):
+        # width 7 → 1 pad byte per row: the pad must never leak into pixels
+        px = [(i * 37) % 256 for i in range(49)]
+        assert decode_bmp(make_bmp(px, 7, 7)) == [float(v) for v in px]
+
+    def test_negative_height_top_down_rows(self):
+        px = list(range(49))
+        payload = bytearray(make_bmp(px, 7, 7))
+        struct.pack_into("<i", payload, 22, -7)  # DIB height → top-down
+        row_size = 8
+        rows = [
+            bytes(px[r * 7 : (r + 1) * 7]).ljust(row_size, b"\x00")
+            for r in range(7)
+        ]
+        payload = bytes(payload[:1078]) + b"".join(rows)  # rows NOT reversed
+        assert decode_bmp(payload) == [float(v) for v in px]
+
+    def test_palette_indirection(self):
+        # non-identity palette: pixel INDEX 3 must map through entry 3
+        payload = bytearray(make_bmp([3], 1, 1))
+        payload[54 + 4 * 3 : 54 + 4 * 3 + 3] = bytes((200, 200, 200))
+        assert decode_bmp(bytes(payload)) == [200.0]
+
+    def test_24bit_bgr_channel_mean(self):
+        width, height = 2, 1
+        row = bytes((10, 20, 30, 40, 50, 60)).ljust(8, b"\x00")
+        pix_off = 14 + 40
+        header = b"BM" + struct.pack("<IHHI", pix_off + 8, 0, 0, pix_off)
+        dib = struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 24, 0, 8, 2835, 2835, 0, 0
+        )
+        assert decode_bmp(header + dib + row) == [20.0, 50.0]
+
+    def test_rejects_compressed_and_foreign(self):
+        payload = bytearray(make_bmp([0] * 49, 7, 7))
+        struct.pack_into("<I", payload, 30, 1)  # BI_RLE8
+        with pytest.raises(ValueError, match="compression"):
+            decode_bmp(bytes(payload))
+        with pytest.raises(ValueError, match="magic"):
+            decode_bmp(b"\x89PNG\r\n\x1a\n")
+
+
+class TestWavDecode:
+    def test_round_trip_identity_8bit(self):
+        data = bytes((i * 13) % 256 for i in range(234))
+        assert decode_wav(wav_prefix(len(data)) + data) == [
+            float(b) for b in data
+        ]
+
+    def test_chunk_walk_skips_list_chunk(self):
+        # real encoders put LIST/INFO chunks before data — offsets must
+        # come from the chunk walk, not fixed positions
+        data = bytes(range(10))
+        lst = b"LIST" + struct.pack("<I", 4) + b"INFO"
+        body = (
+            b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+            + lst
+            + b"data"
+            + struct.pack("<I", len(data))
+            + data
+        )
+        payload = b"RIFF" + struct.pack("<I", len(body)) + body
+        assert decode_wav(payload) == [float(b) for b in data]
+
+    def test_16bit_signed_and_stereo_downmix(self):
+        frames = [(-32768, 32767), (100, -100), (7, 8)]
+        raw = b"".join(struct.pack("<hh", a, b) for a, b in frames)
+        body = (
+            b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+            + b"data"
+            + struct.pack("<I", len(raw))
+            + raw
+        )
+        payload = b"RIFF" + struct.pack("<I", len(body)) + body
+        assert decode_wav(payload) == [(a + b) / 2 for a, b in frames]
+
+    def test_rejects_non_pcm_and_foreign(self):
+        body = (
+            b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 3, 1, 8000, 8000, 1, 8)  # IEEE float
+            + b"data"
+            + struct.pack("<I", 1)
+            + b"\x00"
+        )
+        with pytest.raises(ValueError, match="PCM"):
+            decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+        with pytest.raises(ValueError, match="magic"):
+            decode_wav(b"OggS")
+
+
+class TestDefaultDecoderDispatch:
+    def test_magic_routing(self):
+        px = list(range(49))
+        assert default_decoder(make_bmp(px, 7, 7)) == [float(v) for v in px]
+        data = bytes(range(50))
+        assert default_decoder(wav_prefix(50) + data) == [
+            float(b) for b in data
+        ]
+
+    def test_unknown_container_keeps_the_declared_seam(self):
+        with pytest.raises(NotImplementedError, match="Pillow/ffmpeg"):
+            default_decoder(b"\x89PNG\r\n\x1a\n....")
+
+
+class TestRealPixelHashes:
+    def test_dhash_brightness_invariant_on_real_bmp(self, spark):
+        """dHash over REAL decoded pixels is invariant to a uniform
+        brightness offset (gradient signs don't move) — the r10 property
+        pinned on byte stand-ins, now on actual BMP decode output."""
+        from pyspark.sql import functions as F
+
+        from database_replicator_spark.operators.multimodal import (
+            media_dhash,
+            media_table,
+        )
+
+        base_px = [(i * 17 + (i * i) % 31) % 200 for i in range(49)]
+        bright_px = [v + 40 for v in base_px]  # stays < 256: no clipping
+        rows = [
+            (1, make_bmp(base_px, 7, 7)),
+            (2, make_bmp(bright_px, 7, 7)),
+        ]
+        df = spark.createDataFrame(rows, "id long, payload binary")
+        media = media_table(df, "id", "payload", "image/bmp")
+        got = {
+            r["id"]: r["phash"]
+            for r in media_dhash(media, decoder=default_decoder, dim=49)
+            .select("id", "phash")
+            .collect()
+        }
+        assert got[1] == got[2]
+        # and the hash is non-trivial (some gradient bits set)
+        assert got[1] != 0
+        # sanity: a CONTENT change does move the hash
+        changed = list(base_px)
+        changed[10] = (changed[10] + 90) % 200
+        df2 = spark.createDataFrame(
+            [(3, make_bmp(changed, 7, 7))], "id long, payload binary"
+        )
+        h3 = (
+            media_dhash(
+                media_table(df2, "id", "payload", "image/bmp"),
+                decoder=default_decoder,
+                dim=49,
+            )
+            .select("phash")
+            .first()["phash"]
+        )
+        assert h3 != got[1]
+
+    def test_wav_fingerprint_gain_invariant_on_real_wav(self, spark):
+        """The Haitsma-Kalker double-difference over REAL decoded WAV
+        samples cancels a constant gain offset, by construction."""
+        from database_replicator_spark.operators.multimodal import (
+            audio_fingerprint,
+            decode_wav,
+            media_table,
+        )
+
+        base = [(i * 29 + (i % 7) * 3) % 180 for i in range(234)]
+        louder = [v + 50 for v in base]  # < 256: no clipping
+        rows = [
+            (1, wav_prefix(234) + bytes(base)),
+            (2, wav_prefix(234) + bytes(louder)),
+        ]
+        df = spark.createDataFrame(rows, "id long, payload binary")
+        media = media_table(df, "id", "payload", "audio/wav")
+        got = {
+            r["id"]: r["phash"]
+            for r in audio_fingerprint(media, decoder=decode_wav).collect()
+        }
+        assert got[1] == got[2] != 0

@@ -26,6 +26,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def shuffle_key_columns(plan: str) -> set[str]:
+    """Bare column names used as hash-shuffle keys anywhere in the plan
+    (``Exchange hashpartitioning(l_orderkey#123L, pk#4, 32)`` →
+    {l_orderkey, pk}) — joins, aggregations, and window partitionBys all
+    surface here."""
+    cols: set[str] = set()
+    for args in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        for tok in args.split(","):
+            m = re.match(r"\s*([A-Za-z_][A-Za-z0-9_]*)#\d+", tok)
+            if m:
+                cols.add(m.group(1))
+    return cols
+
+
 def audit_plan(plan: str) -> dict:
     return {
         "exchanges": len(re.findall(r"Exchange hashpartitioning", plan)),
@@ -42,7 +56,78 @@ def audit_plan(plan: str) -> dict:
         "tables": sorted(
             set(re.findall(r"testdata/sf[0-9.]+/(\w+)\.parquet", plan))
         ),
+        "shuffle_keys": shuffle_key_columns(plan),
     }
+
+
+#: top-key share above which a shuffle key is flagged for skew review
+SKEW_THRESHOLD = 0.20
+
+#: written justifications for flagged (gate-agnostic) skewed shuffle keys —
+#: the r10 verdict ask #7 contract: every flagged gate must broadcast,
+#: salt, or carry one of these. Keyed by column name.
+SKEW_JUSTIFICATIONS: dict[str, str] = {
+    # event_type has 5 values (share ~0.2 each by construction): every
+    # consumer groups on (event_type, time-bucket) composites or windows
+    # with secondary keys, so per-partition load spreads over the bucket
+    # dimension; AQE skew-join split covers the join cases.
+    "event_type": "5-value enum; always composited with a time bucket",
+    # o_orderstatus / l_returnflag / l_linestatus are 2-3-value enums used
+    # ONLY as groupBy keys, where map-side partial aggregation reduces
+    # each partition to O(#values) rows before the shuffle.
+    "o_orderstatus": "3-value enum; groupBy-only (partial agg pre-shuffle)",
+    "l_returnflag": "3-value enum; groupBy-only (partial agg pre-shuffle)",
+    "l_linestatus": "2-value enum; groupBy-only (partial agg pre-shuffle)",
+    # o_orderpriority (5 values) appears only as an aggregation /
+    # rollup / cube grain — partial agg reduces each map partition to
+    # O(#values) rows before the shuffle; the percentile gates over it
+    # (shipping_delay_quantiles, totalprice_percentiles) use the
+    # two-phase bucketed positional-rank idiom (operators/cumsum.py)
+    # precisely so no single task ever sorts a whole priority class.
+    "o_orderpriority": "5-value enum agg grain; quantiles via bucketed "
+    "ranks, never a per-class sort",
+    # lang is a bounded language-ID vocabulary used as a reporting /
+    # split-audit grain (corpus_mixture_report, corpus_split): groupBy
+    # with COUNT/SUM/MIN/MAX only, all partial-agg friendly.
+    "lang": "bounded lang-ID vocabulary; agg-grain only (partial agg)",
+    # c_mktsegment (5 values): agg grain; the gap-stats median over it
+    # rides the same bucketed positional-rank machinery as above.
+    "c_mktsegment": "5-value enum agg grain; median via bucketed ranks",
+}
+
+
+def probe_key_skew(spark, sf_dir: str, cols: set[str]) -> dict[str, float]:
+    """Measured top-key share (max group count / total rows, NULLs
+    excluded) for every shuffle-key column that is a SOURCE table column.
+    Derived keys (LSH bands, cluster ids, sketch buckets…) have no table
+    to probe — their skew control is the explicit hot-bucket caps audited
+    in code review — so they are skipped here."""
+    from pyspark.sql import functions as F
+
+    col_to_table: dict[str, str] = {}
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if not os.path.exists(path):
+            continue
+        for c in spark.read.parquet(path).columns:
+            col_to_table.setdefault(c, t)
+    shares: dict[str, float] = {}
+    for c in sorted(cols & set(col_to_table)):
+        df = spark.read.parquet(
+            os.path.join(sf_dir, f"{col_to_table[c]}.parquet")
+        ).filter(F.col(c).isNotNull())
+        row = (
+            df.groupBy(c)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg((F.max("n") / F.sum("n")).alias("share"))
+            .first()
+        )
+        if row and row["share"] is not None:
+            shares[c] = float(row["share"])
+    return shares
 
 
 def main() -> int:
@@ -69,28 +154,60 @@ def main() -> int:
         rows.append((name, a, None))
         spark.catalog.clearCache()
 
+    all_keys = set().union(*(a["shuffle_keys"] for _, a, e in rows if a and not e))
+    shares = probe_key_skew(spark, sf_dir, all_keys)
+    skew_review: list[str] = []
+    for name, a, err in rows:
+        if err or not a:
+            continue
+        flagged = {
+            c: shares[c]
+            for c in a["shuffle_keys"]
+            if shares.get(c, 0.0) > SKEW_THRESHOLD
+        }
+        a["skew"] = max(
+            (shares[c] for c in a["shuffle_keys"] if c in shares), default=None
+        )
+        unjustified = sorted(c for c in flagged if c not in SKEW_JUSTIFICATIONS)
+        if unjustified:
+            skew_review.append(
+                f"{name}: shuffle keys {unjustified} above "
+                f"{SKEW_THRESHOLD} top-key share with no written "
+                "justification — broadcast, salt, or add one"
+            )
+
     out = [
         "# AUDIT — physical-plan health, every gate query",
         "",
         f"Generated by tools/plan_audit.py at {os.path.basename(sf_dir)}. "
         "Columns: hash/range/single-partition exchanges, broadcast joins, "
-        "sorts, Arrow-batched Python stages, parquet pushdown seen, source "
+        "sorts, Arrow-batched Python stages, parquet pushdown seen, worst "
+        "measured top-key share over the query's source-column shuffle "
+        "keys (`skew` — blank when every shuffle key is a derived column, "
+        "whose skew control is the explicit hot-bucket caps), source "
         "tables. Repo invariants (enforced, exit 1): zero `BatchEvalPython` "
-        "row UDFs, zero un-broadcast cartesian products. SinglePartition "
-        "exchanges are audited by eye: legitimate only under 1-row scalar "
-        "aggregates and global top-k heads.",
+        "row UDFs, zero un-broadcast cartesian products, and no shuffle "
+        f"key above {SKEW_THRESHOLD} top-key share without a broadcast, a "
+        "salt, or a written justification (SKEW_JUSTIFICATIONS). "
+        "SinglePartition exchanges are audited by eye: legitimate only "
+        "under 1-row scalar aggregates and global top-k heads. Flagged "
+        "keys route to AQE skew handling at scale: "
+        "`spark.sql.adaptive.skewJoin.enabled` (on in session.py) splits "
+        "oversized join partitions; groupBy skew is absorbed by map-side "
+        "partial aggregation.",
         "",
-        "| query | xchg | range | single | bcast | sort | py | pushdown | tables |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "| query | xchg | range | single | bcast | sort | py | pushdown | skew | tables |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for name, a, err in rows:
         if err:
-            out.append(f"| {name} | — | — | — | — | — | — | — | {err} |")
+            out.append(f"| {name} | — | — | — | — | — | — | — | — | {err} |")
             continue
+        skew = "" if a.get("skew") is None else f"{a['skew']:.2f}"
         out.append(
             f"| {name} | {a['exchanges']} | {a['range_exchanges']} | "
             f"{a['single']} | {a['broadcasts']} | {a['sorts']} | {a['python']} | "
-            f"{'y' if a['pushed'] else ''} | {' '.join(a['tables'])} |"
+            f"{'y' if a['pushed'] else ''} | {skew} | {' '.join(a['tables'])} |"
         )
     ok = [r for _, r, e in rows if r and not e]
     out += [
@@ -102,7 +219,19 @@ def main() -> int:
         f"{sum(1 for a in ok if a['single'])} queries with a SinglePartition "
         "exchange (scalar aggregates / top-k).",
         "",
+        "## Measured shuffle-key skew (top-key share, NULLs excluded)",
+        "",
     ]
+    out += [
+        f"- `{c}`: {shares[c]:.3f}"
+        + (
+            f" — justified: {SKEW_JUSTIFICATIONS[c]}"
+            if shares[c] > SKEW_THRESHOLD and c in SKEW_JUSTIFICATIONS
+            else ""
+        )
+        for c in sorted(shares, key=lambda c: -shares[c])
+    ] + [""]
+    violations += skew_review
     if violations:
         out += ["## VIOLATIONS", ""] + [f"- {v}" for v in violations] + [""]
 
