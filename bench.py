@@ -82,8 +82,11 @@ PLAN_FRACTION = 0.75
 #: takes the full 3-run protocol; this is only for budget projection) —
 #: deliberately pessimistic: a NEW gate is exactly the one whose cost
 #: nobody has measured (r11: cdc_replay_latest landed at 8.3 s against
-#: the old 1.5 s estimate and blew the plan)
-UNKNOWN_GATE_EST = 3.0
+#: the old 1.5 s estimate and blew the plan). Gates present in the
+#: committed BENCH_LOCAL.json never hit this path, so over-estimation
+#: only costs a few extra mid-tier rotations in the round that ADDS a
+#: gate.
+UNKNOWN_GATE_EST = 6.0
 #: per-RUN fixed overhead outside the gate itself (clearCache, noop sink
 #: setup, scheduler) — ~0.1-0.2 s measured; 195 gates × runs adds up
 RUN_OVERHEAD_EST = 0.15

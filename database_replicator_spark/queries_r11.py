@@ -396,3 +396,110 @@ def cdc_replay_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.crossJoin(
         F.broadcast(state.select("last_change_id", "n_changes"))
     )
+
+
+# ---------------------------------------------------------------------------
+# cdc_replay_asof_vs_final — epoch time travel under the oracle: ONE
+# bounded replay with an EXPLICIT, SQL-reproducible epoch boundary
+# (chunk 0 = change_id ≤ max/2), then BOTH the as-of-epoch-0 snapshot
+# (read_table_asof over the epoch-partitioned log) and the final
+# ``_latest`` state, stacked under a snapshot marker. The oracle
+# recomputes both as last-write-wins windows over the bounded/full
+# change sets. Reference semantics: the reference can only reconstruct
+# CURRENT state (its queue is consumed destructively); as-of reads are
+# what the append-per-epoch log layout buys — gated here, previously
+# unit-only.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cdc_replay_asof_vs_final",
+    oracle="""
+    WITH ch AS (
+      SELECT CAST(event_id AS BIGINT) AS change_id,
+             CAST(user_id AS VARCHAR) AS pk,
+             user_id, value,
+             CASE WHEN event_type = 'signup' THEN 'insert'
+                  WHEN event_type = 'purchase' THEN 'delete'
+                  ELSE 'update' END AS op
+      FROM events
+      WHERE event_id % 17 = 0
+    ),
+    b AS (SELECT MAX(change_id) // 2 AS bnd FROM ch),
+    snap0 AS (
+      SELECT pk, user_id, value, change_id FROM (
+        SELECT pk, user_id, value, change_id, op,
+               ROW_NUMBER() OVER (PARTITION BY pk ORDER BY change_id DESC)
+                 AS rn
+        FROM ch WHERE change_id <= (SELECT bnd FROM b)
+      ) WHERE rn = 1 AND op <> 'delete'
+    ),
+    fin AS (
+      SELECT pk, user_id, value, change_id FROM (
+        SELECT pk, user_id, value, change_id, op,
+               ROW_NUMBER() OVER (PARTITION BY pk ORDER BY change_id DESC)
+                 AS rn
+        FROM ch
+      ) WHERE rn = 1 AND op <> 'delete'
+    )
+    SELECT 'asof_epoch0' AS snapshot, * FROM snap0
+    UNION ALL
+    SELECT 'final' AS snapshot, * FROM fin
+    """,
+)
+def cdc_replay_asof_vs_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of-epoch-0 time travel AND the final applied state from one
+    2-epoch replay (1/17 of events, explicit half-point chunk boundary
+    so the oracle can reproduce it). The boundary max/2 is collected as
+    one scalar — bounded metadata, the FK-edges/driver-fast-path class."""
+    import os as _os
+
+    from .streaming.change_stream import (
+        read_table_asof,
+        replay_change_log,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 17 == 0
+    )
+    ch = ev.select(
+        F.col("event_id").cast("bigint").alias("change_id"),
+        F.lit("accounts").alias("table"),
+        F.when(F.col("event_type") == "signup", "insert")
+        .when(F.col("event_type") == "purchase", "delete")
+        .otherwise("update")
+        .alias("op"),
+        F.col("user_id").cast("string").alias("pk"),
+        F.to_json(F.struct("user_id", "value")).alias("payload"),
+    )
+    bnd = ch.agg(F.max("change_id")).first()[0] // 2
+    ch = ch.withColumn(
+        "chunk", F.when(F.col("change_id") <= bnd, 0).otherwise(1)
+    )
+    work = _os.path.join(
+        "/tmp",
+        "spark_graft_replay_asof",
+        _os.path.basename(_os.path.normpath(sf_dir)),
+    )
+    latest, _state = replay_change_log(
+        spark, ch, work, epochs=2, n_buckets=8, chunk_col="chunk"
+    )
+
+    def parse(df: DataFrame, marker: str) -> DataFrame:
+        return df.select(
+            F.lit(marker).alias("snapshot"),
+            "pk",
+            F.from_json("payload", "user_id bigint, value double").alias("_p"),
+            "change_id",
+        ).select(
+            "snapshot",
+            "pk",
+            F.col("_p.user_id").alias("user_id"),
+            F.col("_p.value").alias("value"),
+            "change_id",
+        )
+
+    asof = read_table_asof(
+        spark, _os.path.join(work, "target"), "accounts", epoch=0
+    )
+    return parse(asof, "asof_epoch0").unionByName(parse(latest, "final"))

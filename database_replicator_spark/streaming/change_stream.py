@@ -597,6 +597,7 @@ def replay_change_log(
     work_dir: str,
     epochs: int = 4,
     n_buckets: int = 16,
+    chunk_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic bounded replay of a batch change log through the
     REAL streaming apply path — the oracle-gateable form of the CDC
@@ -615,6 +616,13 @@ def replay_change_log(
     scratch each call (a re-run replays from genesis, not from a stale
     checkpoint).
 
+    ``chunk_col``: when the CALLER needs to know the epoch boundaries
+    (as-of reads against an oracle), pass an explicit integer chunk
+    column on ``changes`` — epoch i replays exactly the chunk-i rows,
+    one file per chunk. Default (None) derives chunks as change-id
+    ranges via repartitionByRange, whose sampled boundaries are
+    deterministic enough for final-state gates but not SQL-reproducible.
+
     Scale shape: this is a REPLAY HARNESS for bounded logs (gates,
     backfills, disaster drills) — the chunk write is one range-partition
     job and per-epoch apply cost is the applier's O(batch + touched
@@ -630,15 +638,31 @@ def replay_change_log(
     staging = os.path.join(work_dir, "staging")
     os.makedirs(source)
 
-    (
-        changes.select("change_id", "table", "op", "pk", "payload")
-        .repartitionByRange(epochs, "change_id")
-        .write.mode("overwrite")
-        .json(staging)
-    )
-    parts = sorted(
-        f for f in os.listdir(staging) if f.startswith("part-")
-    )
+    cols = ["change_id", "table", "op", "pk", "payload"]
+    if chunk_col is None:
+        (
+            changes.select(*cols)
+            .repartitionByRange(epochs, "change_id")
+            .write.mode("overwrite")
+            .json(staging)
+        )
+        parts = sorted(
+            f for f in os.listdir(staging) if f.startswith("part-")
+        )
+    else:
+        parts = []
+        for i in range(epochs):
+            sub = os.path.join(staging, f"c{i}")
+            (
+                changes.filter(F.col(chunk_col) == i)
+                .select(*cols)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .json(sub)
+            )
+            part = [f for f in os.listdir(sub) if f.startswith("part-")]
+            if part:  # empty chunks contribute no epoch
+                parts.append(os.path.join(f"c{i}", part[0]))
     for i, name in enumerate(parts):
         dst = os.path.join(source, f"chunk-{i:05d}.json")
         os.rename(os.path.join(staging, name), dst)

@@ -92,6 +92,12 @@ REPRESENTATIVE = [
     "doc_ql_jm_topk",              # two-part JM decomposition, no length join
     "hybrid_rrf_weighted_topk",    # 2:1 integer-weighted fuse over shared stats
     "doc_bm25_prf_topk",           # two-pass PRF: rank→expand→re-rank, one stats build
+    "orders_kll_quantiles",        # Arrow partial sketches → 1-task bounded merge
+    "doc_phrase_window_topk",      # positional postings, all-integer proximity
+    "multimodal_bmp_phash_dedup",  # real-BMP Arrow decode → codegen dHash → band join
+    "doc_entity_linkage",          # block-key equi-join, thresholded levenshtein
+    "events_ohlc_bars",            # two windows + groupBy on ONE shuffle key
+    "cdc_replay_asof_vs_final",    # epoch-pruned log window + bucketed _latest read
 ]
 
 
