@@ -92,8 +92,30 @@ UNKNOWN_GATE_EST = 6.0
 RUN_OVERHEAD_EST = 0.15
 
 
+def baseline_calib() -> float | None:
+    """The committed BENCH_LOCAL recording's best calibration time — the
+    reference box speed its per-gate baselines were measured at."""
+    import glob
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(repo, "BENCH_LOCAL.json")) as fh:
+            d = json.load(fh)
+        vals = [
+            d[k]
+            for k in ("calib_start_s", "calib_end_s")
+            if isinstance(d.get(k), (int, float))
+        ]
+        return min(vals) if vals else None
+    except (OSError, ValueError):
+        return None
+
+
 def plan_runs(
-    names: list[str], baseline: dict[str, float], budget: float
+    names: list[str],
+    baseline: dict[str, float],
+    budget: float,
+    drift: float = 1.0,
 ) -> tuple[dict[str, int], list[str]]:
     """Deterministic per-gate run plan fitting the budget UPFRONT (r10
     verdict ask #4): the old protocol degraded reactively — whichever
@@ -107,13 +129,22 @@ def plan_runs(
     every slow gate gets a clean 3-run measurement every N rounds, N
     chosen as the smallest divisor that fits the plan. Gates with no
     recorded baseline always get the full protocol (first recording).
+    ``drift`` (≥1): measured box-speed factor for THIS run — the
+    calibration micro-gate at bench start divided by the committed
+    BENCH_LOCAL reference — so a loaded/slower box plans proportionally
+    more rotation instead of discovering mid-run that the recorded
+    baselines were optimistic (r11: a 1.16× slower box turned a
+    306 s plan into 380 s of wall and left only 0.1 budget headroom).
+
     Returns (plan, rotation_singles)."""
     tiers = {n: runs_for_gate(baseline.get(n)) for n in names}
     if os.environ.get("SPARK_GRAFT_BENCH_FULL"):
         return tiers, []
 
     def cost(n: str, runs: int) -> float:
-        return runs * (baseline.get(n, UNKNOWN_GATE_EST) + RUN_OVERHEAD_EST)
+        return runs * drift * (
+            baseline.get(n, UNKNOWN_GATE_EST) + RUN_OVERHEAD_EST
+        )
 
     cap = PLAN_FRACTION * budget
     slow = sorted(
@@ -276,7 +307,9 @@ def main() -> None:
 
     baseline = baseline_timings()
     queries = q.all_queries()
-    plan, rotation = plan_runs(list(queries), baseline, budget)
+    ref_calib = baseline_calib()
+    drift = max(1.0, calib_start / ref_calib) if ref_calib else 1.0
+    plan, rotation = plan_runs(list(queries), baseline, budget, drift=drift)
 
     timings: dict[str, float] = {}
     total = 0.0

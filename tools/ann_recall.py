@@ -305,18 +305,22 @@ def main() -> int:
     payload["planted"] = {
         "n_clusters": 100,
         "per_cluster": 50,
-        "jitter": 0.25,
+        "jitter": 0.06,
         "recall_at_k": p_results,
         "wall_seconds": p_times,
     }
+    # re-dump WITH the planted section (the first dump above predates it)
+    with open(os.path.join(REPO, "RECALL.json"), "w") as fh:
+        json.dump(payload, fh, indent=2)
     lines += [
         "",
         "## Planted-cluster fixture (the caveat, measured)",
         "",
         "Same operators on a deterministic clustered corpus (100 planted "
-        "clusters × 50 members, unit-normalized center + 0.25 jitter, "
-        "fixed-seed) where a query's true neighbors share its cluster — "
-        "the regime real embedding corpora live in:",
+        "clusters × 50 members, unit center + 0.06/coord jitter → "
+        "within-cluster cosine ≈ 0.90, fixed-seed) where a query's true "
+        "neighbors share its cluster — the regime real embedding corpora "
+        "live in:",
         "",
         f"| operator | recall@{k} (planted) | recall@{k} (uniform) | sec |",
         "|---|---|---|---|",
@@ -354,8 +358,15 @@ def planted_fixture(spark, n_clusters: int = 100, per: int = 50, dim: int = 64):
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
     rows = []
     vid = 0
+    # jitter is per-COORDINATE noise: scale s gives a perturbation of
+    # norm ≈ s·√dim against unit centers, so within-cluster cosine ≈
+    # 1/√(1+s²·dim). s=0.06 at dim=64 → |ε|≈0.48 → cos≈0.90: tight
+    # enough that true neighbors share the cluster, loose enough that
+    # ranking inside a cluster is non-trivial. (First cut used s=0.25 —
+    # |ε|≈2.0, noise swamping the unit centers: a uniform cloud wearing
+    # a cluster costume, measured recalls said so.)
     for c in range(n_clusters):
-        vecs = centers[c] + rng.normal(scale=0.25, size=(per, dim))
+        vecs = centers[c] + rng.normal(scale=0.06, size=(per, dim))
         vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
         for v in vecs:
             rows.append((vid, [float(x) for x in v]))
