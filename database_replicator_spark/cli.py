@@ -496,6 +496,20 @@ def main(argv: list[str] | None = None) -> int:
     mdedup_p.add_argument("--max-hamming", type=int, default=6)
     mdedup_p.add_argument("--out", help="write labeled parquet here")
 
+    wds_p = sub.add_parser(
+        "wds-export",
+        help="export a (id, payload) parquet table as WebDataset-style "
+        "tar shards ({id}.{ext} + {id}.json members, deterministic "
+        "bytes) — the multimodal training-corpus packaging",
+    )
+    wds_p.add_argument("--source", required=True)
+    wds_p.add_argument("--table", required=True)
+    wds_p.add_argument("--out", required=True)
+    wds_p.add_argument("--id-col", default="id")
+    wds_p.add_argument("--payload-col", default="payload")
+    wds_p.add_argument("--mime", default="application/octet-stream")
+    wds_p.add_argument("--shards", type=int, default=8)
+
     drift_p = sub.add_parser(
         "drift-report",
         help="per-epoch payload schema drift from a change-apply target "
@@ -1217,6 +1231,35 @@ def main(argv: list[str] | None = None) -> int:
         spark, owns = _get_session()
         try:
             print(json.dumps({"ok": True, **graph_status(spark, args.target)}))
+            return 0
+        except Exception as e:
+            print(json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"}))
+            return 2
+        finally:
+            if owns:
+                spark.stop()
+
+    if args.command == "wds-export":
+        from pyspark.sql import functions as _F
+
+        from .operators.multimodal import media_table
+        from .sources.catalog import load_table
+        from .sources.webdataset import shard_manifest, write_tar_shards
+
+        spark, owns = _get_session()
+        try:
+            df = load_table(spark, args.source, args.table)
+            media = media_table(df, args.id_col, args.payload_col, args.mime)
+            write_tar_shards(media, args.out, n_shards=args.shards)
+            m = shard_manifest(spark, args.out).agg(
+                _F.count(_F.lit(1)).alias("n_shards"),
+                _F.sum("n_samples").alias("n_samples"),
+            ).first()
+            print(json.dumps({
+                "ok": True, "out": args.out,
+                "n_shards": int(m["n_shards"]),
+                "n_samples": int(m["n_samples"]),
+            }))
             return 0
         except Exception as e:
             print(json.dumps({"ok": False, "error": f"{type(e).__name__}: {e}"}))

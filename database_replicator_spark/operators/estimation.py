@@ -153,7 +153,11 @@ def profile_percentiles(
             .alias("_v"),
         ).filter(F.col("_v").isNotNull())
         melted = part if melted is None else melted.unionByName(part)
-    sk = kll_sketch(melted, ["column_name"], "_v", k=k)
+    # merge_partitions=1: the group grain is the profiled COLUMN LIST —
+    # bounded by the schema, not the data — so the k-bounded partial
+    # states merge in one task (the kll_group_quantiles lever; measured
+    # ~0.9 s off profile_orders at sf0.1)
+    sk = kll_sketch(melted, ["column_name"], "_v", k=k, merge_partitions=1)
     out = kll_quantile_values(sk, list(percents))
     back = [
         (F.col(f"p{p}").cast("double") / scale).alias(f"p{p}")

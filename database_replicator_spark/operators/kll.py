@@ -275,17 +275,26 @@ def kll_sketch(
     group_cols: Sequence[str],
     value_col: str,
     k: int = 2048,
+    merge_partitions: int | None = None,
 ) -> DataFrame:
     """Per-group KLL sketch of an integer column: ``(group…, kll_n,
     kll_levels)``. Partial sketches per Arrow batch (bounded memory:
     O(k·log) ints per live group), then ONE groupBy whose rows are
-    k-bounded arrays — raw values are never shuffled."""
+    k-bounded arrays — raw values are never shuffled.
+
+    ``merge_partitions``: same bounded-cardinality lever as
+    :func:`kll_group_quantiles` — when the group count is FIXED (e.g.
+    one group per profiled column), a small keyed repartition merge
+    skips the shuffle-partition-count applyInPandas overhead. Identical
+    states either way (canonical fold)."""
     groups = list(group_cols)
     src = df.select(*groups, F.col(value_col).cast("bigint").alias("_v"))
     out_schema = _sketch_schema(src, groups)
 
     part = src.mapInPandas(_partials_fn(groups, k), out_schema)
-    return _combine_kll(part, groups, k, out_schema)
+    return _combine_kll(
+        part, groups, k, out_schema, merge_partitions=merge_partitions
+    )
 
 
 def _partials_fn(groups: list[str], k: int):
@@ -315,8 +324,38 @@ def _partials_fn(groups: list[str], k: int):
 
 
 def _combine_kll(
-    part: DataFrame, groups: list[str], k: int, out_schema: str
+    part: DataFrame,
+    groups: list[str],
+    k: int,
+    out_schema: str,
+    merge_partitions: int | None = None,
 ) -> DataFrame:
+    if merge_partitions is not None:
+        def merge_scan(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            by_key: dict[tuple, list[dict]] = {}
+            for pdf in batches:
+                for i in range(len(pdf)):
+                    key = tuple(pdf[c].iloc[i] for c in groups)
+                    by_key.setdefault(key, []).append(
+                        _row_to_state(
+                            pdf["kll_n"].iloc[i], pdf["kll_levels"].iloc[i]
+                        )
+                    )
+            rows = []
+            for key, states in by_key.items():
+                merged = _canonical_fold(states, k)
+                rows.append({**dict(zip(groups, key)), **_state_to_row(merged)})
+            out = pd.DataFrame(rows, columns=[*groups, *_STATE_COLS])
+            if len(out):
+                out = out.sort_values(groups).reset_index(drop=True)
+            yield out
+
+        return part.repartition(merge_partitions, *groups).mapInPandas(
+            merge_scan, out_schema
+        )
+
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
         states = [
             _row_to_state(n, lv)
@@ -333,12 +372,16 @@ def _combine_kll(
 
 
 def merge_kll(
-    sketches: Sequence[DataFrame], group_cols: Sequence[str], k: int = 2048
+    sketches: Sequence[DataFrame],
+    group_cols: Sequence[str],
+    k: int = 2048,
+    merge_partitions: int | None = None,
 ) -> DataFrame:
     """Merge stored sketches (base + deltas, IVM-style): union, one
     groupBy, canonical fold. Slice boundaries never change the exact-
     regime result; in the compacting regime the result is deterministic
-    for a given slicing and within the property-tested rank bound."""
+    for a given slicing and within the property-tested rank bound.
+    ``merge_partitions``: the bounded-cardinality lever (kll_sketch)."""
     groups = list(group_cols)
     unioned = sketches[0]
     for s in sketches[1:]:
@@ -347,7 +390,9 @@ def merge_kll(
         [f"`{c}` {unioned.schema[c].dataType.simpleString()}" for c in groups]
         + ["kll_n bigint", "kll_levels array<array<bigint>>"]
     )
-    return _combine_kll(unioned, groups, k, schema)
+    return _combine_kll(
+        unioned, groups, k, schema, merge_partitions=merge_partitions
+    )
 
 
 def kll_quantile_values(

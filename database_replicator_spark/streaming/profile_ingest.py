@@ -119,11 +119,15 @@ class ProfileMaintainer:
 
             num = _numeric_cols(batch, self.columns)
             if num:
+                # merge_partitions=1: grain = profiled column list
+                # (schema-bounded, the estimation.profile_percentiles
+                # lever)
                 kll_sketch(
                     _melt_fixed_point(batch, num),
                     ["column_name"],
                     "_v",
                     k=self.kll_k,
+                    merge_partitions=1,
                 ).write.mode("overwrite").parquet(
                     self._path("_profile_kll", epoch_id)
                 )
@@ -233,7 +237,8 @@ def read_profile(
             "column_name", "kll_n", "kll_levels"
         )
         q = kll_quantile_values(
-            merge_kll([kll], ["column_name"], k=kll_k), list(percents)
+            merge_kll([kll], ["column_name"], k=kll_k, merge_partitions=1),
+            list(percents),
         )
         back = [
             (F.col(f"p{p}").cast("double") / _SCALE).alias(f"p{p}")
