@@ -919,3 +919,94 @@ def phrase_window_topk(
             "rank",
         )
     )
+
+
+def late_interaction_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    sig_bits: int = 16,
+    prefilter_candidates: int = 20,
+) -> DataFrame:
+    """Late-interaction (maxsim) top-k in the ColBERT shape (Khattab &
+    Zaharia, SIGIR 2020): documents and queries are BAGS OF TOKEN
+    VECTORS; score(q, d) = Σ over query tokens of the MAX similarity
+    against any document token — fine-grained token-level matching the
+    bag-of-words rankers cannot express (a query term scores against
+    the CLOSEST document token, not only exact matches).
+
+    Token vectors here are the deterministic ±1 signature family the
+    oracle can reproduce: ``sig(term) = hash60(term) mod 2^sig_bits``,
+    read as sig_bits ±1 components, so ``dot(t, u) = sig_bits −
+    2·hamming(sig_t, sig_u)`` and maxsim per (query term, doc) is
+    ``sig_bits − 2·min_hamming`` — all integer (house determinism
+    rules). A real deployment swaps the signature for learned per-token
+    embeddings and the hamming for a BLAS dot; every join/shuffle below
+    carries over unchanged (the decode-seam pattern of the media tier).
+
+    Plan shape at scale: exact-match prefilter first — only docs sharing
+    ≥1 query term enter maxsim, ranked by distinct-match count with a
+    doc_id tiebreak and cut to ``prefilter_candidates`` per query (the
+    retrieval family's top-k pre-cut idiom) — then ONE equi-join of the
+    candidate set against the per-doc DISTINCT token lists on doc_id,
+    query side broadcast. No pairwise explosion: work is
+    O(candidates · distinct doc terms · |q|), all integer codegen.
+
+    ``queries``: (query_id, term). Returns (query_id, doc_id,
+    match_terms, score_units, rank ≤ k).
+    """
+    from ..functions.hashing import hash60
+
+    sig_mod = 1 << sig_bits
+    qterms = queries.select("query_id", "term").distinct().withColumn(
+        "qsig", F.pmod(hash60(F.col("term")), F.lit(sig_mod))
+    )
+    dterms = doc_tokens(docs).distinct().withColumn(
+        "dsig", F.pmod(hash60(F.col("term")), F.lit(sig_mod))
+    )
+
+    # exact-match prefilter: candidate docs per query by distinct
+    # matched terms (desc), doc_id (asc), top prefilter_candidates
+    matches = (
+        dterms.join(F.broadcast(qterms.select("query_id", "term")), on="term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("match_terms"))
+    )
+    w_cand = Window.partitionBy("query_id").orderBy(
+        F.col("match_terms").desc(), F.col("doc_id").asc()
+    )
+    cands = (
+        matches.withColumn("_rn", F.row_number().over(w_cand))
+        .filter(F.col("_rn") <= prefilter_candidates)
+        .select("query_id", "doc_id", "match_terms")
+    )
+
+    # maxsim: per (query_id, query term, candidate doc), the minimum
+    # hamming over the doc's distinct token signatures. Grouping is by
+    # TERM (not signature): two query terms whose signatures collide
+    # still contribute separately, exactly like real per-token vectors.
+    pair = cands.join(
+        F.broadcast(
+            qterms.select("query_id", F.col("term").alias("_qt"), "qsig")
+        ),
+        on="query_id",
+    ).join(dterms.select("doc_id", "dsig"), on="doc_id")
+    ham = F.expr("bit_count(qsig ^ dsig)").cast("bigint")
+    per_qtok = (
+        pair.withColumn("_h", ham)
+        .groupBy("query_id", "doc_id", "match_terms", "_qt")
+        .agg(F.min("_h").alias("_minh"))
+    )
+    scored = per_qtok.groupBy("query_id", "doc_id", "match_terms").agg(
+        F.sum(F.lit(sig_bits) - 2 * F.col("_minh"))
+        .cast("bigint")
+        .alias("score_units")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_units").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "match_terms", "score_units", "rank")
+    )

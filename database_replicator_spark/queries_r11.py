@@ -503,3 +503,95 @@ def cdc_replay_asof_vs_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, _os.path.join(work, "target"), "accounts", epoch=0
     )
     return parse(asof, "asof_epoch0").unionByName(parse(latest, "final"))
+
+
+# ---------------------------------------------------------------------------
+# doc_late_interaction_topk — ColBERT-shape late-interaction (maxsim)
+# retrieval (operators/retrieval.py late_interaction_topk): per query
+# token, the MAX similarity against any document token, summed — the
+# token-level matching channel the bag-of-words rankers lack. Token
+# vectors are the deterministic 16-bit ±1 signature family
+# (hash60 mod 2^16; dot = 16 − 2·hamming), fully SQL-reproducible; a
+# deployment swaps in learned embeddings + BLAS and keeps every join.
+# Workload: the shared BM25 query set; exact-match prefilter to 20
+# candidates per query before maxsim (the family's pre-cut idiom).
+# ---------------------------------------------------------------------------
+
+from .oracle_sql_fragments import _BM25_QUERIES, _NORM_SQL
+from .functions.hashing import hash60_sql
+
+_LI_K = 10
+_LI_CANDS = 20
+_LI_BITS = 16
+
+
+@query(
+    "doc_late_interaction_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(regexp_split_to_array({_NORM_SQL}, ' ')) AS term
+      FROM documents
+    ),
+    dterms AS (SELECT DISTINCT doc_id, term FROM toks),
+    dsig AS (
+      SELECT doc_id, term, {hash60_sql('term')} % {1 << _LI_BITS} AS dsig
+      FROM dterms
+    ),
+    q(query_id, term) AS (
+      VALUES {", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)}
+    ),
+    qd AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id, term FROM q),
+    qsig AS (
+      SELECT query_id, term, {hash60_sql('term')} % {1 << _LI_BITS} AS qsig
+      FROM qd
+    ),
+    matches AS (
+      SELECT qd.query_id, d.doc_id, CAST(COUNT(*) AS BIGINT) AS match_terms
+      FROM qd JOIN dterms d ON d.term = qd.term
+      GROUP BY 1, 2
+    ),
+    cands AS (
+      SELECT query_id, doc_id, match_terms FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY match_terms DESC, doc_id ASC) AS rn
+        FROM matches
+      ) WHERE rn <= {_LI_CANDS}
+    ),
+    per_qtok AS (
+      SELECT c.query_id, c.doc_id, c.match_terms, s.term,
+             MIN(bit_count(xor(s.qsig, d.dsig))) AS minh
+      FROM cands c
+      JOIN qsig s ON s.query_id = c.query_id
+      JOIN dsig d ON d.doc_id = c.doc_id
+      GROUP BY 1, 2, 3, 4
+    ),
+    scored AS (
+      SELECT query_id, doc_id, match_terms,
+             CAST(SUM({_LI_BITS} - 2 * minh) AS BIGINT) AS score_units
+      FROM per_qtok GROUP BY 1, 2, 3
+    )
+    SELECT query_id, doc_id, match_terms, score_units, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY score_units DESC, doc_id ASC) AS INTEGER) AS rank
+      FROM scored
+    ) WHERE rank <= {_LI_K}
+    """,
+)
+def doc_late_interaction_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents per query under the late-interaction maxsim
+    score (16-bit ±1 token signatures, integer dot = 16 − 2·hamming),
+    exact-match prefilter to 20 candidates — the ColBERT scoring shape
+    over the shared query workload."""
+    from .operators.retrieval import late_interaction_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries_df = spark.createDataFrame(
+        _BM25_QUERIES, "query_id long, term string"
+    )
+    return late_interaction_topk(
+        docs,
+        queries_df,
+        k=_LI_K,
+        sig_bits=_LI_BITS,
+        prefilter_candidates=_LI_CANDS,
+    )
