@@ -98,6 +98,7 @@ REPRESENTATIVE = [
     "doc_entity_linkage",          # block-key equi-join, thresholded levenshtein
     "events_ohlc_bars",            # two windows + groupBy on ONE shuffle key
     "cdc_replay_asof_vs_final",    # epoch-pruned log window + bucketed _latest read
+    "doc_late_interaction_topk",   # maxsim: prefilter cut, broadcast q-tokens, int dots
 ]
 
 
