@@ -135,7 +135,18 @@ def kll_update(state: dict, items: Sequence[int], k: int) -> dict:
     if hasattr(items, "dtype"):  # numpy fast path (Arrow batch values)
         import numpy as np
 
-        arr = items if items.dtype.kind == "i" else items.astype(np.int64)
+        if items.dtype.kind == "i":
+            arr = items
+        elif items.dtype.kind == "f":
+            # A nullable bigint column reaches pandas as float64 with NaN
+            # for nulls; NaN.astype(int64) is an arbitrary platform value
+            # (often INT64_MIN) that would silently poison min/quantiles.
+            # Drop NaNs first — matching the int(x) loop below, which
+            # raises loudly rather than corrupting, and the public entry
+            # points, which filter _v IS NOT NULL before reaching here.
+            arr = items[~np.isnan(items)].astype(np.int64)
+        else:
+            arr = items.astype(np.int64)
         buf.extend(arr.tolist())
         state["n"] += len(arr)
     else:
@@ -288,7 +299,9 @@ def kll_sketch(
     skips the shuffle-partition-count applyInPandas overhead. Identical
     states either way (canonical fold)."""
     groups = list(group_cols)
-    src = df.select(*groups, F.col(value_col).cast("bigint").alias("_v"))
+    src = df.select(
+        *groups, F.col(value_col).cast("bigint").alias("_v")
+    ).filter(F.col("_v").isNotNull())
     out_schema = _sketch_schema(src, groups)
 
     part = src.mapInPandas(_partials_fn(groups, k), out_schema)
@@ -450,7 +463,9 @@ def kll_group_quantiles(
     parallelism). Results are identical either way (canonical fold)."""
     pct = [int(p) for p in percents]
     groups = list(group_cols)
-    src = df.select(*groups, F.col(value_col).cast("bigint").alias("_v"))
+    src = df.select(
+        *groups, F.col(value_col).cast("bigint").alias("_v")
+    ).filter(F.col("_v").isNotNull())
     part_schema = _sketch_schema(src, groups)
     out_schema = ", ".join(
         [f"`{c}` {src.schema[c].dataType.simpleString()}" for c in groups]

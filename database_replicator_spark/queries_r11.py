@@ -303,6 +303,14 @@ def multimodal_wav_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # window-over-change-log pass. Covers S20/ST4-ST6 end to end (reference:
 # sqlite-watcher consumer, src/commands/sync_sqlite.rs:115-187) — not
 # just the per-operator units the streaming tier had so far.
+#
+# Deliberate divergence from the reference's batch ordering: the
+# reference applies all upserts then all deletes per batch (a same-batch
+# delete wins regardless of change order); ChangeApplier and these
+# oracles use last-write-wins by change_id (order-robust / idempotent
+# under at-least-once redelivery — see replay_change_log's docstring).
+# The derived logs here give each PK one op per epoch, where the two
+# semantics coincide.
 # ---------------------------------------------------------------------------
 
 #: 3 epochs × (1/5 of events): enough to exercise the multi-epoch merge

@@ -107,12 +107,16 @@ def write_tar_shards(
             with tarfile.open(tmp, "w") as tf:
                 for _, r in grp.iterrows():
                     key = str(int(r["id"]))
-                    meta = json.loads(r["meta_json"]) if r["meta_json"] else {}
+                    # to_json(null struct) is None — normalize to "{}" so
+                    # null-meta rows still write a .json member and
+                    # round-trip instead of AttributeError on .encode()
+                    meta_json = r["meta_json"] or "{}"
+                    meta = json.loads(meta_json)
                     ext = _EXT.get(meta.get("mime"), "bin")
                     payload = bytes(r["payload"])
                     for name, body in (
                         (f"{key}.{ext}", payload),
-                        (f"{key}.json", r["meta_json"].encode()),
+                        (f"{key}.json", meta_json.encode()),
                     ):
                         info = tarfile.TarInfo(name=name)
                         info.size = len(body)

@@ -628,6 +628,17 @@ def replay_change_log(
     job and per-epoch apply cost is the applier's O(batch + touched
     buckets); a live deployment runs :func:`start_change_apply` on the
     durable queue instead, with no rename step.
+
+    Deliberate semantic divergence from the reference consumer
+    (sync_sqlite.rs:115-187): the reference applies ALL upserts then ALL
+    deletes per batch, so a delete beats a same-batch upsert regardless
+    of order; :class:`ChangeApplier` (and the gates' oracles) use
+    last-write-wins by ``change_id`` — the op with the highest change_id
+    per PK wins, whatever its kind. LWW is order-robust (idempotent under
+    replays/reorderings, which at-least-once delivery requires), whereas
+    upserts-then-deletes makes within-batch outcomes depend on batch
+    boundaries. For logs where each PK appears at most once per batch —
+    the reference's own capture discipline — the two are identical.
     """
     import shutil
 

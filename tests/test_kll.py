@@ -331,3 +331,37 @@ class TestAdversarialOrders:
         assert merged["n"] == 500 and len(merged["levels"]) == 1
         whole = kll_update(kll_new(), [v * 7 % 501 for v in range(500)], 1024)
         assert merged == whole
+
+
+class TestNanSafety:
+    def test_numpy_float_batch_with_nan_drops_nulls(self):
+        """ADVICE r11: a nullable column reaches the Arrow batch as
+        float64-with-NaN; the fast path must DROP NaN, never cast it
+        (NaN.astype(int64) is an arbitrary platform value)."""
+        import numpy as np
+
+        from database_replicator_spark.operators.kll import (
+            kll_new,
+            kll_quantile,
+            kll_update,
+        )
+
+        st = kll_update(
+            kll_new(), np.array([5.0, np.nan, 1.0, np.nan, 9.0]), k=200
+        )
+        assert st["n"] == 3
+        assert kll_quantile(st, 0, 100) == 1  # min untouched by NaN
+        assert kll_quantile(st, 100, 100) == 9
+
+    def test_kll_sketch_filters_null_values(self, spark):
+        from database_replicator_spark.operators.kll import (
+            kll_quantile_values,
+            kll_sketch,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 1), ("a", None), ("a", 7)], "g string, v int"
+        )
+        sk = kll_sketch(df, ["g"], "v", k=200)
+        r = kll_quantile_values(sk, [0, 100]).first()
+        assert r["n"] == 2 and r["p0"] == 1 and r["p100"] == 7

@@ -83,3 +83,23 @@ class TestRoundTrip:
         back = read_tar_shards(spark, out)
         assert back.count() == 40
         assert len([f for f in os.listdir(out) if f.endswith(".tar")]) == 8
+
+
+class TestNullMeta:
+    def test_null_meta_rows_round_trip(self, spark, tmp_path):
+        """to_json(null struct) is None — the writer must normalize to
+        "{}" so null-meta rows still carry a .json member (ADVICE r11)."""
+        df = spark.createDataFrame(
+            [(1, b"\x01\x02", None), (2, b"\x03", ("image/bmp", 1))],
+            "id long, payload binary, "
+            "meta struct<mime string, n_bytes int>",
+        )
+        out = str(tmp_path / "wds-null")
+        write_tar_shards(df, out, n_shards=1)
+        with tarfile.open(os.path.join(out, "shard-00000.tar")) as tf:
+            names = tf.getnames()
+            assert "1.json" in names and "2.json" in names
+            assert json.loads(tf.extractfile("1.json").read()) == {}
+        back = read_tar_shards(spark, out)
+        got = {r["id"]: bytes(r["payload"]) for r in back.collect()}
+        assert got == {1: b"\x01\x02", 2: b"\x03"}

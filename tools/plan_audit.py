@@ -104,7 +104,7 @@ def probe_key_skew(spark, sf_dir: str, cols: set[str]) -> dict[str, float]:
     in code review — so they are skipped here."""
     from pyspark.sql import functions as F
 
-    col_to_table: dict[str, str] = {}
+    col_to_tables: dict[str, list[str]] = {}
     for t in (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings"
@@ -113,20 +113,28 @@ def probe_key_skew(spark, sf_dir: str, cols: set[str]) -> dict[str, float]:
         if not os.path.exists(path):
             continue
         for c in spark.read.parquet(path).columns:
-            col_to_table.setdefault(c, t)
+            col_to_tables.setdefault(c, []).append(t)
     shares: dict[str, float] = {}
-    for c in sorted(cols & set(col_to_table)):
-        df = spark.read.parquet(
-            os.path.join(sf_dir, f"{col_to_table[c]}.parquet")
-        ).filter(F.col(c).isNotNull())
-        row = (
-            df.groupBy(c)
-            .agg(F.count(F.lit(1)).alias("n"))
-            .agg((F.max("n") / F.sum("n")).alias("share"))
-            .first()
-        )
-        if row and row["share"] is not None:
-            shares[c] = float(row["share"])
+    # A column name can live in several tables (user_id, doc_id…); probe
+    # EVERY table holding it and keep the worst (max) top-key share, so
+    # the audit never under-reports skew by probing the wrong relation.
+    for c in sorted(cols & set(col_to_tables)):
+        worst = None
+        for t in col_to_tables[c]:
+            df = spark.read.parquet(
+                os.path.join(sf_dir, f"{t}.parquet")
+            ).filter(F.col(c).isNotNull())
+            row = (
+                df.groupBy(c)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .agg((F.max("n") / F.sum("n")).alias("share"))
+                .first()
+            )
+            if row and row["share"] is not None:
+                s = float(row["share"])
+                worst = s if worst is None else max(worst, s)
+        if worst is not None:
+            shares[c] = worst
     return shares
 
 
