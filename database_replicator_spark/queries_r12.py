@@ -1,0 +1,454 @@
+"""Round-12 query-surface entries.
+
+The headline gate is ``corpus_build_e2e`` — the COMPOSITION of the corpus
+tier into the single pipeline a real pretraining data build executes
+(clean → near-dup clustering → domain caps → temperature mix → split →
+pack), oracle-gated over the final packed output. Every stage is already
+an individually-gated operator; this gate pins that they COMPOSE: each
+stage consumes the previous stage's survivors, the temperature rates are
+derived from the pipeline-internal (post-cap) counts, and the DuckDB
+oracle re-derives the whole chain in one recursive-CTE query.
+
+``corpus_build_attrition`` is the same chain reported as the per-source
+funnel (ingested → clean → near-dup survivor → capped → mixed), the
+datasheet table a corpus build prints alongside its output.
+
+Reference parity note: the reference engine (a replication CLI) has no
+corpus pipeline; this is mandate surface (LLM-training-data tier). The
+stage semantics are the public ones: C4/Gopher quality rules, MinHash-LSH
+near-dup clustering (Broder; Leskovec-Rajaraman-Ullman ch.3), RefinedWeb
+per-domain caps, XLM-R temperature mixing, GPT-style sequence packing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .queries import query
+from .queries_llm import (
+    _CAPPED_CTE,
+    _LSH_BANDS,
+    _MINHASH_BASE,
+    _MINHASH_MINS,
+    _SHINGLES_CTE,
+)
+from .queries_pipeline import _H60, _SPAN, _SPLIT_FRACTIONS, _split_case_sql
+from .sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# corpus_build_e2e — stage constants. Chosen so every stage DOES WORK at
+# the gate scales: per-source near-dup survivors range 17-24 at
+# sf0.001/0.01, so cap=20 bites the large sources while leaving the
+# small ones uncapped — post-cap counts stay NON-uniform, which keeps
+# the temperature thresholds non-trivial (<2^60) and the mix stage live.
+# ---------------------------------------------------------------------------
+_E2E_CAP = 20
+_E2E_CAP_SEED = 101
+_E2E_TEMP_SEED = 102
+_E2E_SPLIT_SEED = 103
+_E2E_BUDGET = 512
+
+#: The shared stage chain as DuckDB CTEs (everything through ``mixed``).
+#: CTE naming: the quality CTEs are prefixed q* so they can coexist with
+#: the minhash chain (whose canonical fragment names its base ``base``
+#: too — here ``mbase``); ``norm``/``sh`` from _SHINGLES_CTE are shared
+#: by the quality tokens, the contamination probe, the minhash
+#: signatures, and the final token counts — one definition, four users,
+#: exactly like the Spark side reuses one shingle DataFrame.
+_E2E_CHAIN = f"""
+    {_SHINGLES_CTE.strip().rstrip()},
+    qbase AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS n_stop,
+             toks
+      FROM norm
+    ),
+    qtop AS (
+      SELECT doc_id, MAX(c) AS max_tok_count FROM (
+        SELECT doc_id, tok, COUNT(*) AS c
+        FROM qbase, UNNEST(toks) AS u(tok) GROUP BY 1, 2
+      ) GROUP BY doc_id
+    ),
+    qual AS (
+      SELECT b.doc_id,
+             (CASE WHEN b.n_tokens < 10 THEN 'too_short'
+                   WHEN b.n_tokens > 50000 THEN 'too_long'
+                   WHEN b.n_stop * 1000 < b.n_tokens * 20 THEN 'low_stopword'
+                   WHEN t.max_tok_count * 100 > b.n_tokens * 20 THEN 'repetitive'
+              END) IS NULL AS keep_quality
+      FROM qbase b JOIN qtop t USING (doc_id)
+    ),
+    fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(COALESCE(text, '')), '\\s+', ' ', 'g'))) AS fingerprint
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id, doc_id = MIN(doc_id) OVER (PARTITION BY fingerprint) AS is_canonical
+      FROM fp
+    ),
+    bshingle AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0
+    ),
+    dsz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    hits AS (
+      SELECT t.doc_id, COUNT(*) AS n_hit
+      FROM sh t JOIN bshingle b ON t.shingle = b.shingle
+      WHERE t.doc_id % 50 != 0 GROUP BY 1
+    ),
+    contaminated AS (
+      SELECT h.doc_id FROM hits h JOIN dsz s USING (doc_id)
+      WHERE h.n_hit * 2 >= s.n_sh
+    ),
+    accepted AS (
+      SELECT d.doc_id
+      FROM documents d
+      JOIN qual q ON q.doc_id = d.doc_id
+      JOIN canon c ON c.doc_id = d.doc_id
+      LEFT JOIN contaminated ct ON ct.doc_id = d.doc_id
+      WHERE q.keep_quality AND c.is_canonical AND d.doc_id % 50 != 0
+        AND ct.doc_id IS NULL
+    ),
+    mbase AS ({_MINHASH_BASE}),
+    sig AS (
+      SELECT doc_id,
+       {_MINHASH_MINS}
+      FROM mbase GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, b.band, b.band_sig
+      FROM sig, UNNEST([{_LSH_BANDS}]) AS u(b)
+    ),
+    {_CAPPED_CTE.strip()},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    co AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT co.doc1, co.doc2
+      FROM co
+      JOIN cand ON cand.doc1 = co.doc1 AND cand.doc2 = co.doc2
+      JOIN dsz s1 ON s1.doc_id = co.doc1
+      JOIN dsz s2 ON s2.doc_id = co.doc2
+      WHERE inter / (s1.n_sh + s2.n_sh - inter) >= 0.2
+    ),
+    edges AS (
+      SELECT doc1 AS src, doc2 AS dst FROM pairs
+      UNION ALL
+      SELECT doc2, doc1 FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS m FROM documents
+      UNION
+      SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.m
+    ),
+    comp AS (
+      SELECT node AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY node
+    ),
+    neardup AS (
+      SELECT MIN(a.doc_id) AS doc_id
+      FROM accepted a JOIN comp c ON c.doc_id = a.doc_id
+      GROUP BY c.cluster_id
+    ),
+    survd AS (
+      SELECT d.doc_id, d.source FROM documents d JOIN neardup USING (doc_id)
+    ),
+    capranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {_H60.format(expr=f"'{_E2E_CAP_SEED}:' || CAST(doc_id AS VARCHAR)")} ASC,
+                        doc_id ASC) AS sel_rank
+      FROM survd
+    ),
+    capped_docs AS (
+      SELECT doc_id, source FROM capranked WHERE sel_rank <= {_E2E_CAP}
+    ),
+    tstats AS (SELECT source, COUNT(*) AS n_docs FROM capped_docs GROUP BY source),
+    tmin AS (SELECT MIN(n_docs) AS n_min FROM tstats),
+    thr AS (
+      SELECT s.source,
+             CAST(floor(sqrt(CAST(m.n_min AS DOUBLE) / s.n_docs) * {float(_SPAN)!r})
+                  AS BIGINT) AS keep_threshold
+      FROM tstats s CROSS JOIN tmin m
+    ),
+    mixed AS (
+      SELECT c.doc_id, c.source
+      FROM capped_docs c JOIN thr USING (source)
+      WHERE {_H60.format(expr=f"'{_E2E_TEMP_SEED}:' || CAST(c.doc_id AS VARCHAR)")} < thr.keep_threshold
+    )
+"""
+
+
+def _e2e_stages(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, DataFrame]:
+    """Build the composed pipeline once; return every stage's survivor
+    set so both gates (packed output / attrition funnel) pick from the
+    same chain. Stage-by-stage:
+
+      1. clean — quality cascade ∧ exact-dedup canonical ∧ not the
+         benchmark slice ∧ not benchmark-contaminated (the
+         corpus_clean_view acceptance, re-composed here so ONE shingle
+         relation feeds both the contamination probe and stage 2).
+      2. near-dup — MinHash-LSH verified pairs (Jaccard ≥ 0.2) →
+         connected components over the FULL corpus (cluster structure is
+         a content property, independent of which member survived stage
+         1); per cluster the minimum-doc_id CLEAN survivor is kept, so a
+         cluster whose canonical member failed quality still contributes
+         its best survivor.
+      3. caps — per-source cap (≤ {cap} docs, seeded hash draw).
+      4. mix — temperature-0.5 down-sampling with rates derived from the
+         POST-CAP per-source counts (the pipeline's own mixture, not the
+         raw corpus's).
+      5. split — deterministic 90/5/5 train/val/test.
+      6. pack — token-budget packing within each split, doc_id order.
+
+    Scale shape: every stage is the already-audited operator (bucketed
+    LSH, hash-min CC with lineage cuts, one window per cap group,
+    broadcast 20-row rate table, map-only split, two-pass range packing)
+    — composing them adds joins on the doc_id grain only, no new shuffle
+    class. The shingle relation is computed once and feeds three
+    consumers."""
+    from .operators.corpus import (
+        cap_per_group,
+        connected_components,
+        dataset_split,
+        pack_sequences,
+        temperature_sample,
+    )
+    from .operators.dedup import (
+        doc_shingles,
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from .operators.textops import (
+        fingerprint_expr,
+        normalize_text_expr,
+        quality_filter,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    # stage 1: clean (quality ∧ canonical ∧ ¬benchmark ∧ ¬contaminated)
+    qual = quality_filter(docs).select(
+        "doc_id", F.col("keep").alias("keep_quality")
+    )
+    w = Window.partitionBy("fingerprint")
+    canon = docs.select(
+        "doc_id", fingerprint_expr(F.col("text")).alias("fingerprint")
+    ).select(
+        "doc_id",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
+    )
+    sh = doc_shingles(docs)
+    bench_sh = (
+        sh.filter(F.col("doc_id") % 50 == 0).select("shingle").distinct()
+    )
+    # Fraction-based decontamination (differs DELIBERATELY from
+    # corpus_clean_view's any-overlap FLAG): a doc is contaminated when
+    # ≥50% of its distinct shingles appear in the benchmark slice — the
+    # "substantial overlap" rule real pipelines use (GPT-3 appx C /
+    # PaLM-style), because any-single-n-gram overlap degenerates with
+    # corpus size (flags 96% of sf0.1 docs; the fraction rule flags
+    # exactly the planted quotation docs at every scale). Integer-exact:
+    # n_hit*2 >= n_sh, no float division.
+    doc_sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    hits = (
+        sh.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(bench_sh), on="shingle", how="left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    contaminated = (
+        hits.join(doc_sz, on="doc_id")
+        .filter(F.col("n_hit") * 2 >= F.col("n_sh"))
+        .select("doc_id")
+        .withColumn("_hit", F.lit(True))
+    )
+    accepted = (
+        docs.select("doc_id")
+        .join(qual, on="doc_id")
+        .join(canon, on="doc_id")
+        .join(contaminated, on="doc_id", how="left")
+        .filter(
+            F.col("keep_quality")
+            & F.col("is_canonical")
+            & (F.col("doc_id") % 50 != 0)
+            & ~F.coalesce(F.col("_hit"), F.lit(False))
+        )
+        .select("doc_id")
+    )
+
+    # stage 2: near-dup CC over the full corpus; keep the min-doc_id
+    # clean survivor per cluster (the dedup_components construction)
+    sig = minhash_signatures(sh, num_hashes=12).cache()
+    cand = lsh_candidate_pairs(sig)
+    pairs = jaccard_pairs(sh, candidates=cand, threshold=0.2)
+    comp = connected_components(
+        docs.select("doc_id"),
+        pairs,
+        id_col="doc_id",
+        src_col="doc1",
+        dst_col="doc2",
+    )
+    neardup = (
+        accepted.join(comp, accepted.doc_id == comp.node)
+        .groupBy("cluster_id")
+        .agg(F.min(accepted.doc_id).alias("doc_id"))
+        .select("doc_id")
+    )
+    survd = docs.select("doc_id", "source").join(neardup, on="doc_id")
+
+    # stage 3: per-source cap
+    capped_docs = cap_per_group(
+        survd, "source", cap=_E2E_CAP, seed=_E2E_CAP_SEED
+    ).select("doc_id", "source")
+
+    # stage 4: temperature mix (rates from the POST-CAP counts)
+    mixed = temperature_sample(
+        capped_docs,
+        strata_col="source",
+        alpha=0.5,
+        id_col="doc_id",
+        seed=_E2E_TEMP_SEED,
+    ).select("doc_id", "source")
+
+    # stage 5: split
+    splitted = dataset_split(
+        mixed, _SPLIT_FRACTIONS, id_col="doc_id", seed=_E2E_SPLIT_SEED
+    ).select("doc_id", "source", "split")
+
+    # stage 6: pack within split, doc_id order (mirrors _TOKS_SQL)
+    ntok = docs.select(
+        "doc_id",
+        F.size(
+            F.split(
+                normalize_text_expr(F.coalesce(F.col("text"), F.lit(""))),
+                " ",
+            )
+        ).alias("n_tokens"),
+    )
+    packed = pack_sequences(
+        splitted.join(ntok, on="doc_id").select(
+            "doc_id", "source", "split", "n_tokens"
+        ),
+        budget=_E2E_BUDGET,
+        token_col="n_tokens",
+        order_col="doc_id",
+        part_col="split",
+    )
+    return {
+        "docs": docs,
+        "accepted": accepted,
+        "neardup": neardup,
+        "capped": capped_docs,
+        "mixed": mixed,
+        "splitted": splitted,
+        "packed": packed,
+    }
+
+
+@query(
+    "corpus_build_e2e",
+    oracle=f"""
+    WITH RECURSIVE
+    {_E2E_CHAIN.strip()},
+    splitted AS (
+      SELECT doc_id, source,
+             {_H60.format(expr=f"'{_E2E_SPLIT_SEED}:' || CAST(doc_id AS VARCHAR)")} AS split_key
+      FROM mixed
+    ),
+    packable AS (
+      SELECT s.doc_id, s.source, {_split_case_sql()} AS split,
+             len(n.toks) AS n_tokens
+      FROM splitted s JOIN norm n ON n.doc_id = s.doc_id
+    ),
+    cum AS (
+      SELECT doc_id, source, split, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM packable
+    )
+    SELECT doc_id, source, split, n_tokens, cum_tokens,
+           (cum_tokens - n_tokens) // {_E2E_BUDGET} AS pack_id,
+           ROW_NUMBER() OVER (PARTITION BY split, (cum_tokens - n_tokens) // {_E2E_BUDGET}
+                              ORDER BY doc_id) AS slot
+    FROM cum
+    """,
+)
+def corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus tier COMPOSED end to end — clean → near-dup CC →
+    domain caps → temperature mix → split → pack — gated on the final
+    packed output (one row per surviving doc with its split, pack_id and
+    slot), with the oracle re-deriving the entire chain independently in
+    one recursive-CTE DuckDB query. Every stage is an individually-gated
+    operator; this gate is the proof they compose (stage N consumes
+    stage N-1's survivors; the mixture rates come from the pipeline's
+    own post-cap counts). See :func:`_e2e_stages` for stage semantics
+    and the 100 TB plan shape."""
+    return _e2e_stages(spark, sf_dir)["packed"]
+
+
+@query(
+    "corpus_build_attrition",
+    oracle=f"""
+    WITH RECURSIVE
+    {_E2E_CHAIN.strip()}
+    SELECT d.source,
+           COUNT(*) AS n_in,
+           CAST(SUM(CASE WHEN a.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+           CAST(SUM(CASE WHEN nd.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup,
+           CAST(SUM(CASE WHEN cd.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_capped,
+           CAST(SUM(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed,
+           CAST(SUM(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+             // COUNT(*) AS BIGINT) AS retention_ppm
+    FROM documents d
+    LEFT JOIN accepted a ON a.doc_id = d.doc_id
+    LEFT JOIN neardup nd ON nd.doc_id = d.doc_id
+    LEFT JOIN capped_docs cd ON cd.doc_id = d.doc_id
+    LEFT JOIN mixed m ON m.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+)
+def corpus_build_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The e2e build's per-source attrition funnel — ingested → clean →
+    near-dup survivor → capped → mixed, plus integer-exact end-to-end
+    retention (ppm, floor division: no cross-engine float-rounding
+    hazard). The datasheet table a 100 TB corpus build prints next to
+    its packed output: a source whose crawl went bad shows up as a
+    retention collapse at one specific tier. Same chain as
+    :func:`corpus_build_e2e` (split/pack drop nothing, so the funnel
+    ends at the mix tier)."""
+    st = _e2e_stages(spark, sf_dir)
+
+    def _flag(df: DataFrame, name: str) -> DataFrame:
+        return df.select("doc_id").withColumn(name, F.lit(1))
+
+    j = (
+        st["docs"]
+        .select("doc_id", "source")
+        .join(_flag(st["accepted"], "_a"), on="doc_id", how="left")
+        .join(_flag(st["neardup"], "_n"), on="doc_id", how="left")
+        .join(_flag(st["capped"], "_c"), on="doc_id", how="left")
+        .join(_flag(st["mixed"], "_m"), on="doc_id", how="left")
+    )
+    agg = j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_in"),
+        F.sum(F.coalesce(F.col("_a"), F.lit(0))).alias("n_clean"),
+        F.sum(F.coalesce(F.col("_n"), F.lit(0))).alias("n_neardup"),
+        F.sum(F.coalesce(F.col("_c"), F.lit(0))).alias("n_capped"),
+        F.sum(F.coalesce(F.col("_m"), F.lit(0))).alias("n_mixed"),
+    )
+    return agg.withColumn(
+        "retention_ppm",
+        F.expr("CAST(n_mixed * 1000000 DIV n_in AS BIGINT)"),
+    )
