@@ -22,6 +22,8 @@ per-domain caps, XLM-R temperature mixing, GPT-style sequence packing.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -451,4 +453,118 @@ def corpus_build_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.withColumn(
         "retention_ppm",
         F.expr("CAST(n_mixed * 1000000 DIV n_in AS BIGINT)"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# WebDataset tar-shard IO gates (r11 verdict ask #4 — the only r11 surface
+# with no DuckDB gate). Both gates push REAL bytes through the tar path:
+# the documents table is exported as WebDataset shards to a scratch
+# directory, read back, and the read-back relation (not the source!) is
+# what the gate emits — so a corruption anywhere in write framing, member
+# pairing, or re-parse shows up as a value-hash mismatch against an
+# oracle that only ever saw the parquet.
+# ---------------------------------------------------------------------------
+_WDS_SHARDS = 16
+_WDS_RESHARD = 4
+
+
+def _wds_scratch(sf_dir: str, tag: str) -> str:
+    """Deterministic per-(sf, gate) scratch dir, recreated on every call
+    so a previous run's shard files (possibly at a different shard
+    count) can never leak into the read-back."""
+    import shutil
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_wds_{os.path.basename(os.path.normpath(sf_dir))}_{tag}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return base
+
+
+def _docs_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import media_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = docs.select(
+        "doc_id",
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias(
+            "payload"
+        ),
+    )
+    return media_table(payload, "doc_id", "payload", "application/octet-stream")
+
+
+@query(
+    "webdataset_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(COALESCE(text, '')) AS BIGINT) AS n_bytes,
+           md5(COALESCE(text, '')) AS payload_md5
+    FROM documents
+    """,
+)
+def webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full write→read identity through the tar path: every document's
+    UTF-8 bytes exported as WebDataset shards (sources/webdataset.py),
+    read back one-task-per-shard, and re-described as (doc_id, n_bytes,
+    md5) — the oracle computes the same description straight from the
+    parquet, so the gate passes only if the tar framing round-trips
+    every byte of every doc. The export itself is byte-reproducible
+    (fixed member mtimes, id-ordered members)."""
+    from .sources.webdataset import read_tar_shards, write_tar_shards
+
+    out = _wds_scratch(sf_dir, "roundtrip")
+    write_tar_shards(_docs_as_media(spark, sf_dir), out, n_shards=_WDS_SHARDS)
+    back = read_tar_shards(spark, out)
+    return back.select(
+        F.col("id").alias("doc_id"),
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+@query(
+    "webdataset_reshard_manifest",
+    oracle=f"""
+    SELECT CAST(doc_id % {_WDS_RESHARD} AS INTEGER) AS shard,
+           COUNT(*) AS n_samples,
+           CAST(SUM(strlen(COALESCE(text, ''))) AS BIGINT) AS sum_bytes,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def webdataset_reshard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reshard identity ({_WDS_SHARDS}→{_WDS_RESHARD}): export at 16
+    shards, read back, re-export the READ-BACK relation at 4, read THAT
+    back, and emit the writer's manifest joined with per-shard
+    aggregates (byte and id sums) of the final read-back — two full
+    write/read generations between the parquet and the gate output.
+    The oracle only groups the source table by the shard key."""
+    from .sources.webdataset import (
+        read_tar_shards,
+        shard_manifest,
+        write_tar_shards,
+    )
+
+    out1 = _wds_scratch(sf_dir, "reshard_a")
+    write_tar_shards(_docs_as_media(spark, sf_dir), out1, n_shards=_WDS_SHARDS)
+    gen1 = read_tar_shards(spark, out1)
+    out2 = _wds_scratch(sf_dir, "reshard_b")
+    write_tar_shards(gen1, out2, n_shards=_WDS_RESHARD)
+    gen2 = read_tar_shards(spark, out2)
+    agg = gen2.groupBy(
+        F.pmod(F.col("id"), F.lit(_WDS_RESHARD)).cast("int").alias("shard")
+    ).agg(
+        F.sum(F.length("payload")).cast("bigint").alias("sum_bytes"),
+        F.sum("id").cast("bigint").alias("sum_ids"),
+    )
+    man = shard_manifest(spark, out2).select(
+        F.col("shard").cast("int").alias("shard"), "n_samples"
+    )
+    return man.join(agg, on="shard").select(
+        "shard", "n_samples", "sum_bytes", "sum_ids"
     )
