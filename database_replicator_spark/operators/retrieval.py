@@ -926,7 +926,7 @@ def late_interaction_topk(
     queries: DataFrame,
     k: int = 10,
     sig_bits: int = 16,
-    prefilter_candidates: int = 20,
+    prefilter_candidates: int | None = 20,
 ) -> DataFrame:
     """Late-interaction (maxsim) top-k in the ColBERT shape (Khattab &
     Zaharia, SIGIR 2020): documents and queries are BAGS OF TOKEN
@@ -954,6 +954,15 @@ def late_interaction_topk(
 
     ``queries``: (query_id, term). Returns (query_id, doc_id,
     match_terms, score_units, rank ≤ k).
+
+    ``prefilter_candidates=None`` is EXACT maxsim: every (query, doc)
+    pair is scored, including docs sharing no query term (whose signal
+    is pure signature-collision similarity). The candidate set becomes
+    a broadcast-nested-loop cross of the distinct query ids against the
+    doc ids — O(|queries|·|docs|) scoring with no pre-cut, which is the
+    small-corpus / final-rerank / audit-baseline mode (the prefilter's
+    measured recall against it lives in RETRIEVAL.md), NOT the 100 TB
+    path; the prefiltered default is.
     """
     from ..functions.hashing import hash60
 
@@ -972,14 +981,29 @@ def late_interaction_topk(
         .groupBy("query_id", "doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("match_terms"))
     )
-    w_cand = Window.partitionBy("query_id").orderBy(
-        F.col("match_terms").desc(), F.col("doc_id").asc()
-    )
-    cands = (
-        matches.withColumn("_rn", F.row_number().over(w_cand))
-        .filter(F.col("_rn") <= prefilter_candidates)
-        .select("query_id", "doc_id", "match_terms")
-    )
+    if prefilter_candidates is None:
+        cands = (
+            dterms.select("doc_id")
+            .distinct()
+            .crossJoin(F.broadcast(qterms.select("query_id").distinct()))
+            .join(matches, on=["query_id", "doc_id"], how="left")
+            .select(
+                "query_id",
+                "doc_id",
+                F.coalesce(F.col("match_terms"), F.lit(0))
+                .cast("bigint")
+                .alias("match_terms"),
+            )
+        )
+    else:
+        w_cand = Window.partitionBy("query_id").orderBy(
+            F.col("match_terms").desc(), F.col("doc_id").asc()
+        )
+        cands = (
+            matches.withColumn("_rn", F.row_number().over(w_cand))
+            .filter(F.col("_rn") <= prefilter_candidates)
+            .select("query_id", "doc_id", "match_terms")
+        )
 
     # maxsim: per (query_id, query term, candidate doc), the minimum
     # hamming over the doc's distinct token signatures. Grouping is by
