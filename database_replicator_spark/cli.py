@@ -378,8 +378,8 @@ def main(argv: list[str] | None = None) -> int:
     ann_p.add_argument("--ksub", type=int, default=32)
     ann_p.add_argument("--rerank", type=int, default=0)
     ann_p.add_argument("--planes", type=int, default=6)
-    ann_p.add_argument("--tables", type=int, default=1)
-    ann_p.add_argument("--multiprobe", type=int, default=0)
+    ann_p.add_argument("--tables", type=int, default=4)
+    ann_p.add_argument("--multiprobe", type=int, default=1)
     ann_p.add_argument(
         "--quantizer", default="kmeans", choices=["kmeans", "sample"],
         help="trained (kmeans) or deterministic lowest-id sample quantizer",

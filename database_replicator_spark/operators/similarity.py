@@ -308,8 +308,8 @@ def lsh_topk_bucketed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
-    num_tables: int = 1,
-    multiprobe: int = 0,
+    num_tables: int = 4,
+    multiprobe: int = 1,
 ) -> DataFrame:
     """Deterministic LSH top-k: candidates are exactly the corpus vectors
     whose full hyperplane signature equals the query's — a bucket equijoin,

@@ -736,7 +736,13 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
-    return lsh_topk_bucketed(emb, queries_df, dim=64, k=10, num_planes=6)
+    return lsh_topk_bucketed(
+        emb, queries_df, dim=64, k=10, num_planes=6,
+        # gate contract pins the single-table/no-probe config explicitly
+        # (the operator DEFAULT is the measured sweet spot tables=4,
+        # multiprobe=1 since r12 — RECALL.md)
+        num_tables=1, multiprobe=0,
+    )
 
 
 def _lsh_planes_mt_sql(dim: int, num_planes: int, num_tables: int) -> str:

@@ -381,7 +381,10 @@ class TestLshTopkRecallLevers:
         }
         base = {
             (r["query_id"], r["corpus_id"])
-            for r in lsh_topk_bucketed(emb, q, dim=64, k=10, num_planes=6).collect()
+            for r in lsh_topk_bucketed(
+                emb, q, dim=64, k=10, num_planes=6, num_tables=1,
+                multiprobe=0,
+            ).collect()
         }
         rows = lsh_topk_bucketed(
             emb, q, dim=64, k=10, num_planes=6, num_tables=4, multiprobe=1

@@ -50,13 +50,16 @@ def main() -> int:
 
     variants = {
         "lsh_topk_bucketed(planes=6)": lsh_topk_bucketed(
-            emb, queries, dim=64, k=k, num_planes=6
+            emb, queries, dim=64, k=k, num_planes=6, num_tables=1,
+            multiprobe=0,
         ),
         "lsh_topk_bucketed(planes=4)": lsh_topk_bucketed(
-            emb, queries, dim=64, k=k, num_planes=4
+            emb, queries, dim=64, k=k, num_planes=4, num_tables=1,
+            multiprobe=0,
         ),
         "lsh_topk_bucketed(planes=6, multiprobe=2)": lsh_topk_bucketed(
-            emb, queries, dim=64, k=k, num_planes=6, multiprobe=2
+            emb, queries, dim=64, k=k, num_planes=6, num_tables=1,
+            multiprobe=2,
         ),
         "lsh_topk_bucketed(planes=6, tables=4, multiprobe=1)": lsh_topk_bucketed(
             emb, queries, dim=64, k=k, num_planes=6, num_tables=4, multiprobe=1
@@ -218,6 +221,11 @@ def main() -> int:
         f"`{sf_dir}/embeddings.parquet`, {n_queries} queries "
         f"({len(truth)} truth pairs). Regenerate with "
         "`python tools/ann_recall.py`.",
+        "",
+        "Since r12 `lsh_topk_bucketed` DEFAULTS to the measured sweet "
+        "spot `tables=4, multiprobe=1` (recall 0.64 at ~1 s below, vs "
+        "0.058 for the old single-table default); every variant row "
+        "pins its config explicitly, so the table is default-invariant.",
         "",
         "| operator | recall@{k} | sec |".format(k=k),
         "|---|---|---|",
