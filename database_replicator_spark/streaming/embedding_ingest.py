@@ -90,6 +90,14 @@ class EmbeddingIngestor:
         (ADVICE r5)."""
         import json
 
+        marker = os.path.join(self.target_dir, _MIGRATION_MARKER)
+        if os.path.exists(marker):
+            raise RuntimeError(
+                f"embedding index at {self.target_dir} has a codebook "
+                "re-encode migration in progress (or a crashed one) — "
+                "codes and codebooks may disagree; finish or re-run "
+                "reencode_index before ingesting"
+            )
         meta_path = os.path.join(self.target_dir, "_index_meta.json")
         mode = {"pq": self.pq, "pq_m": self.pq_m, "pq_ksub": self.pq_ksub}
         if os.path.exists(meta_path):
@@ -130,7 +138,12 @@ class EmbeddingIngestor:
         save_index_artifact(
             path,
             {"codebooks": books},
-            {"m": self.pq_m, "ksub": self.pq_ksub, "trained_on_first_batch": True},
+            {
+                "m": self.pq_m,
+                "ksub": self.pq_ksub,
+                "trained_on_first_batch": True,
+                "generation": 0,
+            },
         )
         return books
 
@@ -268,6 +281,23 @@ class EmbeddingIngestor:
                 accepted = accepted.join(rejects, on="vec_id", how="left_anti")
                 assign = assign.join(rejects, on="vec_id", how="left_anti")
             if self.pq:
+                # drift row first (needs nvec + codes together): each
+                # accepted vector's self-ADC under the pinned books —
+                # the quantization-quality margin drift_status watches
+                _write_drift_row(
+                    spark,
+                    self.target_dir,
+                    epoch_id,
+                    _self_adc_stats(
+                        # one row per vector — multi-table LSH assignment
+                        # repeats (nvec, codes) once per table
+                        assign.select("vec_id", "nvec", "codes")
+                        .dropDuplicates(["vec_id"])
+                        .select("nvec", "codes"),
+                        books,
+                    ),
+                    _pq_generation(self.target_dir),
+                )
                 # the persistent index carries codes, never raw vectors
                 assign = assign.drop("nvec")
             n_accepted = accepted.count()
@@ -337,7 +367,10 @@ def ingest_status(spark: SparkSession, target_dir: str) -> dict:
     tier column names differ per gauntlet, the report shape does not)."""
     from .corpus_ingest import ingest_status as _status
 
-    return _status(spark, target_dir)
+    out = _status(spark, target_dir)
+    if os.path.isdir(os.path.join(target_dir, "_drift")):
+        out["drift"] = drift_status(spark, target_dir)
+    return out
 
 
 def forget_vectors(
@@ -376,3 +409,252 @@ def forget_vectors(
                 removed += n
         report[name] = removed
     return report
+
+
+# ---------------------------------------------------------------------------
+# PQ codebook drift maintenance (r11 verdict ask #7). Codebooks train
+# once and are pinned (retraining mid-stream would silently corrupt every
+# earlier epoch's codes) — but a real corpus DRIFTS, and pinned codebooks
+# degrade silently: ADC scores stay plausible while quantization error
+# grows. The maintenance loop below is the graph-maintainer pattern
+# applied to the one index that silently degrades:
+#
+#   * every PQ-mode epoch records its SELF-ADC distribution (each
+#     accepted vector scored by ADC against ITS OWN code — exactly 1.0
+#     minus the quantization error for unit vectors), under the current
+#     codebook generation, in ``_drift/epoch=N``;
+#   * ``drift_status`` compares each epoch's mean self-ADC against the
+#     training epoch's (the baseline the codebooks were fit to) and
+#     flags epochs whose margin fell by more than the threshold;
+#   * ``reencode_index`` retrains codebooks on the WHOLE accumulated
+#     vector set and re-encodes EVERY epoch's codes via the
+#     staged-overwrite idiom, bumping the codebook generation and
+#     recomputing every drift row — batch-equality (codes == fresh
+#     pq_encode under the new books) is pinned by test;
+#   * ``maybe_reencode`` is the threshold-gated composition (the live
+#     loop calls this; nothing retrains unless drift is measured).
+#
+# Crash consistency: a ``_migration_in_progress`` marker is written
+# before any partition is touched and removed after the new codebooks
+# are published — ingest fails fast while it exists (codes and codebooks
+# could disagree mid-migration), and a crashed migration is re-run by
+# calling ``reencode_index`` again (it is idempotent: every output is a
+# pure function of the vectors table).
+# ---------------------------------------------------------------------------
+
+_MIGRATION_MARKER = "_migration_in_progress"
+
+
+def _self_adc_stats(df: DataFrame, books) -> tuple[int, float, float]:
+    """(n, mean, min) of per-vector self-ADC: ADC score of each unit
+    vector against its own PQ code — the quantization-quality margin
+    (1.0 = lossless). ``df``: (nvec array, codes array). Distributed
+    mapInPandas + one tiny aggregate; only three numbers come back."""
+    import numpy as np
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(np.asarray(books, dtype=np.float64))
+
+    def run(batches):
+        import pandas as pd
+
+        bks = bc.value
+        m, _ksub, dsub = bks.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            nv = np.array(pdf["nvec"].tolist(), dtype=np.float64)
+            cd = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            sc = np.zeros(len(pdf))
+            for j in range(m):
+                sc += np.einsum(
+                    "bd,bd->b", nv[:, j * dsub : (j + 1) * dsub], bks[j][cd[:, j]]
+                )
+            yield pd.DataFrame({"adc": sc})
+
+    row = (
+        df.select("nvec", "codes")
+        .mapInPandas(run, "adc double")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("adc").alias("mean"),
+            F.min("adc").alias("mn"),
+        )
+        .first()
+    )
+    if not row or row["n"] == 0:
+        return 0, float("nan"), float("nan")
+    return int(row["n"]), float(row["mean"]), float(row["mn"])
+
+
+def _pq_generation(target_dir: str) -> int:
+    import json
+
+    meta_path = os.path.join(target_dir, "_pq", "meta.json")
+    if not os.path.exists(meta_path):
+        return 0
+    with open(meta_path) as fh:
+        return int(json.load(fh).get("generation", 0))
+
+
+def _write_drift_row(
+    spark: SparkSession,
+    target_dir: str,
+    epoch_id: int,
+    stats: tuple[int, float, float],
+    generation: int,
+) -> None:
+    n, mean, mn = stats
+    spark.createDataFrame(
+        [(n, mean, mn, generation)],
+        "n long, self_adc_mean double, self_adc_min double, generation long",
+    ).write.mode("overwrite").parquet(
+        os.path.join(target_dir, "_drift", f"epoch={epoch_id}")
+    )
+
+
+def drift_status(
+    spark: SparkSession, target_dir: str, drift_threshold: float = 0.1
+) -> dict:
+    """Per-epoch codebook-drift report for a PQ-mode index: each epoch's
+    mean self-ADC vs the baseline (the lowest epoch at the CURRENT
+    codebook generation — the distribution the books were fit to), and
+    the epochs whose margin fell by more than ``drift_threshold``.
+
+    Threshold calibration: the baseline is TRAIN-SET self-ADC, which is
+    optimistic — same-distribution follow-up epochs sit a little below
+    it (≈0.05 at a 30-vector training batch in the test fixture; the
+    gap shrinks as the training batch grows). A real distribution shift
+    is an order of magnitude larger (0.53 in the same fixture), so the
+    default 0.1 sits safely between the two regimes."""
+    path = os.path.join(target_dir, "_drift")
+    if not os.path.isdir(path):
+        return {"epochs": [], "baseline": None, "flagged": [], "generation": 0}
+    gen = _pq_generation(target_dir)
+    rows = sorted(
+        (
+            r.asDict()
+            for r in spark.read.option("basePath", path)
+            .parquet(path)
+            .filter(F.col("generation") == gen)
+            .collect()
+        ),
+        key=lambda r: r["epoch"],
+    )
+    if not rows:
+        return {"epochs": [], "baseline": None, "flagged": [], "generation": gen}
+    baseline = rows[0]["self_adc_mean"]
+    flagged = [
+        r["epoch"]
+        for r in rows
+        if baseline - r["self_adc_mean"] > drift_threshold
+    ]
+    return {
+        "epochs": [
+            {
+                "epoch": r["epoch"],
+                "n": r["n"],
+                "self_adc_mean": r["self_adc_mean"],
+                "self_adc_min": r["self_adc_min"],
+                "drift": round(baseline - r["self_adc_mean"], 6),
+            }
+            for r in rows
+        ],
+        "baseline": baseline,
+        "flagged": flagged,
+        "generation": gen,
+    }
+
+
+def reencode_index(
+    spark: SparkSession, target_dir: str, sample_size: int = 4096
+) -> dict:
+    """Retrain the PQ codebooks on the WHOLE accumulated vector set and
+    re-encode every epoch's codes — the migration that repairs measured
+    drift. Every epoch partition is rewritten via staged_overwrite, the
+    new codebooks are published last (generation += 1), and every drift
+    row is recomputed under the new books; a ``_migration_in_progress``
+    marker makes ingest fail fast during the window where codes and
+    codebooks could disagree. Idempotent: outputs are pure functions of
+    the vectors table, so a crashed migration is simply re-run."""
+    import json
+
+    import numpy as np
+
+    from ..operators.similarity import (
+        load_index_artifact,
+        pq_encode,
+        pq_train,
+        save_index_artifact,
+        unit_expr,
+    )
+    from ..util import staged_overwrite
+
+    pq_dir = os.path.join(target_dir, "_pq")
+    _arrays, meta = load_index_artifact(pq_dir)
+    m, ksub = int(meta["m"]), int(meta["ksub"])
+    marker = os.path.join(target_dir, _MIGRATION_MARKER)
+    with open(marker, "w") as fh:
+        fh.write("reencode_index")
+    try:
+        vec_path = os.path.join(target_dir, "vectors")
+        all_vecs = spark.read.option("basePath", vec_path).parquet(vec_path)
+        books = pq_train(all_vecs, m=m, ksub=ksub, sample_size=sample_size)
+        epochs = sorted(
+            r["epoch"] for r in all_vecs.select("epoch").distinct().collect()
+        )
+        gen = int(meta.get("generation", 0)) + 1
+        n_total = 0
+        for ep in epochs:
+            vecs = spark.read.parquet(
+                os.path.join(vec_path, f"epoch={ep}")
+            )
+            codes = pq_encode(vecs, books).withColumnRenamed("vid", "vec_id")
+            bpart = os.path.join(target_dir, "buckets", f"epoch={ep}")
+            old = spark.read.parquet(bpart)
+            new = old.drop("codes").join(codes, on="vec_id")
+            # count BEFORE the overwrite — the lazy plan reads the files
+            # staged_overwrite is about to replace
+            n_total += new.count()
+            staged_overwrite(spark, new, bpart)
+            stats = _self_adc_stats(
+                vecs.select(
+                    "vec_id", unit_expr(F.col("embedding")).alias("nvec")
+                ).join(codes, on="vec_id"),
+                books,
+            )
+            _write_drift_row(spark, target_dir, ep, stats, gen)
+        # publish the new codebooks LAST (stage dir + atomic rename)
+        stage = pq_dir + ".stage"
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
+        save_index_artifact(
+            stage,
+            {"codebooks": np.asarray(books)},
+            {**meta, "generation": gen, "retrained_on": "all_epochs"},
+        )
+        shutil.rmtree(pq_dir)
+        os.replace(stage, pq_dir)
+    finally:
+        os.remove(marker)
+    return {"generation": gen, "epochs": epochs, "n_reencoded": n_total}
+
+
+def maybe_reencode(
+    spark: SparkSession, target_dir: str, drift_threshold: float = 0.1
+) -> dict:
+    """Threshold-gated re-encode: measure drift, migrate only if an
+    epoch's self-ADC margin fell more than ``drift_threshold`` below the
+    training baseline (the graph-maintainer refresh pattern — nothing
+    retrains unless degradation is measured)."""
+    st = drift_status(spark, target_dir, drift_threshold)
+    if not st["flagged"]:
+        return {"action": "none", "status": st}
+    report = reencode_index(spark, target_dir)
+    return {
+        "action": "reencoded",
+        "status_before": st,
+        "report": report,
+        "status_after": drift_status(spark, target_dir, drift_threshold),
+    }
