@@ -342,14 +342,21 @@ def copy_sink(df: DataFrame, dsn: str, table: str, rows_per_copy: int = 10_000) 
     twin duplicates its partition (unlike :class:`JdbcUpsertWriter`).
     Target a staging table and apply with INSERT … ON CONFLICT / MERGE —
     the same recovery posture the reference takes by truncating before
-    COPY (filtered.rs:127-143). Gated on psycopg2 (absent in the test
-    container); ``df.write.jdbc(batchsize, reWriteBatchedInserts=true)``
-    is the built-in fallback."""
+    COPY (filtered.rs:127-143).
+
+    Transport: psycopg2 when installed; otherwise the stdlib wire client
+    (:mod:`pgwire` — trust-auth, simple-query, COPY-IN subprotocol),
+    which is what executes in this sandbox and what the livewire test
+    byte-asserts (tests/test_copy_livewire.py). Both transports send the
+    identical chunk payloads; ``df.write.jdbc(batchsize,
+    reWriteBatchedInserts=true)`` remains the built-in fallback for
+    password/SCRAM targets without psycopg."""
     from ..plans.rules import quote_ident
 
     columns = df.columns
     col_list = ", ".join(quote_ident(c) for c in columns)
     table = quote_table(table)
+    copy_sql = f"COPY {table} ({col_list}) FROM STDIN"
 
     def apply(rows) -> None:
         rows = iter(rows)
@@ -357,39 +364,47 @@ def copy_sink(df: DataFrame, dsn: str, table: str, rows_per_copy: int = 10_000) 
             first = next(rows)
         except StopIteration:
             return  # empty partition: never connect
-        try:
-            import psycopg2  # type: ignore
-        except ImportError as e:  # pragma: no cover - driver not in test env
-            raise RuntimeError(
-                "psycopg2 required for the COPY fast path; use df.write.jdbc "
-                "with reWriteBatchedInserts=true instead"
-            ) from e
         import io
         import itertools
 
-        conn = psycopg2.connect(dsn)
+        def chunks():
+            """rows_per_copy-bounded COPY text chunks — executor memory
+            stays O(chunk) on either transport."""
+            lines: list[str] = []
+            for r in itertools.chain([first], rows):
+                lines.append(
+                    "\t".join(render_copy_value(r[c]) for c in columns) + "\n"
+                )
+                if len(lines) >= rows_per_copy:
+                    yield "".join(lines)
+                    lines = []
+            if lines:
+                yield "".join(lines)
+
         try:
-            with conn.cursor() as cur:
-                buf = io.StringIO()
-                n = 0
-                for r in itertools.chain([first], rows):
-                    buf.write(
-                        "\t".join(render_copy_value(r[c]) for c in columns) + "\n"
-                    )
-                    n += 1
-                    if n >= rows_per_copy:
-                        buf.seek(0)
-                        cur.copy_expert(
-                            f"COPY {table} ({col_list}) FROM STDIN", buf
-                        )
-                        buf = io.StringIO()
-                        n = 0
-                if n:
-                    buf.seek(0)
-                    cur.copy_expert(f"COPY {table} ({col_list}) FROM STDIN", buf)
-            conn.commit()
+            import psycopg2  # type: ignore
+        except ImportError:
+            psycopg2 = None
+        if psycopg2 is not None:  # pragma: no cover - driver not in test env
+            conn = psycopg2.connect(dsn)
+            try:
+                with conn.cursor() as cur:
+                    for chunk in chunks():
+                        cur.copy_expert(copy_sql, io.StringIO(chunk))
+                conn.commit()
+            finally:
+                conn.close()
+            return
+        from .pgwire import PgWireCopyClient
+
+        client = PgWireCopyClient.from_dsn(dsn).connect()
+        try:
+            client.simple_query("BEGIN")
+            for chunk in chunks():
+                client.copy_in(copy_sql, [chunk.encode()])
+            client.simple_query("COMMIT")
         finally:
-            conn.close()
+            client.close()
 
     df.foreachPartition(apply)
 
