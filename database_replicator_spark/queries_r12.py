@@ -568,3 +568,147 @@ def webdataset_reshard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return man.join(agg, on="shard").select(
         "shard", "n_samples", "sum_bytes", "sum_ids"
     )
+
+
+# ---------------------------------------------------------------------------
+# rag_chunk_retrieval_topk — the RETRIEVAL-side composition twin of
+# corpus_build_e2e: chunk the corpus into sliding windows
+# (operators/corpus.chunk_long_docs — the RAG indexing unit), run BM25
+# over the CHUNK relation (operators/retrieval.bm25_scores is
+# relation-agnostic: id_col/text_col point at the chunk key/text), and
+# rank PARENT documents by their best chunk (maxP document scoring —
+# Dai & Callan, "Deeper Text Understanding for IR", SIGIR 2019). This is
+# the retrieve-chunks-return-documents pattern every RAG pipeline runs;
+# each stage is individually gated (doc_chunk_windows, doc_bm25_topk) —
+# this gate pins that they compose over a DERIVED relation, not just the
+# base table.
+# ---------------------------------------------------------------------------
+_RAG_DOC_K = 5
+#: chunk_key = doc_id·4096 + chunk_id — collision-free while a doc has
+#: <4096 chunks (needs >196k tokens at step 48; the quality tier caps
+#: docs at 50k tokens long before that)
+_RAG_KEY_SPAN = 4096
+
+
+@query(
+    "rag_chunk_retrieval_topk",
+    oracle=None,  # assembled below (needs the fragment imports)
+)
+def rag_chunk_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_RAG_DOC_K} parent documents per query under maxP chunk
+    retrieval: 64-token/16-overlap chunk windows, BM25 over chunks
+    (integer fixed-point scoring, broadcast queries), per-document max
+    chunk score, deterministic tie-breaks (score desc, chunk_id asc /
+    doc_id asc). Output: (query_id, doc_id, best_chunk_id,
+    doc_score_units, doc_rank)."""
+    from .operators.corpus import chunk_long_docs
+    from .operators.retrieval import bm25_scores
+    from .oracle_sql_fragments import _BM25_QUERIES
+    from .queries_pipeline import _CHUNK_BUDGET, _CHUNK_OVERLAP
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_long_docs(
+        docs, budget=_CHUNK_BUDGET, overlap=_CHUNK_OVERLAP
+    ).select(
+        (F.col("doc_id") * _RAG_KEY_SPAN + F.col("chunk_id")).alias(
+            "chunk_key"
+        ),
+        F.col("doc_id").alias("parent"),
+        "chunk_id",
+        "chunk_text",
+    )
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id long, term string")
+    scores = bm25_scores(
+        chunks, qdf, id_col="chunk_key", text_col="chunk_text"
+    ).select("query_id", F.col("doc_id").alias("chunk_key"), "score_units")
+    scored = scores.join(
+        chunks.select("chunk_key", "parent", "chunk_id"), on="chunk_key"
+    )
+    w_best = Window.partitionBy("query_id", "parent").orderBy(
+        F.col("score_units").desc(), F.col("chunk_id").asc()
+    )
+    per_doc = (
+        scored.withColumn("_rn", F.row_number().over(w_best))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "query_id",
+            F.col("parent").alias("doc_id"),
+            F.col("chunk_id").alias("best_chunk_id"),
+            F.col("score_units").alias("doc_score_units"),
+        )
+    )
+    w_doc = Window.partitionBy("query_id").orderBy(
+        F.col("doc_score_units").desc(), F.col("doc_id").asc()
+    )
+    return (
+        per_doc.withColumn("doc_rank", F.row_number().over(w_doc))
+        .filter(F.col("doc_rank") <= _RAG_DOC_K)
+        .select(
+            "query_id", "doc_id", "best_chunk_id", "doc_score_units",
+            "doc_rank",
+        )
+    )
+
+
+def _rag_oracle() -> str:
+    from .oracle_sql_fragments import (
+        _BM25_QUERIES,
+        _bm25_score_ctes,
+    )
+    from .queries_llm import _TOKS_SQL
+    from .queries_pipeline import _CHUNK_BUDGET, _CHUNK_STEP
+
+    qrows = ", ".join(
+        f"({qid}, '{term}', -1)" for qid, term in _BM25_QUERIES
+    )
+    return f"""
+    WITH t0 AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks, len({_TOKS_SQL}) AS n FROM documents
+    ),
+    cdef AS (
+      SELECT doc_id, toks, n,
+             CASE WHEN n <= {_CHUNK_BUDGET} THEN 1
+                  ELSE 1 + (n - {_CHUNK_BUDGET} + {_CHUNK_STEP} - 1) // {_CHUNK_STEP}
+             END AS n_chunks
+      FROM t0
+    ),
+    ck AS (
+      SELECT doc_id * {_RAG_KEY_SPAN} + u.i AS chunk_key,
+             doc_id AS parent, CAST(u.i AS INT) AS chunk_id,
+             toks[u.i * {_CHUNK_STEP} + 1 : u.i * {_CHUNK_STEP} + {_CHUNK_BUDGET}] AS ctoks
+      FROM cdef, UNNEST(generate_series(0, n_chunks - 1)) AS u(i)
+    ),
+    toks AS (
+      SELECT chunk_key AS doc_id, UNNEST(ctoks) AS term FROM ck
+    ),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+           FROM toks GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dl) AS BIGINT) AS total_tokens FROM dl),
+    q(query_id, term, self_excl) AS (VALUES {qrows}),
+    {_bm25_score_ctes()},
+    perdoc AS (
+      SELECT s.query_id, c.parent AS doc_id, c.chunk_id, s.score_units,
+             ROW_NUMBER() OVER (PARTITION BY s.query_id, c.parent
+                                ORDER BY s.score_units DESC, c.chunk_id ASC)
+               AS rn
+      FROM scores s JOIN ck c ON c.chunk_key = s.doc_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, chunk_id AS best_chunk_id,
+             score_units AS doc_score_units,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score_units DESC, doc_id ASC)
+               AS doc_rank
+      FROM perdoc WHERE rn = 1
+    )
+    SELECT query_id, doc_id, best_chunk_id, doc_score_units, doc_rank
+    FROM ranked WHERE doc_rank <= {_RAG_DOC_K}
+    """
+
+
+from .queries import _ORACLES as _oracle_registry  # noqa: E402
+
+_oracle_registry["rag_chunk_retrieval_topk"] = _rag_oracle()
