@@ -226,19 +226,196 @@ def wav_prefix(n_samples: int, rate: int = 8000) -> bytes:
     )
 
 
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW decompression (public spec: GIF89a appendix F /
+    Welch 1984): LSB-first variable-width codes starting at
+    ``min_code_size+1`` bits, CLEAR resets the table, widths grow when
+    the NEXT table slot would not fit, capped at 12 bits."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    table = [bytes([i]) for i in range(clear)] + [b"", b""]
+    code_size = min_code_size + 1
+    out = bytearray()
+    prev: int | None = None
+    acc = nbits = 0
+    pos = 0
+    while True:
+        while nbits < code_size:
+            if pos >= len(data):
+                return bytes(out)  # tolerated: stream ended without EOI
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = table[: eoi + 1]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("corrupt LZW stream (first code not literal)")
+            out += table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):  # the KwKwK case
+                entry = table[prev] + table[prev][:1]
+            else:
+                raise ValueError("corrupt LZW stream (code beyond table)")
+            out += entry
+            if len(table) < 4096:
+                table.append(table[prev] + entry[:1])
+                if len(table) == (1 << code_size) and code_size < 12:
+                    code_size += 1
+        prev = code
+
+
+def _lzw_encode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW compression — the exact inverse discipline of
+    :func:`_lzw_decode`: the encoder grows its code width when its table
+    counter passes ``2^W + 1`` (one later than the decoder's ``== 2^W``
+    rule, because the decoder's table lags the encoder's by one entry —
+    the classic matched pair). Round-trip identity is property-tested."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    code_size = min_code_size + 1
+    bits = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear, code_size)
+    if data:
+        w = data[:1]
+        for i in range(1, len(data)):
+            c = data[i : i + 1]
+            if w + c in table:
+                w += c
+                continue
+            emit(table[w], code_size)
+            if next_code <= 4095:
+                table[w + c] = next_code
+                next_code += 1
+                if next_code == (1 << code_size) + 1 and code_size < 12:
+                    code_size += 1
+            w = c
+        emit(table[w], code_size)
+    emit(eoi, code_size)
+    if nbits:
+        bits.append(acc & 0xFF)
+    return bytes(bits)
+
+
+def decode_gif(payload: bytes) -> list[float]:
+    """REAL image decoder for GIF87a/89a (global 256-color palette,
+    non-interlaced, first image frame) — the first COMPRESSED container
+    to parse natively in-sandbox: header + logical screen descriptor,
+    extension blocks skipped by sub-block walking, image descriptor, and
+    a from-scratch LZW decompressor (:func:`_lzw_decode`). Pixel indices
+    map through the palette (grayscale = red channel); returns row-major
+    top-down floats, the same contract as :func:`decode_bmp`."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload (missing GIF87a/89a magic)")
+    _sw, _sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    palette = b""
+    if packed & 0x80:
+        n_colors = 2 << (packed & 0x07)
+        palette = payload[pos : pos + 3 * n_colors]
+        pos += 3 * n_colors
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label byte + sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _l, _t, width, height, ipacked = struct.unpack_from(
+                "<HHHHB", payload, pos + 1
+            )
+            pos += 10
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF not supported")
+            if ipacked & 0x80:  # local color table overrides global
+                n_colors = 2 << (ipacked & 0x07)
+                palette = payload[pos : pos + 3 * n_colors]
+                pos += 3 * n_colors
+            min_code_size = payload[pos]
+            pos += 1
+            stream = bytearray()
+            while payload[pos]:
+                n = payload[pos]
+                stream += payload[pos + 1 : pos + 1 + n]
+                pos += 1 + n
+            pos += 1
+            idx = _lzw_decode(bytes(stream), min_code_size)
+            if len(idx) < width * height:
+                raise ValueError("GIF pixel data short of width*height")
+            return [
+                float(palette[3 * i]) for i in idx[: width * height]
+            ]
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF payload has no image descriptor")
+
+
+def gif_bytes(indices: bytes, width: int, height: int) -> bytes:
+    """Mint a REAL GIF89a from 8-bit pixel indices (identity grayscale
+    palette): header, logical screen descriptor, 256-entry global color
+    table, image descriptor, LZW-compressed data in ≤255-byte sub-blocks,
+    trailer. The compression is genuine (:func:`_lzw_encode`), so these
+    payloads exercise the full decompression path — unlike BMP/WAV,
+    whose pixel bytes are stored verbatim."""
+    import struct
+
+    if len(indices) != width * height:
+        raise ValueError("indices length must be width*height")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    out += b"".join(bytes((i, i, i)) for i in range(256))
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    out.append(8)  # LZW minimum code size
+    lzw = _lzw_encode(indices, 8)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def default_decoder(payload: bytes) -> list[float]:
-    """Magic-byte dispatch over the REAL container decoders: BMP and WAV
-    parse natively (no external codec needed); any other container still
-    raises the declared NotImplementedError seam (JPEG/PNG/MP4 need
-    libraries this sandbox does not ship — inject Pillow/ffmpeg in
-    deployment)."""
+    """Magic-byte dispatch over the REAL container decoders: BMP, WAV,
+    and GIF (LZW-compressed) parse natively (no external codec needed);
+    any other container still raises the declared NotImplementedError
+    seam (JPEG/PNG/MP4 need libraries this sandbox does not ship —
+    inject Pillow/ffmpeg in deployment)."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     raise NotImplementedError(
-        "no native decoder for this container (BMP/WAV parse in-sandbox; "
-        "inject Pillow/ffmpeg for JPEG/PNG/MP4)"
+        "no native decoder for this container (BMP/WAV/GIF parse "
+        "in-sandbox; inject Pillow/ffmpeg for JPEG/PNG/MP4)"
     )
 
 

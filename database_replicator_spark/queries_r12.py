@@ -712,3 +712,141 @@ def _rag_oracle() -> str:
 from .queries import _ORACLES as _oracle_registry  # noqa: E402
 
 _oracle_registry["rag_chunk_retrieval_topk"] = _rag_oracle()
+
+
+# ---------------------------------------------------------------------------
+# multimodal_gif_phash_dedup — the BMP gate's construction over REAL
+# LZW-COMPRESSED GIF89a files (operators/multimodal.py decode_gif /
+# gif_bytes / _lzw_*): each document's 49-char normalized-text window is
+# the 7×7 pixel grid of a genuine GIF (header + 256-entry palette +
+# variable-width LZW sub-blocks), minted in an Arrow-batched stage
+# (LZW needs Python — unlike BMP the pixel bytes are NOT stored
+# verbatim), decoded back through the magic-dispatched real parser, then
+# dHash → banded hamming. First gate whose media payloads exercise a
+# real COMPRESSION path end to end; the oracle computes the identical
+# pixel pipeline from the text directly (encode→decode identity is
+# property-tested).
+# ---------------------------------------------------------------------------
+_GIF_SIDE = 7
+_GIF_DIM = _GIF_SIDE * _GIF_SIDE
+_GIF_MAXHAM = 6
+_GIF_CAP = 50
+
+
+@query(
+    "multimodal_gif_phash_dedup",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             rpad(substr(trim(regexp_replace(lower(COALESCE(text, '')),
+                                             '\\s+', ' ', 'g')), 1, {_GIF_DIM}),
+                  {_GIF_DIM}, 'x') AS s
+      FROM documents
+    ),
+    items AS (
+      SELECT doc_id * 2 AS id, s FROM base
+      UNION ALL
+      SELECT doc_id * 2 + 1 AS id,
+             substr(s, 1, 29) || '#' || substr(s, 31) AS s
+      FROM base
+    ),
+    feats AS (
+      SELECT id, [ord(substr(s, i, 1)) FOR i IN range(1, {_GIF_DIM + 1})] AS f
+      FROM items
+    ),
+    hashed AS (
+      SELECT id,
+             CAST(list_sum(
+               [CASE WHEN f[i + 1] > f[i]
+                     THEN CAST(POWER(2, i - 1) AS BIGINT)
+                     ELSE 0 END FOR i IN range(1, {_GIF_DIM})]
+             ) AS BIGINT) AS h
+      FROM feats
+    ),
+    bands AS (
+      SELECT id, h, b.band,
+             (h >> (b.band * 12)) & 4095 AS bits
+      FROM hashed, (VALUES (0), (1), (2), (3)) b(band)
+    ),
+    small AS (
+      SELECT band, bits FROM bands
+      GROUP BY band, bits HAVING COUNT(*) <= {_GIF_CAP}
+    ),
+    kept AS (SELECT bands.* FROM bands JOIN small USING (band, bits)),
+    cand AS (
+      SELECT DISTINCT a.id AS id1, b.id AS id2, a.h AS h1, b.h AS h2
+      FROM kept a JOIN kept b
+        ON a.band = b.band AND a.bits = b.bits AND a.id < b.id
+    )
+    SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(h1, h2)) <= {_GIF_MAXHAM}
+    """,
+)
+def multimodal_gif_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image pairs (id1 < id2, hamming ≤ 6 over the 48-bit
+    dHash) where every payload is a REAL LZW-compressed GIF89a minted
+    from the text window and decoded by the real parser via magic-byte
+    dispatch — the compressed-codec extension of the BMP gate."""
+    from .operators.multimodal import (
+        default_decoder,
+        gif_bytes,
+        media_dhash,
+        media_table,
+        phash_pairs,
+    )
+    from .operators.textops import normalize_text_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.rpad(
+            F.substring(
+                normalize_text_expr(F.coalesce(F.col("text"), F.lit(""))),
+                1,
+                _GIF_DIM,
+            ),
+            _GIF_DIM,
+            "x",
+        ).alias("s"),
+    )
+    orig = base.select((F.col("doc_id") * 2).alias("id"), F.col("s"))
+    pert = base.select(
+        (F.col("doc_id") * 2 + 1).alias("id"),
+        F.concat(
+            F.substring(F.col("s"), 1, 29),
+            F.lit("#"),
+            F.substring(F.col("s"), 31, _GIF_DIM - 30),
+        ).alias("s"),
+    )
+
+    def mint(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "payload": [
+                        gif_bytes(
+                            s.encode("utf-8"), _GIF_SIDE, _GIF_SIDE
+                        )
+                        for s in pdf["s"]
+                    ],
+                }
+            )
+
+    items = orig.unionByName(pert).mapInPandas(
+        mint, "id long, payload binary"
+    )
+    media = media_table(items, "id", "payload", "image/gif")
+    hashes = media_dhash(media, decoder=default_decoder, dim=_GIF_DIM)
+    return phash_pairs(
+        hashes,
+        max_hamming=_GIF_MAXHAM,
+        dim=_GIF_DIM - 1,
+        n_bands=4,
+        max_bucket_size=_GIF_CAP,
+    )

@@ -214,3 +214,97 @@ class TestRealPixelHashes:
             for r in audio_fingerprint(media, decoder=decode_wav).collect()
         }
         assert got[1] == got[2] != 0
+
+
+class TestGifCodec:
+    """GIF89a + from-scratch LZW (r12): the first COMPRESSED container
+    parsed natively — round-trip identity through genuine variable-width
+    LZW, not stored bytes."""
+
+    def test_round_trip_identity_all_widths(self):
+        import random
+
+        from database_replicator_spark.operators.multimodal import (
+            _lzw_decode,
+            _lzw_encode,
+            decode_gif,
+            gif_bytes,
+        )
+
+        rng = random.Random(11)
+        # sizes spanning 9->10->11->12-bit code growth and the 4096 cap
+        for n in (1, 49, 300, 600, 1500, 6000):
+            data = bytes(rng.randrange(256) for _ in range(n))
+            assert _lzw_decode(_lzw_encode(data, 8), 8) == data, n
+        for w, h in ((7, 7), (64, 64), (100, 41)):
+            px = bytes(rng.randrange(256) for _ in range(w * h))
+            assert decode_gif(gif_bytes(px, w, h)) == [float(b) for b in px]
+
+    def test_compression_is_real(self):
+        from database_replicator_spark.operators.multimodal import (
+            _lzw_encode,
+            gif_bytes,
+        )
+
+        rep = bytes([5]) * 4096
+        assert len(_lzw_encode(rep, 8)) < 600  # 4096 px -> ~100 bytes
+        g = gif_bytes(rep, 64, 64)
+        # container overhead (palette 768B) dominates; pixel data shrank
+        assert len(g) < 768 + 200
+
+    def test_kwkwk_case_and_clear_handling(self):
+        from database_replicator_spark.operators.multimodal import (
+            _lzw_decode,
+            _lzw_encode,
+        )
+
+        # aaaa... forces the code==next_code (KwKwK) branch immediately
+        data = bytes([7]) * 1000
+        assert _lzw_decode(_lzw_encode(data, 8), 8) == data
+        # an explicit mid-stream CLEAR must reset table and width: build
+        # two independently-encoded halves; the decoder's CLEAR handling
+        # makes their concatenation (minus the second stream's framing)
+        # equivalent to re-synchronizing — round-trip each half instead,
+        # then the generator path with >4096 distinct entries (forces the
+        # encoder's table-full guard)
+        import random
+
+        rng = random.Random(3)
+        big = bytes(rng.randrange(256) for _ in range(30000))
+        assert _lzw_decode(_lzw_encode(big, 8), 8) == big
+
+    def test_gif_dispatch_and_extension_skip(self):
+        import struct
+
+        from database_replicator_spark.operators.multimodal import (
+            default_decoder,
+            gif_bytes,
+        )
+
+        px = bytes(range(49))
+        g = gif_bytes(px, 7, 7)
+        assert default_decoder(g) == [float(b) for b in px]
+        # splice a graphics-control extension (89a) before the image
+        # descriptor: real encoders emit these; the parser must skip it
+        gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+        idesc = 6 + 7 + 768  # header + LSD + global color table
+        assert g[idesc] == 0x2C
+        spliced = g[:idesc] + gce + g[idesc:]
+        assert default_decoder(spliced) == [float(b) for b in px]
+
+    def test_rejects_interlaced_and_foreign(self):
+        import pytest as _pytest
+
+        from database_replicator_spark.operators.multimodal import (
+            decode_gif,
+            gif_bytes,
+        )
+
+        g = bytearray(gif_bytes(bytes(49), 7, 7))
+        idesc = 6 + 7 + 768  # header + LSD + global color table
+        assert g[idesc] == 0x2C
+        g[idesc + 9] |= 0x40  # set the interlace flag
+        with _pytest.raises(ValueError, match="interlaced"):
+            decode_gif(bytes(g))
+        with _pytest.raises(ValueError, match="magic"):
+            decode_gif(b"NOTAGIF" + bytes(20))
