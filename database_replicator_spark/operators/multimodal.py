@@ -401,21 +401,181 @@ def gif_bytes(indices: bytes, width: int, height: int) -> bytes:
     return bytes(out)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytes:
+    """Reverse the five PNG scanline filters (spec §6: None/Sub/Up/
+    Average/Paeth). ``raw`` is the zlib-decompressed stream: per row one
+    filter-type byte + width·bpp filtered bytes."""
+    stride = width * bpp
+    out = bytearray()
+    prev = bytes(stride)
+    pos = 0
+    for _ in range(height):
+        ftype = raw[pos]
+        row = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + (a + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b, c = prev[i], (prev[i - bpp] if i >= bpp else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out += row
+        prev = bytes(row)
+    return bytes(out)
+
+
+def decode_png(payload: bytes) -> list[float]:
+    """REAL image decoder for PNG (8-bit grayscale, palette, or truecolor;
+    non-interlaced) — chunk walking, IDAT reassembly, stdlib-zlib DEFLATE,
+    and the full five-filter unfilter pass (:func:`_png_unfilter`) are
+    all native; no Pillow. Palette maps through the red channel,
+    truecolor through the exact channel mean — the same grayscale
+    conventions as :func:`decode_bmp`. Row-major top-down floats."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload (missing PNG signature)")
+    pos = 8
+    width = height = None
+    color_type = bit_depth = None
+    palette = b""
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # skip CRC
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if interlace:
+                raise ValueError("interlaced (Adam7) PNG not supported")
+            if bit_depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {bit_depth}")
+            if color_type not in (0, 2, 3):
+                raise ValueError(
+                    f"unsupported PNG color type {color_type} "
+                    "(gray/truecolor/palette only)"
+                )
+        elif ctype == b"PLTE":
+            palette = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG payload has no IHDR")
+    bpp = 3 if color_type == 2 else 1
+    raw = zlib.decompress(bytes(idat))
+    px = _png_unfilter(raw, width, height, bpp)
+    if color_type == 0:
+        return [float(b) for b in px]
+    if color_type == 3:
+        return [float(palette[3 * i]) for i in px]
+    return [
+        (px[i] + px[i + 1] + px[i + 2]) / 3.0 for i in range(0, len(px), 3)
+    ]
+
+
+def png_bytes(
+    gray: bytes, width: int, height: int, filter_type: int = 0
+) -> bytes:
+    """Mint a REAL 8-bit grayscale PNG: signature, IHDR, one zlib-
+    compressed IDAT, IEND — CRCs per chunk. ``filter_type`` applies the
+    genuine per-row filter at encode time (0-4), so round-trip tests can
+    exercise every unfilter branch with real filtered data."""
+    import struct
+    import zlib
+
+    if len(gray) != width * height:
+        raise ValueError("gray length must be width*height")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    prev = bytes(width)
+    for r in range(height):
+        row = gray[r * width : (r + 1) * width]
+        raw.append(filter_type)
+        if filter_type == 0:
+            raw += row
+        elif filter_type == 1:
+            raw += bytes(
+                (row[i] - (row[i - 1] if i else 0)) & 0xFF
+                for i in range(width)
+            )
+        elif filter_type == 2:
+            raw += bytes((row[i] - prev[i]) & 0xFF for i in range(width))
+        elif filter_type == 3:
+            raw += bytes(
+                (row[i] - ((row[i - 1] if i else 0) + prev[i]) // 2) & 0xFF
+                for i in range(width)
+            )
+        elif filter_type == 4:
+            out = bytearray()
+            for i in range(width):
+                a = row[i - 1] if i else 0
+                b, c = prev[i], (prev[i - 1] if i else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                out.append((row[i] - pred) & 0xFF)
+            raw += out
+        else:
+            raise ValueError(f"unknown PNG filter type {filter_type}")
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def default_decoder(payload: bytes) -> list[float]:
     """Magic-byte dispatch over the REAL container decoders: BMP, WAV,
-    and GIF (LZW-compressed) parse natively (no external codec needed);
-    any other container still raises the declared NotImplementedError
-    seam (JPEG/PNG/MP4 need libraries this sandbox does not ship —
-    inject Pillow/ffmpeg in deployment)."""
+    GIF (from-scratch LZW), and PNG (stdlib-zlib DEFLATE + native
+    five-filter unfiltering) parse natively; any other container still
+    raises the declared NotImplementedError seam (JPEG/MP4 need
+    libraries this sandbox does not ship — inject Pillow/ffmpeg in
+    deployment)."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     raise NotImplementedError(
-        "no native decoder for this container (BMP/WAV/GIF parse "
-        "in-sandbox; inject Pillow/ffmpeg for JPEG/PNG/MP4)"
+        "no native decoder for this container (BMP/WAV/GIF/PNG parse "
+        "in-sandbox; inject Pillow/ffmpeg for JPEG/MP4)"
     )
 
 

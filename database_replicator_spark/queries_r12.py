@@ -850,3 +850,139 @@ def multimodal_gif_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bands=4,
         max_bucket_size=_GIF_CAP,
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_png_phash_dedup — the GIF gate's shape over REAL PNG files:
+# stdlib-zlib DEFLATE plus OUR chunk walking and five-filter scanline
+# unfiltering (operators/multimodal.py decode_png / png_bytes). Each
+# payload is encoded with filter_type = id % 5, so the gate's decode
+# path exercises EVERY unfilter branch (None/Sub/Up/Average/Paeth) on
+# driver data, not just the trivial filter-0 case. Oracle unchanged
+# (encode→decode identity, property-tested).
+# ---------------------------------------------------------------------------
+_PNG_SIDE = 7
+_PNG_DIM = _PNG_SIDE * _PNG_SIDE
+_PNG_MAXHAM = 6
+_PNG_CAP = 50
+
+
+@query(
+    "multimodal_png_phash_dedup",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             rpad(substr(trim(regexp_replace(lower(COALESCE(text, '')),
+                                             '\\s+', ' ', 'g')), 1, {_PNG_DIM}),
+                  {_PNG_DIM}, 'x') AS s
+      FROM documents
+    ),
+    items AS (
+      SELECT doc_id * 2 AS id, s FROM base
+      UNION ALL
+      SELECT doc_id * 2 + 1 AS id,
+             substr(s, 1, 29) || '#' || substr(s, 31) AS s
+      FROM base
+    ),
+    feats AS (
+      SELECT id, [ord(substr(s, i, 1)) FOR i IN range(1, {_PNG_DIM + 1})] AS f
+      FROM items
+    ),
+    hashed AS (
+      SELECT id,
+             CAST(list_sum(
+               [CASE WHEN f[i + 1] > f[i]
+                     THEN CAST(POWER(2, i - 1) AS BIGINT)
+                     ELSE 0 END FOR i IN range(1, {_PNG_DIM})]
+             ) AS BIGINT) AS h
+      FROM feats
+    ),
+    bands AS (
+      SELECT id, h, b.band,
+             (h >> (b.band * 12)) & 4095 AS bits
+      FROM hashed, (VALUES (0), (1), (2), (3)) b(band)
+    ),
+    small AS (
+      SELECT band, bits FROM bands
+      GROUP BY band, bits HAVING COUNT(*) <= {_PNG_CAP}
+    ),
+    kept AS (SELECT bands.* FROM bands JOIN small USING (band, bits)),
+    cand AS (
+      SELECT DISTINCT a.id AS id1, b.id AS id2, a.h AS h1, b.h AS h2
+      FROM kept a JOIN kept b
+        ON a.band = b.band AND a.bits = b.bits AND a.id < b.id
+    )
+    SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(h1, h2)) <= {_PNG_MAXHAM}
+    """,
+)
+def multimodal_png_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image pairs over REAL PNGs (DEFLATE-compressed,
+    filter type rotated per id so all five unfilter branches execute),
+    decoded by the native parser via magic-byte dispatch."""
+    from .operators.multimodal import (
+        default_decoder,
+        media_dhash,
+        media_table,
+        phash_pairs,
+        png_bytes,
+    )
+    from .operators.textops import normalize_text_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.rpad(
+            F.substring(
+                normalize_text_expr(F.coalesce(F.col("text"), F.lit(""))),
+                1,
+                _PNG_DIM,
+            ),
+            _PNG_DIM,
+            "x",
+        ).alias("s"),
+    )
+    orig = base.select((F.col("doc_id") * 2).alias("id"), F.col("s"))
+    pert = base.select(
+        (F.col("doc_id") * 2 + 1).alias("id"),
+        F.concat(
+            F.substring(F.col("s"), 1, 29),
+            F.lit("#"),
+            F.substring(F.col("s"), 31, _PNG_DIM - 30),
+        ).alias("s"),
+    )
+
+    def mint(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "payload": [
+                        png_bytes(
+                            s.encode("utf-8"),
+                            _PNG_SIDE,
+                            _PNG_SIDE,
+                            filter_type=int(i) % 5,
+                        )
+                        for i, s in zip(pdf["id"], pdf["s"])
+                    ],
+                }
+            )
+
+    items = orig.unionByName(pert).mapInPandas(
+        mint, "id long, payload binary"
+    )
+    media = media_table(items, "id", "payload", "image/png")
+    hashes = media_dhash(media, decoder=default_decoder, dim=_PNG_DIM)
+    return phash_pairs(
+        hashes,
+        max_hamming=_PNG_MAXHAM,
+        dim=_PNG_DIM - 1,
+        n_bands=4,
+        max_bucket_size=_PNG_CAP,
+    )

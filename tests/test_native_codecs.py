@@ -142,8 +142,9 @@ class TestDefaultDecoderDispatch:
         ]
 
     def test_unknown_container_keeps_the_declared_seam(self):
+        # JPEG magic: still a declared seam (PNG went native in r12)
         with pytest.raises(NotImplementedError, match="Pillow/ffmpeg"):
-            default_decoder(b"\x89PNG\r\n\x1a\n....")
+            default_decoder(b"\xff\xd8\xff\xe0....")
 
 
 class TestRealPixelHashes:
@@ -308,3 +309,103 @@ class TestGifCodec:
             decode_gif(bytes(g))
         with _pytest.raises(ValueError, match="magic"):
             decode_gif(b"NOTAGIF" + bytes(20))
+
+
+class TestPngCodec:
+    """Native PNG (r12): stdlib-zlib DEFLATE + our chunk walking and
+    five-filter unfiltering — the SAME 2x2 fixture the Pillow-gated
+    real-codec test uses, now decoded without Pillow."""
+
+    def test_round_trip_identity_every_filter(self):
+        import random
+
+        from database_replicator_spark.operators.multimodal import (
+            decode_png,
+            png_bytes,
+        )
+
+        rng = random.Random(5)
+        for w, h in ((7, 7), (64, 64), (100, 41), (1, 1)):
+            px = bytes(rng.randrange(256) for _ in range(w * h))
+            for ft in range(5):
+                assert decode_png(png_bytes(px, w, h, filter_type=ft)) == [
+                    float(b) for b in px
+                ], (w, h, ft)
+
+    def test_matches_the_pillow_fixture_values(self):
+        import struct
+        import zlib
+
+        from database_replicator_spark.operators.multimodal import (
+            decode_png,
+            default_decoder,
+        )
+
+        def chunk(tag, payload):
+            return (
+                struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+        raw = bytes([0, 0, 85, 0, 170, 255])
+        png = (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        )
+        assert decode_png(png) == [0.0, 85.0, 170.0, 255.0]
+        assert default_decoder(png) == [0.0, 85.0, 170.0, 255.0]
+
+    def test_palette_and_truecolor(self):
+        import struct
+        import zlib
+
+        from database_replicator_spark.operators.multimodal import decode_png
+
+        def chunk(tag, payload):
+            return (
+                struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+            )
+
+        # palette (color type 3): indices 0,1 -> red channel 10, 200
+        ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+        plte = bytes([10, 0, 0, 200, 0, 0])
+        raw = bytes([0, 0, 1])
+        png = (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        )
+        assert decode_png(png) == [10.0, 200.0]
+        # truecolor (color type 2): exact channel mean
+        ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0)
+        raw = bytes([0, 30, 60, 90])
+        png = (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        )
+        assert decode_png(png) == [60.0]
+
+    def test_rejects_interlaced_and_exotic(self):
+        import struct
+        import zlib
+
+        import pytest as _pytest
+
+        from database_replicator_spark.operators.multimodal import decode_png
+
+        def chunk(tag, payload):
+            return (
+                struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)  # Adam7
+        png = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        with _pytest.raises(ValueError, match="interlaced"):
+            decode_png(png)
+        ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+        with _pytest.raises(ValueError, match="bit depth"):
+            decode_png(b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16))
+        with _pytest.raises(ValueError, match="signature"):
+            decode_png(b"NOTPNG" + bytes(20))
