@@ -986,3 +986,125 @@ def multimodal_png_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bands=4,
         max_bucket_size=_PNG_CAP,
     )
+
+
+# ---------------------------------------------------------------------------
+# cdc_pgoutput_decode — the logical-replication WIRE FORMAT parsed for
+# real (sources/pgoutput.py; S22/S24 narrowing): each shard of the
+# events-derived change log is encoded into a genuine pgoutput frame
+# stream (Relation + Begin + Insert/Update/Delete TupleData + Commit —
+# the bytes a PostgreSQL logical slot emits, per the public protocol-v1
+# spec) and decoded back by the from-scratch parser inside one
+# applyInPandas stage. Updates carry an old-key 'K' tuple and deletes
+# are key-only — so the decoder's REPLICA-IDENTITY branches execute on
+# driver data. The oracle recomputes the decoded relation straight from
+# events; any framing/cstring/length bug breaks the value hash.
+#
+# Distributed shape: shard = one replication connection (pgoutput
+# guarantees Relation precedes tuples per connection), so each task
+# keeps only its own relation cache — the same per-stream state a real
+# consumer holds. Encode+decode are one Arrow-batched stage; no row
+# UDFs, no driver collect.
+# ---------------------------------------------------------------------------
+_PGO_SHARDS = 8
+
+
+@query(
+    "cdc_pgoutput_decode",
+    oracle=f"""
+    WITH ch AS (
+      SELECT CAST(event_id % {_PGO_SHARDS} AS INTEGER) AS shard,
+             event_id, user_id, event_type, value,
+             CASE WHEN event_type = 'signup' THEN 'insert'
+                  WHEN event_type = 'purchase' THEN 'delete'
+                  ELSE 'update' END AS op
+      FROM events
+    )
+    SELECT shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY event_id) - 1
+                AS BIGINT) AS seq,
+           'public.events' AS table_name,
+           op,
+           CAST(user_id AS BIGINT) AS user_id,
+           CASE WHEN op = 'delete' THEN NULL ELSE event_type END AS event_type,
+           CASE WHEN op = 'delete' THEN NULL ELSE value END AS value
+    FROM ch
+    """,
+)
+def cdc_pgoutput_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change rows recovered from REAL pgoutput byte streams: the
+    events-derived log is framed per shard (insert/update/delete ops,
+    old-key tuples on updates, key-only deletes), then parsed back by
+    the native decoder — (shard, seq, table_name, op, user_id,
+    event_type, value), seq being the within-stream arrival order a
+    consumer applies."""
+    from .sources.pgoutput import PgOutputEncoder, decode_pgoutput_stream
+
+    events = load_table(spark, sf_dir, "events")
+    src = events.select(
+        F.pmod(F.col("event_id"), F.lit(_PGO_SHARDS)).cast("int").alias(
+            "shard"
+        ),
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+    def encode_decode(pdf):
+        import math
+
+        import pandas as pd
+
+        pdf = pdf.sort_values("event_id")
+        shard = int(pdf["shard"].iloc[0])
+        enc = PgOutputEncoder(
+            relid=16385 + shard,
+            namespace="public",
+            relname="events",
+            columns=["user_id", "event_type", "value"],
+            key_cols=["user_id"],
+        )
+        enc.relation().begin(xid=1000 + shard)
+        for _, r in pdf.iterrows():
+            uid = str(int(r["user_id"]))
+            val = (
+                None
+                if r["value"] is None
+                or (isinstance(r["value"], float) and math.isnan(r["value"]))
+                else repr(float(r["value"]))
+            )
+            if r["event_type"] == "signup":
+                enc.insert([uid, r["event_type"], val])
+            elif r["event_type"] == "purchase":
+                enc.delete([uid, None, None])
+            else:
+                enc.update(
+                    [uid, r["event_type"], val], old_key=[uid, None, None]
+                )
+        enc.commit()
+        rows = decode_pgoutput_stream(enc.stream())
+        return pd.DataFrame(
+            [
+                {
+                    "shard": shard,
+                    "seq": r["seq"],
+                    "table_name": r["table"],
+                    "op": r["op"],
+                    "user_id": int(r["columns"]["user_id"]),
+                    "event_type": r["columns"]["event_type"],
+                    "value": (
+                        float(r["columns"]["value"])
+                        if r["columns"]["value"] is not None
+                        else None
+                    ),
+                }
+                for r in rows
+            ]
+        )
+
+    return src.groupBy("shard").applyInPandas(
+        encode_decode,
+        "shard int, seq long, table_name string, op string, "
+        "user_id long, event_type string, value double",
+    )
