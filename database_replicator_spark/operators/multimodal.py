@@ -1251,3 +1251,151 @@ def media_dedup(
             (F.col("id") == F.col("canonical_id")).alias("kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ISO-BMFF (MP4) container probing — r12. Frame DECODE stays the
+# declared codec seam (H.264/HEVC need real codec libraries), but the
+# CONTAINER is a plain box tree (public spec ISO/IEC 14496-12) and
+# parses natively: the metadata a 100 TB video-curation pipeline needs
+# for planning (duration for frame-sampling budgets, dimensions for
+# resize targets, track inventory for audio/video routing) comes from
+# moov/mvhd/tkhd/hdlr, not from decoding a single frame.
+# ---------------------------------------------------------------------------
+
+def _walk_boxes(payload: bytes, start: int, end: int):
+    """Yield (box_type, body_start, body_end) for the boxes in
+    [start, end): u32-BE size includes the 8-byte header; size 1 = u64
+    largesize follows; size 0 = box extends to the end."""
+    import struct
+
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", payload, pos)
+        btype = payload[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            (size,) = struct.unpack_from(">Q", payload, pos + 8)
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError(f"corrupt MP4 box {btype!r} at {pos}")
+        yield btype, body, pos + size
+        pos += size
+
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia"}
+
+
+def probe_mp4(payload: bytes) -> dict:
+    """Native MP4/ISO-BMFF structure probe: walks the box tree and
+    returns ``{"brand", "duration_ms", "width", "height",
+    "n_video_tracks", "n_audio_tracks"}``. mvhd version 0/1 supported;
+    tkhd width/height are 16.16 fixed point; handler types from hdlr
+    classify tracks. Raises on non-BMFF payloads (no ftyp) and corrupt
+    box sizes — never guesses."""
+    import struct
+
+    boxes = list(_walk_boxes(payload, 0, len(payload)))
+    if not boxes or boxes[0][0] != b"ftyp":
+        raise ValueError("not an MP4 payload (missing leading ftyp box)")
+    out = {
+        "brand": payload[boxes[0][1] : boxes[0][1] + 4].decode("ascii"),
+        "duration_ms": None,
+        "width": None,
+        "height": None,
+        "n_video_tracks": 0,
+        "n_audio_tracks": 0,
+    }
+
+    def visit(start: int, end: int) -> None:
+        for btype, b0, b1 in _walk_boxes(payload, start, end):
+            if btype in _MP4_CONTAINERS:
+                visit(b0, b1)
+            elif btype == b"mvhd":
+                version = payload[b0]
+                if version == 1:
+                    timescale, duration = struct.unpack_from(
+                        ">IQ", payload, b0 + 4 + 16
+                    )
+                else:
+                    _c, _m, timescale, duration = struct.unpack_from(
+                        ">IIII", payload, b0 + 4
+                    )
+                if timescale:
+                    out["duration_ms"] = duration * 1000 // timescale
+            elif btype == b"tkhd":
+                version = payload[b0]
+                w_off = b1 - 8
+                (w_fx, h_fx) = struct.unpack_from(">II", payload, w_off)
+                if w_fx and out["width"] is None:
+                    out["width"] = w_fx >> 16
+                    out["height"] = h_fx >> 16
+            elif btype == b"hdlr":
+                handler = payload[b0 + 8 : b0 + 12]
+                if handler == b"vide":
+                    out["n_video_tracks"] += 1
+                elif handler == b"soun":
+                    out["n_audio_tracks"] += 1
+
+    for btype, b0, b1 in boxes:
+        if btype == b"moov":
+            visit(b0, b1)
+    return out
+
+
+def mp4_skeleton(
+    duration_ms: int,
+    width: int,
+    height: int,
+    n_audio_tracks: int = 0,
+    timescale: int = 1000,
+) -> bytes:
+    """Mint a structurally-valid MP4 skeleton (ftyp + moov with mvhd and
+    one video trak per the given dimensions, plus optional audio traks,
+    and an empty mdat): the box layout :func:`probe_mp4` parses, built
+    from the same public spec. No encoded samples — the honest fixture
+    for container-level gates (frame decode remains the codec seam)."""
+    import struct
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    duration = duration_ms * timescale // 1000
+    mvhd = box(
+        b"mvhd",
+        bytes(4)  # version 0 + flags
+        + struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + bytes(8)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + bytes(24)
+        + struct.pack(">I", 2),
+    )
+
+    def trak(handler: bytes, w: int, h: int, track_id: int) -> bytes:
+        tkhd = box(
+            b"tkhd",
+            bytes(1) + b"\x00\x00\x07"  # version 0, enabled flags
+            + struct.pack(">IIII", 0, 0, track_id, 0)
+            + struct.pack(">I", duration)
+            + bytes(8)
+            + struct.pack(">HHHH", 0, 0, 0x0100 if handler == b"soun" else 0, 0)
+            + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + struct.pack(">II", w << 16, h << 16),
+        )
+        hdlr = box(
+            b"hdlr",
+            bytes(4) + bytes(4) + handler + bytes(12) + b"probe\0",
+        )
+        return box(b"trak", tkhd + box(b"mdia", hdlr))
+
+    traks = trak(b"vide", width, height, 1)
+    for i in range(n_audio_tracks):
+        traks += trak(b"soun", 0, 0, 2 + i)
+    return (
+        box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+        + box(b"moov", mvhd + traks)
+        + box(b"mdat", b"")
+    )

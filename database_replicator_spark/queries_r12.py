@@ -1108,3 +1108,64 @@ def cdc_pgoutput_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard int, seq long, table_name string, op string, "
         "user_id long, event_type string, value double",
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_mp4_probe — native ISO-BMFF container probing
+# (operators/multimodal.py probe_mp4 / mp4_skeleton): each document
+# mints a structurally-valid MP4 skeleton (ftyp + moov/mvhd/trak/tkhd/
+# hdlr + mdat) from a deterministic per-doc parameter formula, and the
+# probe walks the real box tree to recover duration/dimensions/track
+# inventory — the metadata a video-curation pipeline plans with (frame
+# budgets, resize targets, audio routing) WITHOUT decoding a frame.
+# Frame decode stays the declared codec seam; the container does not.
+# The oracle recomputes the parameters from the same formula.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_mp4_probe",
+    oracle="""
+    SELECT doc_id,
+           'isom' AS brand,
+           CAST(1000 + (doc_id * 37) % 600000 AS BIGINT) AS duration_ms,
+           CAST(16 * (1 + doc_id % 120) AS INTEGER) AS width,
+           CAST(16 * (1 + doc_id % 68) AS INTEGER) AS height,
+           1 AS n_video_tracks,
+           CAST(doc_id % 3 AS INTEGER) AS n_audio_tracks
+    FROM documents
+    """,
+)
+def multimodal_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container metadata recovered by walking REAL MP4 box trees:
+    (doc_id, brand, duration_ms, width, height, n_video_tracks,
+    n_audio_tracks), every value read back out of minted ISO-BMFF bytes
+    by the native probe."""
+    from .operators.multimodal import mp4_skeleton, probe_mp4
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def mint_probe(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                payload = mp4_skeleton(
+                    duration_ms=1000 + (d * 37) % 600000,
+                    width=16 * (1 + d % 120),
+                    height=16 * (1 + d % 68),
+                    n_audio_tracks=d % 3,
+                )
+                m = probe_mp4(payload)
+                rows.append({"doc_id": d, **m})
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        mint_probe,
+        "doc_id long, brand string, duration_ms long, width int, "
+        "height int, n_video_tracks int, n_audio_tracks int",
+    )

@@ -409,3 +409,72 @@ class TestPngCodec:
             decode_png(b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16))
         with _pytest.raises(ValueError, match="signature"):
             decode_png(b"NOTPNG" + bytes(20))
+
+
+class TestMp4Probe:
+    """ISO-BMFF box walking (r12): container structure parses natively;
+    frame decode remains the codec seam."""
+
+    def test_probe_recovers_skeleton_parameters(self):
+        from database_replicator_spark.operators.multimodal import (
+            mp4_skeleton,
+            probe_mp4,
+        )
+
+        m = probe_mp4(mp4_skeleton(61500, 640, 360, n_audio_tracks=2))
+        assert m == {
+            "brand": "isom",
+            "duration_ms": 61500,
+            "width": 640,
+            "height": 360,
+            "n_video_tracks": 1,
+            "n_audio_tracks": 2,
+        }
+
+    def test_mvhd_version1_and_largesize_boxes(self):
+        import struct
+
+        from database_replicator_spark.operators.multimodal import (
+            mp4_skeleton,
+            probe_mp4,
+        )
+
+        g = mp4_skeleton(5000, 32, 32)
+        # rewrite the moov box header to the 64-bit largesize form: the
+        # walker must follow size==1 + u64 framing
+        moov_at = g.index(b"moov") - 4
+        (size,) = struct.unpack_from(">I", g, moov_at)
+        big = (
+            g[:moov_at]
+            + struct.pack(">I", 1)
+            + b"moov"
+            + struct.pack(">Q", size + 8)
+            + g[moov_at + 8 : moov_at + size]
+            + g[moov_at + size :]
+        )
+        assert probe_mp4(big)["duration_ms"] == 5000
+        # mvhd version 1 (64-bit times): build one by hand
+        mvhd_v1 = (
+            b"\x01" + bytes(3)
+            + struct.pack(">QQIQ", 0, 0, 90000, 90000 * 7)
+            + bytes(80)
+        )
+        def box(t, b):
+            return struct.pack(">I", len(b) + 8) + t + b
+        payload = (
+            box(b"ftyp", b"isom" + bytes(4) + b"isom")
+            + box(b"moov", box(b"mvhd", mvhd_v1))
+        )
+        assert probe_mp4(payload)["duration_ms"] == 7000
+
+    def test_rejects_non_bmff(self):
+        import pytest as _pytest
+
+        from database_replicator_spark.operators.multimodal import probe_mp4
+
+        with _pytest.raises(ValueError):
+            probe_mp4(b"GIF89a" + bytes(40))
+        with _pytest.raises(ValueError, match="ftyp"):
+            # valid box framing but no leading ftyp
+            import struct
+            probe_mp4(struct.pack(">I", 8) + b"free")
