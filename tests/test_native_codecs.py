@@ -478,3 +478,78 @@ class TestMp4Probe:
             # valid box framing but no leading ftyp
             import struct
             probe_mp4(struct.pack(">I", 8) + b"free")
+
+
+class TestCodecProperties:
+    """Hypothesis property coverage for the r12 codecs: arbitrary inputs,
+    not just the fixture shapes."""
+
+    def test_lzw_round_trip_arbitrary_bytes(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from database_replicator_spark.operators.multimodal import (
+            _lzw_decode,
+            _lzw_encode,
+        )
+
+        @settings(max_examples=60, deadline=None)
+        @given(st.binary(min_size=0, max_size=3000))
+        def prop(data):
+            assert _lzw_decode(_lzw_encode(data, 8), 8) == data
+
+        prop()
+
+    def test_png_round_trip_arbitrary_grids(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from database_replicator_spark.operators.multimodal import (
+            decode_png,
+            png_bytes,
+        )
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            st.integers(min_value=1, max_value=24),
+            st.integers(min_value=1, max_value=24),
+            st.integers(min_value=0, max_value=4),
+            st.randoms(use_true_random=False),
+        )
+        def prop(w, h, ft, rng):
+            px = bytes(rng.randrange(256) for _ in range(w * h))
+            assert decode_png(png_bytes(px, w, h, filter_type=ft)) == [
+                float(b) for b in px
+            ]
+
+        prop()
+
+    def test_pgoutput_round_trip_arbitrary_values(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from database_replicator_spark.sources.pgoutput import (
+            PgOutputEncoder,
+            decode_pgoutput_stream,
+        )
+
+        val = st.one_of(st.none(), st.text(max_size=40))
+
+        @settings(max_examples=40, deadline=None)
+        @given(st.lists(st.tuples(val, val), min_size=1, max_size=10))
+        def prop(rows):
+            e = PgOutputEncoder(
+                relid=1, namespace="public", relname="t",
+                columns=["a", "b"], key_cols=["a"],
+            )
+            e.relation().begin(xid=1)
+            for a, b in rows:
+                e.insert([a, b])
+            e.commit()
+            got = decode_pgoutput_stream(e.stream())
+            assert [(r["columns"]["a"], r["columns"]["b"]) for r in got] == [
+                (a if a is None else str(a), b if b is None else str(b))
+                for a, b in rows
+            ]
+
+        prop()
