@@ -878,14 +878,237 @@ def probe_r11_ops(spark, path: str, work_root: str) -> dict[str, float]:
     return out
 
 
+def probe_r12_ops(spark, path: str, work_root: str) -> dict[str, float]:
+    """Round-12 tier: the COMPOSED corpus build (clean → near-dup CC →
+    caps → temperature mix → split → pack, via queries_r12._e2e_stages
+    on a symlinked fixture dir), WebDataset tar write+read, the
+    compressed-codec media pairs (GIF/LZW, PNG/DEFLATE+filters), the
+    pgoutput wire decode, and the chunk→BM25→maxP retrieval build.
+    Synthesized copies share no vocabulary, so cross-copy candidates and
+    contamination are zero by construction — workloads grow linearly."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(path)
+
+    def mat(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    def timed(fn):
+        m0, d0 = spill_snapshot(spark)
+        t0 = time.perf_counter()
+        fn()
+        spark.catalog.clearCache()
+        elapsed = time.perf_counter() - t0
+        m1, d1 = spill_snapshot(spark)
+        return {"s": elapsed, "spill_mb": ((m1 - m0) + (d1 - d0)) / 1048576.0}
+
+    out = {}
+
+    # fixture dir for the sf_dir-shaped entry points: symlink the
+    # synthesized parquet in as documents.parquet (no copy)
+    fix_dir = _os.path.join(work_root, "fixdir")
+    _os.makedirs(fix_dir, exist_ok=True)
+    link = _os.path.join(fix_dir, "documents.parquet")
+    if _os.path.islink(link) or _os.path.exists(link):
+        try:
+            _os.remove(link)
+        except IsADirectoryError:
+            import shutil as _sh
+
+            _sh.rmtree(link)
+    _os.symlink(_os.path.abspath(path), link)
+
+    def corpus_build_chain():
+        from database_replicator_spark.queries_r12 import _e2e_stages
+
+        mat(_e2e_stages(spark, fix_dir)["packed"])
+
+    def wds_write_read():
+        from database_replicator_spark.operators.multimodal import media_table
+        from database_replicator_spark.sources.webdataset import (
+            read_tar_shards,
+            write_tar_shards,
+        )
+
+        outdir = _os.path.join(work_root, "wds")
+        import shutil as _sh
+
+        _sh.rmtree(outdir, ignore_errors=True)
+        payload = docs.select(
+            "doc_id",
+            F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias(
+                "payload"
+            ),
+        )
+        media = media_table(payload, "doc_id", "payload",
+                            "application/octet-stream")
+        write_tar_shards(media, outdir, n_shards=16)
+        mat(read_tar_shards(spark, outdir))
+
+    from database_replicator_spark.operators.textops import (
+        normalize_text_expr,
+    )
+
+    norm = normalize_text_expr(F.coalesce(F.col("text"), F.lit("")))
+
+    def _variants(width: int, pert_at: int):
+        base = docs.select(
+            "doc_id",
+            F.rpad(F.substring(norm, 1, width), width, "x").alias("s"),
+        )
+        orig = base.select((F.col("doc_id") * 2).alias("id"), "s")
+        pert = base.select(
+            (F.col("doc_id") * 2 + 1).alias("id"),
+            F.concat(
+                F.substring(F.col("s"), 1, pert_at - 1),
+                F.lit("#"),
+                F.substring(F.col("s"), pert_at + 1, width - pert_at),
+            ).alias("s"),
+        )
+        return orig.unionByName(pert)
+
+    def _codec_pairs(mint):
+        from database_replicator_spark.operators.multimodal import (
+            default_decoder,
+            media_dhash,
+            media_table,
+            phash_pairs,
+        )
+
+        items = _variants(49, 30).mapInPandas(mint, "id long, payload binary")
+        media = media_table(items, "id", "payload", "image/x-probe")
+        hashes = media_dhash(media, decoder=default_decoder, dim=49)
+        mat(phash_pairs(hashes, max_hamming=6, dim=48, n_bands=4))
+
+    def gif_pairs():
+        from database_replicator_spark.operators.multimodal import gif_bytes
+
+        def mint(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf):
+                    yield pd.DataFrame({
+                        "id": pdf["id"],
+                        "payload": [gif_bytes(x.encode(), 7, 7)
+                                    for x in pdf["s"]],
+                    })
+
+        _codec_pairs(mint)
+
+    def png_pairs():
+        from database_replicator_spark.operators.multimodal import png_bytes
+
+        def mint(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf):
+                    yield pd.DataFrame({
+                        "id": pdf["id"],
+                        "payload": [
+                            png_bytes(x.encode(), 7, 7,
+                                      filter_type=int(i) % 5)
+                            for i, x in zip(pdf["id"], pdf["s"])
+                        ],
+                    })
+
+        _codec_pairs(mint)
+
+    def pgoutput_decode():
+        from database_replicator_spark.sources.pgoutput import (
+            PgOutputEncoder,
+            decode_pgoutput_stream,
+        )
+
+        src = docs.select(
+            F.pmod(F.col("doc_id"), F.lit(8)).cast("int").alias("shard"),
+            "doc_id",
+            F.col("n_chars").cast("long").alias("v"),
+        )
+
+        def enc_dec(pdf):
+            import pandas as pd
+
+            pdf = pdf.sort_values("doc_id")
+            shard = int(pdf["shard"].iloc[0])
+            e = PgOutputEncoder(relid=1 + shard, namespace="public",
+                                relname="docs", columns=["id", "v"],
+                                key_cols=["id"])
+            e.relation().begin(xid=shard)
+            for _, r in pdf.iterrows():
+                e.insert([str(int(r["doc_id"])), str(int(r["v"]))])
+            e.commit()
+            rows = decode_pgoutput_stream(e.stream())
+            return pd.DataFrame([
+                {"shard": shard, "seq": r["seq"],
+                 "id": int(r["columns"]["id"])}
+                for r in rows
+            ])
+
+        mat(src.groupBy("shard").applyInPandas(
+            enc_dec, "shard int, seq long, id long"))
+
+    def rag_chunk_maxp():
+        from pyspark.sql import Window
+
+        from database_replicator_spark.operators.corpus import (
+            chunk_long_docs,
+        )
+        from database_replicator_spark.operators.retrieval import bm25_scores
+
+        chunks = chunk_long_docs(docs, budget=64, overlap=16).select(
+            (F.col("doc_id") * 4096 + F.col("chunk_id")).alias("chunk_key"),
+            F.col("doc_id").alias("parent"),
+            "chunk_id",
+            "chunk_text",
+        )
+        qdf = spark.createDataFrame(
+            [(0, "c0_dup"), (0, "c0_merge"), (1, "c0_spark"),
+             (1, "c0_window"), (2, "c0_vector"), (2, "c0_stream")],
+            "query_id long, term string",
+        )
+        scores = bm25_scores(
+            chunks, qdf, id_col="chunk_key", text_col="chunk_text"
+        ).select("query_id", F.col("doc_id").alias("chunk_key"),
+                 "score_units")
+        scored = scores.join(
+            chunks.select("chunk_key", "parent", "chunk_id"), on="chunk_key"
+        )
+        w = Window.partitionBy("query_id", "parent").orderBy(
+            F.col("score_units").desc(), F.col("chunk_id").asc()
+        )
+        mat(scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1))
+
+    for name, fn in [
+        ("corpus_build_e2e_chain", corpus_build_chain),
+        ("webdataset_write_read", wds_write_read),
+        ("gif_lzw_decode_pairs", gif_pairs),
+        ("png_deflate_decode_pairs", png_pairs),
+        ("pgoutput_encode_decode", pgoutput_decode),
+        ("rag_chunk_maxp_index", rag_chunk_maxp),
+    ]:
+        fn()  # warm (codegen + python workers)
+        r1, r2 = timed(fn), timed(fn)
+        best = r1 if r1["s"] <= r2["s"] else r2
+        out[name] = {
+            "s": round(best["s"], 3),
+            "spill_mb": round(r1["spill_mb"], 1),
+        }
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/scale_probe")
     ap.add_argument(
         "--only",
-        default="docs,emb,graph,r10,r11",
-        help="comma list of probe families to run: docs, emb, graph, r10, r11",
+        default="docs,emb,graph,r10,r11,r12",
+        help="comma list of probe families to run: docs, emb, graph, r10, r11, r12",
     )
     args = ap.parse_args()
     fams = {f.strip() for f in args.only.split(",") if f.strip()}
@@ -899,7 +1122,7 @@ def main() -> int:
 
     results = {k: {} for k in MULTIPLES}
     paths = None
-    if "docs" in fams or "r10" in fams or "r11" in fams:
+    if "docs" in fams or "r10" in fams or "r11" in fams or "r12" in fams:
         paths = synthesize(spark, args.sf_dir, args.out)
     if "docs" in fams:
         for k, p in paths.items():
@@ -919,6 +1142,13 @@ def main() -> int:
         for k, p in paths.items():
             results[k].update(
                 probe_r11_ops(spark, p, os.path.join(args.out, f"work_x{k}"))
+            )
+    if "r12" in fams:
+        if paths is None:
+            paths = synthesize(spark, args.sf_dir, args.out)
+        for k, p in paths.items():
+            results[k].update(
+                probe_r12_ops(spark, p, os.path.join(args.out, f"work_x{k}"))
             )
 
     ops = list(results[MULTIPLES[0]])
