@@ -476,3 +476,46 @@ def blocking_edit_pairs(
         .select("id1", "id2", F.col("distance").cast("int").alias("distance"))
         .distinct()
     )
+
+
+def containment_pairs(
+    shingled: DataFrame,
+    candidates: DataFrame | None = None,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact shingle CONTAINMENT for candidate pairs — the asymmetric
+    near-dup measure Jaccard structurally misses (Broder, "On the
+    resemblance and containment of documents", 1997): a short document
+    quoted verbatim inside a 10× longer one has Jaccard ≈ |A|/|B| ≈ 0.1
+    (invisible at the dedup tier's 0.2 threshold) but containment
+    max(|A∩B|/|A|, |A∩B|/|B|) = inter/min(|A|,|B|) ≈ 1.0. This is the
+    measure for quote/excerpt/boilerplate-inclusion detection — the
+    decontamination fraction rule is its one-sided special case.
+
+    Reuses :func:`jaccard_pairs`'s exact machinery (candidate-bounded
+    pair-local set intersection, or the df≥2-pruned co-occurrence join),
+    so every scale property carries over unchanged. NOTE on candidates:
+    MinHash-LSH under-recalls asymmetric pairs BY DESIGN (its collision
+    probability tracks Jaccard, which is low here) — for containment
+    workloads pass candidates from the shingle-postings join (the
+    ``candidates=None`` branch, hot shingles pruned by df) or a dedicated
+    one-sided sketch; LSH candidates bound recall to the symmetric pairs.
+
+    Output adds ``containment_permille`` = inter·1000 div min(n1,n2)
+    (integer-exact — no float crosses the engine boundary); ``threshold``
+    filters on the exact rational inequality, not a rounded double.
+    """
+    base = jaccard_pairs(shingled, candidates=candidates, threshold=0.0)
+    out = base.withColumn(
+        "containment_permille",
+        F.expr("CAST(inter * 1000 DIV least(n1, n2) AS BIGINT)"),
+    )
+    if threshold > 0:
+        # inter / least >= t  <=>  inter * 1000 >= t*1000 * least (ints)
+        t_pm = int(round(threshold * 1000))
+        out = out.filter(
+            F.col("inter") * 1000 >= F.lit(t_pm) * F.least("n1", "n2")
+        )
+    return out.select(
+        "doc1", "doc2", "inter", "n1", "n2", "containment_permille"
+    )

@@ -1169,3 +1169,53 @@ def multimodal_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, brand string, duration_ms long, width int, "
         "height int, n_video_tracks int, n_audio_tracks int",
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_containment_pairs — asymmetric near-dup detection
+# (operators/dedup.containment_pairs): containment = inter/min(|A|,|B|)
+# catches a short doc quoted inside a long one, which Jaccard ≈ |A|/|B|
+# structurally misses at the symmetric tier's 0.2 threshold (Broder
+# 1997). Candidates come from the df-pruned shingle-postings join (the
+# LSH family's collision probability tracks Jaccard, so it under-recalls
+# exactly the pairs this gate exists for). Integer-exact output — the
+# permille ratio and the threshold inequality never round a double.
+# ---------------------------------------------------------------------------
+_CONT_THRESHOLD = 0.6
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE.strip()},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) >= 2
+    ),
+    j AS (SELECT sh.* FROM sh JOIN shared USING (shingle)),
+    co AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
+      FROM j a JOIN j b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT co.doc1, co.doc2, co.inter,
+           s1.n AS n1, s2.n AS n2,
+           CAST(co.inter * 1000 // least(s1.n, s2.n) AS BIGINT)
+             AS containment_permille
+    FROM co
+    JOIN sizes s1 ON s1.doc_id = co.doc1
+    JOIN sizes s2 ON s2.doc_id = co.doc2
+    WHERE co.inter * 1000 >= {int(_CONT_THRESHOLD * 1000)} * least(s1.n, s2.n)
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs with shingle containment ≥ {_CONT_THRESHOLD} (doc1 < doc2,
+    integer-exact permille) over the df≥2-pruned co-occurrence join —
+    the excerpt/quote detector the symmetric Jaccard tier cannot be."""
+    from .operators.dedup import containment_pairs, doc_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs)
+    return containment_pairs(sh, threshold=_CONT_THRESHOLD).select(
+        "doc1", "doc2", "inter", "n1", "n2", "containment_permille"
+    )

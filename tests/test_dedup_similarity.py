@@ -857,3 +857,51 @@ class TestBlockingEditPairs:
     def test_normalization_shared_with_text_tiers(self, spark):
         rows = [(1, "  Acme   CORP  "), (2, "acme corp")]
         assert self._pairs(spark, rows) == [(1, 2, 0)]
+
+
+class TestContainmentPairs:
+    """Asymmetric near-dup (r12): containment catches what Jaccard
+    structurally misses — the design reason the operator exists."""
+
+    def test_quote_inside_long_doc_jaccard_misses_containment_catches(
+        self, spark
+    ):
+        from database_replicator_spark.operators.dedup import (
+            containment_pairs,
+            doc_shingles,
+            jaccard_pairs,
+        )
+
+        quote = " ".join(f"q{i}" for i in range(12))
+        longdoc = quote + " " + " ".join(f"w{i}" for i in range(140))
+        docs = spark.createDataFrame(
+            [(1, quote), (2, longdoc), (3, "unrelated words only here")],
+            "doc_id long, text string",
+        )
+        sh = doc_shingles(docs)
+        jac = jaccard_pairs(sh, threshold=0.2).select("doc1", "doc2")
+        assert jac.count() == 0  # symmetric tier is blind to the quote
+        cont = {
+            (r["doc1"], r["doc2"]): r["containment_permille"]
+            for r in containment_pairs(sh, threshold=0.9).collect()
+        }
+        assert set(cont) == {(1, 2)}
+        assert cont[(1, 2)] == 1000  # every quote shingle is contained
+
+    def test_threshold_is_integer_exact(self, spark):
+        from database_replicator_spark.operators.dedup import (
+            containment_pairs,
+            doc_shingles,
+        )
+
+        # overlap 3 of min-size 5 = 0.6 exactly: must be INCLUDED at
+        # threshold 0.6 (>= on the exact rational, no float rounding)
+        a = "s1 s2 s3 s4 s5 s6 s7"          # 5 shingles
+        b = "s1 s2 s3 s4 s5 x1 x2 x3 x4 x5 x6 x7 x8 x9"  # shares 3
+        docs = spark.createDataFrame(
+            [(1, a), (2, b)], "doc_id long, text string"
+        )
+        sh = doc_shingles(docs)
+        rows = containment_pairs(sh, threshold=0.6).collect()
+        assert len(rows) == 1 and rows[0]["containment_permille"] == 600
+        assert containment_pairs(sh, threshold=0.601).count() == 0
