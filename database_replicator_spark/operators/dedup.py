@@ -478,6 +478,95 @@ def blocking_edit_pairs(
     )
 
 
+def postings_candidates(
+    shingled: DataFrame,
+    threshold: float,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Scale-safe candidate generation for CONTAINMENT joins: a
+    prefix-filtered postings join (PPJoin-family, Chaudhuri et al. 2006
+    / Xiao et al. 2008, adapted to the asymmetric overlap bound), the
+    candidate source :func:`containment_pairs` should be fed at scale
+    (r12 verdict #1 — the uncapped shingle self-join was the one
+    candidate generator a hot boilerplate shingle could blow up).
+
+    Construction, for containment ≥ ``threshold`` t:
+
+    * order the vocabulary globally by document frequency ascending
+      (ties by shingle text) — the canonical rare-first prefix order;
+    * PREFIX side: each doc keeps only its ``n - ceil(t*n) + 1`` rarest
+      shingles. Completeness: for a qualifying pair (A, B) with
+      n_A ≤ n_B, inter ≥ t*n_A; if none of A's prefix shingles were
+      shared, the shared count would be ≤ n_A - (n_A - ceil(t*n_A) + 1)
+      = ceil(t*n_A) - 1 < t*n_A — contradiction. So joining the SMALLER
+      doc's prefix against the other doc's FULL postings finds every
+      qualifying pair; emitting both docs' prefixes covers not knowing
+      which side is smaller.
+    * FULL side: all df ≥ 2 postings (df=1 cannot co-occur), optionally
+      df ≤ ``df_cap``.
+
+    Why this caps the hot-shingle blowup: a corpus-hot shingle sits
+    LAST in the df-ascending order, so it enters a doc's prefix only
+    when >t of that doc's shingles are even hotter — join rows per hot
+    shingle are df × (docs carrying it in a prefix), not df². For
+    adversarial corpora (near-identical boilerplate docs, where even
+    prefixes are hot) ``df_cap`` is the hard backstop: shingles with
+    df > cap are dropped from CANDIDATE GENERATION ONLY (the verifier
+    still intersects full sets, so inter/|A|/|B| stay exact for every
+    emitted pair); the dropped-shingle count is logged — never a silent
+    cap. A pair is missed only if every shared prefix shingle of its
+    smaller doc has df > cap.
+
+    Output: distinct ``(doc1, doc2)`` with doc1 < doc2. Cost shape: one
+    doc_id-partition window for the prefix ranks, one shingle-keyed
+    join whose build side is the prefix relation (≈ (1-t) of the corpus
+    shingle volume), candidate-bounded output."""
+    from pyspark.sql import Window
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    dfreq = shingled.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    if df_cap is not None:
+        dropped = dfreq.filter(F.col("df") > df_cap)
+        n_dropped = dropped.count()
+        if n_dropped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "postings_candidates: df_cap=%d drops %d hot shingle(s) "
+                "from candidate generation (pairs sharing ONLY these "
+                "shingles will not be emitted)",
+                df_cap,
+                n_dropped,
+            )
+        dfreq = dfreq.filter(F.col("df") <= df_cap)
+    posts = shingled.join(
+        dfreq.filter(F.col("df") >= 2), on="shingle"
+    ).select("doc_id", "shingle", "df")
+    w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
+    # prefix length uses the doc's FULL shingle count (df=1/dropped
+    # shingles still count toward n — they are part of the doc's set and
+    # of the completeness bound), so derive n from the unpruned relation
+    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    prefix = (
+        posts.join(sizes, on="doc_id")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
+        .select("doc_id", "shingle")
+    )
+    p = prefix.alias("p")
+    f = posts.alias("f")
+    return (
+        p.join(f, on="shingle")
+        .filter(F.col("p.doc_id") != F.col("f.doc_id"))
+        .select(
+            F.least(F.col("p.doc_id"), F.col("f.doc_id")).alias("doc1"),
+            F.greatest(F.col("p.doc_id"), F.col("f.doc_id")).alias("doc2"),
+        )
+        .distinct()
+    )
+
+
 def containment_pairs(
     shingled: DataFrame,
     candidates: DataFrame | None = None,
@@ -497,9 +586,13 @@ def containment_pairs(
     so every scale property carries over unchanged. NOTE on candidates:
     MinHash-LSH under-recalls asymmetric pairs BY DESIGN (its collision
     probability tracks Jaccard, which is low here) — for containment
-    workloads pass candidates from the shingle-postings join (the
-    ``candidates=None`` branch, hot shingles pruned by df) or a dedicated
-    one-sided sketch; LSH candidates bound recall to the symmetric pairs.
+    workloads pass ``candidates=postings_candidates(shingled, threshold
+    [, df_cap])``: the prefix-filtered postings join is COMPLETE for the
+    containment threshold and caps the hot-shingle blowup the raw
+    ``candidates=None`` self-join is exposed to (df≥2 pruning only drops
+    the singleton tail, not the boilerplate head — one shingle shared by
+    K docs costs K² join rows there; keep that branch for small/ad-hoc
+    corpora only, r12 verdict #1).
 
     Output adds ``containment_permille`` = inter·1000 div min(n1,n2)
     (integer-exact — no float crosses the engine boundary); ``threshold``

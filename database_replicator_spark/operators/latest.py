@@ -33,3 +33,76 @@ def latest_by_key(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def merged_latest_by_key(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    payload_col: str = "payload",
+    op_col: str = "op",
+) -> DataFrame:
+    """Order-folded partial-update merge: newest ROW IMAGE per key where
+    an ``update``'s payload only overrides the keys it SHIPS — keys
+    absent from an update payload keep their stored value. This is the
+    consumer contract logical replication requires: pgoutput marks
+    unchanged TOAST columns "not shipped" (TupleData 'u'), so a
+    whole-payload last-write-wins would null them out (r12 verdict #2).
+
+    Fold semantics per key, ascending ``order_col`` (ties broken by op
+    then payload text, so the fold is deterministic):
+
+    * ``delete`` → image cleared, row dead;
+    * ``insert`` → image replaced by the shipped payload (a full row
+      image resets history — a later resurrect never inherits pre-delete
+      columns);
+    * ``update`` → shipped keys override, absent keys persist. A JSON
+      ``null`` value is an explicit SQL NULL and DOES override; an
+      absent key does not. An update with no prior image applies as its
+      shipped image (the at-least-once replay posture).
+
+    Payloads are treated as string-valued row images
+    (``map<string,string>`` — exactly pgoutput's text-transfer
+    contract); value text is preserved verbatim. Output: one row per key
+    with the merged ``payload`` JSON, the max ``order_col``, and ``op``
+    = 'insert' when the final image is alive else 'delete'. Extra
+    grouping constants (e.g. the bucket column) belong in ``key_cols``.
+
+    Scale shape: ONE groupBy shuffle on the key — identical to
+    :func:`latest_by_key` — plus a JVM-side higher-order fold over each
+    key's change list (rows per key is bounded by batch depth, not table
+    size; no Python, no extra shuffle)."""
+    empty = "cast(map() as map<string,string>)"
+    mparse = f"coalesce(from_json(e.payload, 'map<string,string>'), {empty})"
+    fold = f"""
+    aggregate(
+      array_sort(collect_list(named_struct(
+        'ord', {order_col}, 'op', {op_col}, 'payload', {payload_col}))),
+      named_struct('alive', false, 'img', {empty}),
+      (acc, e) -> CASE
+        WHEN e.op = 'delete' THEN
+          named_struct('alive', false, 'img', {empty})
+        WHEN e.op = 'insert' THEN
+          named_struct('alive', true, 'img', {mparse})
+        ELSE
+          named_struct('alive', true, 'img', map_concat(
+            map_filter(acc.img,
+              (k, v) -> NOT array_contains(map_keys({mparse}), k)),
+            {mparse}))
+      END)
+    """
+    return (
+        df.groupBy(*key_cols)
+        .agg(
+            F.max(order_col).alias(order_col),
+            F.expr(fold).alias("_st"),
+        )
+        .select(
+            *key_cols,
+            F.to_json(F.col("_st.img")).alias(payload_col),
+            F.col(order_col),
+            F.when(F.col("_st.alive"), F.lit("insert"))
+            .otherwise(F.lit("delete"))
+            .alias(op_col),
+        )
+    )

@@ -366,9 +366,18 @@ def decode_gif(payload: bytes) -> list[float]:
             idx = _lzw_decode(bytes(stream), min_code_size)
             if len(idx) < width * height:
                 raise ValueError("GIF pixel data short of width*height")
-            return [
-                float(palette[3 * i]) for i in idx[: width * height]
-            ]
+            # spec-legal foreign GIFs can carry a color table shorter
+            # than 2^min_code_size (or none at all): validate the pixel
+            # indices against the palette so the decoder keeps its
+            # raise-ValueError-loudly contract instead of IndexError
+            pixels = idx[: width * height]
+            if not palette or (pixels and 3 * max(pixels) + 2 >= len(palette)):
+                raise ValueError(
+                    "GIF palette shorter than pixel indices "
+                    f"({len(palette) // 3} entries, max index "
+                    f"{max(pixels) if pixels else 0})"
+                )
+            return [float(palette[3 * i]) for i in pixels]
         elif block == 0x3B:  # trailer
             break
         else:
@@ -490,6 +499,14 @@ def decode_png(payload: bytes) -> list[float]:
     if color_type == 0:
         return [float(b) for b in px]
     if color_type == 3:
+        # validate indices against PLTE (may be short or absent in a
+        # malformed foreign file) — ValueError, not bare IndexError
+        if not palette or (px and 3 * max(px) + 2 >= len(palette)):
+            raise ValueError(
+                "PNG palette shorter than pixel indices "
+                f"({len(palette) // 3} entries, max index "
+                f"{max(px) if px else 0})"
+            )
         return [float(palette[3 * i]) for i in px]
     return [
         (px[i] + px[i + 1] + px[i + 2]) / 3.0 for i in range(0, len(px), 3)

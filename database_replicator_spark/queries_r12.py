@@ -189,6 +189,15 @@ _E2E_CHAIN = f"""
 """
 
 
+#: (applicationId, sf_dir) → stage dict.  Both e2e gates (packed output /
+#: attrition funnel) and the determinism test consume the SAME chain; the
+#: memo makes the heavy stages execute once per Spark context instead of
+#: once per gate (r12 verdict What's-wrong #4).  Keyed by applicationId —
+#: cached DataFrames stay valid across sessions of one context and a
+#: recreated context gets a fresh build.
+_E2E_MEMO: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
+
 def _e2e_stages(
     spark: SparkSession, sf_dir: str
 ) -> dict[str, DataFrame]:
@@ -237,6 +246,10 @@ def _e2e_stages(
         normalize_text_expr,
         quality_filter,
     )
+
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    if memo_key in _E2E_MEMO:
+        return _E2E_MEMO[memo_key]
 
     docs = load_table(spark, sf_dir, "documents")
 
@@ -348,7 +361,17 @@ def _e2e_stages(
         order_col="doc_id",
         part_col="split",
     )
-    return {
+    # Materialize the shared chain ONCE: the doc_id-grain survivor sets
+    # are tiny (two int/string columns), so caching them is cheap; one
+    # count() on `splitted` pulls every upstream stage through and
+    # populates all the caches in a single pass.  `sig` (the wide
+    # minhash relation — the only big cache) is then unpersisted: its
+    # only consumer (pairs → components → neardup) is now cached.
+    for st in (accepted, neardup, capped_docs, mixed, splitted):
+        st.cache()
+    splitted.count()
+    sig.unpersist()
+    stages = {
         "docs": docs,
         "accepted": accepted,
         "neardup": neardup,
@@ -357,6 +380,8 @@ def _e2e_stages(
         "splitted": splitted,
         "packed": packed,
     }
+    _E2E_MEMO[memo_key] = stages
+    return stages
 
 
 @query(
@@ -1176,10 +1201,14 @@ def multimodal_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (operators/dedup.containment_pairs): containment = inter/min(|A|,|B|)
 # catches a short doc quoted inside a long one, which Jaccard ≈ |A|/|B|
 # structurally misses at the symmetric tier's 0.2 threshold (Broder
-# 1997). Candidates come from the df-pruned shingle-postings join (the
-# LSH family's collision probability tracks Jaccard, so it under-recalls
-# exactly the pairs this gate exists for). Integer-exact output — the
-# permille ratio and the threshold inequality never round a double.
+# 1997). Candidates come from the PREFIX-FILTERED postings join
+# (postings_candidates, r13: complete for the containment threshold,
+# hot-shingle-safe — the LSH family's collision probability tracks
+# Jaccard, so it under-recalls exactly the pairs this gate exists for);
+# the verifier intersects FULL shingle sets pair-locally, so the oracle
+# (a plain co-occurrence join) stays value-identical. Integer-exact
+# output — the permille ratio and the threshold inequality never round
+# a double.
 # ---------------------------------------------------------------------------
 _CONT_THRESHOLD = 0.6
 
@@ -1210,12 +1239,19 @@ _CONT_THRESHOLD = 0.6
 )
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs with shingle containment ≥ {_CONT_THRESHOLD} (doc1 < doc2,
-    integer-exact permille) over the df≥2-pruned co-occurrence join —
-    the excerpt/quote detector the symmetric Jaccard tier cannot be."""
-    from .operators.dedup import containment_pairs, doc_shingles
+    integer-exact permille): prefix-filtered postings candidates
+    (complete for the threshold, hot-shingle-safe) verified by exact
+    pair-local full-set intersection — the excerpt/quote detector the
+    symmetric Jaccard tier cannot be."""
+    from .operators.dedup import (
+        containment_pairs,
+        doc_shingles,
+        postings_candidates,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     sh = doc_shingles(docs)
-    return containment_pairs(sh, threshold=_CONT_THRESHOLD).select(
-        "doc1", "doc2", "inter", "n1", "n2", "containment_permille"
-    )
+    cand = postings_candidates(sh, threshold=_CONT_THRESHOLD)
+    return containment_pairs(
+        sh, candidates=cand, threshold=_CONT_THRESHOLD
+    ).select("doc1", "doc2", "inter", "n1", "n2", "containment_permille")

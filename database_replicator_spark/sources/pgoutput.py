@@ -14,6 +14,14 @@ unchanged-TOAST ('u'), and text ('t') columns. Not implemented (raise):
 Truncate, Type, Origin, Message, streamed (protocol ≥2) transactions —
 each a ValueError naming the message, the honest-seam convention.
 
+Unchanged-TOAST contract (r12 verdict #2): an 'u' column means "value
+not shipped — KEEP the stored value", which is NOT the same as NULL.
+The decoder therefore OMITS such columns from the change row's
+``columns`` dict entirely (key absence == not shipped; ``None`` ==
+SQL NULL), and a consumer applying these rows must preserve the prior
+value for absent keys (``ChangeApplier(merge_partial_updates=True)``
+does exactly that).
+
 Statefulness contract: pgoutput sends a Relation message describing a
 table before the first tuple message that references it ON EACH
 CONNECTION — a decoder therefore needs only per-stream state. The
@@ -28,9 +36,24 @@ import struct
 from dataclasses import dataclass, field
 
 __all__ = [
+    "UNCHANGED_TOAST",
     "PgOutputEncoder",
     "decode_pgoutput_stream",
 ]
+
+
+class _UnchangedToast:
+    """Singleton marking a column the wire did not ship (TupleData kind
+    'u'): the stored value is unchanged. Distinct from ``None`` (SQL
+    NULL). Never appears in decoded ``columns`` dicts — the decoder
+    drops the key instead — but the encoder accepts it to mint
+    TOAST-bearing fixtures."""
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return "UNCHANGED_TOAST"
+
+
+UNCHANGED_TOAST = _UnchangedToast()
 
 
 # ---------------------------------------------------------------------------
@@ -43,11 +66,13 @@ def _cstr(s: str) -> bytes:
     return s.encode() + b"\0"
 
 
-def _tuple_data(values: list[str | None]) -> bytes:
+def _tuple_data(values: list) -> bytes:
     out = struct.pack("!H", len(values))
     for v in values:
         if v is None:
             out += b"n"
+        elif v is UNCHANGED_TOAST:
+            out += b"u"
         else:
             b = str(v).encode()
             out += b"t" + struct.pack("!I", len(b)) + b
@@ -140,8 +165,8 @@ def _read_tuple(buf: bytes, pos: int) -> tuple[list, int]:
         pos += 1
         if kind == b"n":
             vals.append(None)
-        elif kind == b"u":  # unchanged TOAST: value not shipped
-            vals.append(None)
+        elif kind == b"u":  # unchanged TOAST: value not shipped — keep old
+            vals.append(UNCHANGED_TOAST)
         elif kind == b"t":
             (ln,) = struct.unpack_from("!I", buf, pos)
             pos += 4
@@ -158,7 +183,11 @@ def decode_pgoutput_stream(stream: bytes) -> list[dict]:
     column → text value; key columns only for deletes)}``. Relation
     messages populate the per-stream relation cache; Begin/Commit set
     the ambient transaction id. ``seq`` is the tuple-message arrival
-    index (0-based) — the within-stream order a consumer applies."""
+    index (0-based) — the within-stream order a consumer applies.
+
+    Unchanged-TOAST ('u') columns are OMITTED from ``columns`` — key
+    absence means "not shipped, keep the stored value", while an
+    explicit ``None`` means SQL NULL (r12 verdict #2)."""
     rels: dict[int, tuple[str, list[str]]] = {}
     out: list[dict] = []
     xid = None
@@ -219,7 +248,11 @@ def decode_pgoutput_stream(stream: bytes) -> list[dict]:
                     "xid": xid,
                     "table": table,
                     "op": op,
-                    "columns": dict(zip(cols, vals)),
+                    "columns": {
+                        c: v
+                        for c, v in zip(cols, vals)
+                        if v is not UNCHANGED_TOAST
+                    },
                 }
             )
             seq += 1

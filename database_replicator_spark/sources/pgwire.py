@@ -29,7 +29,7 @@ from urllib.parse import unquote, urlparse
 
 PROTOCOL_V3 = 196608  # 3 << 16
 
-__all__ = ["PgWireError", "PgWireCopyClient"]
+__all__ = ["PgWireError", "PgWireCopyClient", "PgWireReplicationClient"]
 
 
 class PgWireError(RuntimeError):
@@ -91,13 +91,21 @@ class PgWireCopyClient:
             database=unquote((u.path or "/postgres").lstrip("/") or "postgres"),
         )
 
+    #: extra startup parameters (subclasses append here — e.g. the
+    #: replication client adds ``replication=database``)
+    _startup_extra: dict[str, str] = {}
+
     # -- connection lifecycle ------------------------------------------------
     def connect(self) -> "PgWireCopyClient":
         self._sock = socket.create_connection((self.host, self.port), timeout=30)
+        params = b""
+        for k, v in self._startup_extra.items():
+            params += k.encode() + b"\0" + v.encode() + b"\0"
         body = (
             struct.pack("!I", PROTOCOL_V3)
             + b"user\0" + self.user.encode() + b"\0"
-            + b"database\0" + self.database.encode() + b"\0\0"
+            + b"database\0" + self.database.encode() + b"\0"
+            + params + b"\0"
         )
         self._sock.sendall(struct.pack("!I", len(body) + 4) + body)
         while True:
@@ -152,15 +160,22 @@ class PgWireCopyClient:
         """COPY-IN: send the COPY statement, stream CopyData frames,
         CopyDone, and return the ``COPY n`` CommandComplete tag."""
         self._sock.sendall(_message(b"Q", sql.encode() + b"\0"))
-        mtype, payload = _read_message(self._sock)
-        if mtype == b"E":
-            err = _error_text(payload)
-            self._drain_to_ready()
-            raise PgWireError(err)
-        if mtype != b"G":  # CopyInResponse
-            raise PgWireError(
-                f"expected CopyInResponse for {sql!r}, got {mtype!r}"
-            )
+        # A real server may emit NoticeResponse / ParameterStatus /
+        # NotificationResponse frames before CopyInResponse (trigger
+        # warnings, client_min_messages) — skip them, mirroring the
+        # tolerant loops in connect/simple_query.
+        while True:
+            mtype, payload = _read_message(self._sock)
+            if mtype == b"E":
+                err = _error_text(payload)
+                self._drain_to_ready()
+                raise PgWireError(err)
+            if mtype == b"G":  # CopyInResponse
+                break
+            if mtype not in (b"N", b"S", b"A"):
+                raise PgWireError(
+                    f"expected CopyInResponse for {sql!r}, got {mtype!r}"
+                )
         for chunk in chunks:
             if chunk:
                 self._sock.sendall(_message(b"d", bytes(chunk)))
@@ -178,3 +193,115 @@ class PgWireCopyClient:
                 if tag is None:
                     raise PgWireError("COPY ended without CommandComplete")
                 return tag
+
+
+class PgWireReplicationClient(PgWireCopyClient):
+    """Logical-replication streaming client — the START_REPLICATION
+    envelope around the pgoutput codec (S22/S24 narrowing, r12 verdict
+    ask #5): walsender startup (``replication=database``), the
+    START_REPLICATION simple query, CopyBothResponse, XLogData ('w') /
+    keepalive ('k') frame demux, and standby-status-update ('r') acks.
+    Implemented from the PUBLIC protocol spec (PostgreSQL docs,
+    "Streaming Replication Protocol" + "Frontend/Backend Protocol"
+    §CopyBothResponse). Scope mirrors :class:`PgWireCopyClient`:
+    trust auth, no TLS; frame payloads are handed to
+    :func:`pgoutput.decode_pgoutput_stream` for decoding."""
+
+    _startup_extra = {"replication": "database"}
+
+    def start_replication(
+        self,
+        slot: str,
+        publications: list[str],
+        start_lsn: int = 0,
+        proto_version: int = 1,
+        ack_every: int = 16,
+    ) -> dict:
+        """Run one START_REPLICATION session to server CopyDone: returns
+        ``{"frames": [(wal_start, payload_bytes), ...], "acked_lsn": n,
+        "keepalives": n}``. Acks (standby status updates carrying the
+        received/flushed/applied LSN) are sent every ``ack_every``
+        XLogData frames, on every reply-requested keepalive, and once at
+        stream end — the at-least-once contract: an un-acked frame is
+        redelivered on reconnect, and the consumer's idempotent apply
+        (ChangeApplier) absorbs the replay."""
+        pubs = ", ".join(p.replace("'", "''") for p in publications)
+        sql = (
+            f'START_REPLICATION SLOT "{slot}" LOGICAL '
+            f"{_lsn_text(start_lsn)} (proto_version '{proto_version}', "
+            f"publication_names '{pubs}')"
+        )
+        self._sock.sendall(_message(b"Q", sql.encode() + b"\0"))
+        while True:  # tolerant pre-CopyBoth loop (N/S/A as in copy_in)
+            mtype, payload = _read_message(self._sock)
+            if mtype == b"E":
+                err = _error_text(payload)
+                self._drain_to_ready()
+                raise PgWireError(err)
+            if mtype == b"W":  # CopyBothResponse
+                break
+            if mtype not in (b"N", b"S", b"A"):
+                raise PgWireError(
+                    f"expected CopyBothResponse for {sql!r}, got {mtype!r}"
+                )
+        frames: list[tuple[int, bytes]] = []
+        acked = start_lsn
+        n_keepalive = 0
+        since_ack = 0
+        last_recv = start_lsn
+        while True:
+            mtype, payload = _read_message(self._sock)
+            if mtype == b"d":  # CopyData: demux on the inner tag
+                tag = payload[:1]
+                if tag == b"w":  # XLogData: start, end, sendTime, data
+                    wal_start, _wal_end, _ts = struct.unpack_from(
+                        "!QQQ", payload, 1
+                    )
+                    frames.append((wal_start, payload[25:]))
+                    last_recv = max(last_recv, wal_start)
+                    since_ack += 1
+                    if since_ack >= ack_every:
+                        acked = self._send_status(last_recv)
+                        since_ack = 0
+                elif tag == b"k":  # keepalive: end, sendTime, replyReq
+                    wal_end, _ts, reply = struct.unpack_from(
+                        "!QQB", payload, 1
+                    )
+                    n_keepalive += 1
+                    last_recv = max(last_recv, wal_end)
+                    if reply:
+                        acked = self._send_status(last_recv)
+                        since_ack = 0
+                else:
+                    raise PgWireError(
+                        f"unknown replication CopyData tag {tag!r}"
+                    )
+            elif mtype == b"c":  # server CopyDone: ack, mirror, drain
+                acked = self._send_status(last_recv)
+                self._sock.sendall(_message(b"c", b""))
+                self._drain_to_ready()
+                return {
+                    "frames": frames,
+                    "acked_lsn": acked,
+                    "keepalives": n_keepalive,
+                }
+            elif mtype == b"E":
+                err = _error_text(payload)
+                self._drain_to_ready()
+                raise PgWireError(err)
+            elif mtype not in (b"N", b"S", b"A"):
+                raise PgWireError(
+                    f"unexpected message {mtype!r} during replication"
+                )
+
+    def _send_status(self, lsn: int) -> int:
+        """Standby status update: received == flushed == applied (the
+        apply path is idempotent, so flushing through is safe)."""
+        body = b"r" + struct.pack("!QQQQB", lsn, lsn, lsn, 0, 0)
+        self._sock.sendall(_message(b"d", body))
+        return lsn
+
+
+def _lsn_text(lsn: int) -> str:
+    """int → the textual X/Y LSN form START_REPLICATION takes."""
+    return f"{lsn >> 32:X}/{lsn & 0xFFFFFFFF:X}"

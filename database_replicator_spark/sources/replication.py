@@ -248,3 +248,53 @@ def logical_replication_plan(
             )
         ],
     }
+
+
+def fetch_slot_changes(
+    dsn: str,
+    slot: str,
+    publications: list[str],
+    start_lsn: int = 0,
+    proto_version: int = 1,
+) -> dict:
+    """Consume one logical-replication walsender session end to end:
+    connect with ``replication=database``, START_REPLICATION, demux
+    XLogData/keepalive frames, ack via standby status updates, and
+    decode the received pgoutput messages into change rows
+    (:func:`pgoutput.decode_pgoutput_stream`). Returns ``{"changes":
+    [...], "acked_lsn": n, "n_frames": n, "keepalives": n}``.
+
+    This is the live-slot envelope that was the declared S22/S24 gap:
+    the wire client (pgwire.PgWireReplicationClient) and the codec
+    (sources/pgoutput.py) compose here, exercised in-sandbox against the
+    walsender-speaking test server (tests/pgwire_server.py) and usable
+    unchanged against a trust-auth PostgreSQL ≥10 cluster. Remaining
+    real-cluster deltas: MD5/SCRAM auth and TLS (psycopg territory,
+    declared in README).
+
+    Distributed shape: ONE slot is inherently a single ordered stream
+    (Postgres ships a slot's WAL serially) — parallelism comes from
+    sharding across slots/publications upstream, which is exactly how
+    :func:`queries_r12.cdc_pgoutput_decode` shards decode work."""
+    import struct as _struct
+
+    from .pgoutput import decode_pgoutput_stream
+    from .pgwire import PgWireReplicationClient
+
+    client = PgWireReplicationClient.from_dsn(dsn)
+    client.connect()
+    try:
+        out = client.start_replication(
+            slot, publications, start_lsn=start_lsn, proto_version=proto_version
+        )
+    finally:
+        client.close()
+    stream = b"".join(
+        _struct.pack("!I", len(p)) + p for _lsn, p in out["frames"]
+    )
+    return {
+        "changes": decode_pgoutput_stream(stream),
+        "acked_lsn": out["acked_lsn"],
+        "n_frames": len(out["frames"]),
+        "keepalives": out["keepalives"],
+    }

@@ -205,6 +205,14 @@ class ChangeApplier:
     n_buckets: int = 64
     storage: str = "parquet"
     expected_schemas: dict | None = None
+    #: partial-row-image consumer contract (r12 verdict #2): updates
+    #: override only the payload keys they SHIP; absent keys keep the
+    #: stored value (pgoutput unchanged-TOAST 'u' columns are omitted
+    #: from the decoded payload, so whole-payload LWW would null them).
+    #: Payloads are treated as string-valued row images — the pgoutput
+    #: text-transfer contract. Default False = whole-image LWW (the
+    #: reference's full-row-image jsonb shape).
+    merge_partial_updates: bool = False
     applied_batches: list[int] = field(default_factory=list)
 
     def _table_path(self, table: str, suffix: str = "") -> str:
@@ -261,6 +269,12 @@ class ChangeApplier:
             #    restricted to (and rewriting only) the pk-hash buckets
             #    the batch actually touches
             if self.mode == "append_deduped" and self.storage == "delta":
+                if self.merge_partial_updates:
+                    raise ValueError(
+                        "merge_partial_updates is implemented for the "
+                        "parquet bucket layout only; the Delta MERGE "
+                        "path applies whole row images"
+                    )
                 from ..sinks import apply_latest_delta
 
                 for row in batch.select("table").distinct().collect():
@@ -324,7 +338,17 @@ class ChangeApplier:
                             )
                         )
                         tbl_changes = tbl_changes.unionByName(prev)
-                    latest = latest_by_key(tbl_changes, ["pk"], "change_id")
+                    if self.merge_partial_updates:
+                        from ..operators.latest import merged_latest_by_key
+
+                        # bucket is a pure function of pk — same grain
+                        latest = merged_latest_by_key(
+                            tbl_changes, ["pk", "bucket"], "change_id"
+                        )
+                    else:
+                        latest = latest_by_key(
+                            tbl_changes, ["pk"], "change_id"
+                        )
                     alive = latest.filter(F.col("op") != "delete").select(
                         "pk", "payload", "change_id", "bucket"
                     )

@@ -435,10 +435,13 @@ def forget_vectors(
 #     loop calls this; nothing retrains unless drift is measured).
 #
 # Crash consistency: a ``_migration_in_progress`` marker is written
-# before any partition is touched and removed after the new codebooks
-# are published — ingest fails fast while it exists (codes and codebooks
-# could disagree mid-migration), and a crashed migration is re-run by
-# calling ``reencode_index`` again (it is idempotent: every output is a
+# before any partition is touched and removed ONLY on the success path,
+# after the new codebooks are published — ingest fails fast while it
+# exists (codes and codebooks could disagree mid-migration).  Both a
+# hard process kill AND a mid-migration exception (e.g. a Spark job
+# failure after some epochs' buckets were rewritten with new-generation
+# codes) leave the marker in place; recovery is re-running
+# ``reencode_index`` to completion (it is idempotent: every output is a
 # pure function of the vectors table).
 # ---------------------------------------------------------------------------
 
@@ -636,8 +639,13 @@ def reencode_index(
         )
         shutil.rmtree(pq_dir)
         os.replace(stage, pq_dir)
-    finally:
-        os.remove(marker)
+    except BaseException:
+        # Leave the marker in place: some epoch bucket partitions may
+        # already carry new-generation codes while _pq still publishes
+        # the old codebooks.  Ingest must keep failing fast until
+        # reencode_index is re-run to completion (it is idempotent).
+        raise
+    os.remove(marker)
     return {"generation": gen, "epochs": epochs, "n_reencoded": n_total}
 
 

@@ -33,7 +33,19 @@ def _recv_exact(conn: socket.socket, n: int) -> bytes:
 class PgWireServer:
     """One transcript-recording fake Postgres; thread per connection."""
 
-    def __init__(self):
+    def __init__(self, noisy: bool = False):
+        #: when True, emit NoticeResponse + ParameterStatus frames before
+        #: CopyInResponse — what a real server does for trigger warnings /
+        #: client_min_messages; clients must skip them (ADVICE r12)
+        self.noisy = noisy
+        #: pgoutput message payloads a START_REPLICATION session will
+        #: ship as XLogData frames (set by the test before connecting);
+        #: each is wrapped in 'w' + walStart/walEnd/sendTime per the
+        #: public streaming-replication protocol
+        self.replication_payloads: list[bytes] = []
+        #: synthetic LSN of the first XLogData frame; consecutive frames
+        #: advance by 0x100
+        self.replication_base_lsn = 0x1_0000_0000
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self.sock.bind(("127.0.0.1", 0))
@@ -105,7 +117,14 @@ class PgWireServer:
                 if mtype != b"Q":
                     continue  # this harness only speaks simple-query
                 sql = payload.rstrip(b"\0").decode()
-                if sql.upper().startswith("COPY"):
+                if sql.upper().startswith("START_REPLICATION"):
+                    self._serve_replication(conn, transcript, sql)
+                elif sql.upper().startswith("COPY"):
+                    if self.noisy:
+                        conn.sendall(
+                            _msg(b"N", b"SWARNING\0Mtrigger says hi\0\0")
+                        )
+                        conn.sendall(_msg(b"S", b"application_name\0fake\0"))
                     # CopyInResponse: text format, 0 column formats (the
                     # column count is not needed for text-format COPY)
                     conn.sendall(_msg(b"G", b"\x00\x00\x00"))
@@ -130,6 +149,62 @@ class PgWireServer:
             return
         finally:
             conn.close()
+
+    def _serve_replication(
+        self, conn: socket.socket, transcript: list, sql: str
+    ) -> None:
+        """One walsender session: CopyBothResponse → a reply-requested
+        keepalive → every queued pgoutput payload as an XLogData frame →
+        CopyDone; incoming standby-status-update ('r') frames recorded,
+        client CopyDone awaited, CommandComplete + ReadyForQuery close.
+        Message shapes per the public streaming-replication protocol."""
+        transcript.append(("start_replication", sql))
+        conn.sendall(_msg(b"W", b"\x00\x00\x00"))  # CopyBothResponse
+        # keepalive with reply requested — exercises the client ack path
+        conn.sendall(
+            _msg(b"d", b"k" + struct.pack("!QQB", self.replication_base_lsn, 0, 1))
+        )
+        lsn = self.replication_base_lsn
+        for payload in self.replication_payloads:
+            lsn += 0x100
+            conn.sendall(
+                _msg(b"d", b"w" + struct.pack("!QQQ", lsn, lsn, 0) + payload)
+            )
+        conn.sendall(_msg(b"c", b""))  # server CopyDone
+        # drain client frames (status updates + CopyDone mirror)
+        while True:
+            t2 = _recv_exact(conn, 1)
+            (l2,) = struct.unpack("!I", _recv_exact(conn, 4))
+            p2 = _recv_exact(conn, l2 - 4)
+            if t2 == b"d" and p2[:1] == b"r":
+                recv_lsn, flush_lsn, apply_lsn, _ts, reply = struct.unpack_from(
+                    "!QQQQB", p2, 1
+                )
+                transcript.append(
+                    ("standby_status", recv_lsn, flush_lsn, apply_lsn, reply)
+                )
+            elif t2 == b"c":
+                break
+        conn.sendall(_msg(b"C", b"START_REPLICATION\0"))
+        conn.sendall(_msg(b"Z", b"I"))
+
+    def status_updates(self) -> list[tuple]:
+        with self.lock:
+            return [
+                e[1:]
+                for t in self.connections
+                for e in t
+                if e[0] == "standby_status"
+            ]
+
+    def replication_requests(self) -> list[str]:
+        with self.lock:
+            return [
+                e[1]
+                for t in self.connections
+                for e in t
+                if e[0] == "start_replication"
+            ]
 
     # -- assertions ----------------------------------------------------------
     def all_copy_payload(self) -> bytes:

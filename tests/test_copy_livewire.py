@@ -108,3 +108,20 @@ class TestCopySinkLivewire:
         df = spark.createDataFrame([], "id long, txt string")
         copy_sink(df, _dsn(server), "t")
         assert server.connections == []
+
+
+class TestNoisyServer:
+    def test_notices_before_copyinresponse_are_skipped(self):
+        """A real server may emit NoticeResponse / ParameterStatus before
+        CopyInResponse (trigger warnings, client_min_messages); the client
+        must skip N/S/A frames rather than fail (ADVICE r12)."""
+        s = PgWireServer(noisy=True).start()
+        try:
+            c = PgWireCopyClient.from_dsn(_dsn(s)).connect()
+            assert c.copy_in(
+                'COPY "t" ("a") FROM STDIN', [b"1\n", b"2\n", b"3\n"]
+            ) == "COPY 3"
+            c.close()
+            assert s.copy_frames() == [('COPY "t" ("a") FROM STDIN', b"1\n2\n3\n")]
+        finally:
+            s.stop()

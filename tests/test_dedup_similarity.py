@@ -905,3 +905,99 @@ class TestContainmentPairs:
         rows = containment_pairs(sh, threshold=0.6).collect()
         assert len(rows) == 1 and rows[0]["containment_permille"] == 600
         assert containment_pairs(sh, threshold=0.601).count() == 0
+
+
+class TestPostingsCandidates:
+    """Prefix-filtered containment candidate generation (r12 verdict #1):
+    complete for the threshold, hot-shingle-capped with logged drops."""
+
+    def _docs(self, spark):
+        import random
+
+        rng = random.Random(13)
+        quote = " ".join(f"q{i}" for i in range(12))
+        rows = [(1, quote), (2, quote + " " + " ".join(f"w{i}" for i in range(60)))]
+        # background docs sharing a HOT boilerplate shingle run
+        boiler = "the quick brown fox jumps over lazy dogs"
+        for d in range(3, 40):
+            words = " ".join(f"t{d}_{j}" for j in range(rng.randint(8, 20)))
+            rows.append((d, boiler + " " + words))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_candidates_are_complete_for_threshold(self, spark):
+        from database_replicator_spark.operators.dedup import (
+            containment_pairs,
+            doc_shingles,
+            postings_candidates,
+        )
+
+        sh = doc_shingles(self._docs(spark))
+        # ground truth from the exhaustive branch
+        want = {
+            (r["doc1"], r["doc2"])
+            for r in containment_pairs(sh, threshold=0.6).collect()
+        }
+        cand = postings_candidates(sh, threshold=0.6)
+        got = {
+            (r["doc1"], r["doc2"])
+            for r in containment_pairs(
+                sh, candidates=cand, threshold=0.6
+            ).collect()
+        }
+        assert want and got == want
+
+    def test_exact_values_match_exhaustive_branch(self, spark):
+        from database_replicator_spark.operators.dedup import (
+            containment_pairs,
+            doc_shingles,
+            postings_candidates,
+        )
+
+        sh = doc_shingles(self._docs(spark))
+        key = lambda r: (r["doc1"], r["doc2"])
+        want = {
+            key(r): (r["inter"], r["n1"], r["n2"], r["containment_permille"])
+            for r in containment_pairs(sh, threshold=0.6).collect()
+        }
+        got = {
+            key(r): (r["inter"], r["n1"], r["n2"], r["containment_permille"])
+            for r in containment_pairs(
+                sh,
+                candidates=postings_candidates(sh, threshold=0.6),
+                threshold=0.6,
+            ).collect()
+        }
+        assert got == want
+
+    def test_df_cap_drops_hot_shingles_and_logs(self, spark, caplog):
+        import logging
+
+        from database_replicator_spark.operators.dedup import (
+            doc_shingles,
+            postings_candidates,
+        )
+
+        sh = doc_shingles(self._docs(spark))
+        with caplog.at_level(
+            logging.WARNING, logger="database_replicator_spark.operators.dedup"
+        ):
+            capped = postings_candidates(sh, threshold=0.6, df_cap=5)
+            n_capped = capped.count()
+        assert any("df_cap" in r.message for r in caplog.records)
+        # the boilerplate-only background pairs vanish; the quote pair
+        # (rare shingles) survives the cap
+        uncapped = postings_candidates(sh, threshold=0.6)
+        assert n_capped < uncapped.count()
+        assert (1, 2) in {
+            (r["doc1"], r["doc2"]) for r in capped.collect()
+        }
+
+    def test_rejects_bad_threshold(self, spark):
+        from database_replicator_spark.operators.dedup import (
+            doc_shingles,
+            postings_candidates,
+        )
+
+        sh = doc_shingles(self._docs(spark))
+        with pytest.raises(ValueError, match="threshold"):
+            postings_candidates(sh, threshold=0.0)

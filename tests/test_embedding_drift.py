@@ -133,3 +133,31 @@ class TestReencode:
         )
         assert r1["epochs"] == r2["epochs"] == [0, 1]
         assert codes1 == codes2
+
+    def test_failed_migration_leaves_marker(self, spark, tgt, monkeypatch):
+        """A mid-migration exception must leave _migration_in_progress in
+        place (some buckets may already carry new-generation codes while
+        _pq still publishes the old books) so ingest keeps failing fast
+        until reencode_index is re-run to completion."""
+        import database_replicator_spark.streaming.embedding_ingest as ei
+
+        _ingest(spark, tgt, 0, range(0, 30))
+        _ingest(spark, tgt, 1, range(100, 130), shift=4.0)
+
+        def boom(*a, **k):
+            raise RuntimeError("simulated mid-migration job failure")
+
+        monkeypatch.setattr(ei, "_write_drift_row", boom)
+        with pytest.raises(RuntimeError, match="simulated mid-migration"):
+            reencode_index(spark, tgt)
+        marker = os.path.join(tgt, "_migration_in_progress")
+        assert os.path.exists(marker)
+        # fail-fast guard still trips...
+        with pytest.raises(RuntimeError, match="migration in progress"):
+            _ingest(spark, tgt, 2, range(200, 230))
+        # ...until the idempotent migration is re-run to completion
+        monkeypatch.undo()
+        out = reencode_index(spark, tgt)
+        assert out["generation"] >= 1
+        assert not os.path.exists(marker)
+        _ingest(spark, tgt, 2, range(200, 230))  # recovers

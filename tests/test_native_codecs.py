@@ -553,3 +553,72 @@ class TestCodecProperties:
             ]
 
         prop()
+
+
+class TestShortPaletteRejection:
+    """ADVICE r12: spec-legal foreign files whose color table is shorter
+    than the pixel indices must raise the decoders' documented ValueError,
+    not a bare IndexError."""
+
+    def test_gif_short_palette_raises_valueerror(self):
+        import struct
+
+        from database_replicator_spark.operators.multimodal import (
+            _lzw_encode,
+            decode_gif,
+        )
+
+        # global table with only 2 entries (packed=0x80), but pixel
+        # indices go up to 3
+        out = bytearray(b"GIF89a")
+        out += struct.pack("<HHBBB", 2, 2, 0x80, 0, 0)
+        out += bytes([0, 0, 0, 255, 255, 255])  # 2-entry palette
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 2, 0)
+        out.append(2)  # min code size 2 → codes for indices 0..3
+        lzw = _lzw_encode(bytes([0, 1, 2, 3]), 2)
+        out.append(len(lzw))
+        out += lzw
+        out += b"\x00\x3b"
+        with pytest.raises(ValueError, match="palette shorter"):
+            decode_gif(bytes(out))
+
+    def test_gif_no_palette_at_all_raises_valueerror(self):
+        import struct
+
+        from database_replicator_spark.operators.multimodal import (
+            _lzw_encode,
+            decode_gif,
+        )
+
+        out = bytearray(b"GIF89a")
+        out += struct.pack("<HHBBB", 1, 1, 0, 0, 0)  # no global table
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, 1, 1, 0)  # no local
+        out.append(2)
+        lzw = _lzw_encode(bytes([0]), 2)
+        out.append(len(lzw))
+        out += lzw
+        out += b"\x00\x3b"
+        with pytest.raises(ValueError, match="palette shorter"):
+            decode_gif(bytes(out))
+
+    def test_png_short_plte_raises_valueerror(self):
+        import struct
+        import zlib
+
+        from database_replicator_spark.operators.multimodal import decode_png
+
+        def chunk(tag, payload):
+            return (
+                struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+        plte = bytes([10, 0, 0])  # 1 entry, but index 5 appears
+        raw = bytes([0, 0, 5])
+        png = (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="palette shorter"):
+            decode_png(png)

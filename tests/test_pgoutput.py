@@ -66,7 +66,11 @@ class TestRoundTrip:
         assert rows[1]["table"] == "public.b"
         assert rows[1]["columns"] == {"id": "2", "w": "bw"}
 
-    def test_unchanged_toast_column_decodes_null(self):
+    def test_unchanged_toast_column_is_omitted_not_null(self):
+        """Postgres semantics for 'u': value not shipped — KEEP the old
+        value. The decoder must omit the key (absence == not shipped),
+        never emit None, or a consumer would null-out stored TOAST
+        values (r12 verdict #2)."""
         e = _enc().relation().begin(xid=1)
         e.frames.append(
             b"U" + struct.pack("!I", 500) + b"N"
@@ -77,7 +81,24 @@ class TestRoundTrip:
         )
         e.commit()
         (row,) = decode_pgoutput_stream(e.stream())
-        assert row["columns"] == {"id": "1", "a": None, "b": "q"}
+        assert row["columns"] == {"id": "1", "b": "q"}
+        assert "a" not in row["columns"]
+
+    def test_encoder_mints_unchanged_toast(self):
+        from database_replicator_spark.sources.pgoutput import UNCHANGED_TOAST
+
+        e = _enc().relation().begin(xid=1)
+        e.update(["1", UNCHANGED_TOAST, "new_b"], old_key=["1", None, None])
+        e.commit()
+        (row,) = decode_pgoutput_stream(e.stream())
+        assert row["op"] == "update"
+        assert row["columns"] == {"id": "1", "b": "new_b"}
+        # explicit NULL stays distinguishable from not-shipped
+        e2 = _enc().relation().begin(xid=2)
+        e2.update(["1", None, "x"], old_key=["1", None, None])
+        e2.commit()
+        (row2,) = decode_pgoutput_stream(e2.stream())
+        assert row2["columns"] == {"id": "1", "a": None, "b": "x"}
 
 
 class TestContracts:

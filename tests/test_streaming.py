@@ -744,3 +744,136 @@ class TestPayloadDriftReport:
         rep = out["reports"][0]
         assert rep["epoch"] == 1 and rep["added_cols"] == "vip:boolean"
         assert 'ADD COLUMN IF NOT EXISTS "vip" BOOLEAN' in rep["apply_sql"]
+
+
+class TestPartialUpdateMerge:
+    """merge_partial_updates (r12 verdict #2): an update payload overrides
+    only the keys it ships — absent keys (pgoutput unchanged-TOAST) keep
+    the stored value; explicit JSON null DOES override."""
+
+    SCHEMA = "table string, pk string, payload string, change_id long, op string"
+
+    def _latest(self, spark, dirs, tbl="t1"):
+        import json
+        import os
+
+        path = os.path.join(dirs["tgt"], f"{tbl}_latest")
+        return {
+            r["pk"]: json.loads(r["payload"])
+            for r in spark.read.option("basePath", path).parquet(path).collect()
+        }
+
+    def test_absent_key_keeps_stored_value(self, spark, dirs):
+        from database_replicator_spark.streaming.change_stream import (
+            ChangeApplier,
+        )
+
+        applier = ChangeApplier(
+            target_dir=dirs["tgt"], merge_partial_updates=True
+        )
+        applier.apply_batch(
+            spark.createDataFrame(
+                [("t1", "1", '{"id":"1","big":"toast-blob","s":"x"}', 1, "insert")],
+                self.SCHEMA,
+            ),
+            0,
+        )
+        # update ships only s (big is unchanged TOAST -> key omitted)
+        applier.apply_batch(
+            spark.createDataFrame(
+                [("t1", "1", '{"id":"1","s":"y"}', 2, "update")], self.SCHEMA
+            ),
+            1,
+        )
+        assert self._latest(spark, dirs) == {
+            "1": {"id": "1", "big": "toast-blob", "s": "y"}
+        }
+
+    def test_explicit_null_overrides_but_absence_does_not(self, spark, dirs):
+        from database_replicator_spark.streaming.change_stream import (
+            ChangeApplier,
+        )
+
+        applier = ChangeApplier(
+            target_dir=dirs["tgt"], merge_partial_updates=True
+        )
+        applier.apply_batch(
+            spark.createDataFrame(
+                [("t1", "1", '{"a":"1","b":"2","c":"3"}', 1, "insert")],
+                self.SCHEMA,
+            ),
+            0,
+        )
+        applier.apply_batch(
+            spark.createDataFrame(
+                [("t1", "1", '{"b":null}', 2, "update")], self.SCHEMA
+            ),
+            1,
+        )
+        assert self._latest(spark, dirs) == {
+            "1": {"a": "1", "b": None, "c": "3"}
+        }
+
+    def test_delete_then_insert_does_not_resurrect_old_columns(
+        self, spark, dirs
+    ):
+        from database_replicator_spark.streaming.change_stream import (
+            ChangeApplier,
+        )
+
+        applier = ChangeApplier(
+            target_dir=dirs["tgt"], merge_partial_updates=True
+        )
+        applier.apply_batch(
+            spark.createDataFrame(
+                [
+                    ("t1", "1", '{"old":"gone"}', 1, "insert"),
+                    ("t1", "1", None, 2, "delete"),
+                    ("t1", "1", '{"fresh":"yes"}', 3, "insert"),
+                    ("t1", "2", '{"x":"1"}', 4, "insert"),
+                    ("t1", "2", None, 5, "delete"),
+                ],
+                self.SCHEMA,
+            ),
+            0,
+        )
+        assert self._latest(spark, dirs) == {"1": {"fresh": "yes"}}
+
+    def test_merge_survives_epoch_boundaries_and_replay(self, spark, dirs):
+        from database_replicator_spark.streaming.change_stream import (
+            ChangeApplier,
+        )
+
+        applier = ChangeApplier(
+            target_dir=dirs["tgt"], merge_partial_updates=True
+        )
+        b0 = spark.createDataFrame(
+            [("t1", "1", '{"k":"v0","keep":"me"}', 1, "insert")], self.SCHEMA
+        )
+        b1 = spark.createDataFrame(
+            [("t1", "1", '{"k":"v1"}', 2, "update")], self.SCHEMA
+        )
+        applier.apply_batch(b0, 0)
+        applier.apply_batch(b1, 1)
+        applier.apply_batch(b1, 1)  # at-least-once replay: idempotent
+        assert self._latest(spark, dirs) == {"1": {"k": "v1", "keep": "me"}}
+
+    def test_delta_storage_rejects_merge_mode(self, spark, dirs):
+        import pytest as _pytest
+
+        from database_replicator_spark.streaming.change_stream import (
+            ChangeApplier,
+        )
+
+        applier = ChangeApplier(
+            target_dir=dirs["tgt"],
+            storage="delta",
+            merge_partial_updates=True,
+        )
+        with _pytest.raises(ValueError, match="parquet bucket layout"):
+            applier.apply_batch(
+                spark.createDataFrame(
+                    [("t1", "1", '{"a":"1"}', 1, "insert")], self.SCHEMA
+                ),
+                0,
+            )
