@@ -364,6 +364,7 @@ from . import queries_r9  # noqa: E402,F401
 from . import queries_r10  # noqa: E402,F401
 from . import queries_r11  # noqa: E402,F401
 from . import queries_r12  # noqa: E402,F401
+from . import queries_r13  # noqa: E402,F401
 
 
 def _driver_evidence_rounds() -> dict[str, int]:

@@ -71,7 +71,9 @@ def _tuple_data(values: list) -> bytes:
     for v in values:
         if v is None:
             out += b"n"
-        elif v is UNCHANGED_TOAST:
+        elif isinstance(v, _UnchangedToast):
+            # isinstance, not identity: task closures pickle the sentinel
+            # by value, so an executor-side copy must still encode as 'u'
             out += b"u"
         else:
             b = str(v).encode()
@@ -251,7 +253,7 @@ def decode_pgoutput_stream(stream: bytes) -> list[dict]:
                     "columns": {
                         c: v
                         for c, v in zip(cols, vals)
-                        if v is not UNCHANGED_TOAST
+                        if not isinstance(v, _UnchangedToast)
                     },
                 }
             )
