@@ -415,3 +415,118 @@ def mg_summary(
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog — the industry-standard mergeable distinct sketch
+# (Flajolet, Fusy, Gandouet, Meunier, "HyperLogLog: the analysis of a
+# near-optimal cardinality estimation algorithm", AofA 2007). KMV gives
+# k·8 bytes per group; HLL gives m·6 bits with ~1.04/√m relative error
+# and a MAX-merge (commutative, idempotent — the friendliest merge in
+# the sketch family). Spark's approx_count_distinct is HLL++ inside one
+# query; these registers are STORABLE rows (group, bucket, rho), so the
+# merge spans runs, engines, and partial-sketch shipments — the IVM
+# contract, same as the KMV/CMS/KLL tiers.
+#
+# Determinism contract (the reason this is oracle-gateable while
+# approx_count_distinct is not): the register transform is pure integer
+# arithmetic on hash60 — bucket = h mod m, rho = leading-zero count of
+# the remaining w = 60 - b bits + 1 via string-length-of-bin (exact in
+# both engines; log2-on-bigint would misround near powers of two) —
+# and the estimator's harmonic sum is computed in INTEGERS
+# (Σ 2^(w+1-ρ_j), absent buckets contributing 2^(w+1)), so the only
+# float ops are one division and the standard-correction ln/round,
+# the proven cross-engine pattern (BM25 contribs).
+# ---------------------------------------------------------------------------
+
+def hll_alpha(m: int) -> float:
+    """The α_m bias constant (Flajolet et al. §4, m ≥ 128)."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    b: int = 8,
+) -> DataFrame:
+    """Sparse HLL registers per group: (``*group_cols``, bucket, rho)
+    with rho = max over the group's values hashing into the bucket.
+    Sparse (absent bucket == register 0) so tiny groups don't pay m
+    rows. ONE groupBy on (group, bucket) with a map-side-combined MAX —
+    the value space itself is never shuffled."""
+    m = 1 << b
+    w = 60 - b
+    groups = list(group_cols)
+    h = hash60(F.col(value_col).cast("string"))
+    hashed = df.select(*groups, h.alias("_h")).select(
+        *groups,
+        F.pmod(F.col("_h"), F.lit(m)).cast("int").alias("bucket"),
+        # the remaining w bits; h is non-negative so DIV == floor-div
+        F.expr(f"_h DIV {m}").alias("_h2"),
+    )
+    rho = F.when(F.col("_h2") == 0, F.lit(w + 1)).otherwise(
+        F.lit(w) - F.length(F.bin(F.col("_h2"))) + 1
+    )
+    return (
+        hashed.withColumn("_rho", rho)
+        .groupBy(*groups, "bucket")
+        .agg(F.max("_rho").cast("int").alias("rho"))
+    )
+
+
+def hll_merge(
+    sketches: Sequence[DataFrame], group_cols: Sequence[str]
+) -> DataFrame:
+    """Union of HLL sketches = per-(group, bucket) MAX of registers —
+    commutative and idempotent, so re-merging a shipment is harmless.
+    sketch(A ∪ B) is bit-identical to merge(sketch(A), sketch(B)): the
+    tests assert equality, not approximation (the house sketch rule)."""
+    groups = list(group_cols)
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*groups, "bucket").agg(
+        F.max("rho").cast("int").alias("rho")
+    )
+
+
+def hll_estimate(
+    regs: DataFrame,
+    group_cols: Sequence[str],
+    b: int = 8,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Cardinality estimate per group from sparse registers: raw HLL
+    E = α_m·m²/Σ2^(−ρ_j) with the small-range linear-counting correction
+    (E ≤ 2.5m and empty buckets → m·ln(m/V)). The harmonic sum is exact
+    integer arithmetic scaled by 2^(w+1): Σ 2^(w+1−ρ_j) + zeros·2^(w+1)
+    (max 2^53·m — fits bigint for b ≥ 7), so the estimate is one IEEE
+    division of exact integers; output rounded to ``round_digits``."""
+    m = 1 << b
+    w = 60 - b
+    scale = w + 1  # max rho, so every term 2^(scale - rho) is integral
+    groups = list(group_cols)
+    per_group = regs.groupBy(*groups).agg(
+        # SQL shiftleft takes a column shift amount (the Python API
+        # wrapper insists on an int literal)
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {scale} - rho)")
+        ).alias("_s_present"),
+        F.count(F.lit(1)).alias("_n_buckets"),
+    )
+    zeros = F.lit(m) - F.col("_n_buckets")
+    s_int = F.col("_s_present") + zeros * F.lit(1 << scale).cast("bigint")
+    raw = (
+        F.lit(float(hll_alpha(m)) * m * m * float(1 << scale))
+        / s_int.cast("double")
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return per_group.select(
+        *groups,
+        zeros.cast("bigint").alias("empty_buckets"),
+        F.round(est, round_digits).alias("hll_estimate"),
+    )

@@ -567,3 +567,111 @@ from .queries import _ORACLES as _oracle_registry  # noqa: E402
 
 _oracle_registry["rag_hybrid_fusion_topk"] = _hybrid_oracle()
 _oracle_registry["corpus_leakage_safe_split"] = _leakage_split_oracle()
+
+
+# ---------------------------------------------------------------------------
+# sketch_hll_distinct — native HyperLogLog (operators/sketch.py:
+# hll_registers/hll_merge/hll_estimate), the industry-standard mergeable
+# distinct sketch the tier was missing (KMV/CMS/Bloom/MG/KLL existed).
+# The Spark side builds registers PER SHARD and MAX-merges them — the
+# cross-run shipment path — while the oracle computes registers straight
+# from the values (merge(max) == direct max, the mergeability identity).
+# Register math is pure integer hash arithmetic and the harmonic sum is
+# integer-scaled, so the whole estimator crosses engines exactly (the
+# only floats: one division + the standard ln correction, rounded).
+# ---------------------------------------------------------------------------
+_HLL_B = 8
+_HLL_M = 1 << _HLL_B
+_HLL_W = 60 - _HLL_B
+_HLL_SCALE = _HLL_W + 1
+_HLL_SHARDS = 4
+
+
+def _hll_numer() -> float:
+    from .operators.sketch import hll_alpha
+
+    return float(hll_alpha(_HLL_M)) * _HLL_M * _HLL_M * float(1 << _HLL_SCALE)
+
+
+@query(
+    "sketch_hll_distinct",
+    oracle=None,  # assembled below (needs the computed alpha literal)
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority distinct-customer estimates from merged HLL shards:
+    (priority, empty_buckets, hll_estimate, n_exact). Registers build
+    per (priority, orderkey%4) shard, MAX-merge across shards, estimate
+    with the integer-scaled harmonic sum + linear-counting correction;
+    ``n_exact`` pins the estimator against ground truth in the SAME
+    gate (relative error ~1.04/sqrt(256) ≈ 6.5%). One groupBy on
+    (group, bucket) — the value space never shuffles."""
+    from .operators.sketch import hll_estimate, hll_merge, hll_registers
+
+    orders = load_table(spark, sf_dir, "orders")
+    src = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.pmod(F.col("o_orderkey"), F.lit(_HLL_SHARDS)).alias("shard"),
+        "o_custkey",
+    )
+    shards = [
+        hll_registers(
+            src.filter(F.col("shard") == s), ["priority"], "o_custkey",
+            b=_HLL_B,
+        )
+        for s in range(_HLL_SHARDS)
+    ]
+    merged = hll_merge(shards, ["priority"])
+    est = hll_estimate(merged, ["priority"], b=_HLL_B)
+    exact = src.groupBy("priority").agg(
+        F.countDistinct("o_custkey").alias("n_exact")
+    )
+    return est.join(exact, on="priority").select(
+        "priority", "empty_buckets", "hll_estimate", "n_exact"
+    )
+
+
+def _hll_oracle() -> str:
+    h60 = "CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT)"
+    numer = repr(_hll_numer())
+    return f"""
+    WITH h AS (
+      SELECT o_orderpriority AS priority, {h60} AS hv, o_custkey
+      FROM orders
+    ),
+    r AS (
+      SELECT priority, hv % {_HLL_M} AS bucket,
+             MAX(CASE WHEN hv // {_HLL_M} = 0 THEN {_HLL_SCALE}
+                      ELSE {_HLL_W} - length(bin(hv // {_HLL_M})) + 1
+                 END) AS rho
+      FROM h GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT priority,
+             CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_SCALE} - rho)) AS BIGINT)
+               AS s_present,
+             CAST({_HLL_M} - COUNT(*) AS BIGINT) AS empty_buckets
+      FROM r GROUP BY priority
+    ),
+    est AS (
+      SELECT priority, empty_buckets,
+             {numer} / CAST(s_present
+                 + empty_buckets * (CAST(1 AS BIGINT) << {_HLL_SCALE})
+               AS DOUBLE) AS raw
+      FROM agg
+    ),
+    ex AS (
+      SELECT o_orderpriority AS priority,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact
+      FROM orders GROUP BY 1
+    )
+    SELECT e.priority, e.empty_buckets,
+           ROUND(CASE WHEN e.raw <= {2.5 * _HLL_M} AND e.empty_buckets > 0
+                      THEN {float(_HLL_M)!r}
+                           * ln({float(_HLL_M)!r} / CAST(e.empty_buckets AS DOUBLE))
+                      ELSE e.raw END, 4) AS hll_estimate,
+           ex.n_exact
+    FROM est e JOIN ex ON ex.priority = e.priority
+    """
+
+
+_oracle_registry["sketch_hll_distinct"] = _hll_oracle()

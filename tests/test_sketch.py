@@ -88,3 +88,68 @@ def test_bernoulli_sample_quantile_close(spark, sf_dir):
         F.expr("percentile(o_totalprice, 0.9) - percentile(o_totalprice, 0.1)")
     ).collect()[0][0]
     assert abs(approx - exact) < 0.2 * spread
+
+
+class TestHyperLogLog:
+    """Native HLL (r13): deterministic registers, exact MAX-merge
+    identity, accuracy within the published error envelope."""
+
+    def _regs(self, spark, rows, b=8):
+        from database_replicator_spark.operators.sketch import hll_registers
+
+        df = spark.createDataFrame(rows, "g string, v long")
+        return hll_registers(df, ["g"], "v", b=b)
+
+    def test_merge_identity_is_exact(self, spark):
+        """sketch(A ∪ B) == merge(sketch(A), sketch(B)) — bit-identical
+        rows, the house sketch rule (MAX-merge is idempotent too)."""
+        from database_replicator_spark.operators.sketch import (
+            hll_merge,
+            hll_registers,
+        )
+
+        rows_a = [("g1", i) for i in range(0, 400)]
+        rows_b = [("g1", i) for i in range(300, 700)]  # overlap 300-399
+        both = self._regs(spark, rows_a + rows_b)
+        merged = hll_merge(
+            [self._regs(spark, rows_a), self._regs(spark, rows_b)], ["g"]
+        )
+        key = lambda r: (r["g"], r["bucket"], r["rho"])
+        assert sorted(map(key, both.collect())) == sorted(
+            map(key, merged.collect())
+        )
+        # idempotent: merging a shipment twice changes nothing
+        twice = hll_merge([merged, self._regs(spark, rows_b)], ["g"])
+        assert sorted(map(key, twice.collect())) == sorted(
+            map(key, merged.collect())
+        )
+
+    def test_estimate_within_error_envelope(self, spark):
+        from database_replicator_spark.operators.sketch import hll_estimate
+
+        n = 5000
+        regs = self._regs(spark, [("g1", i * 7 + 1) for i in range(n)])
+        (row,) = hll_estimate(regs, ["g"], b=8).collect()
+        # 1.04/sqrt(256) ≈ 6.5% std error; allow 4 sigma
+        assert abs(row["hll_estimate"] - n) / n < 0.26
+
+    def test_small_range_linear_counting(self, spark):
+        from database_replicator_spark.operators.sketch import hll_estimate
+
+        n = 40  # far below 2.5m — the ln(m/V) branch
+        regs = self._regs(spark, [("g1", i) for i in range(n)])
+        (row,) = hll_estimate(regs, ["g"], b=8).collect()
+        assert row["empty_buckets"] > 0
+        # linear counting is near-exact at this occupancy
+        assert abs(row["hll_estimate"] - n) / n < 0.1
+
+    def test_groups_are_independent(self, spark):
+        from database_replicator_spark.operators.sketch import hll_estimate
+
+        rows = [("a", i) for i in range(100)] + [("b", i) for i in range(2000)]
+        est = {
+            r["g"]: r["hll_estimate"]
+            for r in hll_estimate(self._regs(spark, rows), ["g"], b=8).collect()
+        }
+        assert abs(est["a"] - 100) / 100 < 0.15
+        assert abs(est["b"] - 2000) / 2000 < 0.26

@@ -1101,14 +1101,161 @@ def probe_r12_ops(spark, path: str, work_root: str) -> dict[str, float]:
     return out
 
 
+def probe_r13_ops(spark, path: str) -> dict[str, float]:
+    """Round-13 tier: the FENCED containment candidate path (prefix-
+    filtered postings join → exact pair-local verify — the r12 verdict's
+    required probe for the one candidate generator that had no scale
+    row), the hybrid chunk-RAG fusion build (BM25 + hashed-feature dense
+    + RRF + maxP), and the partial-row-image merge fold. Copies share no
+    vocabulary, so candidate pairs grow linearly by construction."""
+    from pyspark.sql import Window, functions as F
+
+    docs = spark.read.parquet(path)
+
+    def mat(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    def timed(fn):
+        m0, d0 = spill_snapshot(spark)
+        t0 = time.perf_counter()
+        fn()
+        spark.catalog.clearCache()
+        elapsed = time.perf_counter() - t0
+        m1, d1 = spill_snapshot(spark)
+        return {"s": elapsed, "spill_mb": ((m1 - m0) + (d1 - d0)) / 1048576.0}
+
+    out = {}
+
+    def containment_prefix_pairs():
+        from database_replicator_spark.operators.dedup import (
+            containment_pairs,
+            doc_shingles,
+            postings_candidates,
+        )
+
+        sh = doc_shingles(docs)
+        cand = postings_candidates(sh, threshold=0.6)
+        mat(containment_pairs(sh, candidates=cand, threshold=0.6))
+
+    def hybrid_fusion_build():
+        from database_replicator_spark.operators.corpus import chunk_long_docs
+        from database_replicator_spark.operators.retrieval import (
+            bm25_scores,
+            rrf_fuse,
+        )
+        from database_replicator_spark.queries_r13 import _hashed_feats
+
+        chunks = chunk_long_docs(docs, budget=64, overlap=16).select(
+            (F.col("doc_id") * 4096 + F.col("chunk_id")).alias("chunk_key"),
+            F.col("doc_id").alias("parent"),
+            "chunk_id",
+            "chunk_text",
+        )
+        qdf = spark.createDataFrame(
+            [(0, "c0_dup"), (0, "c0_merge"), (1, "c0_spark"),
+             (1, "c0_window"), (2, "c0_vector"), (2, "c0_stream")],
+            "query_id long, term string",
+        )
+        scores = bm25_scores(
+            chunks, qdf, id_col="chunk_key", text_col="chunk_text"
+        ).select("query_id", F.col("doc_id").alias("chunk_key"),
+                 "score_units")
+        w_lex = Window.partitionBy("query_id").orderBy(
+            F.col("score_units").desc(), F.col("chunk_key").asc()
+        )
+        lex = (
+            scores.withColumn("rank", F.row_number().over(w_lex))
+            .filter(F.col("rank") <= 50)
+            .select("query_id", F.col("chunk_key").alias("doc_id"), "rank")
+        )
+        cfeat = _hashed_feats(
+            chunks, "chunk_key", "chunk_text"
+        ).withColumnRenamed("w", "cw")
+        qtext = qdf.groupBy("query_id").agg(
+            F.concat_ws(" ", F.collect_list("term")).alias("qtext")
+        )
+        qfeat = _hashed_feats(qtext, "query_id", "qtext").withColumnRenamed(
+            "w", "qw"
+        )
+        dots = (
+            cfeat.join(F.broadcast(qfeat), on="bucket")
+            .groupBy("query_id", "chunk_key")
+            .agg(F.sum(F.col("cw") * F.col("qw")).alias("dot_units"))
+            .filter(F.col("dot_units") != 0)
+        )
+        w_den = Window.partitionBy("query_id").orderBy(
+            F.col("dot_units").desc(), F.col("chunk_key").asc()
+        )
+        dense = (
+            dots.withColumn("rank", F.row_number().over(w_den))
+            .filter(F.col("rank") <= 50)
+            .select("query_id", F.col("chunk_key").alias("doc_id"), "rank")
+        )
+        fused = rrf_fuse(lex, dense, k=50, rrf_k=60)
+        w_best = Window.partitionBy("query_id", "parent").orderBy(
+            F.col("rrf_score").desc(), F.col("doc_id").asc()
+        )
+        mat(
+            fused.withColumn("parent", F.expr("doc_id DIV 4096"))
+            .withColumn("_rn", F.row_number().over(w_best))
+            .filter(F.col("_rn") == 1)
+        )
+
+    def toast_merge_fold():
+        from database_replicator_spark.operators.latest import (
+            merged_latest_by_key,
+        )
+
+        # 3 changes per doc: full-image insert then two partial updates
+        base = docs.select(
+            F.col("doc_id").cast("string").alias("pk"),
+            F.col("n_chars").cast("long").alias("v"),
+        )
+        ins = base.select(
+            "pk", F.lit(1).alias("change_id"), F.lit("insert").alias("op"),
+            F.concat(
+                F.lit('{"big":"'), F.col("pk"), F.lit('","v":"'),
+                F.col("v").cast("string"), F.lit('"}'),
+            ).alias("payload"),
+        )
+        up1 = base.select(
+            "pk", F.lit(2).alias("change_id"), F.lit("update").alias("op"),
+            F.concat(
+                F.lit('{"v":"'), (F.col("v") + 1).cast("string"), F.lit('"}')
+            ).alias("payload"),
+        )
+        up2 = base.select(
+            "pk", F.lit(3).alias("change_id"), F.lit("update").alias("op"),
+            F.concat(
+                F.lit('{"w":"'), (F.col("v") + 2).cast("string"), F.lit('"}')
+            ).alias("payload"),
+        )
+        changes = ins.unionByName(up1).unionByName(up2)
+        mat(merged_latest_by_key(changes, ["pk"], "change_id"))
+
+    for name, fn in [
+        ("containment_prefix_pairs", containment_prefix_pairs),
+        ("hybrid_fusion_build", hybrid_fusion_build),
+        ("toast_merge_fold", toast_merge_fold),
+    ]:
+        fn()  # warm (codegen + python workers)
+        r1, r2 = timed(fn), timed(fn)
+        best = r1 if r1["s"] <= r2["s"] else r2
+        out[name] = {
+            "s": round(best["s"], 3),
+            "spill_mb": round(r1["spill_mb"], 1),
+        }
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/scale_probe")
     ap.add_argument(
         "--only",
-        default="docs,emb,graph,r10,r11,r12",
-        help="comma list of probe families to run: docs, emb, graph, r10, r11, r12",
+        default="docs,emb,graph,r10,r11,r12,r13",
+        help="comma list of probe families to run: docs, emb, graph, r10, r11, r12, r13",
     )
     args = ap.parse_args()
     fams = {f.strip() for f in args.only.split(",") if f.strip()}
@@ -1150,6 +1297,11 @@ def main() -> int:
             results[k].update(
                 probe_r12_ops(spark, p, os.path.join(args.out, f"work_x{k}"))
             )
+    if "r13" in fams:
+        if paths is None:
+            paths = synthesize(spark, args.sf_dir, args.out)
+        for k, p in paths.items():
+            results[k].update(probe_r13_ops(spark, p))
 
     ops = list(results[MULTIPLES[0]])
     print(
