@@ -11,10 +11,10 @@
   'u' columns are decoded (key-absence = keep stored value) and folded
   by the partial-row-image merge; the oracle re-derives every final
   image from the event log independently (verdict ask #3).
-* ``corpus_leakage_safe_split`` — cluster-aware dataset split: the
-  split draw keys on the near-dup CLUSTER id, not the doc id, so
-  near-duplicate documents can never straddle train/test (the
-  eval-leakage guard every corpus build needs).
+* ``sketch_hll_distinct`` — native HyperLogLog: the industry-standard
+  mergeable distinct sketch (registers, exact MAX-merge, integer-scaled
+  harmonic estimator), per-shard build MAX-merged then estimated
+  against a DuckDB oracle computing identical register math.
 
 House determinism rules per queries.py: integer fixed-point scores,
 rounded-double ranking keys with integer id tiebreaks, identical
@@ -28,7 +28,6 @@ from pyspark.sql import functions as F
 
 from .oracle_sql_fragments import _BM25_QUERIES, _bm25_score_ctes
 from .queries import query
-from .queries_pipeline import _H60, _split_case_sql, _SPLIT_FRACTIONS
 from .queries_r12 import _RAG_DOC_K, _RAG_KEY_SPAN
 from .sources.catalog import load_table
 
@@ -479,94 +478,9 @@ def cdc_toast_merge_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# corpus_leakage_safe_split — cluster-aware dataset split: the split
-# draw keys on the near-dup cluster id (the dedup_components labeling),
-# never the doc id, so two near-duplicate documents cannot land in
-# different splits — the train/test leakage guard. Pure composition of
-# two gated operators (connected_components + dataset_split with
-# id_col="cluster_id"); the oracle chains the recursive-CTE CC with the
-# same hash-threshold split arms.
-# ---------------------------------------------------------------------------
-_LEAK_SPLIT_SEED = 131
-
-
-@query(
-    "corpus_leakage_safe_split",
-    oracle=None,  # assembled below (reuses the verified-pairs fragment)
-)
-def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, cluster_id, cluster_size, split) with the split a pure
-    function of (seed, CLUSTER id): every member of a near-dup cluster
-    shares its split by construction — the leakage-safe variant of
-    corpus_split. Same LSH→verify→CC chain as dedup_components; the
-    split stage is map-only on top."""
-    from .operators.corpus import connected_components
-    from .operators.corpus import dataset_split
-    from .operators.dedup import (
-        doc_shingles,
-        jaccard_pairs,
-        lsh_candidate_pairs,
-        minhash_signatures,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    sh = doc_shingles(docs)
-    sig = minhash_signatures(sh, num_hashes=12).cache()
-    cand = lsh_candidate_pairs(sig)
-    pairs = jaccard_pairs(sh, candidates=cand, threshold=0.2)
-    comp = connected_components(
-        docs.select("doc_id"),
-        pairs,
-        id_col="doc_id",
-        src_col="doc1",
-        dst_col="doc2",
-    )
-    sig.unpersist()
-    sized = comp.select(
-        F.col("node").alias("doc_id"), "cluster_id"
-    ).withColumn(
-        "cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
-    )
-    return dataset_split(
-        sized, _SPLIT_FRACTIONS, id_col="cluster_id", seed=_LEAK_SPLIT_SEED
-    ).select("doc_id", "cluster_id", "cluster_size", "split")
-
-
-def _leakage_split_oracle() -> str:
-    from .queries_pipeline import _VERIFIED_PAIRS_SQL
-
-    return f"""
-    WITH RECURSIVE pairs AS ({_VERIFIED_PAIRS_SQL}),
-    edges AS (
-      SELECT doc1 AS src, doc2 AS dst FROM pairs
-      UNION ALL
-      SELECT doc2, doc1 FROM pairs
-    ),
-    reach AS (
-      SELECT doc_id AS node, doc_id AS m FROM documents
-      UNION
-      SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.m
-    ),
-    comp AS (
-      SELECT node AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY node
-    ),
-    keyed AS (
-      SELECT doc_id, cluster_id,
-             COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
-             {_H60.format(expr=f"'{_LEAK_SPLIT_SEED}:' || CAST(cluster_id AS VARCHAR)")}
-               AS split_key
-      FROM comp
-    )
-    SELECT doc_id, cluster_id, cluster_size, {_split_case_sql()} AS split
-    FROM keyed
-    """
-
-
 from .queries import _ORACLES as _oracle_registry  # noqa: E402
 
 _oracle_registry["rag_hybrid_fusion_topk"] = _hybrid_oracle()
-_oracle_registry["corpus_leakage_safe_split"] = _leakage_split_oracle()
 
 
 # ---------------------------------------------------------------------------

@@ -35,6 +35,18 @@ def build_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE can only coalesce DOWN from the initial partition count, so
+        # the ceiling must be sized for the LARGEST shuffle, not the
+        # typical one: with the ceiling at 32, a 16x-scale shuffle is
+        # forced through ~400 MB partitions and spills (measured 12 GiB
+        # on the r13 containment probe — 0 with 512); AQE's 64 MB
+        # advisory target still coalesces small shuffles to few
+        # partitions, so the floor cost is unchanged. On a real cluster
+        # this ceiling scales with executor count.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            "512",
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
