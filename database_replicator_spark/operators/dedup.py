@@ -333,6 +333,17 @@ def jaccard_pairs(
             F.col("sh_set").alias("set2"),
             F.col("n_shingles").alias("n2"),
         )
+        # join strategy note: the pair stream is thin (two longs) but
+        # once joined it carries the per-doc shingle ARRAYS — a
+        # sort-merge join would SORT those fat rows for the second join,
+        # and that sort is what spills at scale (measured 12 GiB at the
+        # 16x probe leg). The session therefore prefers shuffle-hash
+        # over sort-merge (session.py preferSortMergeJoin=false): small
+        # sets still broadcast, large sets hash-build per partition
+        # (|docs|/N rows, kept in memory by AQE partition sizing), and
+        # no fat-row sort ever happens. An explicit shuffle_hash hint
+        # here would override the small-scale BROADCAST too (+4 s per
+        # gate, measured) — the conf leaves broadcast intact.
         co = (
             cand.join(s1, on="doc1")
             .join(s2, on="doc2")

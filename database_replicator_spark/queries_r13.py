@@ -589,3 +589,98 @@ def _hll_oracle() -> str:
 
 
 _oracle_registry["sketch_hll_distinct"] = _hll_oracle()
+
+
+# ---------------------------------------------------------------------------
+# dedup_containment_capped — the df_cap backstop EXERCISED where it
+# bites (r12 verdict ask #1 "with the cap active"): candidate generation
+# drops shingles with df > cap from BOTH join sides (the hard fence for
+# adversarial boilerplate), the verifier still intersects FULL sets, and
+# the oracle mirrors the whole capped generation — rare-first prefix
+# ranks, the cap, the prefix×postings join — in SQL, so a fence that
+# silently widened or narrowed the candidate set breaks the hash. At the
+# gate scales max df ≈ 25, so cap=12 genuinely drops the head (the
+# uncapped sibling gate dedup_containment_pairs pins the lossless path).
+# ---------------------------------------------------------------------------
+_CONT_CAP_THRESHOLD = 0.6
+_CONT_DF_CAP = 12
+
+
+@query(
+    "dedup_containment_capped",
+    oracle=None,  # assembled below
+)
+def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment ≥ {t} pairs under the df_cap={cap} candidate fence:
+    (doc1, doc2, inter, n1, n2, containment_permille) where candidates
+    may only arise from shingles with 2 ≤ df ≤ {cap} (hot head dropped,
+    logged) but inter/|A|/|B| stay exact full-set values for every
+    emitted pair — the documented accounting contract of
+    operators/dedup.postings_candidates."""
+    from .operators.dedup import (
+        containment_pairs,
+        doc_shingles,
+        postings_candidates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs)
+    cand = postings_candidates(
+        sh, threshold=_CONT_CAP_THRESHOLD, df_cap=_CONT_DF_CAP
+    )
+    return containment_pairs(
+        sh, candidates=cand, threshold=_CONT_CAP_THRESHOLD
+    ).select("doc1", "doc2", "inter", "n1", "n2", "containment_permille")
+
+
+def _containment_capped_oracle() -> str:
+    from .queries_llm import _SHINGLES_CTE
+
+    t = _CONT_CAP_THRESHOLD
+    cap = _CONT_DF_CAP
+    return f"""
+    WITH {_SHINGLES_CTE.strip()},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    dfreq AS (
+      SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle
+      HAVING COUNT(*) >= 2 AND COUNT(*) <= {cap}
+    ),
+    posts AS (
+      SELECT sh.doc_id, sh.shingle, d.df
+      FROM sh JOIN dfreq d USING (shingle)
+    ),
+    pranked AS (
+      SELECT doc_id, shingle,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY df ASC, shingle ASC) AS rk
+      FROM posts
+    ),
+    prefix AS (
+      SELECT p.doc_id, p.shingle
+      FROM pranked p JOIN sizes s USING (doc_id)
+      WHERE p.rk <= s.n - CEIL(CAST({t} AS DOUBLE) * s.n) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT LEAST(p.doc_id, f.doc_id) AS doc1,
+             GREATEST(p.doc_id, f.doc_id) AS doc2
+      FROM prefix p JOIN posts f USING (shingle)
+      WHERE p.doc_id != f.doc_id
+    ),
+    co AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT co.doc1, co.doc2, CAST(co.inter AS BIGINT) AS inter,
+           CAST(s1.n AS BIGINT) AS n1, CAST(s2.n AS BIGINT) AS n2,
+           CAST(co.inter * 1000 // least(s1.n, s2.n) AS BIGINT)
+             AS containment_permille
+    FROM co
+    JOIN cand ON cand.doc1 = co.doc1 AND cand.doc2 = co.doc2
+    JOIN sizes s1 ON s1.doc_id = co.doc1
+    JOIN sizes s2 ON s2.doc_id = co.doc2
+    WHERE co.inter * 1000 >= {int(_CONT_CAP_THRESHOLD * 1000)} * least(s1.n, s2.n)
+    """
+
+
+_oracle_registry["dedup_containment_capped"] = _containment_capped_oracle()

@@ -48,6 +48,14 @@ def build_session(
             "512",
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Prefer shuffle-hash over sort-merge when a build side fits the
+        # per-partition hash map: the engine's heavy joins stream THIN
+        # keyed rows against doc-grain relations carrying fat array
+        # payloads (shingle sets, signatures), and SMJ's sort of the fat
+        # side is what spills at scale (12 GiB on the 16x containment
+        # probe leg; 0 with SHJ). Broadcast still wins under the 64 MB
+        # threshold; AQE skew-join still splits skewed SHJ partitions.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")

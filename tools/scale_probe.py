@@ -1116,11 +1116,21 @@ def probe_r13_ops(spark, path: str) -> dict[str, float]:
         df.write.format("noop").mode("overwrite").save()
 
     def timed(fn):
+        # measurement hygiene (r13): force a driver GC so Spark's
+        # ContextCleaner releases broadcasts/cache blocks left by prior
+        # legs, and let the UI metrics settle so the warm run's
+        # late-finalizing stages don't land inside this delta
+        import gc as _gc
+
+        _gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(2)
         m0, d0 = spill_snapshot(spark)
         t0 = time.perf_counter()
         fn()
         spark.catalog.clearCache()
         elapsed = time.perf_counter() - t0
+        time.sleep(1)
         m1, d1 = spill_snapshot(spark)
         return {"s": elapsed, "spill_mb": ((m1 - m0) + (d1 - d0)) / 1048576.0}
 
