@@ -27,6 +27,17 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+# Defined BEFORE the .queries import: queries.py imports queries_r13,
+# which reads these two constants — placing them first keeps them
+# available even when this module is the import-cycle entry point
+# (queries_r12 → .queries → queries_r13 → queries_r12 partially
+# initialized).
+_RAG_DOC_K = 5
+#: chunk_key = doc_id·4096 + chunk_id — collision-free while a doc has
+#: <4096 chunks (needs >196k tokens at step 48; the quality tier caps
+#: docs at 50k tokens long before that)
+_RAG_KEY_SPAN = 4096
+
 from .queries import query
 from .queries_llm import (
     _CAPPED_CTE,
@@ -607,12 +618,9 @@ def webdataset_reshard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # each stage is individually gated (doc_chunk_windows, doc_bm25_topk) —
 # this gate pins that they compose over a DERIVED relation, not just the
 # base table.
+# (_RAG_DOC_K / _RAG_KEY_SPAN are defined at the top of this module,
+# above the .queries import — see the import-cycle note there.)
 # ---------------------------------------------------------------------------
-_RAG_DOC_K = 5
-#: chunk_key = doc_id·4096 + chunk_id — collision-free while a doc has
-#: <4096 chunks (needs >196k tokens at step 48; the quality tier caps
-#: docs at 50k tokens long before that)
-_RAG_KEY_SPAN = 4096
 
 
 @query(

@@ -28,8 +28,13 @@ from pyspark.sql import functions as F
 
 from .oracle_sql_fragments import _BM25_QUERIES, _bm25_score_ctes
 from .queries import query
-from .queries_r12 import _RAG_DOC_K, _RAG_KEY_SPAN
 from .sources.catalog import load_table
+
+# NOTE: _RAG_DOC_K / _RAG_KEY_SPAN come from queries_r12 but are imported
+# lazily inside the functions that use them (house style for cross-module
+# constants): a module-level import here is circular when queries_r12 is
+# imported first (queries_r12 → .queries → queries_r13 → queries_r12
+# partially initialized).
 
 # ---------------------------------------------------------------------------
 # rag_hybrid_fusion_topk — chunk → {BM25, dense} → RRF → maxP, composed.
@@ -55,6 +60,7 @@ def _chunk_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk_key = doc_id·{span} + chunk_id."""
     from .operators.corpus import chunk_long_docs
     from .queries_pipeline import _CHUNK_BUDGET, _CHUNK_OVERLAP
+    from .queries_r12 import _RAG_KEY_SPAN
 
     docs = load_table(spark, sf_dir, "documents")
     return chunk_long_docs(
@@ -112,6 +118,7 @@ def rag_hybrid_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (query, chunk) aggregate; fusion and maxP run over O(queries·k)
     rows. No Python, no driver collect."""
     from .operators.retrieval import bm25_scores, rrf_fuse
+    from .queries_r12 import _RAG_DOC_K, _RAG_KEY_SPAN
 
     chunks = _chunk_relation(spark, sf_dir).cache()
     qdf = spark.createDataFrame(_BM25_QUERIES, "query_id long, term string")
@@ -195,6 +202,7 @@ def rag_hybrid_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _hybrid_oracle() -> str:
     from .queries_llm import _TOKS_SQL
     from .queries_pipeline import _CHUNK_BUDGET, _CHUNK_STEP
+    from .queries_r12 import _RAG_DOC_K, _RAG_KEY_SPAN
 
     qrows = ", ".join(
         f"({qid}, '{term}', -1)" for qid, term in _BM25_QUERIES
