@@ -90,8 +90,9 @@ def connected_components(
     ``spark.sparkContext.setCheckpointDir`` at durable storage and swap
     in ``checkpoint()`` for fault-tolerant lineage cuts.
     """
-    # Materialize the edge list BEFORE the symmetric union: the union's
-    # two branches embed the caller's full pair pipeline as two separate
+    # Materialize the edge list BEFORE anything consumes it twice: the
+    # symmetric union's two branches (and the fast-path probe below)
+    # would otherwise embed the caller's full pair pipeline as separate
     # subtrees, and ReuseExchange only dedupes up to the last exchange —
     # the post-exchange stages (candidate joins, set intersections) ran
     # twice. One O(edges) checkpoint collapses that to a single
@@ -99,58 +100,79 @@ def connected_components(
     edges = pairs.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).localCheckpoint()
-    sym = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().localCheckpoint()
-
-    endpoints = sym.select(F.col("src").alias("node")).distinct().localCheckpoint()
     all_nodes = nodes.select(F.col(id_col).alias("node"))
 
     # Small-graph fast path: near-dup graphs are usually a sliver of the
     # corpus, and the iterative loop pays 4+ scheduled jobs PER ROUND —
-    # pure round-trip latency when the edge set fits on the driver. Count
-    # the (already materialized) symmetric edge list; under the cap, run
-    # min-root union-find driver-side — label = min reachable id, exactly
-    # the loop's fixpoint, so the two paths are output-identical (tested)
-    # and the oracle never sees which one ran. The cap bounds driver
-    # memory (200k edge rows ≈ a few MB); above it, or with the cap set
-    # to 0, the distributed loop below is the path — THAT is the 100 TB
-    # story, the fast path is the toy-to-mid-scale latency win.
-    if driver_path_max_edges and sym.count() <= driver_path_max_edges:
-        parent: dict = {}
+    # pure round-trip latency when the edge set fits on the driver. Probe
+    # with one LIMIT-cap-plus-one collect against the already
+    # materialized edge list: if every raw edge came back, run min-root
+    # union-find driver-side — label = min reachable id, exactly the
+    # loop's fixpoint, so the two paths are output-identical (tested) and
+    # the oracle never sees which one ran. Symmetrization and
+    # deduplication are free inside union-find, so the fast path never
+    # builds the distributed ``sym``/``endpoints`` frames at all — the
+    # whole probe+solve is 2 scheduled jobs (checkpoint + collect),
+    # down from 6 (sym distinct, endpoints distinct, count, 2 collects)
+    # in the earlier shape; at ~0.2 s of scheduler latency per tiny job
+    # that is most of the operator's small-scale cost. The cap bounds
+    # driver memory (200k raw edge rows ≈ a few MB); above it, or with
+    # the cap set to 0, the distributed loop below is the path — THAT is
+    # the 100 TB story, the fast path is the toy-to-mid-scale latency
+    # win.
+    if driver_path_max_edges:
+        probe = edges.limit(driver_path_max_edges + 1).collect()
+        if len(probe) <= driver_path_max_edges:
+            parent: dict = {}
 
-        def find(x):
-            r = x
-            while parent.get(r, r) != r:
-                r = parent[r]
-            while parent.get(x, x) != x:  # path compression
-                parent[x], x = r, parent[x]
-            return r
+            def find(x):
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
 
-        for row in sym.collect():
-            a, b = find(row["src"]), find(row["dst"])
-            if a != b:
-                # union by MIN id keeps the label = component minimum
-                lo, hi = (a, b) if a < b else (b, a)
-                parent[hi] = lo
-        import pandas as pd
+            for row in probe:
+                a, b = find(row["src"]), find(row["dst"])
+                if a != b:
+                    # union by MIN id keeps the label = component minimum
+                    lo, hi = (a, b) if a < b else (b, a)
+                    parent[hi] = lo
+            ep_rows = sorted(
+                {row["src"] for row in probe} | {row["dst"] for row in probe}
+            )
+            import pandas as pd
 
-        ep_rows = [r["node"] for r in endpoints.collect()]
-        spark = nodes.sparkSession
-        # pandas → Arrow ingestion: ~10× cheaper than a Python tuple list
-        # at the cap boundary (hundreds of thousands of endpoint rows)
-        labeled = spark.createDataFrame(
-            pd.DataFrame(
-                {"node": ep_rows, "cluster_id": [find(n) for n in ep_rows]}
-            ),
-            schema=endpoints.select(
-                "node", F.col("node").alias("cluster_id")
-            ).schema,
-        )
-        singles = all_nodes.join(endpoints, on="node", how="left_anti").select(
-            "node", F.col("node").alias("cluster_id")
-        )
-        return labeled.unionByName(singles)
+            spark = nodes.sparkSession
+            node_schema = edges.select(
+                F.col("src").alias("node"),
+                F.col("src").alias("cluster_id"),
+            ).schema
+            # pandas → Arrow ingestion: ~10× cheaper than a Python tuple
+            # list at the cap boundary (hundreds of thousands of rows)
+            labeled = spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "node": ep_rows,
+                        "cluster_id": [find(n) for n in ep_rows],
+                    }
+                ),
+                schema=node_schema,
+            )
+            endpoint_ids = spark.createDataFrame(
+                pd.DataFrame({"node": ep_rows}),
+                schema=labeled.select("node").schema,
+            )
+            singles = all_nodes.join(
+                endpoint_ids, on="node", how="left_anti"
+            ).select("node", F.col("node").alias("cluster_id"))
+            return labeled.unionByName(singles)
+
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint()
+    endpoints = sym.select(F.col("src").alias("node")).distinct().localCheckpoint()
     singletons = all_nodes.join(endpoints, on="node", how="left_anti").select(
         "node", F.col("node").alias("label")
     )

@@ -86,7 +86,15 @@ def term_stats(
     paid once instead of per ranker."""
     toks = doc_tokens(docs, id_col, text_col)
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # dl from tf, not from a second pass over the raw token explode:
+    # Σ_term tf(doc, term) IS the doc's token count, and aggregating the
+    # (doc, term) relation re-shuffles far fewer rows than re-running
+    # tokenize+explode over the corpus (the two-groupBys-over-toks form
+    # cannot share the explode — ReuseExchange only dedupes identical
+    # exchanges, and the two aggregates exchange on different keys).
+    # Callers that localCheckpoint tf additionally get dl for the cost
+    # of one node-sized aggregate over the checkpointed blocks.
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     return tf, dl
 
 

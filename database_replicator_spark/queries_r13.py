@@ -432,22 +432,24 @@ def cdc_toast_merge_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         enc.relation().begin(xid=1300 + shard)
         eids = []
-        for _, r in pdf.iterrows():
-            uid = str(int(r["user_id"]))
-            eid = int(r["event_id"])
+        # itertuples, not iterrows — see cdc_pgoutput_decode: iterrows
+        # builds a Series per row and dominates the per-row loop cost
+        for r in pdf.itertuples(index=False):
+            uid = str(int(r.user_id))
+            eid = int(r.event_id)
             val = (
                 None
-                if r["value"] is None
-                or (isinstance(r["value"], float) and math.isnan(r["value"]))
-                else repr(float(r["value"]))
+                if r.value is None
+                or (isinstance(r.value, float) and math.isnan(r.value))
+                else repr(float(r.value))
             )
-            if r["event_type"] == "signup":
-                enc.insert([uid, r["event_type"], val, f"blob-{uid}-{eid}"])
-            elif r["event_type"] == "purchase":
+            if r.event_type == "signup":
+                enc.insert([uid, r.event_type, val, f"blob-{uid}-{eid}"])
+            elif r.event_type == "purchase":
                 enc.delete([uid, None, None, None])
             else:
                 enc.update(
-                    [uid, r["event_type"], val, UNCHANGED_TOAST],
+                    [uid, r.event_type, val, UNCHANGED_TOAST],
                     old_key=[uid, None, None, None],
                 )
             eids.append(eid)

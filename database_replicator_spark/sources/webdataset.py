@@ -105,15 +105,18 @@ def write_tar_shards(
             path = os.path.join(out_dir, f"shard-{int(shard):05d}.tar")
             tmp = path + ".stage"
             with tarfile.open(tmp, "w") as tf:
-                for _, r in grp.iterrows():
-                    key = str(int(r["id"]))
+                # itertuples, not iterrows: iterrows builds a Series per
+                # row; with large binary payloads the per-row overhead is
+                # pure waste next to the tar byte copy
+                for r in grp.itertuples(index=False):
+                    key = str(int(r.id))
                     # to_json(null struct) is None — normalize to "{}" so
                     # null-meta rows still write a .json member and
                     # round-trip instead of AttributeError on .encode()
-                    meta_json = r["meta_json"] or "{}"
+                    meta_json = r.meta_json or "{}"
                     meta = json.loads(meta_json)
                     ext = _EXT.get(meta.get("mime"), "bin")
-                    payload = bytes(r["payload"])
+                    payload = bytes(r.payload)
                     for name, body in (
                         (f"{key}.{ext}", payload),
                         (f"{key}.json", meta_json.encode()),

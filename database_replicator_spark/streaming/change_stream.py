@@ -235,8 +235,7 @@ class ChangeApplier:
            per-table high-water mark, which is exact because change_id is
            monotone per table (queue.rs:8-28 AUTOINCREMENT)."""
         spark = batch.sparkSession
-        if batch.isEmpty():
-            return
+        raw = batch
         # explicit op routing: anything outside the change vocabulary is
         # dropped rather than silently upserted (the reference's per-op
         # grouping has the same effect — unknown ops never match a route)
@@ -246,6 +245,31 @@ class ChangeApplier:
             .cache()
         )
         try:
+            # Empty-epoch probe folded into the first real job: in the
+            # bucketed-parquet mode the (table, bucket) metadata collect
+            # below doubles as the emptiness check, so the common path
+            # never pays a separate isEmpty() job per epoch (per-epoch
+            # fixed job count bounds consumer throughput on small
+            # batches). The raw-batch isEmpty() runs only in the rare
+            # all-rows-filtered case, preserving the exact prior
+            # behavior: a truly empty epoch returns with NO side
+            # effects; a nonempty epoch whose ops are all invalid still
+            # writes its (empty) log partition and rolls the state
+            # forward.
+            touched_pairs = None
+            if self.mode == "append_deduped" and self.storage != "delta":
+                bucket = F.pmod(
+                    F.hash(F.col("pk")), F.lit(self.n_buckets)
+                )
+                touched_pairs = (
+                    batch.select("table", bucket.alias("bucket"))
+                    .distinct()
+                    .collect()
+                )
+                if not touched_pairs and raw.isEmpty():
+                    return
+            elif raw.isEmpty():
+                return
             from ..util import (
                 bucketed_exists,
                 parquet_exists,
@@ -289,16 +313,10 @@ class ChangeApplier:
             elif self.mode == "append_deduped":
                 from ..operators.latest import latest_by_key
 
-                bucket = F.pmod(F.hash(F.col("pk")), F.lit(self.n_buckets))
                 # ONE metadata collect per epoch: (table, touched bucket)
-                # pairs together, instead of a tables job plus a
-                # buckets-per-table job — per-epoch fixed job count is
-                # what bounds consumer throughput on small batches
-                pairs = (
-                    batch.select("table", bucket.alias("bucket"))
-                    .distinct()
-                    .collect()
-                )
+                # pairs together — already computed above, where it also
+                # served as the emptiness probe
+                pairs = touched_pairs
                 touched_by_table: dict[str, list[int]] = {}
                 for r in pairs:
                     touched_by_table.setdefault(r["table"], []).append(
@@ -713,9 +731,19 @@ def replay_change_log(
     )
     stream.awaitTermination()
 
-    tables = [r["table"] for r in changes.select("table").distinct().collect()]
+    # Table inventory from the APPLIED target layout, not a
+    # distinct-collect over ``changes``: the input is often a derived
+    # pipeline, and re-running it for a table list was one full extra
+    # Spark job per replay. The applier creates exactly one
+    # ``<table>_latest`` directory per table with ≥1 valid-op change —
+    # the same set a distinct over the (op-filtered) log yields.
+    tables = sorted(
+        d[: -len("_latest")]
+        for d in os.listdir(target)
+        if d.endswith("_latest")
+    )
     latest = None
-    for tbl in sorted(tables):
+    for tbl in tables:
         path = os.path.join(target, f"{tbl}_latest")
         part = (
             spark.read.option("basePath", path)
