@@ -269,6 +269,13 @@ def lsh_incremental_candidates(
     )
 
 
+#: caches marked by the PREVIOUS jaccard_pairs call, unpersisted on the
+#: next call — candidate-bounded but they accumulated across gate calls
+#: in long-lived sessions (same leak class as the r12 e2e advice item);
+#: nothing is shared across calls, each invocation recomputes fully.
+_JP_CACHED: list[DataFrame] = []
+
+
 def jaccard_pairs(
     shingled: DataFrame,
     candidates: DataFrame | None = None,
@@ -292,6 +299,11 @@ def jaccard_pairs(
     their own stages, and a measured cache write+read of the full shingle
     set costs more than one extra fused recompute. At scale, materialize
     shingles once as a parquet/Delta stage instead."""
+    while _JP_CACHED:
+        try:
+            _JP_CACHED.pop().unpersist(blocking=False)
+        except Exception:  # noqa: BLE001 — stopped context, already gone
+            pass
     if candidates is not None:
         # Candidates prune BEFORE the quadratic work, and the intersection
         # is computed PAIR-LOCALLY: the shingle table is semi-joined down
@@ -310,6 +322,7 @@ def jaccard_pairs(
         # replays once per consumer. Both are candidate-bounded, far
         # below corpus size.
         cand = candidates.select("doc1", "doc2").cache()
+        _JP_CACHED.append(cand)
         # no .distinct() — left_semi ignores duplicate build-side keys, and
         # skipping it saves a shuffle; cached cand's stats let the planner
         # broadcast the id list outright at candidate-bounded sizes
@@ -323,6 +336,7 @@ def jaccard_pairs(
             )
             .cache()
         )
+        _JP_CACHED.append(sets)
         s1 = sets.select(
             F.col("doc_id").alias("doc1"),
             F.col("sh_set").alias("set1"),
@@ -337,13 +351,14 @@ def jaccard_pairs(
         # once joined it carries the per-doc shingle ARRAYS — a
         # sort-merge join would SORT those fat rows for the second join,
         # and that sort is what spills at scale (measured 12 GiB at the
-        # 16x probe leg). The session therefore prefers shuffle-hash
-        # over sort-merge (session.py preferSortMergeJoin=false): small
-        # sets still broadcast, large sets hash-build per partition
-        # (|docs|/N rows, kept in memory by AQE partition sizing), and
-        # no fat-row sort ever happens. An explicit shuffle_hash hint
+        # 16x probe leg; 0 with shuffle-hash). The session therefore
+        # prefers shuffle-hash over sort-merge (session.py default,
+        # SPARK_GRAFT_PREFER_SHJ-overridable): small sets still
+        # broadcast, large sets hash-build per partition (|docs|/N
+        # rows, kept in memory by AQE partition sizing), and no
+        # fat-row sort ever happens. An explicit shuffle_hash hint
         # here would override the small-scale BROADCAST too (+4 s per
-        # gate, measured) — the conf leaves broadcast intact.
+        # gate, measured) — conf, not hint.
         co = (
             cand.join(s1, on="doc1")
             .join(s2, on="doc2")
@@ -365,6 +380,7 @@ def jaccard_pairs(
         return out.select("doc1", "doc2", "inter", "n1", "n2", "jaccard")
     else:
         shingled = shingled.cache()
+        _JP_CACHED.append(shingled)
         sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
         # Exact pruning for the all-pairs path: shingles with document
         # frequency 1 cannot co-occur, so drop them from the join inputs

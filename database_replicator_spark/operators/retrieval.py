@@ -94,8 +94,17 @@ def term_stats(
     # exchanges, and the two aggregates exchange on different keys).
     # Callers that localCheckpoint tf additionally get dl for the cost
     # of one node-sized aggregate over the checkpointed blocks.
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    dl = dl_from_tf(tf)
     return tf, dl
+
+
+def dl_from_tf(tf: DataFrame) -> DataFrame:
+    """Document lengths from the (doc_id, term, tf) relation — Σ_term tf
+    is the doc's token count. Callers that ``localCheckpoint`` tf should
+    derive dl FROM THE CHECKPOINTED tf with this helper (then checkpoint
+    dl too): the aggregate runs over the materialized blocks instead of
+    re-running tokenize+explode over the corpus."""
+    return tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
 
 
 def bm25_scores(
@@ -646,9 +655,15 @@ def bm25_prf_topk(
     bounded aggregate + window; pass 2 is another bm25_topk whose query
     vocabulary grew by ≤ fb_terms per query. The corpus-side term stats
     are built ONCE and shared by both passes (``stats=``)."""
-    tf, dl = stats if stats is not None else term_stats(docs, id_col, text_col)
-    tf = tf.localCheckpoint() if stats is None else tf
-    dl = dl.localCheckpoint() if stats is None else dl
+    if stats is None:
+        tf, _ = term_stats(docs, id_col, text_col)
+        # checkpoint tf, then derive dl from the MATERIALIZED blocks —
+        # checkpointing the original dl plan would re-run the corpus
+        # tokenize+explode a second time
+        tf = tf.localCheckpoint()
+        dl = dl_from_tf(tf).localCheckpoint()
+    else:
+        tf, dl = stats
     both = (tf, dl)
     qterms = query_terms.select(
         F.col("query_id").cast("bigint").alias("query_id"), "term"

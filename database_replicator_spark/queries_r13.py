@@ -53,7 +53,6 @@ _HYB_DIM = 16
 _HYB_RANK_K = 50
 _HYB_FUSED_K = 50
 
-
 def _chunk_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared chunk relation (same construction as
     rag_chunk_retrieval_topk): 64-token/16-overlap sliding windows,
@@ -117,15 +116,34 @@ def rag_hybrid_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sparse query features against the chunk features with one
     (query, chunk) aggregate; fusion and maxP run over O(queries·k)
     rows. No Python, no driver collect."""
-    from .operators.retrieval import bm25_scores, rrf_fuse
+    from .operators.retrieval import (
+        bm25_scores,
+        dl_from_tf,
+        rrf_fuse,
+        term_stats,
+    )
     from .queries_r12 import _RAG_DOC_K, _RAG_KEY_SPAN
 
-    chunks = _chunk_relation(spark, sf_dir).cache()
+    chunks = _chunk_relation(spark, sf_dir)
     qdf = spark.createDataFrame(_BM25_QUERIES, "query_id long, term string")
+
+    # ONE tokenize+explode of the chunk corpus (r13 plan measurement:
+    # caching the chunk relation still paid the window explode + token
+    # explode once per ranker). tf is checkpointed and feeds all three
+    # consumers — BM25 (via stats=), dl (Σ_term tf), and the dense
+    # hashed features, for which w(chunk, bucket) = Σ_tokens sign(tok)
+    # = Σ_terms tf·sign(term) since bucket and sign depend only on the
+    # term (chunk_text is space-joined normalized tokens, so tokens_expr
+    # and doc_tokens agree token for token — and the oracle's cfeat CTE
+    # reads the same toks relation as its tf). Identical integers.
+    tf, _ = term_stats(chunks, id_col="chunk_key", text_col="chunk_text")
+    tf = tf.localCheckpoint()
+    dl = dl_from_tf(tf).localCheckpoint()
 
     # lexical ranking (top-50 chunks per query)
     lex_scores = bm25_scores(
-        chunks, qdf, id_col="chunk_key", text_col="chunk_text"
+        chunks, qdf, id_col="chunk_key", text_col="chunk_text",
+        stats=(tf, dl),
     ).select("query_id", F.col("doc_id").alias("chunk_key"), "score_units")
     w_lex = Window.partitionBy("query_id").orderBy(
         F.col("score_units").desc(), F.col("chunk_key").asc()
@@ -136,9 +154,22 @@ def rag_hybrid_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("chunk_key").alias("doc_id"), "rank")
     )
 
-    # dense ranking: integer hashed-feature dot product (top-50)
-    cfeat = _hashed_feats(chunks, "chunk_key", "chunk_text").withColumnRenamed(
-        "w", "cw"
+    # dense ranking: integer hashed-feature dot product (top-50),
+    # derived from the checkpointed tf — no second corpus explode
+    from .functions.hashing import hash60, hash60_tail
+
+    cfeat = (
+        tf.select(
+            F.col("doc_id").alias("chunk_key"),
+            F.pmod(hash60(F.col("term")), F.lit(_HYB_DIM)).alias("bucket"),
+            (
+                (F.pmod(hash60_tail(F.col("term")), F.lit(2)) * 2 - 1)
+                * F.col("tf")
+            ).alias("w"),
+        )
+        .groupBy("chunk_key", "bucket")
+        .agg(F.sum("w").alias("cw"))
+        .filter(F.col("cw") != 0)
     )
     qtext = qdf.groupBy("query_id").agg(
         F.concat_ws(" ", F.collect_list("term")).alias("qtext")

@@ -452,8 +452,13 @@ def hybrid_rrf3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("query_id"), "term")
         .distinct()
     )
-    tf, dl = term_stats(docs)
-    shared = (tf.localCheckpoint(), dl.localCheckpoint())
+    from .operators.retrieval import dl_from_tf
+
+    tf, _ = term_stats(docs)
+    # dl from the CHECKPOINTED tf: re-checkpointing the original dl plan
+    # would tokenize+explode the corpus a second time
+    tf = tf.localCheckpoint()
+    shared = (tf, dl_from_tf(tf).localCheckpoint())
     lex = bm25_topk(
         docs, qterms, k=50, prefilter_buckets=8, exclude_self=True,
         stats=shared,

@@ -572,8 +572,13 @@ def hybrid_rrf_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qterms = spark.createDataFrame(
         _BM25_QUERIES, "query_id long, term string"
     )
-    tf, dl = term_stats(docs)
-    stats = (tf.localCheckpoint(), dl.localCheckpoint())
+    from .operators.retrieval import dl_from_tf
+
+    tf, _ = term_stats(docs)
+    # dl from the CHECKPOINTED tf: re-checkpointing the original dl plan
+    # would tokenize+explode the corpus a second time
+    tf = tf.localCheckpoint()
+    stats = (tf, dl_from_tf(tf).localCheckpoint())
     lex = bm25_topk(
         docs, qterms, k=50, prefilter_buckets=8, stats=stats
     ).select("query_id", "doc_id", "rank")

@@ -29,33 +29,40 @@ def build_session(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
+    # Scale-dependent knobs, env-parameterised (optimization-guide §2:
+    # partitioning must be scale-adaptive, not a constant tuned for one
+    # scale). Defaults are the LOCAL-bench values; the 16x scale probes
+    # (tools/scale_probe.py) raise the AQE ceiling.
+    #
+    # - AQE initial partition ceiling: AQE only coalesces DOWN, so the
+    #   ceiling must cover the largest shuffle — at 16x probe scale a
+    #   ceiling of 32 forces ~400 MB partitions and spills (measured
+    #   12 GiB on the r13 containment probe leg; 0 at 512). But at bench
+    #   scale a 512 ceiling multiplies every tiny shuffle's pre-coalesce
+    #   task count and the per-epoch streaming applies drown in
+    #   scheduler overhead (cdc_replay_latest 8.3 s -> 45-98 s warm,
+    #   measured r13). Default: unset = Spark derives it from
+    #   spark.sql.shuffle.partitions (= core count locally); production
+    #   sizes it to executor count x a largest-shuffle factor.
+    # - preferSortMergeJoin=false (shuffle-hash when the per-partition
+    #   build side fits): SHJ avoids SMJ's fat-row sort at the 16x probe
+    #   leg (the 12 GiB spill above), and the r13 bench-scale A/B was
+    #   wash-to-better for SHJ (doc_bm25_prf_topk 5.5 s vs 8.5 s,
+    #   corpus_build_e2e 9.9 vs 11.9, replay/containment within noise)
+    #   — so SHJ preference is the default at every scale, overridable.
+    aqe_initial = os.environ.get("SPARK_GRAFT_AQE_INITIAL")
+    prefer_shj = os.environ.get("SPARK_GRAFT_PREFER_SHJ", "1") == "1"
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # AQE can only coalesce DOWN from the initial partition count, so
-        # the ceiling must be sized for the LARGEST shuffle, not the
-        # typical one: with the ceiling at 32, a 16x-scale shuffle is
-        # forced through ~400 MB partitions and spills (measured 12 GiB
-        # on the r13 containment probe — 0 with 512); AQE's 64 MB
-        # advisory target still coalesces small shuffles to few
-        # partitions, so the floor cost is unchanged. On a real cluster
-        # this ceiling scales with executor count.
-        .config(
-            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            "512",
-        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Prefer shuffle-hash over sort-merge when a build side fits the
-        # per-partition hash map: the engine's heavy joins stream THIN
-        # keyed rows against doc-grain relations carrying fat array
-        # payloads (shingle sets, signatures), and SMJ's sort of the fat
-        # side is what spills at scale (12 GiB on the 16x containment
-        # probe leg; 0 with SHJ). Broadcast still wins under the 64 MB
-        # threshold; AQE skew-join still splits skewed SHJ partitions.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            "false" if prefer_shj else "true",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
@@ -68,6 +75,11 @@ def build_session(
         # in the catalog loader (sources/catalog.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    if aqe_initial:
+        builder = builder.config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            aqe_initial,
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -1272,6 +1272,14 @@ def main() -> int:
 
     from database_replicator_spark.session import build_session
 
+    # Probe sessions run the 16x-64x legs, where the AQE
+    # initial-partition ceiling needs its LARGE-shuffle value
+    # (session.py leaves it unset locally = core count): 512 keeps the
+    # biggest probe shuffles from spilling (measured 12 GiB at ceiling
+    # 32 on the r13 containment leg, 0 at 512 — AQE's advisory target
+    # still coalesces the small ones). Env-overridable; this is the
+    # measured probe-scale value.
+    os.environ.setdefault("SPARK_GRAFT_AQE_INITIAL", "512")
     spark = build_session(
         "scale_probe", extra_conf={"spark.ui.enabled": "true"}
     )
