@@ -996,10 +996,13 @@ def main(argv: list[str] | None = None) -> int:
                     prefilter_buckets=8,
                 )
             else:
-                shared = term_stats(docs)
-                shared = (
-                    shared[0].localCheckpoint(), shared[1].localCheckpoint()
-                )
+                from .operators.retrieval import dl_from_tf
+
+                tf, _ = term_stats(docs)
+                # dl from the CHECKPOINTED tf — checkpointing the
+                # original dl plan would re-run the corpus explode
+                tf = tf.localCheckpoint()
+                shared = (tf, dl_from_tf(tf).localCheckpoint())
                 fuse_k = max(args.k * 5, 50)
                 rankers = [
                     ("bm25", bm25_topk(
