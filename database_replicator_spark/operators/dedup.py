@@ -293,12 +293,14 @@ def jaccard_pairs(
     exact in integers until the final division.
 
     In the all-pairs branch ``shingled`` is consumed three times and is
-    cached; in the candidate branch it is deliberately NOT cached — the
-    two consumers (the signature pipeline behind ``candidates`` and the
-    semi-join feeding the per-doc set aggregation) each run it FUSED with
-    their own stages, and a measured cache write+read of the full shingle
-    set costs more than one extra fused recompute. At scale, materialize
-    shingles once as a parquet/Delta stage instead."""
+    cached; in the candidate branch it is NOT cached here — callers that
+    feed the same shingle relation to BOTH the candidate pipeline and
+    this verifier should ``localCheckpoint()`` it first (one explode,
+    blocks read by every consumer; measured r13: 5.8 s -> 4.4 s on
+    dedup_lsh_verified, 12.2 -> 9.6 on the capped containment gate —
+    unlike ``.cache()``, whose write+read under memory pressure measured
+    WORSE than a fused recompute in r11). At 100 TB the same role is
+    played by a materialized parquet/Delta shingle stage."""
     while _JP_CACHED:
         try:
             _JP_CACHED.pop().unpersist(blocking=False)

@@ -146,7 +146,9 @@ def build_corpus(
             minhash_signatures,
         )
 
-        sh = doc_shingles(docs)
+        # checkpointed: sh feeds the signature pipeline and the
+        # verifier's semi-join (r13: one shingle explode instead of two)
+        sh = doc_shingles(docs).localCheckpoint()
         cand = lsh_candidate_pairs(minhash_signatures(sh, num_hashes=12))
         pairs = jaccard_pairs(sh, candidates=cand, threshold=jaccard_threshold)
         labels = connected_components(

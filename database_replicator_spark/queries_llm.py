@@ -494,7 +494,11 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import doc_shingles, jaccard_pairs, lsh_candidate_pairs, minhash_signatures
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = doc_shingles(docs)
+    # checkpointed: sh feeds the signature pipeline AND the verifier's
+    # semi-join — one shingle explode instead of two (r13 interleaved
+    # A/B: 5.8 s -> 4.4 s warm, identical output; localCheckpoint, not
+    # cache — blocks are written once, no memory-pressure double-write)
+    sh = doc_shingles(docs).localCheckpoint()
     cand = lsh_candidate_pairs(minhash_signatures(sh, num_hashes=12))
     return jaccard_pairs(sh, candidates=cand, threshold=0.2)
 

@@ -99,11 +99,13 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = doc_shingles(docs)
+    # checkpointed: sh feeds the signature pipeline and the verifier's
+    # semi-join (r13: one shingle explode instead of two, same
+    # measurement as dedup_lsh_verified)
+    sh = doc_shingles(docs).localCheckpoint()
     # the CC stage replays the candidate pipeline beyond what
     # ReuseExchange covers — caching the (tiny: one row/doc) signature
-    # table cuts ~17% off this query; measured no benefit for the
-    # non-iterative dedup_lsh_verified twin, so the cache lives here only
+    # table cuts ~17% off this query
     sig = minhash_signatures(sh, num_hashes=12).cache()
     cand = lsh_candidate_pairs(sig)
     pairs = jaccard_pairs(sh, candidates=cand, threshold=0.2)

@@ -480,7 +480,9 @@ def _neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = doc_shingles(docs)
+    # checkpointed: sh feeds the signature pipeline and the verifier's
+    # semi-join (r13: one shingle explode instead of two)
+    sh = doc_shingles(docs).localCheckpoint()
     sig = minhash_signatures(sh, num_hashes=12).cache()
     cand = lsh_candidate_pairs(sig)
     pairs = jaccard_pairs(sh, candidates=cand, threshold=0.2)
