@@ -20,23 +20,18 @@ from .queries import query
 from .queries_llm import _DOT_SQL, _NORM_SQL, _TOKS_SQL, _UNIT_SQL
 from .sources.catalog import load_table
 
-#: per-sf_dir memo of the trained SQ8 codebook (mn, mx — 2·dim doubles),
-#: shared by the two SQ8 gates: the artifact is fully determined by the
-#: corpus, so training it once per process IS the offline-train
-#: deployment shape the operators' ``codebook=`` parameter serves.
-_SQ8_CODEBOOK_MEMO: dict = {}
-
-
 def _sq8_codebook(emb: DataFrame, sf_dir: str, dim: int = 64):
-    # keyed by (sf_dir, dim): a caller training at a different
-    # dimensionality must never be served another dim's (mn, mx)
-    cb = _SQ8_CODEBOOK_MEMO.get((sf_dir, dim))
-    if cb is None:
-        from .operators.similarity import sq8_train
+    """Train the SQ8 codebook (mn, mx — 2·dim doubles) from the corpus.
 
-        cb = sq8_train(emb, "vec_id", "embedding", dim=dim)
-        _SQ8_CODEBOOK_MEMO[(sf_dir, dim)] = cb
-    return cb
+    Every invocation trains from scratch: precompute-once-offline is a
+    deployment story told through the operators' explicit ``codebook=``
+    parameter (pass a stored artifact), never through process-level
+    state keyed on the data path (r13 verdict: such a memo survives the
+    bench's clearCache() and turns min-of-N timings into memo-warm
+    numbers)."""
+    from .operators.similarity import sq8_train
+
+    return sq8_train(emb, "vec_id", "embedding", dim=dim)
 
 
 @query(
@@ -946,10 +941,10 @@ def similarity_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays train/encode/decode in SQL with the identical composition
     mn + (code + 0.5)·(mx − mn)/256 and the shared fold-order dot.
 
-    r9: the codebook is memoized per sf_dir (shared with
-    similarity_ivfsq_topk — both train the identical per-dim min/max
-    over the same corpus), served via ``codebook=``: warm calls measure
-    the serving path, cold calls still train from scratch."""
+    r14: the codebook is trained from the corpus on every invocation
+    (the r9-r13 per-sf_dir memo was deleted — it survived bench's
+    clearCache() and skewed min-of-N timings); offline-trained serving
+    is expressed by passing a stored artifact via ``codebook=``."""
     from .operators.similarity import sq8_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1026,14 +1021,12 @@ def similarity_ivfsq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     fewer job in the three-phase gate, output identical (tested against
     the collect-twice path).
 
-    Second amortization (r9): the SQ8 codebook — a 2·dim-double artifact
-    fully determined by the corpus — is trained ONCE per sf_dir and
-    memoized, then served via the operator's ``codebook=`` parameter:
-    the deployment shape where the index is trained offline and query
-    batches never re-pay the full-corpus min/max aggregate. First call
-    (and every check_oracle run) still trains from scratch; warm bench
-    runs measure serving. Output identical by determinism of the train
-    aggregate (pinned by tests/test_queries_r9.py)."""
+    The SQ8 codebook — a 2·dim-double artifact fully determined by the
+    corpus — is trained per invocation and handed to the operator via
+    its ``codebook=`` parameter (r14: the r9 per-sf_dir memo was
+    deleted as cross-run state; offline training is a deployment story
+    told by passing a stored artifact explicitly). Output identity of
+    codebook reuse is pinned by tests/test_queries_r9.py."""
     import numpy as np
 
     from .operators.similarity import collect_unit_matrix, ivf_sq8_topk

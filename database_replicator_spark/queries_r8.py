@@ -475,15 +475,6 @@ def hybrid_rrf3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: per-(session, sf_dir) memo of the checkpointed weighted co-purchase
-#: half-edge list (src < dst, w = shared-order count). All co-purchase
-#: gates ride the SAME lineitem self-join; each gate deliberately stays
-#: self-contained for oracle independence, but the edge build is fully
-#: determined by the corpus, so materializing it once per process is
-#: the same offline-amortization shape as the SQ8 codebook memo
-#: (queries_r7._SQ8_CODEBOOK_MEMO) — VERDICT r9 "What's wrong #1".
-_COPURCHASE_MEMO: dict = {}
-
 #: integer-PageRank unit for the GLOBAL co-purchase gates: the overflow
 #: guard's worst-case bound is damping_num·n_nodes·unit < 2⁶³, which at
 #: the operator default 10¹² trips once the part graph passes ~1.08e5
@@ -496,35 +487,35 @@ _PR_GATE_UNIT = 10**9
 
 def _copurchase_halfw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The a<b half of the part co-purchase edge list with shared-order
-    weights, localCheckpointed once per (session, corpus). The join rows
-    are unique per (order, src, dst) since the (order, part) relation is
-    distinct first, so COUNT(*) IS the shared-order weight, and the
-    distinct pair set for the unweighted gates is a plain projection."""
-    key = (sf_dir, spark)
-    hw = _COPURCHASE_MEMO.get(key)
-    if hw is None:
-        li = load_table(spark, sf_dir, "lineitem")
-        ps = li.select("l_orderkey", "l_partkey").distinct()
-        a, b = ps.alias("a"), ps.alias("b")
-        hw = (
-            a.join(
-                b,
-                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-            )
-            .groupBy(
-                F.col("a.l_partkey").alias("src"),
-                F.col("b.l_partkey").alias("dst"),
-            )
-            .agg(F.count(F.lit(1)).alias("w"))
-            # cut lineage before the symmetric union — its two branches
-            # would otherwise each re-run the self-join aggregate (the
-            # CC edge-list rule), and the memo hands every later gate
-            # the already-materialized blocks
-            .localCheckpoint()
+    weights, localCheckpointed per call. The join rows are unique per
+    (order, src, dst) since the (order, part) relation is distinct
+    first, so COUNT(*) IS the shared-order weight, and the distinct pair
+    set for the unweighted gates is a plain projection.
+
+    Rebuilt on every invocation: a process-level memo keyed on the data
+    path would survive the bench's clearCache() between timed runs and
+    make min-of-N report a memo-warm number (r13 verdict). For real
+    deployments the edge list is an offline parquet artifact passed to
+    the pagerank operators explicitly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = ps.alias("a"), ps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
-        _COPURCHASE_MEMO[key] = hw
-    return hw
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        # cut lineage before the symmetric union — its two branches
+        # would otherwise each re-run the self-join aggregate (the
+        # CC edge-list rule)
+        .localCheckpoint()
+    )
 
 
 def _pr_iter_sql(prev: str, name: str, unit: int = _PR_GATE_UNIT) -> str:
@@ -585,9 +576,9 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT units — no float crosses an aggregation boundary, so the
     DuckDB oracle replays the exact same integers. Edge build self-joins
     lineitem's distinct (order, part) pairs on the order key — fanout
-    bounded by order size (~4 items), scale-safe — and is memoized per
-    (session, corpus) across the co-purchase gates
-    (:func:`_copurchase_halfw`). ``unit`` is sized to the graph
+    bounded by order size (~4 items), scale-safe — checkpointed per call
+    (:func:`_copurchase_halfw`; r14 removed the cross-call memo).
+    ``unit`` is sized to the graph
     (_PR_GATE_UNIT = 10⁹) so the operator's default-on int64 overflow
     guard holds to ~10⁸ nodes instead of tripping at TPC-H sf ≈ 0.55
     (ADVICE r9). The top-100 head runs behind an 8-bucket pre-cut, so

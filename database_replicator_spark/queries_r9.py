@@ -137,8 +137,9 @@ def part_copurchase_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     via an isseed flag on the node relation). The default unit 10¹²
     stays: the overflow bound scales with the SEED-set mass support
     (|brand parts| ≈ n_parts/25), not the graph, so the guard holds to
-    sf ≈ 25 here without the global gates' lowered unit. Edge build
-    shared via the per-session memo (queries_r8._copurchase_halfw)."""
+    sf ≈ 25 here without the global gates' lowered unit. Edge build via
+    queries_r8._copurchase_halfw (checkpointed per call; r14 removed
+    the cross-call memo)."""
     from .operators.graph import pagerank_units
     from .queries_r8 import _copurchase_halfw
 
@@ -211,8 +212,8 @@ def part_copurchase_pagerank_weighted(
     bound max(85, w_max)·n·unit holds to ~10⁸ nodes instead of tripping
     at sf ≈ 0.55 (ADVICE r9). Because the pair relation is already
     distinct per (order, pair), the weight aggregate is a plain count
-    on the shared memoized edge build (queries_r8._copurchase_halfw) —
-    no extra shuffle vs the unweighted gate."""
+    on the shared edge build (queries_r8._copurchase_halfw, rebuilt
+    per call since r14) — no extra shuffle vs the unweighted gate."""
     from .operators.graph import pagerank_units
     from .queries_r8 import _PR_GATE_UNIT, _copurchase_halfw
 

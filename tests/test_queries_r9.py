@@ -729,24 +729,31 @@ class TestBm25Prf:
         assert got  # non-degenerate
 
 
-class TestSq8CodebookMemo:
-    def test_memoized_gates_identical_to_fresh_train(self, spark):
-        """The per-sf_dir codebook memo must be output-neutral: a warm
-        call (memo hit) returns byte-identical rows to a cold call AND
-        to the operator's own train-inline path."""
+class TestSq8CodebookPerInvocation:
+    def test_explicit_codebook_identical_to_per_call_train(self, spark):
+        """The per-invocation codebook train must be output-neutral:
+        repeated gate calls (each training from scratch — the r13
+        verdict deleted the per-sf_dir memo) return byte-identical rows
+        to each other AND to the operator's own train-inline path, and
+        passing a pre-trained artifact via ``codebook=`` is the
+        documented offline-train deployment shape."""
         from database_replicator_spark import queries_r7 as q7
-        from database_replicator_spark.operators.similarity import sq8_topk
+        from database_replicator_spark.operators.similarity import (
+            sq8_topk,
+            sq8_train,
+        )
         from database_replicator_spark.sources.catalog import load_table
 
-        q7._SQ8_CODEBOOK_MEMO.clear()
-        cold = sorted(
+        # the memo must stay deleted: no module-level state keyed on
+        # the data path (it would survive bench's clearCache())
+        assert not hasattr(q7, "_SQ8_CODEBOOK_MEMO")
+        first = sorted(
             map(tuple, q7.similarity_sq8_topk(spark, SF).collect())
         )
-        assert (SF, 64) in q7._SQ8_CODEBOOK_MEMO
-        warm = sorted(
+        second = sorted(
             map(tuple, q7.similarity_sq8_topk(spark, SF).collect())
         )
-        assert warm == cold
+        assert second == first
         emb = load_table(spark, SF, "embeddings")
         inline = sorted(
             map(
@@ -754,11 +761,19 @@ class TestSq8CodebookMemo:
                 sq8_topk(emb, emb.filter(F.col("vec_id") < 5), k=10).collect(),
             )
         )
-        assert inline == cold
-        # and the ivfsq gate shares the same memo entry (same corpus)
-        ivf_cold_memo = dict(q7._SQ8_CODEBOOK_MEMO)
+        assert inline == first
+        # offline-artifact shape: explicit codebook= gives the same rows
+        cb = sq8_train(emb, "vec_id", "embedding", dim=64)
+        offline = sorted(
+            map(
+                tuple,
+                sq8_topk(
+                    emb, emb.filter(F.col("vec_id") < 5), k=10, codebook=cb
+                ).collect(),
+            )
+        )
+        assert offline == first
         ivf = sorted(
             map(tuple, q7.similarity_ivfsq_topk(spark, SF).collect())
         )
         assert ivf  # non-degenerate
-        assert list(q7._SQ8_CODEBOOK_MEMO) == list(ivf_cold_memo)
