@@ -64,7 +64,17 @@ def runs_for_gate(base: float | None) -> int:
 def current_round() -> int:
     """The round this run belongs to: one past the newest recorded
     BENCH_r*.json — identical for every bench invocation within a round,
-    so the rotation slice below is deterministic round-wide."""
+    so the rotation slice below is deterministic round-wide.
+
+    ``SPARK_GRAFT_ROTATION_ROUND`` pins the slice explicitly (r13
+    verdict #2a): the driver's low-core scaling leg runs AFTER the main
+    leg's BENCH_r*.json artifact lands, so file-count inference would
+    hand the two legs different rotation slices and their per-gate
+    core-ratios would compare different protocols. Setting the same
+    value for both legs makes them protocol-identical."""
+    pinned = os.environ.get("SPARK_GRAFT_ROTATION_ROUND")
+    if pinned:
+        return int(pinned)
     import glob
 
     repo = os.path.dirname(os.path.abspath(__file__))
@@ -368,8 +378,7 @@ def main() -> None:
     # goes AFTER the (large) queries map, at the very end. (r7 lesson: the
     # bare degraded_queries count survived truncation but the tail could
     # not say WHICH gate was degraded.)
-    print(
-        json.dumps(
+    line = json.dumps(
             {
                 "metric": "total_query_wall_time",
                 "value": round(total, 3),
@@ -401,8 +410,21 @@ def main() -> None:
                 "calib_start_s": calib_start,
                 "calib_end_s": calib(),
             }
-        )
     )
+    print(line)
+    # Full-line file output (r13 verdict #2b): the driver's artifact
+    # capture keeps only the last 2000 chars of stdout, which erased the
+    # r12 round's per-query baseline (parsed: null). Writing the SAME
+    # line to a file makes capture limits irrelevant; stdout stays the
+    # contract.
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if out_path:
+        try:
+            with open(out_path, "w") as fh:
+                fh.write(line + "\n")
+        except OSError as exc:
+            print(f"bench: WARNING could not write {out_path}: {exc}",
+                  file=sys.stderr)
     spark.stop()
 
 
