@@ -218,6 +218,67 @@ class ChangeApplier:
     def _table_path(self, table: str, suffix: str = "") -> str:
         return os.path.join(self.target_dir, f"{table}{suffix}")
 
+    @staticmethod
+    def _read_state_driver(path: str) -> dict[str, tuple[int, int]]:
+        """Previous ``_sync_state`` as {table: (last_change_id,
+        n_changes)}, read driver-side with pyarrow: the state is
+        O(#tables) rows of METADATA (same class as the touched-bucket
+        collect), so a Spark read+join per epoch was pure fixed job
+        cost (guide §1.2)."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        files = _glob.glob(os.path.join(path, "*.parquet"))
+        if not files:
+            return {}
+        out: dict[str, tuple[int, int]] = {}
+        for f in files:
+            t = pq.read_table(
+                f, columns=["table", "last_change_id", "n_changes"]
+            )
+            for row in t.to_pylist():
+                out[row["table"]] = (
+                    int(row["last_change_id"]), int(row["n_changes"])
+                )
+        return out
+
+    @staticmethod
+    def _write_state_driver(
+        rows: list[tuple[int, str, int, int]], path: str
+    ) -> None:
+        """Write ``_sync_state`` (epoch_id, table, last_change_id,
+        n_changes) driver-side via pyarrow, with the same
+        stage-then-swap crash posture as util.staged_overwrite: the
+        stage is the only complete copy until the target is replaced.
+        Schema matches what the Spark writer produced (table string,
+        last_change_id/n_changes int64, epoch_id int32) so readers —
+        spark.read.parquet and the oracle's dtype-kind gate — see
+        identical types."""
+        import shutil
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = sorted(rows, key=lambda r: r[1])
+        tbl = pa.table(
+            {
+                "table": pa.array([r[1] for r in rows], pa.string()),
+                "last_change_id": pa.array(
+                    [r[2] for r in rows], pa.int64()
+                ),
+                "n_changes": pa.array([r[3] for r in rows], pa.int64()),
+                "epoch_id": pa.array([r[0] for r in rows], pa.int32()),
+            }
+        )
+        stage = path + ".stage"
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage)
+        pq.write_table(tbl, os.path.join(stage, "part-00000.parquet"))
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        os.rename(stage, path)
+
     def apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
         """Idempotent per-epoch apply, O(batch) — never O(history) — write
         volume for the log and state:
@@ -245,42 +306,56 @@ class ChangeApplier:
             .cache()
         )
         try:
-            # Empty-epoch probe folded into the first real job: in the
-            # bucketed-parquet mode the (table, bucket) metadata collect
-            # below doubles as the emptiness check, so the common path
-            # never pays a separate isEmpty() job per epoch (per-epoch
-            # fixed job count bounds consumer throughput on small
-            # batches). The raw-batch isEmpty() runs only in the rare
+            delta = self.mode == "append_deduped" and self.storage == "delta"
+            state_path = self._table_path("_sync_state")
+            # Previous sync state read DRIVER-side (O(#tables) metadata;
+            # it was a Spark read + 2-join + staged double-write before —
+            # three fixed jobs per epoch for a few rows, guide §1.2).
+            prev_state = self._read_state_driver(state_path)
+
+            # ONE metadata job per epoch: the (table, touched-bucket)
+            # list, the emptiness probe, AND the sync-state aggregates
+            # (max change_id, row count, count above the previous
+            # per-table high-water mark) all come out of a single
+            # groupBy collect. The HWM comparison rides in as a literal
+            # map since prev_state is already on the driver. The
+            # raw-batch isEmpty() runs only in the rare
             # all-rows-filtered case, preserving the exact prior
             # behavior: a truly empty epoch returns with NO side
             # effects; a nonempty epoch whose ops are all invalid still
             # writes its (empty) log partition and rolls the state
             # forward.
-            touched_pairs = None
-            if self.mode == "append_deduped" and self.storage != "delta":
+            keys = [F.col("table")]
+            if self.mode == "append_deduped" and not delta:
                 bucket = F.pmod(
                     F.hash(F.col("pk")), F.lit(self.n_buckets)
                 )
-                touched_pairs = (
-                    batch.select("table", bucket.alias("bucket"))
-                    .distinct()
-                    .collect()
+                keys.append(bucket.alias("bucket"))
+            if prev_state:
+                hwm = F.create_map(
+                    *[
+                        F.lit(v)
+                        for t in sorted(prev_state)
+                        for v in (t, prev_state[t][0])
+                    ]
+                )[F.col("table")]
+                is_new = hwm.isNull() | (F.col("change_id") > hwm)
+            else:
+                is_new = F.lit(True)
+            meta = (
+                batch.groupBy(*keys)
+                .agg(
+                    F.max("change_id").alias("_mx"),
+                    F.sum(F.when(is_new, 1).otherwise(0)).alias("_new"),
                 )
-                if not touched_pairs and raw.isEmpty():
-                    return
-            elif raw.isEmpty():
+                .collect()
+            )
+            if not meta and raw.isEmpty():
                 return
             from ..util import (
                 bucketed_exists,
                 parquet_exists,
                 staged_bucket_overwrite,
-                staged_overwrite,
-            )
-
-            # 1. append-mode raw log, one partition per epoch
-            log_path = self._table_path("_change_log")
-            batch.write.mode("overwrite").parquet(
-                os.path.join(log_path, f"epoch={epoch_id}")
             )
 
             # 1b. payload schema drift: unseen/vanished JSON keys are
@@ -289,10 +364,19 @@ class ChangeApplier:
             if self.expected_schemas:
                 self._report_payload_drift(spark, batch, epoch_id)
 
+            # 1. append-mode raw log, one partition per epoch
+            log_path = self._table_path("_change_log")
+
+            def write_log() -> None:
+                batch.write.mode("overwrite").parquet(
+                    os.path.join(log_path, f"epoch={epoch_id}")
+                )
+
             # 2. _latest per touched table: batch ⊕ previous _latest,
             #    restricted to (and rewriting only) the pk-hash buckets
             #    the batch actually touches
-            if self.mode == "append_deduped" and self.storage == "delta":
+            merge_jobs: list = []
+            if delta:
                 if self.merge_partial_updates:
                     raise ValueError(
                         "merge_partial_updates is implemented for the "
@@ -301,8 +385,8 @@ class ChangeApplier:
                     )
                 from ..sinks import apply_latest_delta
 
-                for row in batch.select("table").distinct().collect():
-                    tbl = row["table"]
+                write_log()
+                for tbl in sorted({r["table"] for r in meta}):
                     apply_latest_delta(
                         spark,
                         batch.filter(F.col("table") == tbl).select(
@@ -313,16 +397,13 @@ class ChangeApplier:
             elif self.mode == "append_deduped":
                 from ..operators.latest import latest_by_key
 
-                # ONE metadata collect per epoch: (table, touched bucket)
-                # pairs together — already computed above, where it also
-                # served as the emptiness probe
-                pairs = touched_pairs
                 touched_by_table: dict[str, list[int]] = {}
-                for r in pairs:
+                for r in meta:
                     touched_by_table.setdefault(r["table"], []).append(
                         r["bucket"]
                     )
-                for tbl in sorted(touched_by_table):
+
+                def merge_table(tbl: str) -> None:
                     tbl_changes = (
                         batch.filter(F.col("table") == tbl)
                         .select("pk", "payload", "change_id", "op")
@@ -331,9 +412,10 @@ class ChangeApplier:
                     latest_path = self._table_path(tbl, "_latest")
                     touched = sorted(touched_by_table[tbl])
                     if parquet_exists(latest_path):
-                        # legacy flat layout: fold the whole table in once;
-                        # every bucket of the merged result gets written and
-                        # the flat files are dropped (one-time migration)
+                        # legacy flat layout: fold the whole table in
+                        # once; every bucket of the merged result gets
+                        # written and the flat files are dropped
+                        # (one-time migration)
                         prev = spark.read.parquet(latest_path).select(
                             "pk",
                             "payload",
@@ -372,54 +454,53 @@ class ChangeApplier:
                     )
                     # reads its own previous version → staged rewrite of
                     # the touched buckets only
-                    staged_bucket_overwrite(spark, alive, latest_path, touched)
+                    staged_bucket_overwrite(
+                        spark, alive, latest_path, touched
+                    )
 
-            # 3. sync state (ST5): previous state ⊕ batch aggregates
-            state_path = self._table_path("_sync_state")
-            agg = batch.groupBy("table").agg(
-                F.max("change_id").alias("_batch_max"),
-                F.count(F.lit(1)).alias("_batch_n"),
-            )
-            if parquet_exists(state_path):
-                prev_state = spark.read.parquet(state_path).select(
-                    "table", "last_change_id", "n_changes"
+                merge_jobs = [
+                    (lambda t=tbl: merge_table(t))
+                    for tbl in sorted(touched_by_table)
+                ]
+
+            if not delta:
+                # The log write and the per-table latest merges are
+                # independent single-write jobs over the cached batch
+                # (different output dirs, both idempotent under epoch
+                # replay) — overlap them so the epoch's wall cost is the
+                # slowest job, not the sum (guide §2.6: FIFO scheduling
+                # back-fills one job's task tail with the next job's
+                # tasks). Failure posture is unchanged: any failure
+                # aborts the epoch before the state write, and a replay
+                # overwrites every partial output.
+                tasks = [write_log] + merge_jobs
+                if len(tasks) == 1:
+                    tasks[0]()
+                else:
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    with ThreadPoolExecutor(
+                        max_workers=min(4, len(tasks))
+                    ) as pool:
+                        for fut in [pool.submit(t) for t in tasks]:
+                            fut.result()
+
+            # 3. sync state (ST5): previous state ⊕ batch aggregates,
+            #    folded DRIVER-side from the single metadata collect —
+            #    zero additional Spark jobs (was: read + full join +
+            #    staged double-write per epoch).
+            per_table: dict[str, tuple[int, int]] = {}
+            for r in meta:
+                mx, new = per_table.get(r["table"], (0, 0))
+                per_table[r["table"]] = (
+                    max(mx, r["_mx"]), new + (r["_new"] or 0)
                 )
-                # new rows are those above the previous HWM (monotone ids):
-                # a replayed epoch contributes zero
-                above = (
-                    batch.join(
-                        prev_state.select("table", "last_change_id"), on="table", how="left"
-                    )
-                    .filter(
-                        F.col("last_change_id").isNull()
-                        | (F.col("change_id") > F.col("last_change_id"))
-                    )
-                    .groupBy("table")
-                    .agg(F.count(F.lit(1)).alias("_new_n"))
-                )
-                state = (
-                    prev_state.join(agg, on="table", how="full")
-                    .join(above, on="table", how="left")
-                    .select(
-                        "table",
-                        F.greatest(
-                            F.coalesce(F.col("last_change_id"), F.lit(0)),
-                            F.coalesce(F.col("_batch_max"), F.lit(0)),
-                        ).alias("last_change_id"),
-                        (
-                            F.coalesce(F.col("n_changes"), F.lit(0))
-                            + F.coalesce(F.col("_new_n"), F.lit(0))
-                        ).alias("n_changes"),
-                    )
-                )
-            else:
-                state = agg.select(
-                    "table",
-                    F.col("_batch_max").alias("last_change_id"),
-                    F.col("_batch_n").alias("n_changes"),
-                )
-            state = state.withColumn("epoch_id", F.lit(epoch_id))
-            staged_overwrite(spark, state, state_path)
+            rows = []
+            for t in sorted(set(prev_state) | set(per_table)):
+                prev_hwm, prev_n = prev_state.get(t, (0, 0))
+                mx, new = per_table.get(t, (0, 0))
+                rows.append((epoch_id, t, max(prev_hwm, mx), prev_n + new))
+            self._write_state_driver(rows, state_path)
             self.applied_batches.append(epoch_id)
         finally:
             batch.unpersist()
