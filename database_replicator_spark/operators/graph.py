@@ -344,6 +344,15 @@ def hits_units(
             .groupBy(F.col("_d").alias("node"))
             .agg(F.sum("hub_units").alias("auth_units"))
         )
+        if i + 1 == iters:
+            # Every caller consumes BOTH returned frames, and the final
+            # hubs derives from the final auths — without a cut here the
+            # consumer's hub branch re-runs the whole iteration chain
+            # that its auth branch just computed (2·iters−1 extra
+            # join+agg half-steps). Materializing the final auths makes
+            # the two branches share it (guide §2.4 shared subtree /
+            # §5); the relation is (node, BIGINT) — node-set-sized.
+            auths = auths.localCheckpoint()
         hubs = (
             e.join(
                 auths.withColumnRenamed("node", "_d").select(

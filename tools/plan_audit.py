@@ -51,6 +51,10 @@ def audit_plan(plan: str) -> dict:
             re.findall(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", plan)
         ),
         "row_udf": len(re.findall(r"BatchEvalPython", plan)),
+        # localCheckpoint (and RDD-backed) scans: where a materialized
+        # stage replaces recomputation — auditable checkpoint placement
+        # (r13 verdict #6)
+        "ckpt": len(re.findall(r"Scan ExistingRDD", plan)),
         "cartesian": len(re.findall(r"CartesianProduct", plan)),
         "pushed": "PushedFilters: \[[^\]]" in plan or "PushedFilters: [I" in plan,
         "tables": sorted(
@@ -189,7 +193,9 @@ def main() -> int:
         "",
         f"Generated by tools/plan_audit.py at {os.path.basename(sf_dir)}. "
         "Columns: hash/range/single-partition exchanges, broadcast joins, "
-        "sorts, Arrow-batched Python stages, parquet pushdown seen, worst "
+        "sorts, Arrow-batched Python stages, ExistingRDD scans (ckpt — "
+        "localCheckpoint-materialized stages feeding ≥1 consumer), "
+        "parquet pushdown seen, worst "
         "measured top-key share over the query's source-column shuffle "
         "keys (`skew` — blank when every shuffle key is a derived column, "
         "whose skew control is the explicit hot-bucket caps), source "
@@ -204,17 +210,18 @@ def main() -> int:
         "oversized join partitions; groupBy skew is absorbed by map-side "
         "partial aggregation.",
         "",
-        "| query | xchg | range | single | bcast | sort | py | pushdown | skew | tables |",
-        "|---|---|---|---|---|---|---|---|---|---|",
+        "| query | xchg | range | single | bcast | sort | py | ckpt | pushdown | skew | tables |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for name, a, err in rows:
         if err:
-            out.append(f"| {name} | — | — | — | — | — | — | — | — | {err} |")
+            out.append(f"| {name} | — | — | — | — | — | — | — | — | — | {err} |")
             continue
         skew = "" if a.get("skew") is None else f"{a['skew']:.2f}"
         out.append(
             f"| {name} | {a['exchanges']} | {a['range_exchanges']} | "
             f"{a['single']} | {a['broadcasts']} | {a['sorts']} | {a['python']} | "
+            f"{a['ckpt']} | "
             f"{'y' if a['pushed'] else ''} | {skew} | {' '.join(a['tables'])} |"
         )
     ok = [r for _, r, e in rows if r and not e]
