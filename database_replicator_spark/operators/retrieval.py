@@ -86,15 +86,20 @@ def term_stats(
     paid once instead of per ranker."""
     toks = doc_tokens(docs, id_col, text_col)
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    # dl from tf, not from a second pass over the raw token explode:
-    # Σ_term tf(doc, term) IS the doc's token count, and aggregating the
-    # (doc, term) relation re-shuffles far fewer rows than re-running
-    # tokenize+explode over the corpus (the two-groupBys-over-toks form
-    # cannot share the explode — ReuseExchange only dedupes identical
-    # exchanges, and the two aggregates exchange on different keys).
-    # Callers that localCheckpoint tf additionally get dl for the cost
-    # of one node-sized aggregate over the checkpointed blocks.
-    dl = dl_from_tf(tf)
+    # dl as an INDEPENDENT aggregate over the token explode, not derived
+    # from tf (r14 adjudication of the r13 dl-from-tf restructure): for
+    # the stats=None single-pass rankers each consumer of dl re-executes
+    # its whole lineage, so deriving dl from tf made every dl evaluation
+    # pay the (doc, term) pre-aggregation shuffle ON TOP of the doc-key
+    # one — measured ~10% slower per round on doc_ql_dirichlet_topk in a
+    # 5-round interleaved A/B with identical outputs (tools/
+    # ab_term_stats.py). Callers that materialize tf (PRF, hybrid, CLI
+    # fusion, the RAG gate) should keep deriving dl from the
+    # CHECKPOINTED tf via :func:`dl_from_tf`, where the explode is paid
+    # once into blocks and the extra shuffle argument flips.
+    dl = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dl")
+    )
     return tf, dl
 
 
