@@ -200,16 +200,6 @@ _E2E_CHAIN = f"""
 """
 
 
-#: DataFrames cached by the PREVIOUS _e2e_stages call, unpersisted on the
-#: next call: both e2e gates (and the determinism test) build the chain
-#: fresh — every invocation computes from the parquet inputs; nothing is
-#: memoized across gate calls — but the intra-query caches they mark
-#: must not accumulate across calls in one long-lived session (the r12
-#: advice-item leak: cached signature blocks piling up through a
-#: 200-gate sweep).
-_E2E_CACHED: list[DataFrame] = []
-
-
 def _e2e_stages(
     spark: SparkSession, sf_dir: str
 ) -> dict[str, DataFrame]:
@@ -260,16 +250,12 @@ def _e2e_stages(
         quality_filter,
     )
 
-    # Drop the PREVIOUS call's intra-query caches before building fresh
-    # (r12 advice-item #4: the chain's cached blocks leaked across gate
-    # calls in long-lived sessions). Unpersisting a DataFrame whose
-    # context is already gone is a no-op-with-exception, hence the guard.
-    while _E2E_CACHED:
-        try:
-            _E2E_CACHED.pop().unpersist(blocking=False)
-        except Exception:  # noqa: BLE001 — stopped context, already gone
-            pass
-
+    # (r14: the chain's intermediates are localCheckpointed, not cached —
+    # the r12 cross-call cache-leak list is gone with the caches; the
+    # checkpointed blocks are reclaimed by the ContextCleaner when the
+    # previous call's DataFrames are garbage collected, and bench's
+    # clearCache() has nothing to preserve. `sig` is the one cache left,
+    # unpersisted before this function returns.)
     docs = load_table(spark, sf_dir, "documents")
 
     # stage 1: clean (quality ∧ canonical ∧ ¬benchmark ∧ ¬contaminated)
@@ -283,14 +269,20 @@ def _e2e_stages(
         "doc_id",
         (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
     )
-    # Cache the shingle relation: FOUR consumers (benchmark slice,
+    # Materialize the shingle relation: FOUR consumers (benchmark slice,
     # contamination hits, per-doc sizes, minhash signatures) would each
     # re-run the explode+window+distinct otherwise — at gate scale that
-    # was 4 full shingle builds per chain execution. Registered for
-    # unpersist at the next call. (At 100 TB, materialize shingles once
-    # as a parquet/Delta stage instead of executor memory — same
-    # compute-once shape, durable medium.)
-    sh = doc_shingles(docs).cache()
+    # was 4 full shingle builds per chain execution. r14: localCheckpoint
+    # instead of cache marks, for the shingle relation AND every
+    # doc-grain stage below — the r13 after-plan still carried 191
+    # exchanges because InMemoryRelation keeps the full child plan
+    # (every stage's optimizer pass re-carried the whole upstream
+    # chain); checkpoints truncate lineage at each stage boundary.
+    # Interleaved 3-round A/B with identical outputs (r14): checkpoints
+    # beat the cache marks every round — e2e ~6.8 → ~5.6 s, attrition
+    # ~6.5 → ~5.4 s. (At 100 TB, these checkpoints are materialized
+    # parquet/Delta stages — same compute-once shape, durable medium.)
+    sh = doc_shingles(docs).localCheckpoint()
     bench_sh = (
         sh.filter(F.col("doc_id") % 50 == 0).select("shingle").distinct()
     )
@@ -328,6 +320,7 @@ def _e2e_stages(
         )
         .select("doc_id")
     )
+    accepted = accepted.localCheckpoint()
 
     # stage 2: near-dup CC over the full corpus; keep the min-doc_id
     # clean survivor per cluster (the dedup_components construction)
@@ -347,12 +340,14 @@ def _e2e_stages(
         .agg(F.min(accepted.doc_id).alias("doc_id"))
         .select("doc_id")
     )
+    neardup = neardup.localCheckpoint()
     survd = docs.select("doc_id", "source").join(neardup, on="doc_id")
 
     # stage 3: per-source cap
     capped_docs = cap_per_group(
         survd, "source", cap=_E2E_CAP, seed=_E2E_CAP_SEED
     ).select("doc_id", "source")
+    capped_docs = capped_docs.localCheckpoint()
 
     # stage 4: temperature mix (rates from the POST-CAP counts)
     mixed = temperature_sample(
@@ -362,11 +357,13 @@ def _e2e_stages(
         id_col="doc_id",
         seed=_E2E_TEMP_SEED,
     ).select("doc_id", "source")
+    mixed = mixed.localCheckpoint()
 
     # stage 5: split
     splitted = dataset_split(
         mixed, _SPLIT_FRACTIONS, id_col="doc_id", seed=_E2E_SPLIT_SEED
     ).select("doc_id", "source", "split")
+    splitted = splitted.localCheckpoint()
 
     # stage 6: pack within split, doc_id order (mirrors _TOKS_SQL)
     ntok = docs.select(
@@ -387,21 +384,17 @@ def _e2e_stages(
         order_col="doc_id",
         part_col="split",
     )
-    # Mark the doc_id-grain survivor sets for caching (tiny: two
-    # int/string columns) WITHOUT materializing them here: the attrition
-    # funnel references each stage both directly and through its
-    # successors' lineage, and an InMemoryRelation is populated on first
-    # touch within the consuming action itself — so the single noop/scan
-    # action per gate computes every stage exactly once with no separate
-    # count() pass (the old eager count() was one extra full chain
-    # execution per call). `sig` (the wide minhash relation — the only
-    # big cache) is already dead: connected_components materialized the
-    # pair pipeline during its edge checkpoint, and the component output
-    # carries no signature lineage.
-    for st in (accepted, neardup, capped_docs, mixed, splitted):
-        st.cache()
+    # Every doc_id-grain survivor set is localCheckpointed at its
+    # definition above (r14): each stage is materialized exactly once,
+    # the attrition funnel's direct references and the successors'
+    # lineage read the same blocks, and no stage's optimizer pass
+    # re-carries the upstream chain (the r13 cache-marks form still
+    # planned 191 exchanges for one gate). Nothing is cached, so there
+    # is nothing to unpersist across calls. `sig` (the wide minhash
+    # relation — the only big cache) is already dead: connected
+    # components materialized the pair pipeline during its edge
+    # checkpoint, and the component output carries no signature lineage.
     sig.unpersist(blocking=False)
-    _E2E_CACHED.extend([sh, accepted, neardup, capped_docs, mixed, splitted])
     return {
         "docs": docs,
         "accepted": accepted,
