@@ -429,6 +429,10 @@ def shipping_delay_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             delay.alias("delay_days"),
             (F.col("l_orderkey") * 16 + F.col("l_linenumber")).alias("_rid"),
         )
+        # localCheckpoint: positional_quantiles evaluates its input
+        # three times (sizing count, rank pass, sizes aggregate) — one
+        # fact-join execution instead of three (r14)
+        .localCheckpoint()
     )
     return positional_quantiles(
         delays,
@@ -823,6 +827,13 @@ def customer_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("gap_days"),
         )
         .filter(F.col("gap_days").isNotNull())
+        # localCheckpoint: this derived relation (join + custkey window)
+        # feeds FOUR evaluations otherwise — positional_quantiles'
+        # sizing count, its rank pass, its sizes aggregate, and the
+        # mean/sum branch below (r14; the r13 watch-item regression on
+        # this gate was 4x re-execution amplifying flutter). Three
+        # narrow columns, O(orders) rows.
+        .localCheckpoint()
     )
     medians = positional_quantiles(
         gaps,

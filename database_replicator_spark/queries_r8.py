@@ -487,10 +487,11 @@ _PR_GATE_UNIT = 10**9
 
 def _copurchase_halfw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The a<b half of the part co-purchase edge list with shared-order
-    weights, localCheckpointed per call. The join rows are unique per
-    (order, src, dst) since the (order, part) relation is distinct
-    first, so COUNT(*) IS the shared-order weight, and the distinct pair
-    set for the unweighted gates is a plain projection.
+    weights, localCheckpointed per call. Each order contributes each of
+    its distinct part pairs exactly once (collect_set dedupes, the
+    sorted-array transform emits each a<b pair once), so COUNT(*) IS
+    the shared-order weight, and the distinct pair set for the
+    unweighted gates is a plain projection.
 
     Rebuilt on every invocation: a process-level memo keyed on the data
     path would survive the bench's clearCache() between timed runs and
@@ -498,22 +499,33 @@ def _copurchase_halfw(spark: SparkSession, sf_dir: str) -> DataFrame:
     deployments the edge list is an offline parquet artifact passed to
     the pagerank operators explicitly."""
     li = load_table(spark, sf_dir, "lineitem")
-    ps = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = ps.alias("a"), ps.alias("b")
+    # ONE orderkey shuffle instead of the r8-r13 distinct + self-join
+    # (which exchanged the (order, part) relation twice and joined):
+    # collect_set dedupes parts within the order, array_sort + the
+    # slice(i+2) transform emits exactly the a<b pairs in-array — the
+    # fanout is bounded by order size (~4 parts), so the generated-pair
+    # explode is skew-free (guide §2.3 shuffle-fewer-bytes / §2.4).
+    # Output identical to the self-join form (asserted in the r14
+    # interleaved A/B at sf0.1: 1,196,000 identical weighted pairs;
+    # wall is a wash at gate scale — the win is the removed second
+    # exchange+join of the fact-projection, which is what scales).
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS src, y AS dst))))"
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
+        .groupBy(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
         .agg(F.count(F.lit(1)).alias("w"))
         # cut lineage before the symmetric union — its two branches
-        # would otherwise each re-run the self-join aggregate (the
-        # CC edge-list rule)
+        # would otherwise each re-run the edge aggregate (the CC
+        # edge-list rule)
         .localCheckpoint()
     )
 
@@ -574,11 +586,11 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer fixed-point form (operators/graph.pagerank_units): three
     unrolled iterations of r' = T + (85·Σ r div deg) div 100 over
     BIGINT units — no float crosses an aggregation boundary, so the
-    DuckDB oracle replays the exact same integers. Edge build self-joins
-    lineitem's distinct (order, part) pairs on the order key — fanout
+    DuckDB oracle replays the exact same integers. Edge build groups
+    lineitem by order and emits the a<b part pairs in-array — fanout
     bounded by order size (~4 items), scale-safe — checkpointed per call
-    (:func:`_copurchase_halfw`; r14 removed the cross-call memo).
-    ``unit`` is sized to the graph
+    (:func:`_copurchase_halfw`; r14 removed the cross-call memo and the
+    self-join). ``unit`` is sized to the graph
     (_PR_GATE_UNIT = 10⁹) so the operator's default-on int64 overflow
     guard holds to ~10⁸ nodes instead of tripping at TPC-H sf ≈ 0.55
     (ADVICE r9). The top-100 head runs behind an 8-bucket pre-cut, so
