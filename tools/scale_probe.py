@@ -532,23 +532,28 @@ def probe_graph_ops(spark, path: str) -> dict[str, float]:
         m1, d1 = spill_snapshot(spark)
         return {"s": elapsed, "spill_mb": ((m1 - m0) + (d1 - d0)) / 1048576.0}
 
-    a, b = ps.alias("a"), ps.alias("b")
+    # the gate's r14 edge construction: one orderkey shuffle — per-order
+    # collect_set + sorted-array a<b pair transform (fan-out = basket
+    # size), replacing the r8-r13 distinct + self-join
     half_plan = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
+        ps.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
         .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) -> "
+                    "transform(slice(parts, i + 2, size(parts)), "
+                    "y -> struct(x AS src, y AS dst))))"
+                )
+            ).alias("p")
         )
+        .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
         .distinct()
     )
 
     def edge_build():
-        # the gate's edge phase: per-order self-join (fan-out = basket
-        # size) + pair dedup + symmetric mirror
+        # the gate's edge phase: in-array pair generation + pair dedup +
+        # symmetric mirror
         half = half_plan
         mat(
             half.unionByName(
