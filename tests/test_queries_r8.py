@@ -412,3 +412,41 @@ class TestRRF:
         assert rows
         for r in rows:
             assert r["doc_id"] != r["query_id"]
+
+
+class TestCopurchaseEdgeBuild:
+    def test_in_array_pairs_match_self_join(self, spark):
+        """The r14 in-array edge build (per-order collect_set +
+        sorted-array a<b transform, one orderkey shuffle) must emit
+        exactly the weighted pair set the r8-r13 distinct + self-join
+        form produced."""
+        from pyspark.sql import functions as F
+
+        from database_replicator_spark.queries_r8 import _copurchase_halfw
+        from database_replicator_spark.sources.catalog import load_table
+
+        got = sorted(map(tuple, _copurchase_halfw(spark, SF).collect()))
+
+        li = load_table(spark, SF, "lineitem")
+        ps = li.select("l_orderkey", "l_partkey").distinct()
+        a, b = ps.alias("a"), ps.alias("b")
+        ref = sorted(
+            map(
+                tuple,
+                a.join(
+                    b,
+                    (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+                )
+                .groupBy(
+                    F.col("a.l_partkey").alias("src"),
+                    F.col("b.l_partkey").alias("dst"),
+                )
+                .agg(F.count(F.lit(1)).alias("w"))
+                .collect(),
+            )
+        )
+        assert got == ref
+        assert got  # non-degenerate
+        # a<b half-edge invariant
+        assert all(s < d for s, d, _w in got)

@@ -877,3 +877,70 @@ class TestPartialUpdateMerge:
                 ),
                 0,
             )
+
+
+class TestDriverSideSyncState:
+    def test_state_roundtrip_schema_and_values(self, spark, tmp_path):
+        """The r14 driver-side _sync_state writer must produce exactly
+        the dtypes the Spark writer produced (table string,
+        last_change_id/n_changes int64, epoch_id int32 — the oracle's
+        dtype-kind gate depends on them) and survive a read-modify-write
+        cycle through _read_state_driver."""
+        from database_replicator_spark.streaming.change_stream import (
+            ChangeApplier,
+        )
+
+        path = str(tmp_path / "_sync_state")
+        ChangeApplier._write_state_driver(
+            [(3, "users", 17, 5), (3, "posts", 2, 2)], path
+        )
+        df = spark.read.parquet(path)
+        dtypes = dict(df.dtypes)
+        assert dtypes == {
+            "table": "string",
+            "last_change_id": "bigint",
+            "n_changes": "bigint",
+            "epoch_id": "int",
+        }
+        got = {r["table"]: (r["last_change_id"], r["n_changes"], r["epoch_id"])
+               for r in df.collect()}
+        assert got == {"users": (17, 5, 3), "posts": (2, 2, 3)}
+        # driver-side read-back sees the same HWMs
+        assert ChangeApplier._read_state_driver(path) == {
+            "users": (17, 5), "posts": (2, 2),
+        }
+        # overwrite (epoch roll) replaces, never appends
+        ChangeApplier._write_state_driver([(4, "users", 20, 6)], path)
+        assert ChangeApplier._read_state_driver(path) == {"users": (20, 6)}
+        # empty state (nonempty epoch, all ops invalid, no prior state)
+        # still yields a readable parquet with the full schema
+        empty = str(tmp_path / "_sync_state_empty")
+        ChangeApplier._write_state_driver([], empty)
+        edf = spark.read.parquet(empty)
+        assert edf.count() == 0 and dict(edf.dtypes) == dtypes
+        assert ChangeApplier._read_state_driver(empty) == {}
+
+    def test_replayed_epoch_does_not_double_count(self, spark, dirs):
+        """HWM accounting through the single-collect metadata job: a
+        replayed batch (same change_ids) must contribute zero to
+        n_changes while still being idempotent on _latest."""
+        rows = [
+            {"change_id": i, "table": "t", "op": "insert", "pk": str(i),
+             "payload": "{}"}
+            for i in range(1, 6)
+        ]
+        write_change_file(os.path.join(dirs["src"], "c1.json"), rows)
+        _run_once(spark, dirs)
+        # replay the same five changes plus one new one
+        write_change_file(
+            os.path.join(dirs["src"], "c2.json"),
+            rows + [{"change_id": 6, "table": "t", "op": "insert",
+                     "pk": "6", "payload": "{}"}],
+        )
+        _run_once(spark, dirs)
+        state = spark.read.parquet(os.path.join(dirs["tgt"], "_sync_state"))
+        st = {r["table"]: (r["last_change_id"], r["n_changes"])
+              for r in state.collect()}
+        assert st == {"t": (6, 6)}
+        latest = spark.read.parquet(os.path.join(dirs["tgt"], "t_latest"))
+        assert latest.count() == 6
