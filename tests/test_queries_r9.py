@@ -329,6 +329,25 @@ class TestHits:
         assert got_a == a
         assert got_h == h
 
+    def test_final_auths_is_materialized_and_shared(self, spark):
+        """r14: the final-iteration auths is localCheckpointed inside
+        the loop, so a caller consuming BOTH returned frames shares the
+        iteration chain instead of re-running it per branch — auths must
+        scan materialized blocks (ExistingRDD), and the hub branch's
+        plan must read the same blocks rather than re-derive the chain
+        (no join in the auths plan, exactly one value-join level in the
+        hubs plan)."""
+        from database_replicator_spark.operators.graph import hits_units
+
+        edges = [(1, 10), (1, 11), (2, 10), (3, 11), (3, 12)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        hubs, auths = hits_units(df, iters=2)
+        auths_plan = auths._jdf.queryExecution().executedPlan().toString()
+        hubs_plan = hubs._jdf.queryExecution().executedPlan().toString()
+        assert "ExistingRDD" in auths_plan
+        assert "Join" not in auths_plan  # pure block scan
+        assert "ExistingRDD" in hubs_plan  # derives from the checkpoint
+
 
 class TestHitsGuards:
     def test_iters_zero_rejected(self, spark):
